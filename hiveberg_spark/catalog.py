@@ -1,0 +1,59 @@
+"""Table resolution over the driver's parquet fixtures.
+
+Reference parity: TableResolverUtil.java:48-100 resolves tables from a
+JobConf (`iceberg.catalog` ∈ {hadoop.tables, hadoop.catalog}) plus the
+`__snapshots` name-suffix convention. Here resolution is (sf_dir, name) →
+DataFrame; the snapshot/metadata-table surface lives in
+`hiveberg_spark.sources.snapshot_table` and reuses the same suffix
+convention (`<name>__snapshots`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    The parquet scan is left untouched so Catalyst keeps full pushdown
+    freedom (filters/column pruning reach the parquet reader). The only
+    normalization is the events timestamp: the fixture stores
+    TIMESTAMP(NANOS) which Spark has no type for — with
+    `nanosAsLong` the column arrives as long nanos, converted here to a
+    microsecond TIMESTAMP_NTZ (matching what DuckDB surfaces).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, NOT float division: epoch-nanos exceed 2^53, so a
+        # double round-trip would corrupt the low microseconds
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

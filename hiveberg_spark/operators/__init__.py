@@ -1,0 +1,18 @@
+"""Operator inventory (SURVEY.md §2). Importing this package registers
+every query in `hiveberg_spark.registry`."""
+
+from hiveberg_spark.operators import (  # noqa: F401
+    relational,
+    filters,
+    joins,
+    aggregates,
+    windows,
+    setops,
+    scalar_funcs,
+    timetravel,
+    dedup,
+    simsearch,
+    text_analysis,
+    multimodal,
+    streaming_ops,
+)

@@ -1,0 +1,211 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+HiveQL aggregate surface (executed by Hive in the reference) re-expressed
+as Spark built-ins. Catalyst plans partial (map-side) + final aggregation
+automatically — the property that makes these shuffle only the distinct
+group keys, not the data, at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+
+_DEC = "decimal(30,6)"
+
+
+@query(
+    "agg_basic_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_basic_stats(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast(_DEC)
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec).cast("double").alias("total"),
+        F.min(dec).cast("double").alias("min_price"),
+        F.max(dec).cast("double").alias("max_price"),
+        (F.sum(dec).cast("double") / F.count("*")).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct: Catalyst expands to a two-phase expand+agg —
+    shuffle is on (group, key) pairs, safe under skew at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
+    exact distinct when a ~2% error is acceptable; single pass, constant
+    memory per group. No DuckDB oracle: sketch internals differ by
+    design; the test suite instead bounds its error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """collect_list/collect_set parity (Hive UDAF surface), made
+    deterministic by sorting before concatenation."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(l_quantity) AS med_qty,
+           CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median_percentile(spark, sf_dir):
+    """Exact percentiles (interpolated) — matches DuckDB quantile_cont.
+    At 100 TB the approximate sketch (percentile_approx) replaces this;
+    declared separately below as rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+    )
+
+
+@query("agg_percentile_approx")  # rows-only: sketch-based, engine-specific
+def agg_percentile_approx(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price")
+    )
+
+
+@query(
+    "agg_stddev_corr",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covar_qp
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_stddev_corr(spark, sf_dir):
+    """Statistical aggregates. Both engines use single-pass co-moment
+    updates whose exact float result is order-dependent — rounded to 6
+    decimals to compare (verified stable at sf0.01/sf0.1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with explicit value list (the scalable form — no extra pass
+    to discover pivot values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .count()
+        .na.fill(0)
+        .withColumnRenamed("O", "status_O")
+        .withColumnRenamed("F", "status_F")
+    )

@@ -1,0 +1,324 @@
+"""Deduplication operators [N] (SURVEY.md §2.11) over the documents table.
+
+Four families, each a scale-designed Spark pipeline:
+  - exact dedup: hash group-by (shuffle on content hash only)
+  - n-gram Jaccard near-dup: shingle → inverted-index join → verify
+    (the exact baseline; oracle-checked against DuckDB end-to-end)
+  - MinHash+LSH near-dup: shingle → minhash signature → banded buckets →
+    candidate join → exact verify (the 100 TB path: candidate generation
+    touches only colliding bands, never the full pair space)
+  - SimHash near-dup: 64-bit fingerprint → banded hamming buckets
+
+Everything runs in JVM higher-order functions (transform/aggregate/
+zip_with) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+
+JACCARD_THRESHOLD = 0.8
+
+# -- shared building blocks -------------------------------------------------
+
+
+def shingled(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word n-gram shingles.
+
+    Guarded for docs shorter than n words (empty shingle set).
+
+    The input is repartitioned first: the fixture is a single parquet
+    file (= 1 partition), and shingling/minhashing is the CPU-heavy
+    per-row stage — a cheap narrow-input shuffle unlocks full-core
+    parallelism here and is exactly what a 100 TB run does between its
+    IO-bound scan and CPU-bound fingerprint stages."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    shingles = F.when(F.size(words) >= n, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select("doc_id", shingles.alias("shingles"))
+
+
+def _verified_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to shingle sets and keep
+    pairs with exact Jaccard >= threshold."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- exact dedup --------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS content_hash
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash, keep-first policy. Scale: shuffles
+    (hash, doc_id) pairs only; the md5 group key caps shuffle width at
+    the distinct-content count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT doc_id FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """Window-keep-first formulation (returns surviving rows, not group
+    stats) — the form a pipeline actually materializes."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+# -- exact n-gram Jaccard (oracle-checked baseline) ---------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, regexp_split_to_array(text,' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS shingles
+      FROM docs
+    ),
+    tok AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i / (len(sa.shingles) + len(sb.shingles) - i), 6) AS jaccard
+    FROM inter
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE i / (len(sa.shingles) + len(sb.shingles) - i) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact near-dup pairs by 3-gram shingle Jaccard via inverted-index
+    join (tok ⋈ tok on shingle). Scale: cost is Σ freq(shingle)² — fine
+    while no shingle is hot; production guard is dropping stop-shingles
+    above a document-frequency cap (see dedup_minhash_lsh for the
+    sub-quadratic path)."""
+    sh = shingled(load_table(spark, sf_dir, "documents")).persist()
+    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
+    t2 = tok.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    inter = (
+        tok.join(t2, (tok.s == t2.s2) & (tok.doc_id < t2.doc_b))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.size("shingles").alias("na"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.size("shingles").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# -- MinHash + LSH (the scale path) -------------------------------------------
+
+_N_PERM = 64
+_BANDS = 16
+_ROWS = _N_PERM // _BANDS  # 4 → catches j>=0.8 w.p. ~1-(1-0.8^4)^16 ≈ 0.9998
+_PRIME = (1 << 61) - 1
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, s0..s63) — minhash signature per document, one column per
+    permutation.
+
+    Formulated as explode → 64 plain `min` aggregates (not nested array
+    lambdas): partial aggregation runs map-side, the shuffle carries only
+    64 longs per document, and whole-stage codegen stays small and flat.
+    The permutation family is a 64-bit wraparound affine transform of one
+    xxhash64 base hash (ANSI off, see session.py); constants derive from
+    the permutation index, so signatures are deterministic across runs
+    with zero stored state."""
+    tok = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    def i64(x: int) -> int:  # wrap a Python int into signed 64-bit
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    perms = [
+        F.min(
+            F.col("h") * F.lit(2 * p + 1) + F.lit(i64((p + 1) * -7046029254386353131))
+        ).alias(f"s{p}")
+        for p in range(_N_PERM)
+    ]
+    return tok.groupBy("doc_id").agg(*perms)
+
+
+@query("dedup_minhash_lsh")  # rows-only is the fallback; see test_dedup for
+# the local proof that this exactly matches dedup_ngram_jaccard's output
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    Pipeline: shingle → 64-perm minhash → 16 bands × 4 rows → explode
+    bands → shuffle on (band, band_hash) → candidate pairs from bucket
+    self-join → exact Jaccard verify → pairs ≥ 0.8.
+
+    Scale: the pair space is never materialized — only same-bucket
+    collisions; bucket skew is bounded because a band hash collision
+    already implies high similarity. This is the 100 TB dedup path; the
+    inverted-index exact variant is the small-scale oracle."""
+    # persist: the shingle stage is the expensive per-row compute and is
+    # consumed three times (signatures + both sides of the verify join);
+    # at 100 TB this is a materialized signatures table
+    sh = shingled(load_table(spark, sf_dir, "documents")).persist()
+    sigs = minhash_signatures(sh)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"s{b * _ROWS + r}") for r in range(_ROWS)])
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+    other = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band2"),
+        F.col("band_hash").alias("band_hash2"),
+    )
+    cands = (
+        bands.join(
+            other,
+            (bands.band == other.band2)
+            & (bands.band_hash == other.band_hash2)
+            & (bands.doc_id < other.doc_b),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    return _verified_pairs(cands, sh, JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+
+
+# -- SimHash ------------------------------------------------------------------
+
+
+@query("dedup_simhash")  # rows-only: fingerprint bit-math is engine-specific
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit fingerprint = sign-aggregated word-hash
+    bits; near-dup candidates share one of 4 16-bit bands (≤3-bit
+    hamming guarantee needs all pairs within radius to collide on ≥1
+    band — 4 bands cover radius 3 by pigeonhole); verified by exact
+    hamming distance.
+
+    All fingerprint math is JVM-side bit arithmetic over the shingle
+    array (3-gram shingles, not unigrams: the fixture's 31-word
+    vocabulary makes unigram sets nearly identical across documents,
+    which would collapse every fingerprint into one hamming cluster)."""
+    d = shingled(load_table(spark, sf_dir, "documents"))
+    words = F.col("shingles")
+    # bit b of a word's hash, tested via a powers-of-two mask array
+    # (shift functions need literal counts; masks are data)
+    powers = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    bit_votes = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.transform(
+                powers,
+                lambda m: F.when(F.xxhash64(w).bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            powers,
+            lambda v, m: F.when(v >= 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    fp = d.select("doc_id", fingerprint.alias("fp"))
+    # band on 16-bit chunks (literal shift counts)
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fp", b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    other = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("band").alias("band2"),
+        F.col("band_val").alias("band_val2"),
+    )
+    hamming = F.bit_count(F.col("fp").bitwiseXOR(F.col("fp_b")))
+    return (
+        bands.join(
+            other,
+            (bands.band == other.band2)
+            & (bands.band_val == other.band_val2)
+            & (bands.doc_id < other.doc_b),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,188 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference implements no join; its e2e tests run Hive inner equi-joins
+over two Iceberg tables (TestJoinTablesWithHadoopCatalog.java:121-152).
+Contract here: the full Spark join surface, each shape chosen for scale
+(broadcast for dims, shuffle-hash/sort-merge via AQE for fact-fact,
+explicit comments where a 100 TB plan differs from the local one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT s_name, s_acctbal, c_name
+    FROM supplier JOIN customer ON s_nationkey = c_nationkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def join_inner_equi(spark, sf_dir):
+    """The reference's canonical tested case (two-table inner equi-join,
+    TestJoinTablesWithHadoopCatalog.java:121-126). supplier is tiny →
+    broadcast; no shuffle of customer."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        c.join(F.broadcast(s), s.s_nationkey == c.c_nationkey, "inner")
+        .select("s_name", "s_acctbal", "c_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 400000
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000)
+    return c.join(o, cond, "left").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    WHERE c_acctbal < -900
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -900)
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "c_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT a.n_nationkey AS left_key, b.s_suppkey AS right_key
+    FROM (SELECT n_nationkey FROM nation WHERE n_nationkey < 15) a
+    FULL JOIN (SELECT s_suppkey, s_nationkey FROM supplier) b
+      ON a.n_nationkey = b.s_nationkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 15)
+        .select("n_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        F.col("n_nationkey").alias("left_key"), F.col("s_suppkey").alias("right_key")
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_left_semi(spark, sf_dir):
+    """Hive LEFT SEMI JOIN / EXISTS rewrite."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark, sf_dir):
+    """NOT EXISTS rewrite."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation WHERE n_nationkey < 5
+    """,
+)
+def join_cross(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, p_partkey
+    FROM supplier JOIN part
+      ON s_acctbal < p_retailprice AND p_retailprice - s_acctbal < 10
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Non-equi (range) join → broadcast-nested-loop. Scale note: BNL is
+    O(n·m); at 100 TB a band join like this must be bucketized — see
+    `asof_join_events` for the bucketed pattern."""
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    cond = (s.s_acctbal < p.p_retailprice) & ((p.p_retailprice - s.s_acctbal) < 10)
+    return s.join(F.broadcast(p), cond).select("s_suppkey", "p_partkey")
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH orders_ts AS (
+      SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey,
+           epoch_us((SELECT MAX(e.ts) FROM events e
+             WHERE e.user_id = o_custkey % 50 AND e.ts <= o_orderdate + INTERVAL 10000 DAYS
+           )) AS last_event_us
+    FROM orders_ts
+    ORDER BY o_orderkey
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join [N]: for each order, the latest event of the matching
+    user at-or-before a reference time. Implemented as equi-join on the
+    entity key + max-over-time — the scalable composition (shuffle on
+    user_id only); a naive approach would be a per-row range scan.
+
+    At 100 TB the same shape holds: join keyed on entity, per-key
+    aggregation, no cross product. (The +10000-day offset makes the 2024
+    events fall in range of 1990s orderdates in this synthetic data.)
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50).alias("user_key"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 10000 DAYS")).alias("cutoff"),
+        )
+    )
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    joined = o.join(e, (o.user_key == e.user_id) & (e.ts <= o.cutoff), "left")
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("last_event_us")
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,236 @@
+"""Scalar function batteries (SURVEY.md §2.8): string / date / math /
+array / map / json.
+
+The reference implements zero scalar functions (HiveQL built-ins run in
+Hive, flowing through the SerDe's ObjectInspectors —
+IcebergObjectInspectorGenerator.java:34-71). Contract: the equivalent
+pyspark.sql.functions surface, all JVM-side/codegen'd — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           CONCAT(LOWER(n_name), '-', CAST(n_regionkey AS VARCHAR)) AS tag,
+           UPPER(SUBSTR(n_name, 1, 3)) AS prefix3,
+           LENGTH(TRIM(n_name)) AS name_len,
+           REGEXP_EXTRACT(n_name, '([AEIOU]+)', 1) AS first_vowels,
+           REGEXP_REPLACE(n_name, '[AEIOU]', '_', 'g') AS devoweled,
+           (n_name LIKE '%IA%') AS has_ia,
+           ARRAY_TO_STRING(regexp_split_to_array(n_name, ' '), '|') AS words
+    FROM nation
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.concat(
+            F.lower("n_name"), F.lit("-"), F.col("n_regionkey").cast("string")
+        ).alias("tag"),
+        F.upper(F.substring("n_name", 1, 3)).alias("prefix3"),
+        F.length(F.trim(F.col("n_name"))).alias("name_len"),
+        F.regexp_extract("n_name", "([AEIOU]+)", 1).alias("first_vowels"),
+        F.regexp_replace("n_name", "[AEIOU]", "_").alias("devoweled"),
+        F.col("n_name").like("%IA%").alias("has_ia"),
+        F.array_join(F.split("n_name", " "), "|").alias("words"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate)  AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mon,
+           EXTRACT(DAY FROM o_orderdate)   AS dom,
+           STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def scalar_date_funcs(spark, sf_dir):
+    """Temporal outputs are formatted as strings: engines disagree on how
+    DATE surfaces through pandas/Arrow, strings are unambiguous."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days_to_eoy"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice, 1) AS price_r1,
+           FLOOR(p_retailprice)    AS price_floor,
+           CEIL(p_retailprice)     AS price_ceil,
+           ABS(p_size - 25)        AS size_dist,
+           ROUND(SQRT(p_retailprice), 6)      AS price_sqrt,
+           ROUND(LN(p_retailprice), 6)        AS price_ln,
+           ROUND(POW(CAST(p_size AS DOUBLE), 2.0), 6) AS size_sq,
+           p_size % 7 AS size_mod
+    FROM part
+    """,
+)
+def scalar_math_funcs(spark, sf_dir):
+    """Rounded to 6 decimals where libm implementations may differ in the
+    last ulp (pow/ln); floor/ceil/abs/sqrt are IEEE-exact."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("p_size").cast("double"), F.lit(2.0)), 6).alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other
+    FROM customer
+    """,
+)
+def scalar_conditional(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), 6) AS head3_sum,
+           LEN(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def scalar_array_funcs(spark, sf_dir):
+    """Array battery over the embeddings table: size/element_at/slice/
+    transform/filter/aggregate — all JVM higher-order functions (the
+    pattern the similarity ops build on)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x)
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 3), F.lit(0.0), lambda acc, x: acc + dbl(x)
+            ),
+            6,
+        ).alias("head3_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events WHERE event_id < 200
+    """,
+)
+def scalar_json_funcs(spark, sf_dir):
+    """JSON extraction over events.props (get_json_object / from_json)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+    )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           'k' AS first_key
+    FROM events WHERE event_id < 100
+    """,
+)
+def scalar_map_funcs(spark, sf_dir):
+    """from_json → MapType → map_keys/element_at (Hive map surface;
+    nested-type parity with the reference's map fixtures,
+    TestIcebergSerDe.java:99-137)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )
+
+
+@query(
+    "explode_posexplode",
+    oracle="""
+    SELECT vec_id, CAST(pos - 1 AS INT) AS pos, ROUND(CAST(val AS DOUBLE), 6) AS val
+    FROM (
+      SELECT vec_id, UNNEST(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE vec_id < 10
+    )
+    """,
+)
+def explode_posexplode(spark, sf_dir):
+    """posexplode (UDTF surface §2.10): array → (pos, val) rows."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val")
+    )

@@ -1,0 +1,232 @@
+"""Similarity search [N] (SURVEY.md §2.11) over embeddings (array<float>).
+
+Two tiers:
+  - brute-force cosine top-k: the exact baseline, oracle-checked.
+    O(nq × nc) — correct at any scale where the query set is small and
+    the corpus scan is parallel (it is: one pass, no shuffle of the
+    corpus, queries broadcast).
+  - LSH (random hyperplane) bucketed ANN: the 100 TB path — candidates
+    only from matching signature buckets, then exact rerank.
+
+All vector math is JVM-side (zip_with/aggregate) — no Python in the
+per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+
+TOP_K = 5
+_N_QUERIES = 10  # query set: vec_id < 10
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", _norm(F.col(vec)))
+
+
+@query(
+    "simsearch_bruteforce_topk",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS vec_id, SUM(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON a.pos = b.pos
+      WHERE a.vec_id < {_N_QUERIES} AND b.vec_id != a.vec_id
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT qid, d.vec_id,
+             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+                  JOIN norms nc ON nc.vec_id = d.vec_id
+    )
+    SELECT qid, vec_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM sims
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def simsearch_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-k for each query vector. Similarities rounded to
+    6 decimals before ranking so Spark/DuckDB float summation order can
+    never flip a rank (ties broken by vec_id)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    sims = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("embedding"))
+                / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
+_N_PLANES = 12
+
+
+def _hyperplane_signature(vec_col):
+    """Deterministic random-hyperplane signature: plane p's component for
+    dimension i is a pseudo-random ±/magnitude value derived from
+    xxhash64(p, i) — reproducible across runs with zero stored state.
+
+    sig bit p = [ Σ_i v_i · r(p,i) >= 0 ]"""
+    def proj(p):
+        return F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda x, i: x.cast("double")
+                * (
+                    (
+                        F.pmod(F.xxhash64(p.cast("string"), i.cast("string")), F.lit(2000))
+                        - 1000
+                    ).cast("double")
+                    / 1000.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_PLANES - 1)),
+        lambda p: F.when(proj(p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    # pack bits with a powers-of-two array (shiftleft needs a literal count)
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(_N_PLANES)])
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("simsearch_lsh_ann")  # rows-only: ANN recall is probabilistic by design
+def simsearch_lsh_ann(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH: corpus and queries get a
+    12-bit signature; candidates = same-bucket vectors; exact cosine
+    rerank; top-k (possibly < k — ANN tradeoff).
+
+    Scale: one corpus pass to sign, shuffle on the 4096-bucket key, no
+    all-pairs anything. Recall is tested against the brute-force baseline
+    in tests (not an oracle query — approximate by design)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    signed = e.select("vec_id", "embedding", _hyperplane_signature(F.col("embedding")).alias("sig"))
+    q = signed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("sig").alias("qsig"),
+    )
+    cands = signed.join(
+        F.broadcast(q), (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("qid"))
+    )
+    sims = cands.select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Vector-math battery: per-row L2 norm (the normalize step of any
+    embedding pipeline); sequential-order summation matches DuckDB's
+    list_sum exactly, rounded to 6 for safety."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", F.round(_norm(F.col("embedding")), 6).alias("l2_norm"))
+
+
+@query(
+    "embedding_centroid_dist",
+    oracle="""
+    WITH flat AS (
+      SELECT label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM flat GROUP BY label, pos
+    )
+    SELECT label, ROUND(SQRT(SUM(c * c)), 6) AS centroid_norm,
+           COUNT(*) AS dim
+    FROM centroids GROUP BY label
+    """,
+)
+def embedding_centroid_dist(spark, sf_dir):
+    """Per-label centroid (the IVF coarse-quantizer step): posexplode →
+    per-(label, dim) mean → centroid norm. Decimal-exact means so the
+    cross-engine comparison is deterministic.
+
+    Scale: shuffle keyed on (label, dim) — 10×64 cells here, k×d cells
+    generally; the pattern that trains IVF cells without collecting
+    vectors to the driver."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+        F.count("*").alias("dim"),
+    )

@@ -1,0 +1,200 @@
+"""Streaming operators [N] (SURVEY.md §2.9) over the events stream.
+
+Each query executes a real Structured Streaming pipeline (file source →
+watermark/window/state → memory sink, availableNow trigger) and returns
+the final batch result — so the oracle is simply the equivalent batch
+SQL over the same data (the strongest batch-vs-stream parity check).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hiveberg_spark.registry import query
+from hiveberg_spark.streaming.events import events_stream, run_to_memory
+
+_DEC = "decimal(30,6)"
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark, sf_dir):
+    """Tumbling 1-hour windows with a 10-minute watermark. The watermark
+    bounds state at scale (late rows beyond it are dropped); with the
+    full backlog replayed in one availableNow batch nothing is actually
+    late, so stream == batch exactly."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+    )
+    # complete mode: append would hold back windows newer than the final
+    # watermark, dropping the tail vs the batch oracle
+    out = run_to_memory(agg, output_mode="complete", name="tumbling_counts")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "stream_sliding_windows",
+    oracle="""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start, ts
+      FROM events, UNNEST([0, 1]) AS t(k)
+    )
+    SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+    FROM expanded
+    WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+    GROUP BY 1
+    """,
+)
+def stream_sliding_windows(spark, sf_dir):
+    """Sliding windows (1 hour every 30 minutes): each event lands in 2
+    overlapping windows."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="complete", name="sliding_windows")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"), "n"
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 10
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """Session windows: 30-minute inactivity gap per user. The streaming
+    operator merges adjacent events into variable-length sessions; the
+    oracle reproduces the semantics with a batch gaps-and-islands SQL —
+    the strongest cross-check of session semantics available."""
+    s = events_stream(spark, sf_dir).filter(F.col("user_id") < 10)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, output_mode="complete", name="session_windows")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT COUNT(DISTINCT event_id) AS n_unique,
+           COUNT(DISTINCT event_id) AS n_after_dedup
+    FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Stateful streaming dedup on event_id (dropDuplicates over the
+    stream keeps one row per key in state; the watermarked variant
+    `dropDuplicatesWithinWatermark` bounds that state in production —
+    exercised in tests)."""
+    s = events_stream(spark, sf_dir)
+    deduped = s.dropDuplicates(["event_id"])
+    agg = deduped.groupBy().agg(F.count("*").alias("n_after_dedup"))
+    out = run_to_memory(agg, output_mode="complete", name="stream_dedup")
+    return out.select(
+        F.col("n_after_dedup").alias("n_unique"), "n_after_dedup"
+    )
+
+
+_STATE_SCHEMA = "n long, max_value double"
+_OUT_SCHEMA = "user_id long, n_events long, max_value double"
+
+
+def _user_stats(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Arbitrary stateful op: running per-user event count + max value.
+    With availableNow the whole backlog arrives in one batch, so the
+    emitted row is the final aggregate (== batch oracle)."""
+    n, max_v = state.get if state.exists else (0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            max_v = max(max_v, float(pdf["value"].max()))
+    state.update((n, max_v))
+    yield pd.DataFrame([(key[0], n, max_v)], columns=["user_id", "n_events", "max_value"])
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events WHERE user_id < 20
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState (the
+    arbitrary-state API): per-user running stats, state persisted across
+    micro-batches in the state store. Scale: state is per-key and
+    incremental — the pattern for sessionization/feature stores that
+    windowed aggs can't express."""
+    s = events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    stats = (
+        s.groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(stats, output_mode="update", name="stateful_user_stats")
+    # update-mode sink may hold one row per key per batch; keep the final
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
+    )

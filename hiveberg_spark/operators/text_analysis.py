@@ -1,0 +1,212 @@
+"""Text analysis [N] (SURVEY.md §2.11) over the documents table:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All JVM-side string/array functions — the shapes a 100 TB text pipeline
+runs in its first pass (one scan, no shuffle, all columns derivable
+per-row)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+
+# tiny per-language stopword lists for the n-gram/stopword-vote heuristic
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "y", "de"],
+}
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           LENGTH(text) AS n_chars,
+           ROUND(LENGTH(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens, unique tokens, char stats."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length("text") / F.size(toks), 6).alias("avg_token_len"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "n_spaces"
+        ),
+    )
+
+
+@query(
+    "text_bpe_ish_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_tokens_est
+    FROM documents
+    """,
+)
+def text_bpe_ish_tokens(spark, sf_dir):
+    """BPE-ish token counting: regex word/number/punct pieces plus the
+    chars/4 estimator used for quick corpus sizing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens_est"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+    )
+    SELECT doc_id,
+           ROUND(len(list_filter(toks, w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(len(list_filter(toks, w -> LENGTH(w) >= 6)) * 1.0 / len(toks), 6) AS long_word_ratio,
+           (len(toks) BETWEEN 20 AND 1000) AS len_ok,
+           ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr
+    FROM t
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality signals: stopword ratio, long-word ratio, length gate,
+    type-token ratio — the standard pre-training quality filters."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.round(
+            F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+            / F.size(toks),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda w: F.length(w) >= 6)) / F.size(toks), 6
+        ).alias("long_word_ratio"),
+        F.size(toks).between(20, 1000).alias("len_ok"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+    )
+
+
+@query(
+    "text_langid_heuristic",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    votes AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, w -> list_contains(['the','a','and','of','to'], w))) AS v_en,
+        len(list_filter(toks, w -> list_contains(['der','die','das','und','zu'], w))) AS v_de,
+        len(list_filter(toks, w -> list_contains(['le','la','et','les','des'], w))) AS v_fr,
+        len(list_filter(toks, w -> list_contains(['el','la','los','y','de'], w))) AS v_es
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN GREATEST(v_en, v_de, v_fr, v_es) = 0 THEN 'und'
+                WHEN v_en >= GREATEST(v_de, v_fr, v_es) THEN 'en'
+                WHEN v_de >= GREATEST(v_fr, v_es) THEN 'de'
+                WHEN v_fr >= v_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM votes
+    """,
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Stopword-vote language ID (the n-gram heuristic family). Ties
+    resolved by a fixed language priority so the result is deterministic
+    on synthetic text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def votes(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    v = {lang: votes(words) for lang, words in _LANG_MARKERS.items()}
+    best = F.greatest(*v.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(v["en"] >= F.greatest(v["de"], v["fr"], v["es"]), "en")
+        .when(v["de"] >= F.greatest(v["fr"], v["es"]), "de")
+        .when(v["fr"] >= v["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-normalized lowercase
+    text + sha256 of the raw text (the content-addressing keys of a
+    dedup/provenance pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha"),
+    )
+
+
+@query("text_rolling_hash")  # rows-only: xxhash64 is Spark-specific
+def text_rolling_hash(spark, sf_dir):
+    """Polynomial rolling hash over the token stream (shift-invariant
+    fingerprint family): acc = acc·1000003 + xxhash64(token), wrapping in
+    64-bit. JVM-side aggregate over the words array."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc * F.lit(1000003).cast("long") + F.xxhash64(w),
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@query(
+    "text_corpus_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_corpus_stats(spark, sf_dir):
+    """Corpus roll-up by (lang, source) — the partition-planning query of
+    a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )

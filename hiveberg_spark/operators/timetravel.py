@@ -1,0 +1,178 @@
+"""Time travel & metadata queries (SURVEY.md §2.7) — the reference's
+signature features, declared as oracle-checkable queries.
+
+Fixture: a 3-snapshot `nation_versions` table built (idempotently, per
+sf_dir) by appending deterministic slices of the nation fixture —
+mirroring the multi-append lineage of TestReadSnapshotTable.java:77-86:
+
+  snapshot 1: n_nationkey < 8
+  snapshot 2: 8 <= n_nationkey < 17
+  snapshot 3: n_nationkey >= 17
+
+Because snapshot ids and slices are deterministic, every time-travel
+result is expressible as plain SQL over the raw nation parquet — giving
+these [R] features full DuckDB-oracle coverage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+
+from pyspark.sql import functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+from hiveberg_spark.sources.snapshot_table import SnapshotTable, resolve_table
+
+_lock = threading.Lock()
+
+_NATION_COLS = ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def warehouse_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"), f"hbs_warehouse_{tag}"
+    )
+
+
+def _ensure_fixture(spark, sf_dir: str) -> SnapshotTable:
+    """Build the 3-snapshot nation_versions table once per sf_dir."""
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_versions")
+    with _lock:
+        done = os.path.join(loc, "_FIXTURE_READY")
+        if os.path.exists(done):
+            return SnapshotTable.load(spark, loc)
+        nation = load_table(spark, sf_dir, "nation").select(*_NATION_COLS)
+        table = SnapshotTable.create(spark, loc)
+        table.append(nation.filter(F.col("n_nationkey") < 8))
+        table.append(nation.filter(F.col("n_nationkey").between(8, 16)))
+        table.append(nation.filter(F.col("n_nationkey") >= 17))
+        open(done, "w").close()
+        return table
+
+
+@query(
+    "timetravel_current",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(3 AS BIGINT) AS snapshot__id
+    FROM nation
+    """,
+)
+def timetravel_current(spark, sf_dir):
+    """Current-snapshot scan: all three appends visible, every row
+    carrying the virtual snapshot__id (parity:
+    TestInputFormatWithMultipleTasks.java:85-107)."""
+    return _ensure_fixture(spark, sf_dir).scan()
+
+
+@query(
+    "timetravel_as_of_1",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(1 AS BIGINT) AS snapshot__id
+    FROM nation WHERE n_nationkey < 8
+    """,
+)
+def timetravel_as_of_1(spark, sf_dir):
+    """Time travel to the first snapshot (parity:
+    TestReadSnapshotTable.java:139-166)."""
+    return _ensure_fixture(spark, sf_dir).scan(snapshot_id=1)
+
+
+@query(
+    "timetravel_where_shim",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS BIGINT) AS snapshot__id
+    FROM nation WHERE n_nationkey < 17 AND n_regionkey > 1
+    """,
+)
+def timetravel_where_shim(spark, sf_dir):
+    """The reference's WHERE-clause UX: `WHERE snapshot__id = 2 AND
+    n_regionkey > 1` — snapshot conjunct becomes time travel, the rest a
+    pushed-down residual filter (IcebergInputFormat.java:288-299;
+    stricter conjunct-only semantics per SURVEY.md §7)."""
+    t = _ensure_fixture(spark, sf_dir)
+    return t.scan_where("snapshot__id = 2 AND n_regionkey > 1")
+
+
+@query(
+    "timetravel_isolation",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM nation WHERE n_nationkey < 8) AS n_snap1,
+           (SELECT COUNT(*) FROM nation) AS n_current
+    """,
+)
+def timetravel_isolation(spark, sf_dir):
+    """A time-travel query must not contaminate a later current-snapshot
+    query (parity: TestReadSnapshotTable.java:158-165,
+    TestPredicatePushdown.java:104-111 — a real bug class in the
+    reference's JobConf-keyed state; per-query plans make it structural
+    here, asserted anyway)."""
+    t = _ensure_fixture(spark, sf_dir)
+    n_snap1 = t.scan(snapshot_id=1).count()
+    n_current = t.scan().count()
+    return spark.createDataFrame(
+        [(n_snap1, n_current)], "n_snap1 long, n_current long"
+    )
+
+
+@query(
+    "snapshots_metadata_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 'append',
+       (SELECT COUNT(*) FROM nation WHERE n_nationkey < 8)),
+      (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'append',
+       (SELECT COUNT(*) FROM nation WHERE n_nationkey BETWEEN 8 AND 16)),
+      (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'append',
+       (SELECT COUNT(*) FROM nation WHERE n_nationkey >= 17))
+    ) AS t(snapshot_id, parent_id, operation, added_records)
+    """,
+)
+def snapshots_metadata_table(spark, sf_dir):
+    """The `<name>__snapshots` metadata table (TableResolverUtil.java:72-85,
+    SnapshotIterable.java:48-57), resolved through the same name-suffix
+    convention. committed_at/manifest_list are wall-clock/path-dependent
+    and excluded from the checked projection (asserted non-null in unit
+    tests instead)."""
+    _ensure_fixture(spark, sf_dir)
+    snaps = resolve_table(spark, warehouse_dir(sf_dir), "nation_versions__snapshots")
+    return snaps.select(
+        "snapshot_id",
+        "parent_id",
+        "operation",
+        F.element_at("summary", "added-records").cast("long").alias("added_records"),
+    )
+
+
+@query(
+    "virtual_column_rename",
+    oracle="""
+    SELECT n_nationkey, CAST(3 AS BIGINT) AS commit_version
+    FROM nation
+    """,
+)
+def virtual_column_rename(spark, sf_dir):
+    """Virtual-column rename parity (`iceberg.hive.snapshot.virtual.
+    column.name`, SystemTableUtil.java:51-58;
+    TestReadSnapshotTable.java:169-193)."""
+    t = _ensure_fixture(spark, sf_dir)
+    return t.scan(virtual_column="commit_version").select(
+        "n_nationkey", "commit_version"
+    )
+
+
+@query(
+    "empty_table_scan",
+    oracle="SELECT CAST(0 AS BIGINT) AS n_rows",
+)
+def empty_table_scan(spark, sf_dir):
+    """Scan of a table with no snapshots → 0 rows, not an error
+    (TestInputFormatWithEmptyTable.java:61-79)."""
+    loc = os.path.join(warehouse_dir(sf_dir), "empty_table")
+    with _lock:
+        t = SnapshotTable.create(spark, loc)
+    n = t.scan().count()
+    return spark.createDataFrame([(n,)], "n_rows long")

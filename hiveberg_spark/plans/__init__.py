@@ -1,0 +1,13 @@
+from hiveberg_spark.plans.inspect import (
+    explain_str,
+    pushed_filters,
+    read_schema_columns,
+    assert_whole_stage_codegen,
+)
+
+__all__ = [
+    "explain_str",
+    "pushed_filters",
+    "read_schema_columns",
+    "assert_whole_stage_codegen",
+]

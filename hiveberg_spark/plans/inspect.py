@@ -1,0 +1,47 @@
+"""Physical-plan inspection helpers.
+
+The reference's optimizations are scan-level (predicate pushdown,
+projection pushdown — README.md:59-65); in Spark those are Catalyst
+behaviors we *verify* rather than implement. These helpers read the
+formatted physical plan so tests can assert, per operator, that
+  - filters reached the parquet scan (PushedFilters),
+  - only the needed columns are read (ReadSchema),
+  - the hot path stayed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # same as df.explain, captured
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans."""
+    plan = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        out.extend(p.strip() for p in m.group(1).split(",") if p.strip())
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists of each scan's ReadSchema (projection pushdown proof)."""
+    plan = explain_str(df)
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def assert_whole_stage_codegen(df: DataFrame) -> None:
+    plan = explain_str(df, "simple")
+    if "WholeStageCodegen" not in plan:
+        raise AssertionError(f"no WholeStageCodegen span in plan:\n{plan}")

@@ -1,0 +1,87 @@
+"""Local differential harness mirroring the driver's DuckDB oracle check.
+
+The driver (per BASELINE.md) runs each `queries()[name]` at sf0.01 and
+compares against `oracle_sql()[name]` on row-count + schema +
+order-insensitive value-hash with columns sorted by name. This module
+reproduces that comparison locally so every operator lands green before
+the round gate runs.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+from hiveberg_spark.catalog import TABLES
+
+
+def duckdb_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _normalize_cell(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _normalize_cell(x)) for k, x in v.items()))
+    return v
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_normalize_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
+
+
+def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    sp = spark_df.toPandas()
+    problems: list[str] = []
+    if sorted(sp.columns) != sorted(oracle_df.columns):
+        problems.append(
+            f"schema: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
+        )
+        return problems
+    if len(sp) != len(oracle_df):
+        problems.append(f"rowcount: spark={len(sp)} oracle={len(oracle_df)}")
+        return problems
+    a, b = _canon(sp), _canon(oracle_df)
+    n_bad = 0
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra == rb:
+            continue
+        if float_tol and len(ra) == len(rb):
+            ok = all(
+                (
+                    x == y
+                    or (
+                        isinstance(x, float)
+                        and isinstance(y, float)
+                        and abs(x - y) <= float_tol * max(1.0, abs(x), abs(y))
+                    )
+                )
+                for x, y in zip(ra, rb)
+            )
+            if ok:
+                continue
+        n_bad += 1
+        if n_bad <= 5:
+            problems.append(f"row {i}: spark={ra!r} oracle={rb!r}")
+    if n_bad > 5:
+        problems.append(f"... {n_bad} mismatched rows total")
+    return problems
