@@ -9,6 +9,9 @@ from hiveberg_spark.operators import (  # noqa: F401
     windows,
     setops,
     scalar_funcs,
+    subqueries,
+    formats,
+    udfs,
     timetravel,
     dedup,
     simsearch,

@@ -1,0 +1,297 @@
+"""Subqueries + advanced relational shapes (HiveQL surface [H]):
+scalar/correlated/IN subqueries, HAVING, complex OR-of-ANDs predicates,
+batch sessionization — the rest of the TPC-H-style query taxonomy.
+Catalyst decorrelates these (RewriteCorrelatedScalarSubquery etc.); no
+hand-written rewrites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+
+_DEC = "decimal(18,6)"
+
+
+def _dec(col):
+    return F.col(col).cast(_DEC)
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                     / COUNT(*) FROM orders)
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    """Uncorrelated scalar subquery: compare to 3× the global mean.
+    Plans as a broadcast of one value — no per-row recompute."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                         / COUNT(*) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                   WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def subquery_correlated_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join after
+    decorrelation (visible in the physical plan; asserted in tests)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "subquery_in_notin",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49.5)
+    """,
+)
+def subquery_in_notin(spark, sf_dir):
+    """IN / NOT IN subqueries → semi/anti joins (Hive's rewrite surface,
+    §2.3). NOT IN's null-trap semantics preserved by Spark's
+    null-aware anti join."""
+    for t in ("supplier", "nation", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+          AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49.5)
+        """
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: join + GROUP BY + HAVING + top-k. The HAVING
+    filter runs post-aggregation (decimal-exact, so the threshold
+    comparison can't flip between engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qdec"))
+        .filter(F.col("qdec") > 150)
+        .select(
+            "c_custkey", "o_orderkey", F.col("qdec").cast("double").alias("total_qty")
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                    ELSE 0 END) AS DECIMAL(18,6)) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(37,12)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast(_DEC)
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast(_DEC).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q19_or_of_ands",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'PROMO' AND l_quantity >= 40)
+    """,
+)
+def q19_or_of_ands(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive join predicates. The
+    per-table conjunct halves push to each scan; the mixed residual
+    evaluates post-join (exactly the pushed-vs-residual split the
+    reference approximates by double-evaluating,
+    IcebergStorageHandler.java:106-112)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast(_DEC).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q7_volume_by_nation_pair",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name IN ('CHINA', 'INDIA') AND cn.n_name IN ('CHINA', 'INDIA')
+      AND sn.n_name != cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_by_nation_pair(spark, sf_dir):
+    """TPC-H Q7 shape: self-joined dimension (nation twice) + year
+    extraction. Both nation sides broadcast; the only wide exchange is
+    the lineitem⋈orders shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("CHINA", "INDIA"))
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("CHINA", "INDIA"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.sum(rev).cast(_DEC).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "batch_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, COUNT(DISTINCT session_no) AS n_sessions
+    FROM sessions GROUP BY user_id
+    """,
+)
+def batch_sessionize(spark, sf_dir):
+    """Batch gaps-and-islands sessionization (30-min gap): the batch twin
+    of stream_session_windows — lag → cumulative flag-sum → count. One
+    shuffle on user_id; both window passes reuse the same partitioning
+    (no second exchange — asserted via plan in tests)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_no").alias("n_sessions")
+    )

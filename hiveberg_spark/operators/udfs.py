@@ -1,0 +1,128 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+The reference exposes no UDFs of its own — Hive UDFs flow through its
+ObjectInspectors (IcebergObjectInspectorGenerator.java:34-71). Ours is
+the PySpark surface, with the house rule: Arrow-vectorized pandas UDFs
+only — row-at-a-time Python UDFs never appear in a hot path. (The UDTF
+shape — mapInPandas — is exercised by multimodal_feature_extract.)
+
+pandas_udf decorators are applied lazily inside each query: the
+decorator parses its return type against the active session, which
+doesn't exist at import time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT c_custkey,
+           GREATEST(c_acctbal, 0.0) * 0.01 + c_nationkey * 2.0 AS clv
+    FROM customer
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Scalar pandas UDF (Arrow batches, ~10-100× over row-Python): a toy
+    'customer lifetime value' score, numpy arithmetic over the whole
+    batch. No rounding — each value is a fixed sequence of IEEE ops, so
+    the SQL oracle is bit-identical."""
+
+    @pandas_udf("double")
+    def clv_score(acctbal: pd.Series, nationkey: pd.Series) -> pd.Series:
+        return acctbal.clip(lower=0.0) * 0.01 + nationkey * 2.0
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", clv_score("c_acctbal", "c_nationkey").alias("clv"))
+
+
+@query("udf_pandas_grouped_agg")  # rows-only: pairwise float summation order
+# differs from SQL SUM order; bounded-error equivalence asserted in tests
+def udf_pandas_grouped_agg(spark, sf_dir):
+    """Grouped-agg pandas UDF (UDAF surface): whole group arrives as one
+    pandas batch; price-weighted mean quantity. Scale note: a group must
+    fit in executor memory — fine for bounded keys (returnflag), wrong
+    for unbounded ones; that case belongs to applyInPandas with
+    pre-aggregation."""
+
+    @pandas_udf("double")
+    def weighted_avg_qty(qty: pd.Series, price: pd.Series) -> float:
+        import numpy as np
+
+        w = price.to_numpy()
+        return round(float(np.dot(qty.to_numpy(), w) / w.sum()), 6)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg_qty("l_quantity", "l_extendedprice").alias("w_avg_qty")
+    )
+
+
+@query(
+    "udf_sql_registration",
+    oracle="""
+    SELECT p_partkey, UPPER(p_brand) || ':' || CAST(p_size AS VARCHAR) AS brand_tag
+    FROM part WHERE p_size >= 45
+    """,
+)
+def udf_sql_registration(spark, sf_dir):
+    """SQL-registered function surface: a vectorized pandas UDF
+    registered under a name and invoked from SQL text
+    (spark.udf.register == session-scoped CREATE TEMPORARY FUNCTION)."""
+
+    @pandas_udf("string")
+    def brand_tag(brand: pd.Series, size: pd.Series) -> pd.Series:
+        return brand.str.upper() + ":" + size.astype(str)
+
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.udf.register("brand_tag", brand_tag)
+    return spark.sql(
+        """
+        SELECT p_partkey, brand_tag(p_brand, p_size) AS brand_tag
+        FROM part WHERE p_size >= 45
+        """
+    )
+
+
+@query(
+    "applyinpandas_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           l.l_quantity - s.mu AS qty_centered
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+    WHERE l.l_orderkey < 100
+    """,
+)
+def applyinpandas_zscore(spark, sf_dir):
+    """applyInPandas (grouped map): per-group mean-centering — each group
+    is one pandas DataFrame in, one out. The mean uses an exact integer
+    sum (quantities are integral) so the SQL oracle matches bit-for-bit.
+
+    Scale: grouped-map shuffles whole groups; keys here are 3-valued so
+    production parallelism comes from pre-aggregation or salting."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = float(pdf["l_quantity"].astype("int64").sum()) / len(pdf)
+        out = pdf[pdf["l_orderkey"] < 100].copy()
+        out["qty_centered"] = out["l_quantity"] - mu
+        return out[["l_orderkey", "l_linenumber", "qty_centered"]]
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        center, schema="l_orderkey long, l_linenumber int, qty_centered double"
+    )

@@ -1,0 +1,119 @@
+"""Semantic tests for the LLM-pipeline operators: LSH recall against the
+exact baseline, ANN quality vs brute force, simhash symmetry, multimodal
+feature correctness vs a pure-python recomputation."""
+
+from __future__ import annotations
+
+import pytest
+
+from hiveberg_spark import registry
+
+registry.load_all()
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """LSH candidate generation + exact verify must reproduce the exact
+    inverted-index result (b=16, r=4 ⇒ P(miss | j≥0.8) < 3e-4; misses
+    would be deterministic, so equality here is a stable property of the
+    fixture, not flakiness)."""
+    lsh = set(
+        map(tuple, registry.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect())
+    )
+    exact = set(
+        map(tuple, registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect())
+    )
+    assert lsh == exact
+    assert len(exact) > 0, "fixture should contain near-duplicate pairs"
+
+
+def test_lsh_ann_results_are_true_neighbors(spark, sf_dir):
+    """Every ANN hit must appear in the brute-force top-20 of its query
+    (ANN may return fewer/different top-5, but never a non-neighbor with
+    a wrong score)."""
+    brute = registry.QUERIES["simsearch_bruteforce_topk"](spark, sf_dir).collect()
+    ann = registry.QUERIES["simsearch_lsh_ann"](spark, sf_dir).collect()
+    exact_scores = {(r.qid, r.vec_id): r.cosine for r in brute}
+    for r in ann:
+        if (r.qid, r.vec_id) in exact_scores:
+            assert abs(exact_scores[(r.qid, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_simhash_pairs_symmetric_and_bounded(spark, sf_dir):
+    rows = registry.QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 3
+
+
+def test_multimodal_features_match_pure_python(spark, sf_dir):
+    import numpy as np
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.multimodal import fake_decode_meta
+
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["multimodal_feature_extract"](spark, sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 200")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(out) == len(docs)
+    for d in docs[:25]:
+        payload = d.text.encode("utf-8")
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        expect_hist = np.bincount(buf % 16, minlength=16).tolist()
+        w, h, codec = fake_decode_meta(payload)
+        got = out[d.doc_id]
+        assert got.n_bytes == len(payload)
+        assert (got.width, got.height, got.codec) == (w, h, codec)
+        assert list(got.byte_hist) == expect_hist
+
+
+def test_decode_media_is_explicit_stub():
+    from hiveberg_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG")
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    rows = {
+        r.l_returnflag: r
+        for r in registry.QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in registry.QUERIES["agg_count_distinct"](spark, sf_dir).collect()
+    }
+    for flag, r in rows.items():
+        rel_err = abs(r.approx_part - exact[flag].n_part) / exact[flag].n_part
+        assert rel_err < 0.1, (flag, r.approx_part, exact[flag].n_part)
+
+
+def test_grouped_agg_udf_close_to_sql(spark, sf_dir):
+    """Pairwise float sums differ from SQL order, but only in low bits."""
+    from hiveberg_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r.l_returnflag: r.w_avg_qty
+        for r in registry.QUERIES["udf_pandas_grouped_agg"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = {
+        r.l_returnflag: r.w
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
+                / F.sum("l_extendedprice")
+            ).alias("w")
+        )
+        .collect()
+    }
+    for flag, v in got.items():
+        assert abs(v - ref[flag]) < 1e-4

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the reference's scan-level optimizations
+(predicate pushdown, projection pushdown — README.md:59-65) and our
+scale posture (broadcasts, top-k without global sort, codegen) verified
+against actual Catalyst plans."""
+
+from __future__ import annotations
+
+from hiveberg_spark import registry
+from hiveberg_spark.plans import (
+    explain_str,
+    pushed_filters,
+    read_schema_columns,
+    assert_whole_stage_codegen,
+)
+
+registry.load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    # parity: IcebergInputFormat.java:94-107 pushes the SARG to the scan
+    df = registry.QUERIES["filter_between"](spark, sf_dir)
+    fs = pushed_filters(df)
+    assert any("l_quantity" in f and "GreaterThanOrEqual" in f for f in fs), fs
+    assert any("l_quantity" in f and "LessThanOrEqual" in f for f in fs), fs
+
+
+def test_projection_pushdown_prunes_columns(spark, sf_dir):
+    # parity: ColumnProjectionUtils read-column list
+    # (IcebergInputFormat.java:87) — 2-column select reads ≤2 columns
+    df = registry.QUERIES["projection_pushdown"](spark, sf_dir)
+    schemas = read_schema_columns(df)
+    assert schemas and all(
+        set(cols) <= {"l_orderkey", "l_extendedprice"} for cols in schemas
+    ), schemas
+
+
+def test_q1_scan_prunes_to_needed_columns(spark, sf_dir):
+    df = registry.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q3_topk_avoids_global_sort(spark, sf_dir):
+    plan = explain_str(registry.QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = explain_str(registry.QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_correlated_exists_becomes_semi_join(spark, sf_dir):
+    plan = explain_str(registry.QUERIES["subquery_correlated_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_partition_pruning_in_partitioned_write(spark, sf_dir):
+    df = registry.QUERIES["partitioned_write_prune"](spark, sf_dir)
+    plan = explain_str(df)
+    # directory-partition filter appears as PartitionFilters on the scan
+    assert "l_returnflag" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    for name in ("q1_pricing_summary", "q6_forecast_revenue", "filter_bool_tree"):
+        assert_whole_stage_codegen(registry.QUERIES[name](spark, sf_dir))
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

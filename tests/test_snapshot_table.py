@@ -1,0 +1,141 @@
+"""Unit tests for the snapshot-table source — mirrors the reference's
+e2e scenarios (file:line cites against /root/reference/src/test/...)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiveberg_spark.sources.snapshot_table import (
+    SnapshotTable,
+    resolve_table,
+    _split_top_level_and,
+)
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _simple_df(spark, rows):
+    # the reference's `simple` fixture: (id long, data string)
+    # (TestHelpers.java:109-116; FIXTURES.md A1)
+    return spark.createDataFrame(rows, "id long, data string")
+
+
+def test_empty_table_scans_as_zero_rows(spark, warehouse):
+    # TestInputFormatWithEmptyTable.java:61-79
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "empty"))
+    assert t.scan().count() == 0
+
+
+def test_append_and_scan_all_rows_once(spark, warehouse):
+    # TestInputFormatWithMultipleTasks.java:85-107: multi-append, every
+    # row surfaced exactly once, every row carries snapshot__id
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "simple"))
+    t.append(_simple_df(spark, [(1, "Michael"), (2, "Andy"), (3, "Berta")]))
+    t.append(_simple_df(spark, [(4, "Xavier")]))
+    rows = t.scan().orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2, 3, 4]
+    assert all(r["snapshot__id"] == 2 for r in rows)
+
+
+def test_time_travel_by_snapshot_id(spark, warehouse):
+    # TestReadSnapshotTable.java:139-166
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "tt"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.append(_simple_df(spark, [(2, "b")]))
+    t.append(_simple_df(spark, [(3, "c")]))
+    assert t.scan(snapshot_id=1).count() == 1
+    assert t.scan(snapshot_id=2).count() == 2
+    assert t.scan().count() == 3
+    # isolation: time travel must not contaminate the next scan
+    # (TestReadSnapshotTable.java:158-165)
+    _ = t.scan(snapshot_id=1).collect()
+    assert t.scan().count() == 3
+
+
+def test_unknown_snapshot_id_raises(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "bad"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.scan(snapshot_id=99)
+
+
+def test_virtual_column_rename(spark, warehouse):
+    # SystemTableUtil.java:51-58; TestReadSnapshotTable.java:169-193
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "vc"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    df = t.scan(virtual_column="my_version")
+    assert "my_version" in df.columns and "snapshot__id" not in df.columns
+    df2 = t.scan(virtual_column=None)
+    assert df2.columns == ["id", "data"]
+
+
+def test_snapshots_metadata_table(spark, warehouse):
+    # SnapshotIterable.java:48-57: committed_at, snapshot_id, parent_id,
+    # operation, manifest_list, summary
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "meta"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_simple_df(spark, [(3, "c")]))
+    snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert [s.snapshot_id for s in snaps] == [1, 2]
+    assert snaps[0].parent_id is None and snaps[1].parent_id == 1
+    assert all(s.operation == "append" for s in snaps)
+    assert all(s.committed_at > 0 for s in snaps)
+    assert all(s.manifest_list for s in snaps)
+    assert snaps[0].summary["added-records"] == "2"
+
+
+def test_resolve_table_suffix_convention(spark, warehouse):
+    # TableResolverUtil.java:39-41,72-85,93-100
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "base"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    data = resolve_table(spark, warehouse, "base")
+    assert data.count() == 1
+    snaps = resolve_table(spark, warehouse, "base__snapshots")
+    assert snaps.columns[:2] == ["committed_at", "snapshot_id"]
+    # opt-out: suffix treated as a literal table name
+    # (iceberg.snapshots.table=false, TableResolverUtil.java:40,73-78)
+    lit_table = SnapshotTable.create(spark, os.path.join(warehouse, "x__snapshots"))
+    lit_table.append(_simple_df(spark, [(9, "z")]))
+    df = resolve_table(spark, warehouse, "x__snapshots", snapshots_table_enabled=False)
+    assert df.select("id").first().id == 9
+
+
+def test_where_shim_top_level_conjunct_only(spark, warehouse):
+    # IcebergInputFormat.java:288-299 — but stricter: only a top-level
+    # conjunct `snapshot__id = N` triggers time travel (SURVEY.md §7)
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "shim"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.append(_simple_df(spark, [(2, "b")]))
+    df = t.scan_where("snapshot__id = 1 AND id >= 1")
+    assert df.count() == 1 and df.first()["snapshot__id"] == 1
+    # a snapshot__id buried under OR is NOT honored as time travel; it's
+    # an ordinary filter on the virtual column of the current snapshot
+    df2 = t.scan_where("snapshot__id = 1 OR id = 2")
+    assert sorted(r.id for r in df2.collect()) == [2]
+
+
+def test_split_top_level_and():
+    assert _split_top_level_and("a = 1 AND (b = 2 OR c = 3) AND d = 4") == [
+        "a = 1",
+        "(b = 2 OR c = 3)",
+        "d = 4",
+    ]
+    assert _split_top_level_and("x = 1") == ["x = 1"]
+
+
+def test_scan_pushdown_reaches_parquet(spark, warehouse):
+    # the reference's headline optimization (README.md:59-65) — verify
+    # our snapshot scan preserves DSv2 filter/projection pushdown
+    from hiveberg_spark.plans import pushed_filters, read_schema_columns
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "push"))
+    t.append(_simple_df(spark, [(i, f"r{i}") for i in range(100)]))
+    df = t.scan(virtual_column=None).filter(F.col("id") > 50).select("id")
+    assert any("id" in f for f in pushed_filters(df))
+    assert read_schema_columns(df) == [["id"]]

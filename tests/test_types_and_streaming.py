@@ -1,0 +1,97 @@
+"""Type-system parity (SURVEY.md §1.3 — nested struct/list/map round
+trips, mirroring TestIcebergSerDe.java:99-182 and
+TestIcebergSchemaToTypeInfo.java:82-155) and streaming-specific
+behaviors not covered by the oracle suite."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+
+def test_nested_types_roundtrip_through_parquet(spark, tmp_path):
+    # FIXTURES.md A4: struct, array<double>, map<string,string>,
+    # map<string,array<long>>, plus the primitive battery incl. decimal
+    schema = (
+        "id int, data string, "
+        "preferences struct<feature1:boolean, feature2:boolean>, "
+        "doubles array<double>, "
+        "properties map<string,string>, "
+        "nested_list map<string,array<bigint>>, "
+        "dec decimal(10,2), d date, ts timestamp"
+    )
+    rows = [
+        (
+            1,
+            "a",
+            (True, False),
+            [1.5, 2.5],
+            {"k": "v"},
+            {"xs": [1, 2, 3]},
+            Decimal("12.34"),
+            datetime.date(2020, 1, 2),
+            datetime.datetime(2020, 1, 2, 3, 4, 5),
+        )
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "nested")
+    df.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema == df.schema
+    r = back.first()
+    assert r.preferences.feature1 is True
+    assert r.doubles == [1.5, 2.5]
+    assert r.properties == {"k": "v"}
+    assert list(r.nested_list["xs"]) == [1, 2, 3]
+    assert r.dec == Decimal("12.34")
+
+
+def test_nested_field_access_and_hof(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": [1, 2], "b": [3]})], "id int, m map<string,array<int>>"
+    )
+    out = df.select(
+        F.map_keys("m").alias("ks"),
+        F.size(F.element_at("m", "a")).alias("na"),
+        F.transform(F.element_at("m", "a"), lambda x: x * 10).alias("xa"),
+    ).first()
+    assert sorted(out.ks) == ["a", "b"]
+    assert out.na == 2
+    assert list(out.xa) == [10, 20]
+
+
+def test_timestamp_not_surfaced_as_bigint(spark, sf_dir):
+    """The reference leaks timestamps as bigint
+    (IcebergSchemaToTypeInfo.java:48-49) — we deliberately do not."""
+    from hiveberg_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    assert dict(li.dtypes)["l_shipdate"].startswith("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"].startswith("timestamp")
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark — the state-bounded production
+    variant (SURVEY.md §2.9)."""
+    from hiveberg_spark.streaming.events import events_stream, run_to_memory
+
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = s.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy().agg(F.count("*").alias("n"))
+    out = run_to_memory(agg, output_mode="complete", name="dedup_wm_test")
+    n = out.first().n
+    from hiveberg_spark.catalog import load_table
+
+    assert n == load_table(spark, sf_dir, "events").count()
+
+
+def test_streaming_is_incremental(spark, sf_dir):
+    """The streaming source plans a real FileStreamSource (not a batch
+    rewrite): the query progresses through micro-batch execution."""
+    from hiveberg_spark.streaming.events import events_stream
+
+    s = events_stream(spark, sf_dir)
+    assert s.isStreaming
