@@ -45,8 +45,18 @@ def main() -> None:
     spark = get_spark(app_name="hiveberg-spark-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # warm the JVM + file listing once (not counted)
-    registry.QUERIES["q6_forecast_revenue"](spark, SF_DIR).count()
+    # Warm-up (not counted): run every headline query once at the
+    # smallest SF. Schemas are identical across SFs, so this compiles the
+    # same whole-stage-codegen classes the timed run uses — the timings
+    # then measure steady-state throughput (as on a long-running
+    # cluster), not one-time JIT.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        if os.path.isdir(warm_dir):
+            try:
+                registry.QUERIES[name](spark, warm_dir).count()
+            except Exception as exc:  # warm-up must never fail the bench
+                print(f"# warmup {name}: {exc}", file=sys.stderr)
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -34,9 +34,15 @@ def shingled(docs: DataFrame, n: int = 3) -> DataFrame:
     file (= 1 partition), and shingling/minhashing is the CPU-heavy
     per-row stage — a cheap narrow-input shuffle unlocks full-core
     parallelism here and is exactly what a 100 TB run does between its
-    IO-bound scan and CPU-bound fingerprint stages."""
+    IO-bound scan and CPU-bound fingerprint stages.
+
+    `words` is materialized as a real column BEFORE the shingle lambda:
+    an inlined split() expression is re-evaluated for every element_at
+    reference inside the lambda (~3·n_words splits per document —
+    measured ~10× slower)."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    words = F.split("text", " ")
+    with_words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    words = F.col("words")
     idx = F.sequence(F.lit(0), F.size(words) - n)
     make = F.transform(
         idx,
@@ -50,7 +56,7 @@ def shingled(docs: DataFrame, n: int = 3) -> DataFrame:
     shingles = F.when(F.size(words) >= n, F.array_distinct(make)).otherwise(
         F.array().cast("array<string>")
     )
-    return docs.select("doc_id", shingles.alias("shingles"))
+    return with_words.select("doc_id", shingles.alias("shingles"))
 
 
 def _verified_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
