@@ -10,6 +10,7 @@ from hiveberg_spark.operators import (  # noqa: F401
     setops,
     scalar_funcs,
     subqueries,
+    tpch_extra,
     formats,
     udfs,
     timetravel,

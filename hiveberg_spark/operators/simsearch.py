@@ -193,6 +193,158 @@ def embedding_norms(spark, sf_dir):
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = vec_a
+              JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline,
+    threshold 0.5 — this synthetic corpus has no >0.6 pairs). The
+    all-pairs self-join is the oracle-checkable baseline; the blocked
+    variant below is the scale path. Norms precomputed once per side."""
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= 0.5)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+@query("dedup_embedding_blocked")  # rows-only: blocking recall is data-dependent
+def dedup_embedding_blocked(spark, sf_dir):
+    """The 100 TB version of embedding near-dup: block on the coarse
+    quantizer (nearest label-centroid cell), generate pairs only within
+    a cell, verify exact cosine. Pair space shrinks from O(n²) to
+    Σ |cell|² — with balanced cells, a k× reduction for k cells.
+    Containment in the exact result is asserted in tests."""
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = _label_centroids(spark, sf_dir)
+    assigned = _assign_nearest_centroid(e, cents)
+    a = assigned.select(
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= 0.5)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _label_centroids(spark, sf_dir):
+    """(label, centroid array<double>) — the IVF coarse quantizer,
+    trained distributedly (posexplode → per-dim mean → re-assemble)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        flat.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda x: x["c"]).alias("centroid"),
+        )
+    )
+
+
+def _assign_nearest_centroid(e_with_norm, cents):
+    """Assign each vector to its nearest centroid by cosine (10 cells →
+    broadcast cross join + argmax per vector)."""
+    scored = e_with_norm.crossJoin(F.broadcast(cents)).withColumn(
+        "score",
+        _dot(F.col("embedding"), F.col("centroid")) / F.col("_norm"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "_norm", "cell")
+    )
+
+
+@query("simsearch_ivf")  # rows-only: IVF recall is probe-count-dependent
+def simsearch_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize the corpus into label-centroid
+    cells; each query probes its 3 nearest cells and reranks exactly.
+    Scale: corpus scan once for assignment (materialized in production),
+    per-query work = |probed cells| / |cells| of the corpus. Quality vs
+    brute force asserted in tests (every hit a true neighbor)."""
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = _label_centroids(spark, sf_dir)
+    assigned = _assign_nearest_centroid(e, cents)
+    q = with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERIES)
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "score", _dot(F.col("embedding"), F.col("centroid")) / F.col("_norm")
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("_norm").alias("qn"),
+            "cell",
+        )
+    )
+    cands = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("qid"))
+    sims = cands.select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("_norm")), 6
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
+@query(
     "embedding_centroid_dist",
     oracle="""
     WITH flat AS (

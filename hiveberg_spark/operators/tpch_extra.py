@@ -1,0 +1,202 @@
+"""Deeper TPC-H-style shapes (HiveQL surface [H]) adapted to the driver
+schema: correlated scalar aggregates (Q2), HAVING-vs-global-scalar
+(Q11), view+max (Q15), exclusion counts (Q16), nested IN chains (Q20),
+anti-join + scalar filter (Q22)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+
+_DEC = "decimal(18,6)"
+
+
+def _views(spark, sf_dir, *tables):
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "q2_min_cost_per_brand",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p1
+    WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM part p2
+                            WHERE p2.p_brand = p1.p_brand)
+    ORDER BY p_brand, p_partkey
+    """,
+)
+def q2_min_cost_per_brand(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar MIN subquery → Catalyst
+    decorrelates into an aggregate + join (no per-row rescan)."""
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p1
+        WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM part p2
+                                WHERE p2.p_brand = p1.p_brand)
+        ORDER BY p_brand, p_partkey
+        """
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS nation_value
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING SUM(CAST(s_acctbal AS DECIMAL(18,6))) >
+           (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,6))) * 0.1 FROM supplier)
+    ORDER BY nation_value DESC
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a global scalar subquery
+    (decimal-exact on both sides so the threshold can't flip)."""
+    _views(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        SELECT s_nationkey,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS nation_value
+        FROM supplier
+        GROUP BY s_nationkey
+        HAVING SUM(CAST(s_acctbal AS DECIMAL(18,6))) >
+               (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,6))) * 0.1 FROM supplier)
+        ORDER BY nation_value DESC
+        """
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: named view + MAX-of-view scalar subquery.
+    The CTE computes once (Catalyst reuses the subplan)."""
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "q16_supplier_cnt_excl",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt_excl(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-count with NOT-IN exclusion subquery."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+@query(
+    "q20_nested_in_chain",
+    oracle="""
+    SELECT s_name, s_suppkey FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l_quantity > 48
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_nested_in_chain(spark, sf_dir):
+    """TPC-H Q20 shape: IN-inside-IN chain → stacked semi joins."""
+    _views(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s_name, s_suppkey FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+            AND l_quantity > 48
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT SUBSTR(c_name, 1, 9) AS cntry, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                              / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery filter + NOT EXISTS anti join +
+    substring grouping."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT SUBSTR(c_name, 1, 9) AS cntry, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                  / COUNT(*)
+                             FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY 1
+        ORDER BY 1
+        """
+    )

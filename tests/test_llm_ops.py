@@ -117,3 +117,28 @@ def test_grouped_agg_udf_close_to_sql(spark, sf_dir):
     }
     for flag, v in got.items():
         assert abs(v - ref[flag]) < 1e-4
+
+
+def test_embedding_blocked_subset_of_exact(spark, sf_dir):
+    """Cell-blocked near-dup pairs must be a subset of the exact
+    all-pairs result with identical scores."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+    }
+    blocked = registry.QUERIES["dedup_embedding_blocked"](spark, sf_dir).collect()
+    for r in blocked:
+        assert exact.get((r.vec_a, r.vec_b)) == r.cosine
+
+
+def test_ivf_hits_are_true_neighbors_with_decent_recall(spark, sf_dir):
+    brute = registry.QUERIES["simsearch_bruteforce_topk"](spark, sf_dir).collect()
+    ivf = registry.QUERIES["simsearch_ivf"](spark, sf_dir).collect()
+    exact_scores = {(r.qid, r.vec_id): r.cosine for r in brute}
+    hits = sum(1 for r in ivf if (r.qid, r.vec_id) in exact_scores)
+    # scores of overlapping hits must agree exactly
+    for r in ivf:
+        if (r.qid, r.vec_id) in exact_scores:
+            assert abs(exact_scores[(r.qid, r.vec_id)] - r.cosine) < 1e-9
+    # 3-of-10 cells probed: expect a meaningful fraction of true top-5
+    assert hits >= len(brute) * 0.3, (hits, len(brute))
