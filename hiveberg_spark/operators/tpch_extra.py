@@ -178,7 +178,8 @@ def q20_nested_in_chain(spark, sf_dir):
     WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
                               / COUNT(*)
                          FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY 1
     ORDER BY 1
     """,
@@ -195,7 +196,8 @@ def q22_global_sales_opportunity(spark, sf_dir):
         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
                                   / COUNT(*)
                              FROM customer WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
         GROUP BY 1
         ORDER BY 1
         """
