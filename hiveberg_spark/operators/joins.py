@@ -186,3 +186,42 @@ def asof_join_events(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT l_returnflag, flag_desc, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN (VALUES ('A', 'returned-accepted'), ('R', 'returned'), ('N', 'kept'))
+         AS d(flag, flag_desc) ON l_returnflag = flag
+    GROUP BY 1, 2
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-handling pattern [N]: joining a fact table on a 3-value hot
+    key would put ~1/3 of all rows in each of 3 shuffle partitions. The
+    salted form appends salt ∈ [0,16) to the fact key and explodes the
+    dim side 16× — the shuffle spreads over 48 partitions, then the
+    aggregate removes the salt. Result is salt-invariant (oracle proves
+    it). At 100 TB this (or AQE skew-join, enabled in session.py) is the
+    difference between 3 stragglers and uniform tasks."""
+    n_salt = 16
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    dim = spark.createDataFrame(
+        [("A", "returned-accepted"), ("R", "returned"), ("N", "kept")],
+        "flag string, flag_desc string",
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    return (
+        li.join(dim, (li.l_returnflag == dim.flag) & (li.salt == dim.salt))
+        .groupBy("l_returnflag", "flag_desc")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

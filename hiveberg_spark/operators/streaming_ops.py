@@ -198,3 +198,106 @@ def stream_stateful_user_stats(spark, sf_dir):
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    WHERE p.user_id < 20
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: purchases matched to the same user's
+    clicks in the preceding 30 minutes. Both sides watermarked — the
+    interval condition bounds join state (Spark evicts rows older than
+    watermark + interval). The oracle is the equivalent batch interval
+    join."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 20))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 20))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    out = run_to_memory(
+        joined.select("purchase_id", "click_id"),
+        output_mode="append",
+        name="stream_stream_join",
+    )
+    return out
+
+
+@query(
+    "stream_sink_snapshot_table",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM events) AS n_rows, CAST(1 AS BIGINT) AS n_snapshots
+    """,
+)
+def stream_sink_snapshot_table(spark, sf_dir):
+    """Streaming write INTO the snapshot-table format via foreachBatch:
+    each micro-batch commits one snapshot (append), giving the stream an
+    Iceberg-style audit trail. availableNow replays the whole fixture in
+    one batch → exactly one snapshot. (The reference never writes —
+    IcebergSerDe.java:77-80; this is the write path it lacked.)"""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    loc = os.path.join(tempfile.gettempdir(), f"hbs_stream_sink_{tag}")
+    shutil.rmtree(loc, ignore_errors=True)
+    table = SnapshotTable.create(spark, loc)
+
+    def commit_batch(batch_df, batch_id):
+        table.append(batch_df)
+
+    s = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        s.writeStream.foreachBatch(commit_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"hbs_sink_ckpt_{tag}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), f"hbs_sink_ckpt_{tag}"),
+        ignore_errors=True,
+    )
+    back = SnapshotTable.load(spark, loc)
+    n_rows = back.scan(virtual_column=None).count()
+    n_snaps = back.snapshots().count()
+    return spark.createDataFrame(
+        [(n_rows, n_snaps)], "n_rows long, n_snapshots long"
+    )

@@ -176,3 +176,41 @@ def empty_table_scan(spark, sf_dir):
         t = SnapshotTable.create(spark, loc)
     n = t.scan().count()
     return spark.createDataFrame([(n,)], "n_rows long")
+
+
+@query(
+    "snapshot_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey >= 17 THEN 'v2' ELSE NULL END AS source_tag
+    FROM nation
+    """,
+)
+def snapshot_schema_evolution(spark, sf_dir):
+    """Schema evolution across snapshots (Iceberg's signature capability
+    beyond plain parquet): snapshot 1 writes (n_nationkey, n_name);
+    snapshot 2 adds a source_tag column. A mergeSchema scan unifies them
+    — old rows surface NULL for the added column. The snapshot layer
+    needs no change: parquet schema merging is the mechanism."""
+    import os
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_evolving")
+    with _lock:
+        done = os.path.join(loc, "_FIXTURE_READY")
+        if not os.path.exists(done):
+            nation = load_table(spark, sf_dir, "nation")
+            t = SnapshotTable.create(spark, loc)
+            t.append(
+                nation.filter(F.col("n_nationkey") < 17).select(
+                    "n_nationkey", "n_name"
+                )
+            )
+            t.append(
+                nation.filter(F.col("n_nationkey") >= 17).select(
+                    "n_nationkey", "n_name", F.lit("v2").alias("source_tag")
+                )
+            )
+            open(done, "w").close()
+    t = SnapshotTable.load(spark, loc)
+    files, _ = t._files_as_of(None)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
