@@ -126,3 +126,48 @@ def applyinpandas_zscore(spark, sf_dir):
     return li.groupBy("l_returnflag").applyInPandas(
         center, schema="l_orderkey long, l_linenumber int, qty_centered double"
     )
+
+
+@query(
+    "udtf_mapinarrow",
+    oracle="""
+    SELECT doc_id, n_chars,
+           LENGTH(text) AS measured_chars,
+           (n_chars = LENGTH(text)) AS length_consistent
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def udtf_mapinarrow(spark, sf_dir):
+    """mapInArrow (the lowest-overhead Python batch API): operates on raw
+    pyarrow RecordBatches with zero pandas conversion — the right tool
+    when the Python side is itself columnar (tokenizers, arrow-native
+    codecs). Validates the stored n_chars against a recomputed length."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def one_chunk(arr):
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+    def measure(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            measured = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    one_chunk(t["doc_id"]),
+                    one_chunk(t["n_chars"]),
+                    one_chunk(measured),
+                    one_chunk(pc.equal(t["n_chars"], measured)),
+                ],
+                names=["doc_id", "n_chars", "measured_chars", "length_consistent"],
+            )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "n_chars", "text")
+    )
+    return d.mapInArrow(
+        measure,
+        schema="doc_id long, n_chars long, measured_chars long, length_consistent boolean",
+    )

@@ -95,3 +95,25 @@ def test_streaming_is_incremental(spark, sf_dir):
 
     s = events_stream(spark, sf_dir)
     assert s.isStreaming
+
+
+def test_sort_within_partitions(spark, sf_dir):
+    """SORT BY parity (per-partition sort, no global exchange —
+    SURVEY.md §2.6): rows are sorted within each partition and the plan
+    contains no Exchange for the sort."""
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.plans import explain_str
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .repartition(4)
+        .sortWithinPartitions("l_extendedprice")
+    )
+    plan = explain_str(li)
+    sort_section = plan.split("Sort")[0]
+    # the repartition exchange exists, but no exchange AFTER the sort
+    parts = li.rdd.glom().collect()
+    for part in parts:
+        prices = [r.l_extendedprice for r in part]
+        assert prices == sorted(prices)
