@@ -30,11 +30,15 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q16_supplier_cnt_excl",
+    "q18_large_volume_customer",
     "window_ranking",
     "agg_count_distinct",
+    "batch_sessionize",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "simsearch_bruteforce_topk",
+    "simsearch_ivf",
     "text_quality_score",
     "stream_tumbling_counts",
 ]
