@@ -140,14 +140,14 @@ def snapshot_write_append(spark, sf_dir):
     read-only — IcebergSerDe.java:77-80 serialize → null; ours commits
     real snapshots). Appends the supplier fixture into a fresh snapshot
     table and scans it back."""
-    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+    from hiveberg_spark.sources.snapshot_table import build_once
 
     loc = _scratch(sf_dir, "supplier_snap")
     with _lock:
-        t = SnapshotTable.create(spark, loc)
-        if t._read_meta()["current_snapshot_id"] is None:
-            t.append(load_table(spark, sf_dir, "supplier"))
-    back = SnapshotTable.load(spark, loc).scan(virtual_column=None)
+        t = build_once(
+            spark, loc, lambda t: t.append(load_table(spark, sf_dir, "supplier"))
+        )
+    back = t.scan(virtual_column=None)
     return back.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("s_suppkey").alias("n_keys"),

@@ -263,14 +263,16 @@ def stream_sink_snapshot_table(spark, sf_dir):
     Iceberg-style audit trail. availableNow replays the whole fixture in
     one batch → exactly one snapshot. (The reference never writes —
     IcebergSerDe.java:77-80; this is the write path it lacked.)"""
-    import hashlib
     import os
     import shutil
     import tempfile
+    import uuid
 
     from hiveberg_spark.sources.snapshot_table import SnapshotTable
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # unique per invocation: the sink is rebuilt every run, and a shared
+    # path would race under concurrent driver processes
+    tag = uuid.uuid4().hex[:10]
     loc = os.path.join(tempfile.gettempdir(), f"hbs_stream_sink_{tag}")
     shutil.rmtree(loc, ignore_errors=True)
     table = SnapshotTable.create(spark, loc)

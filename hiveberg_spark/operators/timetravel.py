@@ -39,19 +39,20 @@ def warehouse_dir(sf_dir: str) -> str:
 
 
 def _ensure_fixture(spark, sf_dir: str) -> SnapshotTable:
-    """Build the 3-snapshot nation_versions table once per sf_dir."""
+    """Build the 3-snapshot nation_versions table once per sf_dir
+    (cross-process safe via build_once's build-then-atomic-rename)."""
+    from hiveberg_spark.sources.snapshot_table import build_once
+
     loc = os.path.join(warehouse_dir(sf_dir), "nation_versions")
-    with _lock:
-        done = os.path.join(loc, "_FIXTURE_READY")
-        if os.path.exists(done):
-            return SnapshotTable.load(spark, loc)
-        nation = load_table(spark, sf_dir, "nation").select(*_NATION_COLS)
-        table = SnapshotTable.create(spark, loc)
+    nation = load_table(spark, sf_dir, "nation").select(*_NATION_COLS)
+
+    def builder(table):
         table.append(nation.filter(F.col("n_nationkey") < 8))
         table.append(nation.filter(F.col("n_nationkey").between(8, 16)))
         table.append(nation.filter(F.col("n_nationkey") >= 17))
-        open(done, "w").close()
-        return table
+
+    with _lock:
+        return build_once(spark, loc, builder)
 
 
 @query(
@@ -194,23 +195,22 @@ def snapshot_schema_evolution(spark, sf_dir):
     needs no change: parquet schema merging is the mechanism."""
     import os
 
+    from hiveberg_spark.sources.snapshot_table import build_once
+
     loc = os.path.join(warehouse_dir(sf_dir), "nation_evolving")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def builder(table):
+        table.append(
+            nation.filter(F.col("n_nationkey") < 17).select("n_nationkey", "n_name")
+        )
+        table.append(
+            nation.filter(F.col("n_nationkey") >= 17).select(
+                "n_nationkey", "n_name", F.lit("v2").alias("source_tag")
+            )
+        )
+
     with _lock:
-        done = os.path.join(loc, "_FIXTURE_READY")
-        if not os.path.exists(done):
-            nation = load_table(spark, sf_dir, "nation")
-            t = SnapshotTable.create(spark, loc)
-            t.append(
-                nation.filter(F.col("n_nationkey") < 17).select(
-                    "n_nationkey", "n_name"
-                )
-            )
-            t.append(
-                nation.filter(F.col("n_nationkey") >= 17).select(
-                    "n_nationkey", "n_name", F.lit("v2").alias("source_tag")
-                )
-            )
-            open(done, "w").close()
-    t = SnapshotTable.load(spark, loc)
+        t = build_once(spark, loc, builder)
     files, _ = t._files_as_of(None)
     return spark.read.option("mergeSchema", "true").parquet(*files)

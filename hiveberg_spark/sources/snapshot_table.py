@@ -104,8 +104,10 @@ class SnapshotTable:
         snap_id = (meta["current_snapshot_id"] or 0) + 1
         data_dir = os.path.join(self.location, "data", f"s{snap_id}")
         df.write.mode("overwrite").parquet(data_dir)
+        # location-relative paths: the table stays valid under rename/move
+        # (atomic build-then-rename fixtures depend on this)
         files = sorted(
-            os.path.join(data_dir, f)
+            os.path.join("data", f"s{snap_id}", f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
@@ -144,7 +146,12 @@ class SnapshotTable:
         files: list[str] = []
         for s in meta["snapshots"]:
             if s["snapshot_id"] <= snapshot_id:
-                files.extend(s["added_files"])
+                for f in s["added_files"]:
+                    # resolve relative entries against the table location
+                    # (absolute entries from older metadata still work)
+                    files.append(
+                        f if os.path.isabs(f) else os.path.join(self.location, f)
+                    )
         return files, snapshot_id
 
     def scan(
@@ -260,3 +267,24 @@ def resolve_table(
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).snapshots()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
+
+
+def build_once(spark: SparkSession, location: str, builder) -> "SnapshotTable":
+    """Build a snapshot-table fixture exactly once, safely under
+    concurrent processes: build into a unique scratch dir, atomically
+    rename into place; losers discard their build and use the winner's.
+    `builder(table)` receives the empty table and appends snapshots."""
+    import shutil
+
+    ready = os.path.join(location, "_FIXTURE_READY")
+    if os.path.exists(ready):
+        return SnapshotTable.load(spark, location)
+    build_dir = location + ".build-" + uuid.uuid4().hex[:8]
+    table = SnapshotTable.create(spark, build_dir)
+    builder(table)
+    open(os.path.join(build_dir, "_FIXTURE_READY"), "w").close()
+    try:
+        os.rename(build_dir, location)
+    except OSError:
+        shutil.rmtree(build_dir, ignore_errors=True)
+    return SnapshotTable.load(spark, location)
