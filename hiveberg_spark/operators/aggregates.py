@@ -209,3 +209,51 @@ def agg_pivot(spark, sf_dir):
         .withColumnRenamed("O", "status_O")
         .withColumnRenamed("F", "status_F")
     )
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+             STRFTIME(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_day,
+             event_type, value
+      FROM events
+    )
+    SELECT bucket_day, bucket_hour, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM base
+    GROUP BY GROUPING SETS ((bucket_day, bucket_hour, event_type),
+                            (bucket_day, event_type),
+                            (bucket_day))
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup [N]: one pass
+    produces hour-level, day-level, and day-total aggregates via
+    GROUPING SETS on aligned time buckets (the batch twin of a
+    TimescaleDB/streaming rollup). Scale: Catalyst expands the sets
+    map-side; one shuffle keyed on the expanded grouping id."""
+    from hiveberg_spark.catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    e.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_hour"
+        ),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_day"
+        ),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("events_bucketed")
+    return spark.sql(
+        """
+        SELECT bucket_day, bucket_hour, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events_bucketed
+        GROUP BY GROUPING SETS ((bucket_day, bucket_hour, event_type),
+                                (bucket_day, event_type),
+                                (bucket_day))
+        """
+    )

@@ -210,3 +210,85 @@ def text_corpus_stats(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT t.doc_id, t.word, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT word, COUNT(*) AS n_docs FROM tok GROUP BY word),
+    n AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT tf.doc_id, tf.word,
+           ROUND(tf.cnt * LN((SELECT total FROM n) / n_docs), 6) AS tfidf
+    FROM tf JOIN df ON tf.word = df.word
+    WHERE tf.doc_id < 50
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF [N]: term frequency × ln(N/df), the classic relevance
+    weight. Scale: two shuffles — (doc,word) counts and word document
+    frequencies — both with map-side partial aggregation; df is tiny
+    (vocabulary-sized) and broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    df_ = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    total = d.count()
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("cnt") * F.log(F.lit(float(total)) / F.col("n_docs")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "text_word_bigrams",
+    oracle="""
+    WITH docs AS (SELECT regexp_split_to_array(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT w[i] || ' ' || w[i+1] AS bigram
+      FROM docs, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+    )
+    SELECT bigram, COUNT(*) AS n FROM bg
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def text_word_bigrams(spark, sf_dir):
+    """Corpus n-gram statistics [N]: top word bigrams. JVM-side sliding
+    window over the words array (same shingle machinery as dedup), then
+    a count shuffle on the bigram key."""
+    d = load_table(spark, sf_dir, "documents")
+    with_words = d.select(F.split("text", " ").alias("w"))
+    words = F.col("w")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    return (
+        with_words.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )

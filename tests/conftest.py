@@ -13,9 +13,18 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from hiveberg_spark.session import get_spark
 
-    s = get_spark(app_name="hiveberg-spark-tests", master="local[8]", shuffle_partitions=8)
+    s = get_spark(
+        app_name="hiveberg-spark-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="hbs_test_wh_")
+        },
+    )
     yield s
 
 

@@ -79,3 +79,33 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing parity [N scale posture]: two tables bucketed on the
+    join key by the same bucket count join WITHOUT a shuffle exchange —
+    the co-located join strategy for repeated fact-fact joins at scale."""
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.plans import explain_str
+
+    # session warehouse dir is a temp dir (conftest) — saveAsTable is safe
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("o_bucketed")
+    a = spark.table("li_bucketed")
+    b = spark.table("o_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        joined.collect()
+        plan = explain_str(joined, "simple")
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
