@@ -74,3 +74,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Runtime-settable confs every query needs regardless of who built the
+# session (the correctness driver passes its OWN SparkSession into
+# queries(), so these cannot live only in the builder above):
+#   - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), unreadable
+#     otherwise
+#   - ansi off: fingerprint/minhash math uses 64-bit wraparound multiply
+#   - UTC: timestamp formatting/epoch outputs must be timezone-stable
+_RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an externally-built
+    session (idempotent, cheap)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf in some deployment: builder already set it
+    return spark
