@@ -13,6 +13,10 @@ from hiveberg_spark.registry import query
 _DEC = "decimal(18,6)"
 
 
+def _dec(col):
+    return F.col(col).cast(_DEC)
+
+
 def _views(spark, sf_dir, *tables):
     for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
@@ -200,5 +204,95 @@ def q22_global_sales_opportunity(spark, sf_dir):
                         AND o_orderpriority = '1-URGENT')
         GROUP BY 1
         ORDER BY 1
+        """
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                 - CAST(l_quantity AS DECIMAL(18,6)) * CAST(CAST(p_retailprice AS DECIMAL(18,6)) * CAST(0.1 AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit rollup by nation-year over a 5-way join
+    with a LIKE filter (supply cost approximated as 10% of retail price —
+    no partsupp table in the fixture set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    supply_cost = (_dec("p_retailprice") * F.lit(0.1).cast(_DEC)).cast(_DEC)
+    profit = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount")) - (
+        _dec("l_quantity") * supply_cost
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast(_DEC).cast("double").alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_quantity > 40
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                   WHERE l2.l_orderkey = l1.l_orderkey
+                     AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_quantity > 40)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact table
+    (the 'only supplier who kept the order waiting' pattern) — the
+    hardest decorrelation case in the TPC-H suite; Catalyst plans it as
+    semi + anti joins on l_orderkey."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+          JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_quantity > 40
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_quantity > 40)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
         """
     )
