@@ -43,6 +43,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    from hiveberg_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)  # safe under externally-built sessions
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, NOT float division: epoch-nanos exceed 2^53, so a

@@ -214,3 +214,29 @@ def snapshot_schema_evolution(spark, sf_dir):
         t = build_once(spark, loc, builder)
     files, _ = t._files_as_of(None)
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+@query(
+    "timetravel_sql_surface",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n, MAX(3) AS current_snapshot
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def timetravel_sql_surface(spark, sf_dir):
+    """Pure-SQL surface over snapshot tables (how every reference user
+    actually queries them — HiveSQL over the registered name,
+    README.md:50-57): register `nation_versions` + `__snapshots` views
+    and aggregate across a join of the two."""
+    from hiveberg_spark.sources.snapshot_table import register_sql_views
+
+    _ensure_fixture(spark, sf_dir)
+    register_sql_views(spark, warehouse_dir(sf_dir), ["nation_versions"])
+    return spark.sql(
+        """
+        SELECT n_regionkey, COUNT(*) AS n,
+               MAX((SELECT MAX(snapshot_id) FROM nation_versions__snapshots)) AS current_snapshot
+        FROM nation_versions
+        GROUP BY n_regionkey
+        """
+    )

@@ -288,3 +288,25 @@ def build_once(spark: SparkSession, location: str, builder) -> "SnapshotTable":
     except OSError:
         shutil.rmtree(build_dir, ignore_errors=True)
     return SnapshotTable.load(spark, location)
+
+
+def register_sql_views(
+    spark: SparkSession, warehouse: str, names: list[str] | None = None
+) -> list[str]:
+    """Expose snapshot tables to the pure-SQL surface: for each table in
+    the warehouse, register `<name>` (current-snapshot scan with the
+    virtual column) and `<name>__snapshots` (metadata) as temp views —
+    the same two names a reference user queries through HiveSQL
+    (README.md:50-57, 83-86). Returns the view names registered."""
+    registered = []
+    names = names or [
+        d
+        for d in sorted(os.listdir(warehouse))
+        if os.path.exists(os.path.join(warehouse, d, "metadata.json"))
+    ]
+    for name in names:
+        t = SnapshotTable.load(spark, os.path.join(warehouse, name))
+        t.scan().createOrReplaceTempView(name)
+        t.snapshots().createOrReplaceTempView(name + SNAPSHOTS_SUFFIX)
+        registered.extend([name, name + SNAPSHOTS_SUFFIX])
+    return registered
