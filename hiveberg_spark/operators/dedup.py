@@ -177,7 +177,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _N_PERM = 64
 _BANDS = 16
 _ROWS = _N_PERM // _BANDS  # 4 → catches j>=0.8 w.p. ~1-(1-0.8^4)^16 ≈ 0.9998
-_PRIME = (1 << 61) - 1
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:

@@ -39,6 +39,25 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
     return (64 + h % 512, 64 + (h // 7) % 512, ["rgb", "yuv", "gray"][h % 3])
 
 
+def resize_media(payload: bytes, width: int, height: int) -> bytes:
+    """Media resize (PIL/ffmpeg scale) — STUB: codecs not present in this
+    environment; `fake_resize_dims` models the dimension math the real
+    implementation plugs into."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use fake_resize_dims for deterministic tests"
+    )
+
+
+def fake_resize_dims(
+    src_w: int, src_h: int, max_edge: int
+) -> tuple[int, int]:
+    """Aspect-preserving resize-to-max-edge dimension math (the part of a
+    resize that is pure logic)."""
+    scale = min(1.0, max_edge / max(src_w, src_h))
+    return (max(1, round(src_w * scale)), max(1, round(src_h * scale)))
+
+
 @query(
     "multimodal_metadata",
     oracle="""

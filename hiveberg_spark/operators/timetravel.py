@@ -240,3 +240,18 @@ def timetravel_sql_surface(spark, sf_dir):
         GROUP BY n_regionkey
         """
     )
+
+
+@query(
+    "timetravel_incremental_read",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS BIGINT) AS snapshot__id
+    FROM nation WHERE n_nationkey BETWEEN 8 AND 16
+    """,
+)
+def timetravel_incremental_read(spark, sf_dir):
+    """Incremental (CDC-style) read: rows appended between snapshot 1 and
+    snapshot 2 only — file-level change capture with no diffing
+    (appendsBetween semantics of the reference's underlying library)."""
+    t = _ensure_fixture(spark, sf_dir)
+    return t.scan_changes(from_snapshot=1, to_snapshot=2)

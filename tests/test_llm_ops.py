@@ -142,3 +142,13 @@ def test_ivf_hits_are_true_neighbors_with_decent_recall(spark, sf_dir):
             assert abs(exact_scores[(r.qid, r.vec_id)] - r.cosine) < 1e-9
     # 3-of-10 cells probed: expect a meaningful fraction of true top-5
     assert hits >= len(brute) * 0.3, (hits, len(brute))
+
+
+def test_fake_resize_dims():
+    from hiveberg_spark.operators.multimodal import fake_resize_dims, resize_media
+
+    assert fake_resize_dims(1000, 500, 250) == (250, 125)
+    assert fake_resize_dims(100, 100, 250) == (100, 100)  # never upscale
+    assert fake_resize_dims(1, 10000, 100) == (1, 100)
+    with pytest.raises(NotImplementedError):
+        resize_media(b"x", 10, 10)

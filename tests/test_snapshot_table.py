@@ -139,3 +139,18 @@ def test_scan_pushdown_reaches_parquet(spark, warehouse):
     df = t.scan(virtual_column=None).filter(F.col("id") > 50).select("id")
     assert any("id" in f for f in pushed_filters(df))
     assert read_schema_columns(df) == [["id"]]
+
+
+def test_scan_changes_incremental(spark, warehouse):
+    # appends-between semantics: (from, to] delta only; empty delta OK
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "cdc"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.append(_simple_df(spark, [(2, "b"), (3, "c")]))
+    t.append(_simple_df(spark, [(4, "d")]))
+    delta = t.scan_changes(1, 2)
+    assert sorted(r.id for r in delta.collect()) == [2, 3]
+    assert all(r["snapshot__id"] == 2 for r in delta.collect())
+    assert t.scan_changes(2).count() == 1  # to current
+    assert t.scan_changes(3, 3).count() == 0  # empty delta
+    with pytest.raises(ValueError):
+        t.scan_changes(9)
