@@ -230,9 +230,11 @@ def dedup_minhash_lsh(spark, sf_dir):
             for b in range(_BANDS)
         ]
     )
+    # persist: the self-join consumes bands twice; without this the
+    # whole shingle→signature pipeline executes once per side
     bands = sigs.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
-    )
+    ).persist()
     other = bands.select(
         F.col("doc_id").alias("doc_b"),
         F.col("band").alias("band2"),
