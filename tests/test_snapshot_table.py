@@ -129,6 +129,120 @@ def test_split_top_level_and():
     assert _split_top_level_and("x = 1") == ["x = 1"]
 
 
+def test_split_top_level_and_mixed_case_and_literals():
+    # ADVICE fix: the reference's SARG walk is case-insensitive — 'And'
+    # and 'aNd' must split too
+    assert _split_top_level_and("snapshot__id = 2 And x > 1") == [
+        "snapshot__id = 2",
+        "x > 1",
+    ]
+    assert _split_top_level_and("a = 1 aNd b = 2") == ["a = 1", "b = 2"]
+    # ...but an AND inside a string literal is data, not an operator
+    assert _split_top_level_and("name = 'BRAND AND BOLD' AND id = 1") == [
+        "name = 'BRAND AND BOLD'",
+        "id = 1",
+    ]
+    # SQL '' escape keeps the literal open
+    assert _split_top_level_and("name = 'it''s AND stays' AND id = 1") == [
+        "name = 'it''s AND stays'",
+        "id = 1",
+    ]
+    # AND as part of an identifier must not split
+    assert _split_top_level_and("brand = 1") == ["brand = 1"]
+
+
+def test_where_shim_mixed_case_and_time_travels(spark, warehouse):
+    # the exact silent-wrong-answer scenario from ADVICE: 'And' between
+    # the snapshot conjunct and a residual must still time-travel
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "shim2"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.append(_simple_df(spark, [(2, "b")]))
+    df = t.scan_where("snapshot__id = 1 And id >= 1")
+    assert df.count() == 1 and df.first()["snapshot__id"] == 1
+
+
+def test_empty_table_keeps_declared_schema(spark, warehouse):
+    # ADVICE fix: empty scan surfaces the declared schema, not an
+    # invented `id` column (reference keeps the DDL schema,
+    # TestInputFormatWithEmptyTable.java:61-79)
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "empty2"), schema="k long, v string"
+    )
+    df = t.scan()
+    assert df.count() == 0
+    assert df.columns == ["k", "v", "snapshot__id"]
+    # selecting a declared column works (previously AnalysisException)
+    assert df.select("v").count() == 0
+    # schema is also adopted from the first append when not declared
+    t2 = SnapshotTable.create(spark, os.path.join(warehouse, "empty3"))
+    t2.append(_simple_df(spark, [(1, "a")]))
+    assert [f.name for f in t2.schema().fields] == ["id", "data"]
+
+
+def test_append_concurrent_handles_no_lost_commits(spark, warehouse):
+    # ADVICE fix: two appends through independent handles (simulating two
+    # processes) must both land — the second may not clobber the first
+    loc = os.path.join(warehouse, "cas")
+    t1 = SnapshotTable.create(spark, loc)
+    t2 = SnapshotTable.load(spark, t1.location) if False else SnapshotTable(spark, loc)
+    t1.append(_simple_df(spark, [(1, "a")]))
+    t2.append(_simple_df(spark, [(2, "b")]))  # stale handle, fresh meta read
+    assert t1.scan().count() == 2
+    assert [s.snapshot_id for s in t1.snapshots().collect()] == [1, 2]
+
+
+def test_time_travel_by_timestamp(spark, warehouse):
+    # FOR SYSTEM_TIME AS OF semantics over pinned commit times
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "ts"))
+    t.append(_simple_df(spark, [(1, "a")]), committed_at=1_000)
+    t.append(_simple_df(spark, [(2, "b")]), committed_at=2_000)
+    t.append(_simple_df(spark, [(3, "c")]), committed_at=3_000)
+    assert t.scan(as_of_timestamp_ms=2_500).count() == 2
+    assert t.scan(as_of_timestamp_ms=3_000).count() == 3  # inclusive
+    assert t.snapshot_id_as_of(1_000) == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.scan(as_of_timestamp_ms=999)
+    with pytest.raises(ValueError, match="not both"):
+        t.scan(snapshot_id=1, as_of_timestamp_ms=2_500)
+
+
+def test_rename_column_resolves_old_files(spark, warehouse):
+    # name-mapping log: pre-rename files resolve through the mapping
+    # (field-id-free equivalent of Iceberg schema resolution)
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "ren"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    t.rename_column("data", "payload")
+    t.append(
+        spark.createDataFrame([(3, "c")], "id long, payload string")
+    )
+    rows = {r.id: r.payload for r in t.scan().collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+    # time travel before the rename still reads through the CURRENT schema
+    old = t.scan(snapshot_id=1)
+    assert "payload" in old.columns and "data" not in old.columns
+    # chained rename collapses (a→b then b→c)
+    t.rename_column("payload", "content")
+    assert {r.id: r.content for r in t.scan().collect()} == {1: "a", 2: "b", 3: "c"}
+    # declared schema tracks the rename
+    assert "content" in [f.name for f in t.schema().fields]
+
+
+def test_manifest_sharded_per_snapshot(spark, warehouse):
+    # commit writes O(this-commit) metadata: per-snapshot manifest files,
+    # not a full file-history rewrite (ARCHITECTURE.md scale note)
+    import json as _json
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "shard"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.append(_simple_df(spark, [(2, "b")]))
+    meta = t._read_meta()
+    assert all("added_files" not in s for s in meta["snapshots"])
+    for s in meta["snapshots"]:
+        with open(os.path.join(t.location, s["manifest"])) as f:
+            files = _json.load(f)["files"]
+        assert files and all(f.endswith(".parquet") for f in files)
+
+
 def test_scan_pushdown_reaches_parquet(spark, warehouse):
     # the reference's headline optimization (README.md:59-65) — verify
     # our snapshot scan preserves DSv2 filter/projection pushdown
