@@ -59,19 +59,6 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
-def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
-    exact distinct when a ~2% error is acceptable; single pass, constant
-    memory per group. No DuckDB oracle: sketch internals differ by
-    design; the test suite instead bounds its error vs exact."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_part"),
-        F.count("*").alias("n_rows"),
-    )
-
-
 @query(
     "agg_rollup",
     oracle="""
@@ -148,19 +135,11 @@ def agg_collect_sorted(spark, sf_dir):
 def agg_median_percentile(spark, sf_dir):
     """Exact percentiles (interpolated) — matches DuckDB quantile_cont.
     At 100 TB the approximate sketch (percentile_approx) replaces this;
-    declared separately below as rows-only."""
+    declared as a checkable contract in sketches.py."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.median("l_quantity").alias("med_qty"),
         F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
-    )
-
-
-@query("agg_percentile_approx")  # rows-only: sketch-based, engine-specific
-def agg_percentile_approx(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price")
     )
 
 
