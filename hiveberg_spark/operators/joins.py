@@ -137,11 +137,14 @@ def join_cross(spark, sf_dir):
 def join_theta_range(spark, sf_dir):
     """Non-equi (range) join → broadcast-nested-loop. Scale note: BNL is
     O(n·m); at 100 TB a band join like this must be bucketized — see
-    `asof_join_events` for the bucketed pattern."""
+    `asof_join_events` for the bucketed pattern. No broadcast hint:
+    `part` is a fact-sized table, so a forced hint would bypass AQE's
+    size check and OOM executors at scale (VERDICT r1 #3); Spark picks
+    BNL with the statistically smaller side on its own."""
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
     cond = (s.s_acctbal < p.p_retailprice) & ((p.p_retailprice - s.s_acctbal) < 10)
-    return s.join(F.broadcast(p), cond).select("s_suppkey", "p_partkey")
+    return s.join(p, cond).select("s_suppkey", "p_partkey")
 
 
 @query(

@@ -96,9 +96,10 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + agg + top-k. Scale: customer is the
-    small side (broadcast); lineitem⋈orders shuffles on orderkey; top-10
-    is a TakeOrderedAndProject (no full sort)."""
+    """TPC-H Q3 shape: 3-way join + agg + top-k. Scale: the filtered
+    customer side is broadcast when AQE's size check allows (no forced
+    hint — customer scales with SF); lineitem⋈orders shuffles on
+    orderkey; top-10 is a TakeOrderedAndProject (no full sort)."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -111,7 +112,7 @@ def q3_shipping_priority(spark, sf_dir):
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast(_DEC).cast("double").alias("revenue"))
         .select(
@@ -139,8 +140,10 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way star join. Scale: all dimensions broadcast;
-    the only shuffles are fact-fact (lineitem⋈orders on orderkey) and the
+    """TPC-H Q5 shape: 6-way star join. Scale: fixed-size dimensions
+    (supplier/nation/region) carry broadcast hints; customer is
+    SF-scaling so AQE decides it (it still broadcasts at test SFs); the
+    only shuffles are fact-fact (lineitem⋈orders on orderkey) and the
     final tiny group-by."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -151,7 +154,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),

@@ -152,7 +152,7 @@ def q14_promo_revenue_share(spark, sf_dir):
     rev = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
     zero = F.lit(0).cast("decimal(37,12)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
             .cast(_DEC)
@@ -197,7 +197,7 @@ def q19_or_of_ands(spark, sf_dir):
         | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.sum(rev).cast(_DEC).cast("double").alias("revenue"),

@@ -81,6 +81,37 @@ def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
+def test_no_forced_broadcast_on_fact_tables():
+    # VERDICT r1 #3: a forced broadcast hint bypasses AQE's size check —
+    # at 100× scale that OOMs executors. Hints are allowed ONLY on
+    # fixed-cardinality dimensions (nation/region, 25/5 rows at any SF),
+    # supplier (the smallest SF-scaling table, tolerated per VERDICT),
+    # and deliberately tiny derived frames (query sets, centroid tables,
+    # vocabulary DF). Everything SF-fact-sized must go through AQE.
+    import os
+    import re
+
+    allowed = {
+        "n", "nation", "region", "sn", "cn",  # fixed-size dims
+        "s", "supp",                            # supplier
+        "q", "cents", "df_",                    # tiny derived frames
+    }
+    ops_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "hiveberg_spark",
+    )
+    offenders = []
+    for root, _, files in os.walk(ops_dir):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            src = open(os.path.join(root, fn)).read()
+            for m in re.finditer(r"F\.broadcast\((\w+)\)", src):
+                if m.group(1) not in allowed:
+                    offenders.append(f"{fn}: F.broadcast({m.group(1)})")
+    assert not offenders, offenders
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
     """Bucketing parity [N scale posture]: two tables bucketed on the
     join key by the same bucket count join WITHOUT a shuffle exchange —
