@@ -152,3 +152,36 @@ def test_fake_resize_dims():
     assert fake_resize_dims(1, 10000, 100) == (1, 100)
     with pytest.raises(NotImplementedError):
         resize_media(b"x", 10, 10)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Adversarial skew guard (VERDICT r1 #8): a stop-shingle shared by
+    every document must not quadratically connect the corpus, and pairs
+    that are near-dups through RARE shingles must still surface with
+    their exact (uncapped) Jaccard score."""
+    from hiveberg_spark.operators.dedup import ngram_jaccard_pairs, shingled
+
+    hot = "the quick fox"  # one 3-gram shared by all docs
+    rows = []
+    # two true near-dups: long shared rare tail + the hot shingle
+    tail = " ".join(f"w{i}" for i in range(30))
+    rows.append((0, f"{hot} {tail}"))
+    rows.append((1, f"{hot} {tail} extra"))
+    # 50 unrelated docs whose ONLY overlap is the hot shingle
+    for i in range(2, 52):
+        rows.append((i, f"{hot} " + " ".join(f"u{i}_{j}" for j in range(10))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingled(docs).persist()
+
+    capped = ngram_jaccard_pairs(sh, 0.8, df_cap=10)
+    uncapped = ngram_jaccard_pairs(sh, 0.8, df_cap=None)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in uncapped.collect()}
+    # the true near-dup pair survives the cap with its exact score
+    assert (0, 1) in got
+    assert got == want  # capping changed nothing but the join size
+
+    # docs overlapping ONLY in hot shingles produce no candidates at a
+    # sub-threshold bound — the documented stop-shingle tradeoff
+    only_hot = [(a, b) for (a, b) in got if a >= 2 and b >= 2]
+    assert only_hot == []
