@@ -1,0 +1,405 @@
+"""Avro object-container IO as a distributed Spark read/write path.
+
+Parity target: the reference's Avro record reader
+(IcebergReaderFactory.java:54-65). The spark-avro datasource jar does
+not ship in this environment, so the container codec is implemented
+here against the PUBLIC Avro 1.11 container-file spec and executed
+distributed either way:
+
+  write: ``df.mapInPandas`` — each input partition Arrow-batches
+         through Python and encodes ONE ``.avro`` container file
+         (header + deflate blocks + sync markers), the same
+         one-file-per-task layout every distributed writer produces.
+  read:  ``binaryFile`` scan (file-parallel) + ``mapInPandas`` decode.
+
+Supported types: long/int, double/float, boolean, string, bytes, and
+nullable unions of those, plus timestamp-micros and date logicals —
+the full type surface of the driver fixtures. Codecs: null, deflate.
+Paths must be shared storage in a real cluster (true of any file sink).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+# -- varint / zigzag primitives (Avro spec §"Primitive Types: long") --------
+
+
+def _append_long(buf: bytearray, n: int) -> None:
+    z = (n << 1) ^ (n >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_long(data: bytes, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _append_bytes(buf: bytearray, b: bytes) -> None:
+    _append_long(buf, len(b))
+    buf += b
+
+
+def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(data, pos)
+    return data[pos : pos + n], pos + n
+
+
+# -- schema spec: Spark StructType <-> Avro record schema -------------------
+
+_SPARK_TO_AVRO = {
+    T.LongType: ("long", None),
+    T.IntegerType: ("int", None),
+    T.DoubleType: ("double", None),
+    T.FloatType: ("float", None),
+    T.BooleanType: ("boolean", None),
+    T.StringType: ("string", None),
+    T.BinaryType: ("bytes", None),
+    T.TimestampNTZType: ("long", "timestamp-micros"),
+    T.TimestampType: ("long", "timestamp-micros"),
+    T.DateType: ("int", "date"),
+}
+
+_AVRO_TO_SPARK = {
+    ("long", None): T.LongType(),
+    ("int", None): T.IntegerType(),
+    ("double", None): T.DoubleType(),
+    ("float", None): T.FloatType(),
+    ("boolean", None): T.BooleanType(),
+    ("string", None): T.StringType(),
+    ("bytes", None): T.BinaryType(),
+    ("long", "timestamp-micros"): T.TimestampNTZType(),
+    ("int", "date"): T.DateType(),
+}
+
+
+def _schema_to_spec(schema: T.StructType) -> list[dict]:
+    spec = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            spec.append(
+                {
+                    "name": f.name,
+                    "type": "bytes",
+                    "logical": "decimal",
+                    "precision": f.dataType.precision,
+                    "scale": f.dataType.scale,
+                    "nullable": f.nullable,
+                }
+            )
+            continue
+        key = type(f.dataType)
+        if key not in _SPARK_TO_AVRO:
+            raise TypeError(f"avro_io: unsupported type {f.dataType} for {f.name}")
+        atype, logical = _SPARK_TO_AVRO[key]
+        spec.append(
+            {"name": f.name, "type": atype, "logical": logical, "nullable": f.nullable}
+        )
+    return spec
+
+
+def _spec_to_avro_schema(spec: list[dict], name: str = "row") -> dict:
+    fields = []
+    for s in spec:
+        t: object = s["type"]
+        if s["logical"]:
+            t = {"type": s["type"], "logicalType": s["logical"]}
+            if s["logical"] == "decimal":
+                t["precision"], t["scale"] = s["precision"], s["scale"]
+        if s["nullable"]:
+            t = ["null", t]
+        fields.append({"name": s["name"], "type": t})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _avro_schema_to_spec(schema: dict) -> list[dict]:
+    spec = []
+    for f in schema["fields"]:
+        t = f["type"]
+        nullable = False
+        if isinstance(t, list):  # union — only ["null", X] supported
+            branches = [b for b in t if b != "null"]
+            if len(branches) != 1 or len(t) != 2:
+                raise TypeError(f"avro_io: unsupported union {t}")
+            nullable = True
+            t = branches[0]
+        entry = {"name": f["name"], "nullable": nullable}
+        if isinstance(t, dict):
+            entry["logical"] = t.get("logicalType")
+            if entry["logical"] == "decimal":
+                entry["precision"], entry["scale"] = t["precision"], t["scale"]
+            entry["type"] = t["type"]
+        else:
+            entry["type"], entry["logical"] = t, None
+        spec.append(entry)
+    return spec
+
+
+def _spec_to_spark_schema(spec: list[dict]) -> T.StructType:
+    fields = []
+    for s in spec:
+        if s["logical"] == "decimal":
+            dt: T.DataType = T.DecimalType(s["precision"], s["scale"])
+        else:
+            key = (s["type"], s["logical"])
+            if key not in _AVRO_TO_SPARK:
+                raise TypeError(f"avro_io: unsupported avro type {key}")
+            dt = _AVRO_TO_SPARK[key]
+        fields.append(T.StructField(s["name"], dt, s["nullable"]))
+    return T.StructType(fields)
+
+
+# -- value codecs -----------------------------------------------------------
+
+
+def _encode_value(buf: bytearray, v, s: dict) -> None:
+    t = s["type"]
+    if t in ("long", "int"):
+        if s["logical"] == "timestamp-micros":
+            import pandas as pd
+
+            v = pd.Timestamp(v).value // 1_000  # ns → µs
+        elif s["logical"] == "date":
+            import datetime
+
+            v = (v - datetime.date(1970, 1, 1)).days
+        _append_long(buf, int(v))
+    elif t == "double":
+        buf += struct.pack("<d", float(v))
+    elif t == "float":
+        buf += struct.pack("<f", float(v))
+    elif t == "boolean":
+        buf.append(1 if v else 0)
+    elif t == "string":
+        _append_bytes(buf, str(v).encode("utf-8"))
+    elif t == "bytes":
+        if s["logical"] == "decimal":
+            # Avro decimal: two's-complement big-endian unscaled int
+            import decimal
+
+            unscaled = int(
+                decimal.Decimal(v).scaleb(s["scale"]).to_integral_value()
+            )
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            _append_bytes(buf, unscaled.to_bytes(nbytes, "big", signed=True))
+        else:
+            _append_bytes(buf, bytes(v))
+    else:  # pragma: no cover - guarded at schema build
+        raise TypeError(t)
+
+
+def _decode_value(data: bytes, pos: int, s: dict):
+    t = s["type"]
+    if t in ("long", "int"):
+        v, pos = _read_long(data, pos)
+        return v, pos
+    if t == "double":
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if t == "float":
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    if t == "boolean":
+        return bool(data[pos]), pos + 1
+    if t == "string":
+        b, pos = _read_bytes(data, pos)
+        return b.decode("utf-8"), pos
+    if t == "bytes":
+        b, pos = _read_bytes(data, pos)
+        if s["logical"] == "decimal":
+            import decimal
+
+            unscaled = int.from_bytes(b, "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-s["scale"]), pos
+        return bytes(b), pos
+    raise TypeError(t)  # pragma: no cover
+
+
+def _is_null(v) -> bool:
+    if v is None:
+        return True
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+# -- container file write/read ---------------------------------------------
+
+
+def _write_header(f, schema_json: str, codec: str, sync: bytes) -> None:
+    buf = bytearray(MAGIC)
+    _append_long(buf, 2)  # metadata map: 2 entries
+    _append_bytes(buf, b"avro.schema")
+    _append_bytes(buf, schema_json.encode("utf-8"))
+    _append_bytes(buf, b"avro.codec")
+    _append_bytes(buf, codec.encode("utf-8"))
+    _append_long(buf, 0)  # end of map
+    buf += sync
+    f.write(bytes(buf))
+
+
+def _write_block(f, records: bytearray, n: int, codec: str, sync: bytes) -> None:
+    payload = bytes(records)
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
+    head = bytearray()
+    _append_long(head, n)
+    _append_long(head, len(payload))
+    f.write(bytes(head))
+    f.write(payload)
+    f.write(sync)
+
+
+def _parse_header(data: bytes) -> tuple[list[dict], str, bytes, int]:
+    if data[:4] != MAGIC:
+        raise ValueError("not an avro container file")
+    pos, meta = 4, {}
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:  # block-size-prefixed map block
+            _, pos = _read_long(data, pos)
+            n = -n
+        for _ in range(n):
+            k, pos = _read_bytes(data, pos)
+            v, pos = _read_bytes(data, pos)
+            meta[k.decode()] = v
+    sync = data[pos : pos + SYNC_SIZE]
+    pos += SYNC_SIZE
+    spec = _avro_schema_to_spec(json.loads(meta["avro.schema"]))
+    codec = meta.get("avro.codec", b"null").decode()
+    return spec, codec, sync, pos
+
+
+def _decode_file(data: bytes) -> tuple[list[dict], list[list]]:
+    spec, codec, sync, pos = _parse_header(data)
+    rows: list[list] = []
+    n_total = len(data)
+    while pos < n_total:
+        n_rec, pos = _read_long(data, pos)
+        n_bytes, pos = _read_long(data, pos)
+        payload = data[pos : pos + n_bytes]
+        pos += n_bytes
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec: {codec}")
+        p = 0
+        for _ in range(n_rec):
+            row = []
+            for s in spec:
+                if s["nullable"]:
+                    idx, p = _read_long(payload, p)
+                    if idx == 0:
+                        row.append(None)
+                        continue
+                v, p = _decode_value(payload, p, s)
+                row.append(v)
+            rows.append(row)
+        if data[pos : pos + SYNC_SIZE] != sync:
+            raise ValueError("avro block sync mismatch")
+        pos += SYNC_SIZE
+    return spec, rows
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """Write `df` as Avro container files, one per partition (distributed
+    via mapInPandas; the driver only collects (file, n_records) rows).
+    Returns the total record count written."""
+    spec = _schema_to_spec(df.schema)
+    schema_json = json.dumps(_spec_to_avro_schema(spec))
+    os.makedirs(path, exist_ok=True)
+
+    def encode(batches):
+        import pandas as pd
+
+        sync = os.urandom(SYNC_SIZE)
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        f, wrote = None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if f is None:
+                f = open(fname, "wb")
+                _write_header(f, schema_json, codec, sync)
+            buf = bytearray()
+            cols = [pdf[s["name"]].tolist() for s in spec]
+            for row in zip(*cols):
+                for v, s in zip(row, spec):
+                    if s["nullable"]:
+                        if _is_null(v):
+                            _append_long(buf, 0)
+                            continue
+                        _append_long(buf, 1)
+                    _encode_value(buf, v, s)
+            _write_block(f, buf, len(pdf), codec, sync)
+            wrote += len(pdf)
+        if f is not None:
+            f.close()
+            yield pd.DataFrame({"file": [fname], "n_records": [wrote]})
+
+    stats = df.mapInPandas(encode, "file string, n_records long").collect()
+    return sum(r.n_records for r in stats)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory of Avro container files as a DataFrame: schema
+    from one file's header (driver-side peek at a few KB), data via a
+    file-parallel binaryFile scan decoded in mapInPandas."""
+    files = sorted(glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    with open(files[0], "rb") as f:
+        head = f.read(64 * 1024)
+    spec, _, _, _ = _parse_header(head)
+    out_schema = _spec_to_spark_schema(spec)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                fspec, rows = _decode_file(bytes(content))
+                data: dict = {}
+                for i, s in enumerate(fspec):
+                    col = [r[i] for r in rows]
+                    if s["logical"] == "timestamp-micros":
+                        data[s["name"]] = pd.to_datetime(col, unit="us")
+                    elif s["logical"] == "date":
+                        data[s["name"]] = pd.Series(
+                            pd.to_datetime(col, unit="D").date, dtype=object
+                        )
+                    else:
+                        data[s["name"]] = pd.Series(col, dtype=object)
+                yield pd.DataFrame(data, columns=[s["name"] for s in fspec])
+
+    binary = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
+    return binary.select("content").mapInPandas(decode, out_schema)
