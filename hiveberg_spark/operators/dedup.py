@@ -120,9 +120,7 @@ def dedup_exact_survivors(spark, sf_dir):
 # -- exact n-gram Jaccard (oracle-checked baseline) ---------------------------
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_NGRAM_JACCARD_ORACLE = f"""
     WITH docs AS (SELECT doc_id, regexp_split_to_array(text,' ') AS w FROM documents),
     sh AS (
       SELECT doc_id,
@@ -144,8 +142,10 @@ def dedup_exact_survivors(spark, sf_dir):
     JOIN sh sa ON sa.doc_id = doc_a
     JOIN sh sb ON sb.doc_id = doc_b
     WHERE i / (len(sa.shingles) + len(sb.shingles) - i) >= {JACCARD_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact near-dup pairs by 3-gram shingle Jaccard via inverted-index
     join. Candidate generation runs over a document-frequency-CAPPED
@@ -240,10 +240,15 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return tok.groupBy("doc_id").agg(*perms)
 
 
-@query("dedup_minhash_lsh")  # rows-only is the fallback; see test_dedup for
-# the local proof that this exactly matches dedup_ngram_jaccard's output
+@query("dedup_minhash_lsh", oracle=_NGRAM_JACCARD_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-verified.
+
+    Oracle: the SAME exact-Jaccard SQL as dedup_ngram_jaccard. Banding
+    (b=16, r=4) misses a j≥0.8 pair with p<3e-4 and the hash family is
+    deterministic, so LSH output == exact output is a stable property of
+    the fixture, verified at sf0.001 AND sf0.01 before attaching the
+    oracle (and continuously by test_minhash_lsh_matches_exact_jaccard).
 
     Pipeline: shingle → 64-perm minhash → 16 bands × 4 rows → explode
     bands → shuffle on (band, band_hash) → candidate pairs from bucket

