@@ -177,11 +177,25 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
-@query("text_rolling_hash")  # rows-only: xxhash64 is Spark-specific
+@query(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_same_fingerprint
+    FROM documents
+    """,
+)
 def text_rolling_hash(spark, sf_dir):
     """Polynomial rolling hash over the token stream (shift-invariant
     fingerprint family): acc = acc·1000003 + xxhash64(token), wrapping in
-    64-bit. JVM-side aggregate over the words array."""
+    64-bit. JVM-side aggregate over the words array.
+
+    The hash VALUE is xxhash64-based (Spark-specific), so the checked
+    projection is the fingerprint CONTRACT instead: documents share a
+    fingerprint iff they share content — each doc's fingerprint
+    equivalence-class size must equal its text equivalence-class size
+    (collision-free on this corpus; deterministic, verified at both
+    SFs)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     rolling = F.aggregate(
@@ -189,7 +203,13 @@ def text_rolling_hash(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, w: acc * F.lit(1000003).cast("long") + F.xxhash64(w),
     )
-    return d.select("doc_id", rolling.alias("rolling_hash"))
+    from pyspark.sql import Window as W
+
+    fp = d.select("doc_id", rolling.alias("rolling_hash"))
+    return fp.select(
+        "doc_id",
+        F.count("*").over(W.partitionBy("rolling_hash")).alias("n_same_fingerprint"),
+    )
 
 
 @query(
