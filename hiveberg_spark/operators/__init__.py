@@ -30,6 +30,7 @@ from hiveberg_spark.operators import (  # noqa: F401
     udfs,
     multimodal,
     sketches,
+    pipeline_ops,
     subqueries,
     tpch_extra,
     formats,

@@ -1,0 +1,233 @@
+"""Training-data pipeline operators [N] (SURVEY.md §2.11 extensions):
+the composition layer a 100 TB corpus pipeline runs between raw scans
+and model training — dup-graph resolution, deterministic splits,
+sequence packing, frequency ranking. All oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from hiveberg_spark.catalog import load_table
+from hiveberg_spark.registry import query
+from hiveberg_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
+    _NGRAM_JACCARD_ORACLE,
+    ngram_jaccard_pairs,
+    shingled,
+)
+
+
+@query(
+    "dedup_cluster_pick",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+    )
+    SELECT v AS doc_id, MIN(r) AS cluster_rep,
+           (v = MIN(r)) AS is_kept
+    FROM reach GROUP BY v
+    """,
+)
+def dedup_cluster_pick(spark, sf_dir):
+    """Connected components over the near-dup pair graph + keep-min
+    representative per cluster (the 'cluster pick' step SURVEY §2.11
+    names after MinHash candidate generation: near-dup is transitive-ish
+    in practice, so survivors must be chosen per CLUSTER, not per pair —
+    keeping one doc of every pair independently over-deletes).
+
+    Algorithm: iterative min-label propagation to fixpoint — each round
+    every vertex takes the min label among itself and its neighbors;
+    rounds = graph diameter (dup clusters are shallow; hard cap 20 with
+    a convergence assert). Each round is one shuffle join keyed on the
+    vertex id — the standard large-graph CC pattern (no driver-side
+    graph state; the driver only checks the converged flag).
+
+    Output: every doc in the pair graph with its cluster representative
+    and whether it survives. Oracle: DuckDB recursive transitive
+    closure."""
+    sh = shingled(load_table(spark, sf_dir, "documents")).persist()
+    pairs = ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, SHINGLE_DF_CAP).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.v)
+            .groupBy(F.col("doc_a").alias("nv"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.v == neighbor_min.nv, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "v")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    else:  # pragma: no cover - diameter > 20 impossible on dup clusters
+        raise RuntimeError("connected components did not converge in 20 rounds")
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("v") == F.col("label")).alias("is_kept"),
+    )
+
+
+@query(
+    "sample_stratified_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n FROM tagged GROUP BY lang, split
+    """,
+)
+def sample_stratified_split(spark, sf_dir):
+    """Deterministic stratified train/val/test split (~80/10/10): the
+    split key is a pure function of doc_id (two hex chars of md5 →
+    uniform over 256 buckets; 'cd'=205→80.1%, 'e7'=231→10.2%/9.7%), so
+    membership is stable across runs, machines, and engines — the
+    property a training pipeline needs so that re-runs never leak val
+    docs into train. Stratification is free: the split is independent
+    of lang, so per-lang proportions hold. No shuffle except the final
+    tiny count; at 100 TB the tag is a zero-cost projection."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e7", "val").otherwise("test")
+    )
+    return d.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "token_budget_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    prefix AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS run
+      FROM toks
+    )
+    SELECT CAST(FLOOR((run - n_tokens) / 4096) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM prefix GROUP BY 1
+    """,
+)
+def token_budget_packing(spark, sf_dir):
+    """Sequence packing for training batches: assign docs (in doc_id
+    order) to 4096-token bins by running token count — each doc lands in
+    the bin where its prefix starts (streaming chunking; a straddling
+    doc may overflow its bin, the standard LLM-packing tradeoff).
+
+    Scale: the global prefix sum is computed DISTRIBUTED — two-phase
+    scan, not a single-partition window: range-repartition by doc_id,
+    per-partition prefix sums (parallel windows), then each partition's
+    offset from a tiny per-partition total (cumsum over #partitions
+    rows, broadcast back). The full-corpus ordering never funnels
+    through one task."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    parts = d.repartitionByRange(8, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "local_prefix",
+        F.sum("n_tokens").over(
+            W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("ptotal"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("ptotal").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    packed = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("local_prefix") + F.col("offset")).alias("run"),
+    )
+    return (
+        packed.select(
+            F.floor((F.col("run") - F.col("n_tokens")) / 4096).cast("long").alias("bin"),
+            "n_tokens",
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+@query(
+    "text_zipf_rank",
+    oracle="""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word)
+    SELECT word, n, CAST(RANK() OVER (ORDER BY n DESC, word) AS BIGINT) AS zipf_rank
+    FROM freq
+    ORDER BY zipf_rank LIMIT 50
+    """,
+)
+def text_zipf_rank(spark, sf_dir):
+    """Corpus frequency table with Zipf rank — the vocabulary-audit query
+    of a data pipeline (token distribution sanity, stop-word discovery
+    feeding the stop-shingle cap). Scale: one (word) shuffle with
+    map-side combine; the rank window runs on the vocabulary-sized
+    aggregate, and top-50 is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = freq.withColumn(
+        "zipf_rank",
+        F.rank().over(W.orderBy(F.desc("n"), F.asc("word"))).cast("long"),
+    )
+    return ranked.orderBy("zipf_rank").limit(50)
