@@ -300,3 +300,159 @@ def q21_waiting_suppliers(spark, sf_dir):
         ORDER BY numwait DESC, s_name
         """
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH sales AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev,
+             sn.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = cn.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM sales GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): CHINA-supplier revenue
+    share of all sales to ASIA-region customers, per order year.
+    Decimal-exact numerator and denominator; one double division at the
+    end. Scale: nation/region/supplier broadcast, the only wide
+    exchanges are the lineitem⋈orders and ⋈customer shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "CHINA", F.col("rev")).otherwise(zero)).cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q12_ship_delay_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                THEN 'late' ELSE 'on_time' END AS delay_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_ship_delay_priority(spark, sf_dir):
+    """TPC-H Q12 shape adapted to the fixture (no l_shipmode /
+    commit/receipt dates): lines bucketed by order→ship delay (>60 days
+    = late), counting high- vs low-priority lines per bucket — the
+    conditional two-way count that defines Q12."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(F.datediff("l_shipdate", "o_orderdate") > 60, "late")
+            .otherwise("on_time")
+            .alias("delay_class"),
+            F.when(high, 1).otherwise(0).alias("is_high"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer histogram via left join (so
+    zero-order customers appear) + double aggregation. Pure counts — no
+    float hazards. Scale: custkey shuffle then a tiny count-keyed agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue of small-quantity orders vs the per-part
+    average — implemented decorrelated (per-part AVG aggregate joined
+    back, the plan Catalyst produces for the correlated form).
+    l_quantity is integral so the per-part mean is order-independent and
+    cross-engine exact; the 0.2 threshold is a shared double constant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_key")).agg(
+        (F.lit(0.2).cast("double") * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("avg_key"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
