@@ -31,6 +31,7 @@ from hiveberg_spark.operators import (  # noqa: F401
     multimodal,
     sketches,
     pipeline_ops,
+    sql_surface,
     subqueries,
     tpch_extra,
     formats,
