@@ -92,9 +92,9 @@ def test_no_forced_broadcast_on_fact_tables():
     import re
 
     allowed = {
-        "n", "nation", "region", "sn", "cn",  # fixed-size dims
-        "s", "supp",                            # supplier
-        "q", "cents", "df_",                    # tiny derived frames
+        "n", "nation", "region", "r", "sn", "cn",  # fixed-size dims
+        "s", "supp",                                 # supplier
+        "q", "cents", "df_", "offsets",              # tiny derived frames
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
