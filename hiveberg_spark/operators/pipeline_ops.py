@@ -231,3 +231,79 @@ def text_zipf_rank(spark, sf_dir):
         F.rank().over(W.orderBy(F.desc("n"), F.asc("word"))).cast("long"),
     )
     return ranked.orderBy("zipf_rank").limit(50)
+
+
+@query(
+    "doc_chunking",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / 48 AS BIGINT) AS chunk_index,
+             w[s:least(s + 63, len(w))] AS chunk
+      FROM docs, UNNEST(generate_series(1, len(w), 48)) AS t(s)
+    )
+    SELECT doc_id, chunk_index,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           chunk[1] AS first_token, chunk[len(chunk)] AS last_token
+    FROM chunks
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking (64-token chunks, stride 48 —
+    the chunk-for-embedding step of a retrieval/training pipeline): one
+    posexplode of the stride sequence per document, chunk materialized
+    with slice(). All JVM higher-order functions; output is
+    chunk-per-row, ready for an embedding UDF. Scale: narrow per-row
+    expansion, no shuffle at all."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w"), F.lit(48)),
+                lambda s: F.slice(
+                    F.col("w"), s, F.least(F.lit(64), F.size("w") - s + 1)
+                ),
+            )
+        ).alias("chunk_index", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_index").cast("long"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.element_at("chunk", 1).alias("first_token"),
+        F.element_at("chunk", F.size("chunk")).alias("last_token"),
+    )
+
+
+@query(
+    "text_redact_numbers",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_len,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]+', '', 'g')) AS n_digit_chars
+    FROM documents WHERE doc_id < 1000
+    """,
+)
+def text_redact_numbers(spark, sf_dir):
+    """Regex redaction (the PII-scrub shape: pattern → replacement +
+    audit count), here masking digit runs in the synthetic corpus. One
+    narrow projection, no shuffle; the audit columns make the
+    transformation oracle-checkable without comparing full redacted
+    text. (Spark regexp_replace is global by default; DuckDB needs the
+    'g' flag — a cross-engine quirk worth pinning in a test.)"""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", "[0-9]+", "#")).alias("redacted_len"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]+", ""))
+        ).alias("n_digit_chars"),
+    )
