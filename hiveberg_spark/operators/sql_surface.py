@@ -46,3 +46,56 @@ def timetravel_sql_version_as_of(spark, sf_dir):
           (SELECT COUNT(*) FROM nation_versions VERSION AS OF 3) AS n_current
         """,
     )
+
+
+@query(
+    "snapshot_maintenance_ops",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'append',
+       (SELECT COUNT(*) FROM supplier WHERE s_suppkey < 50)),
+      (CAST(2 AS BIGINT), 'append',
+       (SELECT COUNT(*) FROM supplier)),
+      (CAST(3 AS BIGINT), 'replace',
+       (SELECT COUNT(*) FROM supplier)),
+      (CAST(4 AS BIGINT), 'overwrite',
+       (SELECT COUNT(*) FROM supplier WHERE s_nationkey < 10))
+    ) AS t(snapshot_id, operation, n_rows_as_of)
+    """,
+)
+def snapshot_maintenance_ops(spark, sf_dir):
+    """Table-maintenance surface of the underlying library (beyond the
+    read-only reference): append → append → compact (operation=replace,
+    contents identical, fewer files) → overwrite (operation=overwrite,
+    contents replaced). Every historical snapshot stays readable with
+    its exact pre-maintenance contents — verified by counting a scan of
+    each snapshot."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_maint")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    def builder(table):
+        table.append(supplier.filter(F.col("s_suppkey") < 50))
+        table.append(supplier.filter(F.col("s_suppkey") >= 50))
+        table.compact()
+        table.overwrite(supplier.filter(F.col("s_nationkey") < 10))
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    ops = {
+        s.snapshot_id: s.operation for s in t.snapshots().collect()
+    }  # 4-row metadata read
+    rows = [
+        (sid, ops[sid], t.scan(snapshot_id=sid, virtual_column=None).count())
+        for sid in sorted(ops)
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot_id long, operation string, n_rows_as_of long"
+    )

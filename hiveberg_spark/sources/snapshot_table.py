@@ -232,6 +232,76 @@ class SnapshotTable:
             os.unlink(lock)
         return snap_id
 
+    def overwrite(self, df: DataFrame, committed_at: int | None = None) -> int:
+        """Commit `df` as a new snapshot that REPLACES the table contents
+        (Iceberg `operation=overwrite`): readers of the new snapshot see
+        only this data; earlier snapshots stay time-travelable. Same
+        commit protocol as append."""
+        return self._replace_commit(df, "overwrite", committed_at)
+
+    def compact(self, committed_at: int | None = None) -> int:
+        """Small-file compaction (Iceberg's rewrite_data_files
+        maintenance action): rewrite the current snapshot's live data as
+        one coalesced file set in a new `replace` snapshot. Contents are
+        identical; history is preserved. The scale lever: snapshot-table
+        reads open O(files) — appends fragment the table, compaction
+        restores scan efficiency."""
+        current = self.scan(virtual_column=None)
+        n_files = len(self._files_as_of(None)[0])
+        target = max(1, min(8, n_files // 4))
+        return self._replace_commit(
+            current.coalesce(target), "replace", committed_at
+        )
+
+    def _replace_commit(
+        self, df: DataFrame, operation: str, committed_at: int | None
+    ) -> int:
+        commit_uuid = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.location, "data", commit_uuid)
+        df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            os.path.join("data", commit_uuid, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        n_records = int(self.spark.read.parquet(data_dir).count())
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            snap_id = (meta["current_snapshot_id"] or 0) + 1
+            manifest_rel = os.path.join("metadata", f"manifest-s{snap_id}.json")
+            os.makedirs(os.path.join(self.location, "metadata"), exist_ok=True)
+            with open(os.path.join(self.location, manifest_rel), "w") as f:
+                # replacing commits carry the FULL live file set, so
+                # _files_as_of can keep its additive walk only for
+                # appends; see the `replaces` flag below
+                json.dump({"files": files}, f)
+            meta["snapshots"].append(
+                {
+                    "snapshot_id": snap_id,
+                    "parent_id": meta["current_snapshot_id"],
+                    "operation": operation,
+                    "replaces": True,
+                    "committed_at": (
+                        committed_at
+                        if committed_at is not None
+                        else int(time.time() * 1000)
+                    ),
+                    "manifest": manifest_rel,
+                    "summary": {
+                        "added-data-files": str(len(files)),
+                        "added-records": str(n_records),
+                    },
+                }
+            )
+            meta["current_snapshot_id"] = snap_id
+            if not meta.get("schema_json"):
+                meta["schema_json"] = df.schema.json()
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+        return snap_id
+
     def rename_column(self, old: str, new: str) -> None:
         """Record a column rename in the name-mapping log. Files written
         before the rename are resolved through the mapping at scan time
@@ -275,6 +345,8 @@ class SnapshotTable:
         files: list[str] = []
         for s in meta["snapshots"]:
             if s["snapshot_id"] <= snapshot_id:
+                if s.get("replaces"):  # overwrite/compaction: full live set
+                    files = []
                 for f in self._read_manifest(s):
                     # resolve relative entries against the table location
                     files.append(
@@ -382,6 +454,13 @@ class SnapshotTable:
         files: list[str] = []
         for s in meta["snapshots"]:
             if from_snapshot < s["snapshot_id"] <= to_snapshot:
+                if s.get("replaces"):
+                    # appends-between is undefined across a rewrite —
+                    # same contract as Iceberg's appendsBetween
+                    raise ValueError(
+                        f"snapshot {s['snapshot_id']} is {s['operation']!r}; "
+                        "incremental read requires an append-only range"
+                    )
                 for f in self._read_manifest(s):
                     files.append(
                         f if os.path.isabs(f) else os.path.join(self.location, f)

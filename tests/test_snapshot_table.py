@@ -268,3 +268,43 @@ def test_scan_changes_incremental(spark, warehouse):
     assert t.scan_changes(3, 3).count() == 0  # empty delta
     with pytest.raises(ValueError):
         t.scan_changes(9)
+
+
+def test_overwrite_replaces_contents_history_preserved(spark, warehouse):
+    # Iceberg operation=overwrite: new snapshot sees only the new data;
+    # earlier snapshots stay time-travelable
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "ow"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    t.overwrite(_simple_df(spark, [(9, "z")]))
+    assert sorted(r.id for r in t.scan().collect()) == [9]
+    assert sorted(r.id for r in t.scan(snapshot_id=1).collect()) == [1, 2]
+    ops = {s.snapshot_id: s.operation for s in t.snapshots().collect()}
+    assert ops == {1: "append", 2: "overwrite"}
+    t.append(_simple_df(spark, [(10, "y")]))
+    assert sorted(r.id for r in t.scan().collect()) == [9, 10]
+
+
+def test_compact_coalesces_files_preserves_contents(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "cmp"))
+    for i in range(4):  # 4 appends → >= 4 files
+        t.append(_simple_df(spark, [(i, f"r{i}")]).repartition(2))
+    before_files, _ = t._files_as_of(None)
+    before = sorted(map(tuple, t.scan(virtual_column=None).collect()))
+    sid = t.compact()
+    after_files, _ = t._files_as_of(None)
+    after = sorted(map(tuple, t.scan(virtual_column=None).collect()))
+    assert after == before                      # contents identical
+    assert len(after_files) < len(before_files)  # fewer files
+    assert t.snapshots().filter(f"snapshot_id = {sid}").first().operation == "replace"
+    # pre-compaction history still readable
+    assert len(t.scan(snapshot_id=2).collect()) == 2
+
+
+def test_incremental_read_rejects_rewrite_range(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "cdc2"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.overwrite(_simple_df(spark, [(2, "b")]))
+    t.append(_simple_df(spark, [(3, "c")]))
+    with pytest.raises(ValueError, match="append-only"):
+        t.scan_changes(1, 3)
+    assert sorted(r.id for r in t.scan_changes(2, 3).collect()) == [3]
