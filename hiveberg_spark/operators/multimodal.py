@@ -106,18 +106,52 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-@query("multimodal_feature_extract")  # rows-only: exercises the Pandas-UDF path
-def multimodal_feature_extract(spark, sf_dir):
-    """mapInPandas feature extraction over binary payloads — the sanctioned
-    Python path (Arrow batches, vectorized within batch). Scale: purely
-    partition-parallel, no shuffle; executor memory bounded by
-    maxRecordsPerBatch."""
+def feature_frame(spark, sf_dir):
+    """Full featurizer output (doc_id, n_bytes, width, height, codec,
+    byte_hist) — used by the registered contract query below and
+    bit-exactly validated against a pure-python recompute in
+    test_llm_ops.py."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
-    return d.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA).orderBy("doc_id")
+    return d.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) AS hist_total,
+           TRUE AS meta_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_feature_extract(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads — the sanctioned
+    Python path (Arrow batches, vectorized within batch). Scale: purely
+    partition-parallel, no shuffle; executor memory bounded by
+    maxRecordsPerBatch.
+
+    The checked projection is the featurizer's CONTRACT (decode values
+    themselves are python-stub-specific): the 16-bin byte histogram must
+    sum exactly to the payload byte count (every byte binned once — this
+    fails on any Arrow batch-boundary or dtype bug), and the decoded
+    metadata must satisfy the decoder's invariants. Full feature values
+    are bit-checked against a pure-python recompute in tests."""
+    feats = feature_frame(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.aggregate("byte_hist", F.lit(0), lambda a, x: a + x).alias("hist_total"),
+        (
+            F.col("width").between(64, 575)
+            & F.col("height").between(64, 575)
+            & F.col("codec").isin("rgb", "yuv", "gray")
+        ).alias("meta_ok"),
+    )
 
 
 @query(

@@ -49,12 +49,9 @@ def test_multimodal_features_match_pure_python(spark, sf_dir):
     import numpy as np
 
     from hiveberg_spark.catalog import load_table
-    from hiveberg_spark.operators.multimodal import fake_decode_meta
+    from hiveberg_spark.operators.multimodal import fake_decode_meta, feature_frame
 
-    out = {
-        r.doc_id: r
-        for r in registry.QUERIES["multimodal_feature_extract"](spark, sf_dir).collect()
-    }
+    out = {r.doc_id: r for r in feature_frame(spark, sf_dir).collect()}
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter("doc_id < 200")
