@@ -88,6 +88,8 @@ def dedup_cluster_pick(spark, sf_dir):
             .limit(1)
             .count()
         )
+        if labels.is_cached:  # release the superseded round's cache
+            labels.unpersist()
         labels = updated
         if changed == 0:
             break
