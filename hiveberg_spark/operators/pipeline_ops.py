@@ -309,3 +309,36 @@ def text_redact_numbers(spark, sf_dir):
             F.length("text") - F.length(F.regexp_replace("text", "[0-9]+", ""))
         ).alias("n_digit_chars"),
     )
+
+
+@query(
+    "sample_per_stratum_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM ranked WHERE rn <= 100 GROUP BY lang
+    """,
+)
+def sample_per_stratum_cap(spark, sf_dir):
+    """Deterministic per-stratum downsample (cap each language at 100
+    docs): rank inside each stratum by md5(doc_id) — a stable
+    pseudo-random order reproducible across engines and runs (unlike
+    rand(), whose stream is engine- and partitioning-specific) — and
+    keep the first N. The per-source/per-language cap every corpus
+    pipeline applies before training. Scale: one shuffle on the stratum
+    key; the window never sees more than a stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    sampled = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 100)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
