@@ -98,35 +98,36 @@ def simsearch_bruteforce_topk(spark, sf_dir):
     )
 
 
-_N_PLANES = 12
-_LSH_TABLES = 4  # OR-amplification: 4 tables × 12 bits each
+# Tuned to the corpus's similarity regime: true top-5 neighbors here
+# have cosine 0.25-0.49 (p(bit agree) = 1 - acos(cos)/pi ≈ 0.60 at the
+# median), so long signatures kill recall — at 12 bits × 4 tables the
+# measured recall was 0.02-0.04. At 6 bits × 12 tables: true-neighbor
+# candidate probability 1-(1-0.6^6)^12 ≈ 0.45 while a random pair
+# (cos≈0, p=0.5) collides with prob 1-(1-0.5^6)^12 ≈ 0.17 of the
+# corpus — a ~3× selectivity gap that widens with neighbor quality.
+# High-similarity corpora (the production near-dup case) want the
+# opposite corner: longer signatures, fewer tables.
+_N_PLANES = 6
+_LSH_TABLES = 12
 _plane_cache: dict = {}
 
 
 def _plane_matrix(spark, dim: int, n_planes: int) -> list[list[float]]:
-    """Precompute the random-hyperplane matrix ONCE on the driver (plane
-    p, dim i → pseudo-random value from xxhash64(p, i), same family the
-    per-row formulation used — VERDICT r1 #2: the matrix is a constant,
-    so recomputing ~n_planes×dim hashes per ROW was pure waste). One
-    tiny local job over `range(1)` evaluates the constants; signatures
-    are unchanged and deterministic across runs with zero stored state."""
+    """Precompute the random-hyperplane matrix ONCE on the driver
+    (VERDICT r1 #2: the matrix is a constant — rebuilding it per row, or
+    even per query via a Spark expression job, is pure waste; an
+    expression-derived 72×64 matrix cost ~60 s of one-time codegen).
+    Seeded Gaussian components (the rotation-invariant family the
+    random-hyperplane construction actually calls for), deterministic
+    across runs/machines with zero stored state."""
     key = (dim, n_planes)
     if key not in _plane_cache:
-        exprs = [
-            F.array(
-                *[
-                    (
-                        F.pmod(F.xxhash64(F.lit(str(p)), F.lit(str(i))), F.lit(2000))
-                        - 1000
-                    ).cast("double")
-                    / 1000.0
-                    for i in range(dim)
-                ]
-            ).alias(f"p{p}")
-            for p in range(n_planes)
+        import random
+
+        rng = random.Random(0x5EED_1234)
+        _plane_cache[key] = [
+            [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
         ]
-        row = spark.range(1).select(*exprs).first()
-        _plane_cache[key] = [list(row[f"p{p}"]) for p in range(n_planes)]
     return _plane_cache[key]
 
 
@@ -138,33 +139,39 @@ def _embedding_dim(spark, sf_dir) -> int:
     return _plane_cache[key]
 
 
-def _hyperplane_signature(vec_col, planes: list[list[float]]):
-    """Deterministic random-hyperplane signature over a precomputed
-    plane matrix (literal arrays — all JVM-side constant folding):
+def _table_signatures(vec_col, planes_col, n_planes: int, n_tables: int):
+    """Per-table hyperplane signatures, computed from a plane matrix that
+    arrives as broadcast DATA (array<array<double>> column), not as
+    inlined literals — n_tables×n_planes×dim literal doubles blow
+    whole-stage codegen up to ~1 min of C2 compile; as a column the
+    generated code is a small higher-order-function loop.
 
-    sig bit p = [ Σ_i v_i · planes[p][i] >= 0 ]"""
-    def proj(plane):
-        return F.aggregate(
+    bit b of table t = [ Σ_i v_i · planes[t·n_planes+b][i] >= 0 ]
+    Returns array<long> of n_tables packed signatures."""
+    bits = F.transform(
+        planes_col,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec_col, plane, lambda x, r: x.cast("double") * r),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(n_planes)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
             F.zip_with(
-                vec_col,
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, r: x.cast("double") * r,
+                F.slice(bits, t * n_planes + 1, n_planes),
+                powers,
+                lambda b, p: b * p,
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        )
-
-    return F.aggregate(
-        F.array(
-            *[
-                F.when(proj(plane) >= 0, F.lit(1 << b).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for b, plane in enumerate(planes)
-            ]
         ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
 
 
@@ -181,16 +188,12 @@ def simsearch_lsh_ann(spark, sf_dir):
     baseline in tests (not an oracle query — approximate by design)."""
     e = load_table(spark, sf_dir, "embeddings")
     dim = _embedding_dim(spark, sf_dir)
-    planes = _plane_matrix(spark, dim, _N_PLANES * _LSH_TABLES)
-    sigs = F.array(
-        *[
-            _hyperplane_signature(
-                F.col("embedding"), planes[t * _N_PLANES : (t + 1) * _N_PLANES]
-            )
-            for t in range(_LSH_TABLES)
-        ]
+    mat = _plane_matrix(spark, dim, _N_PLANES * _LSH_TABLES)
+    planes_df = spark.createDataFrame([(mat,)], "planes array<array<double>>")
+    sigs = _table_signatures(
+        F.col("embedding"), F.col("planes"), _N_PLANES, _LSH_TABLES
     )
-    signed = e.select(
+    signed = e.crossJoin(F.broadcast(planes_df)).select(
         "vec_id", "embedding", F.posexplode(sigs).alias("table", "sig")
     )
     q = signed.filter(F.col("vec_id") < _N_QUERIES).select(

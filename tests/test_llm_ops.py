@@ -27,15 +27,19 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
 
 
 def test_lsh_ann_results_are_true_neighbors(spark, sf_dir):
-    """Every ANN hit must appear in the brute-force top-20 of its query
-    (ANN may return fewer/different top-5, but never a non-neighbor with
-    a wrong score)."""
+    """ANN hits overlapping the brute-force top-5 must carry the exact
+    cosine, and multi-table OR-amplified recall must clear a floor
+    (deterministic planes → the measured 0.50-0.54 is stable; 0.3 floor
+    leaves margin for fixture regeneration)."""
     brute = registry.QUERIES["simsearch_bruteforce_topk"](spark, sf_dir).collect()
     ann = registry.QUERIES["simsearch_lsh_ann"](spark, sf_dir).collect()
     exact_scores = {(r.qid, r.vec_id): r.cosine for r in brute}
+    hits = 0
     for r in ann:
         if (r.qid, r.vec_id) in exact_scores:
+            hits += 1
             assert abs(exact_scores[(r.qid, r.vec_id)] - r.cosine) < 1e-9
+    assert hits >= 0.3 * len(brute), (hits, len(brute))
 
 
 def test_simhash_pairs_symmetric_and_bounded(spark, sf_dir):
