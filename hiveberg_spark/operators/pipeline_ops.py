@@ -342,3 +342,64 @@ def sample_per_stratum_cap(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "storage_zorder_locality",
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+    ),
+    z AS (
+      SELECT x, y,
+             list_sum(list_transform(generate_series(0, 7),
+               b -> (CAST(FLOOR(x / POWER(2, b)) AS BIGINT) % 2)
+                    * CAST(POWER(4, b) AS BIGINT)))
+             + 2 * list_sum(list_transform(generate_series(0, 7),
+               b -> (CAST(FLOOR(y / POWER(2, b)) AS BIGINT) % 2)
+                    * CAST(POWER(4, b) AS BIGINT))) AS zval
+      FROM base
+    )
+    SELECT CAST(FLOOR(zval / 4096) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def storage_zorder_locality(spark, sf_dir):
+    """Z-order (Morton) clustering — the layout behind Iceberg's
+    `rewrite_data_files(strategy=sort, sort_order=zorder(...))`: bit-
+    interleave two key columns so range-partitioning the z-value gives
+    every file a tight bounding box in BOTH dimensions, and min/max
+    file pruning works for predicates on either key. Here: 8-bit coords
+    from (l_partkey, l_suppkey), 16 z-buckets (top 4 bits), and the
+    per-bucket bounding boxes the oracle verifies — each bucket covers
+    a 64×128 quadrant of the 256×256 key space instead of a full-width
+    stripe. All integer math, shared exactly with the DuckDB oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"), (F.col("l_suppkey") % 256).alias("y")
+    )
+
+    def spread(c):  # value with bits of c at even positions (dynamic shifts
+        # via exact double pow — all values < 2^53)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(7)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.pmod((c / F.pow(F.lit(2.0), b)).cast("long"), F.lit(2))
+            * F.pow(F.lit(4.0), b).cast("long"),
+        )
+
+    z = li.withColumn("zval", spread(F.col("x")) + 2 * spread(F.col("y")))
+    return (
+        z.select(F.floor(F.col("zval") / 4096).cast("long").alias("bucket"), "x", "y")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
