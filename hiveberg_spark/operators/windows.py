@@ -145,3 +145,48 @@ def window_range_frame(spark, sf_dir):
     return p.select(
         "p_partkey", "p_size", F.count("*").over(w).alias("n_near_size")
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events WHERE user_id < 5
+    )
+    SELECT event_id, user_id,
+           ROUND(LAST_VALUE(purchase_value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING), 6) AS last_purchase_value
+    FROM e
+    """,
+)
+def window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS analytic windows (HiveQL surface): carry the most
+    recent non-null observation forward — the fill-forward primitive of
+    event/feature pipelines. last_value(ignorenulls=True) over a running
+    frame; NULL until a user's first purchase."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+                "purchase_value"
+            ),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.last("purchase_value", ignorenulls=True).over(w), 6
+        ).alias("last_purchase_value"),
+    )
