@@ -95,6 +95,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "n", "nation", "region", "r", "sn", "cn",  # fixed-size dims
         "s", "supp",                                 # supplier
         "q", "cents", "df_", "offsets",              # tiny derived frames
+        "planes_df",                                 # 1-row literal plane matrix
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
