@@ -34,7 +34,7 @@ _NATION_COLS = ["n_nationkey", "n_name", "n_regionkey"]
 # Bump when fixture-building logic changes: the version participates in
 # the cache key, so stale /tmp fixtures from an earlier round can never
 # serve old data (VERDICT r1 "what's wrong" #4).
-FIXTURE_VERSION = "r2"
+FIXTURE_VERSION = "r2b"  # b: manifests now carry min/max file stats
 
 # Pinned commit clock for deterministic timestamp time travel
 # (2023-11-14T22:13:20Z; exact value irrelevant, stability is the point).

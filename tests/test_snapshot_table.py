@@ -308,3 +308,79 @@ def test_incremental_read_rejects_rewrite_range(spark, warehouse):
     with pytest.raises(ValueError, match="append-only"):
         t.scan_changes(1, 3)
     assert sorted(r.id for r in t.scan_changes(2, 3).collect()) == [3]
+
+
+# -- min/max file pruning (Iceberg manifest-pruning analog) ---------------
+
+
+def _three_range_appends(spark, warehouse, name="pruned"):
+    """3 appends with disjoint id ranges, one file each → 3 prunable files."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, name))
+    t.append(_simple_df(spark, [(i, f"lo{i}") for i in range(0, 10)]).coalesce(1))
+    t.append(_simple_df(spark, [(i, f"mid{i}") for i in range(10, 20)]).coalesce(1))
+    t.append(_simple_df(spark, [(i, f"hi{i}") for i in range(20, 30)]).coalesce(1))
+    return t
+
+
+def test_plan_files_prunes_by_min_max(spark, warehouse):
+    t = _three_range_appends(spark, warehouse)
+    assert len(t.plan_files()) == 3
+    assert len(t.plan_files("id < 10")) == 1
+    assert len(t.plan_files("id >= 20")) == 1
+    assert len(t.plan_files("id = 15")) == 1
+    assert len(t.plan_files("id <= 10")) == 2
+    assert len(t.plan_files("id > 9 AND id < 20")) == 1
+    assert len(t.plan_files("id = 100")) == 0
+    # string stats prune too
+    assert len(t.plan_files("data = 'mid12'")) == 1
+
+
+def test_pruning_never_changes_results(spark, warehouse):
+    t = _three_range_appends(spark, warehouse)
+    for where in ["id < 10", "id >= 25", "id = 15", "id > 5 AND id < 25",
+                  "id % 2 = 0", "data = 'hi21'", "id + 0 = 3"]:
+        pruned = {tuple(r) for r in t.scan_where(where).collect()}
+        full = {
+            tuple(r) for r in t.scan(virtual_column="snapshot__id")
+            .filter(F.expr(where)).collect()
+        }
+        assert pruned == full, where
+
+
+def test_unparseable_conjuncts_do_not_prune(spark, warehouse):
+    t = _three_range_appends(spark, warehouse)
+    # expression left side / arithmetic / OR trees: conservative keep-all
+    assert len(t.plan_files("id % 2 = 0")) == 3
+    assert len(t.plan_files("(id < 5 OR id > 25)")) == 3
+    assert len(t.plan_files("abs(id) = 3")) == 3
+
+
+def test_pruning_stats_free_manifest_keeps_all(spark, warehouse):
+    import json as _json
+
+    t = _three_range_appends(spark, warehouse, "nostats")
+    # simulate a pre-stats (round-1) manifest: strip the stats key
+    for s in t._read_meta()["snapshots"]:
+        p = os.path.join(t.location, s["manifest"])
+        m = _json.load(open(p))
+        m.pop("stats", None)
+        _json.dump(m, open(p, "w"))
+    assert len(t.plan_files("id < 10")) == 3  # no stats → no pruning
+    assert t.scan_where("id < 10").count() == 10  # results still right
+
+
+def test_pruning_follows_renames(spark, warehouse):
+    t = _three_range_appends(spark, warehouse, "renamed")
+    t.rename_column("id", "ident")
+    # predicate on the NEW name prunes files whose stats were written
+    # under the OLD name (rename-log resolution, Iceberg field-id analog)
+    assert len(t.plan_files("ident < 10")) == 1
+    got = sorted(r.ident for r in t.scan_where("ident < 10").collect())
+    assert got == list(range(10))
+
+
+def test_all_files_pruned_yields_empty_with_schema(spark, warehouse):
+    t = _three_range_appends(spark, warehouse, "allpruned")
+    df = t.scan_where("id > 1000")
+    assert df.count() == 0
+    assert "id" in df.columns and "data" in df.columns
