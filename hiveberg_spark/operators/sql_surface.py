@@ -169,3 +169,57 @@ def snapshot_hidden_partitioning(spark, sf_dir):
         .select(*cols)
         .withColumn("files_pruned", F.lit(bool(pruned)))
     )
+
+
+@query(
+    "snapshot_delete_where",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           TRUE AS files_carried,
+           (SELECT COUNT(*) FROM supplier) AS n_before_delete
+    FROM supplier WHERE s_suppkey >= 2
+    """,
+)
+def snapshot_delete_where(spark, sf_dir):
+    """Copy-on-write row-level DELETE (Iceberg DELETE FROM, copy-on-write
+    strategy; beyond the read-only reference but core to the table
+    format): the fixture appends three disjoint s_suppkey ranges, then
+    deletes `s_suppkey < 2`. plan_files limits the rewrite to the one
+    file that can match; the other files carry into the delete snapshot
+    by reference (`files_carried` checks the commit summary recorded
+    carried entries), and the pre-delete snapshot stays time-travelable
+    (`n_before_delete` counts it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_cow_delete")
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    supplier = load_table(spark, sf_dir, "supplier").select(*cols)
+
+    def builder(table):
+        k = F.col("s_suppkey")
+        table.append(supplier.filter(k < 4))
+        table.append(supplier.filter(k.between(4, 7)))
+        table.append(supplier.filter(k >= 8))
+        table.delete_where("s_suppkey < 2")
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    delete_snap = (
+        t.snapshots().filter("operation = 'delete'").collect()[0]
+    )
+    carried = int(delete_snap.summary.get("carried-data-files", "0")) > 0
+    n_before = t.scan(
+        snapshot_id=delete_snap.snapshot_id - 1, virtual_column=None
+    ).count()
+    return (
+        t.scan(virtual_column=None)
+        .select(*cols)
+        .withColumn("files_carried", F.lit(bool(carried)))
+        .withColumn("n_before_delete", F.lit(int(n_before)).cast("long"))
+    )

@@ -294,16 +294,63 @@ class SnapshotTable:
             current.coalesce(target), "replace", committed_at, replaces=True
         )
 
+    def delete_where(self, where: str, committed_at: int | None = None) -> int:
+        """Copy-on-write row-level DELETE (Iceberg `DELETE FROM` with the
+        copy-on-write strategy): `plan_files(where)` identifies the files
+        that MIGHT hold matching rows; only those are read and rewritten
+        without the matches, while every pruned file carries into the new
+        snapshot by reference — its manifest entry (path, stats,
+        partition values) is re-recorded verbatim, no data moves. A
+        key-range delete on a clustered 100 TB table therefore rewrites
+        O(matching files), not the table. History stays time-travelable;
+        the commit is a `replaces` snapshot (operation='delete'), so
+        incremental reads refuse to cross it, same as Iceberg's
+        appendsBetween contract.
+
+        SQL DELETE semantics: rows where the predicate is NULL are kept
+        (only predicate-TRUE rows are removed)."""
+        meta = self._read_meta()
+        current = meta["current_snapshot_id"]
+        if current is None:
+            raise ValueError("delete from an empty table (no snapshots)")
+        might = set(self.plan_files(where))
+        carry, affected = [], []
+        for rel, stats, parts in self._raw_entries_as_of(meta, current):
+            absp = rel if os.path.isabs(rel) else os.path.join(self.location, rel)
+            if absp in might:
+                affected.append(absp)
+            else:
+                carry.append((rel, stats, parts))
+        renames = meta.get("renames", [])
+        if affected:
+            reader = self.spark.read
+            if renames:
+                reader = reader.option("mergeSchema", "true")
+            survivors = self._apply_renames(reader.parquet(*affected), renames)
+            # keep rows where the predicate is NOT true (false OR null)
+            survivors = survivors.filter(
+                ~F.expr(where).eqNullSafe(F.lit(True))
+            )
+        else:  # nothing can match: record the delete as a no-op snapshot
+            survivors = self.scan(virtual_column=None).limit(0)
+        return self._commit(
+            survivors, "delete", committed_at, replaces=True, carry=carry
+        )
+
     def _commit(
         self,
         df: DataFrame,
         operation: str,
         committed_at: int | None,
         replaces: bool,
+        carry: list[tuple[str, dict, dict]] | None = None,
     ) -> int:
         """Shared commit protocol: write data (hidden-partitioned when
         the table has a spec) into a unique uuid dir outside the lock,
-        collect footer stats, then swap metadata under the O_EXCL lock."""
+        collect footer stats, then swap metadata under the O_EXCL lock.
+        `carry` re-records existing file entries untouched (copy-on-write
+        commits rewrite only affected files; the rest carry by
+        reference)."""
         user_schema = df.schema  # before hidden partition columns
         commit_uuid = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.location, "data", commit_uuid)
@@ -323,9 +370,11 @@ class SnapshotTable:
         # location-relative paths: the table stays valid under rename/move
         # (atomic build-then-rename fixtures depend on this)
         files, partitions = self._list_data_files(data_dir, commit_uuid)
-        n_records = int(
-            self.spark.read.parquet(data_dir).count()
-        )  # metadata-only parquet count
+        n_records = (
+            int(self.spark.read.parquet(data_dir).count())  # metadata-only
+            if files
+            else 0  # all parts were 0-row (e.g. a delete emptied them)
+        )
         stats = self._collect_file_stats(files)  # footer min/max, outside lock
         lock = self._acquire_lock()
         try:
@@ -333,12 +382,25 @@ class SnapshotTable:
             snap_id = (meta["current_snapshot_id"] or 0) + 1
             manifest_rel = os.path.join("metadata", f"manifest-s{snap_id}.json")
             os.makedirs(os.path.join(self.location, "metadata"), exist_ok=True)
+            all_files, all_stats, all_parts = list(files), dict(stats), dict(partitions)
+            for rel, cstats, cparts in carry or []:
+                all_files.append(rel)
+                if cstats:
+                    all_stats[rel] = cstats
+                if cparts:
+                    all_parts[rel] = cparts
+            all_files.sort()
             with open(os.path.join(self.location, manifest_rel), "w") as f:
                 # replacing commits carry the FULL live file set, so
                 # _entries_as_of can keep its additive walk only for
                 # appends; see the `replaces` flag below
                 json.dump(
-                    {"files": files, "stats": stats, "partitions": partitions}, f
+                    {
+                        "files": all_files,
+                        "stats": all_stats,
+                        "partitions": all_parts,
+                    },
+                    f,
                 )
             entry = {
                 "snapshot_id": snap_id,
@@ -355,6 +417,8 @@ class SnapshotTable:
                     "added-records": str(n_records),
                 },
             }
+            if carry is not None:
+                entry["summary"]["carried-data-files"] = str(len(carry))
             if replaces:
                 entry["replaces"] = True
             meta["snapshots"].append(entry)
@@ -374,13 +438,23 @@ class SnapshotTable:
         (the manifest record Iceberg keeps per data file)."""
         files: list[str] = []
         partitions: dict[str, dict] = {}
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            pq = None
         for root, _, names in os.walk(data_dir):
             for fn in names:
                 if not fn.endswith(".parquet"):
                     continue
-                rel = os.path.relpath(
-                    os.path.join(root, fn), self.location
-                )
+                full = os.path.join(root, fn)
+                if pq is not None:
+                    try:
+                        if pq.ParquetFile(full).metadata.num_rows == 0:
+                            os.unlink(full)  # 0-row part (e.g. a delete
+                            continue  # emptied a file): never manifest it
+                    except Exception:
+                        pass
+                rel = os.path.relpath(full, self.location)
                 files.append(rel)
                 parts = {}
                 for comp in rel.split(os.sep):
@@ -450,23 +524,32 @@ class SnapshotTable:
             raise ValueError(f"unknown snapshot id {snapshot_id} (have {sorted(known)})")
         renames = meta.get("renames", [])
         entries: list[tuple[str, dict, dict]] = []
+        for f, stats, parts in self._raw_entries_as_of(meta, snapshot_id):
+            for r in renames:  # applied in log order, like the data
+                if r["from"] in stats:
+                    stats = dict(stats)
+                    stats[r["to"]] = stats.pop(r["from"])
+            entries.append(
+                (
+                    f if os.path.isabs(f) else os.path.join(self.location, f),
+                    stats,
+                    parts,
+                )
+            )
+        return entries, snapshot_id
+
+    def _raw_entries_as_of(
+        self, meta: dict, snapshot_id: int
+    ) -> list[tuple[str, dict, dict]]:
+        """Manifest entries exactly as stored (relative paths, stats keys
+        under written column names) — what a carrying commit re-records."""
+        entries: list[tuple[str, dict, dict]] = []
         for s in meta["snapshots"]:
             if s["snapshot_id"] <= snapshot_id:
                 if s.get("replaces"):  # overwrite/compaction: full live set
                     entries = []
-                for f, stats, parts in self._read_manifest_entries(s):
-                    for r in renames:  # applied in log order, like the data
-                        if r["from"] in stats:
-                            stats = dict(stats)
-                            stats[r["to"]] = stats.pop(r["from"])
-                    entries.append(
-                        (
-                            f if os.path.isabs(f) else os.path.join(self.location, f),
-                            stats,
-                            parts,
-                        )
-                    )
-        return entries, snapshot_id
+                entries.extend(self._read_manifest_entries(s))
+        return entries
 
     def plan_files(
         self, where: str | None = None, snapshot_id: int | None = None

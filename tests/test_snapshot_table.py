@@ -458,3 +458,63 @@ def test_hidden_partitioning_day_transform(spark, warehouse):
     t.append(df)
     assert t.scan(virtual_column=None).count() == 12
     assert len(t.plan_files()) >= 3  # one file group per day
+
+
+# -- copy-on-write row-level delete ---------------------------------------
+
+
+def test_delete_where_copy_on_write_carries_untouched_files(spark, warehouse):
+    t = _three_range_appends(spark, warehouse, "delcow")
+    before = set(t.plan_files())
+    sid = t.delete_where("id >= 20")
+    assert sid == 4
+    assert sorted(r.id for r in t.scan(virtual_column=None).collect()) == list(
+        range(20)
+    )
+    # the two unaffected range files carried BY REFERENCE (same paths);
+    # only the matching file left the live set
+    after = set(t.plan_files())
+    assert len(before & after) == 2 and len(after) == 2
+    # history stays time-travelable with pre-delete contents
+    assert t.scan(snapshot_id=3, virtual_column=None).count() == 30
+    assert t.snapshots().filter("operation = 'delete'").count() == 1
+
+
+def test_delete_where_partial_file_rewrite(spark, warehouse):
+    t = _three_range_appends(spark, warehouse, "delpart")
+    t.delete_where("id >= 25")  # splits the hi file: 20-24 survive
+    got = sorted(r.id for r in t.scan(virtual_column=None).collect())
+    assert got == list(range(25))
+
+
+def test_delete_where_null_predicate_rows_survive(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "delnull"))
+    t.append(_simple_df(spark, [(1, "x"), (2, None), (3, "y")]))
+    t.delete_where("data = 'x'")
+    # SQL DELETE: NULL-predicate rows are NOT deleted
+    assert sorted(r.id for r in t.scan(virtual_column=None).collect()) == [2, 3]
+
+
+def test_delete_on_bucketed_table_rewrites_one_bucket(spark, warehouse):
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "delbuck"),
+        schema="id long, data string",
+        partition_spec=[("bucket", "id", 4)],
+    )
+    t.append(_simple_df(spark, [(i, f"r{i}") for i in range(40)]))
+    before = set(t.plan_files())
+    matching = set(t.plan_files("id = 7"))
+    t.delete_where("id = 7")
+    after = set(t.plan_files())
+    # every non-matching-bucket file carried by reference
+    assert (before - matching) <= after
+    assert t.scan(virtual_column=None).count() == 39
+    assert t.scan_where("id = 7").count() == 0
+
+
+def test_delete_nothing_matches_is_noop_snapshot(spark, warehouse):
+    t = _three_range_appends(spark, warehouse, "delnoop")
+    t.delete_where("id > 1000")
+    assert t.scan(virtual_column=None).count() == 30
+    assert len(t.plan_files()) == 3  # all carried, nothing rewritten
