@@ -223,3 +223,105 @@ def snapshot_delete_where(spark, sf_dir):
         .withColumn("files_carried", F.lit(bool(carried)))
         .withColumn("n_before_delete", F.lit(int(n_before)).cast("long"))
     )
+
+
+@query(
+    "snapshot_update_where",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey < 2 THEN CAST(s_nationkey + 100 AS INTEGER)
+                ELSE s_nationkey END AS s_nationkey,
+           TRUE AS files_carried
+    FROM supplier
+    """,
+)
+def snapshot_update_where(spark, sf_dir):
+    """Copy-on-write row-level UPDATE (Iceberg UPDATE ... SET): same
+    pruning-driven rewrite shape as delete — only the file that can hold
+    `s_suppkey < 2` is rewritten with the assignment applied; the other
+    range files carry by reference (checked via the commit summary)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_cow_update")
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    supplier = load_table(spark, sf_dir, "supplier").select(*cols)
+
+    def builder(table):
+        k = F.col("s_suppkey")
+        table.append(supplier.filter(k < 4))
+        table.append(supplier.filter(k.between(4, 7)))
+        table.append(supplier.filter(k >= 8))
+        table.update_where("s_suppkey < 2", {"s_nationkey": "s_nationkey + 100"})
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    upd = t.snapshots().filter("operation = 'update'").collect()[0]
+    carried = int(upd.summary.get("carried-data-files", "0")) > 0
+    return (
+        t.scan(virtual_column=None)
+        .select(*cols)
+        .withColumn("files_carried", F.lit(bool(carried)))
+    )
+
+
+@query(
+    "snapshot_merge_upsert",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey BETWEEN 4 AND 7 THEN 'UPDATED'
+                ELSE s_name END AS s_name,
+           s_nationkey, TRUE AS files_carried
+    FROM supplier
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 'INSERTED', CAST(0 AS INTEGER), TRUE
+    """,
+)
+def snapshot_merge_upsert(spark, sf_dir):
+    """Copy-on-write MERGE INTO (upsert; Iceberg's copy-on-write merge):
+    the source delta updates suppliers 4-7 and inserts key -1. Pruning
+    uses the SOURCE's key bounds [-1, 7], so the `s_suppkey >= 8` range
+    file carries by reference — a day's delta merged into a year's table
+    rewrites O(that day's files). Matched target rows are replaced by
+    source rows, unmatched source rows insert, untouched rows stay."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_cow_merge")
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    supplier = load_table(spark, sf_dir, "supplier").select(*cols)
+
+    def builder(table):
+        k = F.col("s_suppkey")
+        table.append(supplier.filter(k < 4))
+        table.append(supplier.filter(k.between(4, 7)))
+        table.append(supplier.filter(k >= 8))
+        source = supplier.filter(k.between(4, 7)).withColumn(
+            "s_name", F.lit("UPDATED")
+        ).unionByName(
+            spark.createDataFrame(
+                [(-1, "INSERTED", 0)],
+                "s_suppkey long, s_name string, s_nationkey int",
+            )
+        )
+        table.merge_upsert(source, keys=["s_suppkey"])
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    mrg = t.snapshots().filter("operation = 'merge'").collect()[0]
+    carried = int(mrg.summary.get("carried-data-files", "0")) > 0
+    return (
+        t.scan(virtual_column=None)
+        .select(*cols)
+        .withColumn("files_carried", F.lit(bool(carried)))
+    )

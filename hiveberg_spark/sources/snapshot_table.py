@@ -309,33 +309,115 @@ class SnapshotTable:
 
         SQL DELETE semantics: rows where the predicate is NULL are kept
         (only predicate-TRUE rows are removed)."""
-        meta = self._read_meta()
-        current = meta["current_snapshot_id"]
-        if current is None:
-            raise ValueError("delete from an empty table (no snapshots)")
-        might = set(self.plan_files(where))
-        carry, affected = [], []
-        for rel, stats, parts in self._raw_entries_as_of(meta, current):
-            absp = rel if os.path.isabs(rel) else os.path.join(self.location, rel)
-            if absp in might:
-                affected.append(absp)
-            else:
-                carry.append((rel, stats, parts))
-        renames = meta.get("renames", [])
-        if affected:
-            reader = self.spark.read
-            if renames:
-                reader = reader.option("mergeSchema", "true")
-            survivors = self._apply_renames(reader.parquet(*affected), renames)
+        affected_df, carry = self._cow_split(where)
+        if affected_df is None:  # nothing can match: no-op delete snapshot
+            survivors = self.scan(virtual_column=None).limit(0)
+        else:
             # keep rows where the predicate is NOT true (false OR null)
-            survivors = survivors.filter(
+            survivors = affected_df.filter(
                 ~F.expr(where).eqNullSafe(F.lit(True))
             )
-        else:  # nothing can match: record the delete as a no-op snapshot
-            survivors = self.scan(virtual_column=None).limit(0)
         return self._commit(
             survivors, "delete", committed_at, replaces=True, carry=carry
         )
+
+    def update_where(
+        self,
+        where: str,
+        assignments: dict[str, str],
+        committed_at: int | None = None,
+    ) -> int:
+        """Copy-on-write row-level UPDATE (Iceberg UPDATE ... SET): files
+        that might hold matching rows are rewritten with the assignments
+        applied to predicate-TRUE rows (NULL-predicate rows keep their
+        values, per SQL); pruned files carry by reference, exactly as
+        delete_where. `assignments` maps column → SQL expression string
+        (may reference other columns, evaluated against the OLD row)."""
+        affected_df, carry = self._cow_split(where)
+        if affected_df is None:
+            updated = self.scan(virtual_column=None).limit(0)
+        else:
+            pred = F.expr(where).eqNullSafe(F.lit(True))
+            # all assignments see the OLD row (SQL UPDATE semantics):
+            # a single select with every column computed at once
+            exprs = []
+            for c in affected_df.columns:
+                if c in assignments:
+                    exprs.append(
+                        F.when(pred, F.expr(assignments[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    exprs.append(F.col(c))
+            updated = affected_df.select(*exprs)
+        return self._commit(
+            updated, "update", committed_at, replaces=True, carry=carry
+        )
+
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        committed_at: int | None = None,
+    ) -> int:
+        """Copy-on-write MERGE INTO (upsert): target rows whose key
+        matches a source row are replaced by the source row; source rows
+        with no match are inserted; untouched target rows stay. File
+        pruning uses the SOURCE's key bounds (a tiny driver-side agg):
+        target files entirely outside [min,max] of every numeric key
+        carry by reference — the Iceberg copy-on-write merge shape,
+        where a merge of a day's delta into a year's table rewrites
+        O(that day's files)."""
+        bounds = source.select(
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
+        ).head()
+        conjuncts = []
+        for k in keys:
+            lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+            if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+                conjuncts.append(f"{k} >= {lo} AND {k} <= {hi}")
+        where = " AND ".join(conjuncts) if conjuncts else None
+        affected_df, carry = self._cow_split(where)
+        if affected_df is None:
+            merged = source
+        else:
+            unmatched_target = affected_df.join(
+                source.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            merged = unmatched_target.unionByName(
+                source.select(*affected_df.columns)
+            )
+        return self._commit(
+            merged, "merge", committed_at, replaces=True, carry=carry
+        )
+
+    def _cow_split(
+        self, where: str | None
+    ) -> tuple[DataFrame | None, list[tuple[str, dict, dict]]]:
+        """Split the live file set for a copy-on-write commit: (DataFrame
+        over files that might match `where` — None if none do, raw carry
+        entries for the rest). `where=None` means every file might."""
+        meta = self._read_meta()
+        current = meta["current_snapshot_id"]
+        if current is None:
+            raise ValueError("row-level operation on an empty table (no snapshots)")
+        might = set(self.plan_files(where)) if where else None
+        carry, affected = [], []
+        for rel, stats, parts in self._raw_entries_as_of(meta, current):
+            absp = rel if os.path.isabs(rel) else os.path.join(self.location, rel)
+            if might is None or absp in might:
+                affected.append(absp)
+            else:
+                carry.append((rel, stats, parts))
+        if not affected:
+            return None, carry
+        renames = meta.get("renames", [])
+        reader = self.spark.read
+        if renames:
+            reader = reader.option("mergeSchema", "true")
+        return self._apply_renames(reader.parquet(*affected), renames), carry
 
     def _commit(
         self,

@@ -518,3 +518,56 @@ def test_delete_nothing_matches_is_noop_snapshot(spark, warehouse):
     t.delete_where("id > 1000")
     assert t.scan(virtual_column=None).count() == 30
     assert len(t.plan_files()) == 3  # all carried, nothing rewritten
+
+
+# -- copy-on-write UPDATE and MERGE ---------------------------------------
+
+
+def test_update_where_copy_on_write(spark, warehouse):
+    t = _three_range_appends(spark, warehouse, "upd")
+    before = set(t.plan_files())
+    t.update_where("id < 10", {"data": "concat(data, '!')", "id": "id + 100"})
+    rows = {r.id: r.data for r in t.scan(virtual_column=None).collect()}
+    assert rows[100] == "lo0!" and rows[109] == "lo9!"  # old row visible to both
+    assert rows[15] == "mid15" and rows[25] == "hi25"  # untouched
+    assert len(rows) == 30
+    after = set(t.plan_files())
+    assert len(before & after) == 2  # two files carried by reference
+    # history preserved
+    assert t.scan(snapshot_id=3, virtual_column=None).count() == 30
+
+
+def test_update_where_null_predicate_rows_unchanged(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "updnull"))
+    t.append(_simple_df(spark, [(1, "x"), (2, None)]))
+    t.update_where("data = 'x'", {"data": "'X'"})
+    rows = {r.id: r.data for r in t.scan(virtual_column=None).collect()}
+    assert rows == {1: "X", 2: None}
+
+
+def test_merge_upsert_prunes_by_source_bounds(spark, warehouse):
+    t = _three_range_appends(spark, warehouse, "merge")
+    before = set(t.plan_files())
+    source = _simple_df(spark, [(12, "updated12"), (99, "inserted99")])
+    t.merge_upsert(source, keys=["id"])
+    rows = {r.id: r.data for r in t.scan(virtual_column=None).collect()}
+    assert rows[12] == "updated12"  # matched → replaced
+    assert rows[99] == "inserted99"  # unmatched → inserted
+    assert rows[5] == "lo5" and rows[25] == "hi25"  # untouched rows stay
+    assert len(rows) == 31
+    # source bounds are [12, 99] → the lo file (0-9) carried by reference
+    after = set(t.plan_files())
+    assert len(before & after) >= 1
+
+
+def test_merge_upsert_into_bucketed_table(spark, warehouse):
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "mergebuck"),
+        schema="id long, data string",
+        partition_spec=[("bucket", "id", 4)],
+    )
+    t.append(_simple_df(spark, [(i, f"r{i}") for i in range(20)]))
+    t.merge_upsert(_simple_df(spark, [(3, "R3"), (50, "R50")]), keys=["id"])
+    rows = {r.id: r.data for r in t.scan(virtual_column=None).collect()}
+    assert rows[3] == "R3" and rows[50] == "R50" and len(rows) == 21
