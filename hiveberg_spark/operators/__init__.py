@@ -38,6 +38,7 @@ from hiveberg_spark.operators import (  # noqa: F401
     sketches,
     pipeline_ops,
     sql_surface,
+    snapshot_stream,
     subqueries,
     tpch_extra,
     formats,

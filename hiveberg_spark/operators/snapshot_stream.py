@@ -1,0 +1,54 @@
+"""Streaming read of a snapshot table [N]: the Iceberg capability of
+subscribing to a table's appends as an unbounded stream (Iceberg's
+Spark streaming read / `stream-from-timestamp`), expressed through
+Spark's file streaming source over the table's data layout.
+
+The file source discovers each commit's data files as they land (here:
+the whole backlog in one availableNow batch); at scale the same
+pipeline runs unbounded — each `append()` drops new files into
+`data/<commit-uuid>/` and the running stream picks them up on the next
+trigger. Valid for append-only tables: row-level ops (delete/update/
+merge) rewrite files, which a file-level subscription would re-read —
+the same reason Iceberg's streaming read rejects non-append snapshots
+(and scan_changes refuses replace ranges, snapshot_table.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hiveberg_spark.operators.timetravel import _ensure_fixture
+from hiveberg_spark.registry import query
+from hiveberg_spark.streaming.events import run_to_memory
+
+
+@query(
+    "stream_snapshot_table_source",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, SUM(n_nationkey) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def stream_snapshot_table_source(spark, sf_dir):
+    """Subscribe to the 3-append nation_versions table as a stream and
+    aggregate per region: every committed file is delivered exactly once
+    (file-source tracking), so the streaming aggregate over the full
+    backlog equals the batch GROUP BY over the final table contents."""
+    t = _ensure_fixture(spark, sf_dir)  # append-only by construction
+    schema = t.schema()
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(os.path.join(t.location, "data"))
+    )
+    agg = raw.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+    return run_to_memory(
+        agg, output_mode="complete", name="snapshot_table_source"
+    )
