@@ -325,3 +325,96 @@ def snapshot_merge_upsert(spark, sf_dir):
         .select(*cols)
         .withColumn("files_carried", F.lit(bool(carried)))
     )
+
+
+@query(
+    "snapshot_sql_dml",
+    oracle="""
+    WITH base AS (
+      SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey >= 2
+    ), upd AS (
+      SELECT s_suppkey, s_name,
+             CASE WHEN s_suppkey BETWEEN 4 AND 7
+                  THEN CAST(s_nationkey + 100 AS INTEGER)
+                  ELSE s_nationkey END AS s_nationkey
+      FROM base
+    )
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey = 8 THEN 'MERGED' ELSE s_name END AS s_name,
+           s_nationkey
+    FROM upd
+    UNION ALL
+    SELECT CAST(-5 AS BIGINT), 'MERGED', CAST(0 AS INTEGER)
+    """,
+)
+def snapshot_sql_dml(spark, sf_dir):
+    """SQL-string DML over snapshot tables (the full Iceberg DML surface
+    as statements, not just the DataFrame API): DELETE FROM, UPDATE ...
+    SET ... WHERE, and MERGE INTO ... WHEN MATCHED UPDATE SET * WHEN NOT
+    MATCHED INSERT * are parsed and dispatched to the copy-on-write
+    commits (sources/sql_timetravel.py execute_sql). The fixture applies
+    all three in sequence; the oracle replays them as CASE/UNION SQL."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    import shutil
+    import uuid
+
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    # the DML must apply exactly once even under concurrent processes:
+    # build table + statements inside a PRIVATE warehouse dir, then
+    # atomically rename the whole warehouse (the build_once pattern one
+    # level up — execute_sql resolves tables by warehouse + bare name,
+    # so the statements can run before the rename)
+    final_wh = os.path.join(warehouse_dir(sf_dir), "sql_dml_wh")
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    supplier = load_table(spark, sf_dir, "supplier").select(*cols)
+
+    with _lock:
+        if not os.path.exists(os.path.join(final_wh, "_FIXTURE_READY")):
+            tmp_wh = final_wh + ".build-" + uuid.uuid4().hex[:8]
+            t = SnapshotTable.create(
+                spark, os.path.join(tmp_wh, "supplier_sql_dml")
+            )
+            k = F.col("s_suppkey")
+            t.append(supplier.filter(k < 4))
+            t.append(supplier.filter(k.between(4, 7)))
+            t.append(supplier.filter(k >= 8))
+            execute_sql(
+                spark, tmp_wh, "DELETE FROM supplier_sql_dml WHERE s_suppkey < 2"
+            )
+            execute_sql(
+                spark,
+                tmp_wh,
+                "UPDATE supplier_sql_dml SET s_nationkey = s_nationkey + 100 "
+                "WHERE s_suppkey BETWEEN 4 AND 7",
+            )
+            supplier.filter(k == 8).withColumn(
+                "s_name", F.lit("MERGED")
+            ).unionByName(
+                spark.createDataFrame(
+                    [(-5, "MERGED", 0)],
+                    "s_suppkey long, s_name string, s_nationkey int",
+                )
+            ).createOrReplaceTempView("supplier_sql_dml_delta")
+            execute_sql(
+                spark,
+                tmp_wh,
+                "MERGE INTO supplier_sql_dml USING supplier_sql_dml_delta "
+                "ON supplier_sql_dml.s_suppkey = supplier_sql_dml_delta.s_suppkey "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *",
+            )
+            open(os.path.join(tmp_wh, "_FIXTURE_READY"), "w").close()
+            try:
+                os.rename(tmp_wh, final_wh)
+            except OSError:  # another process won the build
+                shutil.rmtree(tmp_wh, ignore_errors=True)
+    t = SnapshotTable.load(spark, os.path.join(final_wh, "supplier_sql_dml"))
+    return t.scan(virtual_column=None).select(*cols)

@@ -76,3 +76,116 @@ def sql_with_time_travel(
     rewritten = _VERSION_RE.sub(sub_version, sql)
     rewritten = _TIME_RE.sub(sub_time, rewritten)
     return spark.sql(rewritten)
+
+
+# -- SQL DML over snapshot tables -----------------------------------------
+# Spark's parser only accepts DELETE/UPDATE/MERGE against DSv2 catalog
+# tables; for path-based snapshot tables this thin statement layer
+# dispatches the three standard forms to the copy-on-write operations.
+# Grammar is deliberately the common Iceberg-user shape, not all of SQL:
+#   DELETE FROM t WHERE <pred>
+#   UPDATE t SET c1 = e1, c2 = e2 [WHERE <pred>]
+#   MERGE INTO t USING s ON t.k = s.k [AND ...]
+#     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>[A-Za-z_]\w*)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[A-Za-z_]\w*)\s+USING\s+"
+    r"(?P<source>[A-Za-z_]\w*)\s+ON\s+(?P<on>.+?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_EQ_RE = re.compile(
+    r"^\s*(?:(?P<q1>\w+)\.)?(?P<c1>\w+)\s*=\s*(?:(?P<q2>\w+)\.)?(?P<c2>\w+)\s*$"
+)
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas outside parens and single-quoted literals (SET
+    lists may contain function calls and string literals)."""
+    parts, depth, start, in_quote = [], 0, 0, False
+    for i, c in enumerate(s):
+        if in_quote:
+            in_quote = c != "'"
+        elif c == "'":
+            in_quote = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
+    """Run one SQL statement against the warehouse: DML (DELETE/UPDATE/
+    MERGE) dispatches to the snapshot table's copy-on-write commits and
+    returns a one-row summary (operation, snapshot_id); anything else
+    goes through the time-travel-aware SELECT path."""
+
+    def _table(name: str) -> SnapshotTable:
+        loc = os.path.join(warehouse, name)
+        if not os.path.exists(os.path.join(loc, "metadata.json")):
+            raise ValueError(f"not a snapshot table: {name}")
+        return SnapshotTable.load(spark, loc)
+
+    def _summary(op: str, sid: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(op, sid)], "operation string, snapshot_id long"
+        )
+
+    m = _DELETE_RE.match(sql)
+    if m:
+        sid = _table(m.group("table")).delete_where(m.group("pred"))
+        return _summary("delete", sid)
+    m = _UPDATE_RE.match(sql)
+    if m:
+        assignments = {}
+        for item in _split_top_level_commas(m.group("sets")):
+            col, _, expr = item.partition("=")
+            if not _:
+                raise ValueError(f"bad SET item: {item!r}")
+            assignments[col.strip()] = expr.strip()
+        sid = _table(m.group("table")).update_where(
+            m.group("pred") or "true", assignments
+        )
+        return _summary("update", sid)
+    m = _MERGE_RE.match(sql)
+    if m:
+        target, source = m.group("target"), m.group("source")
+        keys = []
+        # ON clause: conjunction of target.k = source.k equalities
+        from hiveberg_spark.sources.snapshot_table import _split_top_level_and
+
+        for conj in _split_top_level_and(m.group("on")):
+            eq = _ON_EQ_RE.match(conj)
+            if not eq:
+                raise ValueError(f"unsupported MERGE ON conjunct: {conj!r}")
+            c1, c2 = eq.group("c1"), eq.group("c2")
+            if c1 != c2:
+                raise ValueError(
+                    f"MERGE ON must equate the same column name: {conj!r}"
+                )
+            keys.append(c1)
+        src_loc = os.path.join(warehouse, source)
+        if os.path.exists(os.path.join(src_loc, "metadata.json")):
+            source_df = SnapshotTable.load(spark, src_loc).scan(
+                virtual_column=None
+            )
+        else:  # a registered view/temp table
+            source_df = spark.table(source)
+        sid = _table(target).merge_upsert(source_df, keys=keys)
+        return _summary("merge", sid)
+    return sql_with_time_travel(spark, warehouse, sql)

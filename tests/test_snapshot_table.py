@@ -571,3 +571,50 @@ def test_merge_upsert_into_bucketed_table(spark, warehouse):
     t.merge_upsert(_simple_df(spark, [(3, "R3"), (50, "R50")]), keys=["id"])
     rows = {r.id: r.data for r in t.scan(virtual_column=None).collect()}
     assert rows[3] == "R3" and rows[50] == "R50" and len(rows) == 21
+
+
+# -- SQL DML dispatch ------------------------------------------------------
+
+
+def test_sql_dml_statements(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "dml"))
+    t.append(_simple_df(spark, [(i, f"r{i}") for i in range(10)]))
+
+    out = execute_sql(spark, warehouse, "DELETE FROM dml WHERE id >= 8")
+    assert out.collect()[0].operation == "delete"
+    assert t.scan(virtual_column=None).count() == 8
+
+    execute_sql(
+        spark, warehouse,
+        "UPDATE dml SET data = concat(data, '!') WHERE id BETWEEN 2 AND 3",
+    )
+    rows = {r.id: r.data for r in t.scan(virtual_column=None).collect()}
+    assert rows[2] == "r2!" and rows[3] == "r3!" and rows[4] == "r4"
+
+    _simple_df(spark, [(0, "merged0"), (50, "merged50")]).createOrReplaceTempView(
+        "dml_delta"
+    )
+    execute_sql(
+        spark, warehouse,
+        "MERGE INTO dml USING dml_delta ON dml.id = dml_delta.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {r.id: r.data for r in t.scan(virtual_column=None).collect()}
+    assert rows[0] == "merged0" and rows[50] == "merged50" and len(rows) == 9
+
+    # SELECT falls through to the time-travel-aware path
+    n = execute_sql(
+        spark, warehouse, "SELECT COUNT(*) AS n FROM dml VERSION AS OF 1"
+    ).collect()[0].n
+    assert n == 10
+
+
+def test_sql_dml_update_without_where_touches_all(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "dmlall"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    execute_sql(spark, warehouse, "UPDATE dmlall SET data = upper(data)")
+    assert {r.data for r in t.scan(virtual_column=None).collect()} == {"A", "B"}
