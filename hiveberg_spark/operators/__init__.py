@@ -17,14 +17,15 @@ the previously-unchecked signature & extension operators to the front:
   position 49-50  sketches        (§2.4 approx, tolerance contracts)
 
 Round-3 rotation plan: move the still-unchecked-by-driver queries into
-the window — sql_surface (8: SQL time travel, maintenance, min/max
-pruning, hidden partitioning, copy-on-write DELETE/UPDATE/MERGE),
-subqueries (8), tpch_extra (12 incl. round-2 q8/q12/q13/q17), formats
-(6 incl. the new Avro path), remaining scalar families (6),
-pipeline_ops (9) ≈ 49 — backfill to 50 with the highest-value
-round-1-green relational row for regression cover. Everything in the
-round-2 window below will then be green in CORRECTNESS_r02 and can
-rotate out safely.
+the window — sql_surface (9: SQL time travel, maintenance, min/max
+pruning, hidden partitioning, copy-on-write DELETE/UPDATE/MERGE + the
+SQL DML statement layer), subqueries (8), tpch_extra (12 incl. round-2
+q8/q12/q13/q17), formats (6 incl. the new Avro path), remaining scalar
+families (6), pipeline_ops (11 incl. decontamination + repetition
+filter, minus the 2 rows-only-adjacent) — that's ~52, so trim by
+keeping the snapshot_stream streaming-source row for round 4.
+Everything in the round-2 window below will then be green in
+CORRECTNESS_r02 and can rotate out safely.
 """
 
 from hiveberg_spark.operators import (  # noqa: F401
