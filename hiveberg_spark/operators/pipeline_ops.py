@@ -534,3 +534,84 @@ def text_repetition_filter(spark, sf_dir):
         F.round(raw, 6).alias("dup_fraction"),
         (raw > 0.5).alias("is_repetitive"),
     )
+
+
+# -- temperature-based mixture sampling -----------------------------------
+
+MIX_ALPHA = 0.3  # temperature exponent (multilingual-LM standard)
+MIX_BUDGET = 0.5  # sample half the corpus
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), z AS (
+      SELECT SUM(POW(CAST(n AS DOUBLE), {MIX_ALPHA})) AS z, SUM(n) AS total FROM c
+    ), qt AS (
+      SELECT source,
+             CAST(FLOOR({MIX_BUDGET} * total *
+                        ROUND(POW(CAST(n AS DOUBLE), {MIX_ALPHA}) / z, 12))
+                  AS BIGINT) AS quota
+      FROM c, z
+    ), rk AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT rk.doc_id, rk.source, (rk.rk <= qt.quota) AS kept
+    FROM rk JOIN qt USING (source)
+    """,
+)
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture sampling (the XLM-R/mC4 curriculum op):
+    per-source sampling quotas follow p_s ∝ n_s^α (α=0.3) so
+    low-resource sources are up-weighted relative to their raw share,
+    then a deterministic md5-ordered rank keeps exactly quota docs per
+    source out of a total budget of half the corpus.
+
+    Cross-engine determinism: p_s is ROUND(...,12)ed before the quota
+    floor so a ULP difference in the two engines' Σ n^α summation order
+    can never flip FLOOR at an integer boundary. Scale shape: quotas
+    come from a 20-row aggregate joined back (AQE broadcasts it); the
+    exact-quota rank is one shuffle partitioned by source — the oracle
+    baseline. At 100 TB the production variant replaces rank with a
+    hash-threshold (kept = hash(doc_id) < quota/n) which is shuffle-free
+    and hits quota ±O(√n); exactness is what makes this one checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(MIX_ALPHA))).alias("z"),
+        F.sum("n").alias("total"),
+    )
+    quotas = (
+        counts.crossJoin(z)
+        .withColumn(
+            "p",
+            F.round(F.pow(F.col("n").cast("double"), F.lit(MIX_ALPHA)) / F.col("z"), 12),
+        )
+        .select(
+            "source",
+            F.floor(F.lit(MIX_BUDGET) * F.col("total") * F.col("p"))
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.join(quotas, "source").select(
+        "doc_id", "source", (F.col("rk") <= F.col("quota")).alias("kept")
+    )

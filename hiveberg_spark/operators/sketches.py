@@ -67,3 +67,51 @@ def agg_percentile_approx(spark, sf_dir):
         "l_returnflag",
         F.col("approx_median").between(F.col("lo"), F.col("hi")).alias("within_tol"),
     )
+
+
+@query(
+    "sketch_hll_partitioned_merge",
+    oracle="""
+    SELECT r.r_name, COUNT(DISTINCT n.n_nationkey) AS n_parts, TRUE AS within_tol
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def sketch_hll_partitioned_merge(spark, sf_dir):
+    """Mergeable-sketch partial aggregation (Apache DataSketches HLL,
+    `hll_sketch_agg` / `hll_union_agg`) — THE 100 TB distinct-count
+    pattern: each partition/segment builds its own fixed-size sketch
+    (here one per nation), and coarser rollups come from merging the
+    binary sketches, never re-reading the data. At scale the per-nation
+    sketches would be materialized once (e.g. per ingest batch) and
+    every later region/global query is a pure sketch-union over KBs.
+
+    Contract: the region-level estimate from unioning the 5 per-nation
+    sketches lands within 5% of the exact region distinct count; the
+    oracle asserts the contract plus the exact merge fan-in."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(
+            F.expr("hll_sketch_agg(c_custkey, 14)").alias("sketch"),
+            F.countDistinct("c_custkey").alias("exact"),
+        )
+    )
+    merged = per_nation.groupBy("n_regionkey").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("approx"),
+        F.sum("exact").alias("exact"),  # custkeys are disjoint across nations
+        F.countDistinct("n_nationkey").alias("n_parts"),
+    )
+    return merged.join(F.broadcast(region), merged.n_regionkey == region.r_regionkey).select(
+        "r_name",
+        "n_parts",
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= F.col("exact") * F.lit(0.05)
+        ).alias("within_tol"),
+    )
