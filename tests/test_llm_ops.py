@@ -162,3 +162,87 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     # sub-threshold bound — the documented stop-shingle tradeoff
     only_hot = [(a, b) for (a, b) in got if a >= 2 and b >= 2]
     assert only_hot == []
+
+
+def test_temperature_mixture_upweights_low_resource(spark, sf_dir):
+    """The defining property of temperature sampling (α<1): a source's
+    kept/total rate must be weakly DECREASING in source size — smaller
+    sources sample at a higher rate than larger ones — and the total
+    kept count must stay within one-doc-per-source of the budget."""
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["sample_temperature_mixture"](spark, sf_dir)
+    per_src = (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("kept").cast("long")).alias("kept"),
+        )
+        .collect()
+    )
+    rates = sorted(((r.n, r.kept / r.n) for r in per_src))
+    for (n1, rate1), (n2, rate2) in zip(rates, rates[1:]):
+        if n1 < n2:  # strictly smaller source ⇒ rate at least as high
+            assert rate1 >= rate2 - 1e-9, (n1, rate1, n2, rate2)
+    total = sum(r.n for r in per_src)
+    kept = sum(r.kept for r in per_src)
+    # each source's FLOOR drops < 1 doc ⇒ budget - n_sources ≤ kept ≤ budget
+    assert total * 0.5 - len(per_src) <= kept <= total * 0.5
+
+
+def test_decontamination_flags_exactly_the_overlapping_docs(spark, sf_dir):
+    """Every doc flagged contaminated must actually share a 5-gram with
+    the eval slice (no false positives), eval-source docs never appear,
+    and the output covers every train doc exactly once."""
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.pipeline_ops import DECON_EVAL_SOURCE
+
+    out = registry.QUERIES["decontaminate_ngram_overlap"](spark, sf_dir)
+    rows = out.collect()
+    assert all(r.source != DECON_EVAL_SOURCE for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    n_train = docs.filter(F.col("source") != DECON_EVAL_SOURCE).count()
+    assert len(rows) == n_train
+    assert len({r.doc_id for r in rows}) == n_train
+
+    # recompute contamination for the flagged docs in plain python
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    eval_ids = {
+        r.doc_id for r in docs.filter(F.col("source") == DECON_EVAL_SOURCE).collect()
+    }
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    eval_grams = set().union(*(grams(texts[i]) for i in eval_ids))
+    for r in rows:
+        assert (len(grams(texts[r.doc_id]) & eval_grams) > 0) == r.contaminated, r
+
+
+def test_hll_merge_matches_monolithic_sketch(spark, sf_dir):
+    """Sketch mergeability: unioning per-nation sketches must estimate
+    the same as one monolithic region-level sketch (DataSketches HLL
+    union with equal lgK is lossless), proving rollups never need to
+    re-read data."""
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    merged = (
+        j.groupBy("n_regionkey", "n_nationkey")
+        .agg(F.expr("hll_sketch_agg(c_custkey, 14)").alias("s"))
+        .groupBy("n_regionkey")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(s))").alias("est"))
+    )
+    mono = j.groupBy("n_regionkey").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(c_custkey, 14))").alias("est")
+    )
+    m = {r.n_regionkey: r.est for r in merged.collect()}
+    o = {r.n_regionkey: r.est for r in mono.collect()}
+    assert m == o
