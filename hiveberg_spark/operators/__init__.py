@@ -38,6 +38,7 @@ from hiveberg_spark.operators import (  # noqa: F401
     multimodal,
     sketches,
     pipeline_ops,
+    quantization,
     sql_surface,
     snapshot_stream,
     subqueries,

@@ -246,3 +246,18 @@ def test_hll_merge_matches_monolithic_sketch(spark, sf_dir):
     m = {r.n_regionkey: r.est for r in merged.collect()}
     o = {r.n_regionkey: r.est for r in mono.collect()}
     assert m == o
+
+
+def test_sq8_rerank_recall_vs_brute_force(spark, sf_dir):
+    """Int8 scalar quantization on 64-dim vectors is near-lossless for
+    ranking; with a 4×k rerank the top-k must match brute force almost
+    everywhere (≥0.9 recall leaves margin for fixture regeneration),
+    and every returned cosine is exact (rerank re-scores with floats)."""
+    sq = registry.QUERIES["simsearch_sq8_rerank"](spark, sf_dir)
+    bf = registry.QUERIES["simsearch_bruteforce_topk"](spark, sf_dir)
+    s = {(r.qid, r.vec_id): r.cosine for r in sq.collect()}
+    b = {(r.qid, r.vec_id): r.cosine for r in bf.collect()}
+    recall = len(s.keys() & b.keys()) / len(b)
+    assert recall >= 0.9, recall
+    for k in s.keys() & b.keys():  # exact rerank ⇒ identical scores
+        assert s[k] == b[k], k
