@@ -17,9 +17,9 @@ the previously-unchecked signature & extension operators to the front:
   position 49-50  sketches        (§2.4 approx, tolerance contracts)
 
 Round-3 rotation plan: move the still-unchecked-by-driver queries into
-the window — sql_surface (9: SQL time travel, maintenance, min/max
-pruning, hidden partitioning, copy-on-write DELETE/UPDATE/MERGE + the
-SQL DML statement layer), subqueries (8), tpch_extra (12 incl. round-2
+the window — sql_surface (10: SQL time travel, maintenance, rollback,
+min/max pruning, hidden partitioning, copy-on-write DELETE/UPDATE/MERGE
++ the SQL DML statement layer), subqueries (8), tpch_extra (12 incl. round-2
 q8/q12/q13/q17), formats (6 incl. the new Avro path), remaining scalar
 families (6), pipeline_ops (11 incl. decontamination + repetition
 filter, minus the 2 rows-only-adjacent) — that's ~52, so trim by

@@ -418,3 +418,56 @@ def snapshot_sql_dml(spark, sf_dir):
                 shutil.rmtree(tmp_wh, ignore_errors=True)
     t = SnapshotTable.load(spark, os.path.join(final_wh, "supplier_sql_dml"))
     return t.scan(virtual_column=None).select(*cols)
+
+
+@query(
+    "snapshot_rollback",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'append',
+       (SELECT COUNT(*) FROM supplier WHERE s_suppkey < 30)),
+      (CAST(2 AS BIGINT), 'append',
+       (SELECT COUNT(*) FROM supplier)),
+      (CAST(3 AS BIGINT), 'rollback',
+       (SELECT COUNT(*) FROM supplier WHERE s_suppkey < 30)),
+      (CAST(4 AS BIGINT), 'append',
+       (SELECT COUNT(*) FROM supplier WHERE s_suppkey < 30 OR s_nationkey = 3))
+    ) AS t(snapshot_id, operation, n_rows_as_of)
+    """,
+)
+def snapshot_rollback(spark, sf_dir):
+    """Rollback (`rollback_to_snapshot`): append → append → rollback to
+    snapshot 1 (a metadata-only `replaces` commit carrying snapshot 1's
+    files by reference — zero data rewritten at any table size) → a
+    fresh append on top of the rolled-back state. The bad snapshot 2
+    stays time-travelable; the oracle checks the per-snapshot row
+    counts of the whole history, including that snapshot 4 builds on
+    1's contents, not 2's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_rollback")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    def builder(table):
+        k = F.col("s_suppkey")
+        table.append(supplier.filter(k < 30))
+        table.append(supplier.filter(k >= 30))  # the "bad" commit
+        table.rollback_to(1)
+        table.append(supplier.filter((k >= 30) & (F.col("s_nationkey") == 3)))
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    ops = {s.snapshot_id: s.operation for s in t.snapshots().collect()}
+    rows = [
+        (sid, ops[sid], t.scan(snapshot_id=sid, virtual_column=None).count())
+        for sid in sorted(ops)
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot_id long, operation string, n_rows_as_of long"
+    )

@@ -294,6 +294,21 @@ class SnapshotTable:
             current.coalesce(target), "replace", committed_at, replaces=True
         )
 
+    def rollback_to(self, snapshot_id: int, committed_at: int | None = None) -> int:
+        """Rollback (Iceberg's `rollback_to_snapshot` maintenance action,
+        expressed as a forward commit the way Iceberg actually records
+        it): a new `replaces` snapshot whose live file set is EXACTLY the
+        target snapshot's, carried by reference — zero data rewritten, a
+        metadata-only operation at any table size. Every snapshot,
+        including the ones being rolled past, stays time-travelable."""
+        self._entries_as_of(snapshot_id)  # validates the id
+        meta = self._read_meta()
+        carry = self._raw_entries_as_of(meta, snapshot_id)
+        empty = self.scan(virtual_column=None).limit(0)
+        return self._commit(
+            empty, "rollback", committed_at, replaces=True, carry=carry
+        )
+
     def delete_where(self, where: str, committed_at: int | None = None) -> int:
         """Copy-on-write row-level DELETE (Iceberg `DELETE FROM` with the
         copy-on-write strategy): `plan_files(where)` identifies the files

@@ -618,3 +618,25 @@ def test_sql_dml_update_without_where_touches_all(spark, warehouse):
     t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
     execute_sql(spark, warehouse, "UPDATE dmlall SET data = upper(data)")
     assert {r.data for r in t.scan(virtual_column=None).collect()} == {"A", "B"}
+
+
+def test_rollback_is_metadata_only_and_preserves_history(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "rb"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_simple_df(spark, [(3, "c")]))
+    files_before = set(t._files_as_of(None)[0])
+    sid = t.rollback_to(1)
+    assert sid == 3
+    # contents restored to snapshot 1
+    assert {r.id for r in t.scan(virtual_column=None).collect()} == {1, 2}
+    # metadata-only: live files are a subset of pre-rollback files
+    assert set(t._files_as_of(None)[0]) <= files_before
+    # rolled-past snapshot still time-travelable
+    assert t.scan(snapshot_id=2, virtual_column=None).count() == 3
+    # building forward from the rolled-back state
+    t.append(_simple_df(spark, [(9, "z")]))
+    assert {r.id for r in t.scan(virtual_column=None).collect()} == {1, 2, 9}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.rollback_to(99)
