@@ -65,6 +65,13 @@ from pyspark.sql.types import StructType
 
 DEFAULT_VIRTUAL_COLUMN = "snapshot__id"  # SystemTableUtil.java:29
 SNAPSHOTS_SUFFIX = "__snapshots"  # TableResolverUtil.java:39
+FILES_SUFFIX = "__files"  # beyond reference: Iceberg's `files` metadata table
+
+_FILES_SCHEMA = (
+    "file_path string, added_snapshot_id long, "
+    "partition map<string,string>, "
+    "lower_bounds map<string,string>, upper_bounds map<string,string>"
+)
 
 _SNAPSHOT_SCHEMA = (
     "committed_at long, snapshot_id long, parent_id long, "
@@ -873,6 +880,37 @@ class SnapshotTable:
         ]
         return self.spark.createDataFrame(rows, _SNAPSHOT_SCHEMA)
 
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `__files` metadata table (Iceberg's `files` table; the
+        natural sibling of the reference's `__snapshots`): one row per
+        LIVE data file as of the snapshot — location-relative path, the
+        snapshot whose manifest first recorded it (carried files keep
+        their original adder, incl. across rollback), partition values,
+        and readable lower/upper column bounds from the manifest stats.
+        Metadata-only: no data file is opened; this is how an operator
+        inspects layout/pruning health of a 100 TB table for free."""
+        meta = self._read_meta()
+        entries, sid = self._entries_as_of(snapshot_id)
+        added: dict[str, int] = {}
+        if sid is not None:
+            for s in meta["snapshots"]:
+                if s["snapshot_id"] <= sid:
+                    for f, _, _ in self._read_manifest_entries(s):
+                        added.setdefault(f, s["snapshot_id"])
+        rows = []
+        for path, stats, parts in entries:
+            rel = os.path.relpath(path, self.location)
+            rows.append(
+                (
+                    rel,
+                    added.get(rel),
+                    {k: str(v) for k, v in (parts or {}).items()},
+                    {k: str(v[0]) for k, v in (stats or {}).items()},
+                    {k: str(v[1]) for k, v in (stats or {}).items()},
+                )
+            )
+        return self.spark.createDataFrame(rows, _FILES_SCHEMA)
+
     # -- WHERE-clause time-travel shim -------------------------------------
 
     _SNAP_EQ = re.compile(
@@ -1055,6 +1093,11 @@ def resolve_table(
         base_loc = os.path.join(warehouse, base)
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).snapshots()
+    if snapshots_table_enabled and name.endswith(FILES_SUFFIX):
+        base = name[: -len(FILES_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).files()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 
@@ -1093,9 +1136,11 @@ def register_sql_views(
 ) -> list[str]:
     """Expose snapshot tables to the pure-SQL surface: for each table in
     the warehouse, register `<name>` (current-snapshot scan with the
-    virtual column) and `<name>__snapshots` (metadata) as temp views —
-    the same two names a reference user queries through HiveSQL
-    (README.md:50-57, 83-86). Returns the view names registered."""
+    virtual column), `<name>__snapshots` (metadata), and
+    `<name>__files` (file-level metadata) as temp views — the first two
+    are the names a reference user queries through HiveSQL
+    (README.md:50-57, 83-86); `__files` is the Iceberg `files` sibling.
+    Returns the view names registered."""
     registered = []
     names = names or [
         d
@@ -1106,5 +1151,8 @@ def register_sql_views(
         t = SnapshotTable.load(spark, os.path.join(warehouse, name))
         t.scan().createOrReplaceTempView(name)
         t.snapshots().createOrReplaceTempView(name + SNAPSHOTS_SUFFIX)
-        registered.extend([name, name + SNAPSHOTS_SUFFIX])
+        t.files().createOrReplaceTempView(name + FILES_SUFFIX)
+        registered.extend(
+            [name, name + SNAPSHOTS_SUFFIX, name + FILES_SUFFIX]
+        )
     return registered

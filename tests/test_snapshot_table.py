@@ -640,3 +640,39 @@ def test_rollback_is_metadata_only_and_preserves_history(spark, warehouse):
 
     with _pytest.raises(ValueError):
         t.rollback_to(99)
+
+
+def test_files_metadata_table(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "ft"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_simple_df(spark, [(9, "z")]))
+    rows = t.files().collect()
+    assert len(rows) == len(t._files_as_of(None)[0])
+    assert {r.added_snapshot_id for r in rows} == {1, 2}
+    by_snap = {}
+    for r in rows:
+        by_snap.setdefault(r.added_snapshot_id, []).append(r)
+        assert not os.path.isabs(r.file_path)  # location-relative
+    # manifest bounds surface as readable strings
+    snap2 = [r for r in by_snap[2] if r.lower_bounds.get("id")]
+    assert any(r.lower_bounds["id"] == "9" and r.upper_bounds["id"] == "9" for r in snap2)
+    # as-of view: only snapshot 1's files
+    assert {r.added_snapshot_id for r in t.files(snapshot_id=1).collect()} == {1}
+    # a delete rewrites affected files but carries untouched ones with
+    # their original adder
+    t.delete_where("id = 9")
+    rows3 = t.files().collect()
+    assert {r.added_snapshot_id for r in rows3} <= {1, 3}
+    # empty table: schema-stable empty frame
+    e = SnapshotTable.create(spark, os.path.join(warehouse, "ftempty"))
+    assert e.files().count() == 0
+
+
+def test_files_suffix_resolution(spark, warehouse):
+    from hiveberg_spark.sources.snapshot_table import resolve_table
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "fr"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    df = resolve_table(spark, warehouse, "fr__files")
+    assert df.columns[:2] == ["file_path", "added_snapshot_id"]
+    assert df.count() == 1
