@@ -147,7 +147,7 @@ def sample_stratified_split(spark, sf_dir):
       FROM toks
     )
     SELECT CAST(FLOOR((run - n_tokens) / 4096) AS BIGINT) AS bin,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM prefix GROUP BY 1
     """,
 )

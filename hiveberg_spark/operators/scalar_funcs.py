@@ -86,8 +86,8 @@ def scalar_date_funcs(spark, sf_dir):
     oracle="""
     SELECT p_partkey,
            ROUND(p_retailprice, 1) AS price_r1,
-           FLOOR(p_retailprice)    AS price_floor,
-           CEIL(p_retailprice)     AS price_ceil,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT)  AS price_ceil,
            ABS(p_size - 25)        AS size_dist,
            ROUND(SQRT(p_retailprice), 6)      AS price_sqrt,
            ROUND(LN(p_retailprice), 6)        AS price_ln,

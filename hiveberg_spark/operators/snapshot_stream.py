@@ -27,7 +27,7 @@ from hiveberg_spark.streaming.events import run_to_memory
 @query(
     "stream_snapshot_table_source",
     oracle="""
-    SELECT n_regionkey, COUNT(*) AS n_nations, SUM(n_nationkey) AS key_sum
+    SELECT n_regionkey, COUNT(*) AS n_nations, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation GROUP BY n_regionkey
     """,
 )

@@ -216,7 +216,7 @@ def text_rolling_hash(spark, sf_dir):
     "text_corpus_stats",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang, source
     """,

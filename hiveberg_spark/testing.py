@@ -48,6 +48,38 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def _type_kind(series: pd.Series) -> str:
+    """Canonical type kind of a result column, for driver-hash parity.
+
+    The driver's value-hash is type-sensitive: a Spark BIGINT vs a DuckDB
+    HUGEINT (→ float64/object in pandas) hash-differ even when every value
+    is numerically identical (CORRECTNESS_r02 `text_corpus_stats`).  Local
+    compare must therefore flag int-vs-float kind drift, while still
+    accepting the lossless widenings both engines share (Decimal → float,
+    nullable int → float when nulls force the coercion).
+    """
+    k = series.dtype.kind  # i u f b O M m
+    if k == "u":
+        return "i"
+    if k != "O":
+        return k
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, Decimal):
+            return "f"  # normalized to float by _normalize_cell
+        if isinstance(v, bool):
+            return "b"
+        if isinstance(v, int):
+            return "i"
+        if isinstance(v, float):
+            return "f"
+        if isinstance(v, str):
+            return "s"
+        return "O"
+    return "?"  # all-null: kind unknowable, accept either side
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     sp = spark_df.toPandas()
@@ -56,6 +88,20 @@ def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> list[s
         problems.append(
             f"schema: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
         )
+        return problems
+    for col in sorted(sp.columns):
+        ka, kb = _type_kind(sp[col]), _type_kind(oracle_df[col])
+        if ka == kb or "?" in (ka, kb):
+            continue
+        # nullable-int → float64 coercion happens on whichever side holds
+        # nulls; only that asymmetric shape is tolerated, and only when
+        # nulls are actually present.
+        if {ka, kb} == {"i", "f"} and (
+            sp[col].isna().any() or oracle_df[col].isna().any()
+        ):
+            continue
+        problems.append(f"dtype: col {col!r} spark kind={ka} oracle kind={kb}")
+    if problems:
         return problems
     if len(sp) != len(oracle_df):
         problems.append(f"rowcount: spark={len(sp)} oracle={len(oracle_df)}")
