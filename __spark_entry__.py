@@ -30,8 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    # Dict order is the driver's 50-query correctness window; see
+    # registry.DRIVER_WINDOW for the round-3 rotation rationale.
+    return registry.window_ordered(dict(registry.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(registry.ORACLES)
+    return registry.window_ordered(dict(registry.ORACLES))

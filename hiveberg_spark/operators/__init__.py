@@ -16,16 +16,15 @@ the previously-unchecked signature & extension operators to the front:
   position 46-48  multimodal      (§2.11)
   position 49-50  sketches        (§2.4 approx, tolerance contracts)
 
-Round-3 rotation plan: move the still-unchecked-by-driver queries into
-the window — sql_surface (10: SQL time travel, maintenance, rollback,
-min/max pruning, hidden partitioning, copy-on-write DELETE/UPDATE/MERGE
-+ the SQL DML statement layer), subqueries (8), tpch_extra (12 incl. round-2
-q8/q12/q13/q17), formats (6 incl. the new Avro path), remaining scalar
-families (6), pipeline_ops (11 incl. decontamination + repetition
-filter, minus the 2 rows-only-adjacent) — that's ~52, so trim by
-keeping the snapshot_stream streaming-source row for round 4.
-Everything in the round-2 window below will then be green in
-CORRECTNESS_r02 and can rotate out safely.
+Round 3 (current): ordering is now explicit — `registry.DRIVER_WINDOW`
+lists the 50 queries in the round-3 window (the 56 never-driver-checked
+queries minus 6 deferred to round 4: simsearch_sq8_rerank [rows-only],
+stream_snapshot_table_source, text_redact_numbers, doc_chunking,
+sample_per_stratum_cap, sample_stratified_split).
+`__spark_entry__.queries()` re-keys the registry through
+`registry.window_ordered`, so module import order below no longer
+determines the window.  New round-3 queries register after the
+deferred block and enter round 4's window.
 """
 
 from hiveberg_spark.operators import (  # noqa: F401
