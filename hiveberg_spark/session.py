@@ -64,6 +64,9 @@ def get_spark(
         # error-on-cast behavior.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 timestamps carry no footer stats (kills snapshot-table
+        # temporal pruning) and are legacy; micros is Arrow/DuckDB-native
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -89,6 +92,11 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # INT96 (the legacy default) carries NO parquet footer statistics, so
+    # timestamp predicates could never prune snapshot-table files; micros
+    # is the modern interoperable physical type (DuckDB/Arrow read it
+    # natively) and footer min/max work
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

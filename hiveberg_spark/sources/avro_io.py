@@ -332,26 +332,36 @@ def _decode_file(data: bytes) -> tuple[list[dict], list[list]]:
 
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
     """Write `df` as Avro container files, one per partition (distributed
-    via mapInPandas; the driver only collects (file, n_records) rows).
-    Returns the total record count written."""
+    via mapInArrow; the driver only collects (file, n_records) rows).
+    Returns the total record count written.
+
+    Arrow batches, not pandas: a nullable long column round-tripped
+    through pandas arrives as float64, which corrupts integers above
+    2^53 and makes null detection ride on NaN semantics (ADVICE r2);
+    `to_pylist()` on the Arrow column yields exact ints and real
+    None."""
     spec = _schema_to_spec(df.schema)
     schema_json = json.dumps(_spec_to_avro_schema(spec))
     os.makedirs(path, exist_ok=True)
 
     def encode(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         sync = os.urandom(SYNC_SIZE)
         fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
         f, wrote = None, 0
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
             if f is None:
                 f = open(fname, "wb")
                 _write_header(f, schema_json, codec, sync)
             buf = bytearray()
-            cols = [pdf[s["name"]].tolist() for s in spec]
+            by_name = {
+                n: batch.column(i).to_pylist()
+                for i, n in enumerate(batch.schema.names)
+            }
+            cols = [by_name[s["name"]] for s in spec]
             for row in zip(*cols):
                 for v, s in zip(row, spec):
                     if s["nullable"]:
@@ -360,13 +370,18 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
                             continue
                         _append_long(buf, 1)
                     _encode_value(buf, v, s)
-            _write_block(f, buf, len(pdf), codec, sync)
-            wrote += len(pdf)
+            _write_block(f, buf, batch.num_rows, codec, sync)
+            wrote += batch.num_rows
         if f is not None:
             f.close()
-            yield pd.DataFrame({"file": [fname], "n_records": [wrote]})
+            yield pa.RecordBatch.from_pydict(
+                {"file": [fname], "n_records": [wrote]},
+                schema=pa.schema(
+                    [("file", pa.string()), ("n_records", pa.int64())]
+                ),
+            )
 
-    stats = df.mapInPandas(encode, "file string, n_records long").collect()
+    stats = df.mapInArrow(encode, "file string, n_records long").collect()
     return sum(r.n_records for r in stats)
 
 

@@ -53,6 +53,7 @@ Snapshot ids are deterministic (1..N) so results are oracle-checkable.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import re
@@ -80,6 +81,19 @@ _SNAPSHOT_SCHEMA = (
 
 _LOCK_STALE_SECS = 120.0
 _LOCK_WAIT_SECS = 60.0
+
+# sentinel: _commit callers that did no pre-planning (plain appends)
+# skip parent validation; replacing commits always pass the snapshot id
+# they planned against (which may legitimately be None on new tables)
+_NO_VALIDATION = object()
+
+
+class CommitConflictError(RuntimeError):
+    """A replacing commit planned against snapshot X found the table at
+    snapshot Y != X inside the commit lock (Iceberg-style commit
+    validation). The operation must be re-planned and re-run; data files
+    written for the failed attempt are orphans a maintenance sweep may
+    remove."""
 
 
 class SnapshotTable:
@@ -163,6 +177,28 @@ class SnapshotTable:
                             mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
                         except UnicodeDecodeError:
                             mn = mx = None
+                    # date/timestamp stats serialize to fixed-width
+                    # canonical strings (lexicographic == chronological)
+                    # so day/identity-partitioned tables prune on
+                    # temporal predicates (ADVICE r2: these were
+                    # silently discarded by the int/float/str check)
+                    if isinstance(mn, _dt.datetime):
+                        # parquet TIMESTAMP(isAdjustedToUTC) surfaces as
+                        # tz-aware; the session runs in UTC, so UTC-naive
+                        # wall-clock strings compare correctly with
+                        # predicate literals (NTZ columns are naive
+                        # already and pass through)
+                        if mn.tzinfo is not None:
+                            mn = mn.astimezone(_dt.timezone.utc).replace(
+                                tzinfo=None
+                            )
+                        if mx.tzinfo is not None:
+                            mx = mx.astimezone(_dt.timezone.utc).replace(
+                                tzinfo=None
+                            )
+                        mn, mx = _fmt_ts(mn), _fmt_ts(mx)
+                    elif isinstance(mn, _dt.date):
+                        mn, mx = mn.isoformat(), mx.isoformat()
                     ok = (
                         mn is not None
                         and not isinstance(mn, bool)
@@ -196,7 +232,13 @@ class SnapshotTable:
             except FileExistsError:
                 try:  # break stale locks from dead committers
                     if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SECS:
-                        os.unlink(lock)
+                        # rename-first: only ONE waiter wins the rename,
+                        # and only the winner deletes — unlinking in
+                        # place could delete a FRESH lock acquired by
+                        # another waiter between getmtime and unlink
+                        stale = lock + f".stale.{uuid.uuid4().hex}"
+                        os.rename(lock, stale)
+                        os.unlink(stale)
                         continue
                 except OSError:
                     continue
@@ -284,8 +326,13 @@ class SnapshotTable:
         """Commit `df` as a new snapshot that REPLACES the table contents
         (Iceberg `operation=overwrite`): readers of the new snapshot see
         only this data; earlier snapshots stay time-travelable. Same
-        commit protocol as append."""
-        return self._commit(df, "overwrite", committed_at, replaces=True)
+        commit protocol as append, plus parent validation: a concurrent
+        commit between the overwrite call and its metadata swap raises
+        CommitConflictError rather than being silently clobbered."""
+        parent = self._read_meta()["current_snapshot_id"]
+        return self._commit(
+            df, "overwrite", committed_at, replaces=True, expected_parent=parent
+        )
 
     def compact(self, committed_at: int | None = None) -> int:
         """Small-file compaction (Iceberg's rewrite_data_files
@@ -294,11 +341,18 @@ class SnapshotTable:
         identical; history is preserved. The scale lever: snapshot-table
         reads open O(files) — appends fragment the table, compaction
         restores scan efficiency."""
-        current = self.scan(virtual_column=None)
-        n_files = len(self._files_as_of(None)[0])
+        # pin planning to one observed snapshot: scan, file count, and
+        # the commit's expected parent all come from the same version
+        parent = self._read_meta()["current_snapshot_id"]
+        current = self.scan(snapshot_id=parent, virtual_column=None)
+        n_files = len(self._files_as_of(parent)[0])
         target = max(1, min(8, n_files // 4))
         return self._commit(
-            current.coalesce(target), "replace", committed_at, replaces=True
+            current.coalesce(target),
+            "replace",
+            committed_at,
+            replaces=True,
+            expected_parent=parent,
         )
 
     def rollback_to(self, snapshot_id: int, committed_at: int | None = None) -> int:
@@ -313,7 +367,12 @@ class SnapshotTable:
         carry = self._raw_entries_as_of(meta, snapshot_id)
         empty = self.scan(virtual_column=None).limit(0)
         return self._commit(
-            empty, "rollback", committed_at, replaces=True, carry=carry
+            empty,
+            "rollback",
+            committed_at,
+            replaces=True,
+            carry=carry,
+            expected_parent=meta["current_snapshot_id"],
         )
 
     def delete_where(self, where: str, committed_at: int | None = None) -> int:
@@ -331,7 +390,7 @@ class SnapshotTable:
 
         SQL DELETE semantics: rows where the predicate is NULL are kept
         (only predicate-TRUE rows are removed)."""
-        affected_df, carry = self._cow_split(where)
+        affected_df, carry, parent = self._cow_split(where)
         if affected_df is None:  # nothing can match: no-op delete snapshot
             survivors = self.scan(virtual_column=None).limit(0)
         else:
@@ -340,7 +399,12 @@ class SnapshotTable:
                 ~F.expr(where).eqNullSafe(F.lit(True))
             )
         return self._commit(
-            survivors, "delete", committed_at, replaces=True, carry=carry
+            survivors,
+            "delete",
+            committed_at,
+            replaces=True,
+            carry=carry,
+            expected_parent=parent,
         )
 
     def update_where(
@@ -354,8 +418,13 @@ class SnapshotTable:
         applied to predicate-TRUE rows (NULL-predicate rows keep their
         values, per SQL); pruned files carry by reference, exactly as
         delete_where. `assignments` maps column → SQL expression string
-        (may reference other columns, evaluated against the OLD row)."""
-        affected_df, carry = self._cow_split(where)
+        (may reference other columns, evaluated against the OLD row).
+
+        Each assignment is cast back to the column's committed type:
+        an expression that would widen the type (e.g. a bigint-producing
+        arithmetic over an int column) must not yield rewritten files
+        whose schema diverges from the carried files (ADVICE r2)."""
+        affected_df, carry, parent = self._cow_split(where)
         if affected_df is None:
             updated = self.scan(virtual_column=None).limit(0)
         else:
@@ -366,7 +435,12 @@ class SnapshotTable:
             for c in affected_df.columns:
                 if c in assignments:
                     exprs.append(
-                        F.when(pred, F.expr(assignments[c]))
+                        F.when(
+                            pred,
+                            F.expr(assignments[c]).cast(
+                                affected_df.schema[c].dataType
+                            ),
+                        )
                         .otherwise(F.col(c))
                         .alias(c)
                     )
@@ -374,7 +448,12 @@ class SnapshotTable:
                     exprs.append(F.col(c))
             updated = affected_df.select(*exprs)
         return self._commit(
-            updated, "update", committed_at, replaces=True, carry=carry
+            updated,
+            "update",
+            committed_at,
+            replaces=True,
+            carry=carry,
+            expected_parent=parent,
         )
 
     def merge_upsert(
@@ -401,31 +480,52 @@ class SnapshotTable:
             if isinstance(lo, (int, float)) and not isinstance(lo, bool):
                 conjuncts.append(f"{k} >= {lo} AND {k} <= {hi}")
         where = " AND ".join(conjuncts) if conjuncts else None
-        affected_df, carry = self._cow_split(where)
+        affected_df, carry, parent = self._cow_split(where)
+        target_schema = (
+            affected_df.schema if affected_df is not None else self.schema()
+        )
+        if target_schema is not None:
+            # align the source to the committed column set AND types —
+            # a source with a widened type (bigint over int) must not
+            # produce rewritten files that diverge from carried files
+            source = source.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in target_schema.fields
+                ]
+            )
         if affected_df is None:
             merged = source
         else:
             unmatched_target = affected_df.join(
                 source.select(*keys).distinct(), on=keys, how="left_anti"
             )
-            merged = unmatched_target.unionByName(
-                source.select(*affected_df.columns)
-            )
+            merged = unmatched_target.unionByName(source)
         return self._commit(
-            merged, "merge", committed_at, replaces=True, carry=carry
+            merged,
+            "merge",
+            committed_at,
+            replaces=True,
+            carry=carry,
+            expected_parent=parent,
         )
 
     def _cow_split(
         self, where: str | None
-    ) -> tuple[DataFrame | None, list[tuple[str, dict, dict]]]:
+    ) -> tuple[DataFrame | None, list[tuple[str, dict, dict]], int]:
         """Split the live file set for a copy-on-write commit: (DataFrame
         over files that might match `where` — None if none do, raw carry
-        entries for the rest). `where=None` means every file might."""
+        entries for the rest, the snapshot id planned against — callers
+        pass it to _commit as expected_parent so concurrent commits
+        conflict instead of losing files). `where=None` means every
+        file might."""
         meta = self._read_meta()
         current = meta["current_snapshot_id"]
         if current is None:
             raise ValueError("row-level operation on an empty table (no snapshots)")
-        might = set(self.plan_files(where)) if where else None
+        might = (
+            set(self.plan_files(where, snapshot_id=current)) if where else None
+        )
         carry, affected = [], []
         for rel, stats, parts in self._raw_entries_as_of(meta, current):
             absp = rel if os.path.isabs(rel) else os.path.join(self.location, rel)
@@ -434,12 +534,16 @@ class SnapshotTable:
             else:
                 carry.append((rel, stats, parts))
         if not affected:
-            return None, carry
+            return None, carry, current
         renames = meta.get("renames", [])
         reader = self.spark.read
         if renames:
             reader = reader.option("mergeSchema", "true")
-        return self._apply_renames(reader.parquet(*affected), renames), carry
+        return (
+            self._apply_renames(reader.parquet(*affected), renames),
+            carry,
+            current,
+        )
 
     def _commit(
         self,
@@ -448,13 +552,19 @@ class SnapshotTable:
         committed_at: int | None,
         replaces: bool,
         carry: list[tuple[str, dict, dict]] | None = None,
+        expected_parent=_NO_VALIDATION,
     ) -> int:
         """Shared commit protocol: write data (hidden-partitioned when
         the table has a spec) into a unique uuid dir outside the lock,
         collect footer stats, then swap metadata under the O_EXCL lock.
         `carry` re-records existing file entries untouched (copy-on-write
         commits rewrite only affected files; the rest carry by
-        reference)."""
+        reference). `expected_parent` is the snapshot id the caller
+        PLANNED against: replacing commits pass it so a concurrent
+        commit between planning and lock acquisition raises
+        CommitConflictError instead of silently dropping the
+        intervening snapshot's files from the new full manifest
+        (ADVICE r2: lost-update race)."""
         user_schema = df.schema  # before hidden partition columns
         commit_uuid = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.location, "data", commit_uuid)
@@ -483,6 +593,15 @@ class SnapshotTable:
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()  # fresh read under lock (CAS-equivalent)
+            if (
+                expected_parent is not _NO_VALIDATION
+                and meta["current_snapshot_id"] != expected_parent
+            ):
+                raise CommitConflictError(
+                    f"{operation} planned against snapshot {expected_parent} "
+                    f"but the table is now at {meta['current_snapshot_id']}; "
+                    "re-plan and retry"
+                )
             snap_id = (meta["current_snapshot_id"] or 0) + 1
             manifest_rel = os.path.join("metadata", f"manifest-s{snap_id}.json")
             os.makedirs(os.path.join(self.location, "metadata"), exist_ok=True)
@@ -1030,14 +1149,49 @@ _PRUNE_CMP = re.compile(
 
 
 def _parse_literal(s: str):
-    """A numeric or 'single-quoted' SQL literal, else None (no pruning)."""
+    """A numeric, 'single-quoted', DATE '...' or TIMESTAMP '...' SQL
+    literal, else None (no pruning)."""
     if re.fullmatch(r"[+-]?\d+", s):
         return int(s)
     if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?", s):
         return float(s)
+    m = re.fullmatch(r"(?is)(?:DATE|TIMESTAMP)\s*'([^']*)'", s)
+    if m:
+        return m.group(1).strip()
     if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
         return s[1:-1].replace("''", "'")
     return None
+
+
+_TS_CANON = re.compile(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}")
+_DATE_CANON = re.compile(r"\d{4}-\d{2}-\d{2}")
+_TS_LITERAL = re.compile(
+    r"(\d{4}-\d{2}-\d{2})(?:[ T](\d{2}:\d{2})(?::(\d{2}))?(?:\.(\d{1,6}))?)?"
+)
+
+
+def _fmt_ts(v: "_dt.datetime") -> str:
+    return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+def _align_temporal(lit: str, lo: str, hi: str) -> str | None:
+    """When a file's string bounds are canonical temporal stats, rewrite
+    the predicate literal to the same fixed-width format so the
+    lexicographic comparison below is exactly the chronological one.
+    Returns None when the literal can't be aligned (caller keeps the
+    file — conservative; e.g. `d = '2024-01-02 05:00'` on a DATE
+    column). Non-temporal string bounds pass the literal through."""
+    if _TS_CANON.fullmatch(lo) and _TS_CANON.fullmatch(hi):
+        m = _TS_LITERAL.fullmatch(lit.strip())
+        if not m:
+            return None
+        d, hm, sec, frac = m.groups()
+        return (
+            f"{d} {hm or '00:00'}:{sec or '00'}.{(frac or '').ljust(6, '0')}"
+        )
+    if _DATE_CANON.fullmatch(lo) and _DATE_CANON.fullmatch(hi):
+        return lit.strip() if _DATE_CANON.fullmatch(lit.strip()) else None
+    return lit
 
 
 def _conjunct_excludes_file(conjunct: str, stats: dict) -> bool:
@@ -1058,6 +1212,10 @@ def _conjunct_excludes_file(conjunct: str, stats: dict) -> bool:
     numeric = isinstance(lit, (int, float)) and isinstance(lo, (int, float))
     if not numeric and not (isinstance(lit, str) and isinstance(lo, str)):
         return False  # cross-type compare: engine semantics differ, keep
+    if isinstance(lit, str):
+        lit = _align_temporal(lit, lo, hi)
+        if lit is None:
+            return False
     op = m.group("op")
     if op in ("=", "=="):
         return lit < lo or lit > hi

@@ -115,3 +115,18 @@ def test_avro_decimal_roundtrip(spark, tmp_path):
     back = avro_io.read_avro(spark, path)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_avro_roundtrip_nullable_bigint_above_2_53(spark, tmp_path):
+    # ADVICE r2: the pandas write path coerced nullable long to float64,
+    # corrupting integers above 2^53; the Arrow path must be exact
+    big = 2**60 + 12345
+    df = spark.createDataFrame(
+        [(1, big), (2, None), (3, big + 1)], "id long, v long"
+    )
+    from hiveberg_spark.sources.avro_io import read_avro, write_avro
+
+    path = str(tmp_path / "bigints")
+    assert write_avro(df, path) == 3
+    got = {r.id: r.v for r in read_avro(spark, path).collect()}
+    assert got == {1: big, 2: None, 3: big + 1}

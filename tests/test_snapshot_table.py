@@ -676,3 +676,97 @@ def test_files_suffix_resolution(spark, warehouse):
     df = resolve_table(spark, warehouse, "fr__files")
     assert df.columns[:2] == ["file_path", "added_snapshot_id"]
     assert df.count() == 1
+
+
+# -- round-3 ADVICE regressions ---------------------------------------------
+
+
+def test_replacing_commit_conflicts_on_concurrent_append(spark, warehouse):
+    # ADVICE r2: a replacing commit planned before a concurrent append
+    # must raise, not silently drop the appended files from its manifest
+    from hiveberg_spark.sources.snapshot_table import CommitConflictError
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "race"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    affected_df, carry, parent = t._cow_split("id = 1")
+    survivors = affected_df.filter(~F.expr("id = 1").eqNullSafe(F.lit(True)))
+    # an append lands between planning and the metadata swap
+    t.append(_simple_df(spark, [(9, "z")]))
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            survivors,
+            "delete",
+            None,
+            replaces=True,
+            carry=carry,
+            expected_parent=parent,
+        )
+    # the table is untouched: both the original and concurrent rows live
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 9]
+    # a re-planned delete then succeeds and keeps the concurrent append
+    t.delete_where("id = 1")
+    assert sorted(r.id for r in t.scan().collect()) == [2, 9]
+
+
+def test_update_where_preserves_committed_column_types(spark, warehouse):
+    # ADVICE r2: an assignment whose expression widens the type (int
+    # arithmetic overflowing to bigint) must not produce rewritten files
+    # whose schema diverges from carried files
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "types"))
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v int")
+    t.append(df)
+    t.append(spark.createDataFrame([(3, 30)], "id long, v int"))
+    t.update_where("id = 3", {"v": "v + CAST(1 AS BIGINT)"})
+    scanned = t.scan(virtual_column=None)
+    assert dict(scanned.dtypes)["v"] == "int"
+    assert sorted((r.id, r.v) for r in scanned.collect()) == [
+        (1, 10),
+        (2, 20),
+        (3, 31),
+    ]
+
+
+def test_merge_upsert_casts_source_to_committed_types(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "mtypes"))
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "id long, v int"))
+    source = spark.createDataFrame([(2, 99), (5, 50)], "id long, v long")
+    t.merge_upsert(source, keys=["id"])
+    scanned = t.scan(virtual_column=None)
+    assert dict(scanned.dtypes)["v"] == "int"
+    assert sorted((r.id, r.v) for r in scanned.collect()) == [
+        (1, 10),
+        (2, 99),
+        (5, 50),
+    ]
+
+
+def test_temporal_minmax_pruning(spark, warehouse):
+    # ADVICE r2: date/timestamp footer stats were discarded, so temporal
+    # predicates never pruned despite the docstring's claim
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "temporal"))
+    t.append(
+        spark.sql(
+            "SELECT id, DATE'2024-01-01' + CAST(id AS INT) AS d, "
+            "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts "
+            "FROM range(0, 5)"
+        )
+    )
+    t.append(
+        spark.sql(
+            "SELECT id, DATE'2024-06-01' + CAST(id AS INT) AS d, "
+            "TIMESTAMP'2024-06-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts "
+            "FROM range(0, 5)"
+        )
+    )
+    all_files = t.plan_files()
+    assert len(all_files) >= 2
+    pruned = t.plan_files("d >= DATE '2024-06-01'")
+    assert len(pruned) < len(all_files)
+    pruned_ts = t.plan_files("ts >= TIMESTAMP '2024-06-01 00:00:00'")
+    assert len(pruned_ts) < len(all_files)
+    # equality exactly at a file's min bound must NOT be excluded
+    at_min = t.plan_files("d = DATE '2024-01-01'")
+    assert len(at_min) >= 1
+    assert t.scan_where("d = DATE '2024-01-01'").count() == 1
+    # correctness regardless of pruning
+    assert t.scan_where("ts >= TIMESTAMP '2024-06-01 00:00:00'").count() == 5
