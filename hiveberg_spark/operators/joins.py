@@ -25,12 +25,14 @@ from hiveberg_spark.registry import query
 )
 def join_inner_equi(spark, sf_dir):
     """The reference's canonical tested case (two-table inner equi-join,
-    TestJoinTablesWithHadoopCatalog.java:121-126). supplier is tiny →
-    broadcast; no shuffle of customer."""
+    TestJoinTablesWithHadoopCatalog.java:121-126). supplier is the
+    smallest SF-scaling table: no forced hint — AQE broadcasts it at
+    every SF where it fits and falls back to shuffle when it doesn't
+    (a forced hint would bypass the size check at 100×)."""
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
     return (
-        c.join(F.broadcast(s), s.s_nationkey == c.c_nationkey, "inner")
+        c.join(s, s.s_nationkey == c.c_nationkey, "inner")
         .select("s_name", "s_acctbal", "c_name")
     )
 

@@ -242,7 +242,7 @@ def q7_volume_by_nation_pair(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)  # SF-scaling: AQE decides
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))

@@ -345,7 +345,7 @@ def q8_market_share(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)  # SF-scaling: AQE decides
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),

@@ -82,18 +82,18 @@ def test_aqe_enabled(spark):
 
 
 def test_no_forced_broadcast_on_fact_tables():
-    # VERDICT r1 #3: a forced broadcast hint bypasses AQE's size check —
-    # at 100× scale that OOMs executors. Hints are allowed ONLY on
-    # fixed-cardinality dimensions (nation/region, 25/5 rows at any SF),
-    # supplier (the smallest SF-scaling table, tolerated per VERDICT),
-    # and deliberately tiny derived frames (query sets, centroid tables,
-    # vocabulary DF). Everything SF-fact-sized must go through AQE.
+    # VERDICT r1 #3 / r2 #5: a forced broadcast hint bypasses AQE's size
+    # check — at 100× scale that OOMs executors. Hints are allowed ONLY
+    # on fixed-cardinality dimensions (nation/region, 25/5 rows at any
+    # SF) and deliberately tiny derived frames (query sets, centroid
+    # tables, vocabulary DF). Every SF-scaling table — including
+    # supplier, the smallest — must go through AQE (it still broadcasts
+    # wherever it fits the threshold).
     import os
     import re
 
     allowed = {
         "n", "nation", "region", "r", "sn", "cn",  # fixed-size dims
-        "s", "supp",                                 # supplier
         "q", "cents", "df_", "offsets",              # tiny derived frames
         "planes_df",                                 # 1-row literal plane matrix
     }
