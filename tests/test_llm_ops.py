@@ -4,6 +4,8 @@ feature correctness vs a pure-python recomputation."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from hiveberg_spark import registry
@@ -98,7 +100,10 @@ def test_grouped_agg_udf_close_to_sql(spark, sf_dir):
 
 def test_embedding_blocked_subset_of_exact(spark, sf_dir):
     """Cell-blocked near-dup pairs must be a subset of the exact
-    all-pairs result with identical scores."""
+    all-pairs result with identical scores — and with 2-probe
+    assignment, FULL recall of the fixture's true pairs (VERDICT r2 #3:
+    the old single-probe path returned 0 rows at sf0.01 and this test
+    passed vacuously)."""
     exact = {
         (r.vec_a, r.vec_b): r.cosine
         for r in registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
@@ -106,6 +111,52 @@ def test_embedding_blocked_subset_of_exact(spark, sf_dir):
     blocked = registry.QUERIES["dedup_embedding_blocked"](spark, sf_dir).collect()
     for r in blocked:
         assert exact.get((r.vec_a, r.vec_b)) == r.cosine
+    assert len(blocked) == len(exact)  # full recall on the fixture
+
+
+def test_embedding_blocked_recall_on_planted_boundary_pairs(spark, tmp_path):
+    """Planted corpus: background vectors hug 3 axis centroids; one
+    near-dup pair sits INSIDE a cell, another STRADDLES the cell-0/
+    cell-1 boundary (different nearest centroids — exactly the pair
+    single-probe blocking silently dropped). 2-probe must recover
+    both: recall == 1 vs the exact baseline, which must itself be
+    non-empty."""
+    import random
+
+    rng = random.Random(7)
+    dim, rows = 8, []
+    axes = {0: 0, 1: 1, 2: 2}
+    vid = 0
+    for label, axis in axes.items():
+        for _ in range(20):
+            v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+            v[axis] = 1.0
+            rows.append((vid, label, [float(x) for x in v]))
+            vid += 1
+    # same-cell near-dup pair (both tight on axis 0)
+    rows.append((1000, 0, [1.0, 0.01] + [0.0] * (dim - 2)))
+    rows.append((1001, 0, [1.0, 0.012] + [0.0] * (dim - 2)))
+    # boundary near-dup pair: one leans to axis 0, the other to axis 1,
+    # so their PRIMARY cells differ but each's second probe is shared
+    rows.append((2000, 0, [0.72, 0.69] + [0.0] * (dim - 2)))
+    rows.append((2001, 1, [0.69, 0.72] + [0.0] * (dim - 2)))
+    sf_dir = str(tmp_path / "planted")
+    spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    ).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["dedup_embedding_blocked"](spark, sf_dir).collect()
+    }
+    assert (1000, 1001) in exact and (2000, 2001) in exact
+    assert blocked <= exact
+    recall = len(blocked & exact) / len(exact)
+    assert recall == 1.0, f"blocked recall {recall} (missed {exact - blocked})"
 
 
 def test_ivf_hits_are_true_neighbors_with_decent_recall(spark, sf_dir):
