@@ -385,6 +385,36 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
     return sum(r.n_records for r in stats)
 
 
+def _decode_batches(batches):
+    """mapInPandas worker: binaryFile content column → decoded rows."""
+    import pandas as pd
+
+    for pdf in batches:
+        for content in pdf["content"]:
+            fspec, rows = _decode_file(bytes(content))
+            data: dict = {}
+            for i, s in enumerate(fspec):
+                col = [r[i] for r in rows]
+                if s["logical"] == "timestamp-micros":
+                    data[s["name"]] = pd.to_datetime(col, unit="us")
+                elif s["logical"] == "date":
+                    data[s["name"]] = pd.Series(
+                        pd.to_datetime(col, unit="D").date, dtype=object
+                    )
+                else:
+                    data[s["name"]] = pd.Series(col, dtype=object)
+            yield pd.DataFrame(data, columns=[s["name"] for s in fspec])
+
+
+def _read_avro_listing(spark: SparkSession, load_target, schema_file: str):
+    with open(schema_file, "rb") as f:
+        head = f.read(64 * 1024)
+    spec, _, _, _ = _parse_header(head)
+    out_schema = _spec_to_spark_schema(spec)
+    binary = spark.read.format("binaryFile").load(load_target)
+    return binary.select("content").mapInPandas(_decode_batches, out_schema)
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of Avro container files as a DataFrame: schema
     from one file's header (driver-side peek at a few KB), data via a
@@ -392,29 +422,16 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     files = sorted(glob.glob(os.path.join(path, "*.avro")))
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
-    with open(files[0], "rb") as f:
-        head = f.read(64 * 1024)
-    spec, _, _, _ = _parse_header(head)
-    out_schema = _spec_to_spark_schema(spec)
+    return _read_avro_listing(
+        spark, os.path.join(path, "*.avro"), files[0]
+    )
 
-    def decode(batches):
-        import pandas as pd
 
-        for pdf in batches:
-            for content in pdf["content"]:
-                fspec, rows = _decode_file(bytes(content))
-                data: dict = {}
-                for i, s in enumerate(fspec):
-                    col = [r[i] for r in rows]
-                    if s["logical"] == "timestamp-micros":
-                        data[s["name"]] = pd.to_datetime(col, unit="us")
-                    elif s["logical"] == "date":
-                        data[s["name"]] = pd.Series(
-                            pd.to_datetime(col, unit="D").date, dtype=object
-                        )
-                    else:
-                        data[s["name"]] = pd.Series(col, dtype=object)
-                yield pd.DataFrame(data, columns=[s["name"] for s in fspec])
-
-    binary = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
-    return binary.select("content").mapInPandas(decode, out_schema)
+def read_avro_files(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Read an EXPLICIT list of Avro container files (the snapshot
+    table's planned-file-list scan path). All files must share one
+    writer schema — the snapshot layer guarantees this by rejecting
+    rename evolution on avro-backed tables."""
+    if not files:
+        raise ValueError("read_avro_files: empty file list")
+    return _read_avro_listing(spark, list(files), files[0])

@@ -146,9 +146,13 @@ class SnapshotTable:
         Iceberg writers carry in manifests (lower_bounds/upper_bounds)
         to prune files at plan time. Driver cost is O(files in THIS
         commit) footer reads — the same writer-side work real Iceberg
-        does. Only top-level int/float/short-string columns are kept;
-        anything else (nested, binary, timestamp, truncated-looking
-        strings) is omitted, which pruning treats conservatively."""
+        does. Only top-level int/float/date/timestamp/short-string
+        columns are kept; anything else (nested, binary,
+        truncated-looking strings) is omitted, which pruning treats
+        conservatively. Parquet-only: orc/avro tables prune via hidden
+        partitioning alone."""
+        if self.file_format() != "parquet":
+            return {}
         try:
             import pyarrow.parquet as pq
         except ImportError:  # stats are an optimization, never required
@@ -253,6 +257,7 @@ class SnapshotTable:
         location: str,
         schema: StructType | str | None = None,
         partition_spec: list[tuple] | None = None,
+        file_format: str = "parquet",
     ) -> "SnapshotTable":
         """Create the table, optionally declaring its schema up front so
         an empty-table scan surfaces real columns (ADVICE fix: the
@@ -265,7 +270,18 @@ class SnapshotTable:
         cluster data files by the transform values; queries on the
         SOURCE columns prune files with no query rewrite (Iceberg
         PartitionSpec, the second capability VERDICT r1 flagged as
-        missing vs the real runtime)."""
+        missing vs the real runtime).
+
+        `file_format` picks the DATA file format inside the table —
+        parquet (default), orc, or avro — mirroring the reference's
+        per-file reader dispatch (IcebergReaderFactory.java:37-52; its
+        ORC arm is a FIXME, here it is complete). Time travel, COW DML,
+        compaction, and rollback work identically on all three; min/max
+        file pruning needs parquet footers, so orc/avro tables prune
+        only via hidden partitioning (conservative: correctness never
+        depends on pruning). Avro tables use the pure-Python Avro codec
+        (`sources/avro_io.py`) and don't support hidden partitioning or
+        rename evolution."""
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
         table = cls(spark, location)
@@ -275,17 +291,29 @@ class SnapshotTable:
             for t in partition_spec or []:
                 if t[0] not in ("bucket", "truncate", "day", "identity"):
                     raise ValueError(f"unknown partition transform: {t[0]}")
+            if file_format not in ("parquet", "orc", "avro"):
+                raise ValueError(f"unsupported file_format: {file_format}")
+            if file_format == "avro" and partition_spec:
+                raise ValueError(
+                    "avro-backed tables do not support hidden partitioning"
+                )
             table._write_meta(
                 {
                     "format_version": 2,
                     "schema_json": schema.json() if schema is not None else None,
                     "partition_spec": [list(t) for t in partition_spec or []],
+                    "file_format": file_format,
                     "renames": [],
                     "snapshots": [],
                     "current_snapshot_id": None,
                 }
             )
         return table
+
+    def file_format(self) -> str:
+        """The table's data-file format (parquet for pre-format-dispatch
+        tables whose metadata lacks the key)."""
+        return self._read_meta().get("file_format", "parquet")
 
     @classmethod
     def load(cls, spark: SparkSession, location: str) -> "SnapshotTable":
@@ -535,12 +563,8 @@ class SnapshotTable:
                 carry.append((rel, stats, parts))
         if not affected:
             return None, carry, current
-        renames = meta.get("renames", [])
-        reader = self.spark.read
-        if renames:
-            reader = reader.option("mergeSchema", "true")
         return (
-            self._apply_renames(reader.parquet(*affected), renames),
+            self._read_data_files(affected, meta.get("renames", [])),
             carry,
             current,
         )
@@ -568,27 +592,43 @@ class SnapshotTable:
         user_schema = df.schema  # before hidden partition columns
         commit_uuid = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.location, "data", commit_uuid)
-        spec = [tuple(t) for t in self._read_meta().get("partition_spec") or []]
+        pre_meta = self._read_meta()
+        spec = [tuple(t) for t in pre_meta.get("partition_spec") or []]
+        fmt = pre_meta.get("file_format", "parquet")
         pnames = []
-        if spec:
-            for tr in spec:
-                name = _pfield_name(tr)
-                df = df.withColumn(name, _transform_expr(tr, user_schema))
-                pnames.append(name)
-            # hidden partitioning: cluster files by transform values; the
-            # helper columns live only in directory names, never in file
-            # data or scan schemas (Iceberg PartitionSpec semantics)
-            df.write.mode("overwrite").partitionBy(*pnames).parquet(data_dir)
+        if fmt == "avro":
+            # pure-Python Avro codec (no partitionBy: create() rejects a
+            # spec on avro tables); returns the record count directly
+            from hiveberg_spark.sources.avro_io import write_avro
+
+            n_records = write_avro(df, data_dir)
+            files, partitions = self._list_data_files(data_dir, commit_uuid)
         else:
-            df.write.mode("overwrite").parquet(data_dir)
-        # location-relative paths: the table stays valid under rename/move
-        # (atomic build-then-rename fixtures depend on this)
-        files, partitions = self._list_data_files(data_dir, commit_uuid)
-        n_records = (
-            int(self.spark.read.parquet(data_dir).count())  # metadata-only
-            if files
-            else 0  # all parts were 0-row (e.g. a delete emptied them)
-        )
+            writer = df
+            if spec:
+                for tr in spec:
+                    name = _pfield_name(tr)
+                    writer = writer.withColumn(
+                        name, _transform_expr(tr, user_schema)
+                    )
+                    pnames.append(name)
+                # hidden partitioning: cluster files by transform values;
+                # the helper columns live only in directory names, never
+                # in file data or scan schemas (Iceberg PartitionSpec
+                # semantics)
+                writer.write.mode("overwrite").partitionBy(*pnames).format(
+                    fmt
+                ).save(data_dir)
+            else:
+                writer.write.mode("overwrite").format(fmt).save(data_dir)
+            # location-relative paths: the table stays valid under
+            # rename/move (atomic build-then-rename fixtures depend on it)
+            files, partitions = self._list_data_files(data_dir, commit_uuid)
+            n_records = (
+                int(self.spark.read.format(fmt).load(data_dir).count())
+                if files
+                else 0  # all parts were 0-row (e.g. a delete emptied them)
+            )
         stats = self._collect_file_stats(files)  # footer min/max, outside lock
         lock = self._acquire_lock()
         try:
@@ -656,25 +696,42 @@ class SnapshotTable:
     def _list_data_files(
         self, data_dir: str, commit_uuid: str
     ) -> tuple[list[str], dict[str, dict]]:
-        """Recursive parquet listing (partitioned writes nest files under
-        `_p_x=v/` dirs) + per-file partition values parsed from the path
-        (the manifest record Iceberg keeps per data file)."""
+        """Recursive data-file listing (partitioned writes nest files
+        under `_p_x=v/` dirs) + per-file partition values parsed from
+        the path (the manifest record Iceberg keeps per data file).
+        Dispatches on the table's file format; 0-row parts (e.g. a
+        delete emptied a file) are dropped so they are never manifested
+        (avro needs no check — the codec only creates a file for
+        non-empty partitions)."""
+        fmt = self.file_format()
+        ext = "." + fmt
         files: list[str] = []
         partitions: dict[str, dict] = {}
-        try:
-            import pyarrow.parquet as pq
-        except ImportError:
-            pq = None
+        counter = None
+        if fmt == "parquet":
+            try:
+                import pyarrow.parquet as pq
+
+                counter = lambda p: pq.ParquetFile(p).metadata.num_rows  # noqa: E731
+            except ImportError:
+                pass
+        elif fmt == "orc":
+            try:
+                from pyarrow import orc as _orc
+
+                counter = lambda p: _orc.ORCFile(p).nrows  # noqa: E731
+            except ImportError:
+                pass
         for root, _, names in os.walk(data_dir):
             for fn in names:
-                if not fn.endswith(".parquet"):
+                if not fn.endswith(ext):
                     continue
                 full = os.path.join(root, fn)
-                if pq is not None:
+                if counter is not None:
                     try:
-                        if pq.ParquetFile(full).metadata.num_rows == 0:
-                            os.unlink(full)  # 0-row part (e.g. a delete
-                            continue  # emptied a file): never manifest it
+                        if counter(full) == 0:
+                            os.unlink(full)
+                            continue
                     except Exception:
                         pass
                 rel = os.path.relpath(full, self.location)
@@ -697,6 +754,11 @@ class SnapshotTable:
         (Iceberg achieves this with field-ids, IcebergSerDe.java:60-62;
         this is the field-id-free equivalent, valid while old names are
         not reused)."""
+        if self.file_format() == "avro":
+            raise ValueError(
+                "rename evolution is not supported on avro-backed tables "
+                "(the codec reads every file through one header schema)"
+            )
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()
@@ -917,6 +979,30 @@ class SnapshotTable:
         files, sid = self._files_as_of(snapshot_id)
         return self._read_files(files, sid, virtual_column)
 
+    def _read_data_files(
+        self, files: list[str], renames: list[dict]
+    ) -> DataFrame:
+        """Format-dispatched read of an explicit data-file list (the
+        reference's per-file reader dispatch,
+        IcebergReaderFactory.java:37-52). Parquet/ORC go through Spark's
+        vectorized readers (mergeSchema when pre- and post-rename files
+        coexist); Avro through the pure-Python codec's file-parallel
+        binaryFile path."""
+        fmt = self.file_format()
+        if fmt == "avro":
+            from hiveberg_spark.sources.avro_io import read_avro_files
+
+            # rename evolution is rejected at rename_column time for
+            # avro tables, so no mapping needs resolving here
+            return read_avro_files(self.spark, files)
+        reader = self.spark.read
+        if renames:
+            # pre- and post-rename files differ in column names; merge
+            # then resolve through the mapping
+            reader = reader.option("mergeSchema", "true")
+        df = reader.format(fmt).load(files)
+        return self._apply_renames(df, renames)
+
     def _read_files(
         self, files: list[str], sid: int | None, virtual_column: str | None
     ) -> DataFrame:
@@ -926,13 +1012,7 @@ class SnapshotTable:
             if virtual_column:
                 df = df.withColumn(virtual_column, F.lit(None).cast("long"))
             return df
-        reader = self.spark.read
-        if renames:
-            # pre- and post-rename files differ in column names; merge
-            # then resolve through the mapping
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*files)
-        df = self._apply_renames(df, renames)
+        df = self._read_data_files(files, renames)
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(sid).cast("long"))
         return df
@@ -975,8 +1055,7 @@ class SnapshotTable:
                     )
         if not files:
             return self.scan(virtual_column=virtual_column).limit(0)
-        df = self.spark.read.parquet(*files)
-        df = self._apply_renames(df, meta.get("renames", []))
+        df = self._read_data_files(files, meta.get("renames", []))
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(to_snapshot).cast("long"))
         return df
@@ -1265,12 +1344,13 @@ def build_once(
     builder,
     schema: StructType | str | None = None,
     partition_spec: list[tuple] | None = None,
+    file_format: str = "parquet",
 ) -> "SnapshotTable":
     """Build a snapshot-table fixture exactly once, safely under
     concurrent processes: build into a unique scratch dir, atomically
     rename into place; losers discard their build and use the winner's.
     `builder(table)` receives the empty table and appends snapshots;
-    `schema`/`partition_spec` pass through to the create call."""
+    `schema`/`partition_spec`/`file_format` pass through to create."""
     import shutil
 
     ready = os.path.join(location, "_FIXTURE_READY")
@@ -1278,7 +1358,11 @@ def build_once(
         return SnapshotTable.load(spark, location)
     build_dir = location + ".build-" + uuid.uuid4().hex[:8]
     table = SnapshotTable.create(
-        spark, build_dir, schema=schema, partition_spec=partition_spec
+        spark,
+        build_dir,
+        schema=schema,
+        partition_spec=partition_spec,
+        file_format=file_format,
     )
     builder(table)
     open(os.path.join(build_dir, "_FIXTURE_READY"), "w").close()
