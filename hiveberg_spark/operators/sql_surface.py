@@ -471,3 +471,115 @@ def snapshot_rollback(spark, sf_dir):
     return spark.createDataFrame(
         rows, "snapshot_id long, operation string, n_rows_as_of long"
     )
+
+
+@query(
+    "snapshot_type_battery",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey < 10) AS BIGINT) AS s1_rows,
+      CAST((SELECT SUM(n_nationkey) FROM nation WHERE n_nationkey < 10) AS BIGINT) AS s1_sum_i,
+      CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS cur_rows,
+      CAST((SELECT SUM(CAST(n_nationkey AS BIGINT) * 1099511627776) FROM nation) AS BIGINT) AS sum_l,
+      CAST((SELECT SUM(CAST(n_nationkey AS DECIMAL(12,4)) + CAST('0.25' AS DECIMAL(12,4))) FROM nation) AS DOUBLE) AS sum_dec,
+      (SELECT CAST(MIN(DATE '1995-01-01' + CAST(n_nationkey AS INT)) AS VARCHAR) FROM nation) AS min_d,
+      CAST((SELECT epoch_us(MAX(TIMESTAMP '1995-01-01 00:00:00' + CAST(n_nationkey AS INT) * INTERVAL 1 HOUR)) FROM nation) AS BIGINT) AS max_ts_us,
+      CAST((SELECT SUM(LENGTH(n_name)) FROM nation) AS BIGINT) AS sum_bin_len,
+      CAST((SELECT SUM(n_nationkey + n_regionkey) FROM nation) AS BIGINT) AS sum_arr,
+      CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT) AS sum_mp,
+      (SELECT SUM(CAST(n_nationkey AS DOUBLE) / 2) FROM nation) AS sum_mss_val
+    """,
+)
+def snapshot_type_battery(spark, sf_dir):
+    """Type-system parity battery THROUGH the snapshot layer (SURVEY
+    §1.3, TestIcebergSchemaToTypeInfo.java:101-155): int, long above
+    2^53, decimal(12,4), date, timestamp, binary, array, map, and the
+    struct-keyed map<struct,struct> fixture (A4b) are committed across
+    two snapshots, time-traveled, and read back; the output derives
+    engine-comparable scalars from every column (temporal as
+    string/epoch-micros per the repo's determinism rules), so a single
+    hash mismatch pinpoints a type that did not survive the layer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    def typed(df):
+        return df.select(
+            F.col("n_nationkey").cast("int").alias("i"),
+            (F.col("n_nationkey").cast("long") * F.lit(1099511627776)).alias("l"),
+            (
+                F.col("n_nationkey").cast("decimal(12,4)")
+                + F.lit("0.25").cast("decimal(12,4)")
+            ).cast("decimal(12,4)").alias("dec"),
+            F.expr("DATE'1995-01-01' + CAST(n_nationkey AS INT)").alias("d"),
+            F.expr(
+                "TIMESTAMP'1995-01-01 00:00:00' + "
+                "make_interval(0,0,0,0,CAST(n_nationkey AS INT),0,0)"
+            ).alias("ts"),
+            F.encode("n_name", "utf-8").alias("bin"),
+            F.array(
+                F.col("n_nationkey").cast("long"),
+                F.col("n_regionkey").cast("long"),
+            ).alias("arr"),
+            F.create_map(F.lit("k"), F.col("n_nationkey").cast("long")).alias(
+                "mp"
+            ),
+            F.create_map(
+                F.struct(
+                    F.col("n_nationkey").cast("int").alias("k"),
+                    F.col("n_name").alias("nm"),
+                ),
+                F.struct(
+                    (F.col("n_nationkey").cast("double") / F.lit(2)).alias(
+                        "val"
+                    )
+                ),
+            ).alias("mss"),
+        )
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_types")
+    with _lock:
+        t = build_once(
+            spark,
+            loc,
+            lambda t: (
+                t.append(
+                    typed(
+                        load_table(spark, sf_dir, "nation").filter(
+                            "n_nationkey < 10"
+                        )
+                    )
+                ),
+                t.append(
+                    typed(
+                        load_table(spark, sf_dir, "nation").filter(
+                            "n_nationkey >= 10"
+                        )
+                    )
+                ),
+            ),
+        )
+    s1 = t.scan(snapshot_id=1, virtual_column=None).agg(
+        F.count("*").cast("long").alias("s1_rows"),
+        F.sum("i").cast("long").alias("s1_sum_i"),
+    )
+    cur = t.scan(virtual_column=None).agg(
+        F.count("*").cast("long").alias("cur_rows"),
+        F.sum("l").cast("long").alias("sum_l"),
+        F.sum("dec").cast("double").alias("sum_dec"),
+        F.min("d").cast("string").alias("min_d"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.sum(F.length("bin")).cast("long").alias("sum_bin_len"),
+        F.sum(F.expr("aggregate(arr, 0L, (acc, x) -> acc + x)"))
+        .cast("long")
+        .alias("sum_arr"),
+        F.sum(F.expr("element_at(mp, 'k')")).cast("long").alias("sum_mp"),
+        F.sum(
+            F.expr("aggregate(map_values(mss), 0D, (acc, x) -> acc + x.val)")
+        ).alias("sum_mss_val"),
+    )
+    return s1.crossJoin(cur)

@@ -172,10 +172,16 @@ class SnapshotTable:
                     name = col.path_in_schema
                     if "." in name:  # nested field: skip
                         continue
-                    st = col.statistics
                     mn = mx = None
-                    if st is not None and st.has_min_max:
-                        mn, mx = st.min, st.max
+                    try:
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            mn, mx = st.min, st.max
+                    except Exception:
+                        # pyarrow can't materialize stats for every
+                        # physical type (e.g. ArrowNotImplementedError)
+                        # — treat as stats-free, never fail the commit
+                        pass
                     if isinstance(mn, bytes):
                         try:
                             mn, mx = mn.decode("utf-8"), mx.decode("utf-8")

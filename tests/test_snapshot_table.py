@@ -833,3 +833,81 @@ def test_orc_table_hidden_partition_pruning(spark, warehouse):
     pruned = t.plan_files("id = 7")
     assert len(pruned) < len(all_files)
     assert t.scan_where("id = 7").count() == 1
+
+
+def test_snapshot_type_battery_roundtrip(spark, warehouse):
+    # SURVEY §1.3 / TestIcebergSchemaToTypeInfo.java:101-155 parity:
+    # every mapped primitive + nested compositions INCLUDING the
+    # struct-keyed map fixture (A4b, map<struct,struct>) written,
+    # committed, time-traveled, pruned, and read back bit-exact
+    # through the snapshot layer
+    import datetime as dt
+    from decimal import Decimal
+
+    ddl = (
+        "i int, s string, bo boolean, l long, fl float, db double, "
+        "dec decimal(12,4), d date, ts timestamp_ntz, tz timestamp, "
+        "bin binary, arr array<long>, mp map<string,long>, "
+        "mss map<struct<k:int,nm:string>,struct<val:double>>"
+    )
+
+    def row(n):
+        return (
+            n,
+            f"name{n}",
+            n % 2 == 0,
+            2**60 + n,  # above 2^53: long fidelity
+            float(n) / 4.0,
+            float(n) * 1.5,
+            Decimal(n) + Decimal("0.2500"),
+            dt.date(1995, 1, 1) + dt.timedelta(days=n),
+            dt.datetime(1995, 1, 1) + dt.timedelta(hours=n),
+            dt.datetime(1995, 1, 1, tzinfo=dt.timezone.utc)
+            + dt.timedelta(hours=n),
+            f"b{n}".encode(),
+            [n, n + 1],
+            {"k": n},
+            {(n, f"name{n}"): (float(n) / 2.0,)},
+        )
+
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "typebat"), schema=ddl
+    )
+    t.append(spark.createDataFrame([row(n) for n in range(5)], ddl))
+    t.append(spark.createDataFrame([row(n) for n in range(5, 10)], ddl))
+
+    # declared schema survives the layer
+    got = t.scan(virtual_column=None)
+    assert got.schema == spark.createDataFrame([], ddl).schema
+
+    # time travel sees only the first file's values
+    s1 = {r.i for r in t.scan(snapshot_id=1).collect()}
+    assert s1 == {0, 1, 2, 3, 4}
+
+    # temporal + numeric min/max pruning across the two files
+    all_files = t.plan_files()
+    assert len(t.plan_files("d >= DATE '1995-01-06'")) < len(all_files)
+    assert len(t.plan_files("i >= 5")) < len(all_files)
+
+    # bit-exact values for every type, including nested
+    r = {x.i: x for x in got.collect()}
+    assert len(r) == 10
+    x = r[7]
+    assert x.s == "name7" and x.bo is False
+    assert x.l == 2**60 + 7
+    assert abs(x.fl - 1.75) < 1e-6 and x.db == 10.5
+    assert x.dec == Decimal("7.2500")
+    assert x.d == dt.date(1995, 1, 8)
+    assert x.ts == dt.datetime(1995, 1, 1, 7)
+    assert x.tz == dt.datetime(1995, 1, 1, 7)  # session TZ is UTC
+    assert bytes(x.bin) == b"b7"
+    assert list(x.arr) == [7, 8]
+    assert dict(x.mp) == {"k": 7}
+    ((mk, mv),) = list(x.mss.items())
+    assert (mk.k, mk.nm, mv.val) == (7, "name7", 3.5)
+
+    # COW delete rewrites only the matching file; types survive rewrite
+    t.delete_where("i = 7")
+    left = {x.i for x in t.scan().collect()}
+    assert left == {0, 1, 2, 3, 4, 5, 6, 8, 9}
+    assert t.scan(snapshot_id=2).count() == 10  # history intact
