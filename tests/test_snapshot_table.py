@@ -911,3 +911,65 @@ def test_snapshot_type_battery_roundtrip(spark, warehouse):
     left = {x.i for x in t.scan().collect()}
     assert left == {0, 1, 2, 3, 4, 5, 6, 8, 9}
     assert t.scan(snapshot_id=2).count() == 10  # history intact
+
+
+def test_distributed_manifest_planning_million_files(spark, warehouse, monkeypatch):
+    # VERDICT r2 missing #2: past the driver ceiling, manifest reading +
+    # pruning must run as a Spark job. Fabricate a 1.08M-entry metadata
+    # tree (12 manifests x 90k files), then plan with the driver loop
+    # FORBIDDEN from opening manifests.
+    import json as _json
+
+    from hiveberg_spark.sources import snapshot_table as st_mod
+
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "mega"), schema="id long, v long"
+    )
+    meta = t._read_meta()
+    per, n_manifests = 90_000, 12
+    for sid in range(1, n_manifests + 1):
+        files = [f"data/fab{sid}/f{j}.parquet" for j in range(per)]
+        base = (sid - 1) * per
+        stats = {
+            f: {"id": [base + j, base + j]} for j, f in enumerate(files)
+        }
+        with open(
+            os.path.join(t.location, "metadata", f"manifest-s{sid}.json"), "w"
+        ) as fh:
+            _json.dump({"files": files, "stats": stats, "partitions": {}}, fh)
+        meta["snapshots"].append(
+            {
+                "snapshot_id": sid,
+                "parent_id": sid - 1 if sid > 1 else None,
+                "operation": "append",
+                "committed_at": sid * 1000,
+                "manifest": f"metadata/manifest-s{sid}.json",
+                "summary": {
+                    "added-data-files": str(per),
+                    "added-records": str(per),
+                },
+            }
+        )
+    meta["current_snapshot_id"] = n_manifests
+    t._write_meta(meta)
+
+    assert t._entry_count_estimate(t._read_meta(), n_manifests) == per * n_manifests
+
+    # the distributed path must never read a manifest on the driver
+    def _forbidden(self, snap):
+        raise AssertionError("driver-side manifest read in distributed plan")
+
+    monkeypatch.setattr(
+        st_mod.SnapshotTable, "_read_manifest_entries", _forbidden
+    )
+    target = 7 * per + 123  # lives in manifest 8
+    kept = t.plan_files(f"id = {target}")
+    assert kept == [os.path.join(t.location, f"data/fab8/f123.parquet")]
+    kept_range = t.plan_files(f"id >= {per * n_manifests - 2}")
+    assert len(kept_range) == 2
+
+    # equivalence with the driver loop on the same tree (restore reads,
+    # force the driver path via a huge threshold)
+    monkeypatch.undo()
+    monkeypatch.setattr(st_mod, "_DISTRIBUTED_PLAN_THRESHOLD", 10**12)
+    assert sorted(t.plan_files(f"id = {target}")) == kept
