@@ -583,3 +583,55 @@ def snapshot_type_battery(spark, sf_dir):
         ).alias("sum_mss_val"),
     )
     return s1.crossJoin(cur)
+
+
+@query(
+    "snapshot_dml_prune_compose",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM supplier) - 1 AS BIGINT) AS n_after_delete,
+      CAST(0 AS BIGINT) AS n_deleted_key,
+      CAST(1 AS BIGINT) AS n_other_key,
+      CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey > 5) AS BIGINT)
+        AS n_range_after
+    """,
+)
+def snapshot_dml_prune_compose(spark, sf_dir):
+    """Composition check (VERDICT r2 next #9): COW DELETE on a
+    hidden-bucket-partitioned table, then bucket-pruned reads over the
+    REWRITTEN file set — carried files keep their partition values in
+    the new manifest and the rewritten bucket is re-clustered by the
+    same spec, so equality pruning works identically before and after
+    the rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_dml_bucketed")
+    with _lock:
+        t = build_once(
+            spark,
+            loc,
+            lambda t: (
+                t.append(load_table(spark, sf_dir, "supplier")),
+                t.delete_where("s_suppkey = 5"),
+            ),
+            partition_spec=[("bucket", "s_suppkey", 8)],
+        )
+    total = t.scan(virtual_column=None).agg(
+        F.count("*").cast("long").alias("n_after_delete")
+    )
+    deleted = t.scan_where("s_suppkey = 5").agg(
+        F.count("*").cast("long").alias("n_deleted_key")
+    )
+    other = t.scan_where("s_suppkey = 9").agg(
+        F.count("*").cast("long").alias("n_other_key")
+    )
+    rng = t.scan_where("s_suppkey > 5").agg(
+        F.count("*").cast("long").alias("n_range_after")
+    )
+    return total.crossJoin(deleted).crossJoin(other).crossJoin(rng)

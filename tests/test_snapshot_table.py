@@ -973,3 +973,47 @@ def test_distributed_manifest_planning_million_files(spark, warehouse, monkeypat
     monkeypatch.undo()
     monkeypatch.setattr(st_mod, "_DISTRIBUTED_PLAN_THRESHOLD", 10**12)
     assert sorted(t.plan_files(f"id = {target}")) == kept
+
+
+def test_bucket_pruning_survives_cow_rewrite(spark, warehouse):
+    # VERDICT r2 next #9: after a COW DELETE rewrites one bucket of a
+    # hidden-partitioned table, (a) untouched files must carry with
+    # IDENTICAL manifest entries (path, partition values), and (b)
+    # bucket pruning must keep working — over carried AND rewritten
+    # files alike, because the rewrite re-clusters by the same spec.
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "dmlprune"),
+        schema="id long, data string",
+        partition_spec=[("bucket", "id", 4)],
+    )
+    t.append(_simple_df(spark, [(i, f"r{i}") for i in range(40)]))
+    parent = t._read_meta()["current_snapshot_id"]
+    before_entries = {
+        os.path.relpath(p, t.location): parts
+        for p, _, parts in t._entries_as_of(parent)[0]
+    }
+    before = set(before_entries)
+    matching = {
+        os.path.relpath(p, t.location) for p in t.plan_files("id = 7")
+    }
+    t.delete_where("id = 7")
+    after_entries = {
+        os.path.relpath(p, t.location): parts
+        for p, _, parts in t._entries_as_of(None)[0]
+    }
+    after = set(after_entries)
+    # carried-file identity: every untouched file re-recorded verbatim,
+    # partition values included; rewritten files are NEW paths
+    carried = before - matching
+    assert carried <= after
+    for rel in carried:
+        assert after_entries[rel] == before_entries[rel]
+    assert (after - carried) & before == set()
+    # pruning still effective after the rewrite, for keys landing in
+    # carried buckets and in the rewritten bucket
+    assert t.scan_where("id = 7").count() == 0
+    for key in (5, 6, 8, 11):
+        pruned = t.plan_files(f"id = {key}")
+        assert len(pruned) < len(after)
+        assert t.scan_where(f"id = {key}").count() == 1
