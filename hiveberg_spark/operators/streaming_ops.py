@@ -128,7 +128,9 @@ def stream_session_windows(spark, sf_dir):
     "stream_dedup",
     oracle="""
     SELECT COUNT(DISTINCT event_id) AS n_unique,
-           COUNT(DISTINCT event_id) AS n_after_dedup
+           COUNT(DISTINCT event_id) AS n_after_dedup,
+           epoch_us(MIN(ts)) AS min_ts_us,
+           epoch_us(MAX(ts)) AS max_ts_us
     FROM events
     """,
 )
@@ -136,18 +138,32 @@ def stream_dedup(spark, sf_dir):
     """Stateful streaming dedup on event_id (dropDuplicates over the
     stream keeps one row per key in state; the watermarked variant
     `dropDuplicatesWithinWatermark` bounds that state in production —
-    exercised in tests)."""
+    exercised in tests).
+
+    min/max event-time are part of the output ON PURPOSE: the other
+    columns are time-independent, and round 3 proved a time-independent
+    oracle stays green while the events source mangles every timestamp
+    (fixture drift to timestamp[us]). The ts-derived columns make this
+    query fail loudly if that ever happens again. Deterministic because
+    event_id is unique in the fixtures (dedup drops nothing)."""
     s = events_stream(spark, sf_dir)
     deduped = s.dropDuplicates(["event_id"])
-    agg = deduped.groupBy().agg(F.count("*").alias("n_after_dedup"))
+    agg = deduped.groupBy().agg(
+        F.count("*").alias("n_after_dedup"),
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+    )
     out = run_to_memory(agg, output_mode="complete", name="stream_dedup")
     return out.select(
-        F.col("n_after_dedup").alias("n_unique"), "n_after_dedup"
+        F.col("n_after_dedup").alias("n_unique"),
+        "n_after_dedup",
+        "min_ts_us",
+        "max_ts_us",
     )
 
 
-_STATE_SCHEMA = "n long, max_value double"
-_OUT_SCHEMA = "user_id long, n_events long, max_value double"
+_STATE_SCHEMA = "n long, max_value double, max_ts_us long"
+_OUT_SCHEMA = "user_id long, n_events long, max_value double, max_ts_us long"
 
 
 def _user_stats(
@@ -155,22 +171,32 @@ def _user_stats(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Arbitrary stateful op: running per-user event count + max value.
-    With availableNow the whole backlog arrives in one batch, so the
-    emitted row is the final aggregate (== batch oracle)."""
-    n, max_v = state.get if state.exists else (0, float("-inf"))
+    """Arbitrary stateful op: running per-user event count + max value +
+    max event-time (epoch micros). With availableNow the whole backlog
+    arrives in one batch, so the emitted row is the final aggregate
+    (== batch oracle). The ts-derived column is deliberate: it keeps the
+    oracle sensitive to event-time corruption in the source (round-3
+    lesson — a time-independent oracle stayed green over garbage
+    timestamps)."""
+    n, max_v, max_ts = state.get if state.exists else (0, float("-inf"), -(2**62))
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
             max_v = max(max_v, float(pdf["value"].max()))
-    state.update((n, max_v))
-    yield pd.DataFrame([(key[0], n, max_v)], columns=["user_id", "n_events", "max_value"])
+            # pandas Timestamp.value is epoch NANOS; integer-div to micros
+            max_ts = max(max_ts, int(pd.Timestamp(pdf["ts"].max()).value) // 1000)
+    state.update((n, max_v, max_ts))
+    yield pd.DataFrame(
+        [(key[0], n, max_v, max_ts)],
+        columns=["user_id", "n_events", "max_value", "max_ts_us"],
+    )
 
 
 @query(
     "stream_stateful_user_stats",
     oracle="""
-    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
+           epoch_us(MAX(ts)) AS max_ts_us
     FROM events WHERE user_id < 20
     GROUP BY user_id
     """,
@@ -194,9 +220,10 @@ def stream_stateful_user_stats(spark, sf_dir):
     )
     out = run_to_memory(stats, output_mode="update", name="stateful_user_stats")
     # update-mode sink may hold one row per key per batch; keep the final
-    return (
-        out.groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+        F.max("max_ts_us").alias("max_ts_us"),
     )
 
 

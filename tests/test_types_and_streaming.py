@@ -73,6 +73,40 @@ def test_timestamp_not_surfaced_as_bigint(spark, sf_dir):
     assert dict(ev.dtypes)["ts"].startswith("timestamp")
 
 
+def test_stream_ts_matches_batch_ts(spark, sf_dir):
+    """REGRESSION PIN (round-4): the streaming events source must agree
+    with the batch catalog on event time to the microsecond. The driver
+    regenerated the fixtures between rounds 2 and 3 switching events.ts
+    from TIMESTAMP(NANOS) to timestamp[us]; the stream source's
+    hard-coded nanos schema then silently compressed all event times
+    1000x into January 1970 while the batch path (dtype-guarded) stayed
+    correct — four streaming operators were wrong for a full round. The
+    source is now schema-adaptive (events._fixture_ts_kind); this pin
+    fails the moment stream and batch disagree, whichever way the
+    fixtures drift next."""
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.streaming.events import events_stream, run_to_memory
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("mn"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    s = events_stream(spark, sf_dir).agg(
+        F.unix_micros(F.min("ts")).alias("mn"),
+        F.unix_micros(F.max("ts")).alias("mx"),
+        F.count("*").alias("n"),
+    )
+    stream = run_to_memory(s, output_mode="complete", name="ts_pin").first()
+    assert (stream.mn, stream.mx, stream.n) == (batch.mn, batch.mx, batch.n)
+    # and the times are sane: within [2000, 2100), not 1970
+    assert 946684800_000000 < stream.mn < 4102444800_000000
+
+
 def test_stream_dedup_within_watermark(spark, sf_dir):
     """dropDuplicatesWithinWatermark — the state-bounded production
     variant (SURVEY.md §2.9)."""
