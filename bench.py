@@ -44,6 +44,31 @@ HEADLINE = [
 ]
 
 
+def _previous_rows(sf) -> dict[str, int]:
+    """Row counts from the most recent BENCH_r*.json at the same SF.
+
+    Round-3 lesson: stream_tumbling_counts dropped 3600 → 10 rows in the
+    bench tail and nobody noticed for a full round. Row counts are a free
+    correctness signal — diff them against the previous round and shout."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, int] = {}
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    ):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if rec.get("sf") == sf and isinstance(rec.get("rows"), dict):
+                best = rec["rows"]  # later rounds overwrite earlier
+        except Exception:
+            continue
+    return best
+
+
 def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="hiveberg-spark-bench")
@@ -62,15 +87,34 @@ def main() -> None:
             except Exception as exc:  # warm-up must never fail the bench
                 print(f"# warmup {name}: {exc}", file=sys.stderr)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    prev_rows = _previous_rows(sf_val)
+
     times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    drift: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        rows[name] = n
+        note = ""
+        if name in prev_rows and prev_rows[name] != n:
+            drift[name] = f"{prev_rows[name]} -> {n}"
+            note = (
+                f"  *** ROW-COUNT DRIFT vs previous round: "
+                f"{prev_rows[name]} -> {n} — INVESTIGATE ***"
+            )
+        print(f"# {name}: {times[name]:.3f}s ({n} rows){note}", file=sys.stderr)
 
+    if drift:
+        print(
+            "# WARNING: row-count drift detected (a correctness smell, "
+            f"not a perf number): {drift}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -78,7 +122,9 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rows": rows,
+                "row_drift_vs_prev": drift,
+                "sf": sf_val,
             }
         )
     )
