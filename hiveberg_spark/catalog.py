@@ -36,9 +36,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The parquet scan is left untouched so Catalyst keeps full pushdown
     freedom (filters/column pruning reach the parquet reader). The only
-    normalization is the events timestamp: the fixture stores
-    TIMESTAMP(NANOS) which Spark has no type for — with
-    `nanosAsLong` the column arrives as long nanos, converted here to a
+    normalization is the events timestamp, whose physical type drifts
+    across driver fixture regenerations: current fixtures store
+    timestamp[us] (read natively, the guard below is a no-op); older ones
+    stored TIMESTAMP(NANOS), which Spark has no type for — under
+    `nanosAsLong` that arrives as long nanos and is converted here to a
     microsecond TIMESTAMP_NTZ (matching what DuckDB surfaces).
     """
     if name not in TABLES:

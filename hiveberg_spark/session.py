@@ -38,9 +38,11 @@ def get_spark(
         engines (the reference leaks timestamps as bigints instead —
         IcebergSchemaToTypeInfo.java:48-49 — which we deliberately do not
         replicate).
-      - nanosAsLong: Spark has no nanosecond timestamp type; the events
-        table carries TIMESTAMP(NANOS) parquet columns which we surface as
-        long and convert to microsecond timestamps in the catalog layer.
+      - nanosAsLong: Spark has no nanosecond timestamp type. Historical
+        fixture generations carried events.ts as TIMESTAMP(NANOS) (current
+        ones are timestamp[us]); the conf stays on as a no-op for micros
+        files so a fixture revert to nanos keeps reading (catalog.py and
+        streaming/events.py adapt per-file).
     """
     master = master or f"local[{_DEF_CPUS}]"
     cpus = os.cpu_count() or 8
@@ -82,8 +84,8 @@ def get_spark(
 # Runtime-settable confs every query needs regardless of who built the
 # session (the correctness driver passes its OWN SparkSession into
 # queries(), so these cannot live only in the builder above):
-#   - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), unreadable
-#     otherwise
+#   - nanosAsLong: harmless for the current timestamp[us] events fixture,
+#     required if the driver ever reverts it to TIMESTAMP(NANOS)
 #   - ansi off: fingerprint/minhash math uses 64-bit wraparound multiply
 #   - UTC: timestamp formatting/epoch outputs must be timezone-stable
 _RUNTIME_CONF = {
