@@ -156,8 +156,15 @@ class SnapshotTable:
         does. Only top-level int/float/date/timestamp/short-string
         columns are kept; anything else (nested, binary,
         truncated-looking strings) is omitted, which pruning treats
-        conservatively. Parquet-only: orc/avro tables prune via hidden
-        partitioning alone."""
+        conservatively. Parquet reads footers on the driver; ORC (whose
+        pyarrow reader exposes no column statistics) computes the same
+        bounds as one distributed Spark aggregation over the committed
+        files — so ORC-backed tables prune identically to parquet
+        (reference contract: Iceberg manifests make pruning
+        format-independent, main/IcebergInputFormat.java:94-107). Avro
+        tables still prune via hidden partitioning alone."""
+        if self.file_format() == "orc":
+            return self._collect_file_stats_distributed(files_rel, "orc")
         if self.file_format() != "parquet":
             return {}
         try:
@@ -235,6 +242,112 @@ class SnapshotTable:
                 out[rel] = kept
         return out
 
+    def _collect_file_stats_distributed(
+        self, files_rel: list[str], fmt: str
+    ) -> dict[str, dict]:
+        """Writer-side column bounds for formats whose footers we can't
+        read on the driver: ONE distributed aggregation grouped by
+        `input_file_name()` over exactly this commit's files. Cost is a
+        second scan of the just-written data (real Iceberg writers fold
+        this into the write itself); the collect is O(files in this
+        commit) rows of bounds — metadata-sized, same class as the
+        parquet footer loop above. Emitted values use the identical
+        canonical forms the parquet path produces (ints/floats raw,
+        timestamps as fixed-width UTC strings, dates ISO) so
+        _conjunct_excludes_file needs no format awareness."""
+        if not files_rel:
+            return {}
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            ByteType,
+            DateType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        paths = [os.path.join(self.location, r) for r in files_rel]
+        try:
+            df = self.spark.read.format(fmt).load(paths)
+        except Exception:  # stats are an optimization, never required
+            return {}
+        kinds: dict[str, str] = {}
+        aggs = []
+        for field in df.schema.fields:
+            t, name = field.dataType, field.name
+            if isinstance(
+                t, (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+            ):
+                kinds[name] = "num"
+                lo, hi = F.min(F.col(name)), F.max(F.col(name))
+            elif isinstance(t, StringType):
+                kinds[name] = "str"
+                lo, hi = F.min(F.col(name)), F.max(F.col(name))
+            elif isinstance(t, DateType):
+                kinds[name] = "date"
+                lo, hi = F.min(F.col(name)), F.max(F.col(name))
+            elif isinstance(t, (TimestampType, TimestampNTZType)):
+                # aggregate epoch micros JVM-side: collect() conversion of
+                # timestamp values depends on driver-local settings, raw
+                # longs don't (session tz is UTC, ntz<->ltz cast identity)
+                kinds[name] = "ts"
+                lo = F.unix_micros(F.min(F.col(name)).cast("timestamp"))
+                hi = F.unix_micros(F.max(F.col(name)).cast("timestamp"))
+            else:
+                continue  # nested/binary/decimal/bool: no pruning stats
+            aggs += [lo.alias(f"__lo_{name}"), hi.alias(f"__hi_{name}")]
+        if not kinds:
+            return {}
+        rows = (
+            df.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()  # O(files in this commit) bound rows
+        )
+        from urllib.parse import unquote, urlparse
+
+        by_abs = {
+            os.path.abspath(os.path.join(self.location, r)): r for r in files_rel
+        }
+        out: dict[str, dict] = {}
+        for row in rows:
+            rel = by_abs.get(os.path.abspath(unquote(urlparse(row["__file"]).path)))
+            if rel is None:
+                continue
+            cols: dict[str, list] = {}
+            for name, kind in kinds.items():
+                mn, mx = row[f"__lo_{name}"], row[f"__hi_{name}"]
+                if mn is None or mx is None:
+                    continue
+                if kind == "ts":
+                    epoch = _dt.datetime(1970, 1, 1)
+                    mn = _fmt_ts(epoch + _dt.timedelta(microseconds=mn))
+                    mx = _fmt_ts(epoch + _dt.timedelta(microseconds=mx))
+                elif kind == "date":
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                elif kind == "str":
+                    # long strings risk truncation-semantics mismatches;
+                    # non-ASCII ones risk JVM-UTF16 vs Python-codepoint
+                    # collation drift — both conservative skips
+                    if (
+                        len(mn) > 60
+                        or len(mx) > 60
+                        or not mn.isascii()
+                        or not mx.isascii()
+                    ):
+                        continue
+                elif kind == "num" and isinstance(mn, float):
+                    if mn != mn or mx != mx:  # NaN bounds prove nothing
+                        continue
+                cols[name] = [mn, mx]
+            if cols:
+                out[rel] = cols
+        return out
+
     # -- commit lock (Iceberg-style serialized metadata swap) -------------
 
     def _acquire_lock(self) -> str:
@@ -289,10 +402,14 @@ class SnapshotTable:
         parquet (default), orc, or avro — mirroring the reference's
         per-file reader dispatch (IcebergReaderFactory.java:37-52; its
         ORC arm is a FIXME, here it is complete). Time travel, COW DML,
-        compaction, and rollback work identically on all three; min/max
-        file pruning needs parquet footers, so orc/avro tables prune
-        only via hidden partitioning (conservative: correctness never
-        depends on pruning). Avro tables use the pure-Python Avro codec
+        compaction, and rollback work identically on all three. Min/max
+        file pruning is format-independent for parquet (driver footer
+        reads) and ORC (one distributed stats aggregation per commit,
+        _collect_file_stats_distributed) — matching the reference, where
+        Iceberg manifests prune regardless of data format
+        (IcebergInputFormat.java:94-107); avro tables carry no stats and
+        never prune (conservative: correctness never depends on
+        pruning). Avro tables use the pure-Python Avro codec
         (`sources/avro_io.py`) and don't support hidden partitioning or
         rename evolution."""
         os.makedirs(os.path.join(location, "data"), exist_ok=True)

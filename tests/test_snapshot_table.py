@@ -313,9 +313,11 @@ def test_incremental_read_rejects_rewrite_range(spark, warehouse):
 # -- min/max file pruning (Iceberg manifest-pruning analog) ---------------
 
 
-def _three_range_appends(spark, warehouse, name="pruned"):
+def _three_range_appends(spark, warehouse, name="pruned", file_format="parquet"):
     """3 appends with disjoint id ranges, one file each → 3 prunable files."""
-    t = SnapshotTable.create(spark, os.path.join(warehouse, name))
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, name), file_format=file_format
+    )
     t.append(_simple_df(spark, [(i, f"lo{i}") for i in range(0, 10)]).coalesce(1))
     t.append(_simple_df(spark, [(i, f"mid{i}") for i in range(10, 20)]).coalesce(1))
     t.append(_simple_df(spark, [(i, f"hi{i}") for i in range(20, 30)]).coalesce(1))
@@ -333,6 +335,62 @@ def test_plan_files_prunes_by_min_max(spark, warehouse):
     assert len(t.plan_files("id = 100")) == 0
     # string stats prune too
     assert len(t.plan_files("data = 'mid12'")) == 1
+
+
+def test_plan_files_prunes_orc_by_min_max(spark, warehouse):
+    """ORC-backed tables prune EXACTLY like parquet (round-4; reference
+    contract: Iceberg manifest stats are format-independent,
+    IcebergInputFormat.java:94-107). ORC stats come from one distributed
+    aggregation per commit (_collect_file_stats_distributed), not
+    footers — same manifest shape, same evaluator."""
+    t = _three_range_appends(spark, warehouse, name="pruned_orc", file_format="orc")
+    assert len(t.plan_files()) == 3
+    assert len(t.plan_files("id < 10")) == 1
+    assert len(t.plan_files("id >= 20")) == 1
+    assert len(t.plan_files("id = 15")) == 1
+    assert len(t.plan_files("id <= 10")) == 2
+    assert len(t.plan_files("id > 9 AND id < 20")) == 1
+    assert len(t.plan_files("id = 100")) == 0
+    assert len(t.plan_files("data = 'mid12'")) == 1
+    # and pruning never changes results on the ORC table either
+    for where in ["id < 10", "id = 15", "data = 'hi21'", "id % 2 = 0"]:
+        pruned = {tuple(r) for r in t.scan_where(where).collect()}
+        full = {
+            tuple(r)
+            for r in t.scan(virtual_column="snapshot__id")
+            .filter(F.expr(where))
+            .collect()
+        }
+        assert pruned == full, where
+
+
+def test_orc_temporal_stats_prune(spark, warehouse):
+    """Timestamp bounds from the distributed ORC stats path use the same
+    canonical fixed-width strings as parquet footers, so temporal
+    predicates prune ORC files (ADVICE r2 regression area)."""
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "orc_ts"), file_format="orc"
+    )
+    for mo in (1, 2, 3):
+        t.append(
+            spark.sql(
+                f"SELECT id, timestamp'2024-0{mo}-15 12:00:00' + "
+                f"make_interval(0,0,0,0,0,0,id) AS ts FROM range(5)"
+            ).coalesce(1)
+        )
+    assert len(t.plan_files()) == 3
+    assert len(t.plan_files("ts < TIMESTAMP '2024-02-01'")) == 1
+    assert len(t.plan_files("ts >= TIMESTAMP '2024-03-01'")) == 1
+    assert (
+        len(
+            t.plan_files(
+                "ts >= TIMESTAMP '2024-02-01' AND ts < TIMESTAMP '2024-03-01'"
+            )
+        )
+        == 1
+    )
+    got = t.scan_where("ts < TIMESTAMP '2024-02-01'").count()
+    assert got == 5
 
 
 def test_pruning_never_changes_results(spark, warehouse):
