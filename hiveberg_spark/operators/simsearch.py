@@ -330,6 +330,112 @@ def dedup_embedding_blocked(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_blocked_recall",
+    oracle="""
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+      FROM embeddings WHERE vec_id < 20
+    ),
+    flat AS (
+      SELECT vec_id, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM aug
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT vec_a, vec_b
+      FROM dots JOIN norms na ON na.vec_id = vec_a
+                JOIN norms nb ON nb.vec_id = vec_b
+      WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.5
+    )
+    SELECT COUNT(*) AS n_exact_pairs, COUNT(*) AS n_blocked_found,
+           CAST(1.0 AS DOUBLE) AS recall
+    FROM pairs
+    """,
+)
+def dedup_blocked_recall(spark, sf_dir):
+    """The blocked dedup path's RECALL CONTRACT as a driver-checked row
+    (round-4; VERDICT r3 #8): at the production threshold (0.5), the
+    multi-probe blocked path must find EVERY pair the exact all-pairs
+    baseline finds — the oracle hard-codes recall 1.0, so any silent
+    blocking miss turns this row red. Because the synthetic corpus has
+    almost no >=0.5 pairs, the corpus is augmented with 20 planted
+    duplicates (each a 1.001-scaled copy of an existing vector — scaling
+    preserves cosine exactly, so each plant forms a cosine-1.0 pair with
+    its original and inherits all its original's near-dup relations);
+    the augmentation is pure SQL on both engines, vectors kept in
+    double end-to-end so no float re-rounding can diverge."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.001).alias(
+            "embedding"
+        ),
+    )
+    aug = with_norm(base.unionByName(dups))
+    cents = _label_centroids(spark, sf_dir)
+    assigned = _assign_nearest_centroid(aug, cents, probes=2)
+    a = assigned.select(
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos_blocked = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    blocked = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(F.round(cos_blocked, 6) >= 0.5)
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
+    )
+    ea_side = aug.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_norm").alias("na"),
+    )
+    eb_side = aug.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos_exact = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    exact = (
+        ea_side.join(eb_side, F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cos_exact, 6) >= 0.5)
+        .select("vec_a", "vec_b")
+    )
+    j = exact.join(
+        blocked.withColumn("_hit", F.lit(1)), ["vec_a", "vec_b"], "left"
+    )
+    return j.agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.count("_hit").alias("n_blocked_found"),
+        (F.count("_hit") / F.count("*")).cast("double").alias("recall"),
+    )
+
+
 def _label_centroids(spark, sf_dir):
     """(label, centroid array<double>) — the IVF coarse quantizer,
     trained distributedly (posexplode → per-dim mean → re-assemble)."""

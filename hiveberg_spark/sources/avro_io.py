@@ -385,34 +385,61 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
     return sum(r.n_records for r in stats)
 
 
-def _decode_batches(batches):
-    """mapInPandas worker: binaryFile content column → decoded rows."""
-    import pandas as pd
-
-    for pdf in batches:
-        for content in pdf["content"]:
-            fspec, rows = _decode_file(bytes(content))
-            data: dict = {}
-            for i, s in enumerate(fspec):
-                col = [r[i] for r in rows]
-                if s["logical"] == "timestamp-micros":
-                    data[s["name"]] = pd.to_datetime(col, unit="us")
-                elif s["logical"] == "date":
-                    data[s["name"]] = pd.Series(
-                        pd.to_datetime(col, unit="D").date, dtype=object
-                    )
-                else:
-                    data[s["name"]] = pd.Series(col, dtype=object)
-            yield pd.DataFrame(data, columns=[s["name"] for s in fspec])
+def _resolve_renamed(names: list[str], renames: list[dict]) -> list[str]:
+    """Map a file's written column names to CURRENT names through the
+    table's rename log, applied in log order (the same name-mapping walk
+    the parquet path does in snapshot_table._apply_renames — Iceberg
+    resolves this via field-ids, IcebergReaderFactory.java:54-65; the
+    log is our field-id-free equivalent)."""
+    out = list(names)
+    for r in renames:
+        out = [r["to"] if n == r["from"] else n for n in out]
+    return out
 
 
-def _read_avro_listing(spark: SparkSession, load_target, schema_file: str):
+def _make_decoder(renames: list[dict]):
+    """mapInPandas worker: binaryFile content column → decoded rows,
+    per-file header names resolved through the rename log so pre- and
+    post-rename files surface one current-name schema."""
+
+    def _decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                fspec, rows = _decode_file(bytes(content))
+                names = _resolve_renamed([s["name"] for s in fspec], renames)
+                data: dict = {}
+                for i, s in enumerate(fspec):
+                    col = [r[i] for r in rows]
+                    if s["logical"] == "timestamp-micros":
+                        data[names[i]] = pd.to_datetime(col, unit="us")
+                    elif s["logical"] == "date":
+                        data[names[i]] = pd.Series(
+                            pd.to_datetime(col, unit="D").date, dtype=object
+                        )
+                    else:
+                        data[names[i]] = pd.Series(col, dtype=object)
+                yield pd.DataFrame(data, columns=names)
+
+    return _decode_batches
+
+
+def _read_avro_listing(
+    spark: SparkSession,
+    load_target,
+    schema_file: str,
+    renames: list[dict] | None = None,
+):
+    renames = renames or []
     with open(schema_file, "rb") as f:
         head = f.read(64 * 1024)
     spec, _, _, _ = _parse_header(head)
+    for s, name in zip(spec, _resolve_renamed([s["name"] for s in spec], renames)):
+        s["name"] = name  # out schema carries CURRENT names
     out_schema = _spec_to_spark_schema(spec)
     binary = spark.read.format("binaryFile").load(load_target)
-    return binary.select("content").mapInPandas(_decode_batches, out_schema)
+    return binary.select("content").mapInPandas(_make_decoder(renames), out_schema)
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
@@ -427,11 +454,14 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_avro_files(spark: SparkSession, files: list[str]) -> DataFrame:
+def read_avro_files(
+    spark: SparkSession, files: list[str], renames: list[dict] | None = None
+) -> DataFrame:
     """Read an EXPLICIT list of Avro container files (the snapshot
-    table's planned-file-list scan path). All files must share one
-    writer schema — the snapshot layer guarantees this by rejecting
-    rename evolution on avro-backed tables."""
+    table's planned-file-list scan path). Files written under different
+    generations of a renamed schema are resolved to current names
+    through `renames` (list of {"from","to"} in log order); types must
+    agree — only names evolve."""
     if not files:
         raise ValueError("read_avro_files: empty file list")
-    return _read_avro_listing(spark, list(files), files[0])
+    return _read_avro_listing(spark, list(files), files[0], renames)

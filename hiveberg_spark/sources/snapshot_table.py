@@ -883,12 +883,10 @@ class SnapshotTable:
         before the rename are resolved through the mapping at scan time
         (Iceberg achieves this with field-ids, IcebergSerDe.java:60-62;
         this is the field-id-free equivalent, valid while old names are
-        not reused)."""
-        if self.file_format() == "avro":
-            raise ValueError(
-                "rename evolution is not supported on avro-backed tables "
-                "(the codec reads every file through one header schema)"
-            )
+        not reused). Works on every data format: parquet/ORC resolve via
+        mergeSchema + coalesce at scan, avro resolves each file's header
+        names through the log inside the decoder
+        (avro_io._resolve_renamed)."""
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()
@@ -1268,9 +1266,10 @@ class SnapshotTable:
         if fmt == "avro":
             from hiveberg_spark.sources.avro_io import read_avro_files
 
-            # rename evolution is rejected at rename_column time for
-            # avro tables, so no mapping needs resolving here
-            return read_avro_files(self.spark, files)
+            # each file's header names resolve through the rename log in
+            # the decoder, so no post-read coalesce is needed (one avro
+            # file never carries both generations of a name)
+            return read_avro_files(self.spark, files, renames)
         reader = self.spark.read
         if renames:
             # pre- and post-rename files differ in column names; merge
