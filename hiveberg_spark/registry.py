@@ -52,83 +52,81 @@ def load_all() -> None:
 
 
 # The grading driver hard-checks the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round.  Rounds 1-2 verified the
-# relational core plus the signature/extension surface (98 distinct
-# queries, CORRECTNESS_r01/r02).  Round 3 rotates the 50 of the 56
-# never-driver-checked queries to the front; the 6 deferred to round 4
-# are listed in DEFERRED_TO_NEXT_WINDOW (1 rows-only, 1 streaming
-# source, 4 trivially-green pipeline transforms — the riskiest
-# never-checked queries all go in THIS window so failures surface
-# early).
+# ``__spark_entry__.queries()`` per round.  Rounds 1-3 verified 148 of
+# the then-157 queries (CORRECTNESS_r01/r02/r03).  Round 4's window:
+# (a) the full streaming surface — four operators were silently broken
+# by the events fixture's nanos→micros drift and are now repaired with
+# schema-adaptive source + ts-derived oracle columns, so re-proving
+# them is the top priority; (b) every never-driver-checked query (the
+# 6 round-3 deferrals, the 3 round-3 additions, and the 3 new round-4
+# queries: ORC min/max pruning, avro rename evolution, blocked-dedup
+# recall); (c) the batch events queries (same fixture drift, dtype-
+# guarded — prove it); (d) the high-churn snapshot layer re-checks
+# (commit/stats/rename paths were modified this round).  After this
+# window every registered query has a CORRECTNESS row in some round.
 DRIVER_WINDOW: list[str] = [
-    # §2.7 snapshot layer: SQL time travel, maintenance, pruning,
-    # hidden partitioning, copy-on-write DML, rollback (sql_surface)
-    "timetravel_sql_version_as_of",
-    "snapshot_maintenance_ops",
+    # §2.9 streaming — repaired after the timestamp[us] fixture drift
+    "stream_tumbling_counts",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    "stream_stream_join",
+    "stream_dedup",
+    "stream_stateful_user_stats",
+    "stream_sink_snapshot_table",
+    "stream_snapshot_table_source",
+    # never driver-checked (r3 deferrals + r3/r4 additions)
+    "snapshot_format_dispatch",
+    "snapshot_type_battery",
+    "snapshot_dml_prune_compose",
+    "snapshot_orc_prune",
+    "snapshot_avro_rename_evolution",
+    "dedup_blocked_recall",
+    "simsearch_sq8_rerank",  # rows-only by design (no oracle)
+    "text_redact_numbers",
+    "doc_chunking",
+    "sample_per_stratum_cap",
+    "sample_stratified_split",
+    # fixed in r3 but never re-driver-checked / newly non-empty
+    "text_corpus_stats",
+    "dedup_embedding_blocked",  # rows-only; must show spark_rows > 0
+    # batch events queries after the fixture drift (dtype guard path)
+    "events_hourly_rollup",
+    "asof_join_events",
+    # §2.7 snapshot layer spot re-checks (commit/stats/rename code
+    # churned this round: ORC stats job, avro rename, distributed plan)
     "snapshot_minmax_prune",
     "snapshot_hidden_partitioning",
+    "snapshot_rename_evolution",
+    "snapshot_schema_evolution",
     "snapshot_delete_where",
     "snapshot_update_where",
     "snapshot_merge_upsert",
     "snapshot_sql_dml",
     "snapshot_rollback",
-    # subqueries
-    "subquery_scalar",
-    "subquery_correlated_exists",
-    "subquery_in_notin",
-    # TPC-H shapes never in a window (tpch_extra)
-    "q2_min_cost_per_brand",
-    "q7_volume_by_nation_pair",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_delay_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_cnt_excl",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_or_of_ands",
-    "q20_nested_in_chain",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "batch_sessionize",
-    # formats / sinks
-    "format_orc_roundtrip",
-    "format_csv_roundtrip",
-    "format_json_roundtrip",
-    "format_avro_roundtrip",
-    "partitioned_write_prune",
+    "snapshot_maintenance_ops",
     "snapshot_write_append",
-    # scalar families (§2.8)
-    "scalar_math_funcs",
-    "scalar_conditional",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "scalar_map_funcs",
-    "explode_posexplode",
-    # windows / sketches stragglers
-    "window_ignore_nulls",
-    "sketch_hll_partitioned_merge",
-    # LLM pipeline ops (§2.11)
+    "timetravel_sql_version_as_of",
+    "format_avro_roundtrip",
+    "format_orc_roundtrip",
+    # timetravel core (signature surface, adjacent to churned code)
+    "timetravel_current",
+    "timetravel_as_of_1",
+    "timetravel_as_of_timestamp",
+    "timetravel_where_shim",
+    "timetravel_isolation",
+    "snapshots_metadata_table",
+    "virtual_column_rename",
+    "empty_table_scan",
+    "timetravel_sql_surface",
+    "timetravel_incremental_read",
+    # remaining spot checks
+    "partitioned_write_prune",
+    "dedup_minhash_lsh",
     "dedup_cluster_pick",
-    "token_budget_packing",
-    "text_zipf_rank",
-    "storage_zorder_locality",
-    "decontaminate_ngram_overlap",
-    "text_repetition_filter",
-    "sample_temperature_mixture",
 ]
 
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    "simsearch_sq8_rerank",  # rows-only by design (no oracle)
-    "stream_snapshot_table_source",
-    "text_redact_numbers",
-    "doc_chunking",
-    "sample_per_stratum_cap",
-    "sample_stratified_split",
-]
+# Round 4 clears the backlog: nothing deferred.
+DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
 def window_ordered(mapping: dict[str, object]) -> dict[str, object]:

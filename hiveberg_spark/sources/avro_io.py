@@ -330,59 +330,194 @@ def _decode_file(data: bytes) -> tuple[list[dict], list[list]]:
     return spec, rows
 
 
-def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
-    """Write `df` as Avro container files, one per partition (distributed
-    via mapInArrow; the driver only collects (file, n_records) rows).
-    Returns the total record count written.
+class _ColStats:
+    """Running per-column min/max tracked DURING the encode loop — the
+    writer-side bounds real Iceberg writers record in manifests
+    (lower_bounds/upper_bounds), at O(1) comparisons per value on rows
+    the writer is already iterating. Finalized values use the snapshot
+    layer's canonical forms (ints/floats raw, timestamps as fixed-width
+    UTC strings, dates ISO, short ASCII strings only) so the pruning
+    evaluator needs no format awareness."""
+
+    def __init__(self, spec: list[dict]):
+        self.lo: dict[str, object] = {}
+        self.hi: dict[str, object] = {}
+        self.spec = spec
+
+    def update(self, row) -> None:
+        for v, s in zip(row, self.spec):
+            if v is None or v != v:  # null / NaN: proves nothing
+                continue
+            name, t, logical = s["name"], s["type"], s["logical"]
+            if logical == "timestamp-micros":
+                import pandas as pd
+
+                v = pd.Timestamp(v).value // 1_000  # canonicalized at close
+            elif logical == "date":
+                v = v.isoformat()
+            elif logical == "decimal" or t in ("boolean", "bytes"):
+                continue
+            elif t == "string":
+                v = str(v)
+            cur = self.lo.get(name)
+            if cur is None or v < cur:
+                self.lo[name] = v
+            cur = self.hi.get(name)
+            if cur is None or v > cur:
+                self.hi[name] = v
+
+    def finalize(self) -> dict:
+        import datetime as _sdt
+
+        out = {}
+        for s in self.spec:
+            name = s["name"]
+            if name not in self.lo:
+                continue
+            mn, mx = self.lo[name], self.hi[name]
+            if s["logical"] == "timestamp-micros":
+                epoch = _sdt.datetime(1970, 1, 1)
+                mn = (epoch + _sdt.timedelta(microseconds=mn)).strftime(
+                    "%Y-%m-%d %H:%M:%S.%f"
+                )
+                mx = (epoch + _sdt.timedelta(microseconds=mx)).strftime(
+                    "%Y-%m-%d %H:%M:%S.%f"
+                )
+            elif s["type"] == "string" and s["logical"] is None:
+                if (
+                    len(mn) > 60
+                    or len(mx) > 60
+                    or not mn.isascii()
+                    or not mx.isascii()
+                ):
+                    continue
+            out[name] = [mn, mx]
+        return out
+
+
+def _partition_dir(names: list[str], values: tuple) -> str:
+    """`_p_x=v/...` relative directory for one partition-value combo —
+    the same layout (and the same `__HIVE_DEFAULT_PARTITION__` null
+    convention) Spark's partitionBy produces, so the snapshot layer's
+    path-parsing and bucket pruning treat avro files identically."""
+    comps = []
+    for n, v in zip(names, values):
+        if v is None:
+            sv = "__HIVE_DEFAULT_PARTITION__"
+        elif hasattr(v, "isoformat"):
+            sv = v.isoformat()
+        else:
+            sv = str(v)
+        comps.append(f"{n}={sv}")
+    return os.path.join(*comps) if comps else ""
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    partition_cols: list[str] | None = None,
+    return_stats: bool = False,
+):
+    """Write `df` as Avro container files, one per task (distributed via
+    mapInArrow; the driver only collects per-file (path, n_records,
+    stats-json) rows — O(files), metadata-sized). Returns the total
+    record count, or (count, {abs_path: {col: [min, max]}}) when
+    `return_stats` is set.
+
+    `partition_cols` (hidden-partition helper columns already computed
+    on `df`, `_p_*` names) cluster rows into `_p_x=v/` directories with
+    one file per distinct combo per task; the columns live only in
+    directory names, never in file data — Iceberg PartitionSpec
+    semantics, mirroring what partitionBy does for parquet/ORC.
 
     Arrow batches, not pandas: a nullable long column round-tripped
     through pandas arrives as float64, which corrupts integers above
     2^53 and makes null detection ride on NaN semantics (ADVICE r2);
     `to_pylist()` on the Arrow column yields exact ints and real
     None."""
-    spec = _schema_to_spec(df.schema)
+    pcols = list(partition_cols or [])
+    data_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in pcols]
+    )
+    spec = _schema_to_spec(data_schema)
     schema_json = json.dumps(_spec_to_avro_schema(spec))
     os.makedirs(path, exist_ok=True)
+    if pcols:
+        # cluster: each partition-value combo concentrates in one task
+        # (hash repartition on the combo), so file count stays
+        # O(distinct combos), not O(combos × tasks)
+        df = df.repartition(*pcols)
 
     def encode(batches):
         import pyarrow as pa
 
         sync = os.urandom(SYNC_SIZE)
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
-        f, wrote = None, 0
+        # one open container per partition-value combo seen by this task
+        handles: dict[tuple, tuple] = {}  # combo -> (file, fname, stats)
+        wrote: dict[tuple, int] = {}
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            if f is None:
-                f = open(fname, "wb")
-                _write_header(f, schema_json, codec, sync)
-            buf = bytearray()
             by_name = {
                 n: batch.column(i).to_pylist()
                 for i, n in enumerate(batch.schema.names)
             }
             cols = [by_name[s["name"]] for s in spec]
-            for row in zip(*cols):
-                for v, s in zip(row, spec):
-                    if s["nullable"]:
-                        if _is_null(v):
-                            _append_long(buf, 0)
-                            continue
-                        _append_long(buf, 1)
-                    _encode_value(buf, v, s)
-            _write_block(f, buf, batch.num_rows, codec, sync)
-            wrote += batch.num_rows
-        if f is not None:
-            f.close()
+            pvals = [by_name[p] for p in pcols]
+            groups: dict[tuple, list[int]] = {}
+            if pcols:
+                for i, combo in enumerate(zip(*pvals)):
+                    groups.setdefault(combo, []).append(i)
+            else:
+                groups[()] = list(range(batch.num_rows))
+            for combo, idxs in groups.items():
+                if combo not in handles:
+                    d = os.path.join(path, _partition_dir(pcols, combo))
+                    os.makedirs(d, exist_ok=True)
+                    fname = os.path.join(d, f"part-{uuid.uuid4().hex}.avro")
+                    fh = open(fname, "wb")
+                    _write_header(fh, schema_json, codec, sync)
+                    handles[combo] = (fh, fname, _ColStats(spec))
+                    wrote[combo] = 0
+                fh, _, stats = handles[combo]
+                buf = bytearray()
+                for i in idxs:
+                    row = tuple(c[i] for c in cols)
+                    stats.update(row)
+                    for v, s in zip(row, spec):
+                        if s["nullable"]:
+                            if _is_null(v):
+                                _append_long(buf, 0)
+                                continue
+                            _append_long(buf, 1)
+                        _encode_value(buf, v, s)
+                _write_block(fh, buf, len(idxs), codec, sync)
+                wrote[combo] += len(idxs)
+        for combo, (fh, fname, stats) in handles.items():
+            fh.close()
             yield pa.RecordBatch.from_pydict(
-                {"file": [fname], "n_records": [wrote]},
+                {
+                    "file": [fname],
+                    "n_records": [wrote[combo]],
+                    "stats": [json.dumps(stats.finalize())],
+                },
                 schema=pa.schema(
-                    [("file", pa.string()), ("n_records", pa.int64())]
+                    [
+                        ("file", pa.string()),
+                        ("n_records", pa.int64()),
+                        ("stats", pa.string()),
+                    ]
                 ),
             )
 
-    stats = df.mapInArrow(encode, "file string, n_records long").collect()
-    return sum(r.n_records for r in stats)
+    rows = df.mapInArrow(
+        encode, "file string, n_records long, stats string"
+    ).collect()
+    total = sum(r.n_records for r in rows)
+    if return_stats:
+        return total, {r.file: json.loads(r.stats) for r in rows if r.stats}
+    return total
 
 
 def _resolve_renamed(names: list[str], renames: list[dict]) -> list[str]:

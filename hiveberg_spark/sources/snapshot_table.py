@@ -162,7 +162,9 @@ class SnapshotTable:
         files — so ORC-backed tables prune identically to parquet
         (reference contract: Iceberg manifests make pruning
         format-independent, main/IcebergInputFormat.java:94-107). Avro
-        tables still prune via hidden partitioning alone."""
+        bounds never reach here: the pure-Python encoder tracks them
+        inside the write loop (avro_io._ColStats) and _commit records
+        them directly."""
         if self.file_format() == "orc":
             return self._collect_file_stats_distributed(files_rel, "orc")
         if self.file_format() != "parquet":
@@ -402,16 +404,13 @@ class SnapshotTable:
         parquet (default), orc, or avro — mirroring the reference's
         per-file reader dispatch (IcebergReaderFactory.java:37-52; its
         ORC arm is a FIXME, here it is complete). Time travel, COW DML,
-        compaction, and rollback work identically on all three. Min/max
-        file pruning is format-independent for parquet (driver footer
-        reads) and ORC (one distributed stats aggregation per commit,
-        _collect_file_stats_distributed) — matching the reference, where
-        Iceberg manifests prune regardless of data format
-        (IcebergInputFormat.java:94-107); avro tables carry no stats and
-        never prune (conservative: correctness never depends on
-        pruning). Avro tables use the pure-Python Avro codec
-        (`sources/avro_io.py`) and don't support hidden partitioning or
-        rename evolution."""
+        compaction, rollback, hidden partitioning, rename evolution, and
+        min/max file pruning work identically on all three — matching
+        the reference, where Iceberg manifests make all of this
+        format-independent (IcebergInputFormat.java:94-107). Bounds come
+        from parquet footers (driver reads), an ORC distributed stats
+        aggregation (_collect_file_stats_distributed), or the avro
+        encode loop itself (writer-side, avro_io._ColStats)."""
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
         table = cls(spark, location)
@@ -423,10 +422,6 @@ class SnapshotTable:
                     raise ValueError(f"unknown partition transform: {t[0]}")
             if file_format not in ("parquet", "orc", "avro"):
                 raise ValueError(f"unsupported file_format: {file_format}")
-            if file_format == "avro" and partition_spec:
-                raise ValueError(
-                    "avro-backed tables do not support hidden partitioning"
-                )
             table._write_meta(
                 {
                     "format_version": 2,
@@ -726,12 +721,23 @@ class SnapshotTable:
         spec = [tuple(t) for t in pre_meta.get("partition_spec") or []]
         fmt = pre_meta.get("file_format", "parquet")
         pnames = []
+        avro_stats_abs: dict[str, dict] = {}
         if fmt == "avro":
-            # pure-Python Avro codec (no partitionBy: create() rejects a
-            # spec on avro tables); returns the record count directly
+            # pure-Python Avro codec: hidden-partition helper columns are
+            # computed here exactly like the parquet/ORC branch, the
+            # codec clusters files into the same `_p_x=v/` layout, and
+            # per-file min/max stats are tracked inside the encode loop
+            # (writer-side bounds, no second scan)
             from hiveberg_spark.sources.avro_io import write_avro
 
-            n_records = write_avro(df, data_dir)
+            writer = df
+            for tr in spec:
+                name = _pfield_name(tr)
+                writer = writer.withColumn(name, _transform_expr(tr, user_schema))
+                pnames.append(name)
+            n_records, avro_stats_abs = write_avro(
+                writer, data_dir, partition_cols=pnames, return_stats=True
+            )
             files, partitions = self._list_data_files(data_dir, commit_uuid)
         else:
             writer = df
@@ -759,7 +765,15 @@ class SnapshotTable:
                 if files
                 else 0  # all parts were 0-row (e.g. a delete emptied them)
             )
-        stats = self._collect_file_stats(files)  # footer min/max, outside lock
+        if fmt == "avro":
+            # writer-collected bounds, re-keyed to location-relative paths
+            stats = {
+                os.path.relpath(p, self.location): s
+                for p, s in avro_stats_abs.items()
+                if s
+            }
+        else:
+            stats = self._collect_file_stats(files)  # footer min/max, outside lock
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()  # fresh read under lock (CAS-equivalent)

@@ -861,14 +861,67 @@ def test_format_dispatch_snapshot_lifecycle(spark, warehouse, fmt):
     assert t.scan(snapshot_id=2).count() == 4
 
 
-def test_avro_table_rejects_hidden_partitioning(spark, warehouse):
-    with pytest.raises(ValueError, match="hidden partitioning"):
-        SnapshotTable.create(
-            spark,
-            os.path.join(warehouse, "avro_part"),
-            partition_spec=[("bucket", "id", 4)],
-            file_format="avro",
+def test_avro_table_hidden_partition_pruning(spark, warehouse):
+    """Avro hidden partitioning (round-4): the codec clusters files into
+    the same `_p_x=v/` layout partitionBy produces for parquet/ORC, so
+    bucket pruning on the source column works format-independently."""
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "avro_part"),
+        partition_spec=[("bucket", "id", 4)],
+        file_format="avro",
+    )
+    t.append(_simple_df(spark, [(i, f"r{i}") for i in range(40)]))
+    all_files = t.plan_files()
+    pruned = t.plan_files("id = 7")
+    assert len(pruned) < len(all_files)
+    assert t.scan_where("id = 7").count() == 1
+    # every row surfaces exactly once despite the partition-dir layout
+    assert sorted(r.id for r in t.scan().collect()) == list(range(40))
+
+
+def test_avro_minmax_stats_prune(spark, warehouse):
+    """Avro min/max pruning from writer-side bounds (round-4): stats are
+    tracked inside the encode loop — no second scan, no footer read —
+    and the evaluator prunes identically to parquet/ORC."""
+    t = _three_range_appends(
+        spark, warehouse, name="pruned_avro", file_format="avro"
+    )
+    assert len(t.plan_files()) == 3
+    assert len(t.plan_files("id < 10")) == 1
+    assert len(t.plan_files("id >= 20")) == 1
+    assert len(t.plan_files("id = 15")) == 1
+    assert len(t.plan_files("id = 100")) == 0
+    assert len(t.plan_files("data = 'mid12'")) == 1
+    for where in ["id < 10", "id = 15", "data = 'hi21'", "id % 2 = 0"]:
+        pruned_rows = {tuple(r) for r in t.scan_where(where).collect()}
+        full = {
+            tuple(r)
+            for r in t.scan(virtual_column="snapshot__id")
+            .filter(F.expr(where))
+            .collect()
+        }
+        assert pruned_rows == full, where
+
+
+def test_avro_temporal_stats_prune(spark, warehouse):
+    """Timestamp bounds from the avro encode loop canonicalize to the
+    same fixed-width UTC strings as parquet footers → temporal
+    predicates prune avro files too."""
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "avro_ts"), file_format="avro"
+    )
+    for mo in (1, 2, 3):
+        t.append(
+            spark.sql(
+                f"SELECT id, timestamp'2024-0{mo}-15 12:00:00' + "
+                f"make_interval(0,0,0,0,0,0,id) AS ts FROM range(5)"
+            ).coalesce(1)
         )
+    assert len(t.plan_files()) == 3
+    assert len(t.plan_files("ts < TIMESTAMP '2024-02-01'")) == 1
+    assert len(t.plan_files("ts >= TIMESTAMP '2024-03-01'")) == 1
+    assert t.scan_where("ts < TIMESTAMP '2024-02-01'").count() == 5
 
 
 def test_avro_rename_column_resolves_old_files(spark, warehouse):
