@@ -221,6 +221,51 @@ def snapshot_avro_rename_evolution(spark, sf_dir):
 
 
 @query(
+    "snapshot_avro_prune",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, TRUE AS files_pruned
+    FROM nation WHERE n_nationkey < 8
+    """,
+)
+def snapshot_avro_prune(spark, sf_dir):
+    """Min/max file pruning on an AVRO-backed snapshot table (round-4):
+    bounds are tracked inside the pure-Python encode loop at write time
+    (avro_io._ColStats — the writer-side stats real Iceberg writers
+    record, zero extra scans) and evaluated by the same
+    format-unaware conjunct evaluator as parquet footers. Completes the
+    format-independence contract (IcebergInputFormat.java:94-107)
+    alongside snapshot_orc_prune."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_avro_pruned")
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    nation = load_table(spark, sf_dir, "nation").select(*cols)
+
+    def builder(table):
+        table.append(nation.filter("n_nationkey < 8").coalesce(1))
+        table.append(
+            nation.filter("n_nationkey >= 8 AND n_nationkey < 17").coalesce(1)
+        )
+        table.append(nation.filter("n_nationkey >= 17").coalesce(1))
+
+    with _lock:
+        t = build_once(spark, loc, builder, file_format="avro")
+    where = "n_nationkey < 8"
+    pruned = len(t.plan_files(where)) < len(t.plan_files())
+    return (
+        t.scan_where(where, virtual_column=None)
+        .select(*cols)
+        .withColumn("files_pruned", F.lit(bool(pruned)))
+    )
+
+
+@query(
     "snapshot_hidden_partitioning",
     oracle="""
     SELECT s_suppkey, s_name, s_nationkey, TRUE AS files_pruned
