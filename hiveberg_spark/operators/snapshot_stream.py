@@ -37,6 +37,13 @@ def stream_snapshot_table_source(spark, sf_dir):
     (file-source tracking), so the streaming aggregate over the full
     backlog equals the batch GROUP BY over the final table contents."""
     t = _ensure_fixture(spark, sf_dir)  # append-only by construction
+    # the file-source subscription globs *.parquet: valid because this
+    # table is parquet-only; a mixed-format table (round-4
+    # set_file_format) would need one stream per format union'd — guard
+    # so the miss could never be silent
+    assert all(f.endswith(".parquet") for f in t.plan_files()), (
+        "snapshot streaming source requires a parquet-only table"
+    )
     schema = t.schema()
     raw = (
         spark.readStream.schema(schema)

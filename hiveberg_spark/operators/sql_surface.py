@@ -266,6 +266,46 @@ def snapshot_avro_prune(spark, sf_dir):
 
 
 @query(
+    "snapshot_mixed_formats",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(3 AS BIGINT) AS snapshot__id
+    FROM nation
+    """,
+)
+def snapshot_mixed_formats(spark, sf_dir):
+    """ONE snapshot table mixing parquet, avro, and ORC data files
+    (round-4): Iceberg records the file format per DataFile and the
+    reference dispatches a reader per file
+    (IcebergReaderFactory.java:37-52); here the manifest extension is
+    that record, set_file_format changes only the default WRITE format,
+    and the scan unions the per-format groups by name. Three appends in
+    three formats must surface all 25 nations exactly once."""
+    import os
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_mixed_formats")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def builder(table):
+        table.append(nation.filter("n_nationkey < 8"))  # parquet
+        table.set_file_format("avro")
+        table.append(nation.filter("n_nationkey >= 8 AND n_nationkey < 17"))
+        table.set_file_format("orc")
+        table.append(nation.filter("n_nationkey >= 17"))
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan().select(
+        "n_nationkey", "n_name", "n_regionkey", "snapshot__id"
+    )
+
+
+@query(
     "snapshot_hidden_partitioning",
     oracle="""
     SELECT s_suppkey, s_name, s_nationkey, TRUE AS files_pruned

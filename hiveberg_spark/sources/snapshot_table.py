@@ -69,7 +69,7 @@ SNAPSHOTS_SUFFIX = "__snapshots"  # TableResolverUtil.java:39
 FILES_SUFFIX = "__files"  # beyond reference: Iceberg's `files` metadata table
 
 _FILES_SCHEMA = (
-    "file_path string, added_snapshot_id long, "
+    "file_path string, file_format string, added_snapshot_id long, "
     "partition map<string,string>, "
     "lower_bounds map<string,string>, upper_bounds map<string,string>"
 )
@@ -148,7 +148,9 @@ class SnapshotTable:
         parts = m.get("partitions", {})
         return [(f, stats.get(f, {}), parts.get(f, {})) for f in m["files"]]
 
-    def _collect_file_stats(self, files_rel: list[str]) -> dict[str, dict]:
+    def _collect_file_stats(
+        self, files_rel: list[str], fmt: str | None = None
+    ) -> dict[str, dict]:
         """Per-file column min/max from the parquet footers, the stats
         Iceberg writers carry in manifests (lower_bounds/upper_bounds)
         to prune files at plan time. Driver cost is O(files in THIS
@@ -164,10 +166,13 @@ class SnapshotTable:
         format-independent, main/IcebergInputFormat.java:94-107). Avro
         bounds never reach here: the pure-Python encoder tracks them
         inside the write loop (avro_io._ColStats) and _commit records
-        them directly."""
-        if self.file_format() == "orc":
+        them directly. `fmt` is the format THIS batch of files was
+        written in (callers inside _commit know it; defaults to the
+        table's current write format)."""
+        fmt = fmt or self.file_format()
+        if fmt == "orc":
             return self._collect_file_stats_distributed(files_rel, "orc")
-        if self.file_format() != "parquet":
+        if fmt != "parquet":
             return {}
         try:
             import pyarrow.parquet as pq
@@ -436,9 +441,31 @@ class SnapshotTable:
         return table
 
     def file_format(self) -> str:
-        """The table's data-file format (parquet for pre-format-dispatch
-        tables whose metadata lacks the key)."""
+        """The table's default WRITE format (parquet for
+        pre-format-dispatch tables whose metadata lacks the key). Reads
+        dispatch per file on the extension recorded in the manifest
+        (_read_data_files), so live files in older formats keep working
+        after set_file_format."""
         return self._read_meta().get("file_format", "parquet")
+
+    def set_file_format(self, file_format: str) -> None:
+        """Change the table's default write format — Iceberg's
+        `write.format.default` property. Existing data files are NOT
+        rewritten: subsequent commits write the new format and the scan
+        dispatches per file (IcebergReaderFactory semantics, where the
+        format is a per-DataFile attribute). Full migration without a
+        read gap = set_file_format(...) then compact() — the compaction
+        rewrite lands in the new format while every historical snapshot
+        stays readable in its original files."""
+        if file_format not in ("parquet", "orc", "avro"):
+            raise ValueError(f"unsupported file_format: {file_format}")
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            meta["file_format"] = file_format
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
 
     @classmethod
     def load(cls, spark: SparkSession, location: str) -> "SnapshotTable":
@@ -738,7 +765,7 @@ class SnapshotTable:
             n_records, avro_stats_abs = write_avro(
                 writer, data_dir, partition_cols=pnames, return_stats=True
             )
-            files, partitions = self._list_data_files(data_dir, commit_uuid)
+            files, partitions = self._list_data_files(data_dir, commit_uuid, fmt)
         else:
             writer = df
             if spec:
@@ -759,7 +786,7 @@ class SnapshotTable:
                 writer.write.mode("overwrite").format(fmt).save(data_dir)
             # location-relative paths: the table stays valid under
             # rename/move (atomic build-then-rename fixtures depend on it)
-            files, partitions = self._list_data_files(data_dir, commit_uuid)
+            files, partitions = self._list_data_files(data_dir, commit_uuid, fmt)
             n_records = (
                 int(self.spark.read.format(fmt).load(data_dir).count())
                 if files
@@ -773,7 +800,10 @@ class SnapshotTable:
                 if s
             }
         else:
-            stats = self._collect_file_stats(files)  # footer min/max, outside lock
+            # footer min/max, outside lock; fmt pinned to what THIS
+            # commit wrote (set_file_format may change the default
+            # concurrently)
+            stats = self._collect_file_stats(files, fmt)
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()  # fresh read under lock (CAS-equivalent)
@@ -838,7 +868,7 @@ class SnapshotTable:
         return snap_id
 
     def _list_data_files(
-        self, data_dir: str, commit_uuid: str
+        self, data_dir: str, commit_uuid: str, fmt: str | None = None
     ) -> tuple[list[str], dict[str, dict]]:
         """Recursive data-file listing (partitioned writes nest files
         under `_p_x=v/` dirs) + per-file partition values parsed from
@@ -846,8 +876,9 @@ class SnapshotTable:
         Dispatches on the table's file format; 0-row parts (e.g. a
         delete emptied a file) are dropped so they are never manifested
         (avro needs no check — the codec only creates a file for
-        non-empty partitions)."""
-        fmt = self.file_format()
+        non-empty partitions). `fmt` is the format this commit wrote
+        (defaults to the table's current write format)."""
+        fmt = fmt or self.file_format()
         ext = "." + fmt
         files: list[str] = []
         partitions: dict[str, dict] = {}
@@ -1270,27 +1301,42 @@ class SnapshotTable:
     def _read_data_files(
         self, files: list[str], renames: list[dict]
     ) -> DataFrame:
-        """Format-dispatched read of an explicit data-file list (the
-        reference's per-file reader dispatch,
-        IcebergReaderFactory.java:37-52). Parquet/ORC go through Spark's
-        vectorized readers (mergeSchema when pre- and post-rename files
-        coexist); Avro through the pure-Python codec's file-parallel
-        binaryFile path."""
-        fmt = self.file_format()
-        if fmt == "avro":
-            from hiveberg_spark.sources.avro_io import read_avro_files
+        """PER-FILE format-dispatched read of an explicit data-file list
+        (the reference's per-file reader dispatch,
+        IcebergReaderFactory.java:37-52 — Iceberg records the format on
+        each DataFile, so ONE table may mix parquet, ORC, and Avro data
+        files; here the extension is that record). Parquet/ORC go
+        through Spark's vectorized readers (mergeSchema when pre- and
+        post-rename files coexist); Avro through the pure-Python codec's
+        file-parallel binaryFile path. Groups are unioned by name with
+        missing columns null-filled, so schema evolution (add-column,
+        rename) composes across formats exactly as within one."""
+        by_fmt: dict[str, list[str]] = {}
+        for f in files:
+            by_fmt.setdefault(f.rsplit(".", 1)[-1], []).append(f)
+        parts: list[DataFrame] = []
+        for fmt in sorted(by_fmt):
+            group = by_fmt[fmt]
+            if fmt == "avro":
+                from hiveberg_spark.sources.avro_io import read_avro_files
 
-            # each file's header names resolve through the rename log in
-            # the decoder, so no post-read coalesce is needed (one avro
-            # file never carries both generations of a name)
-            return read_avro_files(self.spark, files, renames)
-        reader = self.spark.read
-        if renames:
-            # pre- and post-rename files differ in column names; merge
-            # then resolve through the mapping
-            reader = reader.option("mergeSchema", "true")
-        df = reader.format(fmt).load(files)
-        return self._apply_renames(df, renames)
+                # each file's header names resolve through the rename
+                # log in the decoder, so no post-read coalesce is needed
+                # (one avro file never carries both name generations)
+                parts.append(read_avro_files(self.spark, group, renames))
+                continue
+            reader = self.spark.read
+            if renames:
+                # pre- and post-rename files differ in column names;
+                # merge then resolve through the mapping
+                reader = reader.option("mergeSchema", "true")
+            parts.append(
+                self._apply_renames(reader.format(fmt).load(group), renames)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df
 
     def _read_files(
         self, files: list[str], sid: int | None, virtual_column: str | None
@@ -1372,8 +1418,10 @@ class SnapshotTable:
         natural sibling of the reference's `__snapshots`): one row per
         LIVE data file as of the snapshot — location-relative path, the
         snapshot whose manifest first recorded it (carried files keep
-        their original adder, incl. across rollback), partition values,
-        and readable lower/upper column bounds from the manifest stats.
+        their original adder, incl. across rollback), the file's data
+        format (a per-file attribute, Iceberg `files.file_format` —
+        mixed-format tables show the mix here), partition values, and
+        readable lower/upper column bounds from the manifest stats.
         Metadata-only: no data file is opened; this is how an operator
         inspects layout/pruning health of a 100 TB table for free."""
         meta = self._read_meta()
@@ -1390,6 +1438,7 @@ class SnapshotTable:
             rows.append(
                 (
                     rel,
+                    rel.rsplit(".", 1)[-1],
                     added.get(rel),
                     {k: str(v) for k, v in (parts or {}).items()},
                     {k: str(v[0]) for k, v in (stats or {}).items()},

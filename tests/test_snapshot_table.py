@@ -711,6 +711,7 @@ def test_files_metadata_table(spark, warehouse):
     for r in rows:
         by_snap.setdefault(r.added_snapshot_id, []).append(r)
         assert not os.path.isabs(r.file_path)  # location-relative
+        assert r.file_format == "parquet"  # per-file format attribute
     # manifest bounds surface as readable strings
     snap2 = [r for r in by_snap[2] if r.lower_bounds.get("id")]
     assert any(r.lower_bounds["id"] == "9" and r.upper_bounds["id"] == "9" for r in snap2)
@@ -732,7 +733,7 @@ def test_files_suffix_resolution(spark, warehouse):
     t = SnapshotTable.create(spark, os.path.join(warehouse, "fr"))
     t.append(_simple_df(spark, [(1, "a")]))
     df = resolve_table(spark, warehouse, "fr__files")
-    assert df.columns[:2] == ["file_path", "added_snapshot_id"]
+    assert df.columns[:3] == ["file_path", "file_format", "added_snapshot_id"]
     assert df.count() == 1
 
 
@@ -954,6 +955,58 @@ def test_avro_rename_column_resolves_old_files(spark, warehouse):
         (2, "b"),
         (3, "c"),
     }
+
+
+def test_mixed_format_table_reads_per_file(spark, warehouse):
+    """ONE table mixing parquet, avro, and ORC data files (round-4):
+    Iceberg records the format per DataFile and the reference's reader
+    factory dispatches per file (IcebergReaderFactory.java:37-52) — the
+    extension in our manifest is that record. set_file_format changes
+    only the default WRITE format; historical files keep reading."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "mixed"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))  # parquet
+    t.set_file_format("avro")
+    t.append(_simple_df(spark, [(3, "c")]))  # avro
+    t.set_file_format("orc")
+    t.append(_simple_df(spark, [(4, "d")]))  # orc
+    rows = t.scan().collect()
+    assert {(r.id, r.data) for r in rows} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+        (4, "d"),
+    }
+    assert all(r["snapshot__id"] == 3 for r in rows)
+    # each historical snapshot reads its own mix
+    assert sorted(r.id for r in t.scan(snapshot_id=2).collect()) == [1, 2, 3]
+    # the manifest really holds three different extensions
+    exts = {f.rsplit(".", 1)[-1] for f in t.plan_files()}
+    assert exts == {"parquet", "avro", "orc"}
+    # min/max pruning works across the mix (each commit's stats were
+    # collected by that commit's format path)
+    assert len(t.plan_files("id >= 4")) < len(t.plan_files())
+    # COW DML across a mixed live set rewrites in the current default
+    t.delete_where("id = 1")
+    assert sorted(r.id for r in t.scan().collect()) == [2, 3, 4]
+
+
+def test_format_migration_via_compact(spark, warehouse):
+    """Zero-downtime format migration: set_file_format + compact()
+    rewrites the live set into the new format in one snapshot while
+    every historical snapshot stays readable from its original files."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "migrate"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_simple_df(spark, [(3, "c")]))
+    t.set_file_format("orc")
+    t.compact()
+    live = t.plan_files()
+    assert live and all(f.endswith(".orc") for f in live)
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 3]
+    # history: snapshot 1 still reads its original parquet files
+    assert sorted(r.id for r in t.scan(snapshot_id=1).collect()) == [1, 2]
+    # post-migration commits append in the new format and prune
+    t.append(_simple_df(spark, [(10, "z")]).coalesce(1))
+    assert len(t.plan_files("id >= 10")) < len(t.plan_files())
 
 
 def test_orc_table_hidden_partition_pruning(spark, warehouse):
