@@ -205,6 +205,69 @@ def token_budget_packing(spark, sf_dir):
 
 
 @query(
+    "sample_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CONCAT('epoch-7:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS position
+    FROM keyed
+    """,
+)
+def sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle — the global training-data permutation
+    every epoch needs: reproducible (seeded fingerprint, not rand()),
+    different per epoch (the seed string), and resumable (position is a
+    pure function of the data, so a restarted job regenerates the same
+    order).
+
+    Scale: a naive ROW_NUMBER over the full corpus funnels through one
+    task; here the permutation is a RANGE-partitioned sort on the md5
+    key with the same two-phase global position assignment as
+    token_budget_packing — per-partition ranks in parallel windows plus
+    a broadcast per-partition offset (cumsum over #partitions rows).
+    One total-order shuffle, which is the information-theoretic floor
+    for a global permutation."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string"))),
+    )
+    parts = keyed.repartitionByRange(8, "shuffle_key").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "local_pos",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+        ),
+    )
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.count("*").alias("pn"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("pn").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "shuffle_key",
+        (F.col("local_pos") + F.col("offset")).cast("long").alias("position"),
+    )
+
+
+@query(
     "text_zipf_rank",
     oracle="""
     WITH tok AS (

@@ -306,6 +306,58 @@ def snapshot_mixed_formats(spark, sf_dir):
 
 
 @query(
+    "snapshot_format_migration",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM nation) AS n_rows_after,
+      (SELECT COUNT(*) FROM nation WHERE n_nationkey < 17) AS n_rows_history,
+      'orc' AS live_format
+    """,
+)
+def snapshot_format_migration(spark, sf_dir):
+    """Zero-downtime format migration (round-4): two parquet appends,
+    then set_file_format('orc') + compact() rewrites the live set into
+    ORC in one snapshot. The migrated table must hold every row, the
+    pre-migration snapshot must still read from its original parquet
+    files, and the live file set must be uniformly the new format (the
+    `files` metadata table's per-file file_format column proves it —
+    Iceberg `files.file_format`)."""
+    import os
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_fmt_migrated")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def builder(table):
+        table.append(nation.filter("n_nationkey < 17"))
+        table.append(nation.filter("n_nationkey >= 17"))
+        table.set_file_format("orc")
+        table.compact()
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    live_formats = [
+        r.file_format for r in t.files().select("file_format").collect()
+    ]  # metadata-only, O(live files)
+    live = (
+        live_formats[0]
+        if live_formats and all(f == live_formats[0] for f in live_formats)
+        else ",".join(sorted(set(live_formats)))
+    )
+    n_after = t.scan(virtual_column=None).count()
+    n_hist = t.scan(snapshot_id=1, virtual_column=None).count()
+    return spark.createDataFrame(
+        [(n_after, n_hist, live)],
+        "n_rows_after long, n_rows_history long, live_format string",
+    )
+
+
+@query(
     "snapshot_hidden_partitioning",
     oracle="""
     SELECT s_suppkey, s_name, s_nationkey, TRUE AS files_pruned
