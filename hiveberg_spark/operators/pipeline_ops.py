@@ -226,25 +226,31 @@ def sample_epoch_shuffle(spark, sf_dir):
     order).
 
     Scale: a naive ROW_NUMBER over the full corpus funnels through one
-    task; here the permutation is a RANGE-partitioned sort on the md5
-    key with the same two-phase global position assignment as
-    token_budget_packing — per-partition ranks in parallel windows plus
-    a broadcast per-partition offset (cumsum over #partitions rows).
-    One total-order shuffle, which is the information-theoretic floor
-    for a global permutation."""
+    task, and even a windowed two-phase rank pays a second full-data
+    hash exchange (Window.partitionBy re-shuffles data that the range
+    partitioner already placed — visible in .explain). This is the
+    distributed zipWithIndex instead: ONE total-order shuffle (the
+    information-theoretic floor for a global permutation) + an
+    in-partition sort, then `monotonically_increasing_id` — whose value
+    is (partition_id << 33) + local_row_index, deterministic after the
+    sort — decodes to a local position with zero additional data
+    movement; only the 8-row per-partition counts cross the wire for
+    the offset cumsum. Positions depend only on the total key order,
+    never on the sampled range boundaries."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     keyed = d.withColumn(
         "shuffle_key",
         F.md5(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string"))),
     )
-    parts = keyed.repartitionByRange(8, "shuffle_key").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    local = parts.withColumn(
-        "local_pos",
-        F.row_number().over(
-            W.partitionBy("pid").orderBy("shuffle_key", "doc_id")
-        ),
+    parts = (
+        keyed.repartitionByRange(8, "shuffle_key")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+        .withColumn("mid", F.monotonically_increasing_id())
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_pos", F.expr("mid - (cast(pid as bigint) << 33)")
+        )
+        .persist()  # consumed twice: rows below, per-partition counts here
     )
     offsets = (
         parts.groupBy("pid")
@@ -260,10 +266,10 @@ def sample_epoch_shuffle(spark, sf_dir):
         )
         .select("pid", "offset")
     )
-    return local.join(F.broadcast(offsets), "pid").select(
+    return parts.join(F.broadcast(offsets), "pid").select(
         "doc_id",
         "shuffle_key",
-        (F.col("local_pos") + F.col("offset")).cast("long").alias("position"),
+        (F.col("local_pos") + F.col("offset") + 1).cast("long").alias("position"),
     )
 
 
