@@ -125,8 +125,16 @@ DRIVER_WINDOW: list[str] = [
     "dedup_cluster_pick",
 ]
 
-# Round 4 clears the backlog: nothing deferred.
-DEFERRED_TO_NEXT_WINDOW: list[str] = []
+# Queries ADDED after the round-4 window was frozen (late round-4
+# additions: avro writer-stats pruning, mixed-format dispatch, format
+# migration, epoch shuffle) — all green against their oracles locally at
+# sf0.001 AND sf0.01; rotate into the round-5 window first.
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "snapshot_avro_prune",
+    "snapshot_mixed_formats",
+    "snapshot_format_migration",
+    "sample_epoch_shuffle",
+]
 
 
 def window_ordered(mapping: dict[str, object]) -> dict[str, object]:
