@@ -76,6 +76,21 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
         assert_whole_stage_codegen(registry.QUERIES[name](spark, sf_dir))
 
 
+def test_epoch_shuffle_single_data_exchange(spark, sf_dir):
+    """The global permutation must cost exactly ONE full-data shuffle
+    (the range partition — the floor for a total order). A regression to
+    Window.partitionBy would add a second hashpartitioning exchange of
+    the full rows; the only hash exchanges allowed are the 8-row
+    per-partition count aggregation feeding the broadcast offsets."""
+    plan = explain_str(registry.QUERIES["sample_epoch_shuffle"](spark, sf_dir))
+    assert plan.count("rangepartitioning") >= 1, plan
+    # no Window operator over the full data (positions decode from
+    # monotonically_increasing_id); the offsets window runs on 8 rows
+    # inside the aggregate branch, after the count aggregation
+    row_path = plan.split("BroadcastExchange")[0]
+    assert "hashpartitioning" not in row_path, row_path
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
