@@ -399,7 +399,13 @@ def _partition_dir(names: list[str], values: tuple) -> str:
     """`_p_x=v/...` relative directory for one partition-value combo —
     the same layout (and the same `__HIVE_DEFAULT_PARTITION__` null
     convention) Spark's partitionBy produces, so the snapshot layer's
-    path-parsing and bucket pruning treat avro files identically."""
+    path-parsing and bucket pruning treat avro files identically.
+    String values are percent-escaped (Hive escapePathName semantics:
+    `/`, `=`, `%` etc. must not reach the filesystem path — bucket
+    values, the only ones pruning compares, are plain ints and pass
+    through untouched)."""
+    from urllib.parse import quote
+
     comps = []
     for n, v in zip(names, values):
         if v is None:
@@ -407,7 +413,7 @@ def _partition_dir(names: list[str], values: tuple) -> str:
         elif hasattr(v, "isoformat"):
             sv = v.isoformat()
         else:
-            sv = str(v)
+            sv = quote(str(v), safe="")
         comps.append(f"{n}={sv}")
     return os.path.join(*comps) if comps else ""
 

@@ -881,6 +881,22 @@ def test_avro_table_hidden_partition_pruning(spark, warehouse):
     assert sorted(r.id for r in t.scan().collect()) == list(range(40))
 
 
+def test_avro_partition_values_with_path_hostile_chars(spark, warehouse):
+    """Identity-partitioned avro table whose partition values contain
+    '/', '=', and spaces — the dir components must be escaped (Hive
+    escapePathName semantics) and every row must round-trip."""
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "avro_esc"),
+        partition_spec=[("identity", "data", None)],
+        file_format="avro",
+    )
+    rows = [(1, "a/b"), (2, "k=v"), (3, "with space"), (4, "plain")]
+    t.append(_simple_df(spark, rows))
+    got = {(r.id, r.data) for r in t.scan(virtual_column=None).collect()}
+    assert got == set(rows)
+
+
 def test_avro_minmax_stats_prune(spark, warehouse):
     """Avro min/max pruning from writer-side bounds (round-4): stats are
     tracked inside the encode loop — no second scan, no footer read —
