@@ -376,6 +376,44 @@ def stream_stream_join(spark, sf_dir):
 
 
 @query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+           epoch_us(MAX(e.ts)) AS max_ts_us
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static join: the unbounded events stream enriched against
+    a STATIC dimension (customer) — the standard streaming-enrichment
+    shape (fact stream ⋈ broadcast dim), distinct from the
+    stream-stream interval join (which needs watermark-bounded state on
+    both sides; here the static side needs no state at all). No forced
+    broadcast hint: customer SCALES with SF, so the planner's size check
+    decides — under the threshold it broadcasts into every micro-batch,
+    above it the join correctly degrades to a shuffled join per batch
+    (the repo-wide rule test_plans.py enforces). Aggregated per market
+    segment; the ts-derived column keeps the oracle sensitive to
+    event-time corruption (round-3 lesson)."""
+    from hiveberg_spark.catalog import load_table
+
+    s = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = s.join(dim, "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+    )
+    out = run_to_memory(agg, output_mode="complete", name="stream_static_join")
+    return out.select("c_mktsegment", "n_events", "total_value", "max_ts_us")
+
+
+@query(
     "stream_sink_snapshot_table",
     oracle="""
     SELECT (SELECT COUNT(*) FROM events) AS n_rows, CAST(1 AS BIGINT) AS n_snapshots

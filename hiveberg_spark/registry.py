@@ -134,6 +134,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_mixed_formats",
     "snapshot_format_migration",
     "sample_epoch_shuffle",
+    "stream_static_join",
 ]
 
 
