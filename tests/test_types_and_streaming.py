@@ -122,6 +122,72 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     assert n == load_table(spark, sf_dir, "events").count()
 
 
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Watermark semantics across REAL micro-batches: two files are
+    delivered one per trigger (maxFilesPerTrigger=1); after batch 1 the
+    watermark advances to max(ts)-10min, so batch 2's hour-old row must
+    be DROPPED from the windowed aggregate in append mode while its
+    fresh row lands. This is the state-bounding behavior that makes the
+    streaming operators viable at scale — availableNow single-batch
+    replays (the oracle-parity path) can never exercise it."""
+    import os
+    import time
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+
+    def _file(name, rows):
+        spark.createDataFrame(rows, "id long, ts_s string").selectExpr(
+            "id", "cast(ts_s as timestamp) as ts"
+        ).coalesce(1).write.parquet(str(d / name))
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    # batch 0: creates the [10:00,11:00) window; advances wm to 11:50
+    _file("f1", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")])
+    # batch 1: wm 11:50 at start → the 10:00 window is EVICTED and
+    # emitted (n=1); this row just advances wm to 12:00
+    _file("f2", [(5, "2024-01-01 12:10:00")])
+    # batch 2: id=3 at 10:15 targets the already-evicted window → must
+    # be DROPPED (re-admitting it would re-emit a closed window,
+    # violating append mode); id=4 keeps a window open past the end
+    _file("f3", [(3, "2024-01-01 10:15:00"), (4, "2024-01-01 12:30:00")])
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Eviction is window-granular and happens at batch end: the 10:00
+    # window left state in batch 1 with exactly id=1. The late id=3 in
+    # batch 2 must be filtered against the watermark — if the engine
+    # (or our operator wiring) failed to drop it, the closed window
+    # would re-emit and a second 10:00 row would appear. The windows
+    # still open at end-of-stream (12:00+, ends > final wm 12:20) never
+    # emit in append mode.
+    out = [
+        (r["window"].start.strftime("%H:%M"), r["n"])
+        for r in spark.table("late_drop").collect()
+    ]
+    assert out == [("10:00", 1)], out
+
+
 def test_streaming_is_incremental(spark, sf_dir):
     """The streaming source plans a real FileStreamSource (not a batch
     rewrite): the query progresses through micro-batch execution."""
