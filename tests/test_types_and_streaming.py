@@ -188,6 +188,38 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert out == [("10:00", 1)], out
 
 
+def test_foreachbatch_snapshot_sink_idempotent_restart(spark, sf_dir, tmp_path):
+    """Exactly-once across restart: the foreachBatch → snapshot-table
+    sink replays NOTHING when the stream restarts from the same
+    checkpoint with no new input — the checkpoint's batch tracking, not
+    luck, is what makes the sink exactly-once. A second run must add
+    zero snapshots and zero rows."""
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+    from hiveberg_spark.streaming.events import events_stream
+
+    loc = str(tmp_path / "sink_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapshotTable.create(spark, loc)
+
+    def run_once():
+        s = events_stream(spark, sf_dir).select("event_id", "user_id")
+        q = (
+            s.writeStream.foreachBatch(lambda df, bid: table.append(df))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_snaps_1 = table.snapshots().count()
+    n_rows_1 = table.scan(virtual_column=None).count()
+    assert n_snaps_1 >= 1 and n_rows_1 > 0
+    run_once()  # same checkpoint, no new files → no new batches
+    assert table.snapshots().count() == n_snaps_1
+    assert table.scan(virtual_column=None).count() == n_rows_1
+
+
 def test_streaming_is_incremental(spark, sf_dir):
     """The streaming source plans a real FileStreamSource (not a batch
     rewrite): the query progresses through micro-batch execution."""
