@@ -358,6 +358,49 @@ def snapshot_format_migration(spark, sf_dir):
 
 
 @query(
+    "snapshot_drop_column_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(2 AS BIGINT) AS snapshot__id
+    FROM nation
+    """,
+)
+def snapshot_drop_column_evolution(spark, sf_dir):
+    """Column DROP evolution (round-4; Iceberg
+    UpdateSchema.deleteColumn, the third schema evolution alongside the
+    add-column and rename queries): snapshot 1 writes three columns,
+    n_regionkey is dropped metadata-only (no file rewritten), snapshot 2
+    appends the narrowed schema. Every read — current scan AND time
+    travel to the pre-drop snapshot — projects through the CURRENT
+    schema, so the dropped column never surfaces while all 25 rows
+    do."""
+    import os
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_dropcol")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def builder(table):
+        table.append(
+            nation.filter("n_nationkey < 17").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            ),
+            committed_at=_commit_ts(1),
+        )
+        table.drop_column("n_regionkey")
+        table.append(
+            nation.filter("n_nationkey >= 17").select("n_nationkey", "n_name"),
+            committed_at=_commit_ts(2),
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan().select("n_nationkey", "n_name", "snapshot__id")
+
+
+@query(
     "snapshot_hidden_partitioning",
     oracle="""
     SELECT s_suppkey, s_name, s_nationkey, TRUE AS files_pruned

@@ -135,6 +135,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_format_migration",
     "sample_epoch_shuffle",
     "stream_static_join",
+    "snapshot_drop_column_evolution",
 ]
 
 

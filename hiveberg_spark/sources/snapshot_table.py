@@ -716,7 +716,9 @@ class SnapshotTable:
         if not affected:
             return None, carry, current
         return (
-            self._read_data_files(affected, meta.get("renames", [])),
+            self._read_data_files(
+                affected, meta.get("renames", []), meta.get("drops", [])
+            ),
             carry,
             current,
         )
@@ -953,6 +955,39 @@ class SnapshotTable:
                     ]
                 )
                 meta["schema_json"] = renamed.json()
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column from the table schema (Iceberg UpdateSchema
+        .deleteColumn — the third evolution Iceberg supports alongside
+        add and rename). Metadata-only: no data file is rewritten; the
+        column is recorded in a drop list and projected away at scan
+        time, for current reads AND time travel (history reads through
+        the CURRENT schema, Iceberg semantics). Valid while the name is
+        not reused — re-adding it later would resurrect old file data,
+        the same caveat as the rename log. Partition source columns
+        cannot be dropped (Iceberg raises likewise: the spec still
+        references the field)."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            for t in meta.get("partition_spec") or []:
+                if t[1] == name:
+                    raise ValueError(
+                        f"cannot drop {name!r}: it is a partition source "
+                        "column of the table's spec"
+                    )
+            meta.setdefault("drops", []).append(name)
+            if meta.get("schema_json"):
+                schema = StructType.fromJson(json.loads(meta["schema_json"]))
+                kept = StructType([f for f in schema.fields if f.name != name])
+                if len(kept.fields) == len(schema.fields):
+                    raise ValueError(f"no such column: {name!r}")
+                if not kept.fields:
+                    raise ValueError("cannot drop the last column")
+                meta["schema_json"] = kept.json()
             self._write_meta(meta)
         finally:
             os.unlink(lock)
@@ -1299,7 +1334,7 @@ class SnapshotTable:
         return self._read_files(files, sid, virtual_column)
 
     def _read_data_files(
-        self, files: list[str], renames: list[dict]
+        self, files: list[str], renames: list[dict], drops: list[str] | None = None
     ) -> DataFrame:
         """PER-FILE format-dispatched read of an explicit data-file list
         (the reference's per-file reader dispatch,
@@ -1336,18 +1371,25 @@ class SnapshotTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
+        for name in drops or []:
+            # dropped columns still exist in historical files; project
+            # them away so every read (current + time travel) goes
+            # through the CURRENT schema (Iceberg deleteColumn)
+            if name in df.columns:
+                df = df.drop(name)
         return df
 
     def _read_files(
         self, files: list[str], sid: int | None, virtual_column: str | None
     ) -> DataFrame:
-        renames = self._read_meta().get("renames", [])
+        meta = self._read_meta()
+        renames = meta.get("renames", [])
         if not files:
             df = self._empty_df()
             if virtual_column:
                 df = df.withColumn(virtual_column, F.lit(None).cast("long"))
             return df
-        df = self._read_data_files(files, renames)
+        df = self._read_data_files(files, renames, meta.get("drops", []))
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(sid).cast("long"))
         return df
@@ -1390,7 +1432,9 @@ class SnapshotTable:
                     )
         if not files:
             return self.scan(virtual_column=virtual_column).limit(0)
-        df = self._read_data_files(files, meta.get("renames", []))
+        df = self._read_data_files(
+            files, meta.get("renames", []), meta.get("drops", [])
+        )
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(to_snapshot).cast("long"))
         return df

@@ -227,6 +227,50 @@ def test_rename_column_resolves_old_files(spark, warehouse):
     assert "content" in [f.name for f in t.schema().fields]
 
 
+def test_drop_column_projects_away_everywhere(spark, warehouse):
+    """drop_column (Iceberg UpdateSchema.deleteColumn): metadata-only,
+    projected away at scan for current reads AND time travel; DML after
+    the drop rewrites without the column; partition sources refuse."""
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "dropcol"),
+        schema="id long, data string, extra double",
+    )
+    t.append(
+        spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], t.schema())
+    )
+    t.drop_column("extra")
+    cur = t.scan(virtual_column=None)
+    assert cur.columns == ["id", "data"]
+    assert {tuple(r) for r in cur.collect()} == {(1, "a"), (2, "b")}
+    # time travel reads through the CURRENT schema
+    assert t.scan(snapshot_id=1, virtual_column=None).columns == ["id", "data"]
+    # declared schema tracks the drop; appends use the narrowed schema
+    assert [f.name for f in t.schema().fields] == ["id", "data"]
+    t.append(_simple_df(spark, [(3, "c")]))
+    assert {tuple(r) for r in t.scan(virtual_column=None).collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    # DML rewrite across pre-drop files does not resurrect the column
+    t.update_where("id = 1", {"data": "upper(data)"})
+    got = t.scan(virtual_column=None)
+    assert got.columns == ["id", "data"]
+    assert {tuple(r) for r in got.collect()} == {(1, "A"), (2, "b"), (3, "c")}
+    # validations
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column("ghost")
+    tp = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "dropcol_part"),
+        schema="id long, data string",
+        partition_spec=[("bucket", "id", 4)],
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        tp.drop_column("id")
+
+
 def test_manifest_sharded_per_snapshot(spark, warehouse):
     # commit writes O(this-commit) metadata: per-snapshot manifest files,
     # not a full file-history rewrite (ARCHITECTURE.md scale note)
