@@ -401,6 +401,111 @@ def snapshot_drop_column_evolution(spark, sf_dir):
 
 
 @query(
+    "snapshot_expire_history",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_expired,
+           CAST(2 AS BIGINT) AS n_surviving,
+           (SELECT COUNT(*) FROM nation) AS n_rows_current,
+           (SELECT COUNT(*) FROM nation WHERE n_nationkey < 17) AS n_rows_oldest_survivor
+    """,
+)
+def snapshot_expire_history(spark, sf_dir):
+    """Snapshot expiration (round-4; Iceberg's expire_snapshots
+    maintenance action, completing the trio with compact and rollback):
+    four pinned-clock appends, then snapshots older than the third
+    commit expire — they leave the time-travel surface, the oldest
+    survivor consolidates into a self-contained replaces manifest, and
+    current + surviving as-of reads stay exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_expired")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def builder(table):
+        bounds = [(0, 8), (8, 13), (13, 17), (17, 25)]
+        for i, (lo, hi) in enumerate(bounds):
+            table.append(
+                nation.filter(
+                    (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi)
+                ).select("n_nationkey", "n_name"),
+                committed_at=_commit_ts(i + 1),
+            )
+        table.expire_snapshots(older_than_ms=_commit_ts(3))
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    surviving = sorted(r.snapshot_id for r in t.snapshots().collect())
+    return spark.createDataFrame(
+        [
+            (
+                4 - len(surviving),
+                len(surviving),
+                t.scan(virtual_column=None).count(),
+                t.scan(snapshot_id=surviving[0], virtual_column=None).count(),
+            )
+        ],
+        "n_expired long, n_surviving long, n_rows_current long, "
+        "n_rows_oldest_survivor long",
+    )
+
+
+@query(
+    "snapshot_tags",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM nation WHERE n_nationkey < 8) AS n_at_tag,
+      (SELECT COUNT(*) FROM nation) AS n_current,
+      CAST(1 AS BIGINT) AS tag_snapshot_id
+    """,
+)
+def snapshot_tags(spark, sf_dir):
+    """Iceberg tags (round-4; named read-only refs): snapshot 1 is
+    tagged 'v1.0', later appends move the table on, and the tag
+    resolves both programmatically (resolve_ref) and through the SQL
+    surface (`VERSION AS OF 'v1.0'`, sql_timetravel rewriter). Tagged
+    snapshots are retained by expire_snapshots — the release-pinning
+    contract (covered in unit tests)."""
+    import os
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+    from hiveberg_spark.sources.sql_timetravel import sql_with_time_travel
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_tagged")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def builder(table):
+        table.append(
+            nation.filter("n_nationkey < 8"), committed_at=_commit_ts(1)
+        )
+        table.create_tag("v1.0")
+        table.append(
+            nation.filter("n_nationkey >= 8"), committed_at=_commit_ts(2)
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    tag_sid = t.resolve_ref("v1.0")
+    n_at_tag = sql_with_time_travel(
+        spark,
+        warehouse_dir(sf_dir),
+        "SELECT COUNT(*) AS n FROM nation_tagged VERSION AS OF 'v1.0'",
+    ).first()[0]
+    n_current = t.scan(virtual_column=None).count()
+    return spark.createDataFrame(
+        [(n_at_tag, n_current, tag_sid)],
+        "n_at_tag long, n_current long, tag_snapshot_id long",
+    )
+
+
+@query(
     "snapshot_hidden_partitioning",
     oracle="""
     SELECT s_suppkey, s_name, s_nationkey, TRUE AS files_pruned

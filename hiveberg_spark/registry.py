@@ -136,6 +136,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "sample_epoch_shuffle",
     "stream_static_join",
     "snapshot_drop_column_evolution",
+    "snapshot_expire_history",
+    "snapshot_tags",
 ]
 
 

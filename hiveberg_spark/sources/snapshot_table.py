@@ -555,6 +555,178 @@ class SnapshotTable:
             expected_parent=meta["current_snapshot_id"],
         )
 
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag — a read-only named ref): time
+        travel by meaningful name (`VERSION AS OF 'v1.0'` via the SQL
+        rewriter, or scan(snapshot_id=t.resolve_ref('v1.0'))), and the
+        tagged snapshot is RETAINED by expire_snapshots regardless of
+        age — the release-pinning workflow Iceberg refs exist for.
+        Defaults to the current snapshot; returns the tagged id."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else meta["current_snapshot_id"]
+            )
+            known = {s["snapshot_id"] for s in meta["snapshots"]}
+            if sid not in known:
+                raise ValueError(f"unknown snapshot id {sid} (have {sorted(known)})")
+            refs = meta.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"tag already exists: {name!r}")
+            refs[name] = {"snapshot_id": sid, "type": "tag"}
+            self._write_meta(meta)
+            return sid
+        finally:
+            os.unlink(lock)
+
+    def drop_tag(self, name: str) -> None:
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            if name not in meta.get("refs", {}):
+                raise ValueError(f"no such tag: {name!r}")
+            del meta["refs"][name]
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+
+    def resolve_ref(self, name: str) -> int:
+        """Tag name → snapshot id (raises on unknown)."""
+        refs = self._read_meta().get("refs", {})
+        if name not in refs:
+            raise ValueError(f"no such tag: {name!r}")
+        return refs[name]["snapshot_id"]
+
+    def refs(self) -> dict[str, int]:
+        """All tags as {name: snapshot_id} (Iceberg `refs` metadata)."""
+        return {
+            n: r["snapshot_id"]
+            for n, r in self._read_meta().get("refs", {}).items()
+        }
+
+    def expire_snapshots(self, older_than_ms: int) -> dict:
+        """Expire snapshots committed before `older_than_ms` (Iceberg's
+        `expire_snapshots` maintenance action — the history-retention
+        half of the maintenance trio with compact and rollback): expired
+        snapshots leave the time-travel surface, their manifests are
+        deleted, and data files no surviving snapshot references are
+        PHYSICALLY removed. The current snapshot never expires.
+
+        Because manifests here are additive (a snapshot's live set is
+        the walk of all earlier manifests), the oldest SURVIVING
+        snapshot is first consolidated: its manifest is rewritten as the
+        full live file set as of that snapshot, with every entry's
+        stats/partition values carried verbatim, and the snapshot marked
+        `replaces` — self-contained, so the walk never needs an expired
+        manifest again. Metadata-only except for orphan deletion; no
+        data file is rewritten or moved.
+
+        Returns {"expired_snapshots": n, "deleted_files": n}. Driver
+        cost is O(surviving snapshots × manifest entries) — the same
+        class as a manifest-consolidation commit; run it like any
+        maintenance job."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            current = meta["current_snapshot_id"]
+            if current is None:
+                return {"expired_snapshots": 0, "deleted_files": 0}
+            tagged = {
+                r["snapshot_id"] for r in meta.get("refs", {}).values()
+            }  # tagged snapshots are retained regardless of age
+            expired = [
+                s
+                for s in meta["snapshots"]
+                if s["committed_at"] < older_than_ms
+                and s["snapshot_id"] != current
+                and s["snapshot_id"] not in tagged
+            ]
+            if not expired:
+                return {"expired_snapshots": 0, "deleted_files": 0}
+            expired_ids = {s["snapshot_id"] for s in expired}
+            survivors = [
+                s for s in meta["snapshots"] if s["snapshot_id"] not in expired_ids
+            ]
+            # referenced = union of every surviving snapshot's live set
+            # (computed BEFORE any manifest is touched)
+            referenced: set[str] = set()
+            by_survivor: dict[int, list] = {}
+            for s in survivors:
+                entries = self._raw_entries_as_of(meta, s["snapshot_id"])
+                by_survivor[s["snapshot_id"]] = entries
+                referenced.update(f for f, _, _ in entries)
+            # tracked-but-unreferenced files are orphans to delete
+            orphans: set[str] = set()
+            for s in meta["snapshots"]:
+                for f, _, _ in self._read_manifest_entries(s):
+                    if f not in referenced:
+                        orphans.add(f)
+            # Consolidate every survivor whose additive walk would cross
+            # a deleted manifest: walking survivors in id order, a
+            # `replaces` snapshot is a barrier (its manifest is the full
+            # live set); any survivor with an expired snapshot between
+            # the last barrier and itself gets its manifest rewritten as
+            # the full as-of set (entries verbatim) and becomes a
+            # barrier. Expiring a plain prefix consolidates exactly the
+            # oldest survivor; interleaved expiry consolidates the
+            # minimum set that keeps every walk self-contained.
+            barrier = -1
+            for s in sorted(survivors, key=lambda x: x["snapshot_id"]):
+                sid = s["snapshot_id"]
+                gap = any(barrier < e < sid for e in expired_ids)
+                if gap and not s.get("replaces"):
+                    full = by_survivor[sid]
+                    manifest_rel = s.get("manifest") or os.path.join(
+                        "metadata", f"manifest-s{sid}.json"
+                    )
+                    with open(
+                        os.path.join(self.location, manifest_rel), "w"
+                    ) as f:
+                        json.dump(
+                            {
+                                "files": sorted({p for p, _, _ in full}),
+                                "stats": {p: st for p, st, _ in full if st},
+                                "partitions": {
+                                    p: pa for p, _, pa in full if pa
+                                },
+                            },
+                            f,
+                        )
+                    s["manifest"] = manifest_rel
+                    s["replaces"] = True
+                    s.pop("added_files", None)
+                    s.setdefault("summary", {})["added-data-files"] = str(
+                        len({p for p, _, _ in full})
+                    )
+                    s["summary"].pop("carried-data-files", None)
+                    barrier = sid
+                elif s.get("replaces"):
+                    barrier = sid
+            meta["snapshots"] = survivors
+            self._write_meta(meta)
+            # physical deletion AFTER the metadata swap: a crash in
+            # between leaves harmless orphans, never dangling references
+            deleted = 0
+            for rel in orphans:
+                try:
+                    os.unlink(os.path.join(self.location, rel))
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+            for s in expired:
+                m = s.get("manifest")
+                if m:
+                    try:
+                        os.unlink(os.path.join(self.location, m))
+                    except FileNotFoundError:
+                        pass
+            return {"expired_snapshots": len(expired), "deleted_files": deleted}
+        finally:
+            os.unlink(lock)
+
     def delete_where(self, where: str, committed_at: int | None = None) -> int:
         """Copy-on-write row-level DELETE (Iceberg `DELETE FROM` with the
         copy-on-write strategy): `plan_files(where)` identifies the files

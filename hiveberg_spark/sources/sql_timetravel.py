@@ -29,6 +29,13 @@ _VERSION_RE = re.compile(
     r"\b(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)",
     re.IGNORECASE,
 )
+# VERSION AS OF 'tag-name' — Iceberg named refs (tags); resolved
+# through the table's refs metadata
+_VERSION_TAG_RE = re.compile(
+    r"\b(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+"
+    r"'(?P<tag>[^']+)'",
+    re.IGNORECASE,
+)
 _TIME_RE = re.compile(
     r"\b(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
     r"'(?P<ts>[^']+)'",
@@ -63,6 +70,15 @@ def sql_with_time_travel(
         t.scan(snapshot_id=int(m.group("ver"))).createOrReplaceTempView(view)
         return view
 
+    def sub_version_tag(m: re.Match) -> str:
+        t = _load(m.group("table"))
+        if t is None:
+            return m.group(0)
+        sid = t.resolve_ref(m.group("tag"))
+        view = f"{m.group('table')}__tag{sid}"
+        t.scan(snapshot_id=sid).createOrReplaceTempView(view)
+        return view
+
     def sub_time(m: re.Match) -> str:
         t = _load(m.group("table"))
         if t is None:
@@ -74,6 +90,7 @@ def sql_with_time_travel(
         return view
 
     rewritten = _VERSION_RE.sub(sub_version, sql)
+    rewritten = _VERSION_TAG_RE.sub(sub_version_tag, rewritten)
     rewritten = _TIME_RE.sub(sub_time, rewritten)
     return spark.sql(rewritten)
 

@@ -227,6 +227,130 @@ def test_rename_column_resolves_old_files(spark, warehouse):
     assert "content" in [f.name for f in t.schema().fields]
 
 
+def test_expire_snapshots_prefix(spark, warehouse):
+    """expire_snapshots (Iceberg maintenance): expired ids leave the
+    time-travel surface; the oldest survivor consolidates into a
+    self-contained replaces manifest; append-only history deletes no
+    data files (everything is still referenced by survivors)."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "expire1"))
+    for i, ts in enumerate([1000, 2000, 3000, 4000]):
+        t.append(_simple_df(spark, [(i, f"r{i}")]), committed_at=ts)
+    before = {tuple(r) for r in t.scan(virtual_column=None).collect()}
+    res = t.expire_snapshots(older_than_ms=3000)
+    assert res == {"expired_snapshots": 2, "deleted_files": 0}
+    assert {tuple(r) for r in t.scan(virtual_column=None).collect()} == before
+    assert {r.snapshot_id for r in t.snapshots().collect()} == {3, 4}
+    # survivors time-travel intact, expired ids raise
+    assert t.scan(snapshot_id=3, virtual_column=None).count() == 3
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.scan(snapshot_id=1)
+    # and the table still commits normally afterwards
+    t.append(_simple_df(spark, [(9, "z")]))
+    assert t.scan(virtual_column=None).count() == 5
+
+
+def test_expire_snapshots_deletes_orphaned_files(spark, warehouse):
+    """Files only referenced by expired history (pre-compaction
+    fragments) are physically deleted; files the survivors reference
+    stay."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "expire2"))
+    t.append(_simple_df(spark, [(1, "a")]), committed_at=1000)
+    t.append(_simple_df(spark, [(2, "b")]), committed_at=2000)
+    t.compact(committed_at=3000)  # rewrites the live set
+    t.append(_simple_df(spark, [(3, "c")]), committed_at=4000)
+
+    def n_data_files():
+        return sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(t.location)
+        )
+
+    before_files = n_data_files()
+    res = t.expire_snapshots(older_than_ms=2500)
+    assert res["expired_snapshots"] == 2
+    assert res["deleted_files"] >= 1  # the pre-compaction fragments
+    assert n_data_files() == before_files - res["deleted_files"]
+    assert {tuple(r) for r in t.scan(virtual_column=None).collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    assert t.scan(snapshot_id=3, virtual_column=None).count() == 2
+
+
+def test_expire_snapshots_interleaved(spark, warehouse):
+    """An expired snapshot BETWEEN survivors: every survivor whose
+    additive walk would cross the deleted manifest is consolidated, so
+    all surviving as-of reads stay exact."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "expire3"))
+    t.append(_simple_df(spark, [(1, "a")]), committed_at=1000)  # expires
+    t.append(_simple_df(spark, [(2, "b")]), committed_at=5000)  # survives
+    t.append(_simple_df(spark, [(3, "c")]), committed_at=1500)  # expires
+    t.append(_simple_df(spark, [(4, "d")]), committed_at=5000)  # survives
+    asof2 = {tuple(r) for r in t.scan(snapshot_id=2, virtual_column=None).collect()}
+    asof4 = {tuple(r) for r in t.scan(snapshot_id=4, virtual_column=None).collect()}
+    res = t.expire_snapshots(older_than_ms=3000)
+    assert res["expired_snapshots"] == 2
+    assert {
+        tuple(r) for r in t.scan(snapshot_id=2, virtual_column=None).collect()
+    } == asof2
+    assert {
+        tuple(r) for r in t.scan(snapshot_id=4, virtual_column=None).collect()
+    } == asof4
+    assert {r.snapshot_id for r in t.snapshots().collect()} == {2, 4}
+
+
+def test_tags_name_snapshots_and_survive_expiry(spark, warehouse):
+    """Iceberg tags: named read-only refs — resolvable for time travel,
+    listed in refs(), retained by expire_snapshots regardless of age,
+    droppable (after which expiry can reclaim the snapshot)."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "tags"))
+    t.append(_simple_df(spark, [(1, "a")]), committed_at=1000)
+    t.append(_simple_df(spark, [(2, "b")]), committed_at=2000)
+    t.create_tag("v1.0", snapshot_id=1)
+    t.append(_simple_df(spark, [(3, "c")]), committed_at=3000)
+    assert t.refs() == {"v1.0": 1}
+    assert t.resolve_ref("v1.0") == 1
+    assert t.scan(snapshot_id=t.resolve_ref("v1.0"), virtual_column=None).count() == 1
+    with pytest.raises(ValueError, match="no such tag"):
+        t.resolve_ref("ghost")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("v1.0")
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.create_tag("bad", snapshot_id=99)
+    # expiry retains the tagged snapshot 1 but reclaims untagged 2
+    res = t.expire_snapshots(older_than_ms=2500)
+    assert res["expired_snapshots"] == 1
+    assert {r.snapshot_id for r in t.snapshots().collect()} == {1, 3}
+    assert t.scan(snapshot_id=1, virtual_column=None).count() == 1
+    # drop the tag → the snapshot becomes expirable
+    t.drop_tag("v1.0")
+    assert t.expire_snapshots(older_than_ms=2500)["expired_snapshots"] == 1
+    assert {r.snapshot_id for r in t.snapshots().collect()} == {3}
+    assert {tuple(r) for r in t.scan(virtual_column=None).collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+
+
+def test_sql_version_as_of_tag(spark, warehouse):
+    """`VERSION AS OF '<tag>'` resolves through the refs metadata in the
+    SQL rewriter — the string form Iceberg's SQL surface accepts."""
+    from hiveberg_spark.sources.sql_timetravel import sql_with_time_travel
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "sqltag"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.append(_simple_df(spark, [(2, "b")]))
+    t.create_tag("release", snapshot_id=1)
+    out = sql_with_time_travel(
+        spark,
+        warehouse,
+        "SELECT COUNT(*) AS n FROM sqltag VERSION AS OF 'release'",
+    )
+    assert out.first().n == 1
+
+
 def test_drop_column_projects_away_everywhere(spark, warehouse):
     """drop_column (Iceberg UpdateSchema.deleteColumn): metadata-only,
     projected away at scan for current reads AND time travel; DML after
