@@ -506,6 +506,26 @@ def snapshot_tags(spark, sf_dir):
 
 
 @query(
+    "snapshot_history_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1700000000000 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+      (CAST(1700003600000 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), TRUE),
+      (CAST(1700007200000 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), TRUE)
+    ) AS t(made_current_at, snapshot_id, parent_id, is_current_ancestor)
+    """,
+)
+def snapshot_history_table(spark, sf_dir):
+    """The `history` metadata table (round-4; Iceberg `history`):
+    commit clocks are pinned by the nation_versions fixture, the three
+    appends form one lineage, and every snapshot is a current ancestor.
+    The rollback-makes-non-ancestors distinction is covered in unit
+    tests (test_history_metadata_table)."""
+    t = _ensure_fixture(spark, sf_dir)
+    return t.history()
+
+
+@query(
     "snapshot_hidden_partitioning",
     oracle="""
     SELECT s_suppkey, s_name, s_nationkey, TRUE AS files_pruned

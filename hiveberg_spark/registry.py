@@ -138,6 +138,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_drop_column_evolution",
     "snapshot_expire_history",
     "snapshot_tags",
+    "snapshot_history_table",
 ]
 
 

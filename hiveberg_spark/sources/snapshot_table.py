@@ -67,6 +67,7 @@ from pyspark.sql.types import StructType
 DEFAULT_VIRTUAL_COLUMN = "snapshot__id"  # SystemTableUtil.java:29
 SNAPSHOTS_SUFFIX = "__snapshots"  # TableResolverUtil.java:39
 FILES_SUFFIX = "__files"  # beyond reference: Iceberg's `files` metadata table
+HISTORY_SUFFIX = "__history"  # Iceberg's `history` metadata table
 
 _FILES_SCHEMA = (
     "file_path string, file_format string, added_snapshot_id long, "
@@ -553,6 +554,9 @@ class SnapshotTable:
             replaces=True,
             carry=carry,
             expected_parent=meta["current_snapshot_id"],
+            # lineage edit: history() follows this pointer instead of
+            # parent_id, making rolled-past snapshots non-ancestors
+            summary_extra={"rollback-target-id": str(snapshot_id)},
         )
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
@@ -903,6 +907,7 @@ class SnapshotTable:
         replaces: bool,
         carry: list[tuple[str, dict, dict]] | None = None,
         expected_parent=_NO_VALIDATION,
+        summary_extra: dict | None = None,
     ) -> int:
         """Shared commit protocol: write data (hidden-partitioned when
         the table has a spec) into a unique uuid dir outside the lock,
@@ -1030,6 +1035,8 @@ class SnapshotTable:
             }
             if carry is not None:
                 entry["summary"]["carried-data-files"] = str(len(carry))
+            if summary_extra:
+                entry["summary"].update(summary_extra)
             if replaces:
                 entry["replaces"] = True
             meta["snapshots"].append(entry)
@@ -1611,6 +1618,44 @@ class SnapshotTable:
             df = df.withColumn(virtual_column, F.lit(to_snapshot).cast("long"))
         return df
 
+    def history(self) -> DataFrame:
+        """The `history` metadata table (Iceberg `history`): one row per
+        snapshot with its commit time and whether it is an ancestor of
+        the CURRENT table state. Ancestry is the lineage-pointer walk
+        from the current snapshot, where an ordinary commit's lineage
+        parent is its parent_id and a ROLLBACK's lineage parent is its
+        recorded target — so rolled-past snapshots are non-ancestors
+        (their changes are not in the current state) while staying
+        time-travelable, exactly Iceberg's `is_current_ancestor`
+        distinction."""
+        meta = self._read_meta()
+        current = meta["current_snapshot_id"]
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        ancestors: set[int] = set()
+        sid = current
+        while sid is not None and sid in by_id and sid not in ancestors:
+            ancestors.add(sid)
+            s = by_id[sid]
+            if s["operation"] == "rollback":
+                target = s.get("summary", {}).get("rollback-target-id")
+                sid = int(target) if target is not None else s["parent_id"]
+            else:
+                sid = s["parent_id"]
+        rows = [
+            (
+                s["committed_at"],
+                s["snapshot_id"],
+                s["parent_id"],
+                s["snapshot_id"] in ancestors,
+            )
+            for s in sorted(meta["snapshots"], key=lambda x: x["snapshot_id"])
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+
     def snapshots(self) -> DataFrame:
         """The `__snapshots` metadata table (SnapshotIterable.java:48-57):
         (committed_at, snapshot_id, parent_id, operation, manifest_list,
@@ -1889,6 +1934,11 @@ def resolve_table(
         base_loc = os.path.join(warehouse, base)
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).files()
+    if snapshots_table_enabled and name.endswith(HISTORY_SUFFIX):
+        base = name[: -len(HISTORY_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).history()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 
@@ -1948,7 +1998,13 @@ def register_sql_views(
         t.scan().createOrReplaceTempView(name)
         t.snapshots().createOrReplaceTempView(name + SNAPSHOTS_SUFFIX)
         t.files().createOrReplaceTempView(name + FILES_SUFFIX)
+        t.history().createOrReplaceTempView(name + HISTORY_SUFFIX)
         registered.extend(
-            [name, name + SNAPSHOTS_SUFFIX, name + FILES_SUFFIX]
+            [
+                name,
+                name + SNAPSHOTS_SUFFIX,
+                name + FILES_SUFFIX,
+                name + HISTORY_SUFFIX,
+            ]
         )
     return registered

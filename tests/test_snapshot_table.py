@@ -300,6 +300,39 @@ def test_expire_snapshots_interleaved(spark, warehouse):
     assert {r.snapshot_id for r in t.snapshots().collect()} == {2, 4}
 
 
+def test_history_metadata_table(spark, warehouse):
+    """Iceberg `history` table: every snapshot's commit time plus
+    is_current_ancestor — a rollback makes the rolled-past snapshots
+    NON-ancestors while they stay time-travelable."""
+    from hiveberg_spark.sources.snapshot_table import resolve_table
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "hist"))
+    t.append(_simple_df(spark, [(1, "a")]), committed_at=1000)
+    t.append(_simple_df(spark, [(2, "b")]), committed_at=2000)
+    t.append(_simple_df(spark, [(3, "c")]), committed_at=3000)
+    h = {r.snapshot_id: r.is_current_ancestor for r in t.history().collect()}
+    assert h == {1: True, 2: True, 3: True}
+    t.rollback_to(1, committed_at=4000)
+    h = {r.snapshot_id: r.is_current_ancestor for r in t.history().collect()}
+    # snapshots 2,3 were rolled past: not ancestors of the current state
+    assert h[1] is True and h[4] is True
+    assert h[2] is False and h[3] is False
+    assert {r.made_current_at for r in t.history().collect()} == {
+        1000,
+        2000,
+        3000,
+        4000,
+    }
+    # __history suffix resolution
+    hv = resolve_table(spark, warehouse, "hist__history")
+    assert hv.columns == [
+        "made_current_at",
+        "snapshot_id",
+        "parent_id",
+        "is_current_ancestor",
+    ]
+
+
 def test_tags_name_snapshots_and_survive_expiry(spark, warehouse):
     """Iceberg tags: named read-only refs — resolvable for time travel,
     listed in refs(), retained by expire_snapshots regardless of age,
