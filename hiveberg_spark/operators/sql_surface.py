@@ -526,6 +526,59 @@ def snapshot_history_table(spark, sf_dir):
 
 
 @query(
+    "snapshot_branch_wap",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM nation WHERE n_nationkey < 8) AS n_main_before,
+      (SELECT COUNT(*) FROM nation WHERE n_nationkey < 17) AS n_branch,
+      (SELECT COUNT(*) FROM nation WHERE n_nationkey < 17) AS n_main_after
+    """,
+)
+def snapshot_branch_wap(spark, sf_dir):
+    """Write-audit-publish via branches (round-4; Iceberg branch refs +
+    fast_forward): main holds 8 nations; an 'audit' branch receives 9
+    more, invisible to main (the audit step can validate the branch
+    scan); fast_forward publishes, after which main reads the branch
+    head. The lineage-based manifest walk keeps branch and main live
+    sets independent despite interleaved snapshot ids (unit tests cover
+    divergence refusal and expiry shielding)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_wap")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def builder(table):
+        table.append(
+            nation.filter("n_nationkey < 8"), committed_at=_commit_ts(1)
+        )
+        table.create_branch("audit")
+        table.append(
+            nation.filter("n_nationkey >= 8 AND n_nationkey < 17"),
+            committed_at=_commit_ts(2),
+            branch="audit",
+        )
+        table.fast_forward("audit")  # audit passed: publish
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    # pre-publish main state read back via time travel (idempotent under
+    # the fixture cache); branch head via the ref; current = published
+    n_main_before = t.scan(snapshot_id=1, virtual_column=None).count()
+    n_branch = t.scan(ref="audit", virtual_column=None).count()
+    n_main_after = t.scan(virtual_column=None).count()
+    return spark.createDataFrame(
+        [(n_main_before, n_branch, n_main_after)],
+        "n_main_before long, n_branch long, n_main_after long",
+    )
+
+
+@query(
     "snapshot_hidden_partitioning",
     oracle="""
     SELECT s_suppkey, s_name, s_nationkey, TRUE AS files_pruned

@@ -139,6 +139,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_expire_history",
     "snapshot_tags",
     "snapshot_history_table",
+    "snapshot_branch_wap",
 ]
 
 

@@ -486,7 +486,12 @@ class SnapshotTable:
 
     # -- write path -------------------------------------------------------
 
-    def append(self, df: DataFrame, committed_at: int | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        committed_at: int | None = None,
+        branch: str | None = None,
+    ) -> int:
         """Commit `df` as a new snapshot; returns the new snapshot id.
 
         The reference is read-only (IcebergSerDe.java:77-80 serialize →
@@ -500,8 +505,13 @@ class SnapshotTable:
         held; the snapshot id is assigned and metadata swapped inside an
         O_EXCL commit lock with a fresh metadata read — concurrent
         appends serialize and both commit (no lost updates).
+
+        `branch` commits onto a named branch ref instead of main
+        (create_branch / fast_forward — the write-audit-publish flow).
         """
-        return self._commit(df, "append", committed_at, replaces=False)
+        return self._commit(
+            df, "append", committed_at, replaces=False, branch=branch
+        )
 
     def overwrite(self, df: DataFrame, committed_at: int | None = None) -> int:
         """Commit `df` as a new snapshot that REPLACES the table contents
@@ -597,15 +607,84 @@ class SnapshotTable:
         finally:
             os.unlink(lock)
 
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create a WRITABLE branch (Iceberg branch ref) forked from a
+        snapshot (default: current). Commits with `branch=name` chain
+        from the branch head without moving the main table; readers on
+        main never see them until `fast_forward` publishes — the
+        write-audit-publish (WAP) workflow Iceberg branches exist for.
+        Returns the fork snapshot id."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else meta["current_snapshot_id"]
+            )
+            known = {s["snapshot_id"] for s in meta["snapshots"]}
+            if sid not in known:
+                raise ValueError(f"unknown snapshot id {sid} (have {sorted(known)})")
+            refs = meta.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"ref already exists: {name!r}")
+            refs[name] = {"snapshot_id": sid, "type": "branch"}
+            self._write_meta(meta)
+            return sid
+        finally:
+            os.unlink(lock)
+
+    def fast_forward(self, branch: str) -> int:
+        """Publish a branch: move the main table pointer to the branch
+        head, REQUIRING main to be an ancestor of it (no divergence —
+        the same fast-forward-only contract as Iceberg's
+        fast_forward procedure; a diverged main raises instead of
+        silently dropping commits). The published snapshots lose their
+        branch marker, entering main's timestamp-travel and
+        incremental-read surfaces. Returns the new current id."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            refs = meta.get("refs", {})
+            if branch not in refs or refs[branch].get("type") != "branch":
+                raise ValueError(f"no such branch: {branch!r}")
+            head = refs[branch]["snapshot_id"]
+            current = meta["current_snapshot_id"]
+            by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            # main must be on the branch head's ancestry (full parent
+            # walk, not stopping at replaces — ancestry, not live set)
+            on_path = []
+            cur: int | None = head
+            ok = False
+            while cur is not None and cur in by_id:
+                if cur == current:
+                    ok = True
+                    break
+                on_path.append(cur)
+                cur = by_id[cur]["parent_id"]
+            if not ok:
+                raise ValueError(
+                    f"cannot fast-forward: main ({current}) is not an "
+                    f"ancestor of branch {branch!r} head ({head})"
+                )
+            for sid in on_path:  # published commits join the main line
+                by_id[sid].pop("branch", None)
+            meta["current_snapshot_id"] = head
+            self._write_meta(meta)
+            return head
+        finally:
+            os.unlink(lock)
+
     def resolve_ref(self, name: str) -> int:
-        """Tag name → snapshot id (raises on unknown)."""
+        """Ref name (tag or branch) → snapshot id (raises on unknown)."""
         refs = self._read_meta().get("refs", {})
         if name not in refs:
             raise ValueError(f"no such tag: {name!r}")
         return refs[name]["snapshot_id"]
 
     def refs(self) -> dict[str, int]:
-        """All tags as {name: snapshot_id} (Iceberg `refs` metadata)."""
+        """All refs as {name: snapshot_id} (Iceberg `refs` metadata —
+        tags and branch heads)."""
         return {
             n: r["snapshot_id"]
             for n, r in self._read_meta().get("refs", {}).items()
@@ -668,47 +747,60 @@ class SnapshotTable:
                 for f, _, _ in self._read_manifest_entries(s):
                     if f not in referenced:
                         orphans.add(f)
-            # Consolidate every survivor whose additive walk would cross
-            # a deleted manifest: walking survivors in id order, a
-            # `replaces` snapshot is a barrier (its manifest is the full
-            # live set); any survivor with an expired snapshot between
-            # the last barrier and itself gets its manifest rewritten as
-            # the full as-of set (entries verbatim) and becomes a
-            # barrier. Expiring a plain prefix consolidates exactly the
-            # oldest survivor; interleaved expiry consolidates the
-            # minimum set that keeps every walk self-contained.
-            barrier = -1
+            # Consolidate every survivor whose LINEAGE CHAIN crosses a
+            # deleted manifest: its manifest is rewritten as the full
+            # as-of set (entries verbatim) and the snapshot marked
+            # `replaces`, which terminates later chains there.
+            # Processing in ascending id order means a consolidated
+            # earlier survivor shields everything that walks through it
+            # — expiring a plain prefix consolidates exactly the oldest
+            # survivor; interleaved expiry (or a branch head whose fork
+            # base expired) consolidates the minimum shielding set.
+            by_id_all = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            consolidated: set[int] = set()
+
+            def chain_crosses_expired(start: int) -> bool:
+                cur: int | None = start
+                while cur is not None and cur in by_id_all:
+                    node = by_id_all[cur]
+                    nid = node["snapshot_id"]
+                    if nid != start:
+                        if nid in expired_ids:
+                            return True
+                        if node.get("replaces") or nid in consolidated:
+                            return False
+                    elif node.get("replaces"):
+                        return False
+                    cur = node["parent_id"]
+                return False
+
             for s in sorted(survivors, key=lambda x: x["snapshot_id"]):
                 sid = s["snapshot_id"]
-                gap = any(barrier < e < sid for e in expired_ids)
-                if gap and not s.get("replaces"):
-                    full = by_survivor[sid]
-                    manifest_rel = s.get("manifest") or os.path.join(
-                        "metadata", f"manifest-s{sid}.json"
+                if not chain_crosses_expired(sid):
+                    continue
+                full = by_survivor[sid]
+                manifest_rel = s.get("manifest") or os.path.join(
+                    "metadata", f"manifest-s{sid}.json"
+                )
+                with open(
+                    os.path.join(self.location, manifest_rel), "w"
+                ) as f:
+                    json.dump(
+                        {
+                            "files": sorted({p for p, _, _ in full}),
+                            "stats": {p: st for p, st, _ in full if st},
+                            "partitions": {p: pa for p, _, pa in full if pa},
+                        },
+                        f,
                     )
-                    with open(
-                        os.path.join(self.location, manifest_rel), "w"
-                    ) as f:
-                        json.dump(
-                            {
-                                "files": sorted({p for p, _, _ in full}),
-                                "stats": {p: st for p, st, _ in full if st},
-                                "partitions": {
-                                    p: pa for p, _, pa in full if pa
-                                },
-                            },
-                            f,
-                        )
-                    s["manifest"] = manifest_rel
-                    s["replaces"] = True
-                    s.pop("added_files", None)
-                    s.setdefault("summary", {})["added-data-files"] = str(
-                        len({p for p, _, _ in full})
-                    )
-                    s["summary"].pop("carried-data-files", None)
-                    barrier = sid
-                elif s.get("replaces"):
-                    barrier = sid
+                s["manifest"] = manifest_rel
+                s["replaces"] = True
+                s.pop("added_files", None)
+                s.setdefault("summary", {})["added-data-files"] = str(
+                    len({p for p, _, _ in full})
+                )
+                s["summary"].pop("carried-data-files", None)
+                consolidated.add(sid)
             meta["snapshots"] = survivors
             self._write_meta(meta)
             # physical deletion AFTER the metadata swap: a crash in
@@ -908,6 +1000,7 @@ class SnapshotTable:
         carry: list[tuple[str, dict, dict]] | None = None,
         expected_parent=_NO_VALIDATION,
         summary_extra: dict | None = None,
+        branch: str | None = None,
     ) -> int:
         """Shared commit protocol: write data (hidden-partitioned when
         the table has a spec) into a unique uuid dir outside the lock,
@@ -986,16 +1079,27 @@ class SnapshotTable:
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()  # fresh read under lock (CAS-equivalent)
-            if (
-                expected_parent is not _NO_VALIDATION
-                and meta["current_snapshot_id"] != expected_parent
-            ):
+            if branch is not None:
+                refs = meta.get("refs", {})
+                if branch not in refs or refs[branch].get("type") != "branch":
+                    raise ValueError(f"no such branch: {branch!r}")
+                head = refs[branch]["snapshot_id"]
+            else:
+                head = meta["current_snapshot_id"]
+            if expected_parent is not _NO_VALIDATION and head != expected_parent:
                 raise CommitConflictError(
                     f"{operation} planned against snapshot {expected_parent} "
-                    f"but the table is now at {meta['current_snapshot_id']}; "
+                    f"but the table is now at {head}; "
                     "re-plan and retry"
                 )
-            snap_id = (meta["current_snapshot_id"] or 0) + 1
+            # ids are global across main and branches (branch heads may
+            # exceed current), so allocate max+1, never current+1
+            snap_id = (
+                max(
+                    (s["snapshot_id"] for s in meta["snapshots"]), default=0
+                )
+                + 1
+            )
             manifest_rel = os.path.join("metadata", f"manifest-s{snap_id}.json")
             os.makedirs(os.path.join(self.location, "metadata"), exist_ok=True)
             all_files, all_stats, all_parts = list(files), dict(stats), dict(partitions)
@@ -1020,7 +1124,7 @@ class SnapshotTable:
                 )
             entry = {
                 "snapshot_id": snap_id,
-                "parent_id": meta["current_snapshot_id"],
+                "parent_id": head,
                 "operation": operation,
                 "committed_at": (
                     committed_at
@@ -1039,8 +1143,16 @@ class SnapshotTable:
                 entry["summary"].update(summary_extra)
             if replaces:
                 entry["replaces"] = True
+            if branch is not None:
+                # marker keeps unpublished commits out of main's
+                # timestamp-travel / incremental-read surfaces; cleared
+                # by fast_forward on publish
+                entry["branch"] = branch
             meta["snapshots"].append(entry)
-            meta["current_snapshot_id"] = snap_id
+            if branch is not None:
+                meta["refs"][branch]["snapshot_id"] = snap_id
+            else:
+                meta["current_snapshot_id"] = snap_id
             if not meta.get("schema_json"):
                 meta["schema_json"] = user_schema.json()
             self._write_meta(meta)
@@ -1210,17 +1322,38 @@ class SnapshotTable:
             )
         return entries, snapshot_id
 
+    def _lineage_chain(self, meta: dict, snapshot_id: int) -> list[dict]:
+        """The snapshots whose manifests compose `snapshot_id`'s live
+        set, OLDEST FIRST: follow parent pointers from the snapshot,
+        stopping at (and including) the most recent `replaces` snapshot
+        — its manifest carries the full live set, so nothing older
+        contributes. For linear history this equals the old ascending-id
+        walk; for BRANCH heads (round-4 writable refs) it correctly
+        excludes main-line commits that happened after the fork, which
+        an id-ordered walk would wrongly mix in."""
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        chain: list[dict] = []
+        cur: int | None = snapshot_id
+        while cur is not None and cur in by_id:
+            s = by_id[cur]
+            chain.append(s)
+            if s.get("replaces"):
+                break  # full live set: chain complete
+            cur = s["parent_id"]
+        chain.reverse()
+        return chain
+
     def _raw_entries_as_of(
         self, meta: dict, snapshot_id: int
     ) -> list[tuple[str, dict, dict]]:
         """Manifest entries exactly as stored (relative paths, stats keys
-        under written column names) — what a carrying commit re-records."""
+        under written column names) — what a carrying commit re-records.
+        Composed along the snapshot's lineage chain."""
         entries: list[tuple[str, dict, dict]] = []
-        for s in meta["snapshots"]:
-            if s["snapshot_id"] <= snapshot_id:
-                if s.get("replaces"):  # overwrite/compaction: full live set
-                    entries = []
-                entries.extend(self._read_manifest_entries(s))
+        for s in self._lineage_chain(meta, snapshot_id):
+            if s.get("replaces"):  # overwrite/compaction: full live set
+                entries = []
+            entries.extend(self._read_manifest_entries(s))
         return entries
 
     def plan_files(
@@ -1295,9 +1428,7 @@ class SnapshotTable:
         summaries estimate 0 (legacy tables predate sharded manifests
         and are small)."""
         total = 0
-        for s in meta["snapshots"]:
-            if s["snapshot_id"] > snapshot_id:
-                continue
+        for s in self._lineage_chain(meta, snapshot_id):
             try:
                 added = int(s.get("summary", {})["added-data-files"])
             except (KeyError, ValueError):
@@ -1326,13 +1457,7 @@ class SnapshotTable:
         pinned by a unit test running both paths on the same tree."""
         import pandas as pd  # noqa: F401 (worker-side)
 
-        live: list[dict] = []
-        for s in meta["snapshots"]:
-            if s["snapshot_id"] > snapshot_id:
-                continue
-            if s.get("replaces"):
-                live = []
-            live.append(s)
+        live: list[dict] = list(self._lineage_chain(meta, snapshot_id))
         manifests: list[str] = []
         inline: list[tuple[str, dict, dict]] = []
         for s in live:
@@ -1459,7 +1584,9 @@ class SnapshotTable:
         eligible = [
             s["snapshot_id"]
             for s in meta["snapshots"]
-            if s["committed_at"] <= timestamp_ms
+            # unpublished branch commits were never the table state at
+            # any wall-clock instant — timestamp travel is main-line
+            if s["committed_at"] <= timestamp_ms and not s.get("branch")
         ]
         if not eligible:
             raise ValueError(
@@ -1495,9 +1622,11 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         virtual_column: str | None = DEFAULT_VIRTUAL_COLUMN,
         as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Read the table as of a snapshot (default: current) or a
-        timestamp (`as_of_timestamp_ms`, FOR SYSTEM_TIME AS OF semantics).
+        """Read the table as of a snapshot (default: current), a
+        timestamp (`as_of_timestamp_ms`, FOR SYSTEM_TIME AS OF
+        semantics), or a named ref (`ref` — tag or branch head).
 
         Every row carries the virtual snapshot-id column (parity:
         SystemTableUtil.java:35-49; rename parity:
@@ -1505,10 +1634,14 @@ class SnapshotTable:
         An empty table yields an empty DataFrame WITH the declared
         schema, not an error.
         """
+        if sum(x is not None for x in (snapshot_id, as_of_timestamp_ms, ref)) > 1:
+            raise ValueError(
+                "pass snapshot_id OR as_of_timestamp_ms OR ref, not both/all"
+            )
         if as_of_timestamp_ms is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
             snapshot_id = self.snapshot_id_as_of(as_of_timestamp_ms)
+        if ref is not None:
+            snapshot_id = self.resolve_ref(ref)
         files, sid = self._files_as_of(snapshot_id)
         return self._read_files(files, sid, virtual_column)
 
@@ -1597,6 +1730,8 @@ class SnapshotTable:
                 raise ValueError(f"unknown snapshot id {sid} (have {sorted(known)})")
         files: list[str] = []
         for s in meta["snapshots"]:
+            if s.get("branch"):
+                continue  # unpublished branch commits are not main deltas
             if from_snapshot < s["snapshot_id"] <= to_snapshot:
                 if s.get("replaces"):
                     # appends-between is undefined across a rewrite —

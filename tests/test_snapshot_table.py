@@ -300,6 +300,84 @@ def test_expire_snapshots_interleaved(spark, warehouse):
     assert {r.snapshot_id for r in t.snapshots().collect()} == {2, 4}
 
 
+def test_branch_write_audit_publish(spark, warehouse):
+    """Iceberg branches (round-4): commits on a branch chain from the
+    branch head and never touch main until fast_forward publishes —
+    the write-audit-publish workflow. The lineage-based manifest walk
+    keeps branch and main live sets fully independent even though their
+    snapshot ids interleave."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "wap"))
+    t.append(_simple_df(spark, [(1, "a")]), committed_at=1000)  # s1 main
+    t.create_branch("audit")
+    t.append(
+        _simple_df(spark, [(2, "b")]), committed_at=2000, branch="audit"
+    )  # s2 on branch
+    # main is untouched; the branch sees base + branch commit
+    assert {r.id for r in t.scan(virtual_column=None).collect()} == {1}
+    assert {r.id for r in t.scan(ref="audit", virtual_column=None).collect()} == {
+        1,
+        2,
+    }
+    assert t.refs() == {"audit": 2}
+    # a second branch commit chains from the branch head
+    t.append(
+        _simple_df(spark, [(3, "c")]), committed_at=3000, branch="audit"
+    )  # s3
+    assert {r.id for r in t.scan(ref="audit", virtual_column=None).collect()} == {
+        1,
+        2,
+        3,
+    }
+    # unpublished branch commits are invisible to main's timestamp travel
+    assert t.snapshot_id_as_of(3500) == 1
+    # publish: fast-forward main to the branch head
+    new_current = t.fast_forward("audit")
+    assert new_current == 3
+    assert {r.id for r in t.scan(virtual_column=None).collect()} == {1, 2, 3}
+    # published commits joined the main line: timestamp travel sees them
+    assert t.snapshot_id_as_of(2500) == 2
+
+
+def test_branch_diverged_main_refuses_fast_forward(spark, warehouse):
+    """Fast-forward is fast-forward-ONLY: if main moved after the fork,
+    publishing raises instead of silently dropping main's commits; main
+    commits after the fork never leak into the branch view."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "wap2"))
+    t.append(_simple_df(spark, [(1, "a")]))  # s1
+    t.create_branch("audit")
+    t.append(_simple_df(spark, [(2, "b")]), branch="audit")  # s2 branch
+    t.append(_simple_df(spark, [(3, "c")]))  # s3 main: diverged
+    # id-interleaved histories stay separate in both directions
+    assert {r.id for r in t.scan(virtual_column=None).collect()} == {1, 3}
+    assert {r.id for r in t.scan(ref="audit", virtual_column=None).collect()} == {
+        1,
+        2,
+    }
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("audit")
+    # branch commits stay out of main's incremental read surface
+    assert sorted(r.id for r in t.scan_changes(1, 3).collect()) == [3]
+
+
+def test_branch_head_survives_expiry_via_consolidation(spark, warehouse):
+    """Expiring the branch's fork base consolidates the branch head
+    (chain-based shielding), so the branch keeps reading correctly."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "wap3"))
+    t.append(_simple_df(spark, [(1, "a")]), committed_at=1000)  # s1
+    t.create_branch("audit")
+    t.append(
+        _simple_df(spark, [(2, "b")]), committed_at=5000, branch="audit"
+    )  # s2
+    t.append(_simple_df(spark, [(3, "c")]), committed_at=5000)  # s3 main
+    res = t.expire_snapshots(older_than_ms=3000)  # expires s1 only
+    assert res["expired_snapshots"] == 1
+    assert {r.id for r in t.scan(ref="audit", virtual_column=None).collect()} == {
+        1,
+        2,
+    }
+    assert {r.id for r in t.scan(virtual_column=None).collect()} == {1, 3}
+
+
 def test_history_metadata_table(spark, warehouse):
     """Iceberg `history` table: every snapshot's commit time plus
     is_current_ancestor — a rollback makes the rolled-past snapshots
