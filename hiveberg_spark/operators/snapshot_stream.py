@@ -41,9 +41,12 @@ def stream_snapshot_table_source(spark, sf_dir):
     # table is parquet-only; a mixed-format table (round-4
     # set_file_format) would need one stream per format union'd — guard
     # so the miss could never be silent
-    assert all(f.endswith(".parquet") for f in t.plan_files()), (
-        "snapshot streaming source requires a parquet-only table"
-    )
+    non_parquet = [f for f in t.plan_files() if not f.endswith(".parquet")]
+    if non_parquet:  # a real error, never an assert: must survive -O
+        raise ValueError(
+            "snapshot streaming source requires a parquet-only table; "
+            f"found non-parquet data files: {non_parquet[:5]}"
+        )
     schema = t.schema()
     raw = (
         spark.readStream.schema(schema)

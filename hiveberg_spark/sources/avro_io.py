@@ -395,25 +395,65 @@ class _ColStats:
         return out
 
 
+# The exact character set Hive's FileUtils.escapePathName (and Spark's
+# ExternalCatalogUtils, which copies it) escapes: ASCII control chars,
+# DEL, and the path/glob-special printables. Space is NOT in the set —
+# it stays literal, matching what Spark's partitionBy writes for
+# parquet/ORC, so one table's partition values are recorded identically
+# in manifests/files() regardless of the file format that wrote them
+# (ADVICE r4: quote(safe='') diverged here, e.g. space → %20).
+_PATH_ESCAPE_CHARS = frozenset(
+    chr(c) for c in range(0x20)
+) | frozenset('"#%\'*/:=?\\\x7f{[]^')
+
+
+def escape_path_name(value: str) -> str:
+    """Hive escapePathName: each special char → %XX (uppercase hex)."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch
+        for ch in value
+    )
+
+
+def unescape_path_name(value: str) -> str:
+    """Inverse of escape_path_name (tolerates non-escape `%`s, exactly
+    like Hive's unescapePathName: only `%` followed by two hex digits
+    is decoded)."""
+    out = []
+    i = 0
+    n = len(value)
+    while i < n:
+        ch = value[i]
+        if ch == "%" and i + 3 <= n:
+            hx = value[i + 1 : i + 3]
+            try:
+                out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _partition_dir(names: list[str], values: tuple) -> str:
     """`_p_x=v/...` relative directory for one partition-value combo —
     the same layout (and the same `__HIVE_DEFAULT_PARTITION__` null
     convention) Spark's partitionBy produces, so the snapshot layer's
     path-parsing and bucket pruning treat avro files identically.
-    String values are percent-escaped (Hive escapePathName semantics:
-    `/`, `=`, `%` etc. must not reach the filesystem path — bucket
-    values, the only ones pruning compares, are plain ints and pass
-    through untouched)."""
-    from urllib.parse import quote
-
+    String values go through Hive escapePathName (the identical escape
+    set Spark uses for parquet/ORC partition dirs), so logical partition
+    values are format-independent in manifests; bucket values — the only
+    ones pruning compares — are plain ints and pass through untouched."""
     comps = []
     for n, v in zip(names, values):
         if v is None:
             sv = "__HIVE_DEFAULT_PARTITION__"
         elif hasattr(v, "isoformat"):
-            sv = v.isoformat()
+            sv = escape_path_name(v.isoformat())
         else:
-            sv = quote(str(v), safe="")
+            sv = escape_path_name(str(v))
         comps.append(f"{n}={sv}")
     return os.path.join(*comps) if comps else ""
 

@@ -64,6 +64,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from hiveberg_spark.sources.avro_io import unescape_path_name
+
 DEFAULT_VIRTUAL_COLUMN = "snapshot__id"  # SystemTableUtil.java:29
 SNAPSHOTS_SUFFIX = "__snapshots"  # TableResolverUtil.java:39
 FILES_SUFFIX = "__files"  # beyond reference: Iceberg's `files` metadata table
@@ -597,12 +599,33 @@ class SnapshotTable:
             os.unlink(lock)
 
     def drop_tag(self, name: str) -> None:
+        """Remove a TAG ref. Refuses to remove a branch (ADVICE r4:
+        silently deleting a writable branch would orphan its unpublished
+        commits for the next expire_snapshots run) — use drop_branch."""
+        self._drop_ref(name, expect_type="tag")
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a BRANCH ref. The branch's unpublished commits stay in
+        metadata (still reachable by snapshot id) but lose retention
+        protection: a later expire_snapshots may remove them — the
+        explicit abandon-the-audit path of the WAP workflow. Refuses to
+        remove a tag."""
+        self._drop_ref(name, expect_type="branch")
+
+    def _drop_ref(self, name: str, expect_type: str) -> None:
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()
-            if name not in meta.get("refs", {}):
-                raise ValueError(f"no such tag: {name!r}")
-            del meta["refs"][name]
+            refs = meta.get("refs", {})
+            if name not in refs:
+                raise ValueError(f"no such ref: {name!r}")
+            actual = refs[name].get("type", "tag")
+            if actual != expect_type:
+                raise ValueError(
+                    f"ref {name!r} is a {actual}, not a {expect_type}; "
+                    f"use drop_{actual} to remove it"
+                )
+            del refs[name]
             self._write_meta(meta)
         finally:
             os.unlink(lock)
@@ -634,14 +657,20 @@ class SnapshotTable:
         finally:
             os.unlink(lock)
 
-    def fast_forward(self, branch: str) -> int:
+    def fast_forward(self, branch: str, published_at: int | None = None) -> int:
         """Publish a branch: move the main table pointer to the branch
         head, REQUIRING main to be an ancestor of it (no divergence —
         the same fast-forward-only contract as Iceberg's
         fast_forward procedure; a diverged main raises instead of
         silently dropping commits). The published snapshots lose their
         branch marker, entering main's timestamp-travel and
-        incremental-read surfaces. Returns the new current id."""
+        incremental-read surfaces AT THE PUBLISH INSTANT: each gets
+        made_current_at = publish time (pinnable via `published_at`
+        epoch-millis for deterministic tests), matching Iceberg's
+        snapshot-log semantics — `FOR SYSTEM_TIME AS OF` a time between
+        a branch commit and its publish must NOT return state main never
+        held then (ADVICE r4). committed_at stays the original commit
+        time. Returns the new current id."""
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()
@@ -667,8 +696,14 @@ class SnapshotTable:
                     f"cannot fast-forward: main ({current}) is not an "
                     f"ancestor of branch {branch!r} head ({head})"
                 )
+            publish_ms = (
+                published_at
+                if published_at is not None
+                else int(time.time() * 1000)
+            )
             for sid in on_path:  # published commits join the main line
                 by_id[sid].pop("branch", None)
+                by_id[sid]["made_current_at"] = publish_ms
             meta["current_snapshot_id"] = head
             self._write_meta(meta)
             return head
@@ -679,7 +714,7 @@ class SnapshotTable:
         """Ref name (tag or branch) → snapshot id (raises on unknown)."""
         refs = self._read_meta().get("refs", {})
         if name not in refs:
-            raise ValueError(f"no such tag: {name!r}")
+            raise ValueError(f"no such ref: {name!r}")
         return refs[name]["snapshot_id"]
 
     def refs(self) -> dict[str, int]:
@@ -1092,14 +1127,19 @@ class SnapshotTable:
                     f"but the table is now at {head}; "
                     "re-plan and retry"
                 )
-            # ids are global across main and branches (branch heads may
-            # exceed current), so allocate max+1, never current+1
-            snap_id = (
-                max(
+            # ids come from a persisted monotonic counter (Iceberg's
+            # last-sequence-number pattern), never max-over-live:
+            # expire_snapshots can remove the max-id snapshot (e.g. a
+            # dropped branch head), and max+1 would then re-issue its id,
+            # silently re-pointing scan(snapshot_id=N), old tags, and
+            # incremental-read ranges at different data (ADVICE r4)
+            last = meta.get("last_snapshot_id")
+            if last is None:  # legacy metadata: seed from the live max
+                last = max(
                     (s["snapshot_id"] for s in meta["snapshots"]), default=0
                 )
-                + 1
-            )
+            snap_id = last + 1
+            meta["last_snapshot_id"] = snap_id
             manifest_rel = os.path.join("metadata", f"manifest-s{snap_id}.json")
             os.makedirs(os.path.join(self.location, "metadata"), exist_ok=True)
             all_files, all_stats, all_parts = list(files), dict(stats), dict(partitions)
@@ -1122,15 +1162,16 @@ class SnapshotTable:
                     },
                     f,
                 )
+            commit_ms = (
+                committed_at
+                if committed_at is not None
+                else int(time.time() * 1000)
+            )
             entry = {
                 "snapshot_id": snap_id,
                 "parent_id": head,
                 "operation": operation,
-                "committed_at": (
-                    committed_at
-                    if committed_at is not None
-                    else int(time.time() * 1000)
-                ),
+                "committed_at": commit_ms,
                 "manifest": manifest_rel,
                 "summary": {
                     "added-data-files": str(len(files)),
@@ -1146,8 +1187,15 @@ class SnapshotTable:
             if branch is not None:
                 # marker keeps unpublished commits out of main's
                 # timestamp-travel / incremental-read surfaces; cleared
-                # by fast_forward on publish
+                # by fast_forward on publish, which also stamps
+                # made_current_at = publish time (Iceberg snapshot-log
+                # semantics: a branch commit was never the table state
+                # at its committed_at instant)
                 entry["branch"] = branch
+            else:
+                # main-line commits become current the moment they
+                # commit: made_current_at == committed_at
+                entry["made_current_at"] = commit_ms
             meta["snapshots"].append(entry)
             if branch is not None:
                 meta["refs"][branch]["snapshot_id"] = snap_id
@@ -1208,8 +1256,15 @@ class SnapshotTable:
                 for comp in rel.split(os.sep):
                     if "=" in comp and comp.startswith("_p_"):
                         k, v = comp.split("=", 1)
+                        # manifests record LOGICAL values: Hive-unescape
+                        # the path component (both Spark's partitionBy
+                        # and avro_io._partition_dir escape with the
+                        # same escapePathName set), so one table's
+                        # partition values are format-independent
                         parts[k] = (
-                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else unescape_path_name(v)
                         )
                 if parts:
                     partitions[rel] = parts
@@ -1584,14 +1639,20 @@ class SnapshotTable:
         eligible = [
             s["snapshot_id"]
             for s in meta["snapshots"]
-            # unpublished branch commits were never the table state at
-            # any wall-clock instant — timestamp travel is main-line
-            if s["committed_at"] <= timestamp_ms and not s.get("branch")
+            # timestamp travel follows the instant a snapshot BECAME
+            # current (made_current_at — the snapshot-log timestamp
+            # Iceberg resolves asOfTime with): branch commits published
+            # by fast_forward enter at their publish time, not their
+            # original committed_at, and unpublished branch commits
+            # (no made_current_at yet) were never the table state at
+            # any wall-clock instant
+            if not s.get("branch")
+            and s.get("made_current_at", s["committed_at"]) <= timestamp_ms
         ]
         if not eligible:
             raise ValueError(
-                f"no snapshot committed at or before {timestamp_ms} "
-                f"(oldest: {min((s['committed_at'] for s in meta['snapshots']), default=None)})"
+                f"no snapshot current at or before {timestamp_ms} "
+                f"(oldest: {min((s.get('made_current_at', s['committed_at']) for s in meta['snapshots'] if not s.get('branch')), default=None)})"
             )
         return max(eligible)
 
@@ -1778,7 +1839,12 @@ class SnapshotTable:
                 sid = s["parent_id"]
         rows = [
             (
-                s["committed_at"],
+                # the instant this snapshot BECAME current (publish time
+                # for fast-forwarded branch commits), matching Iceberg's
+                # snapshot-log-derived history table; unpublished branch
+                # commits fall back to committed_at and are never
+                # current-ancestors
+                s.get("made_current_at", s["committed_at"]),
                 s["snapshot_id"],
                 s["parent_id"],
                 s["snapshot_id"] in ancestors,

@@ -331,11 +331,20 @@ def test_branch_write_audit_publish(spark, warehouse):
     # unpublished branch commits are invisible to main's timestamp travel
     assert t.snapshot_id_as_of(3500) == 1
     # publish: fast-forward main to the branch head
-    new_current = t.fast_forward("audit")
+    new_current = t.fast_forward("audit", published_at=5000)
     assert new_current == 3
     assert {r.id for r in t.scan(virtual_column=None).collect()} == {1, 2, 3}
-    # published commits joined the main line: timestamp travel sees them
-    assert t.snapshot_id_as_of(2500) == 2
+    # published commits enter timestamp travel AT THE PUBLISH INSTANT
+    # (Iceberg snapshot-log semantics, ADVICE r4): between their
+    # original commit time and publish, main still held s1 — travel to
+    # then must NOT surface branch state main never held
+    assert t.snapshot_id_as_of(2500) == 1
+    assert t.snapshot_id_as_of(4999) == 1
+    assert t.snapshot_id_as_of(5000) == 3
+    # history() reports made_current_at = publish time for published
+    # commits, original committed_at for main-line ones
+    hist = {r.snapshot_id: r.made_current_at for r in t.history().collect()}
+    assert hist[1] == 1000 and hist[2] == 5000 and hist[3] == 5000
 
 
 def test_branch_diverged_main_refuses_fast_forward(spark, warehouse):
@@ -423,7 +432,7 @@ def test_tags_name_snapshots_and_survive_expiry(spark, warehouse):
     assert t.refs() == {"v1.0": 1}
     assert t.resolve_ref("v1.0") == 1
     assert t.scan(snapshot_id=t.resolve_ref("v1.0"), virtual_column=None).count() == 1
-    with pytest.raises(ValueError, match="no such tag"):
+    with pytest.raises(ValueError, match="no such ref"):
         t.resolve_ref("ghost")
     with pytest.raises(ValueError, match="already exists"):
         t.create_tag("v1.0")
@@ -443,6 +452,75 @@ def test_tags_name_snapshots_and_survive_expiry(spark, warehouse):
         (2, "b"),
         (3, "c"),
     }
+
+
+def test_snapshot_ids_never_reused_after_expiry(spark, warehouse):
+    """Snapshot ids come from a persisted monotonic counter (Iceberg's
+    last-sequence-number pattern, ADVICE r4): after expire_snapshots
+    removes the max-id snapshot, the next commit must NOT re-issue its
+    id — a reused id would silently re-point scan(snapshot_id=N), old
+    tags, and incremental-read ranges at different data."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "noreuse"))
+    t.append(_simple_df(spark, [(1, "a")]), committed_at=1000)  # s1
+    t.append(_simple_df(spark, [(2, "b")]), committed_at=2000)  # s2
+    t.append(_simple_df(spark, [(3, "c")]), committed_at=9000)  # s3 current
+    # roll back so s3 leaves the current line, then expire it away:
+    # rollback (s4) becomes current; s3 is old enough and untagged
+    t.rollback_to(2, committed_at=9500)  # s4
+    t.expire_snapshots(older_than_ms=9400)
+    live = {r.snapshot_id for r in t.snapshots().collect()}
+    assert 4 in live and 3 not in live  # max-id s3 was expired
+    new_id = t.append(_simple_df(spark, [(5, "e")]), committed_at=9600)
+    assert new_id == 5  # monotonic counter: never re-issues 3
+
+
+def test_drop_ref_type_checks(spark, warehouse):
+    """drop_tag refuses branches and drop_branch refuses tags (ADVICE
+    r4: silently deleting a writable branch orphans its unpublished
+    commits); drop_branch is the explicit abandon path."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "refty"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.create_tag("v1")
+    t.create_branch("audit")
+    with pytest.raises(ValueError, match="is a branch, not a tag"):
+        t.drop_tag("audit")
+    with pytest.raises(ValueError, match="is a tag, not a branch"):
+        t.drop_branch("v1")
+    with pytest.raises(ValueError, match="no such ref"):
+        t.drop_tag("ghost")
+    t.drop_branch("audit")
+    t.drop_tag("v1")
+    assert t.refs() == {}
+
+
+def test_partition_values_format_independent(spark, warehouse):
+    """Manifest partition values are LOGICAL values regardless of file
+    format (ADVICE r4): a space (which Hive escapePathName leaves
+    literal, but quote(safe='') used to turn into %20) must be recorded
+    identically for parquet and avro identity-partitioned tables, and a
+    ':' (escaped %3A on disk by BOTH writers) must parse back to ':'."""
+    vals = [(1, "with space"), (2, "a:b"), (3, "plain")]
+    recorded = {}
+    for fmt in ("parquet", "avro"):
+        t = SnapshotTable.create(
+            spark,
+            os.path.join(warehouse, f"pvals_{fmt}"),
+            partition_spec=[("identity", "data", None)],
+            file_format=fmt,
+        )
+        t.append(_simple_df(spark, vals))
+        meta = t._read_meta()
+        entries = t._raw_entries_as_of(meta, meta["current_snapshot_id"])
+        recorded[fmt] = sorted(
+            pa["_p_data"] for _, _, pa in entries if pa
+        )
+        got = {(r.id, r.data) for r in t.scan(virtual_column=None).collect()}
+        assert got == set(vals), fmt
+    assert recorded["parquet"] == recorded["avro"] == [
+        "a:b",
+        "plain",
+        "with space",
+    ]
 
 
 def test_sql_version_as_of_tag(spark, warehouse):
