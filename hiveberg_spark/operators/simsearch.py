@@ -43,9 +43,10 @@ def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", _norm(F.col(vec)))
 
 
-@query(
-    "simsearch_bruteforce_topk",
-    oracle=f"""
+# DuckDB SQL computing the exact brute-force cosine top-k — the oracle
+# for the brute-force query itself AND the truth set the three ANN
+# recall contracts count against.
+BRUTE_TOPK_SQL = f"""
     WITH flat AS (
       SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
              generate_subscripts(embedding, 1) AS pos
@@ -68,8 +69,41 @@ def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
       FROM sims
     ) WHERE rn <= {TOP_K}
-    """,
-)
+"""
+
+# Oracle shared by the three ANN recall contracts: DuckDB recomputes the
+# truth set (so n_queries/n_truth are real, not constants typed twice)
+# and pins the contract boolean TRUE — an ANN regression that drops
+# recall below its bound flips the Spark-side boolean and the driver's
+# value hash goes red.
+RECALL_CONTRACT_SQL = f"""
+    SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok
+    FROM ({BRUTE_TOPK_SQL})
+"""
+
+
+def recall_contract(truth: DataFrame, ann: DataFrame, bound: float) -> DataFrame:
+    """One-row recall contract (VERDICT r4 #3, mirroring
+    dedup_blocked_recall): left-join the exact top-k truth against the
+    ANN result on (qid, vec_id) and emit deterministic counts plus
+    `recall >= bound` as a boolean. The bound sits far under the
+    measured recall (deterministic seeded planes/quantizers) so only a
+    real regression — never fixture-regen noise — flips it."""
+    j = truth.select("qid", "vec_id").join(
+        ann.select("qid", "vec_id").withColumn("_hit", F.lit(1)),
+        ["qid", "vec_id"],
+        "left",
+    )
+    return j.agg(
+        F.countDistinct("qid").alias("n_queries"),
+        F.count("*").alias("n_truth"),
+        (F.count("_hit") >= F.lit(bound) * F.count("*")).alias("recall_ok"),
+    )
+
+
+@query("simsearch_bruteforce_topk", oracle=BRUTE_TOPK_SQL)
 def simsearch_bruteforce_topk(spark, sf_dir):
     """Exact cosine top-k for each query vector. Similarities rounded to
     6 decimals before ranking so Spark/DuckDB float summation order can
@@ -175,17 +209,17 @@ def _table_signatures(vec_col, planes_col, n_planes: int, n_tables: int):
     )
 
 
-@query("simsearch_lsh_ann")  # rows-only: ANN recall is probabilistic by design
-def simsearch_lsh_ann(spark, sf_dir):
+def lsh_topk(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH with OR-amplification:
-    corpus and queries get 4 independent 12-bit signatures (one per
+    corpus and queries get independent short signatures (one per
     table); candidates = vectors sharing ANY table's bucket (VERDICT r1
     nit: a single table caps recall — multi-table OR-amplification lifts
     P(candidate) from p_12 to 1-(1-p_12)^4); exact cosine rerank; top-k.
 
     Scale: one corpus pass to sign, shuffle on the (table, bucket) key,
-    no all-pairs anything. Recall is tested against the brute-force
-    baseline in tests (not an oracle query — approximate by design)."""
+    no all-pairs anything. Registered to the driver as the
+    `simsearch_lsh_ann` recall contract (top-k rows themselves are
+    probabilistic — the contract row is what an oracle can pin)."""
     e = load_table(spark, sf_dir, "embeddings")
     dim = _embedding_dim(spark, sf_dir)
     mat = _plane_matrix(spark, dim, _N_PLANES * _LSH_TABLES)
@@ -226,6 +260,26 @@ def simsearch_lsh_ann(spark, sf_dir):
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "cosine")
+    )
+
+
+# Measured recall at 6 bits × 12 tables: 0.54 (sf0.001) / 0.50 (sf0.01).
+# Bound 0.3 = the long-standing test floor — margin for fixture regen,
+# tight enough that a broken signature/bucket join (recall ≈ collision
+# noise) goes red.
+_LSH_RECALL_BOUND = 0.3
+
+
+@query("simsearch_lsh_ann", oracle=RECALL_CONTRACT_SQL)
+def simsearch_lsh_ann(spark, sf_dir):
+    """LSH ANN as a driver-checked recall contract (VERDICT r4 #3): run
+    the full LSH pipeline (lsh_topk) AND the exact baseline, emit one
+    row (n_queries, n_truth, recall_ok). DuckDB recomputes the truth
+    counts and pins recall_ok TRUE."""
+    return recall_contract(
+        simsearch_bruteforce_topk(spark, sf_dir),
+        lsh_topk(spark, sf_dir),
+        _LSH_RECALL_BOUND,
     )
 
 
@@ -470,13 +524,12 @@ def _assign_nearest_centroid(e_with_norm, cents, probes: int = 1):
     )
 
 
-@query("simsearch_ivf")  # rows-only: IVF recall is probe-count-dependent
-def simsearch_ivf(spark, sf_dir):
+def ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse-quantize the corpus into label-centroid
     cells; each query probes its 3 nearest cells and reranks exactly.
     Scale: corpus scan once for assignment (materialized in production),
-    per-query work = |probed cells| / |cells| of the corpus. Quality vs
-    brute force asserted in tests (every hit a true neighbor)."""
+    per-query work = |probed cells| / |cells| of the corpus. Registered
+    to the driver as the `simsearch_ivf` recall contract."""
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
     cents = _label_centroids(spark, sf_dir)
     assigned = _assign_nearest_centroid(e, cents)
@@ -510,6 +563,23 @@ def simsearch_ivf(spark, sf_dir):
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "cosine")
+    )
+
+
+# Measured recall probing 3 of 10 cells: 0.56 (sf0.001) / 0.48 (sf0.01).
+# Bound 0.3 = the long-standing test floor.
+_IVF_RECALL_BOUND = 0.3
+
+
+@query("simsearch_ivf", oracle=RECALL_CONTRACT_SQL)
+def simsearch_ivf(spark, sf_dir):
+    """IVF ANN as a driver-checked recall contract (VERDICT r4 #3): the
+    full IVF pipeline (ivf_topk) measured against the exact baseline,
+    one pinned row."""
+    return recall_contract(
+        simsearch_bruteforce_topk(spark, sf_dir),
+        ivf_topk(spark, sf_dir),
+        _IVF_RECALL_BOUND,
     )
 
 

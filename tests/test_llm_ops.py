@@ -33,8 +33,10 @@ def test_lsh_ann_results_are_true_neighbors(spark, sf_dir):
     cosine, and multi-table OR-amplified recall must clear a floor
     (deterministic planes → the measured 0.50-0.54 is stable; 0.3 floor
     leaves margin for fixture regeneration)."""
+    from hiveberg_spark.operators.simsearch import lsh_topk
+
     brute = registry.QUERIES["simsearch_bruteforce_topk"](spark, sf_dir).collect()
-    ann = registry.QUERIES["simsearch_lsh_ann"](spark, sf_dir).collect()
+    ann = lsh_topk(spark, sf_dir).collect()
     exact_scores = {(r.qid, r.vec_id): r.cosine for r in brute}
     hits = 0
     for r in ann:
@@ -160,8 +162,10 @@ def test_embedding_blocked_recall_on_planted_boundary_pairs(spark, tmp_path):
 
 
 def test_ivf_hits_are_true_neighbors_with_decent_recall(spark, sf_dir):
+    from hiveberg_spark.operators.simsearch import ivf_topk
+
     brute = registry.QUERIES["simsearch_bruteforce_topk"](spark, sf_dir).collect()
-    ivf = registry.QUERIES["simsearch_ivf"](spark, sf_dir).collect()
+    ivf = ivf_topk(spark, sf_dir).collect()
     exact_scores = {(r.qid, r.vec_id): r.cosine for r in brute}
     hits = sum(1 for r in ivf if (r.qid, r.vec_id) in exact_scores)
     # scores of overlapping hits must agree exactly
@@ -304,7 +308,9 @@ def test_sq8_rerank_recall_vs_brute_force(spark, sf_dir):
     ranking; with a 4×k rerank the top-k must match brute force almost
     everywhere (≥0.9 recall leaves margin for fixture regeneration),
     and every returned cosine is exact (rerank re-scores with floats)."""
-    sq = registry.QUERIES["simsearch_sq8_rerank"](spark, sf_dir)
+    from hiveberg_spark.operators.quantization import sq8_topk
+
+    sq = sq8_topk(spark, sf_dir)
     bf = registry.QUERIES["simsearch_bruteforce_topk"](spark, sf_dir)
     s = {(r.qid, r.vec_id): r.cosine for r in sq.collect()}
     b = {(r.qid, r.vec_id): r.cosine for r in bf.collect()}
