@@ -41,6 +41,10 @@ HEADLINE = [
     "simsearch_ivf",
     "text_quality_score",
     "stream_tumbling_counts",
+    # round 5: the snapshot layer's lifecycle (partitioned append +
+    # bucket-pruned COW delete + pruned scan + time travel) — the
+    # repo's largest module previously had no bench coverage
+    "snapshot_lifecycle_bench",
 ]
 
 
@@ -58,7 +62,7 @@ def _bench_fns():
     return fns
 
 
-def _previous_rows(sf) -> dict[str, int]:
+def _previous_rows(sf, here: str | None = None) -> dict[str, int]:
     """Row counts from the most recent BENCH_r*.json at the same SF.
 
     Round-3 lesson: stream_tumbling_counts dropped 3600 → 10 rows in the
@@ -67,7 +71,8 @@ def _previous_rows(sf) -> dict[str, int]:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     best: dict[str, int] = {}
     for path in sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
@@ -81,6 +86,14 @@ def _previous_rows(sf) -> dict[str, int]:
         except Exception:
             continue
     return best
+
+
+def _row_drift(prev_rows: dict[str, int], name: str, n: int) -> str | None:
+    """'old -> new' when this query's row count moved vs the previous
+    round's recorded bench at the same SF; None when stable or new."""
+    if name in prev_rows and prev_rows[name] != n:
+        return f"{prev_rows[name]} -> {n}"
+    return None
 
 
 def main() -> None:
@@ -115,12 +128,13 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
+        d = _row_drift(prev_rows, name, n)
         note = ""
-        if name in prev_rows and prev_rows[name] != n:
-            drift[name] = f"{prev_rows[name]} -> {n}"
+        if d:
+            drift[name] = d
             note = (
                 f"  *** ROW-COUNT DRIFT vs previous round: "
-                f"{prev_rows[name]} -> {n} — INVESTIGATE ***"
+                f"{d} — INVESTIGATE ***"
             )
         print(f"# {name}: {times[name]:.3f}s ({n} rows){note}", file=sys.stderr)
 

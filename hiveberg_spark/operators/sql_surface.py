@@ -49,6 +49,84 @@ def timetravel_sql_version_as_of(spark, sf_dir):
 
 
 @query(
+    "snapshot_lifecycle_bench",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_v1,
+      CAST((SELECT COUNT(*) FROM lineitem)
+         - (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = 1) AS BIGINT)
+        AS n_after_delete,
+      CAST(0 AS BIGINT) AS n_deleted_key,
+      CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey = 3) AS BIGINT)
+        AS n_pruned_key
+    """,
+)
+def snapshot_lifecycle_bench(spark, sf_dir):
+    """The snapshot layer's BENCH query (VERDICT r4 next #2: 2,145 LoC
+    of snapshot_table.py previously had zero perf tracking): one full
+    table lifecycle over the SF-scaled lineitem table, rebuilt FRESH on
+    every invocation so the bench measures the actual work each round —
+    partitioned append (hidden bucket(l_orderkey,16) clustering +
+    footer-stats collection + manifest commit), a bucket-pruned COW
+    DELETE (plan_files prunes to ~1/16 of files; the rest carry by
+    reference), a bucket-pruned equality scan over the rewritten set,
+    and a time-travel read of the pre-delete snapshot. Counts are fully
+    data-derived, so the DuckDB oracle pins correctness at the same
+    time (bench + CORRECTNESS both see this query).
+
+    Scale: everything distributed (write, stats, rewrite, scans); the
+    only driver work is manifest-sized metadata. At 100 TB the same
+    plan rewrites one bucket's files for the delete, never the table."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    import time as _time
+
+    base = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"), "hbs_lifecycle_bench"
+    )
+    # reclaim prior invocations' dirs, but only ones old enough that no
+    # concurrent bench/correctness process can still be scanning them —
+    # this query is rebuilt fresh every call, so leftovers are garbage
+    if os.path.isdir(base):
+        cutoff = _time.time() - 1800
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    loc = os.path.join(base, _uuid.uuid4().hex[:12])
+    t = SnapshotTable.create(
+        spark, loc, partition_spec=[("bucket", "l_orderkey", 16)]
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    v1 = t.append(li)
+    t.delete_where("l_orderkey = 1")
+    n_v1 = (
+        t.scan(snapshot_id=v1, virtual_column=None)
+        .agg(F.count("*").cast("long").alias("n_v1"))
+    )
+    n_after = t.scan(virtual_column=None).agg(
+        F.count("*").cast("long").alias("n_after_delete")
+    )
+    n_deleted = t.scan_where("l_orderkey = 1").agg(
+        F.count("*").cast("long").alias("n_deleted_key")
+    )
+    n_pruned = t.scan_where("l_orderkey = 3").agg(
+        F.count("*").cast("long").alias("n_pruned_key")
+    )
+    return n_v1.crossJoin(n_after).crossJoin(n_deleted).crossJoin(n_pruned)
+
+
+@query(
     "snapshot_maintenance_ops",
     oracle="""
     SELECT * FROM (VALUES
