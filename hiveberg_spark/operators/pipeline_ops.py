@@ -242,8 +242,20 @@ def sample_epoch_shuffle(spark, sf_dir):
         "shuffle_key",
         F.md5(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string"))),
     )
+    return epoch_shuffle_positions(keyed, n_partitions=8)
+
+
+def epoch_shuffle_positions(keyed: DataFrame, n_partitions: int) -> DataFrame:
+    """Distributed zipWithIndex over (shuffle_key, doc_id) total order:
+    range-partition + in-partition sort, decode
+    `monotonically_increasing_id` ((partition_id << 33) + local index —
+    documented Spark layout, held strict by the oracle hash AND the
+    dense-position invariant test at multiple partition counts), then
+    add broadcast per-partition offsets. Positions are 1..N exactly,
+    independent of `n_partitions` (they depend only on the key order) —
+    tests/test_properties.py pins both."""
     parts = (
-        keyed.repartitionByRange(8, "shuffle_key")
+        keyed.repartitionByRange(n_partitions, "shuffle_key")
         .sortWithinPartitions("shuffle_key", "doc_id")
         .withColumn("mid", F.monotonically_increasing_id())
         .withColumn("pid", F.spark_partition_id())
