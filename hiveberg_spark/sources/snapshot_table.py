@@ -858,7 +858,12 @@ class SnapshotTable:
         finally:
             os.unlink(lock)
 
-    def delete_where(self, where: str, committed_at: int | None = None) -> int:
+    def delete_where(
+        self,
+        where: str,
+        committed_at: int | None = None,
+        branch: str | None = None,
+    ) -> int:
         """Copy-on-write row-level DELETE (Iceberg `DELETE FROM` with the
         copy-on-write strategy): `plan_files(where)` identifies the files
         that MIGHT hold matching rows; only those are read and rewritten
@@ -872,8 +877,13 @@ class SnapshotTable:
         appendsBetween contract.
 
         SQL DELETE semantics: rows where the predicate is NULL are kept
-        (only predicate-TRUE rows are removed)."""
-        affected_df, carry, parent = self._cow_split(where)
+        (only predicate-TRUE rows are removed).
+
+        `branch` runs the whole operation ON a branch (plan against the
+        branch head, commit moves the branch ref): the write-audit-
+        publish flow for destructive DML — main readers see nothing
+        until fast_forward publishes the audited branch."""
+        affected_df, carry, parent = self._cow_split(where, branch=branch)
         if affected_df is None:  # nothing can match: no-op delete snapshot
             survivors = self.scan(virtual_column=None).limit(0)
         else:
@@ -888,6 +898,7 @@ class SnapshotTable:
             replaces=True,
             carry=carry,
             expected_parent=parent,
+            branch=branch,
         )
 
     def update_where(
@@ -895,6 +906,7 @@ class SnapshotTable:
         where: str,
         assignments: dict[str, str],
         committed_at: int | None = None,
+        branch: str | None = None,
     ) -> int:
         """Copy-on-write row-level UPDATE (Iceberg UPDATE ... SET): files
         that might hold matching rows are rewritten with the assignments
@@ -906,8 +918,9 @@ class SnapshotTable:
         Each assignment is cast back to the column's committed type:
         an expression that would widen the type (e.g. a bigint-producing
         arithmetic over an int column) must not yield rewritten files
-        whose schema diverges from the carried files (ADVICE r2)."""
-        affected_df, carry, parent = self._cow_split(where)
+        whose schema diverges from the carried files (ADVICE r2).
+        `branch` runs the update on a branch (WAP), as delete_where."""
+        affected_df, carry, parent = self._cow_split(where, branch=branch)
         if affected_df is None:
             updated = self.scan(virtual_column=None).limit(0)
         else:
@@ -937,6 +950,7 @@ class SnapshotTable:
             replaces=True,
             carry=carry,
             expected_parent=parent,
+            branch=branch,
         )
 
     def merge_upsert(
@@ -944,6 +958,7 @@ class SnapshotTable:
         source: DataFrame,
         keys: list[str],
         committed_at: int | None = None,
+        branch: str | None = None,
     ) -> int:
         """Copy-on-write MERGE INTO (upsert): target rows whose key
         matches a source row are replaced by the source row; source rows
@@ -952,7 +967,8 @@ class SnapshotTable:
         target files entirely outside [min,max] of every numeric key
         carry by reference — the Iceberg copy-on-write merge shape,
         where a merge of a day's delta into a year's table rewrites
-        O(that day's files)."""
+        O(that day's files). `branch` runs the merge on a branch (WAP),
+        as delete_where."""
         bounds = source.select(
             *[F.min(k).alias(f"lo_{k}") for k in keys],
             *[F.max(k).alias(f"hi_{k}") for k in keys],
@@ -963,7 +979,7 @@ class SnapshotTable:
             if isinstance(lo, (int, float)) and not isinstance(lo, bool):
                 conjuncts.append(f"{k} >= {lo} AND {k} <= {hi}")
         where = " AND ".join(conjuncts) if conjuncts else None
-        affected_df, carry, parent = self._cow_split(where)
+        affected_df, carry, parent = self._cow_split(where, branch=branch)
         target_schema = (
             affected_df.schema if affected_df is not None else self.schema()
         )
@@ -991,19 +1007,30 @@ class SnapshotTable:
             replaces=True,
             carry=carry,
             expected_parent=parent,
+            branch=branch,
         )
 
     def _cow_split(
-        self, where: str | None
+        self, where: str | None, branch: str | None = None
     ) -> tuple[DataFrame | None, list[tuple[str, dict, dict]], int]:
         """Split the live file set for a copy-on-write commit: (DataFrame
         over files that might match `where` — None if none do, raw carry
         entries for the rest, the snapshot id planned against — callers
         pass it to _commit as expected_parent so concurrent commits
         conflict instead of losing files). `where=None` means every
-        file might."""
+        file might. `branch` plans against the branch HEAD instead of
+        main (DML-on-branch for the WAP flow); _commit then validates
+        the same head under its lock, so a concurrent branch commit
+        conflicts instead of losing files — the per-ref equivalent of
+        the main-line check."""
         meta = self._read_meta()
-        current = meta["current_snapshot_id"]
+        if branch is not None:
+            refs = meta.get("refs", {})
+            if branch not in refs or refs[branch].get("type") != "branch":
+                raise ValueError(f"no such branch: {branch!r}")
+            current = refs[branch]["snapshot_id"]
+        else:
+            current = meta["current_snapshot_id"]
         if current is None:
             raise ValueError("row-level operation on an empty table (no snapshots)")
         might = (

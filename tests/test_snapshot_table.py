@@ -347,6 +347,71 @@ def test_branch_write_audit_publish(spark, warehouse):
     assert hist[1] == 1000 and hist[2] == 5000 and hist[3] == 5000
 
 
+def test_branch_dml_write_audit_publish(spark, warehouse):
+    """COW DML on a branch (round-5): delete/update/merge plan against
+    the branch HEAD and move only the branch ref; main is byte-stable
+    until fast_forward, after which it reads the audited result. The
+    carried-file walk stays branch-lineage-accurate through replacing
+    commits."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "dmlwap"))
+    t.append(
+        _simple_df(spark, [(1, "a"), (2, "b"), (3, "c")]), committed_at=1000
+    )  # s1
+    t.create_branch("audit")
+    t.delete_where("id = 2", committed_at=2000, branch="audit")  # s2
+    t.update_where(
+        "id = 1", {"data": "'A'"}, committed_at=3000, branch="audit"
+    )  # s3
+    src = spark.createDataFrame([(3, "C"), (4, "d")], "id int, data string")
+    t.merge_upsert(src, keys=["id"], committed_at=4000, branch="audit")  # s4
+    # main untouched through all three DML ops
+    assert {tuple(r) for r in t.scan(virtual_column=None).collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    # the branch sees the full audited result
+    assert {
+        tuple(r) for r in t.scan(ref="audit", virtual_column=None).collect()
+    } == {(1, "A"), (3, "C"), (4, "d")}
+    t.fast_forward("audit", published_at=9000)
+    assert {tuple(r) for r in t.scan(virtual_column=None).collect()} == {
+        (1, "A"),
+        (3, "C"),
+        (4, "d"),
+    }
+    # pre-publish instants still travel to pre-branch state
+    assert t.snapshot_id_as_of(8999) == 1
+
+
+def test_branch_dml_conflicts_with_concurrent_branch_commit(spark, warehouse):
+    """DML-on-branch carries the same lost-update protection as main:
+    a branch commit landing between planning and lock acquisition
+    raises CommitConflictError instead of silently dropping it."""
+    from hiveberg_spark.sources.snapshot_table import CommitConflictError
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "dmlconf"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]), committed_at=1000)
+    t.create_branch("audit")
+    # simulate the race: plan the delete against the branch head, then
+    # land another branch commit before the delete's _commit runs
+    affected, carry, parent = t._cow_split("id = 1", branch="audit")
+    t.append(_simple_df(spark, [(9, "z")]), committed_at=2000, branch="audit")
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            affected.filter("id != 1"),
+            "delete",
+            3000,
+            replaces=True,
+            carry=carry,
+            expected_parent=parent,
+            branch="audit",
+        )
+    # DML on a nonexistent branch refuses up front
+    with pytest.raises(ValueError, match="no such branch"):
+        t.delete_where("id = 1", branch="ghost")
+
+
 def test_branch_diverged_main_refuses_fast_forward(spark, warehouse):
     """Fast-forward is fast-forward-ONLY: if main moved after the fork,
     publishing raises instead of silently dropping main's commits; main
