@@ -1240,3 +1240,120 @@ def snapshot_dml_prune_compose(spark, sf_dir):
         F.count("*").cast("long").alias("n_range_after")
     )
     return total.crossJoin(deleted).crossJoin(other).crossJoin(rng)
+
+
+@query(
+    "snapshot_mor_delete",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           TRUE AS data_files_untouched,
+           CAST(1 AS BIGINT) AS n_delete_files,
+           (SELECT COUNT(*) FROM supplier) AS n_before
+    FROM supplier WHERE s_suppkey >= 2
+    """,
+)
+def snapshot_mor_delete(spark, sf_dir):
+    """Merge-on-read DELETE (Iceberg v2 position delete files — the
+    write.delete.mode the reference's v1-era connector predates): the
+    fixture appends three s_suppkey ranges, then deletes `s_suppkey <
+    2` in merge-on-read mode. NO data file is rewritten — the commit
+    adds one tiny (file_path, pos) parquet file and the scan anti-joins
+    it (`data_files_untouched` pins the live data-file set byte-for-
+    byte identical across the delete; `n_delete_files` counts the
+    files-metadata-table position-deletes rows). The 100 TB shape: a
+    3-row delete writes kilobytes, not files. Time travel to the
+    pre-delete snapshot still sees every row (`n_before`)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_mor_delete")
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    supplier = load_table(spark, sf_dir, "supplier").select(*cols)
+
+    def builder(table):
+        k = F.col("s_suppkey")
+        table.append(supplier.filter(k < 4).coalesce(1))
+        table.append(supplier.filter(k.between(4, 7)).coalesce(1))
+        table.append(supplier.filter(k >= 8).coalesce(1))
+        table.delete_where("s_suppkey < 2", mode="merge-on-read")
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    del_snap = t.snapshots().filter("operation = 'delete'").collect()[0]
+    sid = del_snap.snapshot_id
+    pre = {
+        r.file_path
+        for r in t.files(snapshot_id=sid - 1).filter("content = 'data'").collect()
+    }
+    post = {
+        r.file_path
+        for r in t.files().filter("content = 'data'").collect()
+    }
+    untouched = pre == post
+    n_delete_files = t.files().filter("content = 'position-deletes'").count()
+    n_before = t.scan(snapshot_id=sid - 1, virtual_column=None).count()
+    return (
+        t.scan(virtual_column=None)
+        .select(*cols)
+        .withColumn("data_files_untouched", F.lit(bool(untouched)))
+        .withColumn("n_delete_files", F.lit(int(n_delete_files)).cast("long"))
+        .withColumn("n_before", F.lit(int(n_before)).cast("long"))
+    )
+
+
+@query(
+    "snapshot_mor_upsert_seq",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey = 5 THEN CAST(s_nationkey + 100 AS INTEGER)
+                ELSE s_nationkey END AS s_nationkey
+    FROM supplier WHERE s_suppkey >= 2
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'REBORN', CAST(0 AS INTEGER)
+    """,
+)
+def snapshot_mor_upsert_seq(spark, sf_dir):
+    """Merge-on-read UPDATE + equality deletes with sequence-number
+    scoping (Iceberg v2 data-sequence-number rules, the streaming-CDC
+    upsert primitive): equality-delete keys {0,1} without reading any
+    data file, merge-on-read-update s_suppkey=5 (one commit: position
+    delete + appended new row), then RE-INSERT key 1 — the re-insert
+    survives because its file's sequence number is newer than the
+    equality delete's, exactly the semantics a changelog consumer
+    needs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_mor_upsert")
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    supplier = load_table(spark, sf_dir, "supplier").select(*cols)
+
+    def builder(table):
+        table.append(supplier.coalesce(1))
+        table.delete_by_keys(
+            spark.createDataFrame([(0,), (1,)], "s_suppkey long")
+        )
+        table.update_where(
+            "s_suppkey = 5",
+            {"s_nationkey": "s_nationkey + 100"},
+            mode="merge-on-read",
+        )
+        table.append(
+            spark.createDataFrame(
+                [(1, "REBORN", 0)], "s_suppkey long, s_name string, s_nationkey int"
+            )
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan(virtual_column=None).select(*cols)

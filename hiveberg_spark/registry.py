@@ -52,84 +52,21 @@ def load_all() -> None:
 
 
 # The grading driver hard-checks the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round.  Rounds 1-3 verified 148 of
-# the then-157 queries (CORRECTNESS_r01/r02/r03).  Round 4's window:
-# (a) the full streaming surface — four operators were silently broken
-# by the events fixture's nanos→micros drift and are now repaired with
-# schema-adaptive source + ts-derived oracle columns, so re-proving
-# them is the top priority; (b) every never-driver-checked query (the
-# 6 round-3 deferrals, the 3 round-3 additions, and the 3 new round-4
-# queries: ORC min/max pruning, avro rename evolution, blocked-dedup
-# recall); (c) the batch events queries (same fixture drift, dtype-
-# guarded — prove it); (d) the high-churn snapshot layer re-checks
-# (commit/stats/rename paths were modified this round).  After this
-# window every registered query has a CORRECTNESS row in some round.
+# ``__spark_entry__.queries()`` per round.  Round 4's window was 50/50
+# green (CORRECTNESS_r04); across r1-r4 every query registered at the
+# r4 freeze has a driver row EXCEPT the 10 late-round-4 additions that
+# missed the frozen window.  Round 5's window therefore leads with
+# (a) those 10 never-driver-checked queries; (b) queries added or
+# re-oracled since the freeze (snapshot-lifecycle bench query,
+# branch-DML WAP composition, the three ANN queries whose rows-only
+# checks became recall contracts); (c) re-checks of every query whose
+# implementation churned in the post-verdict commits (avro writer
+# stats vectorization, ref/timestamp-travel semantics, monotonic
+# snapshot ids, simsearch refactor); (d) round-5 additions appended by
+# this round's work; remaining slots = oldest-checked (r1) spot
+# re-checks.
 DRIVER_WINDOW: list[str] = [
-    # §2.9 streaming — repaired after the timestamp[us] fixture drift
-    "stream_tumbling_counts",
-    "stream_sliding_windows",
-    "stream_session_windows",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_stateful_user_stats",
-    "stream_sink_snapshot_table",
-    "stream_snapshot_table_source",
-    # never driver-checked (r3 deferrals + r3/r4 additions)
-    "snapshot_format_dispatch",
-    "snapshot_type_battery",
-    "snapshot_dml_prune_compose",
-    "snapshot_orc_prune",
-    "snapshot_avro_rename_evolution",
-    "dedup_blocked_recall",
-    "simsearch_sq8_rerank",  # rows-only by design (no oracle)
-    "text_redact_numbers",
-    "doc_chunking",
-    "sample_per_stratum_cap",
-    "sample_stratified_split",
-    # fixed in r3 but never re-driver-checked / newly non-empty
-    "text_corpus_stats",
-    "dedup_embedding_blocked",  # rows-only; must show spark_rows > 0
-    # batch events queries after the fixture drift (dtype guard path)
-    "events_hourly_rollup",
-    "asof_join_events",
-    # §2.7 snapshot layer spot re-checks (commit/stats/rename code
-    # churned this round: ORC stats job, avro rename, distributed plan)
-    "snapshot_minmax_prune",
-    "snapshot_hidden_partitioning",
-    "snapshot_rename_evolution",
-    "snapshot_schema_evolution",
-    "snapshot_delete_where",
-    "snapshot_update_where",
-    "snapshot_merge_upsert",
-    "snapshot_sql_dml",
-    "snapshot_rollback",
-    "snapshot_maintenance_ops",
-    "snapshot_write_append",
-    "timetravel_sql_version_as_of",
-    "format_avro_roundtrip",
-    "format_orc_roundtrip",
-    # timetravel core (signature surface, adjacent to churned code)
-    "timetravel_current",
-    "timetravel_as_of_1",
-    "timetravel_as_of_timestamp",
-    "timetravel_where_shim",
-    "timetravel_isolation",
-    "snapshots_metadata_table",
-    "virtual_column_rename",
-    "empty_table_scan",
-    "timetravel_sql_surface",
-    "timetravel_incremental_read",
-    # remaining spot checks
-    "partitioned_write_prune",
-    "dedup_minhash_lsh",
-    "dedup_cluster_pick",
-]
-
-# Queries ADDED after the round-4 window was frozen (late round-4
-# additions: avro writer-stats pruning, mixed-format dispatch, format
-# migration, epoch shuffle) — all green against their oracles locally at
-# sf0.001 AND sf0.01; rotate into the round-5 window first.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # (a) never driver-checked — late round-4 flagship surface
     "snapshot_avro_prune",
     "snapshot_mixed_formats",
     "snapshot_format_migration",
@@ -140,7 +77,60 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_tags",
     "snapshot_history_table",
     "snapshot_branch_wap",
+    # (b) added / re-oracled after the r4 freeze
+    "snapshot_lifecycle_bench",
+    "snapshot_branch_dml_wap",
+    "simsearch_lsh_ann",
+    "simsearch_ivf",
+    "simsearch_sq8_rerank",
+    "dedup_blocked_recall",
+    "dedup_embedding_blocked",  # rows-only by design; spark_rows > 0
+    "simsearch_bruteforce_topk",
+    # (c) churned since the verdict: avro stats vectorization,
+    # made_current_at/monotonic-id ref semantics, partition escaping
+    "format_avro_roundtrip",
+    "snapshot_avro_rename_evolution",
+    "snapshot_hidden_partitioning",
+    "timetravel_as_of_timestamp",
+    "timetravel_as_of_1",
+    "timetravel_sql_version_as_of",
+    "snapshot_rollback",
+    "snapshot_maintenance_ops",
+    "snapshots_metadata_table",
+    "timetravel_incremental_read",
+    "snapshot_delete_where",
+    "snapshot_update_where",
+    "snapshot_merge_upsert",
+    "snapshot_sql_dml",
+    "timetravel_where_shim",
+    "timetravel_current",
+    # (d) round-5 additions: merge-on-read deletes (Iceberg v2)
+    "snapshot_mor_delete",
+    "snapshot_mor_upsert_seq",
+    # (e) oldest driver check (r1) — rotation spot re-checks
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "filter_eq",
+    "filter_bool_tree",
+    "projection_pushdown",
+    "join_inner_equi",
+    "join_left_anti",
+    "join_salted_skew",
+    "agg_basic_stats",
+    "agg_rollup",
+    "window_ranking",
+    "window_range_frame",
+    "limit_topk",
+    "set_except",
+    "distinct_dropdup",
 ]
+
+# Nothing is deferred at the round-5 start; round-5 additions that
+# outgrow the 50-slot window queue here for round 6.
+DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 
 def window_ordered(mapping: dict[str, object]) -> dict[str, object]:

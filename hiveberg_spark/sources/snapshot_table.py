@@ -53,6 +53,7 @@ Snapshot ids are deterministic (1..N) so results are oracle-checkable.
 
 from __future__ import annotations
 
+import collections as _collections
 import datetime as _dt
 import json
 import os
@@ -72,7 +73,8 @@ FILES_SUFFIX = "__files"  # beyond reference: Iceberg's `files` metadata table
 HISTORY_SUFFIX = "__history"  # Iceberg's `history` metadata table
 
 _FILES_SCHEMA = (
-    "file_path string, file_format string, added_snapshot_id long, "
+    "content string, file_path string, file_format string, "
+    "added_snapshot_id long, record_count long, "
     "partition map<string,string>, "
     "lower_bounds map<string,string>, upper_bounds map<string,string>"
 )
@@ -96,6 +98,11 @@ _DISTRIBUTED_PLAN_THRESHOLD = int(
 # skip parent validation; replacing commits always pass the snapshot id
 # they planned against (which may legitimately be None on new tables)
 _NO_VALIDATION = object()
+
+#: plan produced by _cow_split for a copy-on-write commit
+_CowPlan = _collections.namedtuple(
+    "_CowPlan", ["affected_df", "carry", "parent", "deletes", "seq"]
+)
 
 
 class CommitConflictError(RuntimeError):
@@ -145,11 +152,61 @@ class SnapshotTable:
         empty stats, which pruning treats as 'cannot prune'."""
         if "added_files" in snap:
             return [(f, {}, {}) for f in snap["added_files"]]
-        with open(os.path.join(self.location, snap["manifest"])) as f:
-            m = json.load(f)
+        m = self._read_manifest_json(snap)
         stats = m.get("stats", {})
         parts = m.get("partitions", {})
         return [(f, stats.get(f, {}), parts.get(f, {})) for f in m["files"]]
+
+    def _read_manifest_json(self, snap: dict) -> dict:
+        """The raw manifest document (legacy inline `added_files`
+        snapshots resolve to a minimal equivalent). Beyond `files`/
+        `stats`/`partitions` a manifest may carry:
+
+        - `deletes`: merge-on-read DELETE FILES (Iceberg v2 content
+          files): [{"path", "type": "position"|"equality", "cols",
+          "sid", "count"}]. Position deletes hold (file_path, pos)
+          rows; equality deletes hold key-value rows that delete any
+          matching row in a data file SEALED BEFORE the delete
+          (sequence-number semantics, see `file_seq`).
+        - `file_seq`: {relative data path -> snapshot id at which the
+          file was ADDED}; files absent from the map default to the
+          manifest's own snapshot id. This is Iceberg's data sequence
+          number: an equality delete at sequence S applies only to
+          rows from files with seq < S, so re-inserting a deleted key
+          after the delete survives it."""
+        if "added_files" in snap:
+            return {"files": list(snap["added_files"])}
+        with open(os.path.join(self.location, snap["manifest"])) as f:
+            return json.load(f)
+
+    def _raw_deletes_as_of(self, meta: dict, snapshot_id: int) -> list[dict]:
+        """Live merge-on-read delete entries as of the snapshot, composed
+        along the lineage chain exactly like data entries: additive
+        commits accumulate delete files; a `replaces` commit (overwrite,
+        compaction, COW DML, rollback) resets to whatever its manifest
+        carries — a compaction that materialized the deletes carries
+        none, a COW rewrite of SOME files re-records the entries that
+        still apply to its carried files."""
+        deletes: list[dict] = []
+        for s in self._lineage_chain(meta, snapshot_id):
+            if s.get("replaces"):
+                deletes = []
+            deletes.extend(self._read_manifest_json(s).get("deletes", []))
+        return deletes
+
+    def _file_seq_as_of(self, meta: dict, snapshot_id: int) -> dict[str, int]:
+        """Relative data path → data sequence number (the snapshot id
+        that added the file; carried files keep their original seq via
+        the manifest's `file_seq` map). Drives equality-delete scoping."""
+        seq: dict[str, int] = {}
+        for s in self._lineage_chain(meta, snapshot_id):
+            m = self._read_manifest_json(s)
+            if s.get("replaces"):
+                seq = {}
+            recorded = m.get("file_seq", {})
+            for f in m["files"]:
+                seq[f] = recorded.get(f, s["snapshot_id"])
+        return seq
 
     def _collect_file_stats(
         self, files_rel: list[str], fmt: str | None = None
@@ -558,6 +615,12 @@ class SnapshotTable:
         self._entries_as_of(snapshot_id)  # validates the id
         meta = self._read_meta()
         carry = self._raw_entries_as_of(meta, snapshot_id)
+        # the target's merge-on-read delete files are part of its state:
+        # rolling back past a MOR delete must not resurrect its rows
+        carry_deletes = self._raw_deletes_as_of(meta, snapshot_id)
+        carry_seq = (
+            self._file_seq_as_of(meta, snapshot_id) if carry_deletes else None
+        )
         empty = self.scan(virtual_column=None).limit(0)
         return self._commit(
             empty,
@@ -565,6 +628,8 @@ class SnapshotTable:
             committed_at,
             replaces=True,
             carry=carry,
+            carry_deletes=carry_deletes or None,
+            carry_seq=carry_seq,
             expected_parent=meta["current_snapshot_id"],
             # lineage edit: history() follows this pointer instead of
             # parent_id, making rolled-past snapshots non-ancestors
@@ -769,19 +834,33 @@ class SnapshotTable:
                 s for s in meta["snapshots"] if s["snapshot_id"] not in expired_ids
             ]
             # referenced = union of every surviving snapshot's live set
-            # (computed BEFORE any manifest is touched)
+            # (computed BEFORE any manifest is touched); delete files
+            # are content files too — a live position/equality delete
+            # must survive GC exactly like a data file
             referenced: set[str] = set()
             by_survivor: dict[int, list] = {}
+            del_by_survivor: dict[int, list] = {}
+            seq_by_survivor: dict[int, dict] = {}
             for s in survivors:
-                entries = self._raw_entries_as_of(meta, s["snapshot_id"])
-                by_survivor[s["snapshot_id"]] = entries
+                sid = s["snapshot_id"]
+                entries = self._raw_entries_as_of(meta, sid)
+                by_survivor[sid] = entries
                 referenced.update(f for f, _, _ in entries)
+                dels = self._raw_deletes_as_of(meta, sid)
+                del_by_survivor[sid] = dels
+                seq_by_survivor[sid] = (
+                    self._file_seq_as_of(meta, sid) if dels else {}
+                )
+                referenced.update(d["path"] for d in dels)
             # tracked-but-unreferenced files are orphans to delete
             orphans: set[str] = set()
             for s in meta["snapshots"]:
                 for f, _, _ in self._read_manifest_entries(s):
                     if f not in referenced:
                         orphans.add(f)
+                for d in self._read_manifest_json(s).get("deletes", []):
+                    if d["path"] not in referenced:
+                        orphans.add(d["path"])
             # Consolidate every survivor whose LINEAGE CHAIN crosses a
             # deleted manifest: its manifest is rewritten as the full
             # as-of set (entries verbatim) and the snapshot marked
@@ -817,17 +896,25 @@ class SnapshotTable:
                 manifest_rel = s.get("manifest") or os.path.join(
                     "metadata", f"manifest-s{sid}.json"
                 )
+                doc = {
+                    "files": sorted({p for p, _, _ in full}),
+                    "stats": {p: st for p, st, _ in full if st},
+                    "partitions": {p: pa for p, _, pa in full if pa},
+                }
+                # consolidation becomes a `replaces` manifest, which
+                # RESETS delete composition — re-record the as-of
+                # delete set and sequence numbers so MOR state survives
+                if del_by_survivor[sid]:
+                    doc["deletes"] = del_by_survivor[sid]
+                    doc["file_seq"] = {
+                        p: q
+                        for p, q in seq_by_survivor[sid].items()
+                        if p in set(doc["files"])
+                    }
                 with open(
                     os.path.join(self.location, manifest_rel), "w"
                 ) as f:
-                    json.dump(
-                        {
-                            "files": sorted({p for p, _, _ in full}),
-                            "stats": {p: st for p, st, _ in full if st},
-                            "partitions": {p: pa for p, _, pa in full if pa},
-                        },
-                        f,
-                    )
+                    json.dump(doc, f)
                 s["manifest"] = manifest_rel
                 s["replaces"] = True
                 s.pop("added_files", None)
@@ -863,6 +950,7 @@ class SnapshotTable:
         where: str,
         committed_at: int | None = None,
         branch: str | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
         """Copy-on-write row-level DELETE (Iceberg `DELETE FROM` with the
         copy-on-write strategy): `plan_files(where)` identifies the files
@@ -882,13 +970,25 @@ class SnapshotTable:
         `branch` runs the whole operation ON a branch (plan against the
         branch head, commit moves the branch ref): the write-audit-
         publish flow for destructive DML — main readers see nothing
-        until fast_forward publishes the audited branch."""
-        affected_df, carry, parent = self._cow_split(where, branch=branch)
-        if affected_df is None:  # nothing can match: no-op delete snapshot
+        until fast_forward publishes the audited branch.
+
+        `mode="merge-on-read"` writes POSITION DELETE FILES instead of
+        rewriting data (Iceberg v2 `write.delete.mode=merge-on-read`):
+        the commit adds a small (file_path, pos) parquet file and every
+        data file carries untouched — a 3-row delete on a 100 TB table
+        writes kilobytes instead of rewriting whole files. Readers
+        anti-join the delete set at scan time; `compact()` or
+        `rewrite_position_deletes()` folds the debt back in."""
+        if mode in ("merge-on-read", "mor"):
+            return self._delete_where_mor(where, committed_at, branch)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown delete mode: {mode!r}")
+        plan = self._cow_split(where, branch=branch)
+        if plan.affected_df is None:  # nothing can match: no-op delete snapshot
             survivors = self.scan(virtual_column=None).limit(0)
         else:
             # keep rows where the predicate is NOT true (false OR null)
-            survivors = affected_df.filter(
+            survivors = plan.affected_df.filter(
                 ~F.expr(where).eqNullSafe(F.lit(True))
             )
         return self._commit(
@@ -896,9 +996,11 @@ class SnapshotTable:
             "delete",
             committed_at,
             replaces=True,
-            carry=carry,
-            expected_parent=parent,
+            carry=plan.carry,
+            expected_parent=plan.parent,
             branch=branch,
+            carry_deletes=plan.deletes,
+            carry_seq=plan.seq,
         )
 
     def update_where(
@@ -907,6 +1009,7 @@ class SnapshotTable:
         assignments: dict[str, str],
         committed_at: int | None = None,
         branch: str | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
         """Copy-on-write row-level UPDATE (Iceberg UPDATE ... SET): files
         that might hold matching rows are rewritten with the assignments
@@ -920,37 +1023,25 @@ class SnapshotTable:
         arithmetic over an int column) must not yield rewritten files
         whose schema diverges from the carried files (ADVICE r2).
         `branch` runs the update on a branch (WAP), as delete_where."""
-        affected_df, carry, parent = self._cow_split(where, branch=branch)
-        if affected_df is None:
+        if mode in ("merge-on-read", "mor"):
+            return self._update_where_mor(where, assignments, committed_at, branch)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown update mode: {mode!r}")
+        plan = self._cow_split(where, branch=branch)
+        if plan.affected_df is None:
             updated = self.scan(virtual_column=None).limit(0)
         else:
-            pred = F.expr(where).eqNullSafe(F.lit(True))
-            # all assignments see the OLD row (SQL UPDATE semantics):
-            # a single select with every column computed at once
-            exprs = []
-            for c in affected_df.columns:
-                if c in assignments:
-                    exprs.append(
-                        F.when(
-                            pred,
-                            F.expr(assignments[c]).cast(
-                                affected_df.schema[c].dataType
-                            ),
-                        )
-                        .otherwise(F.col(c))
-                        .alias(c)
-                    )
-                else:
-                    exprs.append(F.col(c))
-            updated = affected_df.select(*exprs)
+            updated = _apply_assignments(plan.affected_df, where, assignments)
         return self._commit(
             updated,
             "update",
             committed_at,
             replaces=True,
-            carry=carry,
-            expected_parent=parent,
+            carry=plan.carry,
+            expected_parent=plan.parent,
             branch=branch,
+            carry_deletes=plan.deletes,
+            carry_seq=plan.seq,
         )
 
     def merge_upsert(
@@ -979,7 +1070,8 @@ class SnapshotTable:
             if isinstance(lo, (int, float)) and not isinstance(lo, bool):
                 conjuncts.append(f"{k} >= {lo} AND {k} <= {hi}")
         where = " AND ".join(conjuncts) if conjuncts else None
-        affected_df, carry, parent = self._cow_split(where, branch=branch)
+        plan = self._cow_split(where, branch=branch)
+        affected_df, carry, parent = plan.affected_df, plan.carry, plan.parent
         target_schema = (
             affected_df.schema if affected_df is not None else self.schema()
         )
@@ -1008,21 +1100,274 @@ class SnapshotTable:
             carry=carry,
             expected_parent=parent,
             branch=branch,
+            carry_deletes=plan.deletes,
+            carry_seq=plan.seq,
+        )
+
+    # -- merge-on-read write path ----------------------------------------
+
+    def _mor_head(self, meta: dict, branch: str | None) -> int:
+        if branch is not None:
+            refs = meta.get("refs", {})
+            if branch not in refs or refs[branch].get("type") != "branch":
+                raise ValueError(f"no such branch: {branch!r}")
+            head = refs[branch]["snapshot_id"]
+        else:
+            head = meta["current_snapshot_id"]
+        if head is None:
+            raise ValueError("row-level operation on an empty table (no snapshots)")
+        return head
+
+    def _mor_affected(
+        self, meta: dict, head: int, where: str | None
+    ) -> tuple[DataFrame | None, list[dict]]:
+        """(delete-applied lineage read over the files that might match
+        `where`, the live delete entries as of `head`). Position deletes
+        need per-row positions, which only the parquet reader surfaces
+        (`_metadata.row_index`) — ORC/avro data files raise."""
+        affected = self.plan_files(where, snapshot_id=head)
+        bad = [f for f in affected if not f.endswith(".parquet")]
+        if bad:
+            raise NotImplementedError(
+                "merge-on-read DML needs row positions, which only "
+                f"parquet files surface; found {bad[0].rsplit('.', 1)[-1]} "
+                "data files — use mode='copy-on-write' on this table"
+            )
+        deletes = self._raw_deletes_as_of(meta, head)
+        if not affected:
+            return None, deletes
+        renames = meta.get("renames", [])
+        df = self._read_data_files(
+            affected, renames, meta.get("drops", []), lineage=True
+        )
+        if deletes:
+            # already-deleted rows must not be re-recorded (idempotent
+            # double delete) nor re-emitted by a MOR update
+            df = self._apply_mor_deletes(
+                df, deletes, self._file_seq_as_of(meta, head), renames
+            )
+        return df, deletes
+
+    def _write_delete_files(
+        self, rows: DataFrame, kind: str, cols: list[str] | None = None
+    ) -> list[dict]:
+        """Write `rows` as delete files under deletes/<uuid>/ and return
+        manifest entries (sid stamped by _commit). A 0-row frame writes
+        nothing and returns [] — a no-op DML still commits, recording
+        that it ran, but carries no delete file."""
+        delete_uuid = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.location, "deletes", delete_uuid)
+        # tiny relative to data by construction (that is why MOR was
+        # chosen); one sorted file keeps the read-side anti-join input
+        # clustered by target file
+        rows.coalesce(1).sortWithinPartitions(rows.columns[0]).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        entries = []
+        import pyarrow.parquet as pq
+
+        for root, _, names in os.walk(out_dir):
+            for fn in names:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                n = pq.ParquetFile(full).metadata.num_rows
+                if n == 0:
+                    os.unlink(full)
+                    continue
+                entry = {
+                    "path": os.path.relpath(full, self.location),
+                    "type": kind,
+                    "count": int(n),
+                }
+                if cols is not None:
+                    entry["cols"] = list(cols)
+                entries.append(entry)
+        return entries
+
+    def _delete_where_mor(
+        self, where: str, committed_at: int | None, branch: str | None
+    ) -> int:
+        """Merge-on-read DELETE: record (file_path, pos) of every
+        predicate-TRUE live row in a position delete file; no data file
+        is touched. See delete_where(mode=...)."""
+        meta = self._read_meta()
+        head = self._mor_head(meta, branch)
+        df, _ = self._mor_affected(meta, head, where)
+        entries = []
+        if df is not None:
+            hits = df.filter(F.expr(where).eqNullSafe(F.lit(True))).select(
+                F.col("__hb_file").alias("file_path"),
+                F.col("__hb_pos").alias("pos"),
+            )
+            entries = self._write_delete_files(hits, "position")
+        return self._commit(
+            self._empty_df(),
+            "delete",
+            committed_at,
+            replaces=False,
+            expected_parent=head,
+            branch=branch,
+            delete_entries=entries,
+            summary_extra={"delete-mode": "merge-on-read"},
+        )
+
+    def _update_where_mor(
+        self,
+        where: str,
+        assignments: dict[str, str],
+        committed_at: int | None,
+        branch: str | None,
+    ) -> int:
+        """Merge-on-read UPDATE: ONE commit that position-deletes the
+        old versions of predicate-TRUE rows and appends their updated
+        versions as a new data file (Iceberg v2
+        `write.update.mode=merge-on-read`) — a small update on a huge
+        table writes O(changed rows), never rewrites files."""
+        meta = self._read_meta()
+        head = self._mor_head(meta, branch)
+        df, _ = self._mor_affected(meta, head, where)
+        entries: list[dict] = []
+        if df is None:
+            new_rows = self.scan(virtual_column=None).limit(0)
+        else:
+            pred = F.expr(where).eqNullSafe(F.lit(True))
+            hit = df.filter(pred)
+            entries = self._write_delete_files(
+                hit.select(
+                    F.col("__hb_file").alias("file_path"),
+                    F.col("__hb_pos").alias("pos"),
+                ),
+                "position",
+            )
+            new_rows = _apply_assignments(
+                hit.drop("__hb_file", "__hb_pos"), where, assignments
+            )
+        return self._commit(
+            new_rows,
+            "update",
+            committed_at,
+            replaces=False,
+            expected_parent=head,
+            branch=branch,
+            delete_entries=entries,
+            summary_extra={"update-mode": "merge-on-read"},
+        )
+
+    def delete_by_keys(
+        self,
+        keys: DataFrame,
+        committed_at: int | None = None,
+        branch: str | None = None,
+    ) -> int:
+        """Merge-on-read EQUALITY DELETE (Iceberg v2 equality delete
+        files — the streaming-CDC upsert primitive): every live row
+        whose values on `keys.columns` match ANY key row is deleted,
+        WITHOUT reading a single data file — the commit just records
+        the key set. Scoped by sequence number: rows appended AFTER
+        this delete with the same key survive, which is exactly what a
+        changelog consumer needs (delete k, re-insert k must keep the
+        re-insert). The scan-side cost is one anti-join against the
+        (tiny) key set."""
+        meta = self._read_meta()
+        head = self._mor_head(meta, branch)
+        schema = self.schema()
+        if schema is not None:
+            known = {f.name for f in schema.fields}
+            missing = [c for c in keys.columns if c not in known]
+            if missing:
+                raise ValueError(f"unknown equality-delete columns: {missing}")
+            # store keys under the committed types so the read-side
+            # anti-join never relies on implicit casts
+            keys = keys.select(
+                *[
+                    F.col(c).cast(schema[c].dataType).alias(c)
+                    for c in keys.columns
+                ]
+            )
+        live = self._files_as_of(head)[0]
+        if any(f.endswith(".avro") for f in live):
+            raise NotImplementedError(
+                "equality deletes need per-row file lineage at scan "
+                "time, unavailable for avro data files"
+            )
+        entries = self._write_delete_files(
+            keys.distinct(), "equality", cols=list(keys.columns)
+        )
+        return self._commit(
+            self._empty_df(),
+            "delete",
+            committed_at,
+            replaces=False,
+            expected_parent=head,
+            branch=branch,
+            delete_entries=entries,
+            summary_extra={"delete-mode": "merge-on-read"},
+        )
+
+    def rewrite_position_deletes(self, committed_at: int | None = None) -> int:
+        """Minor compaction for merge-on-read tables (Iceberg's
+        `rewrite_position_deletes` action): consolidate every live
+        position delete file into one, dropping entries that reference
+        data files no longer live (dead weight left by COW rewrites).
+        Data files are untouched and carry with their original sequence
+        numbers; equality deletes carry as-is. Bounds the per-scan
+        anti-join input after many small MOR deletes without paying for
+        a full compact()."""
+        meta = self._read_meta()
+        head = meta["current_snapshot_id"]
+        if head is None:
+            raise ValueError("empty table")
+        deletes = self._raw_deletes_as_of(meta, head)
+        pos = [d for d in deletes if d["type"] == "position"]
+        eq = [d for d in deletes if d["type"] == "equality"]
+        carry = self._raw_entries_as_of(meta, head)
+        carry_seq = self._file_seq_as_of(meta, head)
+        entries: list[dict] = []
+        if pos:
+            live_paths = self.spark.createDataFrame(
+                [(rel,) for rel, _, _ in carry], "file_path string"
+            )
+            rows = self.spark.read.parquet(
+                *[os.path.join(self.location, d["path"]) for d in pos]
+            ).join(F.broadcast(live_paths), "file_path", "left_semi").distinct()
+            entries = self._write_delete_files(rows, "position")
+        return self._commit(
+            self._empty_df(),
+            "replace",
+            committed_at,
+            replaces=True,
+            carry=carry,
+            expected_parent=head,
+            delete_entries=entries,
+            carry_deletes=eq,
+            carry_seq=carry_seq,
+            summary_extra={"rewritten-delete-files": str(len(pos))},
         )
 
     def _cow_split(
         self, where: str | None, branch: str | None = None
-    ) -> tuple[DataFrame | None, list[tuple[str, dict, dict]], int]:
-        """Split the live file set for a copy-on-write commit: (DataFrame
-        over files that might match `where` — None if none do, raw carry
-        entries for the rest, the snapshot id planned against — callers
-        pass it to _commit as expected_parent so concurrent commits
-        conflict instead of losing files). `where=None` means every
+    ) -> "_CowPlan":
+        """Split the live file set for a copy-on-write commit: a plan of
+        (DataFrame over files that might match `where` — None if none
+        do, raw carry entries for the rest, the snapshot id planned
+        against — callers pass it to _commit as expected_parent so
+        concurrent commits conflict instead of losing files, plus the
+        live delete entries / sequence numbers the replacing commit
+        must carry for its untouched files). `where=None` means every
         file might. `branch` plans against the branch HEAD instead of
         main (DML-on-branch for the WAP flow); _commit then validates
         the same head under its lock, so a concurrent branch commit
         conflicts instead of losing files — the per-ref equivalent of
-        the main-line check."""
+        the main-line check.
+
+        Merge-on-read interplay: live delete files are APPLIED to the
+        affected-file read (so a COW rewrite materializes the deletes
+        for the files it touches) and carried for the files it does not
+        — carried data files keep their original sequence numbers, so
+        equality deletes still scope correctly, while the rewritten
+        files get the new commit's seq and naturally exit the deletes'
+        scope."""
         meta = self._read_meta()
         if branch is not None:
             refs = meta.get("refs", {})
@@ -1043,15 +1388,19 @@ class SnapshotTable:
                 affected.append(absp)
             else:
                 carry.append((rel, stats, parts))
+        deletes = self._raw_deletes_as_of(meta, current)
+        carry_seq = self._file_seq_as_of(meta, current) if deletes else None
         if not affected:
-            return None, carry, current
-        return (
-            self._read_data_files(
-                affected, meta.get("renames", []), meta.get("drops", [])
-            ),
-            carry,
-            current,
+            return _CowPlan(None, carry, current, deletes or None, carry_seq)
+        renames = meta.get("renames", [])
+        df = self._read_data_files(
+            affected, renames, meta.get("drops", []), lineage=bool(deletes)
         )
+        if deletes:
+            df = self._apply_mor_deletes(
+                df, deletes, carry_seq, renames
+            ).drop("__hb_file", "__hb_pos")
+        return _CowPlan(df, carry, current, deletes or None, carry_seq)
 
     def _commit(
         self,
@@ -1063,6 +1412,9 @@ class SnapshotTable:
         expected_parent=_NO_VALIDATION,
         summary_extra: dict | None = None,
         branch: str | None = None,
+        delete_entries: list[dict] | None = None,
+        carry_deletes: list[dict] | None = None,
+        carry_seq: dict[str, int] | None = None,
     ) -> int:
         """Shared commit protocol: write data (hidden-partitioned when
         the table has a spec) into a unique uuid dir outside the lock,
@@ -1177,18 +1529,31 @@ class SnapshotTable:
                 if cparts:
                     all_parts[rel] = cparts
             all_files.sort()
+            manifest_doc = {
+                "files": all_files,
+                "stats": all_stats,
+                "partitions": all_parts,
+            }
+            all_deletes = []
+            for d in delete_entries or []:
+                d = dict(d)
+                # new delete files get this commit's sequence number
+                d["sid"] = snap_id
+                all_deletes.append(d)
+            all_deletes.extend(carry_deletes or [])
+            if all_deletes:
+                manifest_doc["deletes"] = all_deletes
+            if carry_seq:
+                # carried data files keep their ORIGINAL data sequence
+                # number (files not in the map default to this commit's)
+                manifest_doc["file_seq"] = {
+                    rel: s for rel, s in carry_seq.items() if rel in set(all_files)
+                }
             with open(os.path.join(self.location, manifest_rel), "w") as f:
                 # replacing commits carry the FULL live file set, so
                 # _entries_as_of can keep its additive walk only for
                 # appends; see the `replaces` flag below
-                json.dump(
-                    {
-                        "files": all_files,
-                        "stats": all_stats,
-                        "partitions": all_parts,
-                    },
-                    f,
-                )
+                json.dump(manifest_doc, f)
             commit_ms = (
                 committed_at
                 if committed_at is not None
@@ -1207,6 +1572,11 @@ class SnapshotTable:
             }
             if carry is not None:
                 entry["summary"]["carried-data-files"] = str(len(carry))
+            if delete_entries:
+                entry["summary"]["added-delete-files"] = str(len(delete_entries))
+                entry["summary"]["added-delete-records"] = str(
+                    sum(int(d.get("count", 0)) for d in delete_entries)
+                )
             if summary_extra:
                 entry["summary"].update(summary_extra)
             if replaces:
@@ -1734,7 +2104,11 @@ class SnapshotTable:
         return self._read_files(files, sid, virtual_column)
 
     def _read_data_files(
-        self, files: list[str], renames: list[dict], drops: list[str] | None = None
+        self,
+        files: list[str],
+        renames: list[dict],
+        drops: list[str] | None = None,
+        lineage: bool = False,
     ) -> DataFrame:
         """PER-FILE format-dispatched read of an explicit data-file list
         (the reference's per-file reader dispatch,
@@ -1745,7 +2119,15 @@ class SnapshotTable:
         post-rename files coexist); Avro through the pure-Python codec's
         file-parallel binaryFile path. Groups are unioned by name with
         missing columns null-filled, so schema evolution (add-column,
-        rename) composes across formats exactly as within one."""
+        rename) composes across formats exactly as within one.
+
+        `lineage=True` attaches per-row provenance columns `__hb_file`
+        (scheme-stripped absolute path of the source data file) and
+        `__hb_pos` (row position within the file — parquet only, via
+        `_metadata.row_index`; null for ORC), which merge-on-read
+        delete application anti-joins against. Avro files cannot carry
+        lineage (pure-Python codec, no `_metadata`); tables mixing avro
+        with MOR deletes raise rather than silently skip deletes."""
         by_fmt: dict[str, list[str]] = {}
         for f in files:
             by_fmt.setdefault(f.rsplit(".", 1)[-1], []).append(f)
@@ -1753,6 +2135,12 @@ class SnapshotTable:
         for fmt in sorted(by_fmt):
             group = by_fmt[fmt]
             if fmt == "avro":
+                if lineage:
+                    raise NotImplementedError(
+                        "merge-on-read deletes require parquet/ORC data "
+                        "files (row lineage is unavailable in the "
+                        "pure-Python avro path)"
+                    )
                 from hiveberg_spark.sources.avro_io import read_avro_files
 
                 # each file's header names resolve through the rename
@@ -1765,9 +2153,30 @@ class SnapshotTable:
                 # pre- and post-rename files differ in column names;
                 # merge then resolve through the mapping
                 reader = reader.option("mergeSchema", "true")
-            parts.append(
-                self._apply_renames(reader.format(fmt).load(group), renames)
-            )
+            part = reader.format(fmt).load(group)
+            if lineage:
+                pos = (
+                    F.col("_metadata.row_index")
+                    if fmt == "parquet"
+                    else F.lit(None).cast("long")
+                )
+                # LOCATION-RELATIVE path, like every manifest entry —
+                # position delete files must stay valid when the whole
+                # table directory moves (build-then-rename fixtures,
+                # storage migrations)
+                loc_prefix = os.path.abspath(self.location) + os.sep
+                part = part.select(
+                    "*",
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), r"^[a-z0-9]+:/+", "/"
+                        ),
+                        "^" + re.escape(loc_prefix),
+                        "",
+                    ).alias("__hb_file"),
+                    pos.alias("__hb_pos"),
+                )
+            parts.append(self._apply_renames(part, renames))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
@@ -1777,6 +2186,71 @@ class SnapshotTable:
             # through the CURRENT schema (Iceberg deleteColumn)
             if name in df.columns:
                 df = df.drop(name)
+        return df
+
+    def _apply_mor_deletes(
+        self, df: DataFrame, deletes: list[dict], file_seq: dict[str, int],
+        renames: list[dict] | None = None,
+    ) -> DataFrame:
+        """Apply merge-on-read delete files to a lineage-carrying scan
+        (`df` must have `__hb_file`/`__hb_pos` from `lineage=True`):
+
+        - POSITION deletes: one anti-join on (file path, row position).
+          The delete set is usually tiny relative to the data (that is
+          why MOR was chosen over COW); AQE picks broadcast when it is.
+        - EQUALITY deletes: per distinct key-column set, one anti-join
+          on the key values, scoped by sequence number — a row is
+          deleted only if its file's seq is OLDER than the delete's, so
+          a key re-inserted after the delete survives (Iceberg v2
+          equality-delete semantics). Row seq comes from a broadcast
+          join against the metadata-sized (path, seq) map.
+
+        Never called when the snapshot has no deletes — the plain scan
+        path carries zero overhead."""
+        pos = [d for d in deletes if d["type"] == "position"]
+        if pos:
+            files = [os.path.join(self.location, d["path"]) for d in pos]
+            dels = self.spark.read.parquet(*files)
+            df = df.join(
+                dels,
+                (df["__hb_file"] == dels["file_path"])
+                & (df["__hb_pos"] == dels["pos"]),
+                "left_anti",
+            )
+        eq = [d for d in deletes if d["type"] == "equality"]
+        if eq:
+            seq_df = self.spark.createDataFrame(
+                list(file_seq.items()), "__hb_sq_file string, __hb_seq long"
+            )
+            df = df.join(
+                F.broadcast(seq_df),
+                df["__hb_file"] == seq_df["__hb_sq_file"],
+                "left",
+            ).drop("__hb_sq_file")
+            by_cols: dict[tuple, list[dict]] = {}
+            for d in eq:
+                # key columns recorded at delete time resolve through
+                # renames committed since, like any historical file
+                cols = list(d["cols"])
+                for r in renames or []:
+                    cols = [r["to"] if c == r["from"] else c for c in cols]
+                by_cols.setdefault(tuple(cols), []).append(d)
+            for cols, dels_list in by_cols.items():
+                keys = None
+                for d in dels_list:
+                    # alias to the RESOLVED names so delete files written
+                    # under different name generations union cleanly
+                    one = self.spark.read.parquet(
+                        os.path.join(self.location, d["path"])
+                    ).toDF(*[f"__hb_k_{c}" for c in cols]).withColumn(
+                        "__hb_del_seq", F.lit(int(d["sid"]))
+                    )
+                    keys = one if keys is None else keys.unionByName(one)
+                cond = df["__hb_seq"] < keys["__hb_del_seq"]
+                for c in cols:
+                    cond = cond & df[c].eqNullSafe(keys[f"__hb_k_{c}"])
+                df = df.join(keys, cond, "left_anti")
+            df = df.drop("__hb_seq")
         return df
 
     def _read_files(
@@ -1789,7 +2263,14 @@ class SnapshotTable:
             if virtual_column:
                 df = df.withColumn(virtual_column, F.lit(None).cast("long"))
             return df
-        df = self._read_data_files(files, renames, meta.get("drops", []))
+        deletes = self._raw_deletes_as_of(meta, sid) if sid is not None else []
+        df = self._read_data_files(
+            files, renames, meta.get("drops", []), lineage=bool(deletes)
+        )
+        if deletes:
+            df = self._apply_mor_deletes(
+                df, deletes, self._file_seq_as_of(meta, sid), renames
+            ).drop("__hb_file", "__hb_pos")
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(sid).cast("long"))
         return df
@@ -1821,9 +2302,11 @@ class SnapshotTable:
             if s.get("branch"):
                 continue  # unpublished branch commits are not main deltas
             if from_snapshot < s["snapshot_id"] <= to_snapshot:
-                if s.get("replaces"):
-                    # appends-between is undefined across a rewrite —
-                    # same contract as Iceberg's appendsBetween
+                if s.get("replaces") or s["operation"] != "append":
+                    # appends-between is undefined across a rewrite OR a
+                    # merge-on-read delete/update (rows vanish without a
+                    # file rewrite) — same contract as Iceberg's
+                    # appendsBetween
                     raise ValueError(
                         f"snapshot {s['snapshot_id']} is {s['operation']!r}; "
                         "incremental read requires an append-only range"
@@ -1926,14 +2409,32 @@ class SnapshotTable:
             rel = os.path.relpath(path, self.location)
             rows.append(
                 (
+                    "data",
                     rel,
                     rel.rsplit(".", 1)[-1],
                     added.get(rel),
+                    None,
                     {k: str(v) for k, v in (parts or {}).items()},
                     {k: str(v[0]) for k, v in (stats or {}).items()},
                     {k: str(v[1]) for k, v in (stats or {}).items()},
                 )
             )
+        if sid is not None:
+            # merge-on-read delete files are content files too
+            # (Iceberg files.content 1 = position deletes, 2 = equality)
+            for d in self._raw_deletes_as_of(meta, sid):
+                rows.append(
+                    (
+                        f"{d['type']}-deletes",
+                        d["path"],
+                        d["path"].rsplit(".", 1)[-1],
+                        d.get("sid"),
+                        d.get("count"),
+                        {},
+                        {},
+                        {},
+                    )
+                )
         return self.spark.createDataFrame(rows, _FILES_SCHEMA)
 
     # -- WHERE-clause time-travel shim -------------------------------------
@@ -1976,6 +2477,28 @@ class SnapshotTable:
         for c in residual:
             df = df.filter(F.expr(c))
         return df
+
+
+def _apply_assignments(
+    df: DataFrame, where: str, assignments: dict[str, str]
+) -> DataFrame:
+    """SQL UPDATE projection: predicate-TRUE rows get every assignment
+    applied (all reading the OLD row — one select computes every column
+    at once), other rows pass through; each assignment casts back to
+    the column's committed type so rewritten files never diverge from
+    carried files (ADVICE r2)."""
+    pred = F.expr(where).eqNullSafe(F.lit(True))
+    exprs = []
+    for c in df.columns:
+        if c in assignments:
+            exprs.append(
+                F.when(pred, F.expr(assignments[c]).cast(df.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            exprs.append(F.col(c))
+    return df.select(*exprs)
 
 
 def _split_top_level_and(expr: str) -> list[str]:

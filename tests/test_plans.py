@@ -111,6 +111,10 @@ def test_no_forced_broadcast_on_fact_tables():
         "n", "nation", "region", "r", "sn", "cn",  # fixed-size dims
         "q", "cents", "df_", "offsets",              # tiny derived frames
         "planes_df",                                 # 1-row literal plane matrix
+        # metadata-sized frames: O(live data files), the same scale as
+        # the manifests themselves — never O(rows)
+        "seq_df",                                    # file -> sequence number map
+        "live_paths",                                # live file-path list
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

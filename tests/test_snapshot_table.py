@@ -395,16 +395,16 @@ def test_branch_dml_conflicts_with_concurrent_branch_commit(spark, warehouse):
     t.create_branch("audit")
     # simulate the race: plan the delete against the branch head, then
     # land another branch commit before the delete's _commit runs
-    affected, carry, parent = t._cow_split("id = 1", branch="audit")
+    plan = t._cow_split("id = 1", branch="audit")
     t.append(_simple_df(spark, [(9, "z")]), committed_at=2000, branch="audit")
     with pytest.raises(CommitConflictError):
         t._commit(
-            affected.filter("id != 1"),
+            plan.affected_df.filter("id != 1"),
             "delete",
             3000,
             replaces=True,
-            carry=carry,
-            expected_parent=parent,
+            carry=plan.carry,
+            expected_parent=plan.parent,
             branch="audit",
         )
     # DML on a nonexistent branch refuses up front
@@ -1155,7 +1155,9 @@ def test_files_suffix_resolution(spark, warehouse):
     t = SnapshotTable.create(spark, os.path.join(warehouse, "fr"))
     t.append(_simple_df(spark, [(1, "a")]))
     df = resolve_table(spark, warehouse, "fr__files")
-    assert df.columns[:3] == ["file_path", "file_format", "added_snapshot_id"]
+    assert df.columns[:4] == [
+        "content", "file_path", "file_format", "added_snapshot_id",
+    ]
     assert df.count() == 1
 
 
@@ -1169,8 +1171,8 @@ def test_replacing_commit_conflicts_on_concurrent_append(spark, warehouse):
 
     t = SnapshotTable.create(spark, os.path.join(warehouse, "race"))
     t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
-    affected_df, carry, parent = t._cow_split("id = 1")
-    survivors = affected_df.filter(~F.expr("id = 1").eqNullSafe(F.lit(True)))
+    plan = t._cow_split("id = 1")
+    survivors = plan.affected_df.filter(~F.expr("id = 1").eqNullSafe(F.lit(True)))
     # an append lands between planning and the metadata swap
     t.append(_simple_df(spark, [(9, "z")]))
     with pytest.raises(CommitConflictError):
@@ -1179,8 +1181,8 @@ def test_replacing_commit_conflicts_on_concurrent_append(spark, warehouse):
             "delete",
             None,
             replaces=True,
-            carry=carry,
-            expected_parent=parent,
+            carry=plan.carry,
+            expected_parent=plan.parent,
         )
     # the table is untouched: both the original and concurrent rows live
     assert sorted(r.id for r in t.scan().collect()) == [1, 2, 9]
