@@ -1357,3 +1357,59 @@ def snapshot_mor_upsert_seq(spark, sf_dir):
     with _lock:
         t = build_once(spark, loc, builder)
     return t.scan(virtual_column=None).select(*cols)
+
+
+@query(
+    "snapshot_changelog_cdc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_snapshot_id
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, 'delete', CAST(2 AS BIGINT)
+    FROM supplier WHERE s_suppkey = 3
+    UNION ALL
+    SELECT s_suppkey, 'UPDATED', s_nationkey, 'insert', CAST(2 AS BIGINT)
+    FROM supplier WHERE s_suppkey = 3
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, 'delete', CAST(3 AS BIGINT)
+    FROM supplier WHERE s_suppkey = 7
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 'NEW', CAST(0 AS INTEGER), 'insert',
+           CAST(4 AS BIGINT)
+    """,
+)
+def snapshot_changelog_cdc(spark, sf_dir):
+    """Row-level CDC changelog (Iceberg `create_changelog_view` with
+    carryover removal): net insert/delete rows per commit across a
+    COW UPDATE (delete+insert pair — rows carried through the rewrite
+    pair off via exceptAll, so only the changed row surfaces), a
+    merge-on-read DELETE (rows come from the position delete file's
+    targeted data file, nothing else read), and a plain append.
+    Everything derives from per-commit FILE diffs: at 100 TB a day of
+    commits reads O(that day's churned files), never the table."""
+    import os
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_changelog")
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    supplier = load_table(spark, sf_dir, "supplier").select(*cols)
+
+    def builder(table):
+        table.append(supplier.coalesce(1))
+        table.update_where("s_suppkey = 3", {"s_name": "'UPDATED'"})
+        table.delete_where("s_suppkey = 7", mode="merge-on-read")
+        table.append(
+            spark.createDataFrame(
+                [(-1, "NEW", 0)], "s_suppkey long, s_name string, s_nationkey int"
+            )
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan_changelog(0).select(
+        *cols, "_change_type", "_commit_snapshot_id"
+    )

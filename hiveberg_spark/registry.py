@@ -104,9 +104,10 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_sql_dml",
     "timetravel_where_shim",
     "timetravel_current",
-    # (d) round-5 additions: merge-on-read deletes (Iceberg v2)
+    # (d) round-5 additions: merge-on-read deletes (Iceberg v2), CDC
     "snapshot_mor_delete",
     "snapshot_mor_upsert_seq",
+    "snapshot_changelog_cdc",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",

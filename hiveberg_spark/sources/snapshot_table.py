@@ -2324,6 +2324,219 @@ class SnapshotTable:
             df = df.withColumn(virtual_column, F.lit(to_snapshot).cast("long"))
         return df
 
+    def _read_subset_with_deletes(
+        self, meta: dict, sid: int, rels: list[str], keep_lineage: bool = False
+    ) -> DataFrame | None:
+        """Read a subset of the files live at `sid` with that snapshot's
+        merge-on-read deletes applied — the per-snapshot building block
+        of the changelog. Returns None for an empty subset."""
+        if not rels:
+            return None
+        renames = meta.get("renames", [])
+        deletes = self._raw_deletes_as_of(meta, sid)
+        df = self._read_data_files(
+            [os.path.join(self.location, r) for r in rels],
+            renames,
+            meta.get("drops", []),
+            lineage=bool(deletes) or keep_lineage,
+        )
+        if deletes:
+            df = self._apply_mor_deletes(
+                df, deletes, self._file_seq_as_of(meta, sid), renames
+            )
+        if not keep_lineage and (deletes or keep_lineage):
+            df = df.drop("__hb_file", "__hb_pos")
+        return df
+
+    def scan_changelog(
+        self, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Row-level change-data-capture between two snapshots (Iceberg's
+        `create_changelog_view` with carryovers removed): every table
+        column plus `_change_type` ('insert' | 'delete'),
+        `_commit_snapshot_id`, and `_committed_at`. Updates surface as a
+        delete+insert pair, exactly Iceberg's representation without
+        identifier fields. Unlike scan_changes (append-only incremental
+        read), this crosses DML commits.
+
+        The 100 TB shape — everything is computed from FILE-LEVEL diffs
+        per commit, never a table diff:
+
+        - per snapshot, only files ADDED or REMOVED vs its parent are
+          read; rows carried through a rewrite pair off via exceptAll
+          (a pure compaction nets zero rows from churned files only);
+        - a merge-on-read commit reads only the files its NEW delete
+          entries target (position deletes name their files; equality
+          deletes scan the files their sequence number covers) and
+          emits the matched rows as deletes;
+        - each side is read with ITS snapshot's delete files applied,
+          so rows already deleted before the commit are never
+          re-reported.
+
+        Cost is O(churned files + delete-targeted files) per commit."""
+        meta = self._read_meta()
+        current = meta["current_snapshot_id"]
+        if to_snapshot is None:
+            to_snapshot = current if current is not None else 0
+        known = {s["snapshot_id"] for s in meta["snapshots"]}
+        for sid in (from_snapshot, to_snapshot):
+            if sid not in known and sid != 0:
+                raise ValueError(
+                    f"unknown snapshot id {sid} (have {sorted(known)})"
+                )
+        renames = meta.get("renames", [])
+        out: DataFrame | None = None
+        out_cols: list[str] | None = None
+
+        def tag(df: DataFrame, change: str, s: dict) -> DataFrame:
+            return df.select(*out_cols).select(
+                "*",
+                F.lit(change).alias("_change_type"),
+                F.lit(s["snapshot_id"]).cast("long").alias("_commit_snapshot_id"),
+                F.lit(s["committed_at"]).cast("long").alias("_committed_at"),
+            )
+
+        for s in sorted(meta["snapshots"], key=lambda x: x["snapshot_id"]):
+            if s.get("branch"):
+                continue  # unpublished branch commits are not main changes
+            sid = s["snapshot_id"]
+            if not (from_snapshot < sid <= to_snapshot):
+                continue
+            parent = s["parent_id"]
+            live_s = {rel for rel, _, _ in self._raw_entries_as_of(meta, sid)}
+            live_p = (
+                {rel for rel, _, _ in self._raw_entries_as_of(meta, parent)}
+                if parent is not None
+                else set()
+            )
+            added = sorted(live_s - live_p)
+            removed = sorted(live_p - live_s)
+            ins = self._read_subset_with_deletes(meta, sid, added)
+            rem = (
+                self._read_subset_with_deletes(meta, parent, removed)
+                if parent is not None
+                else None
+            )
+            if out_cols is None:
+                probe = ins if ins is not None else rem
+                if probe is None:
+                    sch = self.schema()
+                    out_cols = [f.name for f in sch.fields] if sch else []
+                else:
+                    out_cols = list(probe.columns)
+            parts: list[DataFrame] = []
+            if ins is not None and rem is not None:
+                # rows carried through the rewrite pair off; only net
+                # changes remain (compaction → zero)
+                a, r = ins.select(*out_cols), rem.select(*out_cols)
+                parts.append(tag(a.exceptAll(r), "insert", s))
+                parts.append(tag(r.exceptAll(a), "delete", s))
+            elif ins is not None:
+                parts.append(tag(ins, "insert", s))
+            elif rem is not None:
+                parts.append(tag(rem, "delete", s))
+            # merge-on-read: rows newly deleted by THIS commit's delete
+            # files (targets restricted to files live on both sides)
+            prev_paths = (
+                {d["path"] for d in self._raw_deletes_as_of(meta, parent)}
+                if parent is not None
+                else set()
+            )
+            new_dels = [
+                d
+                for d in self._raw_deletes_as_of(meta, sid)
+                if d["path"] not in prev_paths
+            ]
+            if new_dels and parent is not None:
+                common = live_p & live_s
+                mor_deleted = self._mor_deleted_rows(
+                    meta, parent, common, new_dels, renames
+                )
+                if mor_deleted is not None:
+                    parts.append(tag(mor_deleted, "delete", s))
+            for p in parts:
+                out = p if out is None else out.unionByName(p)
+        if out is None:
+            sch = self.schema()
+            cols = [f"{f.name} {f.dataType.simpleString()}" for f in sch.fields] if sch else []
+            ddl = ", ".join(
+                cols
+                + [
+                    "_change_type string",
+                    "_commit_snapshot_id long",
+                    "_committed_at long",
+                ]
+            )
+            return self.spark.createDataFrame([], ddl)
+        return out
+
+    def _mor_deleted_rows(
+        self,
+        meta: dict,
+        parent: int,
+        common: set[str],
+        new_dels: list[dict],
+        renames: list[dict],
+    ) -> DataFrame | None:
+        """Rows a commit's NEW merge-on-read delete files remove, read
+        as of the PARENT snapshot (its deletes applied first, so
+        already-dead rows are not re-reported). Position deletes name
+        their target files — only those are read; equality deletes read
+        the common files their sequence covers and semi-join the keys."""
+        pos = [d for d in new_dels if d["type"] == "position"]
+        eq = [d for d in new_dels if d["type"] == "equality"]
+        parts: list[DataFrame] = []
+        if pos:
+            pos_df = self.spark.read.parquet(
+                *[os.path.join(self.location, d["path"]) for d in pos]
+            )
+            targets = sorted(
+                set(
+                    r.file_path
+                    for r in pos_df.select("file_path").distinct().collect()
+                )
+                & common
+            )
+            df = self._read_subset_with_deletes(
+                meta, parent, targets, keep_lineage=True
+            )
+            if df is not None:
+                parts.append(
+                    df.join(
+                        pos_df,
+                        (df["__hb_file"] == pos_df["file_path"])
+                        & (df["__hb_pos"] == pos_df["pos"]),
+                        "left_semi",
+                    ).drop("__hb_file", "__hb_pos")
+                )
+        if eq:
+            df = self._read_subset_with_deletes(
+                meta, parent, sorted(common), keep_lineage=True
+            )
+            if df is not None:
+                for d in eq:
+                    cols = list(d["cols"])
+                    for r in renames:
+                        cols = [r["to"] if c == r["from"] else c for c in cols]
+                    keys = self.spark.read.parquet(
+                        os.path.join(self.location, d["path"])
+                    ).toDF(*[f"__hb_k_{c}" for c in cols])
+                    cond = None
+                    for c in cols:
+                        clause = df[c].eqNullSafe(keys[f"__hb_k_{c}"])
+                        cond = clause if cond is None else cond & clause
+                    parts.append(
+                        df.join(keys, cond, "left_semi").drop(
+                            "__hb_file", "__hb_pos"
+                        )
+                    )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def history(self) -> DataFrame:
         """The `history` metadata table (Iceberg `history`): one row per
         snapshot with its commit time and whether it is an ancestor of
