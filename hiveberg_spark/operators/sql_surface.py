@@ -1413,3 +1413,61 @@ def snapshot_changelog_cdc(spark, sf_dir):
     return t.scan_changelog(0).select(
         *cols, "_change_type", "_commit_snapshot_id"
     )
+
+
+@query(
+    "snapshot_partition_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name, TRUE AS pruned_both_generations,
+           CAST(2 AS BIGINT) AS n_spec_generations
+    FROM supplier
+    """,
+)
+def snapshot_partition_evolution(spark, sf_dir):
+    """Partition spec evolution (Iceberg UpdatePartitionSpec): the
+    fixture writes half of supplier under bucket(s_suppkey, 4), evolves
+    the spec to bucket(s_suppkey, 8) — metadata-only, nothing moves —
+    and writes the rest. The scan reads both layout generations
+    transparently; equality planning prunes each file against the spec
+    generation that WROTE it (`pruned_both_generations` pins that a
+    key probe plans strictly fewer files than the full set in both
+    halves). At 100 TB this is how a table re-buckets for growth
+    without a rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_spec_evolution")
+    cols = ["s_suppkey", "s_name"]
+    supplier = load_table(spark, sf_dir, "supplier").select(*cols)
+    mid = supplier.agg(F.expr("percentile(s_suppkey, 0.5)")).head()[0]
+
+    def builder(table):
+        k = F.col("s_suppkey")
+        table.append(supplier.filter(k <= mid))
+        table.update_partition_spec([("bucket", "s_suppkey", 8)])
+        table.append(supplier.filter(k > mid))
+
+    with _lock:
+        t = build_once(
+            spark,
+            loc,
+            builder,
+            partition_spec=[("bucket", "s_suppkey", 4)],
+        )
+    total = len(t.plan_files())
+    lo = len(t.plan_files("s_suppkey = 1"))
+    hi_key = int(mid) + 1
+    hi = len(t.plan_files(f"s_suppkey = {hi_key}"))
+    pruned = lo < total and hi < total
+    n_specs = len(t._all_specs(t._read_meta()))
+    return (
+        t.scan(virtual_column=None)
+        .select(*cols)
+        .withColumn("pruned_both_generations", F.lit(bool(pruned)))
+        .withColumn("n_spec_generations", F.lit(int(n_specs)).cast("long"))
+    )

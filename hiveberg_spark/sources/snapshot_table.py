@@ -1686,9 +1686,13 @@ class SnapshotTable:
             # files written under the just-renamed name need their own
             # mapping entry (chain collapse alone would orphan them)
             meta.setdefault("renames", []).append({"from": old, "to": new})
-            for t in meta.get("partition_spec") or []:
-                if t[1] == old:  # spec follows the rename (Iceberg does
-                    t[1] = new  # this via field-ids; the log is our map)
+            # spec follows the rename (Iceberg does this via field-ids;
+            # the log is our map) — historical specs too, since their
+            # files are still live and still prune
+            for spec in self._all_specs(meta):
+                for t in spec:
+                    if t[1] == old:
+                        t[1] = new
             if meta.get("schema_json"):
                 schema = StructType.fromJson(json.loads(meta["schema_json"]))
                 renamed = StructType(
@@ -1701,6 +1705,73 @@ class SnapshotTable:
             self._write_meta(meta)
         finally:
             os.unlink(lock)
+
+    def update_partition_spec(
+        self, partition_spec: list[tuple] | None
+    ) -> None:
+        """Partition spec EVOLUTION (Iceberg UpdatePartitionSpec):
+        change how FUTURE writes are clustered — metadata-only, no data
+        file moves. Existing files keep the layout (and per-file
+        partition values) of the spec that wrote them; the scan reads
+        both generations transparently because partition values are
+        keyed by transform-derived field names, and pruning evaluates
+        every HISTORICAL spec's bucket fields per file — a query on the
+        source column keeps pruning old-spec files by the old bucket
+        count and new-spec files by the new one, exactly Iceberg's
+        split-planning-per-spec behavior. Pass None/[] to stop
+        partitioning new writes."""
+        for t in partition_spec or []:
+            if t[0] not in ("bucket", "truncate", "day", "identity"):
+                raise ValueError(f"unknown partition transform: {t[0]}")
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            old = meta.get("partition_spec") or []
+            if old:
+                hist = meta.setdefault("partition_specs_history", [])
+                if old not in hist:
+                    hist.append(old)
+            meta["partition_spec"] = [list(t) for t in partition_spec or []]
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+
+    def _all_specs(self, meta: dict) -> list[list]:
+        """Current + every historical partition spec (files written
+        under retired specs may still be live)."""
+        return [meta.get("partition_spec") or []] + list(
+            meta.get("partition_specs_history", [])
+        )
+
+    def _bucket_sources(self, meta: dict) -> dict[str, list[tuple[str, int]]]:
+        """CURRENT source column name -> [(partition field name, bucket
+        count)] over every spec generation, for equality pruning on
+        mixed-spec tables. Partition field names embed the source name
+        the file was WRITTEN under, so each candidate is emitted for
+        every prior name in the rename log too — pruning survives
+        rename evolution."""
+        renames = meta.get("renames", [])
+
+        def all_names(src: str) -> set[str]:
+            names = {src}
+            changed = True
+            while changed:
+                changed = False
+                for r in renames:
+                    if r["to"] in names and r["from"] not in names:
+                        names.add(r["from"])
+                        changed = True
+            return names
+
+        out: dict[str, list[tuple[str, int]]] = {}
+        for spec in self._all_specs(meta):
+            for t in spec:
+                if t[0] == "bucket":
+                    for nm in all_names(t[1]):
+                        cand = (_pfield_name((t[0], nm, t[2])), t[2])
+                        if cand not in out.setdefault(t[1], []):
+                            out[t[1]].append(cand)
+        return out
 
     def drop_column(self, name: str) -> None:
         """Drop a column from the table schema (Iceberg UpdateSchema
@@ -1716,12 +1787,13 @@ class SnapshotTable:
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()
-            for t in meta.get("partition_spec") or []:
-                if t[1] == name:
-                    raise ValueError(
-                        f"cannot drop {name!r}: it is a partition source "
-                        "column of the table's spec"
-                    )
+            for spec in self._all_specs(meta):
+                for t in spec:
+                    if t[1] == name:
+                        raise ValueError(
+                            f"cannot drop {name!r}: it is a partition "
+                            "source column of a live table spec"
+                        )
             meta.setdefault("drops", []).append(name)
             if meta.get("schema_json"):
                 schema = StructType.fromJson(json.loads(meta["schema_json"]))
@@ -1851,11 +1923,7 @@ class SnapshotTable:
         known = {s["snapshot_id"] for s in meta["snapshots"]}
         if sid not in known:
             raise ValueError(f"unknown snapshot id {sid} (have {sorted(known)})")
-        bucket_by_source = {
-            t[1]: (_pfield_name(tuple(t)), t[2])
-            for t in meta.get("partition_spec") or []
-            if t[0] == "bucket"
-        }
+        bucket_by_source = self._bucket_sources(meta)
         if self._entry_count_estimate(meta, sid) >= _DISTRIBUTED_PLAN_THRESHOLD:
             return self._plan_files_distributed(
                 meta, sid, conjuncts, bucket_by_source
@@ -1929,8 +1997,10 @@ class SnapshotTable:
             lit = _parse_literal(m.group("lit"))
             if lit is None:
                 continue
-            pname, n = bucket_by_source[src]
-            bucket_req.append((pname, str(self._bucket_of_literal(src, n, lit))))
+            for pname, n in bucket_by_source[src]:
+                bucket_req.append(
+                    (pname, str(self._bucket_of_literal(src, n, lit)))
+                )
         renames = meta.get("renames", [])
         conj = list(conjuncts)
 
@@ -2004,15 +2074,21 @@ class SnapshotTable:
         src = m.group("col")
         if src not in bucket_by_source:
             return False
-        pname, n = bucket_by_source[src]
-        if pname not in parts:
-            return False
         lit = _parse_literal(m.group("lit"))
         if lit is None:
             return False
-        if parts[pname] is None:
-            return True  # null-partition file: `col = lit` matches no row
-        return str(self._bucket_of_literal(src, n, lit)) != parts[pname]
+        # a file carries the bucket field of the SPEC GENERATION that
+        # wrote it; evaluate every generation and prune on whichever
+        # this file has (partition evolution: old files keep pruning by
+        # the old bucket count)
+        for pname, n in bucket_by_source[src]:
+            if pname not in parts:
+                continue
+            if parts[pname] is None:
+                return True  # null-partition file: `col = lit` matches no row
+            if str(self._bucket_of_literal(src, n, lit)) != parts[pname]:
+                return True
+        return False
 
     def _bucket_of_literal(self, src: str, n: int, lit) -> int:
         cache = getattr(self, "_bucket_cache", None)
