@@ -1471,3 +1471,44 @@ def snapshot_partition_evolution(spark, sf_dir):
         .withColumn("pruned_both_generations", F.lit(bool(pruned)))
         .withColumn("n_spec_generations", F.lit(int(n_specs)).cast("long"))
     )
+
+
+@query(
+    "snapshot_partitions_table",
+    oracle="""
+    SELECT CAST(n_regionkey AS VARCHAR) AS region,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def snapshot_partitions_table(spark, sf_dir):
+    """The `partitions` metadata table (Iceberg `partitions`, joining
+    `manifests` and `files`/`history` in the metadata-table family the
+    reference seeded with `__snapshots`): per-partition file/record/
+    byte rollups computed from manifests alone — per-file record
+    counts are recorded at commit time, so layout-health questions
+    (skew, fragmentation) on a 100 TB table never open a data file.
+    Record counts here must equal a GROUP BY over the data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_partitions_meta")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    with _lock:
+        t = build_once(
+            spark,
+            loc,
+            lambda t: t.append(nation),
+            partition_spec=[("identity", "n_regionkey", None)],
+        )
+    return t.partitions().select(
+        F.col("partition")["_p_n_regionkey"].alias("region"),
+        F.col("record_count"),
+    )

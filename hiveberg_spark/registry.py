@@ -109,6 +109,7 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_mor_upsert_seq",
     "snapshot_changelog_cdc",
     "snapshot_partition_evolution",
+    "snapshot_partitions_table",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",

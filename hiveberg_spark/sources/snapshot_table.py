@@ -71,6 +71,8 @@ DEFAULT_VIRTUAL_COLUMN = "snapshot__id"  # SystemTableUtil.java:29
 SNAPSHOTS_SUFFIX = "__snapshots"  # TableResolverUtil.java:39
 FILES_SUFFIX = "__files"  # beyond reference: Iceberg's `files` metadata table
 HISTORY_SUFFIX = "__history"  # Iceberg's `history` metadata table
+MANIFESTS_SUFFIX = "__manifests"  # Iceberg's `manifests` metadata table
+PARTITIONS_SUFFIX = "__partitions"  # Iceberg's `partitions` metadata table
 
 _FILES_SCHEMA = (
     "content string, file_path string, file_format string, "
@@ -1451,7 +1453,9 @@ class SnapshotTable:
             n_records, avro_stats_abs = write_avro(
                 writer, data_dir, partition_cols=pnames, return_stats=True
             )
-            files, partitions = self._list_data_files(data_dir, commit_uuid, fmt)
+            files, partitions, file_info = self._list_data_files(
+                data_dir, commit_uuid, fmt
+            )
         else:
             writer = df
             if spec:
@@ -1472,7 +1476,9 @@ class SnapshotTable:
                 writer.write.mode("overwrite").format(fmt).save(data_dir)
             # location-relative paths: the table stays valid under
             # rename/move (atomic build-then-rename fixtures depend on it)
-            files, partitions = self._list_data_files(data_dir, commit_uuid, fmt)
+            files, partitions, file_info = self._list_data_files(
+                data_dir, commit_uuid, fmt
+            )
             n_records = (
                 int(self.spark.read.format(fmt).load(data_dir).count())
                 if files
@@ -1534,6 +1540,12 @@ class SnapshotTable:
                 "stats": all_stats,
                 "partitions": all_parts,
             }
+            if file_info:
+                # per-file record/byte counts for THIS commit's files;
+                # carried files resolve theirs from the manifest that
+                # added them (additive chains) or fall back to a stat
+                # in the metadata tables
+                manifest_doc["file_info"] = file_info
             all_deletes = []
             for d in delete_entries or []:
                 d = dict(d)
@@ -1607,7 +1619,7 @@ class SnapshotTable:
 
     def _list_data_files(
         self, data_dir: str, commit_uuid: str, fmt: str | None = None
-    ) -> tuple[list[str], dict[str, dict]]:
+    ) -> tuple[list[str], dict[str, dict], dict[str, dict]]:
         """Recursive data-file listing (partitioned writes nest files
         under `_p_x=v/` dirs) + per-file partition values parsed from
         the path (the manifest record Iceberg keeps per data file).
@@ -1615,11 +1627,17 @@ class SnapshotTable:
         delete emptied a file) are dropped so they are never manifested
         (avro needs no check — the codec only creates a file for
         non-empty partitions). `fmt` is the format this commit wrote
-        (defaults to the table's current write format)."""
+        (defaults to the table's current write format).
+
+        Third return: per-file {records, bytes} (the footer is already
+        open for the 0-row check; size is one stat) — _commit records
+        it in the manifest so the files/partitions metadata tables
+        answer record counts without reopening data files."""
         fmt = fmt or self.file_format()
         ext = "." + fmt
         files: list[str] = []
         partitions: dict[str, dict] = {}
+        info: dict[str, dict] = {}
         counter = None
         if fmt == "parquet":
             try:
@@ -1640,15 +1658,21 @@ class SnapshotTable:
                 if not fn.endswith(ext):
                     continue
                 full = os.path.join(root, fn)
+                n_rows = None
                 if counter is not None:
                     try:
-                        if counter(full) == 0:
+                        n_rows = int(counter(full))
+                        if n_rows == 0:
                             os.unlink(full)
                             continue
                     except Exception:
-                        pass
+                        n_rows = None
                 rel = os.path.relpath(full, self.location)
                 files.append(rel)
+                info[rel] = {
+                    "records": n_rows,
+                    "bytes": os.path.getsize(full),
+                }
                 parts = {}
                 for comp in rel.split(os.sep):
                     if "=" in comp and comp.startswith("_p_"):
@@ -1666,7 +1690,7 @@ class SnapshotTable:
                 if parts:
                     partitions[rel] = parts
         files.sort()
-        return files, partitions
+        return files, partitions, info
 
     def rename_column(self, old: str, new: str) -> None:
         """Record a column rename in the name-mapping log. Files written
@@ -2693,6 +2717,7 @@ class SnapshotTable:
                 if s["snapshot_id"] <= sid:
                     for f, _, _ in self._read_manifest_entries(s):
                         added.setdefault(f, s["snapshot_id"])
+        info = self._file_info_as_of(meta)
         rows = []
         for path, stats, parts in entries:
             rel = os.path.relpath(path, self.location)
@@ -2702,7 +2727,7 @@ class SnapshotTable:
                     rel,
                     rel.rsplit(".", 1)[-1],
                     added.get(rel),
-                    None,
+                    (info.get(rel) or {}).get("records"),
                     {k: str(v) for k, v in (parts or {}).items()},
                     {k: str(v[0]) for k, v in (stats or {}).items()},
                     {k: str(v[1]) for k, v in (stats or {}).items()},
@@ -2725,6 +2750,108 @@ class SnapshotTable:
                     )
                 )
         return self.spark.createDataFrame(rows, _FILES_SCHEMA)
+
+    def _file_info_as_of(self, meta: dict) -> dict[str, dict]:
+        """Relative path -> {records, bytes} from every manifest that
+        ever recorded the file (paths are unique, info immutable, so no
+        lineage walk needed). Files predating info recording resolve to
+        a stat + footer read fallback in the metadata tables."""
+        out: dict[str, dict] = {}
+        for s in meta["snapshots"]:
+            if "added_files" in s:
+                continue
+            for rel, fi in self._read_manifest_json(s).get(
+                "file_info", {}
+            ).items():
+                out.setdefault(rel, fi)
+        return out
+
+    def _file_info_fallback(self, rel: str) -> dict:
+        """Stat + footer read for one legacy file (bounded by the number
+        of pre-info files; new commits always record)."""
+        full = os.path.join(self.location, rel)
+        info: dict = {"records": None, "bytes": None}
+        try:
+            info["bytes"] = os.path.getsize(full)
+        except OSError:
+            return info
+        if rel.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as pq
+
+                info["records"] = int(pq.ParquetFile(full).metadata.num_rows)
+            except Exception:
+                pass
+        return info
+
+    def manifests(self) -> DataFrame:
+        """The `manifests` metadata table (Iceberg `manifests`): one row
+        per manifest composing the CURRENT snapshot's live set — path,
+        byte length, the snapshot that wrote it, and its data/delete
+        file counts. Metadata-only; how an operator audits planning
+        fan-out (many small manifests → consolidate via
+        expire_snapshots or compact)."""
+        meta = self._read_meta()
+        current = meta["current_snapshot_id"]
+        rows = []
+        if current is not None:
+            for s in self._lineage_chain(meta, current):
+                m = self._read_manifest_json(s)
+                rel = s.get("manifest")
+                length = None
+                if rel:
+                    try:
+                        length = os.path.getsize(
+                            os.path.join(self.location, rel)
+                        )
+                    except OSError:
+                        pass
+                rows.append(
+                    (
+                        rel or "<inline>",
+                        length,
+                        s["snapshot_id"],
+                        len(m.get("files", [])),
+                        len(m.get("deletes", [])),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length long, added_snapshot_id long, "
+            "data_files_count long, delete_files_count long",
+        )
+
+    def partitions(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `partitions` metadata table (Iceberg `partitions`): one
+        row per live partition-value tuple with its file count, record
+        count, and total bytes — THE layout-health view (skew shows up
+        as one fat row, fragmentation as high file_count per row).
+        Computed from manifests alone; per-file record/byte counts are
+        recorded at commit time, with a stat fallback only for files
+        written before info recording. Unpartitioned files group under
+        the empty map."""
+        meta = self._read_meta()
+        entries, _ = self._entries_as_of(snapshot_id)
+        info = self._file_info_as_of(meta)
+        agg: dict[tuple, list] = {}
+        for path, _, parts in entries:
+            rel = os.path.relpath(path, self.location)
+            key = tuple(sorted((k, str(v)) for k, v in (parts or {}).items()))
+            fi = info.get(rel) or self._file_info_fallback(rel)
+            slot = agg.setdefault(key, [0, 0, 0])
+            slot[0] += 1
+            if fi.get("records") is not None:
+                slot[1] += fi["records"]
+            if fi.get("bytes") is not None:
+                slot[2] += fi["bytes"]
+        rows = [
+            (dict(key), c, rec, b) for key, (c, rec, b) in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition map<string,string>, file_count long, "
+            "record_count long, total_bytes long",
+        )
 
     # -- WHERE-clause time-travel shim -------------------------------------
 
@@ -2979,6 +3106,16 @@ def resolve_table(
         base_loc = os.path.join(warehouse, base)
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).history()
+    if snapshots_table_enabled and name.endswith(MANIFESTS_SUFFIX):
+        base = name[: -len(MANIFESTS_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).manifests()
+    if snapshots_table_enabled and name.endswith(PARTITIONS_SUFFIX):
+        base = name[: -len(PARTITIONS_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).partitions()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 

@@ -1647,3 +1647,69 @@ def test_bucket_pruning_survives_cow_rewrite(spark, warehouse):
         pruned = t.plan_files(f"id = {key}")
         assert len(pruned) < len(after)
         assert t.scan_where(f"id = {key}").count() == 1
+
+
+def test_manifests_metadata_table(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "mfs"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_simple_df(spark, [(3, "c")]).coalesce(1))
+    t.delete_where("id = 1", mode="merge-on-read")
+    rows = {r.added_snapshot_id: r for r in t.manifests().collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].data_files_count == 1
+    assert rows[3].data_files_count == 0
+    assert rows[3].delete_files_count == 1
+    assert all(r.length > 0 for r in rows.values())
+    # suffix resolution
+    from hiveberg_spark.sources.snapshot_table import resolve_table
+
+    assert resolve_table(spark, warehouse, "mfs__manifests").count() == 3
+
+
+def test_partitions_metadata_table(spark, warehouse):
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "pts"),
+        schema="id long, region string",
+        partition_spec=[("identity", "region", None)],
+    )
+    df = spark.createDataFrame(
+        [(1, "eu"), (2, "eu"), (3, "us")], "id long, region string"
+    )
+    t.append(df)
+    t.append(
+        spark.createDataFrame([(4, "eu")], "id long, region string")
+    )
+    rows = {
+        r.partition["_p_region"]: r for r in t.partitions().collect()
+    }
+    assert rows["eu"].record_count == 3
+    assert rows["us"].record_count == 1
+    assert rows["eu"].file_count >= 2  # two commits wrote eu files
+    assert all(r.total_bytes > 0 for r in rows.values())
+    # record counts survive a COW rewrite (carried info resolves from
+    # the manifest that added the file)
+    t.delete_where("id = 3")
+    rows2 = {
+        r.partition["_p_region"]: r for r in t.partitions().collect()
+    }
+    assert rows2["eu"].record_count == 3
+    assert "us" not in rows2
+    from hiveberg_spark.sources.snapshot_table import resolve_table
+
+    assert resolve_table(spark, warehouse, "pts__partitions").count() == 1
+
+
+def test_partitions_unpartitioned_single_row(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "upts"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    rows = t.partitions().collect()
+    assert len(rows) == 1 and rows[0].partition == {}
+    assert rows[0].record_count == 2
+
+
+def test_files_metadata_record_count_populated(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "frc"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    r = t.files().collect()[0]
+    assert r.record_count == 2
