@@ -47,6 +47,16 @@ def stream_snapshot_table_source(spark, sf_dir):
             "snapshot streaming source requires a parquet-only table; "
             f"found non-parquet data files: {non_parquet[:5]}"
         )
+    # merge-on-read delete files remove rows WITHOUT touching data
+    # files, which a file-level subscription cannot see — refuse, like
+    # the append-only checks above (Iceberg's streaming read likewise
+    # rejects delete snapshots)
+    _meta = t._read_meta()
+    if t._raw_deletes_as_of(_meta, _meta["current_snapshot_id"]):
+        raise ValueError(
+            "snapshot streaming source requires an append-only table; "
+            "this table has live merge-on-read delete files"
+        )
     schema = t.schema()
     raw = (
         spark.readStream.schema(schema)

@@ -465,3 +465,109 @@ def stream_sink_snapshot_table(spark, sf_dir):
     return spark.createDataFrame(
         [(n_rows, n_snaps)], "n_rows long, n_snapshots long"
     )
+
+
+@query(
+    "stream_upsert_sink",
+    oracle="""
+    SELECT user_id, event_type, value, TRUE AS multi_batch FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def stream_upsert_sink(spark, sf_dir):
+    """Streaming CDC UPSERT sink — the composition Iceberg v2 equality
+    deletes exist for: each micro-batch keeps one row per user_id in a
+    snapshot table by committing an equality DELETE of the affected
+    keys plus an append of the winning rows, never reading or
+    rewriting unaffected data files. Winner per key is max (ts,
+    event_id) across the current table row and the batch (so arrival
+    order across batches cannot change the result), making the final
+    table equal to latest-event-per-user over the whole stream — the
+    oracle. The events backlog is split into 3 files consumed with
+    maxFilesPerTrigger=1 (`multi_batch` pins that upserts really
+    crossed batch boundaries). At 100 TB each batch writes O(batch)
+    bytes; scan-side cost is one anti-join against the key set, bounded
+    by rewrite_position_deletes/compact."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+    from hiveberg_spark.streaming.events import events_stream
+
+    tag = uuid.uuid4().hex[:10]
+    src_dir = os.path.join(tempfile.gettempdir(), f"hbs_upsert_src_{tag}")
+    loc = os.path.join(tempfile.gettempdir(), f"hbs_upsert_tbl_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"hbs_upsert_ckpt_{tag}")
+    # split the backlog into 3 files so availableNow +
+    # maxFilesPerTrigger=1 yields real successive micro-batches
+    from hiveberg_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    cols = "user_id long, event_id long, ts_us long, event_type string, value double"
+    table = SnapshotTable.create(spark, loc, schema=cols)
+    table.append(spark.createDataFrame([], cols))  # seed empty snapshot
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+
+    def commit_batch(batch_df, batch_id):
+        cand = (
+            batch_df.withColumn("ts_us", F.unix_micros("ts"))
+            .select("user_id", "event_id", "ts_us", "event_type", "value")
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        if cand.isEmpty():
+            return
+        users = cand.select("user_id").distinct()
+        current = table.scan(virtual_column=None).join(
+            users, "user_id", "left_semi"
+        )
+        winners = (
+            current.unionByName(cand)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        table.delete_by_keys(users)
+        table.append(winners)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src_dir)
+    )
+    # normalize ts exactly like events_stream does for ntz fixtures
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    # > 3 snapshots == more than one upserting batch actually committed
+    multi_batch = SnapshotTable.load(spark, loc).snapshots().count() > 3
+    return (
+        table.scan(virtual_column=None)
+        .select("user_id", "event_type", "value")
+        .withColumn("multi_batch", F.lit(bool(multi_batch)))
+    )

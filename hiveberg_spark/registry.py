@@ -110,6 +110,7 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_changelog_cdc",
     "snapshot_partition_evolution",
     "snapshot_partitions_table",
+    "stream_upsert_sink",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",
