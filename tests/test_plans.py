@@ -160,3 +160,36 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_mor_scan_plan_pushdown_and_broadcast_only(spark, tmp_path_factory):
+    """Merge-on-read scan shape at scale: the residual filter still
+    reaches the parquet scan (pushdown survives the _metadata lineage
+    projection), and every delete-application join is a BROADCAST join
+    — the data side is never shuffled (an Exchange hashpartitioning on
+    the fact side would be a 100 TB regression)."""
+    import os
+
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    wh = str(tmp_path_factory.mktemp("morplan"))
+    t = SnapshotTable.create(spark, os.path.join(wh, "t"))
+    t.append(spark.range(0, 5000).selectExpr("id", "cast(id % 7 as long) k"))
+    t.delete_where("id < 10", mode="merge-on-read")
+    t.delete_by_keys(spark.createDataFrame([(5,)], "k long"))
+    df = t.scan(virtual_column=None).filter("id > 2500")
+    fs = pushed_filters(df)
+    assert any("id" in f and "GreaterThan" in f for f in fs), fs
+    plan = explain_str(df)
+    # position + equality anti-joins (formatted explain lists each join
+    # once in the tree and once in the detail section)
+    assert plan.count("Join type: LeftAnti") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the only exchanges are the broadcast of the (tiny) delete sets
+    import re
+
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    assert not non_broadcast, non_broadcast
