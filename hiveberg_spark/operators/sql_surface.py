@@ -1512,3 +1512,72 @@ def snapshot_partitions_table(spark, sf_dir):
         F.col("partition")["_p_n_regionkey"].alias("region"),
         F.col("record_count"),
     )
+
+
+@query(
+    "snapshot_table_properties",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
+           TRUE AS pruned_point_probe,
+           TRUE AS mor_default_used
+    FROM lineitem WHERE l_orderkey >= 100
+    """,
+)
+def snapshot_table_properties(spark, sf_dir):
+    """Table properties driving write behavior (Iceberg's property
+    surface): `write.sort.order` + `write.distribution.mode=range`
+    cluster each commit so file key-ranges are DISJOINT — a point
+    probe then plans a strict subset of files (`pruned_point_probe`) —
+    and `write.delete.mode=merge-on-read` makes delete_where default
+    to a position-delete commit with no data-file rewrite
+    (`mor_default_used` checks the delete files exist). One exchange
+    per commit buys O(1)-file pruning for every later read — the
+    clustering trade a 100 TB scan-heavy table wants."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "lineitem_props")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    def builder(table):
+        table.set_properties(
+            {
+                "write.sort.order": "l_orderkey",
+                "write.distribution.mode": "range",
+                "write.delete.mode": "merge-on-read",
+            }
+        )
+        # AQE would coalesce a small-SF commit to one file, hiding the
+        # disjoint-range effect; pin it off for the build only
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        try:
+            table.append(li.repartition(8))
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+        table.delete_where("l_orderkey < 100")  # property → merge-on-read
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    probe = int(
+        li.agg(F.expr("percentile(l_orderkey, 0.5)")).head()[0]
+    )
+    pruned = len(t.plan_files(f"l_orderkey = {probe}")) < len(t.plan_files())
+    meta = t._read_meta()
+    mor_used = (
+        len(t._raw_deletes_as_of(meta, meta["current_snapshot_id"])) > 0
+    )
+    return (
+        t.scan(virtual_column=None)
+        .agg(F.count("*").cast("long").alias("n_after"))
+        .withColumn("pruned_point_probe", F.lit(bool(pruned)))
+        .withColumn("mor_default_used", F.lit(bool(mor_used)))
+    )

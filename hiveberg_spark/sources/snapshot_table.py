@@ -529,6 +529,49 @@ class SnapshotTable:
         finally:
             os.unlink(lock)
 
+    def properties(self) -> dict[str, str]:
+        """Table properties (Iceberg table properties). Recognized keys:
+
+        - `write.delete.mode` / `write.update.mode`:
+          'copy-on-write' (default) | 'merge-on-read' — the default
+          strategy for delete_where / update_where when the call does
+          not pass `mode` explicitly (exactly Iceberg's property pair).
+        - `write.sort.order`: comma-separated columns; every commit
+          sorts rows by them within output files, tightening footer
+          min/max bounds so range predicates prune better.
+        - `write.distribution.mode`: 'none' (default) | 'range' —
+          'range' repartitions each commit by the sort-order columns
+          first (Iceberg write.distribution-mode=range), making file
+          ranges DISJOINT instead of merely sorted: an equality/range
+          probe then prunes to O(1) files instead of one-per-task."""
+        return dict(self._read_meta().get("properties", {}))
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """Set/overwrite table properties (value None removes a key).
+        Metadata-only; takes effect on subsequent commits."""
+        known_modes = ("copy-on-write", "merge-on-read")
+        for k, v in props.items():
+            if k in ("write.delete.mode", "write.update.mode") and v is not None:
+                if v not in known_modes:
+                    raise ValueError(f"{k} must be one of {known_modes}")
+            if k == "write.distribution.mode" and v is not None:
+                if v not in ("none", "range"):
+                    raise ValueError(
+                        "write.distribution.mode must be 'none' or 'range'"
+                    )
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            cur = meta.setdefault("properties", {})
+            for k, v in props.items():
+                if v is None:
+                    cur.pop(k, None)
+                else:
+                    cur[k] = str(v)
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+
     @classmethod
     def load(cls, spark: SparkSession, location: str) -> "SnapshotTable":
         table = cls(spark, location)
@@ -952,7 +995,7 @@ class SnapshotTable:
         where: str,
         committed_at: int | None = None,
         branch: str | None = None,
-        mode: str = "copy-on-write",
+        mode: str | None = None,
     ) -> int:
         """Copy-on-write row-level DELETE (Iceberg `DELETE FROM` with the
         copy-on-write strategy): `plan_files(where)` identifies the files
@@ -981,6 +1024,8 @@ class SnapshotTable:
         writes kilobytes instead of rewriting whole files. Readers
         anti-join the delete set at scan time; `compact()` or
         `rewrite_position_deletes()` folds the debt back in."""
+        if mode is None:  # table property default (Iceberg's pair)
+            mode = self.properties().get("write.delete.mode", "copy-on-write")
         if mode in ("merge-on-read", "mor"):
             return self._delete_where_mor(where, committed_at, branch)
         if mode != "copy-on-write":
@@ -1011,7 +1056,7 @@ class SnapshotTable:
         assignments: dict[str, str],
         committed_at: int | None = None,
         branch: str | None = None,
-        mode: str = "copy-on-write",
+        mode: str | None = None,
     ) -> int:
         """Copy-on-write row-level UPDATE (Iceberg UPDATE ... SET): files
         that might hold matching rows are rewritten with the assignments
@@ -1025,6 +1070,8 @@ class SnapshotTable:
         arithmetic over an int column) must not yield rewritten files
         whose schema diverges from the carried files (ADVICE r2).
         `branch` runs the update on a branch (WAP), as delete_where."""
+        if mode is None:
+            mode = self.properties().get("write.update.mode", "copy-on-write")
         if mode in ("merge-on-read", "mor"):
             return self._update_where_mor(where, assignments, committed_at, branch)
         if mode != "copy-on-write":
@@ -1435,6 +1482,21 @@ class SnapshotTable:
         pre_meta = self._read_meta()
         spec = [tuple(t) for t in pre_meta.get("partition_spec") or []]
         fmt = pre_meta.get("file_format", "parquet")
+        props = pre_meta.get("properties", {})
+        sort_cols = [
+            c.strip()
+            for c in props.get("write.sort.order", "").split(",")
+            if c.strip() and c.strip() in df.columns
+        ]
+        if sort_cols:
+            # write clustering (Iceberg write.sort-order /
+            # write.distribution-mode): range distribution makes file
+            # key-ranges disjoint (one extra exchange per commit buys
+            # O(1)-file pruning forever); sorting tightens footer
+            # bounds either way
+            if props.get("write.distribution.mode") == "range":
+                df = df.repartitionByRange(*sort_cols)
+            df = df.sortWithinPartitions(*sort_cols)
         pnames = []
         avro_stats_abs: dict[str, dict] = {}
         if fmt == "avro":

@@ -1713,3 +1713,80 @@ def test_files_metadata_record_count_populated(spark, warehouse):
     t.append(_simple_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
     r = t.files().collect()[0]
     assert r.record_count == 2
+
+
+def test_table_properties_roundtrip_and_validation(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "props"))
+    assert t.properties() == {}
+    t.set_properties({"write.delete.mode": "merge-on-read", "owner": "me"})
+    assert t.properties()["write.delete.mode"] == "merge-on-read"
+    t.set_properties({"owner": None})  # unset
+    assert "owner" not in t.properties()
+    with pytest.raises(ValueError, match="write.delete.mode"):
+        t.set_properties({"write.delete.mode": "sideways"})
+    with pytest.raises(ValueError, match="distribution"):
+        t.set_properties({"write.distribution.mode": "hash"})
+
+
+def test_write_mode_properties_drive_dml_strategy(spark, warehouse):
+    # Iceberg's write.delete.mode/write.update.mode: the property picks
+    # the strategy when the call does not; an explicit arg overrides
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "modes"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    t.set_properties(
+        {"write.delete.mode": "merge-on-read",
+         "write.update.mode": "merge-on-read"}
+    )
+    t.delete_where("id = 1")          # property → MOR
+    t.update_where("id = 2", {"data": "'B'"})  # property → MOR
+    meta = t._read_meta()
+    assert len(t._raw_deletes_as_of(meta, meta["current_snapshot_id"])) == 2
+    assert {(r.id, r.data) for r in t.scan().collect()} == {(2, "B"), (3, "c")}
+    # explicit copy-on-write overrides the property (a replaces commit
+    # that also materializes the delete debt)
+    t.delete_where("id = 3", mode="copy-on-write")
+    meta = t._read_meta()
+    assert t._raw_deletes_as_of(meta, meta["current_snapshot_id"]) != []
+    assert {r.id for r in t.scan().collect()} == {2}
+
+
+def test_sort_order_with_range_distribution_prunes_to_one_file(
+    spark, warehouse
+):
+    # write.sort.order + write.distribution.mode=range: a commit's
+    # files get DISJOINT key ranges, so a point/range probe plans O(1)
+    # files — the clustering lever for scan-heavy tables
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "sorted"), schema="id long, data string"
+    )
+    t.set_properties(
+        {"write.sort.order": "id", "write.distribution.mode": "range"}
+    )
+    # AQE would rightly coalesce this toy commit into one partition
+    # (tiny data); pin it off so the range exchange keeps several
+    # output files, as it would for a real-size commit
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(
+            spark.createDataFrame(
+                [(i, f"r{i}") for i in range(4000)], "id long, data string"
+            ).repartition(8)  # deliberately shuffled input
+        )
+        total = len(t.plan_files())
+        assert total > 1
+        assert len(t.plan_files("id = 1234")) == 1
+        # without range distribution the same data leaves every file
+        # overlapping the full range (each input task sees all ranges)
+        u = SnapshotTable.create(
+            spark,
+            os.path.join(warehouse, "unsorted"),
+            schema="id long, data string",
+        )
+        u.append(
+            spark.createDataFrame(
+                [(i, f"r{i}") for i in range(4000)], "id long, data string"
+            ).repartition(8)
+        )
+        assert len(u.plan_files("id = 1234")) == len(u.plan_files())
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
