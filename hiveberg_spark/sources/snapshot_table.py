@@ -532,10 +532,11 @@ class SnapshotTable:
     def properties(self) -> dict[str, str]:
         """Table properties (Iceberg table properties). Recognized keys:
 
-        - `write.delete.mode` / `write.update.mode`:
+        - `write.delete.mode` / `write.update.mode` / `write.merge.mode`:
           'copy-on-write' (default) | 'merge-on-read' — the default
-          strategy for delete_where / update_where when the call does
-          not pass `mode` explicitly (exactly Iceberg's property pair).
+          strategy for delete_where / update_where / merge_upsert when
+          the call does not pass `mode` explicitly (exactly Iceberg's
+          property trio).
         - `write.sort.order`: comma-separated columns; every commit
           sorts rows by them within output files, tightening footer
           min/max bounds so range predicates prune better.
@@ -550,8 +551,9 @@ class SnapshotTable:
         """Set/overwrite table properties (value None removes a key).
         Metadata-only; takes effect on subsequent commits."""
         known_modes = ("copy-on-write", "merge-on-read")
+        mode_keys = ("write.delete.mode", "write.update.mode", "write.merge.mode")
         for k, v in props.items():
-            if k in ("write.delete.mode", "write.update.mode") and v is not None:
+            if k in mode_keys and v is not None:
                 if v not in known_modes:
                     raise ValueError(f"{k} must be one of {known_modes}")
             if k == "write.distribution.mode" and v is not None:
@@ -1099,6 +1101,7 @@ class SnapshotTable:
         keys: list[str],
         committed_at: int | None = None,
         branch: str | None = None,
+        mode: str | None = None,
     ) -> int:
         """Copy-on-write MERGE INTO (upsert): target rows whose key
         matches a source row are replaced by the source row; source rows
@@ -1108,7 +1111,22 @@ class SnapshotTable:
         carry by reference — the Iceberg copy-on-write merge shape,
         where a merge of a day's delta into a year's table rewrites
         O(that day's files). `branch` runs the merge on a branch (WAP),
-        as delete_where."""
+        as delete_where.
+
+        `mode="merge-on-read"` (or table property `write.merge.mode`)
+        commits the upsert as ONE snapshot holding an equality delete
+        file on the source keys plus the appended source rows — no
+        target file is read or rewritten at all. Sequence numbers make
+        it atomic-correct: the delete applies only to files sealed
+        before this commit, so the rows appended alongside it survive.
+        The CDC-upsert write shape: O(delta) bytes regardless of table
+        size."""
+        if mode is None:
+            mode = self.properties().get("write.merge.mode", "copy-on-write")
+        if mode in ("merge-on-read", "mor"):
+            return self._merge_upsert_mor(source, keys, committed_at, branch)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown merge mode: {mode!r}")
         bounds = source.select(
             *[F.min(k).alias(f"lo_{k}") for k in keys],
             *[F.max(k).alias(f"hi_{k}") for k in keys],
@@ -1301,6 +1319,50 @@ class SnapshotTable:
             branch=branch,
             delete_entries=entries,
             summary_extra={"update-mode": "merge-on-read"},
+        )
+
+    def _merge_upsert_mor(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        committed_at: int | None,
+        branch: str | None,
+    ) -> int:
+        """Merge-on-read MERGE (see merge_upsert): one commit = equality
+        delete file on the source keys + the source rows as new data
+        files. Old matching rows die by sequence scoping; the new rows
+        (same commit, same seq as the delete) survive it."""
+        meta = self._read_meta()
+        head = self._mor_head(meta, branch)
+        schema = self.schema()
+        if schema is not None:
+            missing = [k for k in keys if k not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"unknown merge key columns: {missing}")
+            source = source.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        live = self._files_as_of(head)[0]
+        if any(f.endswith(".avro") for f in live):
+            raise NotImplementedError(
+                "equality deletes need per-row file lineage at scan "
+                "time, unavailable for avro data files"
+            )
+        entries = self._write_delete_files(
+            source.select(*keys).distinct(), "equality", cols=list(keys)
+        )
+        return self._commit(
+            source,
+            "merge",
+            committed_at,
+            replaces=False,
+            expected_parent=head,
+            branch=branch,
+            delete_entries=entries,
+            summary_extra={"merge-mode": "merge-on-read"},
         )
 
     def delete_by_keys(

@@ -146,11 +146,63 @@ def _split_top_level_commas(s: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.+?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNSET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+UNSET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.+?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+system\s*\.\s*(?P<proc>[A-Za-z_]\w*)\s*"
+    r"\((?P<args>.*?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_KV_RE = re.compile(r"^\s*'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'\s*$")
+
+#: CALL system.<proc>('table', ...) — the Iceberg stored-procedure
+#: surface for maintenance actions (Spark's `CALL catalog.system.*`)
+_PROCEDURES = {
+    "expire_snapshots": lambda t, older_than_ms: t.expire_snapshots(
+        int(older_than_ms)
+    ),
+    "rewrite_data_files": lambda t: t.compact(),
+    "rewrite_position_deletes": lambda t: t.rewrite_position_deletes(),
+    "rollback_to_snapshot": lambda t, sid: t.rollback_to(int(sid)),
+    "fast_forward": lambda t, branch: t.fast_forward(branch),
+    "create_tag": lambda t, name, *sid: t.create_tag(
+        name, int(sid[0]) if sid else None
+    ),
+    "create_branch": lambda t, name, *sid: t.create_branch(
+        name, int(sid[0]) if sid else None
+    ),
+}
+
+
+def _parse_call_args(raw: str) -> list:
+    args = []
+    for item in _split_top_level_commas(raw):
+        if item.startswith("'") and item.endswith("'"):
+            args.append(item[1:-1])
+        else:
+            args.append(item)
+    return args
+
+
 def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
     """Run one SQL statement against the warehouse: DML (DELETE/UPDATE/
-    MERGE) dispatches to the snapshot table's copy-on-write commits and
-    returns a one-row summary (operation, snapshot_id); anything else
-    goes through the time-travel-aware SELECT path."""
+    MERGE) dispatches to the snapshot table's row-level commits (the
+    strategy — copy-on-write vs merge-on-read — follows the table's
+    write.*.mode properties) and returns a one-row summary (operation,
+    snapshot_id); `ALTER TABLE ... SET/UNSET TBLPROPERTIES` edits table
+    properties; `CALL system.<proc>('t', ...)` runs the Iceberg-style
+    maintenance procedures (expire_snapshots, rewrite_data_files,
+    rewrite_position_deletes, rollback_to_snapshot, fast_forward,
+    create_tag, create_branch); anything else goes through the
+    time-travel-aware SELECT path."""
 
     def _table(name: str) -> SnapshotTable:
         loc = os.path.join(warehouse, name)
@@ -163,6 +215,42 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
             [(op, sid)], "operation string, snapshot_id long"
         )
 
+    m = _SET_PROPS_RE.match(sql)
+    if m:
+        props = {}
+        for item in _split_top_level_commas(m.group("props")):
+            kv = _KV_RE.match(item)
+            if not kv:
+                raise ValueError(f"bad TBLPROPERTIES item: {item!r}")
+            props[kv.group("k")] = kv.group("v")
+        _table(m.group("table")).set_properties(props)
+        return spark.createDataFrame(
+            [(m.group("table"), len(props))], "table string, properties_set long"
+        )
+    m = _UNSET_PROPS_RE.match(sql)
+    if m:
+        keys = [
+            item.strip().strip("'")
+            for item in _split_top_level_commas(m.group("props"))
+        ]
+        _table(m.group("table")).set_properties({k: None for k in keys})
+        return spark.createDataFrame(
+            [(m.group("table"), len(keys))], "table string, properties_set long"
+        )
+    m = _CALL_RE.match(sql)
+    if m:
+        proc = m.group("proc").lower()
+        if proc not in _PROCEDURES:
+            raise ValueError(
+                f"unknown procedure: {proc!r} (have {sorted(_PROCEDURES)})"
+            )
+        args = _parse_call_args(m.group("args"))
+        if not args:
+            raise ValueError("CALL needs at least the table name argument")
+        result = _PROCEDURES[proc](_table(args[0]), *args[1:])
+        return spark.createDataFrame(
+            [(proc, str(result))], "procedure string, result string"
+        )
     m = _DELETE_RE.match(sql)
     if m:
         sid = _table(m.group("table")).delete_where(m.group("pred"))

@@ -338,3 +338,72 @@ def test_mor_table_survives_directory_move(spark, tmp_path):
     shutil.move(src, dst)
     moved = SnapshotTable.load(spark, dst)
     assert sorted(r.id for r in moved.scan().collect()) == [2]
+
+
+def test_mor_merge_single_commit_upsert(spark, warehouse):
+    # merge-on-read MERGE: ONE commit = equality delete on source keys
+    # + appended source rows; no target file read or rewritten
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "mmerge"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    before = _live_data_files(t)
+    src = spark.createDataFrame(
+        [(2, "B"), (9, "new")], "id long, data string"
+    )
+    sid = t.merge_upsert(src, keys=["id"], mode="merge-on-read")
+    after = _live_data_files(t)
+    assert set(before) <= set(after)  # nothing rewritten
+    rows = {r.id: r.data for r in t.scan().collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 9: "new"}
+    snap = t.snapshots().filter(f"snapshot_id = {sid}").collect()[0]
+    assert snap.operation == "merge"
+    assert snap.summary["merge-mode"] == "merge-on-read"
+    # exactly one commit happened for the whole merge
+    assert t.snapshots().count() == 2
+
+
+def test_mor_merge_via_property_default(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "mprop"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.set_properties({"write.merge.mode": "merge-on-read"})
+    t.merge_upsert(
+        spark.createDataFrame([(1, "A")], "id long, data string"), keys=["id"]
+    )
+    assert len(_live_deletes(t)) == 1
+    assert {(r.id, r.data) for r in t.scan().collect()} == {(1, "A")}
+
+
+def test_sql_tblproperties_and_call_procedures(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "sqlp"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]), committed_at=1000)
+    execute_sql(
+        spark,
+        warehouse,
+        "ALTER TABLE sqlp SET TBLPROPERTIES "
+        "('write.delete.mode'='merge-on-read')",
+    )
+    assert t.properties()["write.delete.mode"] == "merge-on-read"
+    # SQL DELETE now takes the merge-on-read path via the property
+    execute_sql(spark, warehouse, "DELETE FROM sqlp WHERE id = 1")
+    assert len(_live_deletes(t)) == 1
+    assert sorted(r.id for r in t.scan().collect()) == [2]
+    # maintenance procedures (Iceberg CALL surface)
+    r = execute_sql(
+        spark, warehouse, "CALL system.rewrite_position_deletes('sqlp')"
+    ).collect()[0]
+    assert r.procedure == "rewrite_position_deletes"
+    r = execute_sql(
+        spark, warehouse, "CALL system.rewrite_data_files('sqlp')"
+    ).collect()[0]
+    assert r.procedure == "rewrite_data_files"
+    assert _live_deletes(t) == []  # compaction folded the delete in
+    execute_sql(spark, warehouse, "CALL system.create_tag('sqlp', 'v1')")
+    assert "v1" in t.refs()
+    execute_sql(
+        spark, warehouse,
+        "ALTER TABLE sqlp UNSET TBLPROPERTIES ('write.delete.mode')",
+    )
+    assert "write.delete.mode" not in t.properties()
+    with pytest.raises(ValueError, match="unknown procedure"):
+        execute_sql(spark, warehouse, "CALL system.nuke('sqlp')")
