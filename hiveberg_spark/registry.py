@@ -112,6 +112,7 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_partitions_table",
     "stream_upsert_sink",
     "snapshot_table_properties",
+    "simsearch_pq_adc",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -318,3 +318,16 @@ def test_sq8_rerank_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.9, recall
     for k in s.keys() & b.keys():  # exact rerank ⇒ identical scores
         assert s[k] == b[k], k
+
+
+def test_pq_adc_recall_contract_and_determinism(spark, sf_dir):
+    """PQ-ADC: the recall contract holds at the unit-test SF and the
+    deterministic quantizer (fixed sample, first-k init) produces
+    identical contract rows across runs."""
+    from hiveberg_spark import registry
+
+    a = registry.QUERIES["simsearch_pq_adc"](spark, sf_dir).collect()
+    b = registry.QUERIES["simsearch_pq_adc"](spark, sf_dir).collect()
+    assert a == b
+    assert a[0].recall_ok is True
+    assert a[0].n_truth == a[0].n_queries * 5

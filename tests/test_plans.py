@@ -109,7 +109,7 @@ def test_no_forced_broadcast_on_fact_tables():
 
     allowed = {
         "n", "nation", "region", "r", "sn", "cn",  # fixed-size dims
-        "q", "cents", "df_", "offsets",              # tiny derived frames
+        "q", "qe", "cents", "df_", "offsets",        # tiny derived frames
         "planes_df",                                 # 1-row literal plane matrix
         # metadata-sized frames: O(live data files), the same scale as
         # the manifests themselves — never O(rows)
