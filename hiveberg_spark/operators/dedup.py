@@ -368,3 +368,100 @@ def dedup_simhash(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -- fuzzy decontamination (MinHash-LSH across corpora) -----------------------
+
+_DECON_SLICE = 7  # eval/benchmark slice: doc_id % 7 == 3
+_DECON_RESIDUE = 3
+
+_DECON_MINHASH_ORACLE = f"""
+    WITH docs AS (SELECT doc_id, regexp_split_to_array(text,' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS shingles
+      FROM docs
+    ),
+    tok AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.s = b.s
+       AND a.doc_id % {_DECON_SLICE} <> {_DECON_RESIDUE}
+       AND b.doc_id % {_DECON_SLICE} = {_DECON_RESIDUE}
+      GROUP BY 1, 2
+    ),
+    hit AS (
+      SELECT DISTINCT doc_a AS doc_id FROM inter
+      JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+      WHERE i / (len(sa.shingles) + len(sb.shingles) - i) >= {JACCARD_THRESHOLD}
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hit h USING (doc_id)
+    WHERE d.doc_id % {_DECON_SLICE} <> {_DECON_RESIDUE}
+    """
+
+
+@query("decontaminate_minhash_lsh", oracle=_DECON_MINHASH_ORACLE)
+def decontaminate_minhash_lsh(spark, sf_dir):
+    """FUZZY benchmark decontamination — the scale path next to the
+    exact n-gram scrub (pipeline_ops.decontaminate_ngram_overlap):
+    flag a training document as contaminated when it is a NEAR-dup
+    (Jaccard >= {threshold} on 3-gram shingles) of any document in the
+    eval/benchmark slice (here doc_id % 7 == 3 stands in for the
+    benchmark suite). Exact n-gram overlap misses paraphrased or
+    lightly-edited leaks; near-dup matching is how production corpora
+    actually scrub (e.g. the GPT-3/Llama decontamination appendices).
+
+    Same machinery and guarantees as dedup_minhash_lsh — ONE shared
+    shingle+signature pass over the corpus, but the bucket join is
+    train x eval (band collisions across the two sets only, never
+    within either side), then exact-Jaccard verification of the
+    candidates. Banding b=16/r=4 misses a j>=0.8 pair with p<3e-4, so
+    LSH output == exact output holds on the fixture (same argument as
+    the dedup oracle). At 100 TB the eval side is a fixed-size suite:
+    its bands broadcast, and the train side is touched once."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingled(docs).persist()
+    sigs = minhash_signatures(sh)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"s{b * _ROWS + r}") for r in range(_ROWS)])
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    ).persist()
+    is_eval = (F.col("doc_id") % _DECON_SLICE) == _DECON_RESIDUE
+    train_bands = bands.filter(~is_eval)
+    eval_bands = bands.filter(is_eval).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band2"),
+        F.col("band_hash").alias("band_hash2"),
+    )
+    cands = (
+        train_bands.join(
+            eval_bands,
+            (train_bands.band == eval_bands.band2)
+            & (train_bands.band_hash == eval_bands.band_hash2),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    hits = (
+        _verified_pairs(cands, sh, JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        docs.filter(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("contaminated"),
+        )
+    )

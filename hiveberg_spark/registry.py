@@ -113,6 +113,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_upsert_sink",
     "snapshot_table_properties",
     "simsearch_pq_adc",
+    "decontaminate_minhash_lsh",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",
