@@ -1581,3 +1581,54 @@ def snapshot_table_properties(spark, sf_dir):
         .withColumn("pruned_point_probe", F.lit(bool(pruned)))
         .withColumn("mor_default_used", F.lit(bool(mor_used)))
     )
+
+
+@query(
+    "snapshot_widen_evolution",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS k,
+           ROUND(CAST(CAST(s_acctbal AS FLOAT) AS DOUBLE), 2) AS v
+    FROM supplier
+    UNION ALL
+    SELECT CAST(9000000000000 AS BIGINT), CAST(0.5 AS DOUBLE)
+    """,
+)
+def snapshot_widen_evolution(spark, sf_dir):
+    """TYPE-WIDENING schema evolution (Iceberg UpdateSchema
+    .updateColumn — the fourth evolution class here after add, rename,
+    drop): supplier lands with int/float columns, the table widens them
+    to bigint/double metadata-only, then a row exceeding int range
+    appends. Every scan — current and time travel — reads the mixed
+    narrow/wide file set through the explicit widened schema (Spark's
+    parquet type-widening reads), no file rewritten, no cast
+    expression in the plan. The oracle replays the same float-rounding
+    path so values match bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_widen")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("int").alias("k"),
+        F.col("s_acctbal").cast("float").alias("v"),
+    )
+
+    def builder(table):
+        table.append(supplier)
+        table.widen_column("k", "long")
+        table.widen_column("v", "double")
+        table.append(
+            spark.createDataFrame(
+                [(9_000_000_000_000, 0.5)], "k long, v double"
+            )
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan(virtual_column=None).select(
+        "k", F.round(F.col("v"), 2).alias("v")
+    )

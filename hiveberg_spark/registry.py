@@ -114,6 +114,7 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_table_properties",
     "simsearch_pq_adc",
     "decontaminate_minhash_lsh",
+    "snapshot_widen_evolution",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -1205,7 +1205,8 @@ class SnapshotTable:
             return None, deletes
         renames = meta.get("renames", [])
         df = self._read_data_files(
-            affected, renames, meta.get("drops", []), lineage=True
+            affected, renames, meta.get("drops", []), lineage=True,
+            read_schema=self._widened_read_schema(meta),
         )
         if deletes:
             # already-deleted rows must not be re-recorded (idempotent
@@ -1505,7 +1506,8 @@ class SnapshotTable:
             return _CowPlan(None, carry, current, deletes or None, carry_seq)
         renames = meta.get("renames", [])
         df = self._read_data_files(
-            affected, renames, meta.get("drops", []), lineage=bool(deletes)
+            affected, renames, meta.get("drops", []), lineage=bool(deletes),
+            read_schema=self._widened_read_schema(meta),
         )
         if deletes:
             df = self._apply_mor_deletes(
@@ -1921,6 +1923,95 @@ class SnapshotTable:
                             out[t[1]].append(cand)
         return out
 
+    #: Iceberg's allowed primitive promotions (UpdateSchema.updateColumn),
+    #: keyed by DataType.simpleString() names
+    _WIDEN_OK = {
+        ("int", "bigint"),
+        ("int", "double"),
+        ("float", "double"),
+    }
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """TYPE-WIDENING evolution (Iceberg UpdateSchema.updateColumn —
+        the fourth evolution class after add/rename/drop): promote a
+        column to a wider primitive type, metadata-only. Allowed
+        promotions are Iceberg's (int→long, float→double, plus
+        int→double, and decimal precision growth at equal scale).
+        Files written before the change keep the narrow physical type;
+        scans read EVERYTHING through an explicit widened schema —
+        Spark's parquet/ORC readers upcast narrow physical values into
+        the wider read type natively (type-widening reads), so no file
+        is rewritten and no per-row cast expression is added. Composes
+        with rename evolution (the widened read schema carries
+        old-generation column names so pre-rename files still resolve)
+        and with merge-on-read deletes. Not supported on tables with
+        live avro data files (the pure-Python codec decodes physical
+        types as written)."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            if not meta.get("schema_json"):
+                raise ValueError("table has no committed schema yet")
+            schema = StructType.fromJson(json.loads(meta["schema_json"]))
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column: {name!r}")
+            old_t = schema[name].dataType
+            new_t = StructType.fromDDL(f"x {new_type}")["x"].dataType
+            old_s, new_s = old_t.simpleString(), new_t.simpleString()
+            ok = (old_s, new_s) in self._WIDEN_OK
+            if not ok and old_s.startswith("decimal") and new_s.startswith(
+                "decimal"
+            ):
+                # decimal(p,s) -> decimal(P,s) with P >= p, same scale
+                op, osc = old_t.precision, old_t.scale
+                np_, nsc = new_t.precision, new_t.scale
+                ok = np_ >= op and nsc == osc
+            if not ok:
+                raise ValueError(
+                    f"cannot widen {name!r} from {old_s} to {new_s}; "
+                    "allowed: int->long, int->double, float->double, "
+                    "decimal precision growth at equal scale"
+                )
+            current = meta["current_snapshot_id"]
+            if current is not None and any(
+                f.endswith(".avro")
+                for f, _, _ in self._raw_entries_as_of(meta, current)
+            ):
+                raise NotImplementedError(
+                    "type widening is unsupported with live avro data files"
+                )
+            widened = StructType(
+                [
+                    f if f.name != name else type(f)(name, new_t, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            meta["schema_json"] = widened.json()
+            meta.setdefault("widenings", []).append(
+                {"col": name, "from": old_s, "to": new_s}
+            )
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+
+    def _widened_read_schema(self, meta: dict) -> StructType | None:
+        """Explicit read schema for tables with widened columns (None
+        otherwise — the zero-overhead default path): the CURRENT schema,
+        plus one field per rename-log OLD name (typed as its current
+        column) so pre-rename files still surface their data for
+        _apply_renames to coalesce. Spark's readers upcast narrow
+        physical types into this schema natively."""
+        if not meta.get("widenings") or not meta.get("schema_json"):
+            return None
+        schema = StructType.fromJson(json.loads(meta["schema_json"]))
+        by_name = {f.name: f for f in schema.fields}
+        fields = list(schema.fields)
+        for r in meta.get("renames", []):
+            tgt = by_name.get(r["to"])
+            if tgt is not None and r["from"] not in by_name:
+                fields.append(type(tgt)(r["from"], tgt.dataType, True))
+        return StructType(fields)
+
     def drop_column(self, name: str) -> None:
         """Drop a column from the table schema (Iceberg UpdateSchema
         .deleteColumn — the third evolution Iceberg supports alongside
@@ -2333,6 +2424,7 @@ class SnapshotTable:
         renames: list[dict],
         drops: list[str] | None = None,
         lineage: bool = False,
+        read_schema: StructType | None = None,
     ) -> DataFrame:
         """PER-FILE format-dispatched read of an explicit data-file list
         (the reference's per-file reader dispatch,
@@ -2365,6 +2457,10 @@ class SnapshotTable:
                         "files (row lineage is unavailable in the "
                         "pure-Python avro path)"
                     )
+                if read_schema is not None:
+                    raise NotImplementedError(
+                        "type widening is unsupported with avro data files"
+                    )
                 from hiveberg_spark.sources.avro_io import read_avro_files
 
                 # each file's header names resolve through the rename
@@ -2373,7 +2469,14 @@ class SnapshotTable:
                 parts.append(read_avro_files(self.spark, group, renames))
                 continue
             reader = self.spark.read
-            if renames:
+            if read_schema is not None:
+                # widened tables: every file reads through the explicit
+                # current schema (narrow physical types upcast natively;
+                # rename-generation names are extra fields, coalesced by
+                # _apply_renames below) — mergeSchema would refuse the
+                # int/long mix
+                reader = reader.schema(read_schema)
+            elif renames:
                 # pre- and post-rename files differ in column names;
                 # merge then resolve through the mapping
                 reader = reader.option("mergeSchema", "true")
@@ -2489,7 +2592,8 @@ class SnapshotTable:
             return df
         deletes = self._raw_deletes_as_of(meta, sid) if sid is not None else []
         df = self._read_data_files(
-            files, renames, meta.get("drops", []), lineage=bool(deletes)
+            files, renames, meta.get("drops", []), lineage=bool(deletes),
+            read_schema=self._widened_read_schema(meta),
         )
         if deletes:
             df = self._apply_mor_deletes(
@@ -2542,7 +2646,8 @@ class SnapshotTable:
         if not files:
             return self.scan(virtual_column=virtual_column).limit(0)
         df = self._read_data_files(
-            files, meta.get("renames", []), meta.get("drops", [])
+            files, meta.get("renames", []), meta.get("drops", []),
+            read_schema=self._widened_read_schema(meta),
         )
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(to_snapshot).cast("long"))
@@ -2563,6 +2668,7 @@ class SnapshotTable:
             renames,
             meta.get("drops", []),
             lineage=bool(deletes) or keep_lineage,
+            read_schema=self._widened_read_schema(meta),
         )
         if deletes:
             df = self._apply_mor_deletes(

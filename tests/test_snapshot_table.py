@@ -1790,3 +1790,81 @@ def test_sort_order_with_range_distribution_prunes_to_one_file(
         assert len(u.plan_files("id = 1234")) == len(u.plan_files())
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def test_widen_column_int_to_long(spark, warehouse):
+    # Iceberg UpdateSchema.updateColumn: metadata-only type promotion;
+    # narrow-typed historical files upcast at read time
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "widen"), schema="id int, v float"
+    )
+    t.append(spark.createDataFrame([(1, 1.5)], "id int, v float"))
+    t.widen_column("id", "long")
+    t.widen_column("v", "double")
+    t.append(
+        spark.createDataFrame([(2**40, 2.5)], "id long, v double")
+    )
+    rows = sorted((r.id, r.v) for r in t.scan(virtual_column=None).collect())
+    assert rows == [(1, 1.5), (2**40, 2.5)]
+    sch = dict(
+        (f.name, f.dataType.simpleString())
+        for f in t.scan(virtual_column=None).schema.fields
+    )
+    assert sch == {"id": "bigint", "v": "double"}
+    # time travel reads history through the CURRENT (wide) schema
+    assert t.scan(snapshot_id=1, virtual_column=None).schema["id"].dataType.simpleString() == "bigint"
+
+
+def test_widen_rejects_narrowing_and_unknown(spark, warehouse):
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "wbad"), schema="id long, v double"
+    )
+    t.append(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("id", "int")
+    with pytest.raises(ValueError, match="no such column"):
+        t.widen_column("ghost", "long")
+
+
+def test_widen_composes_with_rename_and_dml(spark, warehouse):
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "wren"), schema="id int, data string"
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id int, data string"))
+    t.rename_column("id", "ident")
+    t.widen_column("ident", "long")
+    t.append(
+        spark.createDataFrame([(2**40, "c")], "ident long, data string")
+    )
+    rows = sorted((r.ident, r.data) for r in t.scan(virtual_column=None).collect())
+    assert rows == [(1, "a"), (2, "b"), (2**40, "c")]
+    # COW update over the mixed narrow/wide file set
+    t.update_where("ident = 2", {"data": "'B'"})
+    rows = {r.ident: r.data for r in t.scan().collect()}
+    assert rows == {1: "a", 2: "B", 2**40: "c"}
+    # merge-on-read delete composes too (lineage read uses the same
+    # widened schema)
+    t.delete_where("ident = 1", mode="merge-on-read")
+    assert sorted(r.ident for r in t.scan().collect()) == [2, 2**40]
+
+
+def test_widen_decimal_precision(spark, warehouse):
+    from decimal import Decimal
+
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "wdec"), schema="id long, amt decimal(10,2)"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, Decimal("9.99"))], "id long, amt decimal(10,2)"
+        )
+    )
+    t.widen_column("amt", "decimal(20,2)")
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("amt", "decimal(20,4)")  # scale change refused
+    t.append(
+        spark.createDataFrame(
+            [(2, Decimal("12345678901234567.89"))], "id long, amt decimal(20,2)"
+        )
+    )
+    assert t.scan().count() == 2
