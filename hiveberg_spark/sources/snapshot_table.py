@@ -1417,6 +1417,63 @@ class SnapshotTable:
             summary_extra={"delete-mode": "merge-on-read"},
         )
 
+    def remove_orphan_files(self, older_than_ms: int) -> dict:
+        """Physical cleanup of UNREFERENCED content files (Iceberg's
+        `remove_orphan_files` action): the commit protocol writes data
+        files BEFORE taking the metadata lock, so a crash between the
+        write and the swap leaves a complete-but-unreferenced uuid dir
+        behind — harmless for correctness (nothing points at it),
+        permanent for storage. This walks data/ and deletes/, removes
+        any file referenced by NO snapshot's manifest whose mtime is
+        older than `older_than_ms` (epoch millis), and prunes emptied
+        dirs. The age cutoff is the safety contract, exactly as in
+        Iceberg: an in-flight commit's files are younger than any sane
+        cutoff, so they are never swept. Distinct from
+        expire_snapshots, which removes files of EXPIRED snapshots —
+        this removes files no snapshot ever adopted."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            referenced: set[str] = set()
+            for s in meta["snapshots"]:
+                for f, _, _ in self._read_manifest_entries(s):
+                    referenced.add(f)
+                for d in self._read_manifest_json(s).get("deletes", []):
+                    referenced.add(d["path"])
+            cutoff_s = older_than_ms / 1000.0
+            deleted = 0
+            for sub in ("data", "deletes"):
+                root_dir = os.path.join(self.location, sub)
+                if not os.path.isdir(root_dir):
+                    continue
+                for root, _, names in os.walk(root_dir, topdown=False):
+                    for fn in names:
+                        # content files only — Spark's _SUCCESS/.crc
+                        # markers sit beside LIVE files and are never
+                        # manifested; sweeping them would be harmless
+                        # but noisy, so scope to data extensions
+                        if not fn.endswith((".parquet", ".orc", ".avro")):
+                            continue
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, self.location)
+                        try:
+                            if (
+                                rel not in referenced
+                                and os.path.getmtime(full) < cutoff_s
+                            ):
+                                os.unlink(full)
+                                deleted += 1
+                        except OSError:
+                            pass
+                    try:
+                        if root != root_dir and not os.listdir(root):
+                            os.rmdir(root)
+                    except OSError:
+                        pass
+            return {"deleted_files": deleted}
+        finally:
+            os.unlink(lock)
+
     def rewrite_position_deletes(self, committed_at: int | None = None) -> int:
         """Minor compaction for merge-on-read tables (Iceberg's
         `rewrite_position_deletes` action): consolidate every live

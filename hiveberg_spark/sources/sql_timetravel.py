@@ -179,7 +179,20 @@ _PROCEDURES = {
     "create_branch": lambda t, name, *sid: t.create_branch(
         name, int(sid[0]) if sid else None
     ),
+    "remove_orphan_files": lambda t, older_than_ms: t.remove_orphan_files(
+        int(older_than_ms)
+    ),
 }
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>[A-Za-z_]\w*)\s+(?P<select>SELECT\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+AS\s+"
+    r"(?P<select>SELECT\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _parse_call_args(raw: str) -> list:
@@ -251,6 +264,23 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         return spark.createDataFrame(
             [(proc, str(result))], "procedure string, result string"
         )
+    m = _INSERT_RE.match(sql)
+    if m:
+        # the SELECT side goes through the time-travel-aware path, so
+        # INSERT INTO t SELECT ... FROM s VERSION AS OF 3 works
+        df = sql_with_time_travel(spark, warehouse, m.group("select"))
+        sid = _table(m.group("table")).append(df)
+        return _summary("append", sid)
+    m = _CTAS_RE.match(sql)
+    if m:
+        name = m.group("table")
+        loc = os.path.join(warehouse, name)
+        if os.path.exists(os.path.join(loc, "metadata.json")):
+            raise ValueError(f"table already exists: {name}")
+        df = sql_with_time_travel(spark, warehouse, m.group("select"))
+        t = SnapshotTable.create(spark, loc, schema=df.schema)
+        sid = t.append(df)
+        return _summary("create", sid)
     m = _DELETE_RE.match(sql)
     if m:
         sid = _table(m.group("table")).delete_where(m.group("pred"))

@@ -1868,3 +1868,50 @@ def test_widen_decimal_precision(spark, warehouse):
         )
     )
     assert t.scan().count() == 2
+
+
+def test_remove_orphan_files(spark, warehouse):
+    # a crash between data write and metadata swap leaves an orphaned
+    # uuid dir; remove_orphan_files sweeps it by age without touching
+    # referenced files (incl. merge-on-read delete files)
+    import time
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "orph"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where("id = 1", mode="merge-on-read")
+    # simulate the crashed commit: a data dir no manifest references
+    ghost = os.path.join(t.location, "data", "deadbeef0000")
+    os.makedirs(ghost)
+    open(os.path.join(ghost, "part-000.parquet"), "w").write("x")
+    # young cutoff: nothing old enough to sweep
+    res = t.remove_orphan_files(older_than_ms=0)
+    assert res["deleted_files"] == 0
+    # cutoff in the future: the ghost goes, referenced files stay
+    res = t.remove_orphan_files(
+        older_than_ms=int(time.time() * 1000) + 60_000
+    )
+    assert res["deleted_files"] == 1
+    assert not os.path.exists(ghost)
+    assert sorted(r.id for r in t.scan().collect()) == [2]
+
+
+def test_sql_insert_into_and_ctas(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "ins"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.scan(virtual_column=None).createOrReplaceTempView("ins_src")
+    r = execute_sql(
+        spark, warehouse, "INSERT INTO ins SELECT id + 10 AS id, data FROM ins_src"
+    ).collect()[0]
+    assert r.operation == "append"
+    assert sorted(x.id for x in t.scan().collect()) == [1, 11]
+    # CTAS with a time-travel SELECT over the source table
+    r = execute_sql(
+        spark, warehouse, "CREATE TABLE ins_copy AS SELECT * FROM ins VERSION AS OF 1"
+    ).collect()[0]
+    assert r.operation == "create"
+    copy = SnapshotTable.load(spark, os.path.join(warehouse, "ins_copy"))
+    assert [x.id for x in copy.scan(virtual_column=None).collect()] == [1]
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sql(spark, warehouse, "CREATE TABLE ins_copy AS SELECT 1 AS x")
