@@ -132,11 +132,70 @@ class SnapshotTable:
         with open(self._meta_path) as f:
             return json.load(f)
 
+    #: retained versioned metadata files (Iceberg's
+    #: write.metadata.previous-versions-max default is 100)
+    _METADATA_VERSIONS_MAX = 100
+
     def _write_meta(self, meta: dict) -> None:
+        """Atomic metadata swap + METADATA LOG (Iceberg's metadata.json
+        lineage): every version also lands as
+        metadata/v<N>.metadata.json, so table-state history is
+        reconstructable for forensics (what did the commit that broke
+        things actually change?) and exposed through
+        metadata_log_entries(). Old versions are pruned past the
+        retention cap."""
+        meta = dict(meta)
+        v = int(meta.get("metadata_version", 0)) + 1
+        meta["metadata_version"] = v
+        payload = json.dumps(meta, indent=1)
         tmp = self._meta_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
+            f.write(payload)
         os.replace(tmp, self._meta_path)  # atomic swap
+        mdir = os.path.join(self.location, "metadata")
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+            f.write(payload)
+        stale = v - self._METADATA_VERSIONS_MAX
+        if stale > 0:
+            try:
+                os.unlink(os.path.join(mdir, f"v{stale}.metadata.json"))
+            except FileNotFoundError:
+                pass
+
+    def metadata_log_entries(self) -> DataFrame:
+        """The `metadata_log_entries` metadata table (Iceberg's): one
+        row per retained metadata.json version — file, version number,
+        wall-clock mtime (epoch ms), and the snapshot that was current
+        when it was written. The audit trail for 'when did this table
+        property / spec / schema change'."""
+        mdir = os.path.join(self.location, "metadata")
+        rows = []
+        if os.path.isdir(mdir):
+            for fn in sorted(os.listdir(mdir)):
+                m = re.match(r"^v(\d+)\.metadata\.json$", fn)
+                if not m:
+                    continue
+                full = os.path.join(mdir, fn)
+                try:
+                    with open(full) as f:
+                        doc = json.load(f)
+                    rows.append(
+                        (
+                            os.path.join("metadata", fn),
+                            int(m.group(1)),
+                            int(os.path.getmtime(full) * 1000),
+                            doc.get("current_snapshot_id"),
+                        )
+                    )
+                except (OSError, ValueError):
+                    continue
+        rows.sort(key=lambda r: r[1])
+        return self.spark.createDataFrame(
+            rows,
+            "file string, version long, timestamp_ms long, "
+            "latest_snapshot_id long",
+        )
 
     def _manifest_path(self, snap_id: int) -> str:
         return os.path.join(self.location, "metadata", f"manifest-s{snap_id}.json")
@@ -3463,12 +3522,16 @@ def register_sql_views(
         t.snapshots().createOrReplaceTempView(name + SNAPSHOTS_SUFFIX)
         t.files().createOrReplaceTempView(name + FILES_SUFFIX)
         t.history().createOrReplaceTempView(name + HISTORY_SUFFIX)
+        t.manifests().createOrReplaceTempView(name + MANIFESTS_SUFFIX)
+        t.partitions().createOrReplaceTempView(name + PARTITIONS_SUFFIX)
         registered.extend(
             [
                 name,
                 name + SNAPSHOTS_SUFFIX,
                 name + FILES_SUFFIX,
                 name + HISTORY_SUFFIX,
+                name + MANIFESTS_SUFFIX,
+                name + PARTITIONS_SUFFIX,
             ]
         )
     return registered

@@ -1915,3 +1915,58 @@ def test_sql_insert_into_and_ctas(spark, warehouse):
     assert [x.id for x in copy.scan(virtual_column=None).collect()] == [1]
     with pytest.raises(ValueError, match="already exists"):
         execute_sql(spark, warehouse, "CREATE TABLE ins_copy AS SELECT 1 AS x")
+
+
+def test_metadata_log_entries(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "mlog"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.set_properties({"owner": "me"})
+    t.append(_simple_df(spark, [(2, "b")]))
+    rows = t.metadata_log_entries().collect()
+    # create + 2 appends + property change = 4 versions, ascending
+    assert [r.version for r in rows] == [1, 2, 3, 4]
+    assert rows[-1].latest_snapshot_id == 2
+    assert rows[1].latest_snapshot_id == 1  # after first append
+    assert all(
+        os.path.exists(os.path.join(t.location, r.file)) for r in rows
+    )
+
+
+def test_metadata_log_caps_retained_versions(spark, warehouse, monkeypatch):
+    monkeypatch.setattr(SnapshotTable, "_METADATA_VERSIONS_MAX", 3)
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "mcap"))
+    for i in range(5):
+        t.set_properties({"k": str(i)})
+    rows = t.metadata_log_entries().collect()
+    assert len(rows) == 3
+    assert rows[-1].version == 6  # create + 5 property writes
+
+
+def test_concurrent_mor_deletes_conflict(spark, warehouse):
+    """Two merge-on-read deletes racing: the second, planned against
+    the pre-first-delete head, must raise instead of committing a
+    delete file computed against stale state (conservative: Iceberg
+    validates conflicting delete files similarly)."""
+    from hiveberg_spark.sources.snapshot_table import CommitConflictError
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "morrace"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    meta = t._read_meta()
+    head = t._mor_head(meta, None)
+    df, _ = t._mor_affected(meta, head, "id = 1")
+    from pyspark.sql import functions as F
+
+    hits = df.filter(F.expr("id = 1")).select(
+        F.col("__hb_file").alias("file_path"), F.col("__hb_pos").alias("pos")
+    )
+    entries = t._write_delete_files(hits, "position")
+    # a concurrent delete lands between planning and commit
+    t.delete_where("id = 2", mode="merge-on-read")
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            t._empty_df(), "delete", None, replaces=False,
+            expected_parent=head, delete_entries=entries,
+        )
+    # re-planned delete then succeeds
+    t.delete_where("id = 1", mode="merge-on-read")
+    assert t.scan().count() == 0
