@@ -45,6 +45,9 @@ HEADLINE = [
     # bucket-pruned COW delete + pruned scan + time travel) — the
     # repo's largest module previously had no bench coverage
     "snapshot_lifecycle_bench",
+    # round 5: the composed training-data pipeline (decontaminate →
+    # dedup → quality → split → cap → accounting) as one Catalyst DAG
+    "pipeline_corpus_build",
 ]
 
 

@@ -696,3 +696,96 @@ def sample_temperature_mixture(spark, sf_dir):
     return ranked.join(quotas, "source").select(
         "doc_id", "source", (F.col("rk") <= F.col("quota")).alias("kept")
     )
+
+
+@query(
+    "pipeline_corpus_build",
+    oracle="""
+    WITH eval_texts AS (
+      SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 3
+    ),
+    decon AS (
+      SELECT d.* FROM documents d
+      WHERE d.doc_id % 7 <> 3
+        AND d.text NOT IN (SELECT text FROM eval_texts)
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM decon
+      ) WHERE rn = 1
+    ),
+    quality AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM deduped
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    tagged AS (
+      SELECT *,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM quality
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY split, lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn
+        FROM tagged
+      ) WHERE crn <= 50
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM capped GROUP BY split, lang
+    """,
+)
+def pipeline_corpus_build(spark, sf_dir):
+    """END-TO-END corpus construction — the whole training-data
+    pipeline as ONE declarative DAG, the way a production run composes
+    the individual operators this repo ships: benchmark
+    decontamination (drop the eval slice and any training doc whose
+    text exactly matches an eval doc — semi-join against the tiny eval
+    text set), exact dedup (keep-first per content hash), a quality
+    gate (>= 20 whitespace tokens), the deterministic md5 train/val/
+    test split, a per-(split, lang) cap of 50 by stable pseudo-random
+    rank, and final per-cell doc/token accounting. Catalyst plans the
+    whole thing as one job — no intermediate materialization; at
+    100 TB the only wide ops are the content-hash dedup shuffle and
+    the (split, lang) cap window, both keyed exactly as their
+    standalone operators. One oracle pins every stage at once: any
+    stage drifting from its SQL twin flips the final counts."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 7) == 3
+    eval_texts = d.filter(is_eval).select("text").distinct()
+    decon = d.filter(~is_eval).join(eval_texts, "text", "left_anti")
+    w_dedup = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        decon.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    toks = F.size(F.split("text", " "))
+    quality = deduped.withColumn("n_tokens", toks).filter(
+        F.col("n_tokens") >= 20
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = quality.withColumn(
+        "split",
+        F.when(bucket < "cd", "train").when(bucket < "e7", "val").otherwise(
+            "test"
+        ),
+    )
+    w_cap = W.partitionBy("split", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    capped = tagged.withColumn("crn", F.row_number().over(w_cap)).filter(
+        F.col("crn") <= 50
+    )
+    return capped.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

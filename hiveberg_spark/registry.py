@@ -115,6 +115,7 @@ DRIVER_WINDOW: list[str] = [
     "simsearch_pq_adc",
     "decontaminate_minhash_lsh",
     "snapshot_widen_evolution",
+    "pipeline_corpus_build",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",
