@@ -407,3 +407,86 @@ def test_sql_tblproperties_and_call_procedures(spark, warehouse):
     assert "write.delete.mode" not in t.properties()
     with pytest.raises(ValueError, match="unknown procedure"):
         execute_sql(spark, warehouse, "CALL system.nuke('sqlp')")
+
+
+def test_mor_model_based_random_ops(spark, warehouse):
+    """Model-based check of the MOR state machine: a seeded random
+    sequence of append / MOR-delete / equality-delete / MOR-update /
+    COW-delete / compact / rewrite ops runs against both the table and
+    a plain python dict model; the scan must equal the model after
+    every step. Exercises sequence-number scoping, carry composition,
+    and delete materialization in combinations no single scenario test
+    covers."""
+    import random
+
+    rng = random.Random(20260814)
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "model"), schema="id long, data string"
+    )
+    model: dict[int, str] = {}
+    next_id = 0
+
+    def check():
+        got = {(r.id, r.data) for r in t.scan(virtual_column=None).collect()}
+        assert got == set(model.items()), (sorted(got), sorted(model.items()))
+
+    for step in range(18):
+        op = rng.choice(
+            ["append", "mor_del", "eq_del", "mor_upd", "cow_del",
+             "append", "mor_del", "eq_del", "compact", "rewrite"]
+        )
+        if op == "append" or not model:
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                # ~1/3 re-use an existing id (post-delete re-insert path)
+                if model and rng.random() < 0.33:
+                    rid = rng.choice(sorted(model))
+                else:
+                    rid = next_id
+                    next_id += 1
+                rows.append((rid, f"v{step}_{rid}"))
+            # a model dict keeps ONE row per id; make the batch match
+            dedup = {}
+            for rid, v in rows:
+                dedup[rid] = v
+            # appending an id that already exists would create a
+            # duplicate row; equality-delete it first, like an upsert
+            existing = [rid for rid in dedup if rid in model]
+            if existing:
+                t.delete_by_keys(
+                    spark.createDataFrame([(i,) for i in existing], "id long")
+                )
+                for rid in existing:
+                    del model[rid]
+            t.append(
+                spark.createDataFrame(
+                    sorted(dedup.items()), "id long, data string"
+                ).coalesce(1)
+            )
+            model.update(dedup)
+        elif op == "mor_del":
+            victim = rng.choice(sorted(model))
+            t.delete_where(f"id = {victim}", mode="merge-on-read")
+            del model[victim]
+        elif op == "eq_del":
+            victims = rng.sample(sorted(model), k=min(2, len(model)))
+            t.delete_by_keys(
+                spark.createDataFrame([(v,) for v in victims], "id long")
+            )
+            for v in victims:
+                del model[v]
+        elif op == "mor_upd":
+            victim = rng.choice(sorted(model))
+            t.update_where(
+                f"id = {victim}", {"data": f"'u{step}'"}, mode="merge-on-read"
+            )
+            model[victim] = f"u{step}"
+        elif op == "cow_del":
+            victim = rng.choice(sorted(model))
+            t.delete_where(f"id = {victim}")
+            del model[victim]
+        elif op == "compact":
+            t.compact()
+        elif op == "rewrite":
+            t.rewrite_position_deletes()
+        check()
