@@ -1632,3 +1632,44 @@ def snapshot_widen_evolution(spark, sf_dir):
     return t.scan(virtual_column=None).select(
         "k", F.round(F.col("v"), 2).alias("v")
     )
+
+
+@query(
+    "snapshot_metadata_log",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(NULL AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(5 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(version, latest_snapshot_id)
+    """,
+)
+def snapshot_metadata_log(spark, sf_dir):
+    """The metadata log (Iceberg `metadata_log_entries`): every
+    metadata.json swap is retained as metadata/v<N>.metadata.json, so
+    the table-state audit trail — which snapshot was current at each
+    metadata version, where a property/spec/schema change landed — is
+    queryable. The fixture's create + 2 appends + property change +
+    third append yield exactly 5 versions with a pinned
+    current-snapshot progression (wall-clock timestamps exist in the
+    table but are excluded from the oracled projection)."""
+    import os
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_metadata_log")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def builder(table):
+        table.append(nation.filter("n_nationkey < 10"))
+        table.append(nation.filter("n_nationkey >= 10"))
+        table.set_properties({"owner": "pipeline"})
+        table.append(nation.limit(0))
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.metadata_log_entries().select("version", "latest_snapshot_id")

@@ -116,6 +116,7 @@ DRIVER_WINDOW: list[str] = [
     "decontaminate_minhash_lsh",
     "snapshot_widen_evolution",
     "pipeline_corpus_build",
+    "snapshot_metadata_log",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",
