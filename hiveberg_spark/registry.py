@@ -104,7 +104,12 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_sql_dml",
     "timetravel_where_shim",
     "timetravel_current",
-    # (d) round-5 additions: merge-on-read deletes (Iceberg v2), CDC
+    # (d) round-5 additions: merge-on-read deletes/updates/merges
+    # (Iceberg v2 delete files), CDC changelog, partition evolution,
+    # partitions/metadata-log tables, streaming CDC upsert sink, table
+    # properties (write modes + sort order + range distribution),
+    # PQ-ADC ANN, fuzzy decontamination, type widening, the composed
+    # corpus-build pipeline
     "snapshot_mor_delete",
     "snapshot_mor_upsert_seq",
     "snapshot_changelog_cdc",
