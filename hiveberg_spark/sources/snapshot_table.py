@@ -1721,11 +1721,18 @@ class SnapshotTable:
             files, partitions, file_info = self._list_data_files(
                 data_dir, commit_uuid, fmt
             )
-            n_records = (
-                int(self.spark.read.format(fmt).load(data_dir).count())
-                if files
-                else 0  # all parts were 0-row (e.g. a delete emptied them)
-            )
+            counts = [file_info.get(f, {}).get("records") for f in files]
+            if files and all(c is not None for c in counts):
+                # footer counts were already read for the 0-row check —
+                # summing them avoids a second full scan of the freshly
+                # written data (a real cost at commit scale)
+                n_records = int(sum(counts))
+            else:
+                n_records = (
+                    int(self.spark.read.format(fmt).load(data_dir).count())
+                    if files
+                    else 0  # all parts were 0-row (delete emptied them)
+                )
         if fmt == "avro":
             # writer-collected bounds, re-keyed to location-relative paths
             stats = {
