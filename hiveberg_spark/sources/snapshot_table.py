@@ -3472,6 +3472,44 @@ def resolve_table(
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 
+def list_tables(warehouse: str) -> list[str]:
+    """Names of every snapshot table in the warehouse (hadoop-catalog
+    listing semantics: a table is a dir with metadata.json —
+    TableResolverUtil.java:65-85 resolves names the same way)."""
+    if not os.path.isdir(warehouse):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(warehouse)
+        if os.path.exists(os.path.join(warehouse, d, "metadata.json"))
+    )
+
+
+def drop_table(warehouse: str, name: str) -> None:
+    """Drop a snapshot table: remove its directory (metadata AND data —
+    hadoop-catalog purge semantics; there is no external data location
+    to preserve)."""
+    import shutil
+
+    loc = os.path.join(warehouse, name)
+    if not os.path.exists(os.path.join(loc, "metadata.json")):
+        raise ValueError(f"not a snapshot table: {name}")
+    shutil.rmtree(loc)
+
+
+def rename_table(warehouse: str, old: str, new: str) -> None:
+    """Rename a table — one directory move, valid because every
+    manifest/delete/data path is location-relative (the same contract
+    that lets fixtures build-then-rename atomically)."""
+    src = os.path.join(warehouse, old)
+    dst = os.path.join(warehouse, new)
+    if not os.path.exists(os.path.join(src, "metadata.json")):
+        raise ValueError(f"not a snapshot table: {old}")
+    if os.path.exists(dst):
+        raise ValueError(f"table already exists: {new}")
+    os.rename(src, dst)
+
+
 def build_once(
     spark: SparkSession,
     location: str,

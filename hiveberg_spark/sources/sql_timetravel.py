@@ -184,6 +184,33 @@ _PROCEDURES = {
     ),
 }
 
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_TABLE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<old>[A-Za-z_]\w*)\s+RENAME\s+TO\s+"
+    r"(?P<new>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+DROP\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+TYPE\s+(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>[A-Za-z_]\w*)\s+(?P<select>SELECT\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -211,11 +238,15 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
     strategy — copy-on-write vs merge-on-read — follows the table's
     write.*.mode properties) and returns a one-row summary (operation,
     snapshot_id); `ALTER TABLE ... SET/UNSET TBLPROPERTIES` edits table
-    properties; `CALL system.<proc>('t', ...)` runs the Iceberg-style
-    maintenance procedures (expire_snapshots, rewrite_data_files,
-    rewrite_position_deletes, rollback_to_snapshot, fast_forward,
-    create_tag, create_branch); anything else goes through the
-    time-travel-aware SELECT path."""
+    properties; schema DDL maps to the evolution ops (`RENAME COLUMN`,
+    `DROP COLUMN`, `ALTER COLUMN ... TYPE` -> rename/drop/widen);
+    catalog DDL maps to warehouse ops (`SHOW TABLES`, `DROP TABLE [IF
+    EXISTS]`, `ALTER TABLE ... RENAME TO`, `CREATE TABLE ... AS
+    SELECT`, `INSERT INTO ... SELECT`); `CALL system.<proc>('t', ...)`
+    runs the Iceberg-style maintenance procedures (expire_snapshots,
+    rewrite_data_files, rewrite_position_deletes, rollback_to_snapshot,
+    fast_forward, create_tag, create_branch, remove_orphan_files);
+    anything else goes through the time-travel-aware SELECT path."""
 
     def _table(name: str) -> SnapshotTable:
         loc = os.path.join(warehouse, name)
@@ -228,6 +259,52 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
             [(op, sid)], "operation string, snapshot_id long"
         )
 
+    m = _SHOW_TABLES_RE.match(sql)
+    if m:
+        from hiveberg_spark.sources.snapshot_table import list_tables
+
+        return spark.createDataFrame(
+            [(n,) for n in list_tables(warehouse)], "table string"
+        )
+    m = _DROP_TABLE_RE.match(sql)
+    if m:
+        from hiveberg_spark.sources.snapshot_table import list_tables, drop_table
+
+        name = m.group("table")
+        existed = name in list_tables(warehouse)
+        if existed:
+            drop_table(warehouse, name)
+        elif "IF EXISTS" not in sql.upper():
+            raise ValueError(f"not a snapshot table: {name}")
+        return spark.createDataFrame(
+            [(name, bool(existed))], "table string, dropped boolean"
+        )
+    m = _RENAME_TABLE_RE.match(sql)
+    if m:
+        from hiveberg_spark.sources.snapshot_table import rename_table
+
+        rename_table(warehouse, m.group("old"), m.group("new"))
+        return spark.createDataFrame(
+            [(m.group("new"), "rename_table")], "table string, ddl string"
+        )
+    m = _RENAME_COL_RE.match(sql)
+    if m:
+        _table(m.group("table")).rename_column(m.group("old"), m.group("new"))
+        return spark.createDataFrame(
+            [(m.group("table"), "rename_column")], "table string, ddl string"
+        )
+    m = _DROP_COL_RE.match(sql)
+    if m:
+        _table(m.group("table")).drop_column(m.group("col"))
+        return spark.createDataFrame(
+            [(m.group("table"), "drop_column")], "table string, ddl string"
+        )
+    m = _ALTER_TYPE_RE.match(sql)
+    if m:
+        _table(m.group("table")).widen_column(m.group("col"), m.group("type"))
+        return spark.createDataFrame(
+            [(m.group("table"), "widen_column")], "table string, ddl string"
+        )
     m = _SET_PROPS_RE.match(sql)
     if m:
         props = {}

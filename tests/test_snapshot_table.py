@@ -1970,3 +1970,32 @@ def test_concurrent_mor_deletes_conflict(spark, warehouse):
     # re-planned delete then succeeds
     t.delete_where("id = 1", mode="merge-on-read")
     assert t.scan().count() == 0
+
+
+def test_sql_ddl_forms_and_catalog_ops(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+    from hiveberg_spark.sources.snapshot_table import list_tables
+
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "ddl"), schema="id int, data string"
+    )
+    t.append(spark.createDataFrame([(1, "a")], "id int, data string"))
+    execute_sql(spark, warehouse, "ALTER TABLE ddl RENAME COLUMN id TO ident")
+    execute_sql(spark, warehouse, "ALTER TABLE ddl ALTER COLUMN ident TYPE bigint")
+    row = t.scan(virtual_column=None).collect()[0]
+    assert row.ident == 1
+    assert t.schema()["ident"].dataType.simpleString() == "bigint"
+    execute_sql(spark, warehouse, "ALTER TABLE ddl DROP COLUMN data")
+    assert t.scan(virtual_column=None).columns == ["ident"]
+    # table-level catalog ops
+    execute_sql(spark, warehouse, "ALTER TABLE ddl RENAME TO ddl2")
+    assert "ddl2" in list_tables(warehouse) and "ddl" not in list_tables(warehouse)
+    shown = {r.table for r in execute_sql(spark, warehouse, "SHOW TABLES").collect()}
+    assert "ddl2" in shown
+    r = execute_sql(spark, warehouse, "DROP TABLE ddl2").collect()[0]
+    assert r.dropped is True
+    assert "ddl2" not in list_tables(warehouse)
+    r = execute_sql(spark, warehouse, "DROP TABLE IF EXISTS ddl2").collect()[0]
+    assert r.dropped is False
+    with pytest.raises(ValueError, match="not a snapshot table"):
+        execute_sql(spark, warehouse, "DROP TABLE ddl2")
