@@ -2802,7 +2802,11 @@ class SnapshotTable:
         return df
 
     def scan_changelog(
-        self, from_snapshot: int, to_snapshot: int | None = None
+        self,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        compute_updates: bool = False,
+        identifier_columns: list[str] | None = None,
     ) -> DataFrame:
         """Row-level change-data-capture between two snapshots (Iceberg's
         `create_changelog_view` with carryovers removed): every table
@@ -2811,6 +2815,15 @@ class SnapshotTable:
         delete+insert pair, exactly Iceberg's representation without
         identifier fields. Unlike scan_changes (append-only incremental
         read), this crosses DML commits.
+
+        `compute_updates=True` pairs a commit's delete and insert rows
+        sharing the same IDENTIFIER-COLUMN values into
+        'update_preimage' / 'update_postimage' rows (Iceberg's
+        create_changelog_view compute_updates + identifier fields).
+        Identifier columns come from the argument or the
+        `identifier.columns` table property (comma-separated) and must
+        uniquely key rows within a commit — the contract downstream
+        upsert consumers rely on.
 
         The 100 TB shape — everything is computed from FILE-LEVEL diffs
         per commit, never a table diff:
@@ -2828,6 +2841,20 @@ class SnapshotTable:
 
         Cost is O(churned files + delete-targeted files) per commit."""
         meta = self._read_meta()
+        ids: list[str] = list(identifier_columns or [])
+        if compute_updates and not ids:
+            ids = [
+                c.strip()
+                for c in meta.get("properties", {})
+                .get("identifier.columns", "")
+                .split(",")
+                if c.strip()
+            ]
+            if not ids:
+                raise ValueError(
+                    "compute_updates needs identifier columns (argument "
+                    "or the 'identifier.columns' table property)"
+                )
         current = meta["current_snapshot_id"]
         if to_snapshot is None:
             to_snapshot = current if current is not None else 0
@@ -2877,17 +2904,16 @@ class SnapshotTable:
                     out_cols = [f.name for f in sch.fields] if sch else []
                 else:
                     out_cols = list(probe.columns)
-            parts: list[DataFrame] = []
+            ins_net = del_net = None
             if ins is not None and rem is not None:
                 # rows carried through the rewrite pair off; only net
                 # changes remain (compaction → zero)
                 a, r = ins.select(*out_cols), rem.select(*out_cols)
-                parts.append(tag(a.exceptAll(r), "insert", s))
-                parts.append(tag(r.exceptAll(a), "delete", s))
+                ins_net, del_net = a.exceptAll(r), r.exceptAll(a)
             elif ins is not None:
-                parts.append(tag(ins, "insert", s))
+                ins_net = ins.select(*out_cols)
             elif rem is not None:
-                parts.append(tag(rem, "delete", s))
+                del_net = rem.select(*out_cols)
             # merge-on-read: rows newly deleted by THIS commit's delete
             # files (targets restricted to files live on both sides)
             prev_paths = (
@@ -2906,7 +2932,37 @@ class SnapshotTable:
                     meta, parent, common, new_dels, renames
                 )
                 if mor_deleted is not None:
-                    parts.append(tag(mor_deleted, "delete", s))
+                    md = mor_deleted.select(*out_cols)
+                    del_net = md if del_net is None else del_net.unionByName(md)
+            parts: list[DataFrame] = []
+            if compute_updates and ins_net is not None and del_net is not None:
+                # pair this commit's delete+insert rows on the
+                # identifier columns: matched keys become an update
+                # pre/post pair, the rest stay plain insert/delete
+                upd_keys = (
+                    ins_net.select(*ids)
+                    .join(del_net.select(*ids), ids, "inner")
+                    .distinct()
+                )
+                parts.append(
+                    tag(del_net.join(upd_keys, ids, "left_semi"),
+                        "update_preimage", s)
+                )
+                parts.append(
+                    tag(ins_net.join(upd_keys, ids, "left_semi"),
+                        "update_postimage", s)
+                )
+                parts.append(
+                    tag(ins_net.join(upd_keys, ids, "left_anti"), "insert", s)
+                )
+                parts.append(
+                    tag(del_net.join(upd_keys, ids, "left_anti"), "delete", s)
+                )
+            else:
+                if ins_net is not None:
+                    parts.append(tag(ins_net, "insert", s))
+                if del_net is not None:
+                    parts.append(tag(del_net, "delete", s))
             for p in parts:
                 out = p if out is None else out.unionByName(p)
         if out is None:

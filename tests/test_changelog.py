@@ -140,3 +140,39 @@ def test_changelog_empty_range_has_schema(spark, warehouse):
     assert df.columns == [
         "id", "data", "_change_type", "_commit_snapshot_id", "_committed_at",
     ]
+
+
+def test_changelog_compute_updates_pairs_on_identifier_columns(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "updpair"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.update_where("id = 2", {"data": "'B'"})          # COW update
+    t.delete_where("id = 3", mode="merge-on-read")     # plain delete
+    t.append(_simple_df(spark, [(9, "z")]))            # plain insert
+    rows = sorted(
+        (r._commit_snapshot_id, r._change_type, r.id, r.data)
+        for r in t.scan_changelog(
+            1, compute_updates=True, identifier_columns=["id"]
+        ).collect()
+    )
+    assert rows == [
+        (2, "update_postimage", 2, "B"),
+        (2, "update_preimage", 2, "b"),
+        (3, "delete", 3, "c"),
+        (4, "insert", 9, "z"),
+    ]
+
+
+def test_changelog_compute_updates_via_property(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "updprop"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.set_properties({"identifier.columns": "id"})
+    t.update_where("id = 1", {"data": "'A'"}, mode="merge-on-read")
+    types = {
+        r._change_type
+        for r in t.scan_changelog(1, compute_updates=True).collect()
+    }
+    assert types == {"update_preimage", "update_postimage"}
+    with pytest.raises(ValueError, match="identifier columns"):
+        u = SnapshotTable.create(spark, os.path.join(warehouse, "noids"))
+        u.append(_simple_df(spark, [(1, "a")]))
+        u.scan_changelog(0, compute_updates=True)
