@@ -1663,11 +1663,33 @@ class SnapshotTable:
         spec = [tuple(t) for t in pre_meta.get("partition_spec") or []]
         fmt = pre_meta.get("file_format", "parquet")
         props = pre_meta.get("properties", {})
-        sort_cols = [
-            c.strip()
-            for c in props.get("write.sort.order", "").split(",")
-            if c.strip() and c.strip() in df.columns
-        ]
+        order_spec = props.get("write.sort.order", "").strip()
+        zm = re.match(r"^zorder\s*\((?P<cols>[^)]+)\)$", order_spec, re.I)
+        if zm:
+            zcols = [
+                c.strip() for c in zm.group("cols").split(",")
+                if c.strip() and c.strip() in df.columns
+            ]
+            if len(zcols) >= 2:
+                # Z-ORDER write clustering (Iceberg rewrite_data_files
+                # strategy=sort, sort_order=zorder(...)): normalize each
+                # key into 16-bit space against the BATCH's min/max (one
+                # tiny agg job), bit-interleave into a Morton key, and
+                # range-partition + sort on it — every file gets a tight
+                # bounding BOX in all z dimensions, so min/max pruning
+                # works for predicates on ANY of the keys, not just the
+                # leading sort column
+                df = _zorder_cluster(
+                    df, zcols,
+                    ranged=props.get("write.distribution.mode") == "range",
+                )
+            sort_cols = []
+        else:
+            sort_cols = [
+                c.strip()
+                for c in order_spec.split(",")
+                if c.strip() and c.strip() in df.columns
+            ]
         if sort_cols:
             # write clustering (Iceberg write.sort-order /
             # write.distribution-mode): range distribution makes file
@@ -3302,6 +3324,42 @@ class SnapshotTable:
         for c in residual:
             df = df.filter(F.expr(c))
         return df
+
+
+_Z_BITS = 16  # per-dimension resolution of the Morton key
+
+
+def _zorder_cluster(df: DataFrame, cols: list[str], ranged: bool) -> DataFrame:
+    """Cluster `df` by a Morton (z-order) key over `cols`: each column
+    is scaled into [0, 2^16) against its batch min/max (nulls map to
+    the minimum), bits are interleaved arithmetically (all values stay
+    far below 2^53, so double-exact), and rows are range-partitioned
+    (optional) and sorted by the key. The helper column never reaches
+    the files."""
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).head()
+    m = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn = bounds[f"mn_{c}"]
+        mx = bounds[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            continue
+        scale = (2**_Z_BITS - 1) / (mx - mn)
+        n = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+            * F.lit(scale)
+        ).cast("long")
+        for b in range(_Z_BITS):
+            z = z + ((n / F.lit(2**b)).cast("long") % 2) * F.lit(
+                2 ** (b * m + i)
+            )
+    out = df.withColumn("__hb_z", z)
+    if ranged:
+        out = out.repartitionByRange("__hb_z")
+    return out.sortWithinPartitions("__hb_z").drop("__hb_z")
 
 
 def _apply_assignments(

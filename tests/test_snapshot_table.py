@@ -1999,3 +1999,43 @@ def test_sql_ddl_forms_and_catalog_ops(spark, warehouse):
     assert r.dropped is False
     with pytest.raises(ValueError, match="not a snapshot table"):
         execute_sql(spark, warehouse, "DROP TABLE ddl2")
+
+
+def test_zorder_write_clustering_prunes_both_dimensions(spark, warehouse):
+    """write.sort.order=zorder(x,y): every file gets a bounding BOX, so
+    min/max pruning fires on predicates over EITHER key — unlike a
+    plain sort by x, where y bounds span the full range in every
+    file."""
+    # the full 64x64 grid: x-sorted files then contain EVERY y value,
+    # so a y probe cannot prune them; z-ordered files cover quadrants
+    rows = [(i % 64, (i // 64) % 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+    z = SnapshotTable.create(
+        spark, os.path.join(warehouse, "z"), schema="x long, y long"
+    )
+    z.set_properties(
+        {"write.sort.order": "zorder(x, y)", "write.distribution.mode": "range"}
+    )
+    lin = SnapshotTable.create(
+        spark, os.path.join(warehouse, "lin"), schema="x long, y long"
+    )
+    lin.set_properties(
+        {"write.sort.order": "x", "write.distribution.mode": "range"}
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        z.append(df)
+        lin.append(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    n_z, n_lin = len(z.plan_files()), len(lin.plan_files())
+    assert n_z > 1 and n_lin > 1
+    # both layouts prune on the leading key
+    assert len(z.plan_files("x = 3")) < n_z
+    assert len(lin.plan_files("x = 3")) < n_lin
+    # only the z-ordered layout prunes on the SECOND key
+    assert len(z.plan_files("y = 3")) < n_z
+    assert len(lin.plan_files("y = 3")) == n_lin
+    # correctness unaffected
+    got = sorted((r.x, r.y) for r in z.scan(virtual_column=None).collect())
+    assert got == sorted(rows)
