@@ -1673,3 +1673,69 @@ def snapshot_metadata_log(spark, sf_dir):
     with _lock:
         t = build_once(spark, loc, builder)
     return t.metadata_log_entries().select("version", "latest_snapshot_id")
+
+
+@query(
+    "snapshot_zorder_table",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS pruned_on_partkey,
+           TRUE AS pruned_on_suppkey,
+           TRUE AS fast_count_matches
+    FROM lineitem
+    """,
+)
+def snapshot_zorder_table(spark, sf_dir):
+    """Z-ORDER clustered snapshot table (write.sort.order=zorder(...) —
+    Iceberg's rewrite_data_files sort strategy as a standing write
+    property): lineitem lands range-partitioned on the Morton key of
+    (l_partkey, l_suppkey), giving every file a bounding BOX in both
+    keys, so min/max pruning fires for point probes on EITHER column
+    (a single-column sort only ever prunes its leading key). Also pins
+    the metadata-only COUNT(*) fast path (Iceberg aggregate pushdown:
+    the answer comes from manifest record counts, no data read)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "lineitem_zorder")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def builder(table):
+        table.set_properties(
+            {
+                "write.sort.order": "zorder(l_partkey, l_suppkey)",
+                "write.distribution.mode": "range",
+            }
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        try:
+            table.append(li.repartition(8))
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    total = len(t.plan_files())
+    pk = int(li.agg(F.expr("percentile(l_partkey, 0.5)")).head()[0])
+    sk = int(li.agg(F.expr("percentile(l_suppkey, 0.5)")).head()[0])
+    pruned_pk = len(t.plan_files(f"l_partkey = {pk}")) < total
+    pruned_sk = len(t.plan_files(f"l_suppkey = {sk}")) < total
+    fast = t.count_rows() == li.count()
+    return (
+        t.scan(virtual_column=None)
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .withColumn("pruned_on_partkey", F.lit(bool(pruned_pk)))
+        .withColumn("pruned_on_suppkey", F.lit(bool(pruned_sk)))
+        .withColumn("fast_count_matches", F.lit(bool(fast)))
+    )

@@ -122,6 +122,7 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_widen_evolution",
     "pipeline_corpus_build",
     "snapshot_metadata_log",
+    "snapshot_zorder_table",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",

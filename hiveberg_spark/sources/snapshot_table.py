@@ -3068,6 +3068,49 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    def count_rows(self, snapshot_id: int | None = None) -> int:
+        """COUNT(*) from METADATA when possible (Iceberg's aggregate
+        pushdown: SparkScan answers count from manifest record counts
+        without touching data): sum of per-file record counts, minus
+        position-delete rows that target live files. Falls back to a
+        real scan count when any live file lacks a recorded count
+        (pre-info commits) or equality deletes are live (their match
+        count is unknowable from metadata). At 100 TB the fast path is
+        a manifest read plus, with position deletes, a scan of the
+        (tiny) delete files only."""
+        meta = self._read_meta()
+        entries, sid = self._entries_as_of(snapshot_id)
+        if sid is None:
+            return 0
+        deletes = self._raw_deletes_as_of(meta, sid)
+        if any(d["type"] == "equality" for d in deletes):
+            return self.scan(snapshot_id=sid, virtual_column=None).count()
+        info = self._file_info_as_of(meta)
+        total = 0
+        live_rels = []
+        for path, _, _ in entries:
+            rel = os.path.relpath(path, self.location)
+            live_rels.append(rel)
+            n = (info.get(rel) or {}).get("records")
+            if n is None:
+                return self.scan(snapshot_id=sid, virtual_column=None).count()
+            total += n
+        pos = [d for d in deletes if d["type"] == "position"]
+        if pos:
+            live_df = self.spark.createDataFrame(
+                [(r,) for r in live_rels], "file_path string"
+            )
+            dead = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.location, d["path"]) for d in pos]
+                )
+                .join(F.broadcast(live_df), "file_path", "left_semi")
+                .distinct()
+                .count()
+            )
+            total -= int(dead)
+        return int(total)
+
     def history(self) -> DataFrame:
         """The `history` metadata table (Iceberg `history`): one row per
         snapshot with its commit time and whether it is an ancestor of

@@ -114,7 +114,7 @@ def test_no_forced_broadcast_on_fact_tables():
         # metadata-sized frames: O(live data files), the same scale as
         # the manifests themselves — never O(rows)
         "seq_df",                                    # file -> sequence number map
-        "live_paths",                                # live file-path list
+        "live_paths", "live_df",                     # live file-path lists
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -2039,3 +2039,24 @@ def test_zorder_write_clustering_prunes_both_dimensions(spark, warehouse):
     # correctness unaffected
     got = sorted((r.x, r.y) for r in z.scan(virtual_column=None).collect())
     assert got == sorted(rows)
+
+
+def test_count_rows_metadata_fast_path(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "cnt"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    t.append(_simple_df(spark, [(4, "d")]).coalesce(1))
+    assert t.count_rows() == 4
+    # merge-on-read position delete: metadata count subtracts the
+    # live-targeted delete rows
+    t.delete_where("id = 2", mode="merge-on-read")
+    assert t.count_rows() == 3
+    # COW rewrite leaves a stale position entry; its rows must not be
+    # double-subtracted (live-file semi join)
+    t.update_where("id = 1", {"data": "'A'"})
+    assert t.count_rows() == 3
+    # time travel counts too
+    assert t.count_rows(snapshot_id=1) == 3
+    # equality deletes force the scan fallback — still correct
+    t.delete_by_keys(spark.createDataFrame([(3,)], "id long"))
+    assert t.count_rows() == 2
+    assert t.count_rows() == t.scan(virtual_column=None).count()
