@@ -571,3 +571,110 @@ def stream_upsert_sink(spark, sf_dir):
         .select("user_id", "event_type", "value")
         .withColumn("multi_batch", F.lit(bool(multi_batch)))
     )
+
+
+@query(
+    "stream_scd_enrichment",
+    oracle="""
+    WITH half AS (
+      SELECT CAST(FLOOR((MIN(event_id) + MAX(event_id)) / 2.0) AS BIGINT)
+             AS mid
+      FROM events
+    )
+    SELECT e.event_type,
+           CASE WHEN e.event_id <= h.mid THEN 'gen1' ELSE 'gen2' END
+             AS dim_generation,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e, half h
+    GROUP BY 1, 2
+    """,
+)
+def stream_scd_enrichment(spark, sf_dir):
+    """Slowly-changing-dimension enrichment across incremental pipeline
+    runs: a file stream over the events backlog is processed in TWO
+    availableNow runs sharing ONE checkpoint (run 1 sees the first
+    half, run 2 only the newly arrived second half — exactly-once file
+    tracking), and each run's foreachBatch joins the CURRENT snapshot
+    of a dimension table that is UPDATED between runs (gen1 → gen2 via
+    copy-on-write UPDATE). Enriched rows append to a result snapshot
+    table, so the final contents prove both properties at once: no
+    event was processed twice, and each event saw the dimension
+    version live at ITS processing time — the standard nightly-
+    ingest-with-SCD shape, on this repo's own table format end to
+    end."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_scd_{tag}")
+    src_dir = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    mid = int(
+        events.agg(
+            F.floor((F.min("event_id") + F.max("event_id")) / 2.0)
+        ).head()[0]
+    )
+
+    dim = SnapshotTable.create(
+        spark, os.path.join(base, "dim"), schema="k int, dim_generation string"
+    )
+    dim.append(spark.createDataFrame([(1, "gen1")], "k int, dim_generation string"))
+    result = SnapshotTable.create(
+        spark,
+        os.path.join(base, "out"),
+        schema="event_id long, event_type string, dim_generation string",
+    )
+
+    def run_once():
+        def enrich(batch_df, batch_id):
+            d = dim.scan(virtual_column=None)  # CURRENT dimension state
+            result.append(
+                batch_df.crossJoin(d.select("dim_generation")).select(
+                    "event_id", "event_type", "dim_generation"
+                )
+            )
+
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(src_dir)
+            .writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: only the first half of the backlog exists
+    events.filter(F.col("event_id") <= mid).write.parquet(
+        os.path.join(src_dir, "half1")
+    )
+    run_once()
+    # the dimension changes between pipeline runs (SCD type-1 update)
+    dim.update_where("k = 1", {"dim_generation": "'gen2'"})
+    # run 2: the second half arrives; the shared checkpoint ensures
+    # half1 files are NOT reprocessed
+    events.filter(F.col("event_id") > mid).write.parquet(
+        os.path.join(src_dir, "half2")
+    )
+    run_once()
+    out = (
+        result.scan(virtual_column=None)
+        .groupBy("event_type", "dim_generation")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    out = out.persist()
+    out.count()  # materialize before the temp dirs could be cleaned
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -123,6 +123,7 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_corpus_build",
     "snapshot_metadata_log",
     "snapshot_zorder_table",
+    "stream_scd_enrichment",
     # (e) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",
