@@ -124,7 +124,14 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_metadata_log",
     "snapshot_zorder_table",
     "stream_scd_enrichment",
-    # (e) oldest driver check (r1) — rotation spot re-checks
+    # (e) round-5 churn re-checks: _bucket_excludes_file went
+    # multi-spec, _read_data_files gained lineage/read_schema paths,
+    # scan_changes gained the non-append refusal
+    "snapshot_minmax_prune",
+    "snapshot_orc_prune",
+    "snapshot_dml_prune_compose",
+    "snapshot_format_dispatch",
+    # (f) oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
