@@ -73,6 +73,7 @@ FILES_SUFFIX = "__files"  # beyond reference: Iceberg's `files` metadata table
 HISTORY_SUFFIX = "__history"  # Iceberg's `history` metadata table
 MANIFESTS_SUFFIX = "__manifests"  # Iceberg's `manifests` metadata table
 PARTITIONS_SUFFIX = "__partitions"  # Iceberg's `partitions` metadata table
+REFS_SUFFIX = "__refs"  # Iceberg's `refs` metadata table
 
 _FILES_SCHEMA = (
     "content string, file_path string, file_format string, "
@@ -3068,6 +3069,21 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    def refs_table(self) -> DataFrame:
+        """The `refs` metadata table (Iceberg `refs`): one row per named
+        ref — name, type ('branch' | 'tag'), and the snapshot it
+        points at. `main` is included as a branch pointing at the
+        current snapshot, matching Iceberg's implicit main ref."""
+        meta = self._read_meta()
+        rows = []
+        if meta["current_snapshot_id"] is not None:
+            rows.append(("main", "branch", meta["current_snapshot_id"]))
+        for name, r in sorted(meta.get("refs", {}).items()):
+            rows.append((name, r.get("type", "tag"), r["snapshot_id"]))
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
     def count_rows(self, snapshot_id: int | None = None) -> int:
         """COUNT(*) from METADATA when possible (Iceberg's aggregate
         pushdown: SparkScan answers count from manifest record counts
@@ -3626,6 +3642,11 @@ def resolve_table(
         base_loc = os.path.join(warehouse, base)
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).partitions()
+    if snapshots_table_enabled and name.endswith(REFS_SUFFIX):
+        base = name[: -len(REFS_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).refs_table()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 

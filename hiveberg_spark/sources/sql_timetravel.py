@@ -18,6 +18,7 @@ left untouched for Spark to parse (and error on) itself.
 from __future__ import annotations
 
 import datetime
+import json
 import os
 import re
 
@@ -50,11 +51,70 @@ def _ts_to_millis(ts: str) -> int:
     return int(dt.timestamp() * 1000)
 
 
-def sql_with_time_travel(
+def _register_stored_views(
+    spark: SparkSession, warehouse: str, sql: str, depth: int = 0
+) -> None:
+    """Resolve STORED VIEWS referenced by `sql` (Iceberg view-spec
+    equivalent: a view is saved SQL, `<name>.view.json` in the
+    warehouse, re-planned against current table state on every read).
+    Each referenced view's SQL runs through the full time-travel-aware
+    path itself (views may reference views, depth-capped) and lands as
+    a temp view the outer statement resolves."""
+    if not os.path.isdir(warehouse):
+        return
+    if depth > 5:
+        raise ValueError("view nesting deeper than 5 (cycle?)")
+    for fn in os.listdir(warehouse):
+        if not fn.endswith(".view.json"):
+            continue
+        name = fn[: -len(".view.json")]
+        if not re.search(rf"\b{re.escape(name)}\b", sql):
+            continue
+        with open(os.path.join(warehouse, fn)) as f:
+            doc = json.load(f)
+        sql_with_time_travel(
+            spark, warehouse, doc["sql"], _depth=depth + 1
+        ).createOrReplaceTempView(name)
+
+
+#: snapshot-table names THIS module auto-registered as temp views —
+#: these refresh on every statement; user-registered names never do
+_AUTO_VIEWS: set[str] = set()
+
+
+def _register_referenced_tables(
     spark: SparkSession, warehouse: str, sql: str
+) -> None:
+    """Make BARE snapshot-table names referenced by `sql` resolvable:
+    each gets its current scan registered as a temp view, unless a
+    view/table of that name already exists in the session (an
+    existing registration — e.g. a fixture's raw-parquet view — wins,
+    so this never shadows user state)."""
+    if not os.path.isdir(warehouse):
+        return
+    for d in os.listdir(warehouse):
+        if not os.path.exists(os.path.join(warehouse, d, "metadata.json")):
+            continue
+        if not re.search(rf"\b{re.escape(d)}\b", sql):
+            continue
+        if spark.catalog.tableExists(d) and d not in _AUTO_VIEWS:
+            continue  # a user-registered view of that name wins
+        # re-register OUR views every time: a scan pins its file list
+        # at registration, and the table may have committed since
+        SnapshotTable.load(
+            spark, os.path.join(warehouse, d)
+        ).scan().createOrReplaceTempView(d)
+        _AUTO_VIEWS.add(d)
+
+
+def sql_with_time_travel(
+    spark: SparkSession, warehouse: str, sql: str, _depth: int = 0
 ) -> DataFrame:
     """Run `sql`, resolving VERSION AS OF / FOR SYSTEM_TIME AS OF
-    clauses against snapshot tables in `warehouse`."""
+    clauses against snapshot tables in `warehouse`, stored views
+    (see _register_stored_views), and bare snapshot-table names."""
+    _register_stored_views(spark, warehouse, sql, _depth)
+    _register_referenced_tables(spark, warehouse, sql)
 
     def _load(name: str) -> SnapshotTable | None:
         loc = os.path.join(warehouse, name)
@@ -194,6 +254,15 @@ _RENAME_TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+"
+    r"(?P<select>SELECT\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 _RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
@@ -265,6 +334,32 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
 
         return spark.createDataFrame(
             [(n,) for n in list_tables(warehouse)], "table string"
+        )
+    m = _CREATE_VIEW_RE.match(sql)
+    if m:
+        name = m.group("name")
+        loc = os.path.join(warehouse, name)
+        if os.path.exists(os.path.join(loc, "metadata.json")):
+            raise ValueError(f"a table named {name!r} already exists")
+        # validate the SQL plans now (against current state)
+        sql_with_time_travel(spark, warehouse, m.group("select"))
+        os.makedirs(warehouse, exist_ok=True)
+        with open(os.path.join(warehouse, f"{name}.view.json"), "w") as f:
+            json.dump({"sql": m.group("select")}, f)
+        return spark.createDataFrame(
+            [(name, "create_view")], "table string, ddl string"
+        )
+    m = _DROP_VIEW_RE.match(sql)
+    if m:
+        name = m.group("name")
+        path = os.path.join(warehouse, f"{name}.view.json")
+        existed = os.path.exists(path)
+        if existed:
+            os.unlink(path)
+        elif "IF EXISTS" not in sql.upper():
+            raise ValueError(f"no such view: {name}")
+        return spark.createDataFrame(
+            [(name, bool(existed))], "table string, dropped boolean"
         )
     m = _DROP_TABLE_RE.match(sql)
     if m:

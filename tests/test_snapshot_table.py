@@ -2060,3 +2060,63 @@ def test_count_rows_metadata_fast_path(spark, warehouse):
     t.delete_by_keys(spark.createDataFrame([(3,)], "id long"))
     assert t.count_rows() == 2
     assert t.count_rows() == t.scan(virtual_column=None).count()
+
+
+def test_refs_metadata_table(spark, warehouse):
+    from hiveberg_spark.sources.snapshot_table import resolve_table
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "reft"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.append(_simple_df(spark, [(2, "b")]))
+    t.create_tag("v1", 1)
+    t.create_branch("dev")
+    rows = {r.name: (r.type, r.snapshot_id) for r in t.refs_table().collect()}
+    assert rows == {
+        "main": ("branch", 2),
+        "v1": ("tag", 1),
+        "dev": ("branch", 2),
+    }
+    assert resolve_table(spark, warehouse, "reft__refs").count() == 3
+
+
+def test_stored_views_resolve_with_time_travel(spark, warehouse):
+    """Stored views (Iceberg view-spec shape): saved SQL re-planned
+    against CURRENT table state on every read — a view created before
+    an append sees the append; views compose with VERSION AS OF and
+    with other views."""
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "vt"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    execute_sql(
+        spark, warehouse,
+        "CREATE VIEW v_big AS SELECT id, data FROM vt WHERE id >= 2",
+    )
+    assert [r.id for r in execute_sql(
+        spark, warehouse, "SELECT * FROM v_big"
+    ).collect()] == [2]
+    # the view is a live query: new data shows up
+    t.append(_simple_df(spark, [(5, "e")]))
+    assert sorted(r.id for r in execute_sql(
+        spark, warehouse, "SELECT * FROM v_big"
+    ).collect()) == [2, 5]
+    # views over time travel and view-on-view nesting
+    execute_sql(
+        spark, warehouse,
+        "CREATE VIEW v_old AS SELECT id FROM vt VERSION AS OF 1",
+    )
+    execute_sql(
+        spark, warehouse,
+        "CREATE VIEW v_nested AS SELECT COUNT(*) AS n FROM v_old",
+    )
+    assert execute_sql(
+        spark, warehouse, "SELECT n FROM v_nested"
+    ).collect()[0].n == 2
+    # drop
+    r = execute_sql(spark, warehouse, "DROP VIEW v_nested").collect()[0]
+    assert r.dropped is True
+    with pytest.raises(ValueError, match="no such view"):
+        execute_sql(spark, warehouse, "DROP VIEW v_nested")
+    # name collision with a table refused
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sql(spark, warehouse, "CREATE VIEW vt AS SELECT 1 AS x")
