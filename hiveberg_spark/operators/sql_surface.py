@@ -1739,3 +1739,58 @@ def snapshot_zorder_table(spark, sf_dir):
         .withColumn("pruned_on_suppkey", F.lit(bool(pruned_sk)))
         .withColumn("fast_count_matches", F.lit(bool(fast)))
     )
+
+
+@query(
+    "snapshot_refs_and_views",
+    oracle="""
+    SELECT 'main' AS name, 'branch' AS type, CAST(2 AS BIGINT) AS snapshot_id,
+           (SELECT COUNT(*) FROM nation) AS n_via_view
+    UNION ALL
+    SELECT 'audit', 'branch', CAST(2 AS BIGINT),
+           (SELECT COUNT(*) FROM nation)
+    UNION ALL
+    SELECT 'v1', 'tag', CAST(1 AS BIGINT),
+           (SELECT COUNT(*) FROM nation)
+    """,
+)
+def snapshot_refs_and_views(spark, sf_dir):
+    """The `refs` metadata table (Iceberg `refs`: every named ref plus
+    the implicit main branch) joined with a STORED VIEW read (Iceberg
+    view-spec shape: saved SQL re-planned against current state each
+    read) — the fixture tags snapshot 1, branches at 2, stores a view
+    counting the table, and the query returns refs rows with the
+    view's count attached."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    wh = warehouse_dir(sf_dir)
+    loc = os.path.join(wh, "nation_refs_views")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def builder(table):
+        table.append(nation.filter("n_nationkey < 10"))
+        table.append(nation.filter("n_nationkey >= 10"))
+        table.create_tag("v1", 1)
+        table.create_branch("audit")
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+        view_path = os.path.join(wh, "v_nation_count.view.json")
+        if not os.path.exists(view_path):
+            execute_sql(
+                spark,
+                wh,
+                "CREATE OR REPLACE VIEW v_nation_count AS "
+                "SELECT COUNT(*) AS n FROM nation_refs_views",
+            )
+    n = execute_sql(spark, wh, "SELECT n FROM v_nation_count").head()[0]
+    return t.refs_table().withColumn(
+        "n_via_view", F.lit(int(n)).cast("long")
+    )
