@@ -1723,6 +1723,21 @@ class SnapshotTable:
             )
         else:
             writer = df
+            write_opts = {}
+            if fmt == "parquet":
+                # Iceberg write.parquet.bloom-filter-enabled.column.<c>:
+                # per-column bloom filters for row-group skipping on
+                # high-cardinality point probes min/max can't serve —
+                # passed straight to parquet-mr via the column-suffixed
+                # hadoop option
+                for c in [
+                    x.strip()
+                    for x in props.get(
+                        "write.parquet.bloom-filter-columns", ""
+                    ).split(",")
+                    if x.strip() and x.strip() in df.columns
+                ]:
+                    write_opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
             if spec:
                 for tr in spec:
                     name = _pfield_name(tr)
@@ -1734,11 +1749,13 @@ class SnapshotTable:
                 # the helper columns live only in directory names, never
                 # in file data or scan schemas (Iceberg PartitionSpec
                 # semantics)
-                writer.write.mode("overwrite").partitionBy(*pnames).format(
+                writer.write.mode("overwrite").options(**write_opts).partitionBy(
+                    *pnames
+                ).format(fmt).save(data_dir)
+            else:
+                writer.write.mode("overwrite").options(**write_opts).format(
                     fmt
                 ).save(data_dir)
-            else:
-                writer.write.mode("overwrite").format(fmt).save(data_dir)
             # location-relative paths: the table stays valid under
             # rename/move (atomic build-then-rename fixtures depend on it)
             files, partitions, file_info = self._list_data_files(

@@ -2120,3 +2120,31 @@ def test_stored_views_resolve_with_time_travel(spark, warehouse):
     # name collision with a table refused
     with pytest.raises(ValueError, match="already exists"):
         execute_sql(spark, warehouse, "CREATE VIEW vt AS SELECT 1 AS x")
+
+
+def test_bloom_filter_property_reaches_parquet_writer(spark, warehouse):
+    """write.parquet.bloom-filter-columns passes through to parquet-mr:
+    the bloom filter physically lands in the file (observable as a
+    deterministic size increase for identical data), serving point
+    probes on high-cardinality unsorted keys that min/max can't."""
+    rows = [(i, (i * 2654435761) % (2**31)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, k long").coalesce(1)
+    plain = SnapshotTable.create(
+        spark, os.path.join(warehouse, "plainb"), schema="id long, k long"
+    )
+    plain.append(df)
+    bloomed = SnapshotTable.create(
+        spark, os.path.join(warehouse, "bloomb"), schema="id long, k long"
+    )
+    bloomed.set_properties({"write.parquet.bloom-filter-columns": "k"})
+    bloomed.append(df)
+
+    def data_bytes(t):
+        return sum(
+            os.path.getsize(os.path.join(t.location, rel))
+            for rel, _, _ in t._raw_entries_as_of(t._read_meta(), 1)
+        )
+
+    assert data_bytes(bloomed) > data_bytes(plain) + 4096
+    # contents identical
+    assert bloomed.scan(virtual_column=None).count() == 20000
