@@ -254,6 +254,19 @@ _RENAME_TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?P<ext>EXTENDED\s+)?"
+    r"(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_PROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+"
     r"(?P<select>SELECT\s+.+?)\s*;?\s*$",
@@ -323,6 +336,9 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
             raise ValueError(f"not a snapshot table: {name}")
         return SnapshotTable.load(spark, loc)
 
+    def _exists(name: str) -> bool:
+        return os.path.exists(os.path.join(warehouse, name, "metadata.json"))
+
     def _summary(op: str, sid: int) -> DataFrame:
         return spark.createDataFrame(
             [(op, sid)], "operation string, snapshot_id long"
@@ -335,6 +351,60 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         return spark.createDataFrame(
             [(n,) for n in list_tables(warehouse)], "table string"
         )
+    m = _DESCRIBE_RE.match(sql)
+    if m and _exists(m.group("table")):
+        t = _table(m.group("table"))
+        schema = t.schema()
+        rows = [
+            (f.name, f.dataType.simpleString(), "data")
+            for f in (schema.fields if schema else [])
+        ]
+        if m.group("ext"):
+            meta = t._read_meta()
+            for spec in [meta.get("partition_spec") or []]:
+                for tr in spec:
+                    arg = f", {tr[2]}" if len(tr) > 2 and tr[2] is not None else ""
+                    rows.append(
+                        (tr[1], f"{tr[0]}({tr[1]}{arg})", "partition")
+                    )
+            for k, v in sorted(t.properties().items()):
+                rows.append((k, v, "property"))
+            rows.append(
+                ("current_snapshot_id", str(meta["current_snapshot_id"]), "info")
+            )
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, kind string"
+        )
+    m = _SHOW_PROPS_RE.match(sql)
+    if m and _exists(m.group("table")):
+        props = _table(m.group("table")).properties()
+        return spark.createDataFrame(
+            sorted(props.items()) or [], "key string, value string"
+        )
+    m = _SHOW_CREATE_RE.match(sql)
+    if m and _exists(m.group("table")):
+        t = _table(m.group("table"))
+        meta = t._read_meta()
+        schema = t.schema()
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in (schema.fields if schema else [])
+        )
+        ddl = f"CREATE TABLE {m.group('table')} (\n  {cols}\n)"
+        spec = meta.get("partition_spec") or []
+        if spec:
+            parts = ", ".join(
+                f"{tr[0]}({tr[1]}"
+                + (f", {tr[2]}" if len(tr) > 2 and tr[2] is not None else "")
+                + ")"
+                for tr in spec
+            )
+            ddl += f"\nPARTITIONED BY ({parts})"
+        props = t.properties()
+        if props:
+            kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+            ddl += f"\nTBLPROPERTIES ({kv})"
+        return spark.createDataFrame([(ddl,)], "createtab_stmt string")
     m = _CREATE_VIEW_RE.match(sql)
     if m:
         name = m.group("name")

@@ -2148,3 +2148,37 @@ def test_bloom_filter_property_reaches_parquet_writer(spark, warehouse):
     assert data_bytes(bloomed) > data_bytes(plain) + 4096
     # contents identical
     assert bloomed.scan(virtual_column=None).count() == 20000
+
+
+def test_sql_describe_and_show_statements(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "dsc"),
+        schema="id long, region string",
+        partition_spec=[("bucket", "id", 4)],
+    )
+    t.append(spark.createDataFrame([(1, "eu")], "id long, region string"))
+    t.set_properties({"owner": "me"})
+    cols = {
+        r.col_name: r.data_type
+        for r in execute_sql(spark, warehouse, "DESCRIBE dsc").collect()
+    }
+    assert cols == {"id": "bigint", "region": "string"}
+    ext = execute_sql(spark, warehouse, "DESCRIBE EXTENDED dsc").collect()
+    kinds = {r.kind for r in ext}
+    assert kinds == {"data", "partition", "property", "info"}
+    props = {
+        r.key: r.value
+        for r in execute_sql(spark, warehouse, "SHOW TBLPROPERTIES dsc").collect()
+    }
+    assert props == {"owner": "me"}
+    ddl = execute_sql(
+        spark, warehouse, "SHOW CREATE TABLE dsc"
+    ).collect()[0].createtab_stmt
+    assert "CREATE TABLE dsc" in ddl
+    assert "bucket(id, 4)" in ddl and "'owner'='me'" in ddl
+    # a DESCRIBE of a non-warehouse name still reaches Spark's parser
+    spark.range(1).createOrReplaceTempView("plain_view")
+    assert execute_sql(spark, warehouse, "DESCRIBE plain_view").count() >= 1
