@@ -164,3 +164,58 @@ def test_epoch_shuffle_positions_dense_at_any_partition_count(spark):
         )
         by_count[n_parts] = {r.doc_id: r.position for r in out}
     assert by_count[3] == by_count[16] == by_count[1024]
+
+
+_OPS = ["=", "==", "<", "<=", ">", ">=", "!=", "<>"]
+
+
+def _holds(op, v, lit):
+    return {
+        "=": v == lit, "==": v == lit, "<": v < lit, "<=": v <= lit,
+        ">": v > lit, ">=": v >= lit, "!=": v != lit, "<>": v != lit,
+    }[op]
+
+
+@given(
+    st.sampled_from(_OPS),
+    st.integers(min_value=-1000, max_value=1000),
+    st.integers(min_value=-1000, max_value=1000),
+    st.integers(min_value=-1000, max_value=1000),
+)
+def test_prune_evaluator_is_sound(op, lit, a, b):
+    """Pruning soundness (InclusiveMetricsEvaluator contract): if the
+    evaluator EXCLUDES a file for `col <op> lit` given bounds [lo, hi],
+    then NO integer value in [lo, hi] can satisfy the predicate —
+    exclusion may be conservative (keep a file that matches nothing)
+    but never wrong. This is the property correctness rests on: a
+    false exclusion silently drops rows."""
+    from hiveberg_spark.sources.snapshot_table import _conjunct_excludes_file
+
+    lo, hi = min(a, b), max(a, b)
+    excluded = _conjunct_excludes_file(
+        f"c {op} {lit}", {"c": [lo, hi]}
+    )
+    if excluded:
+        assert not any(_holds(op, v, lit) for v in range(lo, hi + 1)), (
+            op, lit, lo, hi,
+        )
+
+
+@given(
+    st.sampled_from(_OPS),
+    st.text(alphabet="abc", min_size=0, max_size=4),
+    st.text(alphabet="abc", min_size=0, max_size=4),
+    st.text(alphabet="abc", min_size=0, max_size=4),
+)
+def test_prune_evaluator_sound_for_strings(op, lit, a, b):
+    from hiveberg_spark.sources.snapshot_table import _conjunct_excludes_file
+
+    lo, hi = min(a, b), max(a, b)
+    excluded = _conjunct_excludes_file(
+        f"c {op} '{lit}'", {"c": [lo, hi]}
+    )
+    if excluded:
+        # check the bounds and a midpoint-ish witness set
+        for v in {lo, hi, lit}:
+            if lo <= v <= hi:
+                assert not _holds(op, v, lit), (op, lit, lo, hi, v)
