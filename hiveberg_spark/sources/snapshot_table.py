@@ -679,6 +679,81 @@ class SnapshotTable:
             df, "append", committed_at, replaces=False, branch=branch
         )
 
+    def add_files(
+        self, paths: list[str] | str, committed_at: int | None = None
+    ) -> int:
+        """ADOPT existing parquet files into the table WITHOUT copying
+        them (Iceberg's `add_files`/migrate procedure — how a raw
+        parquet dataset becomes a snapshot table in place): each file
+        is recorded in the manifest by its ABSOLUTE path with footer
+        stats and record counts, so pruning, time travel, DML, and
+        metadata tables all work over it immediately. Adopted files
+        are referenced, never owned: expire_snapshots and
+        remove_orphan_files will NEVER physically delete a file
+        outside the table location (a COW rewrite naturally migrates
+        rows into table-owned files). `paths` is a directory (all
+        *.parquet under it) or an explicit file list."""
+        if isinstance(paths, str):
+            files = sorted(
+                os.path.join(root, fn)
+                for root, _, names in os.walk(paths)
+                for fn in names
+                if fn.endswith(".parquet")
+            )
+        else:
+            files = [os.path.abspath(p) for p in paths]
+        if not files:
+            raise ValueError("no parquet files to add")
+        loc_prefix = os.path.abspath(self.location) + os.sep
+        for f in files:
+            if os.path.abspath(f).startswith(loc_prefix):
+                raise ValueError(
+                    f"{f} is inside the table location; add_files is for "
+                    "EXTERNAL data (table-owned files are committed by "
+                    "append)"
+                )
+            if not os.path.exists(f):
+                raise ValueError(f"no such file: {f}")
+        # os.path.join(location, abs) == abs, so the existing stats
+        # collector and manifest machinery handle absolute paths as-is
+        stats = self._collect_file_stats(files, "parquet")
+        entries = [(f, stats.get(f, {}), {}) for f in files]
+        schema_probe = self.spark.read.parquet(*files).schema
+        declared = self.schema()
+        if declared is not None:
+            missing = set(f.name for f in declared.fields) - set(
+                schema_probe.fieldNames()
+            )
+            if missing:
+                raise ValueError(
+                    f"added files lack declared columns: {sorted(missing)}"
+                )
+        empty = (
+            self.spark.createDataFrame([], schema_probe)
+            if declared is None
+            else self._empty_df()
+        )
+        n_records = 0
+        try:
+            import pyarrow.parquet as pq
+
+            n_records = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in files
+            )
+        except Exception:
+            pass
+        return self._commit(
+            empty,
+            "append",
+            committed_at,
+            replaces=False,
+            carry=entries,
+            summary_extra={
+                "added-external-files": str(len(files)),
+                "added-external-records": str(n_records),
+            },
+        )
+
     def overwrite(self, df: DataFrame, committed_at: int | None = None) -> int:
         """Commit `df` as a new snapshot that REPLACES the table contents
         (Iceberg `operation=overwrite`): readers of the new snapshot see
@@ -1036,6 +1111,10 @@ class SnapshotTable:
             # between leaves harmless orphans, never dangling references
             deleted = 0
             for rel in orphans:
+                if os.path.isabs(rel):
+                    # adopted external file (add_files): referenced,
+                    # never owned — expiry drops the reference only
+                    continue
                 try:
                     os.unlink(os.path.join(self.location, rel))
                     deleted += 1

@@ -242,6 +242,7 @@ _PROCEDURES = {
     "remove_orphan_files": lambda t, older_than_ms: t.remove_orphan_files(
         int(older_than_ms)
     ),
+    "add_files": lambda t, path: t.add_files(path),
 }
 
 _DROP_TABLE_RE = re.compile(

@@ -2182,3 +2182,55 @@ def test_sql_describe_and_show_statements(spark, warehouse):
     # a DESCRIBE of a non-warehouse name still reaches Spark's parser
     spark.range(1).createOrReplaceTempView("plain_view")
     assert execute_sql(spark, warehouse, "DESCRIBE plain_view").count() >= 1
+
+
+def test_add_files_adopts_external_parquet_in_place(spark, warehouse, tmp_path):
+    """Iceberg add_files/migrate: existing parquet becomes table data
+    by reference — no copy; pruning, time travel, and DML work over
+    it; expiry never physically deletes the external files."""
+    ext = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "id long, data string"
+    ).coalesce(1).write.parquet(os.path.join(ext, "d1"))
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(1000, 1100)], "id long, data string"
+    ).coalesce(1).write.parquet(os.path.join(ext, "d2"))
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "adopt"))
+    sid = t.add_files(ext, committed_at=1000)
+    assert t.scan(virtual_column=None).count() == 200
+    snap = t.snapshots().filter(f"snapshot_id = {sid}").collect()[0]
+    assert snap.summary["added-external-files"] == "2"
+    assert snap.summary["added-external-records"] == "200"
+    # footer stats prune across the adopted files
+    assert len(t.plan_files("id = 5")) == 1
+    # metadata count works from adopted footer counts
+    assert t.count_rows() == 200
+    # DML: a COW delete rewrites the affected ADOPTED file into a
+    # table-owned file and carries the other by reference
+    t.delete_where("id = 5", committed_at=2000)
+    assert t.scan(virtual_column=None).count() == 199
+    # external source files physically untouched
+    assert spark.read.parquet(os.path.join(ext, "d1")).count() == 100
+    # expiry drops references but NEVER deletes external files
+    t.compact(committed_at=3000)
+    t.expire_snapshots(older_than_ms=4000)
+    assert spark.read.parquet(os.path.join(ext, "d2")).count() == 100
+    assert t.scan(virtual_column=None).count() == 199
+    # guardrails
+    with pytest.raises(ValueError, match="no parquet files"):
+        t.add_files(str(tmp_path / "nothing"))
+    with pytest.raises(ValueError, match="inside the table location"):
+        t.add_files([os.path.join(t.location, "metadata.json")])
+
+
+def test_add_files_via_call_procedure(spark, warehouse, tmp_path):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    ext = str(tmp_path / "raw2")
+    spark.createDataFrame([(1, "a")], "id long, data string").write.parquet(ext)
+    SnapshotTable.create(spark, os.path.join(warehouse, "adoptsql"))
+    execute_sql(
+        spark, warehouse, f"CALL system.add_files('adoptsql', '{ext}')"
+    )
+    t = SnapshotTable.load(spark, os.path.join(warehouse, "adoptsql"))
+    assert t.scan(virtual_column=None).count() == 1
