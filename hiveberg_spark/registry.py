@@ -156,6 +156,7 @@ DRIVER_WINDOW: list[str] = [
 # round-6 rotation (green in local oracle parity at sf0.001 + sf0.01).
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_refs_and_views",
+    "snapshot_add_files",
 ]
 
 
