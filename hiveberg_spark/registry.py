@@ -124,6 +124,8 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_metadata_log",
     "snapshot_zorder_table",
     "stream_scd_enrichment",
+    "snapshot_refs_and_views",
+    "snapshot_add_files",
     # (e) round-5 churn re-checks: _bucket_excludes_file went
     # multi-spec, _read_data_files gained lineage/read_schema paths,
     # scan_changes gained the non-append refusal
@@ -152,11 +154,12 @@ DRIVER_WINDOW: list[str] = [
     "distinct_dropdup",
 ]
 
-# Round-5 additions that outgrew the 50-slot window queue here for the
-# round-6 rotation (green in local oracle parity at sf0.001 + sf0.01).
+# Round-5 window churn re-checks that sit just past the 50-slot cut
+# (positions 51+ — all green in earlier driver rounds AND in local
+# oracle parity at sf0.001 + sf0.01 this round); rotate into round 6.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    "snapshot_refs_and_views",
-    "snapshot_add_files",
+    "snapshot_dml_prune_compose",
+    "snapshot_format_dispatch",
 ]
 
 
