@@ -103,7 +103,6 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_merge_upsert",
     "snapshot_sql_dml",
     "timetravel_where_shim",
-    "timetravel_current",
     # (d) round-5 additions: merge-on-read deletes/updates/merges
     # (Iceberg v2 delete files), CDC changelog, partition evolution,
     # partitions/metadata-log tables, streaming CDC upsert sink, table
@@ -126,6 +125,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_scd_enrichment",
     "snapshot_refs_and_views",
     "snapshot_add_files",
+    "stream_changelog_source",
     # (e) round-5 churn re-checks: _bucket_excludes_file went
     # multi-spec, _read_data_files gained lineage/read_schema paths,
     # scan_changes gained the non-append refusal
@@ -160,6 +160,8 @@ DRIVER_WINDOW: list[str] = [
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_dml_prune_compose",
     "snapshot_format_dispatch",
+    # pass(r4), zero churn since; displaced by stream_changelog_source
+    "timetravel_current",
 ]
 
 

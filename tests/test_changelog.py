@@ -176,3 +176,29 @@ def test_changelog_compute_updates_via_property(spark, warehouse):
         u = SnapshotTable.create(spark, os.path.join(warehouse, "noids"))
         u.append(_simple_df(spark, [(1, "a")]))
         u.scan_changelog(0, compute_updates=True)
+
+
+def test_apply_changelog_mirrors_source_incl_key_reuse(spark, warehouse):
+    """apply_changelog (the CDC consumer) replays a changelog range into
+    a mirror table; a key deleted and re-inserted by the SAME source
+    commit must survive in the mirror (delete-then-append with
+    seq-scoped equality deletes)."""
+    from hiveberg_spark.operators.snapshot_stream import apply_changelog
+
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "cl_src"))
+    mirror = SnapshotTable.create(
+        spark, os.path.join(warehouse, "cl_mir"), schema="id long, data string"
+    )
+    src.append(_simple_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    # one commit that both removes key 2 and re-introduces it: overwrite
+    # with a changed value (delete 2/b + insert 2/B in the same commit)
+    src.overwrite(_simple_df(spark, [(1, "a"), (2, "B"), (4, "d")]))
+
+    cursor = 0
+    for sid in [s.snapshot_id for s in src.snapshots().collect()]:
+        apply_changelog(src.scan_changelog(cursor, sid), mirror, ["id"])
+        cursor = sid
+    got = sorted(
+        (r.id, r.data) for r in mirror.scan(virtual_column=None).collect()
+    )
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
