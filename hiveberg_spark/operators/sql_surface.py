@@ -1837,3 +1837,73 @@ def snapshot_add_files(spark, sf_dir):
         .withColumn("pruned", F.lit(bool(pruned)))
         .withColumn("fast_count_matches", F.lit(bool(fast)))
     )
+
+
+@query(
+    "snapshot_add_files_hive",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           TRUE AS pruned, TRUE AS dir_only
+    FROM nation
+    """,
+)
+def snapshot_add_files_hive(spark, sf_dir):
+    """Adopting a classic HIVE-PARTITIONED layout in place (Iceberg
+    add_files over a migrated warehouse, partition-aware): nation is
+    laid out as `n_regionkey=<k>/` directories whose data files do NOT
+    contain the partition column, then adopted by reference. The scan
+    must re-attach the dir-only column (basePath discovery with
+    adoption-pinned types — `dir_only` pins that the column really was
+    absent from the files), and a region predicate must prune to a
+    strict subset of files through the synthesized min==max identity
+    stats (`pruned`). Roadmap item from round 5: identity pruning on
+    migrated Hive layouts without any data rewrite."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    wh = warehouse_dir(sf_dir)
+    ext = os.path.join(wh, "nation_hive_layout")
+    loc = os.path.join(wh, "nation_hive_adopted")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    with _lock:
+        if not os.path.exists(ext):
+            # classic Hive layout: partitionBy puts n_regionkey ONLY in
+            # directory names; built-then-renamed so concurrent drivers
+            # never see a half-written layout
+            scratch = ext + ".build-" + uuid.uuid4().hex[:8]
+            nation.write.partitionBy("n_regionkey").parquet(scratch)
+            try:
+                os.rename(scratch, ext)
+            except OSError:
+                shutil.rmtree(scratch, ignore_errors=True)
+        t = build_once(spark, loc, lambda table: table.add_files(ext))
+    # the partition column is genuinely dir-only in the adopted files
+    sample = next(
+        os.path.join(r, n)
+        for r, _, names in os.walk(ext)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    dir_only = "n_regionkey" not in spark.read.parquet(sample).columns
+    pruned = 0 < len(t.plan_files("n_regionkey = 2")) < len(t.plan_files())
+    return (
+        t.scan(virtual_column=None)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("n_regionkey")
+            .cast(nation.schema["n_regionkey"].dataType)
+            .alias("n_regionkey"),
+        )
+        .withColumn("pruned", F.lit(bool(pruned)))
+        .withColumn("dir_only", F.lit(bool(dir_only)))
+    )

@@ -84,7 +84,6 @@ DRIVER_WINDOW: list[str] = [
     "simsearch_ivf",
     "simsearch_sq8_rerank",
     "dedup_blocked_recall",
-    "dedup_embedding_blocked",  # rows-only by design; spark_rows > 0
     "simsearch_bruteforce_topk",
     # (c) churned since the verdict: avro stats vectorization,
     # made_current_at/monotonic-id ref semantics, partition escaping
@@ -125,6 +124,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_scd_enrichment",
     "snapshot_refs_and_views",
     "snapshot_add_files",
+    "snapshot_add_files_hive",
     "stream_changelog_source",
     # (e) round-5 churn re-checks: _bucket_excludes_file went
     # multi-spec, _read_data_files gained lineage/read_schema paths,
@@ -162,6 +162,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_format_dispatch",
     # pass(r4), zero churn since; displaced by stream_changelog_source
     "timetravel_current",
+    # rows-only by design (spark_rows > 0, pass(r4)); displaced by
+    # snapshot_add_files_hive — the weaker check cedes its slot
+    "dedup_embedding_blocked",
 ]
 
 

@@ -692,8 +692,22 @@ class SnapshotTable:
         remove_orphan_files will NEVER physically delete a file
         outside the table location (a COW rewrite naturally migrates
         rows into table-owned files). `paths` is a directory (all
-        *.parquet under it) or an explicit file list."""
+        *.parquet under it) or an explicit file list.
+
+        HIVE-STYLE PARTITION LAYOUTS (Iceberg add_files' partition
+        handling for migrated warehouses): `key=value` path components
+        below the adoption root are parsed into manifest partition
+        values, and each value doubles as a min==max stats entry so
+        identity-partition pruning works through the ordinary metrics
+        evaluator with zero query rewrite. When the partition columns
+        exist ONLY in directory names (the classic Hive layout — the
+        values are not in the data files), the adoption root is
+        recorded in table metadata and every scan re-attaches the
+        columns via Spark's own `basePath` partition discovery, with
+        types pinned at adoption time so a pruned subset can never
+        re-infer differently."""
         if isinstance(paths, str):
+            base = os.path.abspath(paths)
             files = sorted(
                 os.path.join(root, fn)
                 for root, _, names in os.walk(paths)
@@ -702,6 +716,7 @@ class SnapshotTable:
             )
         else:
             files = [os.path.abspath(p) for p in paths]
+            base = os.path.commonpath(files) if len(files) > 1 else os.path.dirname(files[0])
         if not files:
             raise ValueError("no parquet files to add")
         loc_prefix = os.path.abspath(self.location) + os.sep
@@ -714,11 +729,69 @@ class SnapshotTable:
                 )
             if not os.path.exists(f):
                 raise ValueError(f"no such file: {f}")
+        # Hive-style partition components below the adoption root:
+        # dirs like `year=2024/country=us` → logical values (the same
+        # unescape as table-owned `_p_` dirs)
+        hive_parts: dict[str, dict] = {}
+        pcols: list[str] | None = None
+        for f in files:
+            d: dict = {}
+            for comp in os.path.relpath(f, base).split(os.sep)[:-1]:
+                if "=" not in comp or comp.startswith("_p_"):
+                    continue
+                k, v = comp.split("=", 1)
+                d[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else unescape_path_name(v)
+                )
+            if pcols is None:
+                pcols = sorted(d)
+            elif sorted(d) != pcols:
+                raise ValueError(
+                    "inconsistent partition columns across added files: "
+                    f"{pcols} vs {sorted(d)} ({f})"
+                )
+            hive_parts[f] = d
         # os.path.join(location, abs) == abs, so the existing stats
         # collector and manifest machinery handle absolute paths as-is
         stats = self._collect_file_stats(files, "parquet")
-        entries = [(f, stats.get(f, {}), {}) for f in files]
-        schema_probe = self.spark.read.parquet(*files).schema
+        dir_only_pcols = False
+        if pcols:
+            physical = set(self.spark.read.parquet(files[0]).schema.fieldNames())
+            in_file = [c for c in pcols if c in physical]
+            if in_file and len(in_file) != len(pcols):
+                raise ValueError(
+                    "partition columns must be all-in-file or all-in-path; "
+                    f"in files: {in_file}, path-only: "
+                    f"{sorted(set(pcols) - set(in_file))}"
+                )
+            dir_only_pcols = not in_file
+        if dir_only_pcols:
+            # classic Hive layout: partition values live ONLY in dir
+            # names — discover the full schema (incl. inferred partition
+            # types) the same way every scan will
+            schema_probe = (
+                self.spark.read.option("basePath", base).parquet(*files).schema
+            )
+            ptypes = {
+                c: schema_probe[c].dataType.simpleString() for c in pcols
+            }
+            # each identity value is an exact min==max bound: the
+            # metrics evaluator then prunes =, ranges, and != on
+            # partition columns with no extra machinery
+            for f in files:
+                st = dict(stats.get(f, {}))
+                for c, v in hive_parts[f].items():
+                    tv = _typed_partition_value(v, ptypes[c])
+                    if tv is not None:
+                        st[c] = [tv, tv]
+                if st:
+                    stats[f] = st
+            self._record_adopted_base(base, ptypes)
+        else:
+            schema_probe = self.spark.read.parquet(*files).schema
+        entries = [(f, stats.get(f, {}), hive_parts.get(f) or {}) for f in files]
         declared = self.schema()
         if declared is not None:
             missing = set(f.name for f in declared.fields) - set(
@@ -753,6 +826,26 @@ class SnapshotTable:
                 "added-external-records": str(n_records),
             },
         )
+
+    def _record_adopted_base(self, base: str, ptypes: dict[str, str]) -> None:
+        """Register a Hive-partitioned adoption root: scans re-attach
+        the dir-only partition columns for files under `base` via
+        Spark's basePath discovery, cast to the types pinned here (a
+        pruned file subset must never re-infer a different type)."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            bases = meta.setdefault("adopted_hive_bases", {})
+            prev = bases.get(base)
+            if prev is not None and prev != ptypes:
+                raise ValueError(
+                    f"adoption root {base} already registered with "
+                    f"partition columns {prev}; got {ptypes}"
+                )
+            bases[base] = ptypes
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
 
     def overwrite(self, df: DataFrame, committed_at: int | None = None) -> int:
         """Commit `df` as a new snapshot that REPLACES the table contents
@@ -2689,6 +2782,10 @@ class SnapshotTable:
         by_fmt: dict[str, list[str]] = {}
         for f in files:
             by_fmt.setdefault(f.rsplit(".", 1)[-1], []).append(f)
+        # adopted Hive-partitioned roots (add_files): files under a
+        # registered base read with basePath so Spark re-attaches the
+        # dir-only partition columns, cast to the adoption-time types
+        bases = self._read_meta().get("adopted_hive_bases", {})
         parts: list[DataFrame] = []
         for fmt in sorted(by_fmt):
             group = by_fmt[fmt]
@@ -2710,42 +2807,58 @@ class SnapshotTable:
                 # (one avro file never carries both name generations)
                 parts.append(read_avro_files(self.spark, group, renames))
                 continue
-            reader = self.spark.read
-            if read_schema is not None:
-                # widened tables: every file reads through the explicit
-                # current schema (narrow physical types upcast natively;
-                # rename-generation names are extra fields, coalesced by
-                # _apply_renames below) — mergeSchema would refuse the
-                # int/long mix
-                reader = reader.schema(read_schema)
-            elif renames:
-                # pre- and post-rename files differ in column names;
-                # merge then resolve through the mapping
-                reader = reader.option("mergeSchema", "true")
-            part = reader.format(fmt).load(group)
-            if lineage:
-                pos = (
-                    F.col("_metadata.row_index")
-                    if fmt == "parquet"
-                    else F.lit(None).cast("long")
-                )
-                # LOCATION-RELATIVE path, like every manifest entry —
-                # position delete files must stay valid when the whole
-                # table directory moves (build-then-rename fixtures,
-                # storage migrations)
-                loc_prefix = os.path.abspath(self.location) + os.sep
-                part = part.select(
-                    "*",
-                    F.regexp_replace(
+            subgroups: list[tuple[str | None, list[str]]] = [(None, group)]
+            if bases:
+                byb: dict[str | None, list[str]] = {}
+                for f in group:
+                    b = next(
+                        (b for b in bases if f.startswith(b + os.sep)), None
+                    )
+                    byb.setdefault(b, []).append(f)
+                subgroups = sorted(byb.items(), key=lambda kv: kv[0] or "")
+            for b, sub in subgroups:
+                reader = self.spark.read
+                if b is not None:
+                    reader = reader.option("basePath", b)
+                if read_schema is not None:
+                    # widened tables: every file reads through the
+                    # explicit current schema (narrow physical types
+                    # upcast natively; rename-generation names are extra
+                    # fields, coalesced by _apply_renames below) —
+                    # mergeSchema would refuse the int/long mix
+                    reader = reader.schema(read_schema)
+                elif renames:
+                    # pre- and post-rename files differ in column names;
+                    # merge then resolve through the mapping
+                    reader = reader.option("mergeSchema", "true")
+                part = reader.format(fmt).load(sub)
+                if b is not None and read_schema is None:
+                    for c, t in bases[b].items():
+                        if c in part.columns:
+                            part = part.withColumn(c, F.col(c).cast(t))
+                if lineage:
+                    pos = (
+                        F.col("_metadata.row_index")
+                        if fmt == "parquet"
+                        else F.lit(None).cast("long")
+                    )
+                    # LOCATION-RELATIVE path, like every manifest entry —
+                    # position delete files must stay valid when the whole
+                    # table directory moves (build-then-rename fixtures,
+                    # storage migrations)
+                    loc_prefix = os.path.abspath(self.location) + os.sep
+                    part = part.select(
+                        "*",
                         F.regexp_replace(
-                            F.col("_metadata.file_path"), r"^[a-z0-9]+:/+", "/"
-                        ),
-                        "^" + re.escape(loc_prefix),
-                        "",
-                    ).alias("__hb_file"),
-                    pos.alias("__hb_pos"),
-                )
-            parts.append(self._apply_renames(part, renames))
+                            F.regexp_replace(
+                                F.col("_metadata.file_path"), r"^[a-z0-9]+:/+", "/"
+                            ),
+                            "^" + re.escape(loc_prefix),
+                            "",
+                        ).alias("__hb_file"),
+                        pos.alias("__hb_pos"),
+                    )
+                parts.append(self._apply_renames(part, renames))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
@@ -3573,6 +3686,27 @@ def _split_top_level_and(expr: str) -> list[str]:
         i += 1
     parts.append(expr[start:].strip())
     return [p for p in parts if p]
+
+
+def _typed_partition_value(v: str | None, simple_type: str):
+    """A Hive-path partition value coerced to the type Spark's partition
+    discovery inferred for the column, so synthesized min==max stats
+    compare correctly against predicate literals (ints to ints, strings
+    to strings). None (null partition) and unparseable values yield no
+    stats entry — pruning stays conservative."""
+    if v is None:
+        return None
+    t = simple_type.lower()
+    try:
+        if t in ("tinyint", "smallint", "int", "bigint", "long"):
+            return int(v)
+        if t in ("float", "double") or t.startswith("decimal"):
+            return float(v)
+    except ValueError:
+        return None
+    if t in ("string", "date"):  # date stats are canonical ISO strings
+        return v
+    return None
 
 
 def _pfield_name(tr: tuple) -> str:

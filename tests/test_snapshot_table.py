@@ -2234,3 +2234,59 @@ def test_add_files_via_call_procedure(spark, warehouse, tmp_path):
     )
     t = SnapshotTable.load(spark, os.path.join(warehouse, "adoptsql"))
     assert t.scan(virtual_column=None).count() == 1
+
+
+def test_add_files_hive_partition_layout(spark, warehouse, tmp_path):
+    """Adopting a classic Hive `key=value` layout: dir-only partition
+    columns re-attach at scan time (basePath discovery, adoption-pinned
+    types), identity values prune as min==max stats, and COW DML
+    materializes the columns into table-owned rewrites."""
+    ext = str(tmp_path / "hive")
+    for y, c, lo in [(2023, "us", 0), (2023, "de", 100), (2024, "us", 200)]:
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(lo, lo + 10)], "id long, data string"
+        ).coalesce(1).write.parquet(
+            os.path.join(ext, f"year={y}", f"country={c}")
+        )
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "adopt_hive"))
+    t.add_files(ext, committed_at=1000)
+    df = t.scan(virtual_column=None)
+    assert set(df.columns) == {"id", "data", "year", "country"}
+    assert df.count() == 30
+    assert df.filter("year = 2024").count() == 10
+    # identity pruning through the synthesized min==max stats
+    assert len(t.plan_files("year = 2024")) == 1
+    assert len(t.plan_files("country = 'de'")) == 1
+    assert len(t.plan_files("year = 2023 AND country = 'us'")) == 1
+    assert len(t.plan_files("year > 2024")) == 0
+    # pruning + residual filtering compose
+    got = sorted(
+        r.id
+        for r in t.scan_where(
+            "year = 2023 AND country = 'de' AND id >= 105"
+        ).collect()
+    )
+    assert got == list(range(105, 110))
+    # COW delete: the affected adopted file rewrites into a table-owned
+    # file WITH the partition columns materialized; others carry
+    t.delete_where("id = 205", committed_at=2000)
+    assert t.scan(virtual_column=None).count() == 29
+    assert t.scan(virtual_column=None).filter("year = 2024").count() == 9
+    # time travel still sees the full adopted state
+    assert t.scan(snapshot_id=1, virtual_column=None).count() == 30
+    # inconsistent partition layouts refuse
+    bad = str(tmp_path / "hive_bad")
+    spark.createDataFrame([(1, "x")], "id long, data string").write.parquet(
+        os.path.join(bad, "year=2025", "region=eu")
+    )
+
+    def parquet_files(root):
+        return sorted(
+            os.path.join(r, n)
+            for r, _, names in os.walk(root)
+            for n in names
+            if n.endswith(".parquet")
+        )
+
+    with pytest.raises(ValueError, match="inconsistent partition columns"):
+        t.add_files(parquet_files(ext)[:1] + parquet_files(bad))
