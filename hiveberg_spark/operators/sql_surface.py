@@ -1907,3 +1907,87 @@ def snapshot_add_files_hive(spark, sf_dir):
         .withColumn("pruned", F.lit(bool(pruned)))
         .withColumn("dir_only", F.lit(bool(dir_only)))
     )
+
+
+@query(
+    "snapshot_table_stats",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END
+               AS name_opt,
+             n_regionkey
+      FROM nation
+    )
+    SELECT 'n_nationkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(0 AS BIGINT) AS null_count, TRUE AS ndv_ok FROM t
+    UNION ALL
+    SELECT 'n_regionkey', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT), TRUE
+    FROM t
+    UNION ALL
+    SELECT 'name_opt', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN name_opt IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           TRUE
+    FROM t
+    """,
+)
+def snapshot_table_stats(spark, sf_dir):
+    """TABLE STATISTICS (Iceberg compute_table_stats / Puffin parity):
+    `analyze_table` runs ONE distributed aggregation over the snapshot
+    computing every column's approximate NDV (HyperLogLog++ — the same
+    mergeable-sketch family Puffin stores) plus exact null counts, and
+    persists them keyed by snapshot id; the `statistics` metadata table
+    (`__stats` suffix, `CALL system.compute_table_stats`) surfaces
+    them. The oracle pins the exact parts (row/null counts per column)
+    and `ndv_ok` pins the sketch contract: every stored NDV within
+    max(1, 5%) of the true distinct count. These are the numbers CBO
+    decisions (broadcast-side choice, join reordering) read at 100 TB —
+    one pass, map-side partial sketches, never a pass per column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_stats")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, None)
+        .otherwise(F.col("n_name"))
+        .alias("name_opt"),
+        "n_regionkey",
+    )
+
+    def builder(table):
+        table.append(nation)
+        table.analyze_table()
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    cols = ["n_nationkey", "name_opt", "n_regionkey"]
+    exact = (
+        t.scan(virtual_column=None)
+        .agg(*[F.countDistinct(c).alias(c) for c in cols])
+        .head()
+        .asDict()
+    )
+    truth = F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.lit(int(exact[c])))]
+    )
+    return (
+        t.statistics()
+        .withColumn("exact_ndv", truth[F.col("column")])
+        .withColumn(
+            "ndv_ok",
+            F.abs(F.col("ndv") - F.col("exact_ndv"))
+            <= F.greatest(F.lit(1.0), F.col("exact_ndv") * 0.05),
+        )
+        .select(
+            F.col("column").alias("col_name"),
+            "row_count",
+            "null_count",
+            "ndv_ok",
+        )
+    )

@@ -95,7 +95,6 @@ DRIVER_WINDOW: list[str] = [
     "timetravel_sql_version_as_of",
     "snapshot_rollback",
     "snapshot_maintenance_ops",
-    "snapshots_metadata_table",
     "timetravel_incremental_read",
     "snapshot_delete_where",
     "snapshot_update_where",
@@ -126,6 +125,7 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_add_files",
     "snapshot_add_files_hive",
     "stream_changelog_source",
+    "snapshot_table_stats",
     # (e) round-5 churn re-checks: _bucket_excludes_file went
     # multi-spec, _read_data_files gained lineage/read_schema paths,
     # scan_changes gained the non-append refusal
@@ -165,6 +165,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # rows-only by design (spark_rows > 0, pass(r4)); displaced by
     # snapshot_add_files_hive — the weaker check cedes its slot
     "dedup_embedding_blocked",
+    # pass(r4); the made_current_at churn is covered by the
+    # timetravel_as_of_* re-checks — displaced by snapshot_table_stats
+    "snapshots_metadata_table",
 ]
 
 

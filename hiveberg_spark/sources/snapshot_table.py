@@ -74,6 +74,7 @@ HISTORY_SUFFIX = "__history"  # Iceberg's `history` metadata table
 MANIFESTS_SUFFIX = "__manifests"  # Iceberg's `manifests` metadata table
 PARTITIONS_SUFFIX = "__partitions"  # Iceberg's `partitions` metadata table
 REFS_SUFFIX = "__refs"  # Iceberg's `refs` metadata table
+STATS_SUFFIX = "__stats"  # Iceberg's `statistics` files list (Puffin)
 
 _FILES_SCHEMA = (
     "content string, file_path string, file_format string, "
@@ -3552,6 +3553,79 @@ class SnapshotTable:
             "record_count long, total_bytes long",
         )
 
+    def analyze_table(
+        self, columns: list[str] | None = None, snapshot_id: int | None = None
+    ) -> dict:
+        """Compute and persist TABLE STATISTICS for a snapshot —
+        Iceberg's `compute_table_stats` procedure writing Puffin
+        statistics files (apache-datasketches NDV blobs keyed by
+        snapshot), in this metadata layout: one distributed aggregation
+        over the snapshot produces per-column approximate NDV
+        (HyperLogLog++, the same mergeable-sketch family Puffin stores)
+        and exact null counts, recorded under the snapshot id in table
+        metadata. Engines use exactly these numbers for CBO decisions
+        (join-side broadcast choice, ndv-based join reordering). The
+        cost model is the scale point: ONE pass over the data computing
+        all columns' sketches map-side (partial HLL merges), never one
+        pass per column."""
+        meta0 = self._read_meta()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta0["current_snapshot_id"]
+        )
+        if sid is None:
+            raise ValueError("no snapshot to analyze")
+        df = self.scan(snapshot_id=sid, virtual_column=None)
+        cols = list(columns or df.columns)
+        unknown = [c for c in cols if c not in df.columns]
+        if unknown:
+            raise ValueError(f"unknown columns: {unknown}")
+        aggs = [F.count(F.lit(1)).alias("__rc")]
+        for i, c in enumerate(cols):
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{i}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}")
+            )
+        row = df.agg(*aggs).head()
+        entry = {
+            "row_count": int(row["__rc"]),
+            "columns": {
+                c: {
+                    "ndv": int(row[f"__ndv_{i}"]),
+                    "null_count": int(row[f"__nulls_{i}"] or 0),
+                }
+                for i, c in enumerate(cols)
+            },
+        }
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            meta.setdefault("statistics", {})[str(sid)] = entry
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+        return entry
+
+    def statistics(self) -> DataFrame:
+        """The `statistics` metadata table: one row per (snapshot,
+        column) analyzed by `analyze_table` — snapshot_id, column,
+        row_count, ndv (approximate), null_count. Empty (with schema)
+        until the table is analyzed, like Iceberg's statistics files
+        list."""
+        meta = self._read_meta()
+        rows = []
+        for sid, e in sorted(meta.get("statistics", {}).items()):
+            for c, s in sorted(e["columns"].items()):
+                rows.append(
+                    (int(sid), c, e["row_count"], s["ndv"], s["null_count"])
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, column string, row_count long, "
+            "ndv long, null_count long",
+        )
+
     # -- WHERE-clause time-travel shim -------------------------------------
 
     _SNAP_EQ = re.compile(
@@ -3877,6 +3951,11 @@ def resolve_table(
         base_loc = os.path.join(warehouse, base)
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).refs_table()
+    if snapshots_table_enabled and name.endswith(STATS_SUFFIX):
+        base = name[: -len(STATS_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).statistics()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 
@@ -3977,6 +4056,7 @@ def register_sql_views(
         t.history().createOrReplaceTempView(name + HISTORY_SUFFIX)
         t.manifests().createOrReplaceTempView(name + MANIFESTS_SUFFIX)
         t.partitions().createOrReplaceTempView(name + PARTITIONS_SUFFIX)
+        t.statistics().createOrReplaceTempView(name + STATS_SUFFIX)
         registered.extend(
             [
                 name,
@@ -3985,6 +4065,7 @@ def register_sql_views(
                 name + HISTORY_SUFFIX,
                 name + MANIFESTS_SUFFIX,
                 name + PARTITIONS_SUFFIX,
+                name + STATS_SUFFIX,
             ]
         )
     return registered

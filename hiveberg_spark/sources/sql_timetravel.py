@@ -92,19 +92,52 @@ def _register_referenced_tables(
     so this never shadows user state)."""
     if not os.path.isdir(warehouse):
         return
+    from hiveberg_spark.sources.snapshot_table import (
+        FILES_SUFFIX,
+        HISTORY_SUFFIX,
+        MANIFESTS_SUFFIX,
+        PARTITIONS_SUFFIX,
+        REFS_SUFFIX,
+        SNAPSHOTS_SUFFIX,
+        STATS_SUFFIX,
+    )
+
+    metadata_views = {
+        SNAPSHOTS_SUFFIX: lambda t: t.snapshots(),
+        FILES_SUFFIX: lambda t: t.files(),
+        HISTORY_SUFFIX: lambda t: t.history(),
+        MANIFESTS_SUFFIX: lambda t: t.manifests(),
+        PARTITIONS_SUFFIX: lambda t: t.partitions(),
+        REFS_SUFFIX: lambda t: t.refs_table(),
+        STATS_SUFFIX: lambda t: t.statistics(),
+    }
     for d in os.listdir(warehouse):
         if not os.path.exists(os.path.join(warehouse, d, "metadata.json")):
             continue
-        if not re.search(rf"\b{re.escape(d)}\b", sql):
+        # the base name and each referenced metadata suffix register
+        # independently (`SELECT ... FROM t__stats` needs no scan of t;
+        # note `\b` does NOT fire between the base name and `__`, so
+        # the base-name test below naturally excludes suffixed refs)
+        wanted = [
+            (sfx, fn)
+            for sfx, fn in metadata_views.items()
+            if re.search(rf"\b{re.escape(d + sfx)}\b", sql)
+        ]
+        if re.search(rf"\b{re.escape(d)}\b", sql):
+            wanted.insert(0, ("", lambda t: t.scan()))
+        if not wanted:
             continue
-        if spark.catalog.tableExists(d) and d not in _AUTO_VIEWS:
-            continue  # a user-registered view of that name wins
-        # re-register OUR views every time: a scan pins its file list
-        # at registration, and the table may have committed since
-        SnapshotTable.load(
-            spark, os.path.join(warehouse, d)
-        ).scan().createOrReplaceTempView(d)
-        _AUTO_VIEWS.add(d)
+        t = None
+        for sfx, fn in wanted:
+            name = d + sfx
+            if spark.catalog.tableExists(name) and name not in _AUTO_VIEWS:
+                continue  # a user-registered view of that name wins
+            # re-register OUR views every time: a scan pins its file
+            # list at registration, and the table may have committed
+            if t is None:
+                t = SnapshotTable.load(spark, os.path.join(warehouse, d))
+            fn(t).createOrReplaceTempView(name)
+            _AUTO_VIEWS.add(name)
 
 
 def sql_with_time_travel(
@@ -243,6 +276,9 @@ _PROCEDURES = {
         int(older_than_ms)
     ),
     "add_files": lambda t, path: t.add_files(path),
+    "compute_table_stats": lambda t, *cols: t.analyze_table(
+        list(cols) or None
+    ),
 }
 
 _DROP_TABLE_RE = re.compile(

@@ -2290,3 +2290,63 @@ def test_add_files_hive_partition_layout(spark, warehouse, tmp_path):
 
     with pytest.raises(ValueError, match="inconsistent partition columns"):
         t.add_files(parquet_files(ext)[:1] + parquet_files(bad))
+
+
+def test_analyze_table_statistics(spark, warehouse):
+    """compute_table_stats parity: one pass stores per-column approx NDV
+    + exact null counts keyed by snapshot; the `statistics` metadata
+    table and `__stats` suffix surface them; stats are per-snapshot (a
+    later commit does not disturb an analyzed snapshot's entry)."""
+    import pyspark.sql.functions as F
+
+    from hiveberg_spark.sources.snapshot_table import resolve_table
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "stats_t"))
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id") % 10)
+        .cast("long")
+        .alias("v"),
+    )
+    sid1 = t.append(df)
+    entry = t.analyze_table()
+    assert entry["row_count"] == 100
+    assert entry["columns"]["v"]["null_count"] == 25
+    # 100 and 10 true NDVs: HLL at default rsd is exact at this scale
+    assert abs(entry["columns"]["id"]["ndv"] - 100) <= 5
+    assert abs(entry["columns"]["v"]["ndv"] - 10) <= 1
+    rows = {
+        (r.snapshot_id, r.column): (r.row_count, r.ndv, r.null_count)
+        for r in t.statistics().collect()
+    }
+    assert rows[(sid1, "v")][0] == 100 and rows[(sid1, "v")][2] == 25
+    # a later commit leaves the analyzed snapshot's stats untouched
+    t.append(df.limit(5))
+    assert {r.snapshot_id for r in t.statistics().collect()} == {sid1}
+    # suffix resolution + empty-before-analyze schema
+    via_suffix = resolve_table(spark, warehouse, "stats_t__stats")
+    assert via_suffix.count() == 2
+    u = SnapshotTable.create(spark, os.path.join(warehouse, "stats_u"))
+    assert u.statistics().columns == [
+        "snapshot_id", "column", "row_count", "ndv", "null_count",
+    ]
+    assert u.statistics().count() == 0
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.analyze_table(["nope"])
+    with pytest.raises(ValueError, match="no snapshot"):
+        u.analyze_table()
+
+
+def test_compute_table_stats_call_procedure(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "stats_sql"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b"), (2, "b")]))
+    execute_sql(
+        spark, warehouse, "CALL system.compute_table_stats('stats_sql')"
+    )
+    got = execute_sql(
+        spark, warehouse,
+        "SELECT column, ndv, null_count FROM stats_sql__stats ORDER BY column",
+    ).collect()
+    assert [(r.column, r.null_count) for r in got] == [("data", 0), ("id", 0)]
