@@ -2528,13 +2528,17 @@ class SnapshotTable:
                 added = int(s.get("summary", {})["added-data-files"])
             except (KeyError, ValueError):
                 return 0
+            carried = int(
+                s.get("summary", {}).get("carried-data-files", "0") or 0
+            )
             if s.get("replaces"):
-                carried = int(
-                    s.get("summary", {}).get("carried-data-files", "0") or 0
-                )
                 total = added + carried
             else:
-                total += added
+                # ordinary appends never carry; add_files does (adopted
+                # files are NEW references recorded as carry entries) —
+                # a million-file adoption must count toward the
+                # distributed-planning threshold
+                total += added + carried
         return total
 
     def _plan_files_distributed(

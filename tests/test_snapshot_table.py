@@ -2350,3 +2350,70 @@ def test_compute_table_stats_call_procedure(spark, warehouse):
         "SELECT column, ndv, null_count FROM stats_sql__stats ORDER BY column",
     ).collect()
     assert [(r.column, r.null_count) for r in got] == [("data", 0), ("id", 0)]
+
+
+def test_add_files_hive_escaped_partition_values(spark, warehouse, tmp_path):
+    """Partition values Spark escapes in dir names (Hive escapePathName,
+    e.g. ':' -> %3A) must round-trip to their LOGICAL values: scans
+    re-attach the original strings and string-equality pruning matches
+    the logical value, not the escaped path form."""
+    import pyspark.sql.functions as F
+
+    ext = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "with space"), (3, "plain")],
+        "id long, grp string",
+    )
+    df.repartition(1).write.partitionBy("grp").parquet(ext)
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "adopt_esc"))
+    t.add_files(ext)
+    got = {
+        (r.id, r.grp) for r in t.scan(virtual_column=None).collect()
+    }
+    assert got == {(1, "a:b"), (2, "with space"), (3, "plain")}
+    assert len(t.plan_files("grp = 'a:b'")) == 1
+    assert len(t.plan_files("grp = 'nope'")) == 0
+    # the filtered scan returns exactly the matching row
+    assert [
+        r.id
+        for r in t.scan(virtual_column=None)
+        .filter(F.col("grp") == "with space")
+        .collect()
+    ] == [2]
+
+
+def test_add_files_hive_distributed_plan_equivalence(
+    spark, warehouse, tmp_path, monkeypatch
+):
+    """The synthesized min==max identity stats for adopted Hive layouts
+    live in ordinary manifest entries, so the DISTRIBUTED manifest
+    planner must prune identically to the driver loop."""
+    from hiveberg_spark.sources import snapshot_table as st_mod
+
+    ext = str(tmp_path / "hive_dist")
+    for y in (2023, 2024, 2025):
+        spark.createDataFrame(
+            [(y * 10 + i,) for i in range(5)], "id long"
+        ).coalesce(1).write.parquet(os.path.join(ext, f"year={y}"))
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "adopt_dist"))
+    t.add_files(ext)
+    driver_kept = sorted(t.plan_files("year >= 2024"))
+    assert len(driver_kept) == 2
+    monkeypatch.setattr(st_mod, "_DISTRIBUTED_PLAN_THRESHOLD", 0)
+    assert sorted(t.plan_files("year >= 2024")) == driver_kept
+    assert t.plan_files("year = 1999") == []
+
+
+def test_entry_count_estimate_counts_adopted_files(spark, warehouse, tmp_path):
+    """add_files records adopted files as carry entries on an append —
+    the planning-threshold estimate must count them, or a million-file
+    adoption would silently stay on the driver-loop planner."""
+    ext = str(tmp_path / "est")
+    for i in range(3):
+        spark.createDataFrame([(i,)], "id long").coalesce(1).write.parquet(
+            os.path.join(ext, f"d{i}")
+        )
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "adopt_est"))
+    t.add_files(ext)
+    meta = t._read_meta()
+    assert t._entry_count_estimate(meta, meta["current_snapshot_id"]) == 3
