@@ -1991,3 +1991,56 @@ def snapshot_table_stats(spark, sf_dir):
             "ndv_ok",
         )
     )
+
+
+@query(
+    "snapshot_cherry_pick",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT r_regionkey + 100, 'picked_' || r_name FROM region
+    WHERE r_regionkey = 0
+    """,
+)
+def snapshot_cherry_pick(spark, sf_dir):
+    """cherrypick_snapshot (Iceberg procedure): ONE append from an
+    unpublished audit branch lands on main by manifest reference —
+    metadata-only at any size — while the branch's OTHER commit stays
+    invisible to main. The oracle pins exactly that: base rows + the
+    picked commit's rows, nothing from the unpicked one; re-picking
+    the same snapshot refuses via the recorded source-snapshot-id."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "region_cherry")
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+
+    def builder(table):
+        table.append(region)
+        table.create_branch("audit")
+        picked = table.append(
+            region.filter("r_regionkey = 0").select(
+                (F.col("r_regionkey") + 100).alias("r_regionkey"),
+                F.concat(F.lit("picked_"), F.col("r_name")).alias("r_name"),
+            ),
+            branch="audit",
+        )
+        table.append(  # must NOT reach main
+            region.filter("r_regionkey = 1").select(
+                (F.col("r_regionkey") + 200).alias("r_regionkey"),
+                F.concat(F.lit("skipped_"), F.col("r_name")).alias("r_name"),
+            ),
+            branch="audit",
+        )
+        table.cherry_pick(picked)
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan(virtual_column=None).select("r_regionkey", "r_name")

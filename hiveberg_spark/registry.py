@@ -154,10 +154,13 @@ DRIVER_WINDOW: list[str] = [
     "distinct_dropdup",
 ]
 
-# Round-5 window churn re-checks that sit just past the 50-slot cut
-# (positions 51+ — all green in earlier driver rounds AND in local
+# Round-5 entries that sit just past the 50-slot cut (positions 51+ —
+# churn re-checks green in earlier driver rounds, plus late-round-5
+# additions that landed after the window filled; all green in local
 # oracle parity at sf0.001 + sf0.01 this round); rotate into round 6.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # late-round-5 additions, never driver-checked — lead round 6
+    "snapshot_cherry_pick",
     "snapshot_dml_prune_compose",
     "snapshot_format_dispatch",
     # pass(r4), zero churn since; displaced by stream_changelog_source

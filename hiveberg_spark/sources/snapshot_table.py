@@ -1051,6 +1051,58 @@ class SnapshotTable:
         finally:
             os.unlink(lock)
 
+    def cherry_pick(
+        self, snapshot_id: int, committed_at: int | None = None
+    ) -> int:
+        """Apply ONE snapshot's changes onto current main without
+        publishing its whole branch (Iceberg's `cherrypick_snapshot`
+        procedure): the target APPEND snapshot's added files are
+        re-recorded by reference in a new main commit — a metadata-only
+        operation at any data size, no file is read or copied. Same
+        restrictions as Iceberg: only append snapshots cherry-pick
+        (DML/replace changes are not relocatable — their meaning
+        depends on the file set they replaced), and a snapshot already
+        on main's ancestry refuses (its rows are already there; a
+        second application would duplicate them)."""
+        meta = self._read_meta()
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        if snapshot_id not in by_id:
+            raise ValueError(
+                f"unknown snapshot id {snapshot_id} (have {sorted(by_id)})"
+            )
+        snap = by_id[snapshot_id]
+        if snap["operation"] != "append" or snap.get("replaces"):
+            raise ValueError(
+                f"cherry-pick requires an append snapshot; "
+                f"{snapshot_id} is {snap['operation']!r}"
+            )
+        cur = meta["current_snapshot_id"]
+        while cur is not None and cur in by_id:
+            # a prior cherry-pick lands under a NEW id — its summary
+            # records the source (Iceberg's source-snapshot-id), which
+            # is what makes re-application detectable at all
+            picked_from = by_id[cur].get("summary", {}).get(
+                "cherry-picked-from"
+            )
+            if cur == snapshot_id or picked_from == str(snapshot_id):
+                raise ValueError(
+                    f"snapshot {snapshot_id} is already on main's "
+                    "ancestry; cherry-picking it again would duplicate "
+                    "its rows"
+                )
+            cur = by_id[cur]["parent_id"]
+        carry = self._read_manifest_entries(snap)
+        empty = self.scan(virtual_column=None).limit(0)
+        return self._commit(
+            empty,
+            "append",
+            committed_at,
+            replaces=False,
+            carry=carry,
+            expected_parent=meta["current_snapshot_id"],
+            summary_extra={"cherry-picked-from": str(snapshot_id)},
+        )
+
     def resolve_ref(self, name: str) -> int:
         """Ref name (tag or branch) → snapshot id (raises on unknown)."""
         refs = self._read_meta().get("refs", {})

@@ -279,6 +279,7 @@ _PROCEDURES = {
     "compute_table_stats": lambda t, *cols: t.analyze_table(
         list(cols) or None
     ),
+    "cherrypick_snapshot": lambda t, sid: t.cherry_pick(int(sid)),
 }
 
 _DROP_TABLE_RE = re.compile(

@@ -2417,3 +2417,38 @@ def test_entry_count_estimate_counts_adopted_files(spark, warehouse, tmp_path):
     t.add_files(ext)
     meta = t._read_meta()
     assert t._entry_count_estimate(meta, meta["current_snapshot_id"]) == 3
+
+
+def test_cherry_pick_applies_one_branch_commit(spark, warehouse):
+    """cherrypick_snapshot: ONE append from an unpublished branch lands
+    on main by manifest reference (metadata-only), without the branch's
+    other commits; re-picking or picking non-appends refuses."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "cherry"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.create_branch("audit")
+    sid_b1 = t.append(_simple_df(spark, [(2, "b")]), branch="audit")
+    t.append(_simple_df(spark, [(3, "c")]), branch="audit")
+    # main gains ONLY the first branch commit's rows
+    t.cherry_pick(sid_b1)
+    got = sorted(r.id for r in t.scan(virtual_column=None).collect())
+    assert got == [1, 2]
+    # already on main now: a second application must refuse
+    with pytest.raises(ValueError, match="already on main"):
+        t.cherry_pick(sid_b1)
+    # non-append snapshots are not relocatable
+    del_sid = t.delete_where("id = 1")
+    with pytest.raises(ValueError, match="append snapshot"):
+        t.cherry_pick(del_sid)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.cherry_pick(999)
+    # the SQL procedure form
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t2 = SnapshotTable.create(spark, os.path.join(warehouse, "cherry_sql"))
+    t2.append(_simple_df(spark, [(1, "x")]))
+    t2.create_branch("wip")
+    sid = t2.append(_simple_df(spark, [(2, "y")]), branch="wip")
+    execute_sql(
+        spark, warehouse, f"CALL system.cherrypick_snapshot('cherry_sql', {sid})"
+    )
+    assert t2.scan(virtual_column=None).count() == 2
