@@ -312,3 +312,73 @@ def text_word_bigrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@query(
+    "text_template_detect",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      FROM words, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+    ),
+    freq AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM freq)
+    )
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(f.doc_id) AS BIGINT) AS n_template_docs
+    FROM documents d LEFT JOIN flagged f USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def text_template_detect(spark, sf_dir):
+    """Template/boilerplate detection [N] — the corpus-level sibling of
+    per-document repetition filtering: a document is flagged when it
+    shares an 8-word-gram with >= 3 distinct documents (mail templates,
+    scraped boilerplate, licence headers). Shape mirrors the dedup
+    inverted index: per-doc DISTINCT grams (JVM sliding window, no
+    Python), one gram-keyed aggregation for document frequency, then a
+    LEFT SEMI join flags members — cost Sigma df(gram) over frequent
+    grams only, never all-pairs. At 100 TB the frequent-gram table is
+    tiny (boilerplate is by definition concentrated) and broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams8 = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 7),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 8)),
+    )
+    doc_grams = (
+        # the size guard matters: sequence(1, n) with n < 1 DESCENDS in
+        # Spark (1, 0, -1, ...) instead of being empty like DuckDB's
+        # generate_series — short docs must not emit garbage grams
+        d.filter(F.size(words) >= 8)
+        .select("doc_id", F.explode(grams8).alias("g"))
+        .distinct()
+        .persist()
+    )
+    freq = (
+        doc_grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("g")
+    )
+    flagged = (
+        doc_grams.join(freq, "g", "left_semi").select("doc_id").distinct()
+    )
+    out = (
+        d.join(flagged.withColumn("is_t", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_t").alias("n_template_docs"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    doc_grams.unpersist()
+    return out
