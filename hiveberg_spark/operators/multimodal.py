@@ -1,12 +1,16 @@
 """Multimodal columns [N] (SURVEY.md §2.11): opaque binary payloads with
 typed metadata, decoded/feature-extracted via Arrow-batched Pandas UDFs.
 
-The image/audio codecs are not available in this container, so the
-*decode* step is a clearly-marked stub (`decode_media` raises
-NotImplementedError; `fake_decode_meta` is the deterministic stand-in) —
-but all the Spark-side plumbing is real and tested: BinaryType columns,
-StructType metadata, mapInPandas batch shapes, and the partition-level
-parallelism a 100 TB media pipeline relies on.
+Decode is REAL for the uncompressed container tier — RIFF/WAVE PCM
+audio and PPM/PGM images parse with numpy alone (`decode_media`,
+`resize_media`, `encode_wav`), exercised end to end by the
+`multimodal_real_decode` query whose every output the DuckDB oracle
+pins by exact integer arithmetic. COMPRESSED codecs (PNG/JPEG/MP3) are
+not available in this container, so those paths remain a clearly-marked
+NotImplementedError with `fake_decode_meta` as the deterministic
+stand-in. All Spark-side plumbing is identical either way: BinaryType
+columns, StructType metadata, mapInPandas batch shapes, and the
+partition-level parallelism a 100 TB media pipeline relies on.
 """
 
 from __future__ import annotations
@@ -21,15 +25,100 @@ from hiveberg_spark.catalog import load_table
 from hiveberg_spark.registry import query
 
 
-def decode_media(payload: bytes) -> object:
-    """Real media decode (PIL/ffmpeg) — STUB: codecs not present in this
-    environment. The Spark plumbing around it (binary column → mapInPandas
-    → feature columns) is real; swap this function for the codec call in
-    production."""
+def decode_media(payload: bytes) -> dict:
+    """Media decode. REAL for the uncompressed container tier — RIFF/
+    WAVE PCM audio and PPM/PGM (P6/P5) images are parsed with numpy
+    alone, no codec library — returning typed metadata + signal stats.
+    COMPRESSED formats (PNG/JPEG/MP3/...) still raise
+    NotImplementedError: their codecs are not present in this
+    environment; swap in PIL/ffmpeg for those in production. The Spark
+    plumbing (binary column → mapInPandas → feature columns) is
+    identical either way."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake_decode_meta for deterministic tests"
+        "only uncompressed media decodes here (RIFF/WAVE PCM, PPM/PGM); "
+        "compressed codecs are not available in this environment — "
+        "use fake_decode_meta for deterministic tests of those paths"
     )
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM parser (the public WAV container spec): walk the
+    chunk list for fmt + data, then numpy-view the samples."""
+    import struct
+
+    import numpy as np
+
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16, 32):
+        raise NotImplementedError(f"non-PCM WAV (format {audio_fmt})")
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    samples = np.frombuffer(data, dtype=dtype).astype(np.float64)
+    if bits == 8:
+        samples -= 128.0  # 8-bit PCM is unsigned, centered at 128
+    n_frames = len(samples) // channels if channels else 0
+    return {
+        "kind": "audio",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+        "peak": float(np.max(np.abs(samples))) if len(samples) else 0.0,
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """PPM/PGM binary parser (P6 rgb / P5 gray, the public netpbm
+    spec): whitespace-delimited header then raw samples."""
+    import numpy as np
+
+    vals, pos = [], 2
+    while len(vals) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = vals
+    channels = 3 if payload[:2] == b"P6" else 1
+    pix = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * channels, offset=pos
+    )
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "maxval": maxval,
+        "mean": float(pix.mean()) if len(pix) else 0.0,
+        "pixels": pix.reshape(height, width, channels),
+    }
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
@@ -40,13 +129,48 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
 
 
 def resize_media(payload: bytes, width: int, height: int) -> bytes:
-    """Media resize (PIL/ffmpeg scale) — STUB: codecs not present in this
-    environment; `fake_resize_dims` models the dimension math the real
-    implementation plugs into."""
+    """Media resize. REAL for PPM/PGM: nearest-neighbor resample via a
+    numpy index grid, re-emitted as the same netpbm format — no codec
+    library involved. Compressed formats still raise (PIL/ffmpeg scale
+    in production); `fake_resize_dims` models the dimension math."""
+    if payload[:2] in (b"P6", b"P5"):
+        import numpy as np
+
+        d = _decode_ppm(payload)
+        ys = (np.arange(height) * d["height"] // height).astype(np.int64)
+        xs = (np.arange(width) * d["width"] // width).astype(np.int64)
+        out = d["pixels"][ys][:, xs]
+        header = b"%s\n%d %d\n%d\n" % (
+            payload[:2], width, height, d["maxval"]
+        )
+        return header + out.tobytes()
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake_resize_dims for deterministic tests"
+        "only PPM/PGM resize here; compressed codecs are not available "
+        "in this environment — use fake_resize_dims for the dimension "
+        "math of those paths"
     )
+
+
+def encode_wav(samples, rate: int, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE PCM 16-bit writer (the inverse of _decode_wav)
+    — lets media pipelines and tests synthesize real audio payloads
+    without any codec library."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 def fake_resize_dims(
@@ -185,3 +309,87 @@ def multimodal_frame_sample(spark, sf_dir):
             )
         ).alias("s"),
     ).select("doc_id", "s.frame_idx", "s.frame")
+
+
+_REAL_DECODE_SCHEMA = (
+    "doc_id long, duration_us long, rms_amp long, peak_amp long, "
+    "img_w long, img_mean long, resized_mean long, "
+    "resized_w long, resized_h long"
+)
+
+
+def _real_decode_roundtrip(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per doc_id: synthesize a real WAV (square wave, amplitude and
+    length derived from the id) and a real PPM (constant-value image),
+    then DECODE them back with the numpy parsers and resize the image
+    — every output is exact integer arithmetic over doc_id, which is
+    what lets DuckDB pin the whole decode path."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = 80 + (doc_id % 50) * 8  # always even
+            amp = 1000 + doc_id % 500
+            samples = np.tile(np.array([amp, -amp], dtype=np.int16), n // 2)
+            audio = decode_media(encode_wav(samples, rate=8000))
+            w0, h0 = 8 + doc_id % 16, 8 + doc_id % 8
+            v = (doc_id * 7) % 256
+            ppm = b"P6\n%d %d\n255\n" % (w0, h0) + bytes([v]) * (w0 * h0 * 3)
+            img = decode_media(ppm)
+            resized = decode_media(resize_media(ppm, 5, 4))
+            rows.append(
+                (
+                    doc_id,
+                    int(round(audio["duration_s"] * 1_000_000)),
+                    int(round(audio["rms"])),
+                    int(round(audio["peak"])),
+                    img["width"],
+                    int(round(img["mean"])),
+                    int(round(resized["mean"])),
+                    resized["width"],
+                    resized["height"],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "duration_us", "rms_amp", "peak_amp",
+                "img_w", "img_mean", "resized_mean", "resized_w", "resized_h",
+            ],
+        )
+
+
+@query(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST((80 + (doc_id % 50) * 8) * 125 AS BIGINT) AS duration_us,
+           CAST(1000 + doc_id % 500 AS BIGINT) AS rms_amp,
+           CAST(1000 + doc_id % 500 AS BIGINT) AS peak_amp,
+           CAST(8 + doc_id % 16 AS BIGINT) AS img_w,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS img_mean,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS resized_mean,
+           CAST(5 AS BIGINT) AS resized_w,
+           CAST(4 AS BIGINT) AS resized_h
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def multimodal_real_decode(spark, sf_dir):
+    """REAL media decode end to end — no codec library, no stub: WAV
+    audio (RIFF/PCM chunk walk → sample stats) and PPM images (netpbm
+    parse → pixel stats → a genuine nearest-neighbor resize) round-trip
+    inside mapInPandas, with every decoded value pinned by exact
+    integer arithmetic in the DuckDB oracle: a square wave's RMS equals
+    its amplitude, a constant image's mean equals its pixel value and
+    survives the resize, duration_us = frames * 125 at 8 kHz. The
+    compressed tier (PNG/JPEG/MP3) remains a documented
+    NotImplementedError — this query proves the decode/feature/resize
+    plumbing is real where the byte formats allow it."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).select("doc_id")
+    return d.mapInPandas(_real_decode_roundtrip, schema=_REAL_DECODE_SCHEMA)

@@ -162,6 +162,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # late-round-5 additions, never driver-checked — lead round 6
     "snapshot_cherry_pick",
     "text_template_detect",
+    "multimodal_real_decode",
     "snapshot_dml_prune_compose",
     "snapshot_format_dispatch",
     # pass(r4), zero churn since; displaced by stream_changelog_source

@@ -78,11 +78,54 @@ def test_multimodal_features_match_pure_python(spark, sf_dir):
         assert list(got.byte_hist) == expect_hist
 
 
-def test_decode_media_is_explicit_stub():
+def test_decode_media_compressed_tier_is_explicit_stub():
+    # compressed codecs (PNG/JPEG/MP3) are genuinely absent here; the
+    # uncompressed tier (WAV/PPM) decodes for real — see the tests below
     from hiveberg_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG")
+
+
+def test_wav_roundtrip_decodes_real_pcm():
+    import numpy as np
+
+    from hiveberg_spark.operators.multimodal import decode_media, encode_wav
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-30000, 30000, size=800, dtype=np.int16)
+    d = decode_media(encode_wav(samples, rate=16000))
+    assert (d["kind"], d["sample_rate"], d["channels"], d["bits"]) == (
+        "audio", 16000, 1, 16,
+    )
+    assert d["n_frames"] == 800
+    assert d["duration_s"] == 800 / 16000
+    f = samples.astype(np.float64)
+    assert abs(d["rms"] - float(np.sqrt(np.mean(f**2)))) < 1e-9
+    assert d["peak"] == float(np.max(np.abs(f)))
+    # stereo: frames = samples / channels
+    st = decode_media(encode_wav(samples, rate=8000, channels=2))
+    assert (st["channels"], st["n_frames"]) == (2, 400)
+
+
+def test_ppm_decode_resize_real_pixels():
+    import numpy as np
+
+    from hiveberg_spark.operators.multimodal import decode_media, resize_media
+
+    # 4x2 gradient image, with a header comment (netpbm allows them)
+    pix = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    ppm = b"P6\n# test\n4 2\n255\n" + pix.tobytes()
+    d = decode_media(ppm)
+    assert (d["width"], d["height"], d["channels"]) == (4, 2, 3)
+    assert np.array_equal(d["pixels"], pix)
+    assert d["mean"] == float(pix.mean())
+    # nearest-neighbor resize 4x2 -> 2x1: picks columns 0,2 of row 0
+    r = decode_media(resize_media(ppm, 2, 1))
+    expect = pix[[0]][:, [0, 2]]
+    assert np.array_equal(r["pixels"], expect)
+    with pytest.raises(NotImplementedError):
+        resize_media(b"\x89PNG", 2, 2)
 
 
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
