@@ -393,3 +393,128 @@ def multimodal_real_decode(spark, sf_dir):
         F.col("doc_id") < 100
     ).select("doc_id")
     return d.mapInPandas(_real_decode_roundtrip, schema=_REAL_DECODE_SCHEMA)
+
+
+def _patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """ViT-style patch extraction: decode a real PPM, reshape to
+    non-overlapping 4x4 patches (numpy stride trick — the standard
+    (H/p, p, W/p, p, C) reshape+transpose), emit per-patch means.
+    Images are synthesized as v(y,x,c) = x so every patch mean is exact
+    integer arithmetic for the oracle: mean*2 = 8*px + 3."""
+    import numpy as np
+
+    W, H, P = 16, 8, 4
+    col = np.tile(np.arange(W, dtype=np.uint8), (H, 1))
+    pix = np.repeat(col[:, :, None], 3, axis=2)
+    ppm = b"P6\n%d %d\n255\n" % (W, H) + pix.tobytes()
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = decode_media(ppm)
+            p = (
+                d["pixels"]
+                .reshape(H // P, P, W // P, P, 3)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(H // P, W // P, -1)
+            )
+            means2 = p.astype(np.int64).sum(axis=2) * 2 // (P * P * 3)
+            for py in range(H // P):
+                for px in range(W // P):
+                    rows.append(
+                        (int(doc_id), py * (W // P) + px, int(means2[py, px]))
+                    )
+        yield pd.DataFrame(rows, columns=["doc_id", "patch_id", "mean_x2"])
+
+
+@query(
+    "multimodal_patchify",
+    oracle="""
+    SELECT doc_id, py * 4 + px AS patch_id,
+           CAST(8 * px + 3 AS BIGINT) AS mean_x2
+    FROM documents,
+         UNNEST(generate_series(0, 1)) t1(py),
+         UNNEST(generate_series(0, 3)) t2(px)
+    WHERE doc_id < 50
+    """,
+)
+def multimodal_patchify(spark, sf_dir):
+    """Image → patch grid (the ViT/MAE preprocessing shape): real PPM
+    decode, numpy reshape+transpose into non-overlapping 4x4 patches,
+    per-patch statistics — all inside mapInPandas, partition-parallel,
+    no shuffle. The synthetic gradient image makes every patch mean an
+    exact integer the oracle derives in closed form (column-gradient
+    pixels → patch mean*2 = 8*px + 3)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).select("doc_id")
+    return d.mapInPandas(
+        _patchify, schema="doc_id long, patch_id long, mean_x2 long"
+    )
+
+
+def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-level energy + voice-activity flag over real WAV payloads:
+    a half-active square-wave signal (amplitude derived from doc_id)
+    makes per-frame RMS exact — active frames rms == amp, silent == 0."""
+    import numpy as np
+
+    FRAME = 160  # 20 ms at 8 kHz
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            amp = 500 + doc_id % 300
+            n_frames = 4 + doc_id % 4
+            half = n_frames // 2
+            sig = np.zeros(n_frames * FRAME, dtype=np.int16)
+            active = np.tile(
+                np.array([amp, -amp], dtype=np.int16), half * FRAME // 2
+            )
+            sig[: half * FRAME] = active
+            wav = encode_wav(sig, rate=8000)
+            d = decode_media(wav)
+            samples = np.frombuffer(wav[-len(sig) * 2 :], dtype=np.int16)
+            frames = samples.astype(np.float64).reshape(n_frames, FRAME)
+            rms = np.sqrt((frames**2).mean(axis=1))
+            for i in range(n_frames):
+                rows.append(
+                    (
+                        doc_id,
+                        i,
+                        int(round(rms[i])),
+                        bool(rms[i] > 0),
+                        int(d["sample_rate"]),
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "rms_amp", "voiced", "rate"]
+        )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN i < (4 + doc_id % 4) // 2
+                     THEN 500 + doc_id % 300 ELSE 0 END AS BIGINT) AS rms_amp,
+           i < (4 + doc_id % 4) // 2 AS voiced,
+           CAST(8000 AS BIGINT) AS rate
+    FROM documents,
+         UNNEST(generate_series(0, 7)) t(i)
+    WHERE doc_id < 50 AND i < 4 + doc_id % 4
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """Audio frame energy / voice-activity detection over REAL WAV
+    payloads: encode a half-active square wave per doc, decode through
+    the RIFF parser, window into 20 ms frames, per-frame RMS + voiced
+    flag — the standard VAD front-end of a speech data pipeline, run
+    partition-parallel in mapInPandas with every value pinned exactly
+    (active frame RMS equals the amplitude, silence is 0)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).select("doc_id")
+    return d.mapInPandas(
+        _audio_energy,
+        schema="doc_id long, frame_idx long, rms_amp long, voiced boolean, rate long",
+    )

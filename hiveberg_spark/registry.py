@@ -163,6 +163,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",
+    "multimodal_patchify",
+    "multimodal_audio_energy",
     "snapshot_dml_prune_compose",
     "snapshot_format_dispatch",
     # pass(r4), zero churn since; displaced by stream_changelog_source
