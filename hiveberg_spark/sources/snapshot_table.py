@@ -1949,6 +1949,16 @@ class SnapshotTable:
         else:
             writer = df
             write_opts = {}
+            # Iceberg write.<fmt>.compression-codec: per-table codec
+            # choice (zstd for cold data, snappy/lz4 for hot) passed to
+            # the native writer; invalid names fail the commit loudly
+            codec = (
+                props.get(f"write.{fmt}.compression-codec", "")
+                .strip()
+                .lower()
+            )
+            if codec:
+                write_opts["compression"] = codec
             if fmt == "parquet":
                 # Iceberg write.parquet.bloom-filter-enabled.column.<c>:
                 # per-column bloom filters for row-group skipping on

@@ -2452,3 +2452,31 @@ def test_cherry_pick_applies_one_branch_commit(spark, warehouse):
         spark, warehouse, f"CALL system.cherrypick_snapshot('cherry_sql', {sid})"
     )
     assert t2.scan(virtual_column=None).count() == 2
+
+
+def test_compression_codec_property_reaches_writer(spark, warehouse):
+    """Iceberg write.parquet.compression-codec: the table property picks
+    the physical codec of committed files (checked in the footer), and
+    scans read them back transparently."""
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "codec_t"))
+    t.set_properties({"write.parquet.compression-codec": "zstd"})
+    t.append(_simple_df(spark, [(i, f"r{i}") for i in range(10)]))
+    files = t.plan_files()
+    assert files
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        for f in files
+    }
+    assert codecs == {"ZSTD"}
+    assert t.scan(virtual_column=None).count() == 10
+    # switching the property affects only NEW files (per-file codec)
+    t.set_properties({"write.parquet.compression-codec": "snappy"})
+    t.append(_simple_df(spark, [(99, "z")]))
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        for f in t.plan_files()
+    }
+    assert codecs == {"ZSTD", "SNAPPY"}
+    assert t.scan(virtual_column=None).count() == 11
