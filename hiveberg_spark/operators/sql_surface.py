@@ -2044,3 +2044,78 @@ def snapshot_cherry_pick(spark, sf_dir):
     with _lock:
         t = build_once(spark, loc, builder)
     return t.scan(virtual_column=None).select("r_regionkey", "r_name")
+
+
+@query(
+    "materialized_rollup_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           TRUE AS incremental
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def materialized_rollup_refresh(spark, sf_dir):
+    """Materialized aggregate with INCREMENTAL refresh — the rollup
+    pattern the table format's incremental read exists for: an events
+    rollup (count/sum/max per event_type) is materialized over the
+    first half of the stream, the second half lands as a new source
+    commit, and `refresh()` reads ONLY that delta (scan_changes) and
+    upserts ONLY the affected keys (equality delete + append). The
+    refreshed rollup must equal the full-recompute oracle over ALL
+    events; `incremental` pins that the refresh really was a delta
+    upsert (rollup has >= 3 snapshots: initial + delete + append), not
+    a silent rebuild. At 100 TB: refresh cost is O(new data + touched
+    keys), never O(table) — the nightly-rollup shape."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.materialized import MaterializedAggregate
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable, build_once
+
+    wh = warehouse_dir(sf_dir)
+    src_loc = os.path.join(wh, "events_mv_src")
+    mv_loc = os.path.join(wh, "events_mv")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    mid = int(
+        events.agg(F.floor((F.min("event_id") + F.max("event_id")) / 2.0)).head()[0]
+    )
+
+    with _lock:
+        src = build_once(
+            spark,
+            src_loc,
+            lambda t: t.append(events.filter(F.col("event_id") <= mid)),
+        )
+        if not os.path.exists(os.path.join(mv_loc, "mv_state.json")):
+            mv = MaterializedAggregate.create(
+                spark,
+                mv_loc,
+                src,
+                ["event_type"],
+                {
+                    "n_events": ("count", ""),
+                    "total_value": ("sum", "value"),
+                    "max_value": ("max", "value"),
+                },
+            )
+            src.append(events.filter(F.col("event_id") > mid))
+            mv.refresh()
+        else:
+            mv = MaterializedAggregate.load(spark, mv_loc)
+    incremental = mv.table().snapshots().count() >= 3
+    return mv.read().select(
+        "event_type",
+        "n_events",
+        "total_value",
+        F.col("max_value").cast("double").alias("max_value"),
+        F.lit(bool(incremental)).alias("incremental"),
+    )

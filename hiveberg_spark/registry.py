@@ -165,6 +165,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "multimodal_real_decode",
     "multimodal_patchify",
     "multimodal_audio_energy",
+    "materialized_rollup_refresh",
     "snapshot_dml_prune_compose",
     "snapshot_format_dispatch",
     # pass(r4), zero churn since; displaced by stream_changelog_source

@@ -1,0 +1,108 @@
+"""Incrementally-maintained materialized aggregates: refresh reads only
+the appended delta, upserts only affected keys, equals a full
+recompute, and refuses DML ranges."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiveberg_spark.sources.materialized import MaterializedAggregate
+from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k string, v double").coalesce(1)
+
+
+SPECS = {
+    "n": ("count", ""),
+    "total": ("sum", "v"),
+    "vmin": ("min", "v"),
+    "vmax": ("max", "v"),
+}
+
+
+def _expect(spark, src):
+    return {
+        (r.k, r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in src.scan(virtual_column=None)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(30,6)")).cast("double").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+
+
+def _got(mv):
+    return {
+        (r.k, r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in mv.read().collect()
+    }
+
+
+def test_refresh_equals_full_recompute(spark, warehouse):
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "src"))
+    src.append(_rows(spark, [("a", 1.5), ("a", 2.0), ("b", -3.0)]))
+    mv = MaterializedAggregate.create(
+        spark, os.path.join(warehouse, "mv"), src, ["k"], SPECS
+    )
+    assert _got(mv) == _expect(spark, src)
+    # delta touches one existing key and one new key
+    src.append(_rows(spark, [("a", 10.0), ("c", 7.25)]))
+    r = mv.refresh()
+    assert r["updated_keys"] == 2
+    assert _got(mv) == _expect(spark, src)
+    # untouched key 'b' row carried; a no-op refresh moves nothing
+    assert mv.refresh()["updated_keys"] == 0
+    # the rollup is itself time-travelable: snapshot 1 = initial state
+    first = mv.table().scan(snapshot_id=1, virtual_column=None)
+    assert {r.k for r in first.collect()} == {"a", "b"}
+    assert first.filter("k = 'a'").head().n == 2
+
+
+def test_refresh_multiple_appends_one_pass(spark, warehouse):
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "src2"))
+    src.append(_rows(spark, [("x", 1.0)]))
+    mv = MaterializedAggregate.create(
+        spark, os.path.join(warehouse, "mv2"), src, ["k"], SPECS
+    )
+    src.append(_rows(spark, [("x", 2.0)]))
+    src.append(_rows(spark, [("y", 5.0)]))
+    assert mv.refresh()["updated_keys"] == 2  # both commits in ONE pass
+    assert _got(mv) == _expect(spark, src)
+
+
+def test_refresh_refuses_dml_range(spark, warehouse):
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "src3"))
+    src.append(_rows(spark, [("a", 1.0), ("b", 2.0)]))
+    mv = MaterializedAggregate.create(
+        spark, os.path.join(warehouse, "mv3"), src, ["k"], SPECS
+    )
+    src.delete_where("k = 'a'")
+    with pytest.raises(ValueError, match="append-only"):
+        mv.refresh()
+
+
+def test_create_rejects_non_mergeable(spark, warehouse):
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "src4"))
+    src.append(_rows(spark, [("a", 1.0)]))
+    with pytest.raises(ValueError, match="not incrementally mergeable"):
+        MaterializedAggregate.create(
+            spark,
+            os.path.join(warehouse, "mv4"),
+            src,
+            ["k"],
+            {"med": ("median", "v")},
+        )
