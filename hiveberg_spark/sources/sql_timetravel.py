@@ -310,6 +310,44 @@ _CREATE_VIEW_RE = re.compile(
     r"(?P<select>SELECT\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+"
+    r"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<src>[A-Za-z_]\w*)\s+"
+    r"GROUP\s+BY\s+(?P<keys>[A-Za-z_][\w,\s]*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+#: one select-list item of the restricted MV grammar: a group key or
+#: COUNT(*)/SUM/MIN/MAX(expr) AS alias
+_MV_AGG_ITEM_RE = re.compile(
+    r"^(?P<kind>COUNT|SUM|MIN|MAX)\s*\(\s*(?P<expr>\*|.+?)\s*\)\s+AS\s+"
+    r"(?P<alias>[A-Za-z_]\w*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
+
 _DROP_VIEW_RE = re.compile(
     r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
@@ -443,6 +481,79 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
             kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
             ddl += f"\nTBLPROPERTIES ({kv})"
         return spark.createDataFrame([(ddl,)], "createtab_stmt string")
+    m = _CREATE_MV_RE.match(sql)
+    if m:
+        # restricted incremental-maintenance grammar: group keys +
+        # COUNT(*)/SUM/MIN/MAX(expr) AS alias over ONE source table —
+        # exactly the decomposable shape MaterializedAggregate refreshes
+        # from deltas; anything richer belongs in a stored (virtual)
+        # view, which re-plans per read
+        from hiveberg_spark.sources.materialized import MaterializedAggregate
+
+        name = m.group("name")
+        if _exists(name):
+            raise ValueError(f"a table named {name!r} already exists")
+        keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+        specs: dict[str, tuple[str, str]] = {}
+        plain: list[str] = []
+        for item in _split_top_level_commas(m.group("items")):
+            am = _MV_AGG_ITEM_RE.match(item)
+            if am:
+                kind = am.group("kind").lower()
+                expr = am.group("expr")
+                if kind == "count" and expr != "*":
+                    raise ValueError(
+                        "materialized views support COUNT(*) only "
+                        "(COUNT(expr) is not delta-mergeable with nulls)"
+                    )
+                specs[am.group("alias")] = (
+                    kind,
+                    "" if kind == "count" else expr,
+                )
+            else:
+                plain.append(item)
+        if sorted(plain) != sorted(keys):
+            raise ValueError(
+                f"non-aggregate select items {plain} must equal the "
+                f"GROUP BY keys {keys}"
+            )
+        if not specs:
+            raise ValueError("materialized view needs at least one aggregate")
+        MaterializedAggregate.create(
+            spark, os.path.join(warehouse, name), _table(m.group("src")),
+            keys, specs,
+        )
+        return spark.createDataFrame(
+            [(name, "create_materialized_view")], "table string, ddl string"
+        )
+    m = _REFRESH_MV_RE.match(sql)
+    if m:
+        from hiveberg_spark.sources.materialized import MaterializedAggregate
+
+        mv = MaterializedAggregate.load(
+            spark, os.path.join(warehouse, m.group("name"))
+        )
+        r = mv.refresh()
+        return spark.createDataFrame(
+            [(m.group("name"), r["from"], r["to"], r["updated_keys"])],
+            "table string, from_snapshot long, to_snapshot long, updated_keys long",
+        )
+    m = _DROP_MV_RE.match(sql)
+    if m:
+        from hiveberg_spark.sources.snapshot_table import drop_table, list_tables
+
+        name = m.group("name")
+        loc = os.path.join(warehouse, name)
+        existed = name in list_tables(warehouse) and os.path.exists(
+            os.path.join(loc, "mv_state.json")
+        )
+        if existed:
+            drop_table(warehouse, name)
+        elif "IF EXISTS" not in sql.upper():
+            raise ValueError(f"no such materialized view: {name}")
+        return spark.createDataFrame(
+            [(name, bool(existed))], "table string, dropped boolean"
+        )
     m = _CREATE_VIEW_RE.match(sql)
     if m:
         name = m.group("name")

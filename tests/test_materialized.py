@@ -106,3 +106,53 @@ def test_create_rejects_non_mergeable(spark, warehouse):
             ["k"],
             {"med": ("median", "v")},
         )
+
+
+def test_materialized_view_sql_statements(spark, warehouse):
+    """CREATE/REFRESH/DROP MATERIALIZED VIEW through the SQL layer; the
+    MV is queryable like any snapshot table."""
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "ev"))
+    src.append(_rows(spark, [("a", 1.0), ("a", 2.0), ("b", 5.0)]))
+    execute_sql(
+        spark,
+        warehouse,
+        "CREATE MATERIALIZED VIEW ev_mv AS "
+        "SELECT k, COUNT(*) AS n, SUM(v) AS total FROM ev GROUP BY k",
+    )
+    got = {
+        (r.k, r.n, r.total)
+        for r in execute_sql(
+            spark, warehouse, "SELECT k, n, total FROM ev_mv"
+        ).collect()
+    }
+    assert got == {("a", 2, 3.0), ("b", 1, 5.0)}
+    src.append(_rows(spark, [("b", 1.0), ("c", 9.0)]))
+    r = execute_sql(
+        spark, warehouse, "REFRESH MATERIALIZED VIEW ev_mv"
+    ).head()
+    assert r.updated_keys == 2
+    got = {
+        (x.k, x.n, x.total)
+        for x in execute_sql(
+            spark, warehouse, "SELECT k, n, total FROM ev_mv"
+        ).collect()
+    }
+    assert got == {("a", 2, 3.0), ("b", 2, 6.0), ("c", 1, 9.0)}
+    # grammar guards
+    with pytest.raises(ValueError, match="GROUP BY keys"):
+        execute_sql(
+            spark, warehouse,
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT k, other, COUNT(*) AS n FROM ev GROUP BY k",
+        )
+    with pytest.raises(ValueError, match="COUNT"):
+        execute_sql(
+            spark, warehouse,
+            "CREATE MATERIALIZED VIEW bad2 AS "
+            "SELECT k, COUNT(v) AS n FROM ev GROUP BY k",
+        )
+    execute_sql(spark, warehouse, "DROP MATERIALIZED VIEW ev_mv")
+    with pytest.raises(ValueError, match="no such materialized view"):
+        execute_sql(spark, warehouse, "DROP MATERIALIZED VIEW ev_mv")
