@@ -2393,13 +2393,17 @@ class SnapshotTable:
             os.unlink(lock)
 
     def _widened_read_schema(self, meta: dict) -> StructType | None:
-        """Explicit read schema for tables with widened columns (None
-        otherwise — the zero-overhead default path): the CURRENT schema,
-        plus one field per rename-log OLD name (typed as its current
-        column) so pre-rename files still surface their data for
-        _apply_renames to coalesce. Spark's readers upcast narrow
-        physical types into this schema natively."""
-        if not meta.get("widenings") or not meta.get("schema_json"):
+        """Explicit read schema for tables with widened OR added columns
+        (None otherwise — the zero-overhead default path): the CURRENT
+        schema, plus one field per rename-log OLD name (typed as its
+        current column) so pre-rename files still surface their data
+        for _apply_renames to coalesce. Spark's readers upcast narrow
+        physical types into this schema natively, and null-fill fields
+        a file lacks — which is what makes add_column metadata-only
+        without a driver-side mergeSchema footer sweep at scan time."""
+        if not (meta.get("widenings") or meta.get("added_columns")) or not meta.get(
+            "schema_json"
+        ):
             return None
         schema = StructType.fromJson(json.loads(meta["schema_json"]))
         by_name = {f.name: f for f in schema.fields}
@@ -2440,6 +2444,53 @@ class SnapshotTable:
                 if not kept.fields:
                     raise ValueError("cannot drop the last column")
                 meta["schema_json"] = kept.json()
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+
+    def add_column(self, name: str, type_ddl: str) -> None:
+        """Add an optional column to the table schema (Iceberg
+        UpdateSchema.addColumn). Metadata-only: no file is touched;
+        rows written before the add surface NULL — the scan null-fills
+        every declared column absent from the files read, so the new
+        column is queryable immediately, before any write carries it.
+        Re-adding a previously dropped name is refused (old file data
+        would resurrect through the merged read — the same caveat the
+        drop documents)."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        dtype = _parse_datatype_string(type_ddl)
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            if name in meta.get("drops", []):
+                raise ValueError(
+                    f"cannot re-add dropped column {name!r}: historical "
+                    "file data would resurrect under the new field"
+                )
+            if not meta.get("schema_json"):
+                raise ValueError(
+                    "table has no declared schema yet; the first append "
+                    "declares it"
+                )
+            schema = StructType.fromJson(json.loads(meta["schema_json"]))
+            if name in schema.fieldNames():
+                raise ValueError(f"column already exists: {name!r}")
+            live = (
+                self._raw_entries_as_of(meta, meta["current_snapshot_id"])
+                if meta["current_snapshot_id"] is not None
+                else []
+            )
+            if any(f.endswith(".avro") for f, _, _ in live):
+                raise NotImplementedError(
+                    "add_column is unsupported with live avro data files "
+                    "(explicit read schemas do not reach the pure-Python "
+                    "avro decoder)"
+                )
+            meta["schema_json"] = StructType(
+                list(schema.fields) + [StructField(name, dtype, True)]
+            ).json()
+            meta.setdefault("added_columns", []).append(name)
             self._write_meta(meta)
         finally:
             os.unlink(lock)
@@ -3021,6 +3072,21 @@ class SnapshotTable:
             df = self._apply_mor_deletes(
                 df, deletes, self._file_seq_as_of(meta, sid), renames
             ).drop("__hb_file", "__hb_pos")
+        # declared columns no file carries yet (add_column before any
+        # write) surface as typed NULLs — Iceberg reads through the
+        # CURRENT schema
+        declared = (
+            StructType.fromJson(json.loads(meta["schema_json"]))
+            if meta.get("schema_json")
+            else None
+        )
+        if declared is not None:
+            have = set(df.columns)
+            for fld in declared.fields:
+                if fld.name not in have:
+                    df = df.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(sid).cast("long"))
         return df

@@ -334,20 +334,6 @@ _MV_AGG_ITEM_RE = re.compile(
 )
 
 
-def _split_top_level_commas(s: str) -> list[str]:
-    parts, depth, start = [], 0, 0
-    for i, c in enumerate(s):
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif c == "," and depth == 0:
-            parts.append(s[start:i].strip())
-            start = i + 1
-    parts.append(s[start:].strip())
-    return [p for p in parts if p]
-
-
 _DROP_VIEW_RE = re.compile(
     r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
@@ -363,6 +349,41 @@ _DROP_COL_RE = re.compile(
     r"(?P<col>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+ADD\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+"
+    r"(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+    r"(?:\s*<[^>]+>)?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+#: Iceberg partition-spec evolution statements:
+#: ALTER TABLE t ADD PARTITION FIELD bucket(c, 16) | truncate(c, 4) |
+#: day(c) | c (identity); DROP PARTITION FIELD <same form>
+_PART_FIELD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+"
+    r"(?P<op>ADD|DROP)\s+PARTITION\s+FIELD\s+(?P<field>.+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_TRANSFORM_RE = re.compile(
+    r"^(?:(?P<kind>bucket|truncate|day|identity)\s*\(\s*(?P<col>[A-Za-z_]\w*)"
+    r"\s*(?:,\s*(?P<arg>\d+)\s*)?\)|(?P<bare>[A-Za-z_]\w*))$",
+    re.IGNORECASE,
+)
+
+
+def _parse_transform(field: str) -> list:
+    m = _TRANSFORM_RE.match(field.strip())
+    if not m:
+        raise ValueError(f"bad partition field: {field!r}")
+    if m.group("bare"):
+        return ["identity", m.group("bare"), None]
+    kind = m.group("kind").lower()
+    arg = m.group("arg")
+    if kind in ("bucket", "truncate") and arg is None:
+        raise ValueError(f"{kind} needs a numeric argument: {field!r}")
+    return [kind, m.group("col"), int(arg) if arg is not None else None]
+
+
 _ALTER_TYPE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
     r"(?P<col>[A-Za-z_]\w*)\s+TYPE\s+(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)\s*;?\s*$",
@@ -618,6 +639,30 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         _table(m.group("table")).widen_column(m.group("col"), m.group("type"))
         return spark.createDataFrame(
             [(m.group("table"), "widen_column")], "table string, ddl string"
+        )
+    m = _ADD_COL_RE.match(sql)
+    if m:
+        _table(m.group("table")).add_column(m.group("col"), m.group("type"))
+        return spark.createDataFrame(
+            [(m.group("table"), "add_column")], "table string, ddl string"
+        )
+    m = _PART_FIELD_RE.match(sql)
+    if m:
+        t = _table(m.group("table"))
+        tr = _parse_transform(m.group("field"))
+        spec = [list(x) for x in (t._read_meta().get("partition_spec") or [])]
+        if m.group("op").upper() == "ADD":
+            if tr in spec:
+                raise ValueError(f"partition field already in spec: {tr}")
+            spec.append(tr)
+        else:
+            if tr not in spec:
+                raise ValueError(f"no such partition field in spec: {tr}")
+            spec.remove(tr)
+        t.update_partition_spec([tuple(x) for x in spec] or None)
+        return spark.createDataFrame(
+            [(m.group("table"), f"{m.group('op').lower()}_partition_field")],
+            "table string, ddl string",
         )
     m = _SET_PROPS_RE.match(sql)
     if m:

@@ -2480,3 +2480,57 @@ def test_compression_codec_property_reaches_writer(spark, warehouse):
     }
     assert codecs == {"ZSTD", "SNAPPY"}
     assert t.scan(virtual_column=None).count() == 11
+
+
+def test_add_column_evolution(spark, warehouse):
+    """Iceberg UpdateSchema.addColumn: metadata-only add; pre-add rows
+    surface typed NULLs immediately (before any write carries the
+    column), post-add writes fill it; re-adding a dropped name
+    refuses."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "addcol"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    t.add_column("score", "double")
+    df = t.scan(virtual_column=None)
+    assert df.schema["score"].dataType.simpleString() == "double"
+    assert [r.score for r in df.collect()] == [None, None]
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 1.5)], "id long, data string, score double"
+        )
+    )
+    got = {(r.id, r.score) for r in t.scan(virtual_column=None).collect()}
+    assert got == {(1, None), (2, None), (3, 1.5)}
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("score", "double")
+    t.drop_column("score")
+    with pytest.raises(ValueError, match="re-add dropped"):
+        t.add_column("score", "int")
+
+
+def test_add_column_and_partition_field_sql(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "ddl_t"))
+    t.append(_simple_df(spark, [(i, f"r{i}") for i in range(20)]))
+    execute_sql(spark, warehouse, "ALTER TABLE ddl_t ADD COLUMN tag string")
+    assert "tag" in t.scan(virtual_column=None).columns
+    # partition-spec evolution through SQL: writes after ADD cluster by
+    # the bucket; DROP restores the unpartitioned spec
+    execute_sql(
+        spark, warehouse, "ALTER TABLE ddl_t ADD PARTITION FIELD bucket(id, 4)"
+    )
+    assert t._read_meta()["partition_spec"] == [["bucket", "id", 4]]
+    t.append(_simple_df(spark, [(100, "x")]))
+    parts = t._read_meta()  # new file landed under a _p_ dir
+    files, partitions, _ = t._list_data_files(
+        os.path.join(t.location, "data"), "", "parquet"
+    )
+    assert any("_p_id_bucket4" in str(p) for p in partitions.values())
+    execute_sql(
+        spark, warehouse, "ALTER TABLE ddl_t DROP PARTITION FIELD bucket(id, 4)"
+    )
+    assert not t._read_meta()["partition_spec"]
+    with pytest.raises(ValueError, match="no such partition field"):
+        execute_sql(
+            spark, warehouse, "ALTER TABLE ddl_t DROP PARTITION FIELD day(id)"
+        )
