@@ -1474,6 +1474,75 @@ def snapshot_partition_evolution(spark, sf_dir):
 
 
 @query(
+    "snapshot_time_transforms",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_recent,
+           CAST(COUNT(DISTINCT STRFTIME(o_orderdate, '%Y-%m')) AS BIGINT) AS n_months,
+           TRUE AS month_files_pruned,
+           TRUE AS year_spec_added
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def snapshot_time_transforms(spark, sf_dir):
+    """Iceberg time-family partition transforms (Transforms.month/year;
+    day shipped in r2, hour covered by unit tests): orders before 1999
+    land under month(o_orderdate); the spec then evolves to
+    month+year — metadata-only — and the rest lands under both. A plain
+    range predicate on the SOURCE column prunes the pre-1999 files with
+    no query rewrite (`month_files_pruned`): time transforms are
+    monotonic, so partitioned writes make each file's footer min/max
+    tight and the existing InclusiveMetricsEvaluator path covers them —
+    no transform-specific evaluator, exactly why Iceberg pruning
+    composes. At 100 TB this is THE layout for time-series fact tables:
+    a month of data is O(one partition), not O(table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "orders_time_transforms")
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    cutoff = F.lit("1999-01-01").cast("timestamp_ntz")
+
+    def builder(table):
+        d = F.col("o_orderdate")
+        table.append(orders.filter(d < cutoff))
+        table.update_partition_spec(
+            [("month", "o_orderdate", None), ("year", "o_orderdate", None)]
+        )
+        table.append(orders.filter(d >= cutoff))
+
+    with _lock:
+        t = build_once(
+            spark,
+            loc,
+            builder,
+            partition_spec=[("month", "o_orderdate", None)],
+        )
+    where = "o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'"
+    pruned = len(t.plan_files(where)) < len(t.plan_files())
+    spec_ok = t._read_meta()["partition_spec"] == [
+        ["month", "o_orderdate", None],
+        ["year", "o_orderdate", None],
+    ]
+    return (
+        t.scan_where(where, virtual_column=None)
+        .agg(
+            F.count("*").cast("long").alias("n_recent"),
+            F.countDistinct(F.date_format("o_orderdate", "yyyy-MM"))
+            .cast("long")
+            .alias("n_months"),
+        )
+        .withColumn("month_files_pruned", F.lit(bool(pruned)))
+        .withColumn("year_spec_added", F.lit(bool(spec_ok)))
+    )
+
+
+@query(
     "snapshot_partitions_table",
     oracle="""
     SELECT CAST(n_regionkey AS VARCHAR) AS region,

@@ -160,6 +160,7 @@ DRIVER_WINDOW: list[str] = [
 # oracle parity at sf0.001 + sf0.01 this round); rotate into round 6.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # late-round-5 additions, never driver-checked — lead round 6
+    "snapshot_time_transforms",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",

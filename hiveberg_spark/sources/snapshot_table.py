@@ -522,7 +522,8 @@ class SnapshotTable:
         `partition_spec` declares Iceberg-style HIDDEN partitioning —
         transforms of source columns, never extra columns the user
         writes or queries: [("bucket", "id", 8), ("truncate", "name", 2),
-        ("day", "ts", None), ("identity", "region", None)]. Appends
+        ("day", "ts", None), ("year", "ts", None), ("month", "ts", None),
+        ("hour", "ts", None), ("identity", "region", None)]. Appends
         cluster data files by the transform values; queries on the
         SOURCE columns prune files with no query rewrite (Iceberg
         PartitionSpec, the second capability VERDICT r1 flagged as
@@ -546,7 +547,7 @@ class SnapshotTable:
             if isinstance(schema, str):
                 schema = StructType.fromDDL(schema)
             for t in partition_spec or []:
-                if t[0] not in ("bucket", "truncate", "day", "identity"):
+                if t[0] not in _TRANSFORM_KINDS:
                     raise ValueError(f"unknown partition transform: {t[0]}")
             if file_format not in ("parquet", "orc", "avro"):
                 raise ValueError(f"unsupported file_format: {file_format}")
@@ -2269,7 +2270,7 @@ class SnapshotTable:
         split-planning-per-spec behavior. Pass None/[] to stop
         partitioning new writes."""
         for t in partition_spec or []:
-            if t[0] not in ("bucket", "truncate", "day", "identity"):
+            if t[0] not in _TRANSFORM_KINDS:
                 raise ValueError(f"unknown partition transform: {t[0]}")
         lock = self._acquire_lock()
         try:
@@ -3915,6 +3916,21 @@ def _typed_partition_value(v: str | None, simple_type: str):
     return None
 
 
+#: Iceberg Transforms (PartitionSpec grammar): bucket is the only
+#: non-monotonic one (needs its own pruning path); the time family and
+#: truncate/identity prune through footer min/max on the source column
+#: because partitioned writes cluster each file's bounds tightly.
+_TRANSFORM_KINDS = (
+    "bucket",
+    "truncate",
+    "day",
+    "year",
+    "month",
+    "hour",
+    "identity",
+)
+
+
 def _pfield_name(tr: tuple) -> str:
     """Directory-name-safe hidden partition field for a transform tuple."""
     kind, src = tr[0], tr[1]
@@ -3923,16 +3939,20 @@ def _pfield_name(tr: tuple) -> str:
         return f"_p_{src}_bucket{arg}"
     if kind == "truncate":
         return f"_p_{src}_trunc{arg}"
-    if kind == "day":
-        return f"_p_{src}_day"
+    if kind in ("day", "year", "month", "hour"):
+        return f"_p_{src}_{kind}"
     return f"_p_{src}"  # identity
 
 
 def _transform_expr(tr: tuple, schema: StructType):
     """The Spark expression computing a partition transform (Iceberg
-    Transforms.bucket/truncate/day/identity). Bucket hashes with
-    xxhash64 — engine-specific but self-consistent: pruning evaluates
-    literals through the same expression, never a reimplementation."""
+    Transforms.bucket/truncate/year/month/day/hour/identity). Bucket
+    hashes with xxhash64 — engine-specific but self-consistent: pruning
+    evaluates literals through the same expression, never a
+    reimplementation. The time family renders human-readable monotonic
+    strings (Iceberg stores epoch ordinals; a documented divergence —
+    both cluster identically and our pruning never reads the rendered
+    value, only source-column footer bounds)."""
     from pyspark.sql.types import StringType
 
     kind, src = tr[0], tr[1]
@@ -3946,6 +3966,12 @@ def _transform_expr(tr: tuple, schema: StructType):
         return c - F.pmod(c, F.lit(int(arg)))
     if kind == "day":
         return F.to_date(c).cast("string")
+    if kind == "year":
+        return F.date_format(c, "yyyy")
+    if kind == "month":
+        return F.date_format(c, "yyyy-MM")
+    if kind == "hour":
+        return F.date_format(c, "yyyy-MM-dd-HH")
     return c  # identity
 
 

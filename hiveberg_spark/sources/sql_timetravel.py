@@ -358,14 +358,16 @@ _ADD_COL_RE = re.compile(
 )
 #: Iceberg partition-spec evolution statements:
 #: ALTER TABLE t ADD PARTITION FIELD bucket(c, 16) | truncate(c, 4) |
-#: day(c) | c (identity); DROP PARTITION FIELD <same form>
+#: year(c) | month(c) | day(c) | hour(c) | c (identity);
+#: DROP PARTITION FIELD <same form>
 _PART_FIELD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+"
     r"(?P<op>ADD|DROP)\s+PARTITION\s+FIELD\s+(?P<field>.+?)\s*;?\s*$",
     re.IGNORECASE,
 )
 _TRANSFORM_RE = re.compile(
-    r"^(?:(?P<kind>bucket|truncate|day|identity)\s*\(\s*(?P<col>[A-Za-z_]\w*)"
+    r"^(?:(?P<kind>bucket|truncate|year|month|day|hour|identity)"
+    r"\s*\(\s*(?P<col>[A-Za-z_]\w*)"
     r"\s*(?:,\s*(?P<arg>\d+)\s*)?\)|(?P<bare>[A-Za-z_]\w*))$",
     re.IGNORECASE,
 )

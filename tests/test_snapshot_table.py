@@ -2534,3 +2534,78 @@ def test_add_column_and_partition_field_sql(spark, warehouse):
         execute_sql(
             spark, warehouse, "ALTER TABLE ddl_t DROP PARTITION FIELD day(id)"
         )
+
+
+def test_time_transforms_cluster_and_prune(spark, warehouse):
+    """year/month/hour transforms (Iceberg Transforms time family):
+    writes cluster into human-readable monotonic directories and a
+    range predicate on the SOURCE column prunes via footer stats —
+    no transform-specific evaluator needed."""
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "hourly"),
+        partition_spec=[("hour", "ts", None)],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "2024-03-01 10:05:00"),
+            (2, "2024-03-01 10:55:00"),
+            (3, "2024-03-01 11:05:00"),
+            (4, "2024-03-02 09:00:00"),
+        ],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    t.append(df)
+    _, partitions, _ = t._list_data_files(
+        os.path.join(t.location, "data"), "", "parquet"
+    )
+    hour_vals = {p.get("_p_ts_hour") for p in partitions.values()}
+    assert hour_vals == {"2024-03-01-10", "2024-03-01-11", "2024-03-02-09"}
+    total = len(t.plan_files())
+    kept = len(t.plan_files("ts >= TIMESTAMP '2024-03-02 00:00:00'"))
+    assert kept < total and kept >= 1
+    # scan answers stay exact regardless of pruning
+    got = {
+        r.id
+        for r in t.scan_where(
+            "ts >= TIMESTAMP '2024-03-02 00:00:00'", virtual_column=None
+        ).collect()
+    }
+    assert got == {4}
+
+
+def test_time_transform_sql_grammar_and_month_layout(spark, warehouse):
+    """ADD/DROP PARTITION FIELD accepts year(c)/month(c)/hour(c); month
+    writes land under yyyy-MM directories."""
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "tf_sql"),
+        schema="id long, data string, ts timestamp_ntz",
+    )
+    execute_sql(spark, warehouse, "ALTER TABLE tf_sql ADD PARTITION FIELD month(ts)")
+    assert t._read_meta()["partition_spec"] == [["month", "ts", None]]
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-15 00:00:00"), (2, "b", "2024-02-15 00:00:00")],
+        "id long, data string, ts_s string",
+    ).select("id", "data", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    t.append(df)
+    _, partitions, _ = t._list_data_files(
+        os.path.join(t.location, "data"), "", "parquet"
+    )
+    assert {p.get("_p_ts_month") for p in partitions.values()} == {
+        "2024-01",
+        "2024-02",
+    }
+    execute_sql(spark, warehouse, "ALTER TABLE tf_sql ADD PARTITION FIELD year(ts)")
+    assert t._read_meta()["partition_spec"] == [
+        ["month", "ts", None],
+        ["year", "ts", None],
+    ]
+    execute_sql(
+        spark, warehouse, "ALTER TABLE tf_sql DROP PARTITION FIELD month(ts)"
+    )
+    assert t._read_meta()["partition_spec"] == [["year", "ts", None]]
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        t.update_partition_spec([("decade", "ts", None)])
