@@ -789,3 +789,118 @@ def pipeline_corpus_build(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+#: DSIR selection budget as a fraction of the raw corpus
+DSIR_KEEP_FRAC = 0.25
+
+
+@query(
+    "sample_dsir_weights",
+    oracle=f"""
+    WITH wf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), occ AS (
+      SELECT doc_id, w FROM wf WHERE w <> ''
+    ), raw AS (
+      SELECT w, COUNT(*) AS rc FROM occ GROUP BY w
+    ), tgt AS (
+      SELECT o.w, COUNT(*) AS tc
+      FROM occ o JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY o.w
+    ), tot AS (
+      SELECT (SELECT SUM(rc) FROM raw) AS r_total,
+             (SELECT COALESCE(SUM(tc), 0) FROM tgt) AS t_total,
+             (SELECT COUNT(*) FROM raw) AS v
+    ), lr AS (
+      SELECT raw.w,
+             CAST(ROUND(LN((COALESCE(tgt.tc, 0) + 1.0) / (tot.t_total + tot.v))
+                        - LN((raw.rc + 1.0) / (tot.r_total + tot.v)), 6)
+                  AS DECIMAL(18,6)) AS lr
+      FROM raw LEFT JOIN tgt USING (w), tot
+    ), scored AS (
+      SELECT o.doc_id,
+             ROUND(CAST(SUM(lr.lr) AS DOUBLE) / COUNT(*), 6) AS dsir_score
+      FROM occ o JOIN lr ON o.w = lr.w
+      GROUP BY o.doc_id
+    )
+    SELECT doc_id, dsir_score,
+           (ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
+              <= FLOOR({DSIR_KEEP_FRAC} * COUNT(*) OVER ())) AS selected
+    FROM scored
+    """,
+)
+def sample_dsir_weights(spark, sf_dir):
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by the log importance
+    ratio of a TARGET language model over a RAW one — here add-one-
+    smoothed unigram bag-of-words models, target = the lang='en' slice —
+    and keep the top 25%. This is THE shape for steering a 100 TB crawl
+    toward a curated target domain without training a classifier.
+
+    Cross-engine determinism: per-word log-ratios are ROUND(...,6)ed
+    into DECIMAL(18,6) so each document's score is an exact decimal sum
+    (order-independent) divided once at the end; ties in the final rank
+    break on doc_id.
+
+    Scale shape: two word-count aggregates (one shuffle each on the
+    word key — the target one over a filtered subset), a ~vocab-sized
+    log-ratio frame the occurrence join broadcasts via AQE, and one
+    doc_id aggregate. Nothing driver-side. The paper's production
+    variant hashes n-grams into 2^k buckets (xxhash64 % 2^k here)
+    purely to bound the vocabulary — identical plan shape, smaller
+    build side; the unhashed unigram twin is what makes this
+    exact-oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    raw = occ.groupBy("w").agg(F.count("*").alias("rc"))
+    tgt = (
+        occ.join(docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("w")
+        .agg(F.count("*").alias("tc"))
+    )
+    tot = raw.agg(
+        F.sum("rc").alias("r_total"), F.count("*").alias("v")
+    ).crossJoin(
+        tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_total"))
+    )
+    lr = (
+        raw.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_total") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("rc") + F.lit(1.0)) / (F.col("r_total") + F.col("v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    scored = (
+        occ.join(lr, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("lr").cast("double") / F.count("*"), 6
+            ).alias("dsir_score")
+        )
+    )
+    w_all = W.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+    w_tot = W.partitionBy()
+    return scored.select(
+        "doc_id",
+        "dsir_score",
+        (
+            F.row_number().over(w_all)
+            <= F.floor(F.lit(DSIR_KEEP_FRAC) * F.count("*").over(w_tot))
+        ).alias("selected"),
+    )
