@@ -1543,6 +1543,68 @@ def snapshot_time_transforms(spark, sf_dir):
 
 
 @query(
+    "snapshot_entries_table",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_added, CAST(1 AS BIGINT) AS n_existing,
+           CAST(1 AS BIGINT) AS n_deleted, CAST(1 AS BIGINT) AS n_delete_files,
+           CAST(3 AS BIGINT) AS n_all_data_files,
+           CAST(1 AS BIGINT) AS n_unreachable,
+           (SELECT COUNT(*) FROM nation WHERE n_nationkey NOT IN (0, 10))
+             AS n_live_rows
+    """,
+)
+def snapshot_entries_table(spark, sf_dir):
+    """The `entries` and `all_files` metadata tables (Iceberg `entries`
+    status codes + the any-snapshot file census), completing the
+    metadata-table family seeded by the reference's `__snapshots`: two
+    single-file appends, a COW delete (rewrites one file, carries the
+    other), and a MOR delete give a table whose entries show exactly
+    one ADDED data file (the rewrite output), one EXISTING (the carried
+    survivor, keeping its original data sequence number), one DELETED
+    (the rewritten-away generation), and one live position-delete
+    entry; `all_files` sees all three data-file generations with the
+    dead one flagged not-live — the orphan-GC audit view. All
+    metadata-only: no data file is opened to answer any of it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_entries_meta")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def builder(table):
+        k = F.col("n_nationkey")
+        table.append(nation.filter(k < 10).repartition(1))
+        table.append(nation.filter(k >= 10).repartition(1))
+        table.delete_where("n_nationkey = 0")  # COW rewrite of file 1
+        table.delete_where("n_nationkey = 10", mode="merge-on-read")
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    e = t.entries()
+    counts = e.agg(
+        F.sum(((F.col("content") == "data") & (F.col("status") == 1)).cast("long")).alias("n_added"),
+        F.sum(((F.col("content") == "data") & (F.col("status") == 0)).cast("long")).alias("n_existing"),
+        F.sum(((F.col("content") == "data") & (F.col("status") == 2)).cast("long")).alias("n_deleted"),
+        F.sum((F.col("content") == "position-deletes").cast("long")).alias("n_delete_files"),
+    )
+    af = t.all_files().agg(
+        F.sum((F.col("content") == "data").cast("long")).alias("n_all_data_files"),
+        F.sum(((F.col("content") == "data") & ~F.col("live")).cast("long")).alias("n_unreachable"),
+    )
+    live = t.scan(virtual_column=None).agg(
+        F.count("*").alias("n_live_rows")
+    )
+    return counts.crossJoin(af).crossJoin(live)
+
+
+@query(
     "snapshot_partitions_table",
     oracle="""
     SELECT CAST(n_regionkey AS VARCHAR) AS region,

@@ -162,6 +162,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # late-round-5 additions, never driver-checked — lead round 6
     "snapshot_time_transforms",
     "sample_dsir_weights",
+    "snapshot_entries_table",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",

@@ -75,6 +75,8 @@ MANIFESTS_SUFFIX = "__manifests"  # Iceberg's `manifests` metadata table
 PARTITIONS_SUFFIX = "__partitions"  # Iceberg's `partitions` metadata table
 REFS_SUFFIX = "__refs"  # Iceberg's `refs` metadata table
 STATS_SUFFIX = "__stats"  # Iceberg's `statistics` files list (Puffin)
+ENTRIES_SUFFIX = "__entries"  # Iceberg's `entries` manifest-entry table
+ALL_FILES_SUFFIX = "__all_files"  # Iceberg's `all_files` (any snapshot)
 
 _FILES_SCHEMA = (
     "content string, file_path string, file_format string, "
@@ -3654,6 +3656,151 @@ class SnapshotTable:
             "data_files_count long, delete_files_count long",
         )
 
+    def entries(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `entries` metadata table (Iceberg `entries`, the raw
+        manifest-entry view under `files`): one row per (manifest,
+        content file) along the snapshot's lineage chain with Iceberg's
+        status codes — 1 ADDED (the manifest's snapshot is the file's
+        data sequence number), 0 EXISTING (carried by reference into a
+        later manifest: COW-rewrite survivors, add_files adoptions
+        keep their original seq), 2 DELETED (live in the parent of the
+        chain's replaces commit but absent from its manifest — the
+        COW-rewritten/compacted-away generation). Iceberg keeps DELETED
+        entries in rewritten manifests until they age out; here they are
+        synthesized from the replaces commit's parent diff — same
+        audit answer ('what did that rewrite drop'), no tombstone
+        storage. Metadata-only; no data file is opened."""
+        meta = self._read_meta()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta["current_snapshot_id"]
+        )
+        rows: list[tuple] = []
+        if sid is not None:
+            chain = self._lineage_chain(meta, sid)
+            info = self._file_info_as_of(meta)
+            # a file's data sequence number = the first snapshot whose
+            # manifest recorded it (paths are unique per commit-uuid
+            # dir, so first-recording IS the adder), with an explicit
+            # manifest file_seq override when one was written (MOR
+            # scoping commits record them)
+            first_rec: dict[str, int] = {}
+            for s0 in sorted(meta["snapshots"], key=lambda x: x["snapshot_id"]):
+                m0 = self._read_manifest_json(s0)
+                seq0 = m0.get("file_seq") or {}
+                for f0 in m0["files"]:
+                    first_rec.setdefault(
+                        f0, int(seq0.get(f0, s0["snapshot_id"]))
+                    )
+            for s in chain:
+                m = self._read_manifest_json(s)
+                recorded_seq = m.get("file_seq") or {}
+                for f in m["files"]:
+                    fseq = int(
+                        recorded_seq.get(
+                            f, first_rec.get(f, s["snapshot_id"])
+                        )
+                    )
+                    rows.append(
+                        (
+                            1 if fseq == s["snapshot_id"] else 0,
+                            s["snapshot_id"],
+                            fseq,
+                            "data",
+                            f,
+                            (info.get(f) or {}).get("records"),
+                        )
+                    )
+                for d in m.get("deletes", []):
+                    dseq = d.get("sid")
+                    rows.append(
+                        (
+                            1 if dseq == s["snapshot_id"] else 0,
+                            s["snapshot_id"],
+                            dseq,
+                            f"{d['type']}-deletes",
+                            d["path"],
+                            d.get("count"),
+                        )
+                    )
+            head = chain[0] if chain else None
+            known = {s["snapshot_id"] for s in meta["snapshots"]}
+            if head and head.get("replaces") and head.get("parent_id") in known:
+                head_files = set(self._read_manifest_json(head)["files"])
+                for f, _, _ in self._raw_entries_as_of(
+                    meta, head["parent_id"]
+                ):
+                    if f not in head_files:
+                        rows.append(
+                            (
+                                2,
+                                head["snapshot_id"],
+                                first_rec.get(f),
+                                "data",
+                                f,
+                                (info.get(f) or {}).get("records"),
+                            )
+                        )
+        return self.spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, data_sequence_number long, "
+            "content string, file_path string, record_count long",
+        )
+
+    def all_files(self) -> DataFrame:
+        """The `all_files` metadata table (Iceberg `all_files`: content
+        files referenced by ANY valid snapshot, not just the current
+        live set — Iceberg documents that this may list a file more
+        than once across snapshots; here each path surfaces once with
+        its original adder). The `live` column marks membership in the
+        CURRENT snapshot's live set — the orphan/GC audit view:
+        `live = false` rows are exactly what `expire_snapshots` would
+        reclaim once their snapshots age out. Metadata-only."""
+        meta = self._read_meta()
+        current = meta["current_snapshot_id"]
+        live: set[tuple[str, str]] = set()
+        if current is not None:
+            live = {
+                ("data", f)
+                for f, _, _ in self._raw_entries_as_of(meta, current)
+            } | {
+                (f"{d['type']}-deletes", d["path"])
+                for d in self._raw_deletes_as_of(meta, current)
+            }
+        info = self._file_info_as_of(meta)
+        seen: dict[tuple[str, str], tuple] = {}
+        for s in sorted(meta["snapshots"], key=lambda x: x["snapshot_id"]):
+            m = self._read_manifest_json(s)
+            recorded_seq = m.get("file_seq", {})
+            for f in m["files"]:
+                key = ("data", f)
+                if key not in seen:
+                    seen[key] = (
+                        int(recorded_seq.get(f, s["snapshot_id"])),
+                        (info.get(f) or {}).get("records"),
+                    )
+            for d in m.get("deletes", []):
+                key = (f"{d['type']}-deletes", d["path"])
+                if key not in seen:
+                    seen[key] = (d.get("sid"), d.get("count"))
+        rows = [
+            (
+                content,
+                path,
+                path.rsplit(".", 1)[-1],
+                adder,
+                records,
+                (content, path) in live,
+            )
+            for (content, path), (adder, records) in sorted(seen.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "content string, file_path string, file_format string, "
+            "added_snapshot_id long, record_count long, live boolean",
+        )
+
     def partitions(self, snapshot_id: int | None = None) -> DataFrame:
         """The `partitions` metadata table (Iceberg `partitions`): one
         row per live partition-value tuple with its file count, record
@@ -4114,6 +4261,16 @@ def resolve_table(
         base_loc = os.path.join(warehouse, base)
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).statistics()
+    if snapshots_table_enabled and name.endswith(ENTRIES_SUFFIX):
+        base = name[: -len(ENTRIES_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).entries()
+    if snapshots_table_enabled and name.endswith(ALL_FILES_SUFFIX):
+        base = name[: -len(ALL_FILES_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).all_files()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 
@@ -4215,6 +4372,8 @@ def register_sql_views(
         t.manifests().createOrReplaceTempView(name + MANIFESTS_SUFFIX)
         t.partitions().createOrReplaceTempView(name + PARTITIONS_SUFFIX)
         t.statistics().createOrReplaceTempView(name + STATS_SUFFIX)
+        t.entries().createOrReplaceTempView(name + ENTRIES_SUFFIX)
+        t.all_files().createOrReplaceTempView(name + ALL_FILES_SUFFIX)
         registered.extend(
             [
                 name,
@@ -4224,6 +4383,8 @@ def register_sql_views(
                 name + MANIFESTS_SUFFIX,
                 name + PARTITIONS_SUFFIX,
                 name + STATS_SUFFIX,
+                name + ENTRIES_SUFFIX,
+                name + ALL_FILES_SUFFIX,
             ]
         )
     return registered

@@ -2609,3 +2609,40 @@ def test_time_transform_sql_grammar_and_month_layout(spark, warehouse):
     assert t._read_meta()["partition_spec"] == [["year", "ts", None]]
     with pytest.raises(ValueError, match="unknown partition transform"):
         t.update_partition_spec([("decade", "ts", None)])
+
+
+def test_entries_and_all_files_metadata_tables(spark, warehouse):
+    """Iceberg `entries` (status 1/0/2 per manifest entry) and
+    `all_files` (any-snapshot file census with a live flag)."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "entries_t"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]).repartition(1))
+    t.append(_simple_df(spark, [(5, "x")]).repartition(1))
+    t.delete_where("id <= 1")  # COW: rewrites file1, carries file2
+    e = t.entries().collect()
+    data = [r for r in e if r.content == "data"]
+    assert sorted((r.status, r.snapshot_id) for r in data) == [
+        (0, 3),  # carried survivor keeps its original seq
+        (1, 3),  # the rewrite's output file
+        (2, 3),  # the rewritten-away generation
+    ]
+    carried = next(r for r in data if r.status == 0)
+    assert carried.data_sequence_number == 2
+    dropped = next(r for r in data if r.status == 2)
+    assert dropped.data_sequence_number == 1
+    # a MOR delete adds a position-delete content file to the entries
+    t.delete_where("id = 5", mode="merge-on-read")
+    e2 = t.entries()
+    assert (
+        e2.filter("content = 'position-deletes' AND status = 1").count() == 1
+    )
+    af = {(r.file_path, r.live) for r in t.all_files().collect() if r.content == "data"}
+    assert len(af) == 3
+    assert sorted(live for _, live in af) == [False, True, True]
+    assert t.all_files().filter("content = 'position-deletes' AND live").count() == 1
+    # suffix resolution reaches both
+    from hiveberg_spark.sources.snapshot_table import resolve_table
+
+    assert resolve_table(spark, warehouse, "entries_t__entries").count() == len(
+        e2.collect()
+    )
+    assert resolve_table(spark, warehouse, "entries_t__all_files").count() == 4
