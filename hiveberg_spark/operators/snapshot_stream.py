@@ -217,3 +217,103 @@ def stream_changelog_source(spark, sf_dir):
     out.count()  # materialize before the temp dirs are removed
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_rate_limited_source",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           TRUE AS multi_batch, TRUE AS start_excluded
+    FROM nation WHERE n_nationkey >= 8
+    GROUP BY n_regionkey
+    """,
+)
+def stream_rate_limited_source(spark, sf_dir):
+    """Rate-limited snapshot-table streaming read with a from-snapshot
+    start cursor (Iceberg's `streaming-max-files-per-micro-batch` +
+    `stream-from-snapshot-id` read options): subscribe to the
+    nation_versions table STARTING AFTER snapshot 1 — the initial
+    backlog is the file diff `plan_files(current) − plan_files(1)`,
+    resolved to per-commit data directories so pre-cursor files are
+    never opened, not row-filtered — and cap each micro-batch at one
+    file (`maxFilesPerTrigger`, the same backpressure valve: a stream
+    catching up on a 100 TB backlog must bound per-trigger state, not
+    swallow the table in one batch). Each micro-batch appends into a
+    mirror snapshot table (distributed write, no driver funnel) and
+    bumps a batch counter; `multi_batch` pins that the backlog really
+    split, `start_excluded` that no pre-cursor row leaked. The final
+    mirror aggregate equals the batch GROUP BY over snapshots 2-3."""
+    import json
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    t = _ensure_fixture(spark, sf_dir)
+    start_snapshot = 1
+    old = set(t.plan_files(snapshot_id=start_snapshot))
+    new_files = sorted(set(t.plan_files()) - old)
+    dirs = sorted({os.path.dirname(p) for p in new_files})
+    old_dirs = {os.path.dirname(p) for p in old}
+    if old_dirs & set(dirs):  # per-commit dirs make this impossible
+        raise ValueError("from-snapshot dirs overlap the pre-cursor set")
+    parents = {os.path.dirname(d) for d in dirs}
+    if len(parents) != 1:  # every commit dir lives under <location>/data
+        raise ValueError(f"expected one data root, got {sorted(parents)}")
+    names = [os.path.basename(d) for d in dirs]
+    path = os.path.join(
+        parents.pop(),
+        names[0] if len(names) == 1 else "{" + ",".join(names) + "}",
+    )
+
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_ratelim_{tag}")
+    ckpt = os.path.join(base, "ckpt")
+    counter_path = os.path.join(base, "batches.json")
+    os.makedirs(base)
+    with open(counter_path, "w") as fh:
+        json.dump({"batches": 0}, fh)
+
+    schema = t.schema()
+    mirror = SnapshotTable.create(
+        spark, os.path.join(base, "mirror"), schema=schema
+    )
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        mirror.append(batch_df)
+        state = json.load(open(counter_path))
+        state["batches"] += 1
+        with open(counter_path, "w") as fh:
+            json.dump(state, fh)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = json.load(open(counter_path))["batches"]
+    got = mirror.scan(virtual_column=None)
+    min_key = got.agg(F.min("n_nationkey")).head()[0]
+    out = (
+        got.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .withColumn("multi_batch", F.lit(bool(batches > 1)))
+        .withColumn("start_excluded", F.lit(bool(min_key >= 8)))
+        .persist()
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -163,6 +163,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_time_transforms",
     "sample_dsir_weights",
     "snapshot_entries_table",
+    "stream_rate_limited_source",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",
