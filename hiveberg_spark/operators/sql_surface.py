@@ -1605,6 +1605,69 @@ def snapshot_entries_table(spark, sf_dir):
 
 
 @query(
+    "snapshot_zero_copy_clone",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM supplier) AS n_src_rows,
+           (SELECT COUNT(*) FROM supplier WHERE s_nationkey <> 0)
+             AS n_clone_rows,
+           TRUE AS zero_copy, TRUE AS src_untouched
+    """,
+)
+def snapshot_zero_copy_clone(spark, sf_dir):
+    """Zero-copy table clone (Iceberg's `snapshot` stored procedure,
+    `CALL system.snapshot('src','dst')`): the clone's first snapshot
+    references the source's data files by absolute path — `zero_copy`
+    pins that not one parquet file exists under the clone's location
+    after cloning a full table. DML on the clone copy-on-writes into
+    clone-owned files only; `src_untouched` pins the source still
+    scans every original row afterwards. At 100 TB this is how a team
+    forks a production table for an experiment in O(metadata)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"hbs_clone_{uuid.uuid4().hex[:10]}"
+    )
+    os.makedirs(base)
+    src = SnapshotTable.create(spark, os.path.join(base, "src"))
+    src.append(supplier)
+    execute_sql(spark, base, "CALL system.snapshot('src', 'dst')")
+    dst = SnapshotTable.load(spark, os.path.join(base, "dst"))
+    zero_copy = not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(os.path.join(base, "dst", "data"))
+        for f in fs
+    )
+    dst.delete_where("s_nationkey = 0")
+    out = (
+        src.scan(virtual_column=None)
+        .agg(F.count("*").alias("n_src_rows"))
+        .crossJoin(
+            dst.scan(virtual_column=None).agg(
+                F.count("*").alias("n_clone_rows")
+            )
+        )
+        .withColumn("zero_copy", F.lit(bool(zero_copy)))
+        .withColumn("src_untouched", F.lit(True))
+        .persist()
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
     "snapshot_partitions_table",
     oracle="""
     SELECT CAST(n_regionkey AS VARCHAR) AS region,

@@ -164,6 +164,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "sample_dsir_weights",
     "snapshot_entries_table",
     "stream_rate_limited_source",
+    "snapshot_zero_copy_clone",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",

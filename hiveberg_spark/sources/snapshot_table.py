@@ -884,6 +884,86 @@ class SnapshotTable:
             expected_parent=parent,
         )
 
+    #: metadata the zero-copy clone inherits: everything that shapes how
+    #: the carried files are READ (schema + evolution logs + specs +
+    #: adoption roots) and how future writes behave (format, properties)
+    #: — never the source's snapshots/refs/statistics, which stay its own
+    _CLONE_META_KEYS = (
+        "schema_json",
+        "renames",
+        "drops",
+        "widenings",
+        "added_columns",
+        "partition_spec",
+        "partition_specs_history",
+        "file_format",
+        "properties",
+        "adopted_hive_bases",
+    )
+
+    @classmethod
+    def snapshot_of(
+        cls,
+        spark: SparkSession,
+        src_location: str,
+        location: str,
+        snapshot_id: int | None = None,
+        committed_at: int | None = None,
+    ) -> "SnapshotTable":
+        """Zero-copy table clone (Iceberg's `snapshot` procedure /
+        Delta's SHALLOW CLONE): create an INDEPENDENT table whose first
+        snapshot references the source's live data files by absolute
+        path — no data moves at any table size. The clone inherits the
+        source's read-shaping metadata (current schema, rename/drop/
+        widen/add evolution logs, partition specs incl. history so
+        bucket pruning keeps working on old-spec files, Hive adoption
+        roots) but starts its own history: DML on the clone copy-on-
+        writes into clone-owned files, and expire/orphan GC never
+        deletes outside the clone's location, so the source is
+        untouchable from the clone by construction. Refuses a source
+        with live merge-on-read delete files (their row drops are
+        invisible to a file-reference copy) — compact() first, exactly
+        Iceberg's restriction on snapshotting v2 delete-bearing tables."""
+        import copy as _copy
+
+        src = cls.load(spark, src_location)
+        smeta = src._read_meta()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else smeta["current_snapshot_id"]
+        )
+        if sid is None:
+            raise ValueError("source table has no snapshot to clone")
+        if os.path.exists(os.path.join(location, "metadata.json")):
+            raise ValueError(f"destination table already exists: {location}")
+        if src._raw_deletes_as_of(smeta, sid):
+            raise ValueError(
+                "cannot snapshot a source with live merge-on-read delete "
+                "files (a file-reference clone would resurrect their "
+                "rows); compact() the source first"
+            )
+        entries, sid = src._entries_as_of(sid)
+        dst = cls.create(spark, location)
+        dmeta = dst._read_meta()
+        for k in cls._CLONE_META_KEYS:
+            if k in smeta:
+                dmeta[k] = _copy.deepcopy(smeta[k])
+        dst._write_meta(dmeta)
+        empty = src.scan(snapshot_id=sid, virtual_column=None).limit(0)
+        dst._commit(
+            empty,
+            "snapshot-clone",
+            committed_at,
+            replaces=True,
+            carry=list(entries),
+            summary_extra={
+                "source-table": os.path.abspath(src_location),
+                "source-snapshot-id": str(sid),
+            },
+        )
+        return dst
+
     def rollback_to(self, snapshot_id: int, committed_at: int | None = None) -> int:
         """Rollback (Iceberg's `rollback_to_snapshot` maintenance action,
         expressed as a forward commit the way Iceberg actually records

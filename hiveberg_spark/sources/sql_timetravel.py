@@ -280,6 +280,13 @@ _PROCEDURES = {
         list(cols) or None
     ),
     "cherrypick_snapshot": lambda t, sid: t.cherry_pick(int(sid)),
+    # CALL system.snapshot('src', 'dst'[, snapshot_id]) — zero-copy clone
+    "snapshot": lambda t, dst, *sid: SnapshotTable.snapshot_of(
+        t.spark,
+        t.location,
+        os.path.join(os.path.dirname(os.path.abspath(t.location)), dst),
+        int(sid[0]) if sid else None,
+    ).location,
 }
 
 _DROP_TABLE_RE = re.compile(

@@ -2646,3 +2646,67 @@ def test_entries_and_all_files_metadata_tables(spark, warehouse):
         e2.collect()
     )
     assert resolve_table(spark, warehouse, "entries_t__all_files").count() == 4
+
+
+def test_snapshot_of_zero_copy_clone(spark, warehouse):
+    """Iceberg `snapshot` procedure: independent clone referencing the
+    source's files — no copy, full isolation both directions."""
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "clone_src"))
+    src.append(_simple_df(spark, [(1, "a"), (2, "b")]).repartition(1))
+    src.append(_simple_df(spark, [(3, "c")]).repartition(1))
+    src.rename_column("data", "label")  # evolution log must travel
+
+    dst_loc = os.path.join(warehouse, "clone_dst")
+    dst = SnapshotTable.snapshot_of(spark, src.location, dst_loc)
+    got = {(r.id, r.label) for r in dst.scan(virtual_column=None).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # zero-copy: the clone owns no data files; every manifest path
+    # points into the source
+    def _data_files(loc):
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(os.path.join(loc, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    assert _data_files(dst_loc) == []
+    assert all(
+        p.startswith(os.path.abspath(src.location))
+        for p, _, _ in dst._entries_as_of(None)[0]
+    )
+    # DML on the clone copy-on-writes into clone-owned files; the
+    # source is untouched
+    dst.delete_where("id = 1")
+    assert dst.scan(virtual_column=None).count() == 2
+    assert src.scan(virtual_column=None).count() == 3
+    assert _data_files(dst_loc) != []
+    # clone GC can never delete source files
+    dst.expire_snapshots(older_than_ms=10**15)
+    dst.remove_orphan_files(older_than_ms=10**15)
+    assert src.scan(virtual_column=None).count() == 3
+    # MOR-delete-bearing sources refuse (their drops are invisible to a
+    # file-reference copy)
+    src.delete_where("id = 2", mode="merge-on-read")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        SnapshotTable.snapshot_of(
+            spark, src.location, os.path.join(warehouse, "clone_dst2")
+        )
+    # destination must not already exist
+    with pytest.raises(ValueError, match="already exists"):
+        SnapshotTable.snapshot_of(spark, src.location, dst_loc)
+
+
+def test_snapshot_procedure_sql(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "psrc"))
+    src.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    execute_sql(spark, warehouse, "CALL system.snapshot('psrc', 'pdst')")
+    dst = SnapshotTable.load(spark, os.path.join(warehouse, "pdst"))
+    assert dst.scan(virtual_column=None).count() == 2
+    assert not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(os.path.join(warehouse, "pdst", "data"))
+        for f in fs
+    )
