@@ -904,3 +904,50 @@ def sample_dsir_weights(spark, sf_dir):
             <= F.floor(F.lit(DSIR_KEEP_FRAC) * F.count("*").over(w_tot))
         ).alias("selected"),
     )
+
+
+#: weighted-sample size (fixed: valid at every SF's corpus size)
+ARES_K = 100
+
+
+@query(
+    "sample_weighted_ares",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             ROUND(-LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) + 1) / 4294967296.0)
+                   / n_chars, 9) AS race_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, race_key FROM keyed
+    ORDER BY race_key, doc_id LIMIT {ARES_K}
+    """,
+)
+def sample_weighted_ares(spark, sf_dir):
+    """Weighted sampling without replacement via A-Res reservoir keys
+    (Efraimidis & Spirakis 2006): each document races with an
+    exponential clock -ln(u)/w — u a deterministic md5-derived uniform,
+    w = n_chars — and the K smallest keys win, giving inclusion
+    probability proportional to weight without ever materializing
+    cumulative distributions. THE primitive for size-weighted corpus
+    subsampling at 100 TB: one scan, and the top-K runs as Spark's
+    TakeOrderedAndProject (map-side partial top-K per partition, K rows
+    to the driver-side merge — no global sort, no single-partition
+    window).
+
+    Cross-engine determinism: u is the same 32-bit md5 prefix in both
+    engines (+1 to dodge ln(0)), keys ROUND(...,9)ed before ranking,
+    ties broken on doc_id."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.round(-F.log(u) / F.col("n_chars"), 9).alias("race_key"),
+    )
+    return keyed.orderBy(F.asc("race_key"), F.asc("doc_id")).limit(ARES_K)

@@ -165,6 +165,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_entries_table",
     "stream_rate_limited_source",
     "snapshot_zero_copy_clone",
+    "sample_weighted_ares",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",
