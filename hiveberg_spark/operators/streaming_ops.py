@@ -678,3 +678,79 @@ def stream_scd_enrichment(spark, sf_dir):
     out.count()  # materialize before the temp dirs could be cleaned
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_branch_wap",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS n_main_during_ingest,
+           (SELECT COUNT(*) FROM events) AS n_branch_staged,
+           TRUE AS audit_passed,
+           (SELECT COUNT(*) FROM events) AS n_main_after_publish
+    """,
+)
+def stream_branch_wap(spark, sf_dir):
+    """Streaming write-audit-publish — the production streaming-ingest
+    pattern on Iceberg branches (spark.wap.branch): every micro-batch
+    commits onto a staging branch, so main NEVER exposes a
+    half-ingested state; after the stream drains, an audit query runs
+    against the branch scan (row count + key-not-null here — in
+    production, dbt tests or quality gates), and only then does
+    fast_forward atomically publish the whole ingest to main readers.
+    `n_main_during_ingest` pins that main stayed empty while every
+    event was already committed on the branch; the publish is one
+    metadata pointer move regardless of ingest size."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_streamwap_{tag}")
+    schema = "event_id long, user_id long, event_type string, value double"
+    table = SnapshotTable.create(spark, os.path.join(base, "t"), schema=schema)
+    # branches fork from a snapshot: seed main with an empty initial
+    # commit (the usual state of a table provisioned before its first
+    # ingest window)
+    table.append(spark.createDataFrame([], schema))
+    table.create_branch("audit")
+
+    def commit_batch(batch_df, batch_id):
+        table.append(batch_df, branch="audit")
+
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_main_during = table.scan(virtual_column=None).count()
+    staged = table.scan(ref="audit", virtual_column=None)
+    n_staged = staged.count()
+    audit_passed = (
+        n_staged > 0 and staged.filter(F.col("event_id").isNull()).count() == 0
+    )
+    if audit_passed:  # the gate: publish ONLY what passed
+        table.fast_forward("audit")
+    out = (
+        table.scan(virtual_column=None)
+        .agg(F.count("*").alias("n_main_after_publish"))
+        .withColumn("n_main_during_ingest", F.lit(int(n_main_during)).cast("long"))
+        .withColumn("n_branch_staged", F.lit(int(n_staged)).cast("long"))
+        .withColumn("audit_passed", F.lit(bool(audit_passed)))
+        .select(
+            "n_main_during_ingest",
+            "n_branch_staged",
+            "audit_passed",
+            "n_main_after_publish",
+        )
+        .persist()
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out

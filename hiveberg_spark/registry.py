@@ -166,6 +166,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_rate_limited_source",
     "snapshot_zero_copy_clone",
     "sample_weighted_ares",
+    "stream_branch_wap",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",
