@@ -1668,6 +1668,73 @@ def snapshot_zero_copy_clone(spark, sf_dir):
 
 
 @query(
+    "snapshot_rewrite_manifests",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM nation) AS n_rows,
+           CAST(1 AS BIGINT) AS chain_after,
+           CAST(4 AS BIGINT) AS n_snapshots,
+           TRUE AS same_files
+    """,
+)
+def snapshot_rewrite_manifests(spark, sf_dir):
+    """Manifest consolidation as a first-class maintenance procedure
+    (Iceberg `rewrite_manifests`): after three appends the planning
+    walk opens three manifests; `CALL system.rewrite_manifests` folds
+    the live set into one self-contained carrying commit — planning
+    drops to one manifest open — while `same_files` pins zero data
+    movement and history stays fully travelable (4 snapshots). The
+    100 TB point: scan-planning latency is bounded by manifest count,
+    not commit count, without sacrificing retention the way
+    expire_snapshots-driven consolidation does."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_rwm")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def builder(table):
+        k = F.col("n_nationkey")
+        table.append(nation.filter(k < 8))
+        table.append(nation.filter(k.between(8, 16)))
+        table.append(nation.filter(k > 16))
+        pre = set(table.plan_files())
+        table.rewrite_manifests()
+        # recorded into table properties so the cached fixture carries
+        # the plan-equality evidence across invocations
+        table.set_properties(
+            {"test.same-files": str(set(table.plan_files()) == pre).lower()}
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    meta = t._read_meta()
+    chain = len(t._lineage_chain(meta, meta["current_snapshot_id"]))
+    same = meta.get("properties", {}).get("test.same-files") == "true"
+    return (
+        t.scan(virtual_column=None)
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("chain_after", F.lit(int(chain)).cast("long"))
+        .withColumn("n_snapshots", t_snapshots_count(t))
+        .withColumn("same_files", F.lit(bool(same)))
+    )
+
+
+def t_snapshots_count(t):
+    """Snapshot count as a literal column (metadata-sized)."""
+    from pyspark.sql import functions as F
+
+    return F.lit(int(t.snapshots().count())).cast("long")
+
+
+@query(
     "snapshot_partitions_table",
     oracle="""
     SELECT CAST(n_regionkey AS VARCHAR) AS region,

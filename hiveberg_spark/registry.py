@@ -167,6 +167,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_zero_copy_clone",
     "sample_weighted_ares",
     "stream_branch_wap",
+    "snapshot_rewrite_manifests",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",

@@ -995,6 +995,38 @@ class SnapshotTable:
             summary_extra={"rollback-target-id": str(snapshot_id)},
         )
 
+    def rewrite_manifests(self, committed_at: int | None = None) -> int:
+        """Manifest consolidation (Iceberg's `rewrite_manifests`
+        maintenance action in this layout): a long append chain plans
+        by walking one manifest PER commit in the lineage chain; this
+        collapses the current live set into ONE self-contained carrying
+        `replaces` commit — planning cost after N appends drops from
+        O(N) manifest opens to O(1) — with zero data movement and FULL
+        history retained (unlike expire_snapshots, which consolidates
+        as a side effect of dropping old snapshots). Merge-on-read
+        delete files and per-file sequence numbers carry verbatim, so
+        equality-delete scoping and the entries() status view are
+        unchanged. Run it like any maintenance job when the manifests
+        metadata table shows planning fan-out creeping up."""
+        meta = self._read_meta()
+        current = meta["current_snapshot_id"]
+        if current is None:
+            raise ValueError("empty table: nothing to consolidate")
+        carry = self._raw_entries_as_of(meta, current)
+        carry_deletes = self._raw_deletes_as_of(meta, current)
+        carry_seq = self._file_seq_as_of(meta, current)
+        empty = self.scan(virtual_column=None).limit(0)
+        return self._commit(
+            empty,
+            "rewrite-manifests",
+            committed_at,
+            replaces=True,
+            carry=carry,
+            carry_deletes=carry_deletes or None,
+            carry_seq=carry_seq or None,
+            expected_parent=current,
+        )
+
     def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Name a snapshot (Iceberg tag — a read-only named ref): time
         travel by meaningful name (`VERSION AS OF 'v1.0'` via the SQL

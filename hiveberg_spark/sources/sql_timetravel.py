@@ -263,6 +263,7 @@ _PROCEDURES = {
         int(older_than_ms)
     ),
     "rewrite_data_files": lambda t: t.compact(),
+    "rewrite_manifests": lambda t: t.rewrite_manifests(),
     "rewrite_position_deletes": lambda t: t.rewrite_position_deletes(),
     "rollback_to_snapshot": lambda t, sid: t.rollback_to(int(sid)),
     "fast_forward": lambda t, branch: t.fast_forward(branch),

@@ -157,4 +157,4 @@ def test_spec_change_composes_with_mor_delete(spark, warehouse):
 def test_unknown_transform_rejected(spark, warehouse):
     t = SnapshotTable.create(spark, os.path.join(warehouse, "bad"))
     with pytest.raises(ValueError, match="unknown partition transform"):
-        t.update_partition_spec([("year", "ts", None)])
+        t.update_partition_spec([("decade", "ts", None)])

@@ -111,6 +111,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "n", "nation", "region", "r", "sn", "cn",  # fixed-size dims
         "q", "qe", "cents", "df_", "offsets",        # tiny derived frames
         "planes_df",                                 # 1-row literal plane matrix
+        "tot",                                       # 1-row totals aggregate (DSIR)
         # metadata-sized frames: O(live data files), the same scale as
         # the manifests themselves — never O(rows)
         "seq_df",                                    # file -> sequence number map

@@ -2710,3 +2710,38 @@ def test_snapshot_procedure_sql(spark, warehouse):
         for _, _, fs in os.walk(os.path.join(warehouse, "pdst", "data"))
         for f in fs
     )
+
+
+def test_rewrite_manifests_collapses_planning_chain(spark, warehouse):
+    """rewrite_manifests: O(N)-manifest planning walk becomes O(1),
+    contents/history/MOR-scoping all preserved."""
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "rwm"))
+    for i in range(5):
+        t.append(_simple_df(spark, [(i, f"r{i}")]).repartition(1))
+    t.delete_where("id = 4", mode="merge-on-read")
+    meta = t._read_meta()
+    assert len(t._lineage_chain(meta, meta["current_snapshot_id"])) == 6
+    before = set(t.plan_files())
+    n_before = t.scan(virtual_column=None).count()
+
+    execute_sql(spark, warehouse, "CALL system.rewrite_manifests('rwm')")
+    meta = t._read_meta()
+    # planning now opens exactly one manifest
+    assert len(t._lineage_chain(meta, meta["current_snapshot_id"])) == 1
+    assert set(t.plan_files()) == before  # zero data movement
+    got = {r.id for r in t.scan(virtual_column=None).collect()}
+    assert got == {0, 1, 2, 3}  # the MOR delete still applies
+    assert t.scan(virtual_column=None).count() == n_before
+    # full history retained: every pre-rewrite snapshot still travels
+    assert t.snapshots().count() == 7
+    assert t.scan(snapshot_id=2, virtual_column=None).count() == 2
+    # carried files keep their original sequence numbers in entries()
+    data = t.entries().filter("content = 'data'").collect()
+    assert sorted(r.data_sequence_number for r in data) == [1, 2, 3, 4, 5]
+    assert all(r.status == 0 for r in data)  # nothing ADDED by a rewrite
+    with pytest.raises(ValueError, match="empty table"):
+        SnapshotTable.create(
+            spark, os.path.join(warehouse, "rwm_empty")
+        ).rewrite_manifests()
