@@ -96,11 +96,18 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_rollback",
     "snapshot_maintenance_ops",
     "timetravel_incremental_read",
-    "snapshot_delete_where",
-    "snapshot_update_where",
-    "snapshot_merge_upsert",
-    "snapshot_sql_dml",
-    "timetravel_where_shim",
+    # (c') five late-round-5 additions take the slots of the five DML
+    # re-checks (pass(r4), zero read-path churn since — their shared
+    # commit path is re-proven by snapshot_entries_table/clone below
+    # and they lead the round-6 deferred list): the entries/all_files
+    # metadata tables, the zero-copy clone, the time transform family,
+    # streaming WAP, and DSIR selection are all never-driver-checked
+    # new surface — strictly more information per slot
+    "snapshot_entries_table",
+    "snapshot_zero_copy_clone",
+    "snapshot_time_transforms",
+    "stream_branch_wap",
+    "sample_dsir_weights",
     # (d) round-5 additions: merge-on-read deletes/updates/merges
     # (Iceberg v2 delete files), CDC changelog, partition evolution,
     # partitions/metadata-log tables, streaming CDC upsert sink, table
@@ -159,14 +166,17 @@ DRIVER_WINDOW: list[str] = [
 # additions that landed after the window filled; all green in local
 # oracle parity at sf0.001 + sf0.01 this round); rotate into round 6.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    # late-round-5 additions, never driver-checked — lead round 6
-    "snapshot_time_transforms",
-    "sample_dsir_weights",
-    "snapshot_entries_table",
+    # the five DML re-checks displaced by the late-round-5 additions
+    # (pass(r4); their churned shared paths are driver-covered this
+    # round by the entries/clone/rewrite-manifests fixtures) — plus the
+    # remaining never-checked late-round-5 queries — lead round 6
+    "snapshot_delete_where",
+    "snapshot_update_where",
+    "snapshot_merge_upsert",
+    "snapshot_sql_dml",
+    "timetravel_where_shim",
     "stream_rate_limited_source",
-    "snapshot_zero_copy_clone",
     "sample_weighted_ares",
-    "stream_branch_wap",
     "snapshot_rewrite_manifests",
     "snapshot_cherry_pick",
     "text_template_detect",
