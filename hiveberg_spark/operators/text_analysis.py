@@ -382,3 +382,84 @@ def text_template_detect(spark, sf_dir):
     out.count()
     doc_grams.unpersist()
     return out
+
+
+#: Gopher rules (Rae et al. 2021, arXiv:2112.11446 Table A1), the
+#: industry-standard document-level quality gate battery. The paper's
+#: required-stopword list is ["the","be","to","of","and","that","have",
+#: "with"]; this corpus's 31-word synthetic vocabulary contains none of
+#: the last six, so the rule runs over the module's stopword list (same
+#: structure, corpus-adapted membership) to stay discriminative.
+_GOPHER_REQ_STOPS = _STOPWORDS
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 3.0, 10.0
+_GOPHER_ALPHA_RATIO = 0.8
+_GOPHER_MIN_STOPS = 2
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             ROUND(list_sum(list_transform(toks, w -> LENGTH(w))) * 1.0
+                   / len(toks), 6) AS mean_word_len,
+             ROUND(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+                   * 1.0 / len(toks), 6) AS alpha_word_ratio,
+             len(list_filter(
+                   ['the','a','and','of','to','in','is','it'],
+                   s -> list_contains(toks, s))) AS n_req_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+           n_req_stopwords,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
+            AND alpha_word_ratio >= {_GOPHER_ALPHA_RATIO}
+            AND n_req_stopwords >= {_GOPHER_MIN_STOPS}) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher document-quality rule battery (Rae et al. 2021,
+    Appendix A1 — the gate MassiveText and most successors run before
+    any model-based filtering): word-count bounds, mean-word-length
+    bounds, alphabetic-word ratio, and the required-stopword rule
+    (a real document contains at least 2 of 8 function words). Emits
+    every signal plus the composite `keep` so downstream stages can
+    re-weight rather than hard-drop. All JVM higher-order functions
+    over one scan — zero Python, zero shuffle: at 100 TB this is a
+    map-only pass whose cost is the read itself."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    req = F.array(*[F.lit(w) for w in _GOPHER_REQ_STOPS])
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            )
+            / F.size(toks),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+            / F.size(toks),
+            6,
+        ).alias("alpha_word_ratio"),
+        F.size(F.filter(req, lambda s: F.array_contains(toks, s)))
+        .cast("long")
+        .alias("n_req_stopwords"),
+    )
+    return m.withColumn(
+        "keep",
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MWL_LO, _GOPHER_MWL_HI)
+        & (F.col("alpha_word_ratio") >= _GOPHER_ALPHA_RATIO)
+        & (F.col("n_req_stopwords") >= _GOPHER_MIN_STOPS),
+    )

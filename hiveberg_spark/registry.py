@@ -178,6 +178,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_rate_limited_source",
     "sample_weighted_ares",
     "snapshot_rewrite_manifests",
+    "text_gopher_rules",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",
