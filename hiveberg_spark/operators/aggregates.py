@@ -236,3 +236,70 @@ def events_hourly_rollup(spark, sf_dir):
                                 (bucket_day))
         """
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM v), 6) AS conversion
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis (the MATCH_RECOGNIZE/window-funnel class
+    of event analytics): users progressing view → click → purchase in
+    strict timestamp order, each stage anchored at the EARLIEST event
+    after the previous stage's anchor (the standard greedy funnel
+    semantics — a click before the first view does not count). Three
+    conditional-min aggregations, every shuffle keyed on user_id so
+    AQE reuses one partitioning end to end; stage frames shrink
+    monotonically, and at 100 TB each stage join is a
+    progressively-smaller semi-join, never a re-scan of raw events."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.round(F.col("n_full_funnel") / F.col("n_view"), 6).alias(
+                "conversion"
+            ),
+        )
+    )

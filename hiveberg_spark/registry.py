@@ -179,6 +179,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "sample_weighted_ares",
     "snapshot_rewrite_manifests",
     "text_gopher_rules",
+    "events_funnel_conversion",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",

@@ -1233,13 +1233,18 @@ class SnapshotTable:
             for n, r in self._read_meta().get("refs", {}).items()
         }
 
-    def expire_snapshots(self, older_than_ms: int) -> dict:
+    def expire_snapshots(
+        self, older_than_ms: int, retain_last: int = 1
+    ) -> dict:
         """Expire snapshots committed before `older_than_ms` (Iceberg's
         `expire_snapshots` maintenance action — the history-retention
         half of the maintenance trio with compact and rollback): expired
         snapshots leave the time-travel surface, their manifests are
         deleted, and data files no surviving snapshot references are
-        PHYSICALLY removed. The current snapshot never expires.
+        PHYSICALLY removed. The current snapshot never expires, and the
+        newest `retain_last` ancestors of it are retained regardless of
+        age (Iceberg's retain_last guard: an aggressive age cutoff can
+        never strip a table down past its recent history).
 
         Because manifests here are additive (a snapshot's live set is
         the walk of all earlier manifests), the oldest SURVIVING
@@ -1263,12 +1268,25 @@ class SnapshotTable:
             tagged = {
                 r["snapshot_id"] for r in meta.get("refs", {}).values()
             }  # tagged snapshots are retained regardless of age
+            # retain_last: the newest N ancestors of current survive any
+            # age cutoff (full parent-pointer ancestry — not the
+            # manifest lineage chain, which stops at replaces commits;
+            # not raw id order, so branch commits forked off main don't
+            # consume main's retention slots)
+            by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            anc: list[int] = []
+            walk = current
+            while walk is not None and walk in by_id:
+                anc.append(walk)
+                walk = by_id[walk].get("parent_id")
+            retained = set(anc[: max(1, int(retain_last))])
             expired = [
                 s
                 for s in meta["snapshots"]
                 if s["committed_at"] < older_than_ms
                 and s["snapshot_id"] != current
                 and s["snapshot_id"] not in tagged
+                and s["snapshot_id"] not in retained
             ]
             if not expired:
                 return {"expired_snapshots": 0, "deleted_files": 0}

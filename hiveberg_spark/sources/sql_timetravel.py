@@ -259,8 +259,8 @@ _KV_RE = re.compile(r"^\s*'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'\s*$")
 #: CALL system.<proc>('table', ...) — the Iceberg stored-procedure
 #: surface for maintenance actions (Spark's `CALL catalog.system.*`)
 _PROCEDURES = {
-    "expire_snapshots": lambda t, older_than_ms: t.expire_snapshots(
-        int(older_than_ms)
+    "expire_snapshots": lambda t, older_than_ms, *retain: t.expire_snapshots(
+        int(older_than_ms), int(retain[0]) if retain else 1
     ),
     "rewrite_data_files": lambda t: t.compact(),
     "rewrite_manifests": lambda t: t.rewrite_manifests(),

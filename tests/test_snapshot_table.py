@@ -2745,3 +2745,26 @@ def test_rewrite_manifests_collapses_planning_chain(spark, warehouse):
         SnapshotTable.create(
             spark, os.path.join(warehouse, "rwm_empty")
         ).rewrite_manifests()
+
+
+def test_expire_snapshots_retain_last(spark, warehouse):
+    """Iceberg retain_last: the newest N ancestors survive any age
+    cutoff; tagged snapshots are independently retained."""
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "retain"))
+    for i in range(6):
+        t.append(_simple_df(spark, [(i, f"r{i}")]), committed_at=1000 + i)
+    # cutoff after everything, but retain_last=3 keeps snapshots 4,5,6
+    res = t.expire_snapshots(older_than_ms=10**15, retain_last=3)
+    assert res["expired_snapshots"] == 3
+    ids = {r.snapshot_id for r in t.snapshots().collect()}
+    assert ids == {4, 5, 6}
+    assert t.scan(virtual_column=None).count() == 6  # contents intact
+    assert t.scan(snapshot_id=4, virtual_column=None).count() == 4
+    # default retain_last=1 via SQL keeps only current
+    execute_sql(
+        spark, warehouse, "CALL system.expire_snapshots('retain', '1000000000000000')"
+    )
+    assert {r.snapshot_id for r in t.snapshots().collect()} == {6}
+    assert t.scan(virtual_column=None).count() == 6
