@@ -872,10 +872,30 @@ class SnapshotTable:
         restores scan efficiency."""
         # pin planning to one observed snapshot: scan, file count, and
         # the commit's expected parent all come from the same version
-        parent = self._read_meta()["current_snapshot_id"]
+        meta = self._read_meta()
+        parent = meta["current_snapshot_id"]
         current = self.scan(snapshot_id=parent, virtual_column=None)
         n_files = len(self._files_as_of(parent)[0])
-        target = max(1, min(8, n_files // 4))
+        size_prop = (
+            meta.get("properties", {})
+            .get("write.target-file-size-bytes", "")
+            .strip()
+        )
+        if size_prop:
+            # Iceberg write.target-file-size-bytes: output file count =
+            # ceil(live bytes / target), bounded — sized from manifest
+            # byte counts, no data read for the decision
+            info = self._file_info_as_of(meta)
+            total = sum(
+                (info.get(os.path.relpath(p, self.location))
+                 or self._file_info_fallback(
+                     os.path.relpath(p, self.location)
+                 )).get("bytes") or 0
+                for p, _, _ in self._entries_as_of(parent)[0]
+            )
+            target = max(1, min(2048, -(-total // max(1, int(size_prop)))))
+        else:
+            target = max(1, min(8, n_files // 4))
         return self._commit(
             current.coalesce(target),
             "replace",

@@ -2768,3 +2768,29 @@ def test_expire_snapshots_retain_last(spark, warehouse):
     )
     assert {r.snapshot_id for r in t.snapshots().collect()} == {6}
     assert t.scan(virtual_column=None).count() == 6
+
+
+def test_compact_respects_target_file_size(spark, warehouse):
+    """Iceberg write.target-file-size-bytes sizes compaction output from
+    manifest byte counts — file count = ceil(live bytes / target)."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "tfs"))
+    for i in range(6):
+        t.append(
+            _simple_df(spark, [(j, f"row{j}") for j in range(i * 50, i * 50 + 50)]).repartition(1)
+        )
+    assert len(t.plan_files()) == 6
+    total = sum(
+        r.record_count is not None for r in t.files().collect()
+    )  # files table materializes: info recorded
+    # a huge target -> exactly one output file
+    t.set_properties({"write.target-file-size-bytes": str(10**9)})
+    t.compact()
+    assert len(t.plan_files()) == 1
+    assert t.scan(virtual_column=None).count() == 300
+    # a tiny target -> several output files (ceil(total_bytes/1500))
+    for i in range(3):
+        t.append(_simple_df(spark, [(1000 + i, "x")]).repartition(1))
+    t.set_properties({"write.target-file-size-bytes": "1500"})
+    t.compact()
+    assert len(t.plan_files()) > 1
+    assert t.scan(virtual_column=None).count() == 303
