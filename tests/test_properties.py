@@ -219,3 +219,46 @@ def test_prune_evaluator_sound_for_strings(op, lit, a, b):
         for v in {lo, hi, lit}:
             if lo <= v <= hi:
                 assert not _holds(op, v, lit), (op, lit, lo, hi, v)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.sampled_from(["year", "month", "day", "hour"]),
+    st.lists(
+        st.integers(min_value=0, max_value=4 * 365 * 24 * 3600),
+        min_size=3,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=4 * 365 * 24 * 3600),
+)
+def test_time_transform_pruning_sound(spark, tmp_path_factory, kind, offs, cut):
+    """End-to-end pruning soundness for every time-family transform:
+    whatever files pruning drops, a range scan over the SOURCE column
+    returns exactly the rows a full filter would — pruning may be
+    conservative, never lossy."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    base = dt.datetime(2020, 1, 1)
+    loc = str(tmp_path_factory.mktemp("ttp") / "t")
+    t = SnapshotTable.create(
+        spark, loc, partition_spec=[(kind, "ts", None)]
+    )
+    rows = [(i, (base + dt.timedelta(seconds=o)).isoformat(sep=" ")) for i, o in enumerate(offs)]
+    df = spark.createDataFrame(rows, "id long, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    t.append(df)
+    cutoff = (base + dt.timedelta(seconds=cut)).isoformat(sep=" ")
+    where = f"ts >= TIMESTAMP '{cutoff}'"
+    expected = {i for i, o in enumerate(offs) if o >= cut}
+    got = {
+        r.id for r in t.scan_where(where, virtual_column=None).collect()
+    }
+    assert got == expected, (kind, cutoff, sorted(offs))
+    assert len(t.plan_files(where)) <= len(t.plan_files())
