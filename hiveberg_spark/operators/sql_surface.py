@@ -1735,6 +1735,86 @@ def t_snapshots_count(t):
 
 
 @query(
+    "snapshot_value_index",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           TRUE AS index_pruned, TRUE AS stats_could_not
+    FROM orders WHERE o_custkey = (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey ORDER BY COUNT(*), o_custkey LIMIT 1
+    )
+    """,
+)
+def snapshot_value_index(spark, sf_dir):
+    """Secondary VALUE INDEX (the Hyperspace/secondary-index class):
+    the fixture appends orders in o_orderkey ranges, so a point probe
+    on o_custkey — whose values spread across every file — defeats
+    min/max pruning entirely (`stats_could_not` pins that the probe
+    planned ALL files before indexing). `build_value_index` maps
+    xxhash64-bucketed values to posting lists in one distributed
+    distinct-aggregate; afterwards the same probe plans a strict
+    subset (`index_pruned`) by reading ONE bucket's postings via
+    parquet pushdown on the index itself. Rows stay oracle-exact. At
+    100 TB this is the difference between a customer-id lookup
+    touching O(matching files) and touching the whole fact table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "orders_value_index")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    # probe the RAREST customer (fewest orders, smallest key on ties):
+    # its handful of rows cannot span the 8 orderkey-range files, so
+    # the index must prune while footer stats cannot
+    probe = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("n", "o_custkey")
+        .head()[0]
+    )
+
+    def builder(table):
+        k = F.col("o_orderkey")
+        qs = [i / 8 for i in range(1, 8)]
+        cuts = [int(c) for c in orders.approxQuantile("o_orderkey", qs, 0.0)]
+        bounds = [None] + cuts + [None]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            part = orders
+            if lo is not None:
+                part = part.filter(k > lo)
+            if hi is not None:
+                part = part.filter(k <= hi)
+            table.append(part)
+        # pre-index evidence must be recorded at build time (the
+        # fixture is cached across invocations)
+        pre = len(table.plan_files(f"o_custkey = {probe}"))
+        table.build_value_index("o_custkey")
+        table.set_properties(
+            {"test.stats-could-not": str(pre == len(table.plan_files())).lower()}
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    where = f"o_custkey = {probe}"
+    pruned = len(t.plan_files(where)) < len(t.plan_files())
+    stats_could_not = (
+        t._read_meta().get("properties", {}).get("test.stats-could-not")
+        == "true"
+    )
+    return (
+        t.scan_where(where, virtual_column=None)
+        .select(*cols)
+        .withColumn("index_pruned", F.lit(bool(pruned)))
+        .withColumn("stats_could_not", F.lit(bool(stats_could_not)))
+    )
+
+
+@query(
     "snapshot_partitions_table",
     oracle="""
     SELECT CAST(n_regionkey AS VARCHAR) AS region,

@@ -91,7 +91,11 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_avro_rename_evolution",
     "snapshot_hidden_partitioning",
     "timetravel_as_of_timestamp",
-    "timetravel_as_of_1",
+    # value index displaces timetravel_as_of_1: id-travel semantics are
+    # untouched by the made_current_at churn (that was timestamp
+    # travel, re-checked by its two neighbors), while the index is
+    # never-checked new pruning surface
+    "snapshot_value_index",
     "timetravel_sql_version_as_of",
     "snapshot_rollback",
     "snapshot_maintenance_ops",
@@ -180,6 +184,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_rewrite_manifests",
     "text_gopher_rules",
     "events_funnel_conversion",
+    "timetravel_as_of_1",
     "snapshot_cherry_pick",
     "text_template_detect",
     "multimodal_real_decode",

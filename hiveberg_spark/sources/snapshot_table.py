@@ -1015,6 +1015,131 @@ class SnapshotTable:
             summary_extra={"rollback-target-id": str(snapshot_id)},
         )
 
+    #: value-index bucket count: 4096 buckets keeps the posting list
+    #: O(files × avg distinct buckets per file) while a point probe
+    #: reads exactly one bucket's postings (parquet filter pushdown)
+    _VALUE_INDEX_BUCKETS = 4096
+
+    def build_value_index(self, column: str) -> dict:
+        """Secondary VALUE INDEX for point probes on non-clustered
+        columns (the Hyperspace/Iceberg-secondary-index class of
+        feature): min/max pruning is useless on a column whose values
+        spread across every file — e.g. customer ids probed against a
+        time-partitioned fact table. One distributed distinct-aggregate
+        maps xxhash64(value) % 4096 buckets to the files containing
+        them; `plan_files` then answers `col = literal` by reading ONE
+        bucket's postings (parquet pushdown on the index itself) and
+        keeping only matching files. The index is pinned to the
+        snapshot it was built at: files committed AFTER it are always
+        kept (sound), files it covered prune by lookup — so a stale
+        index degrades gracefully toward no-index, never drops a row.
+        False positives (bucket collisions) cost a file read; false
+        negatives cannot happen by construction."""
+        meta = self._read_meta()
+        sid = meta["current_snapshot_id"]
+        if sid is None:
+            raise ValueError("empty table: nothing to index")
+        schema = self.schema()
+        if schema is None or column not in schema.fieldNames():
+            raise ValueError(f"no such column: {column}")
+        rel = os.path.join("metadata", f"valindex-{column}-s{sid}")
+        out_dir = os.path.join(self.location, rel)
+        # postings store LOCATION-RELATIVE paths: the table (and the
+        # build_once fixture protocol) may be renamed/moved after the
+        # index is built, and a stale absolute prefix would silently
+        # turn "covered but not matching" into spurious exclusions
+        prefix = os.path.abspath(self.location) + os.sep
+        rel_file = F.replace(
+            F.regexp_replace(F.input_file_name(), F.lit("^file:/+"), F.lit("/")),
+            F.lit(prefix),
+            F.lit(""),
+        )
+        postings = (
+            self.scan(snapshot_id=sid, virtual_column=None)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.col(column)),
+                    F.lit(self._VALUE_INDEX_BUCKETS),
+                ).alias("bucket"),
+                rel_file.alias("file"),
+            )
+            .distinct()
+        )
+        postings.write.mode("overwrite").parquet(out_dir)
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            meta.setdefault("value_indexes", {})[column] = {
+                "snapshot_id": sid,
+                "path": rel,
+            }
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+        return {"column": column, "snapshot_id": sid, "path": rel}
+
+    def _index_file_rel(self, path: str) -> str:
+        """Normalize an index posting's file URI / an entry path to the
+        location-relative form both pruning paths compare on."""
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        return (
+            os.path.relpath(path, self.location)
+            if os.path.isabs(path)
+            else path
+        )
+
+    def _value_index_requirements(
+        self, meta: dict, conjuncts: list[str]
+    ) -> list[tuple[frozenset, frozenset]]:
+        """For each `col = literal` conjunct on an indexed column:
+        (files the index covers, files that may contain the literal's
+        bucket) — both location-relative. A file outside the covered
+        set always survives (committed after the index); a covered file
+        survives only if the probe bucket's postings list it. Skips an
+        index whose snapshot has been expired (graceful degrade)."""
+        vidx = meta.get("value_indexes", {})
+        if not vidx:
+            return []
+        out: list[tuple[frozenset, frozenset]] = []
+        for c in conjuncts:
+            m = _PRUNE_CMP.match(c)
+            if not m or m.group("op") not in ("=", "=="):
+                continue
+            col = m.group("col")
+            entry = vidx.get(col)
+            if entry is None:
+                continue
+            lit = _parse_literal(m.group("lit"))
+            if lit is None:
+                continue
+            try:
+                covered = frozenset(
+                    self._index_file_rel(f)
+                    for f, _, _ in self._raw_entries_as_of(
+                        meta, entry["snapshot_id"]
+                    )
+                )
+            except ValueError:  # index snapshot expired: ignore index
+                continue
+            idx_path = os.path.join(self.location, entry["path"])
+            if not os.path.isdir(idx_path):
+                continue
+            b = self._bucket_of_literal(
+                col, self._VALUE_INDEX_BUCKETS, lit
+            )
+            matches = frozenset(
+                self._index_file_rel(r.file)
+                for r in self.spark.read.parquet(idx_path)
+                .filter(F.col("bucket") == int(b))
+                .select("file")
+                .collect()  # one bucket's postings: metadata-sized
+            )
+            out.append((covered, matches))
+        return out
+
     def rewrite_manifests(self, committed_at: int | None = None) -> int:
         """Manifest consolidation (Iceberg's `rewrite_manifests`
         maintenance action in this layout): a long append chain plans
@@ -2765,18 +2890,25 @@ class SnapshotTable:
         if sid not in known:
             raise ValueError(f"unknown snapshot id {sid} (have {sorted(known)})")
         bucket_by_source = self._bucket_sources(meta)
+        vindex_req = self._value_index_requirements(meta, conjuncts)
         if self._entry_count_estimate(meta, sid) >= _DISTRIBUTED_PLAN_THRESHOLD:
             return self._plan_files_distributed(
-                meta, sid, conjuncts, bucket_by_source
+                meta, sid, conjuncts, bucket_by_source, vindex_req
             )
         entries, _ = self._entries_as_of(sid)
         kept = []
         for p, stats, parts in entries:
-            excluded = any(
-                _conjunct_excludes_file(c, stats) for c in conjuncts
-            ) or any(
-                self._bucket_excludes_file(c, parts, bucket_by_source)
-                for c in conjuncts
+            rel = self._index_file_rel(p)
+            excluded = (
+                any(_conjunct_excludes_file(c, stats) for c in conjuncts)
+                or any(
+                    self._bucket_excludes_file(c, parts, bucket_by_source)
+                    for c in conjuncts
+                )
+                or any(
+                    rel in covered and rel not in matches
+                    for covered, matches in vindex_req
+                )
             )
             if not excluded:
                 kept.append(p)
@@ -2813,6 +2945,7 @@ class SnapshotTable:
         snapshot_id: int,
         conjuncts: list[str],
         bucket_by_source: dict,
+        vindex_req: list[tuple[frozenset, frozenset]] | None = None,
     ) -> list[str]:
         """Manifest reading + pruning as a Spark job: each worker parses
         whole manifests (binaryFile) and emits only surviving paths.
@@ -2848,8 +2981,13 @@ class SnapshotTable:
                 )
         renames = meta.get("renames", [])
         conj = list(conjuncts)
+        # value-index sets are driver-resolved (one pushdown bucket read
+        # per probe) and ship to workers as plain frozensets — the
+        # covered set is O(indexed files), the same order as the
+        # manifests the workers are already reading
+        vreq = list(vindex_req or [])
 
-        def survives(stats: dict, parts: dict) -> bool:
+        def survives(f: str, stats: dict, parts: dict) -> bool:
             for r in renames:  # same key mapping as _entries_as_of
                 if r["from"] in stats:
                     stats = dict(stats)
@@ -2861,6 +2999,9 @@ class SnapshotTable:
                     v = parts[pname]
                     if v is None or v != req:  # null partition or other bucket
                         return False
+            for covered, matches in vreq:
+                if f in covered and f not in matches:
+                    return False
             return True
 
         def scan_manifests(batches):
@@ -2875,7 +3016,7 @@ class SnapshotTable:
                         f
                         for f in m["files"]
                         if survives(
-                            stats_all.get(f, {}), parts_all.get(f, {})
+                            f, stats_all.get(f, {}), parts_all.get(f, {})
                         )
                     ]
                     if kept:
@@ -2896,7 +3037,7 @@ class SnapshotTable:
             )
         ] if manifests else []
         for f, stats, parts in inline:
-            if survives(stats, parts):
+            if survives(self._index_file_rel(f), stats, parts):
                 kept_paths.append(
                     f if os.path.isabs(f) else os.path.join(self.location, f)
                 )

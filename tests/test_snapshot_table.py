@@ -2794,3 +2794,75 @@ def test_compact_respects_target_file_size(spark, warehouse):
     t.compact()
     assert len(t.plan_files()) > 1
     assert t.scan(virtual_column=None).count() == 303
+
+
+def test_value_index_point_probe_pruning(spark, warehouse):
+    """Value index: a point probe on a NON-clustered column — min/max
+    bounds span every file, so only the index can prune — plans a
+    strict file subset, scans stay exact, and files committed after
+    the index build are always kept (sound staleness)."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "vidx"))
+    # interleaved ids: every file's [min,max] covers every probe value,
+    # so footer stats prune nothing
+    for k in range(4):
+        t.append(
+            _simple_df(
+                spark, [(k + 4 * j, f"v{k + 4 * j}") for j in range(10)]
+            ).repartition(1)
+        )
+    total = len(t.plan_files())
+    assert total == 4
+    assert len(t.plan_files("id = 5")) == 4  # stats cannot prune
+    t.build_value_index("id")
+    kept = t.plan_files("id = 5")
+    assert len(kept) < total
+    got = {r.id for r in t.scan_where("id = 5", virtual_column=None).collect()}
+    assert got == {5}
+    # a value in no file: still sound (may keep collision files)
+    assert t.scan_where("id = 999", virtual_column=None).count() == 0
+    # post-index append: its file is outside the covered set -> kept
+    t.append(_simple_df(spark, [(1000, "late")]).repartition(1))
+    assert t.scan_where("id = 1000", virtual_column=None).count() == 1
+    late = t.plan_files("id = 1000")
+    assert any("data" in p for p in late) and len(late) >= 1
+    # non-equality predicates ignore the index
+    assert len(t.plan_files("id >= 0")) == 5
+
+
+def test_value_index_sql_procedure_and_expiry_degrade(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "vidx2"))
+    t.append(_simple_df(spark, [(i, "x") for i in range(8)]).repartition(1))
+    t.append(_simple_df(spark, [(i, "y") for i in range(8, 16)]).repartition(1))
+    execute_sql(spark, warehouse, "CALL system.build_value_index('vidx2', 'id')")
+    assert "id" in t._read_meta().get("value_indexes", {})
+    n_before = len(t.plan_files("id = 3"))
+    assert n_before <= 2
+    # expire past the index snapshot: lookup degrades to no-index
+    t.append(_simple_df(spark, [(100, "z")]).repartition(1))
+    t.expire_snapshots(older_than_ms=10**15, retain_last=1)
+    assert {r.id for r in t.scan_where("id = 3", virtual_column=None).collect()} == {3}
+
+
+def test_value_index_distributed_planning_equivalence(
+    spark, warehouse, monkeypatch
+):
+    """The value index prunes identically through the driver loop and
+    the distributed (Spark-job) manifest planner."""
+    from hiveberg_spark.sources import snapshot_table as st_mod
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "vidx_dist"))
+    for k in range(4):
+        t.append(
+            _simple_df(
+                spark, [(k + 4 * j, f"v{k + 4 * j}") for j in range(10)]
+            ).repartition(1)
+        )
+    t.build_value_index("id")
+    where = "id = 5"
+    driver_kept = set(t.plan_files(where))
+    assert len(driver_kept) < 4
+    monkeypatch.setattr(st_mod, "_DISTRIBUTED_PLAN_THRESHOLD", 1)
+    dist_kept = set(t.plan_files(where))
+    assert dist_kept == driver_kept
