@@ -1078,6 +1078,73 @@ class SnapshotTable:
             os.unlink(lock)
         return {"column": column, "snapshot_id": sid, "path": rel}
 
+    def refresh_value_index(self, column: str) -> dict:
+        """INCREMENTAL value-index refresh: postings are computed only
+        for files not covered by the index's pinned snapshot — the
+        per-refresh cost is O(new files' rows), never a table rescan —
+        appended to the posting store, and the pin advances to the
+        current snapshot. Every file live at the new pin is then either
+        previously indexed or just indexed, so the coverage invariant
+        (`covered ⇒ postings complete`) is maintained; postings for
+        rewritten-away files go stale harmlessly (dead files are never
+        planning candidates). The steady-state maintenance loop is
+        append → refresh, with a full build only when the column first
+        gets its index."""
+        meta = self._read_meta()
+        entry = meta.get("value_indexes", {}).get(column)
+        if entry is None:
+            raise ValueError(f"no value index on column: {column!r}")
+        cur = meta["current_snapshot_id"]
+        if cur == entry["snapshot_id"]:
+            return dict(entry)
+        covered = {
+            self._index_file_rel(f)
+            for f, _, _ in self._raw_entries_as_of(
+                meta, entry["snapshot_id"]
+            )
+        }
+        new_files = [
+            f if os.path.isabs(f) else os.path.join(self.location, f)
+            for f, _, _ in self._raw_entries_as_of(meta, cur)
+            if self._index_file_rel(f) not in covered
+        ]
+        if new_files:
+            prefix = os.path.abspath(self.location) + os.sep
+            rel_file = F.replace(
+                F.regexp_replace(
+                    F.input_file_name(), F.lit("^file:/+"), F.lit("/")
+                ),
+                F.lit(prefix),
+                F.lit(""),
+            )
+            postings = (
+                self._read_data_files(
+                    new_files, meta.get("renames", []), meta.get("drops")
+                )
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.col(column)),
+                        F.lit(self._VALUE_INDEX_BUCKETS),
+                    ).alias("bucket"),
+                    rel_file.alias("file"),
+                )
+                .distinct()
+            )
+            postings.write.mode("append").parquet(
+                os.path.join(self.location, entry["path"])
+            )
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            meta["value_indexes"][column] = {
+                "snapshot_id": cur,
+                "path": entry["path"],
+            }
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+        return {"column": column, "snapshot_id": cur, "path": entry["path"]}
+
     def _index_file_rel(self, path: str) -> str:
         """Normalize an index posting's file URI / an entry path to the
         location-relative form both pruning paths compare on."""

@@ -265,6 +265,7 @@ _PROCEDURES = {
     "rewrite_data_files": lambda t: t.compact(),
     "rewrite_manifests": lambda t: t.rewrite_manifests(),
     "build_value_index": lambda t, col: t.build_value_index(col),
+    "refresh_value_index": lambda t, col: t.refresh_value_index(col),
     "rewrite_position_deletes": lambda t: t.rewrite_position_deletes(),
     "rollback_to_snapshot": lambda t, sid: t.rollback_to(int(sid)),
     "fast_forward": lambda t, branch: t.fast_forward(branch),

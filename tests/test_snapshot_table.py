@@ -2866,3 +2866,43 @@ def test_value_index_distributed_planning_equivalence(
     monkeypatch.setattr(st_mod, "_DISTRIBUTED_PLAN_THRESHOLD", 1)
     dist_kept = set(t.plan_files(where))
     assert dist_kept == driver_kept
+
+
+def test_value_index_incremental_refresh(spark, warehouse):
+    """refresh_value_index: only post-pin files are read; afterwards
+    probes on both old and new values prune through the index."""
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "vidx_inc"))
+    for k in range(3):
+        t.append(
+            _simple_df(
+                spark, [(k + 3 * j, f"v{k + 3 * j}") for j in range(8)]
+            ).repartition(1)
+        )
+    t.build_value_index("id")
+    # two appends after the build, then a COW rewrite of one old file
+    t.append(_simple_df(spark, [(500, "new")]).repartition(1))
+    t.update_where("id = 0", {"data": "'rewritten'"})
+    execute_sql(
+        spark, warehouse, "CALL system.refresh_value_index('vidx_inc', 'id')"
+    )
+    meta = t._read_meta()
+    assert (
+        meta["value_indexes"]["id"]["snapshot_id"]
+        == meta["current_snapshot_id"]
+    )
+    total = len(t.plan_files())
+    # post-refresh, a probe for the NEW value prunes to few files
+    assert len(t.plan_files("id = 500")) < total
+    assert {
+        r.data for r in t.scan_where("id = 500", virtual_column=None).collect()
+    } == {"new"}
+    # the rewritten row's value is found in the rewrite's output file
+    assert {
+        r.data for r in t.scan_where("id = 0", virtual_column=None).collect()
+    } == {"rewritten"}
+    assert len(t.plan_files("id = 4")) < total  # old values still prune
+    # refresh with nothing new is a no-op returning the same pin
+    again = t.refresh_value_index("id")
+    assert again["snapshot_id"] == meta["current_snapshot_id"]
