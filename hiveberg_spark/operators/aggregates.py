@@ -303,3 +303,80 @@ def events_funnel_conversion(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1 FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), grid AS (
+      SELECT u.user_id, s.h
+      FROM (SELECT DISTINCT user_id FROM events) u, spine s
+    )
+    SELECT g.user_id, STRFTIME(g.h, '%Y-%m-%d %H:00:00') AS hour_s,
+           LAST_VALUE(hourly.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS UNBOUNDED PRECEDING) AS value_filled,
+           (hourly.v IS NULL) AS is_gap
+    FROM grid g
+    LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+    """,
+)
+def events_gapfill_locf(spark, sf_dir):
+    """Time-series gap-fill with last-observation-carried-forward (the
+    densification op every monitoring/feature pipeline runs before
+    resampling): a complete user × hour grid spans the corpus's hour
+    range, hours with no events join null, and LOCF fills them from
+    each user's latest prior observation (hours before a user's first
+    observation stay null — carrying backwards would fabricate data).
+    Scale shape: the spine is a one-row agg exploded (broadcast side),
+    the grid is |users| × |hours| — dimension-sized, never event-sized
+    — and the only wide operations are the hourly pre-aggregation and
+    one user-keyed window; hourly means are decimal-exact before the
+    single double division."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    grid = e.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_s"),
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )
