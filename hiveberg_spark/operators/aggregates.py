@@ -380,3 +380,69 @@ def events_gapfill_locf(spark, sf_dir):
             F.col("v").isNull().alias("is_gap"),
         )
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size
+      FROM firsts GROUP BY cohort_day
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+               AS age_days
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT STRFTIME(a.cohort_day, '%Y-%m-%d') AS cohort,
+           a.age_days,
+           COUNT(*) AS n_active,
+           s.cohort_size,
+           ROUND(COUNT(*) * 1.0 / s.cohort_size, 6) AS retention
+    FROM activity a JOIN sizes s USING (cohort_day)
+    GROUP BY 1, 2, s.cohort_size
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention analysis (the day-N retention matrix every
+    product-analytics stack computes): users cohort by first-seen day;
+    each (cohort, age) cell counts distinct users active that many
+    days after joining, normalized by cohort size. Two user-keyed
+    aggregations share one shuffle partitioning; the cohort-size frame
+    is day-cardinality and broadcasts. Day-N retention at 100 TB is a
+    distinct-count per (cohort, age) cell — never a per-user loop."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", "ts"), F.col("cohort_day")
+            ).alias("age_days"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "age_days")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.col("age_days").cast("long"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )

@@ -185,6 +185,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_gopher_rules",
     "events_funnel_conversion",
     "simsearch_ivfpq",
+    "events_cohort_retention",
     "events_gapfill_locf",
     "timetravel_as_of_1",
     "snapshot_cherry_pick",
