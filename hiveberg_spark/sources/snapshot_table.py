@@ -1172,15 +1172,32 @@ class SnapshotTable:
             return []
         out: list[tuple[frozenset, frozenset]] = []
         for c in conjuncts:
+            lits: list = []
+            col = None
             m = _PRUNE_CMP.match(c)
-            if not m or m.group("op") not in ("=", "=="):
+            if m and m.group("op") in ("=", "=="):
+                col = m.group("col")
+                lit = _parse_literal(m.group("lit"))
+                if lit is not None:
+                    lits = [lit]
+            else:
+                # `col IN (a, b, c)`: a file survives if ANY probed
+                # bucket lists it — k bucket reads folded into one
+                # pushdown-filtered scan of the posting store
+                mi = _VINDEX_IN_RE.match(c)
+                if mi:
+                    col = mi.group("col")
+                    parsed = [
+                        _parse_literal(x.strip())
+                        for x in mi.group("lits").split(",")
+                        if x.strip()
+                    ]
+                    if parsed and all(p is not None for p in parsed):
+                        lits = parsed
+            if col is None or not lits:
                 continue
-            col = m.group("col")
             entry = vidx.get(col)
             if entry is None:
-                continue
-            lit = _parse_literal(m.group("lit"))
-            if lit is None:
                 continue
             try:
                 covered = frozenset(
@@ -1194,15 +1211,20 @@ class SnapshotTable:
             idx_path = os.path.join(self.location, entry["path"])
             if not os.path.isdir(idx_path):
                 continue
-            b = self._bucket_of_literal(
-                col, self._VALUE_INDEX_BUCKETS, lit
-            )
+            buckets = [
+                int(
+                    self._bucket_of_literal(
+                        col, self._VALUE_INDEX_BUCKETS, lit
+                    )
+                )
+                for lit in lits
+            ]
             matches = frozenset(
                 self._index_file_rel(r.file)
                 for r in self.spark.read.parquet(idx_path)
-                .filter(F.col("bucket") == int(b))
+                .filter(F.col("bucket").isin(buckets))
                 .select("file")
-                .collect()  # one bucket's postings: metadata-sized
+                .collect()  # the probed buckets' postings: metadata-sized
             )
             out.append((covered, matches))
         return out
@@ -4479,6 +4501,14 @@ def _transform_expr(tr: tuple, schema: StructType):
         return F.date_format(c, "yyyy-MM-dd-HH")
     return c  # identity
 
+
+#: `col IN (lit, lit, ...)` — consumed only by the value index (the
+#: min/max evaluator stays conjunct-binary); parenthesized list with
+#: simple literals, conservative on anything fancier
+_VINDEX_IN_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\((?P<lits>[^()]*)\)\s*$",
+    re.IGNORECASE,
+)
 
 _PRUNE_CMP = re.compile(
     r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"

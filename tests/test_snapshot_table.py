@@ -2906,3 +2906,40 @@ def test_value_index_incremental_refresh(spark, warehouse):
     # refresh with nothing new is a no-op returning the same pin
     again = t.refresh_value_index("id")
     assert again["snapshot_id"] == meta["current_snapshot_id"]
+
+
+def test_value_index_in_list_probe(spark, warehouse):
+    """`col IN (...)` probes the index with one pushdown read over all
+    the literals' buckets; scans stay exact, strings work too."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "vidx_in"))
+    for k in range(4):
+        t.append(
+            _simple_df(
+                spark, [(k + 4 * j, f"v{k + 4 * j}") for j in range(10)]
+            ).repartition(1)
+        )
+    t.build_value_index("id")
+    total = len(t.plan_files())
+    kept = t.plan_files("id IN (5, 21)")
+    assert len(kept) < total
+    got = {
+        r.id
+        for r in t.scan_where("id IN (5, 21)", virtual_column=None).collect()
+    }
+    assert got == {5, 21}
+    # a string-column index prunes string IN-lists the same way
+    t2 = SnapshotTable.create(spark, os.path.join(warehouse, "vidx_in_s"))
+    for k in range(3):
+        t2.append(
+            _simple_df(
+                spark, [(k * 10 + j, f"name_{k}_{j}") for j in range(5)]
+            ).repartition(1)
+        )
+    t2.build_value_index("data")
+    assert len(t2.plan_files("data IN ('name_0_1', 'name_0_2')")) < 3
+    assert {
+        r.data
+        for r in t2.scan_where(
+            "data IN ('name_0_1', 'name_0_2')", virtual_column=None
+        ).collect()
+    } == {"name_0_1", "name_0_2"}
