@@ -1015,10 +1015,6 @@ class SnapshotTable:
             summary_extra={"rollback-target-id": str(snapshot_id)},
         )
 
-    #: value-index bucket count: 4096 buckets keeps the posting list
-    #: O(files × avg distinct buckets per file) while a point probe
-    #: reads exactly one bucket's postings (parquet filter pushdown)
-    _VALUE_INDEX_BUCKETS = 4096
 
     def build_value_index(self, column: str) -> dict:
         """Secondary VALUE INDEX for point probes on non-clustered
@@ -1033,8 +1029,13 @@ class SnapshotTable:
         snapshot it was built at: files committed AFTER it are always
         kept (sound), files it covered prune by lookup — so a stale
         index degrades gracefully toward no-index, never drops a row.
-        False positives (bucket collisions) cost a file read; false
-        negatives cannot happen by construction."""
+        False positives (64-bit hash collisions — negligible by design:
+        an early 4096-bucket variant measured at sf0.1 kept 15/16 files
+        because ~9k distinct values per file saturate small bucket
+        spaces, while posting storage is O(distinct value-file pairs)
+        REGARDLESS of hash width, so the full hash is strictly better)
+        cost a file read; false negatives cannot happen by
+        construction."""
         meta = self._read_meta()
         sid = meta["current_snapshot_id"]
         if sid is None:
@@ -1057,10 +1058,7 @@ class SnapshotTable:
         postings = (
             self.scan(snapshot_id=sid, virtual_column=None)
             .select(
-                F.pmod(
-                    F.xxhash64(F.col(column)),
-                    F.lit(self._VALUE_INDEX_BUCKETS),
-                ).alias("bucket"),
+                F.xxhash64(F.col(column)).alias("vhash"),
                 rel_file.alias("file"),
             )
             .distinct()
@@ -1122,10 +1120,7 @@ class SnapshotTable:
                     new_files, meta.get("renames", []), meta.get("drops")
                 )
                 .select(
-                    F.pmod(
-                        F.xxhash64(F.col(column)),
-                        F.lit(self._VALUE_INDEX_BUCKETS),
-                    ).alias("bucket"),
+                    F.xxhash64(F.col(column)).alias("vhash"),
                     rel_file.alias("file"),
                 )
                 .distinct()
@@ -1144,6 +1139,27 @@ class SnapshotTable:
         finally:
             os.unlink(lock)
         return {"column": column, "snapshot_id": cur, "path": entry["path"]}
+
+    def _hash_of_literal(self, src: str, lit) -> int:
+        """xxhash64 of a literal AS the indexed column's type — the
+        same Spark expression the index build ran, so there is no
+        cross-language hash reimplementation to drift (one-row local
+        job, cached per literal)."""
+        cache = getattr(self, "_vhash_cache", None)
+        if cache is None:
+            cache = self._vhash_cache = {}
+        key = (src, repr(lit))
+        if key not in cache:
+            schema = self.schema()
+            col = F.lit(lit)
+            if schema is not None and src in schema.fieldNames():
+                col = col.cast(schema[src].dataType)
+            cache[key] = int(
+                self.spark.range(1)
+                .select(F.xxhash64(col).alias("h"))
+                .head()[0]
+            )
+        return cache[key]
 
     def _index_file_rel(self, path: str) -> str:
         """Normalize an index posting's file URI / an entry path to the
@@ -1211,20 +1227,13 @@ class SnapshotTable:
             idx_path = os.path.join(self.location, entry["path"])
             if not os.path.isdir(idx_path):
                 continue
-            buckets = [
-                int(
-                    self._bucket_of_literal(
-                        col, self._VALUE_INDEX_BUCKETS, lit
-                    )
-                )
-                for lit in lits
-            ]
+            hashes = [self._hash_of_literal(col, lit) for lit in lits]
             matches = frozenset(
                 self._index_file_rel(r.file)
                 for r in self.spark.read.parquet(idx_path)
-                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("vhash").isin(hashes))
                 .select("file")
-                .collect()  # the probed buckets' postings: metadata-sized
+                .collect()  # the probed hashes' postings: metadata-sized
             )
             out.append((covered, matches))
         return out
