@@ -112,6 +112,9 @@ def test_no_forced_broadcast_on_fact_tables():
         "q", "qe", "cents", "df_", "offsets",        # tiny derived frames
         "planes_df",                                 # 1-row literal plane matrix
         "tot",                                       # 1-row totals aggregate (DSIR)
+        "spine",   # hour spine: one row per hour in the corpus range
+        "sizes",   # cohort sizes: one row per cohort DAY
+        "luts",    # ADC lookup tables: queries × probed cells rows
         # metadata-sized frames: O(live data files), the same scale as
         # the manifests themselves — never O(rows)
         "seq_df",                                    # file -> sequence number map
