@@ -77,6 +77,7 @@ REFS_SUFFIX = "__refs"  # Iceberg's `refs` metadata table
 STATS_SUFFIX = "__stats"  # Iceberg's `statistics` files list (Puffin)
 ENTRIES_SUFFIX = "__entries"  # Iceberg's `entries` manifest-entry table
 ALL_FILES_SUFFIX = "__all_files"  # Iceberg's `all_files` (any snapshot)
+INDEXES_SUFFIX = "__indexes"  # value-index freshness (beyond Iceberg)
 
 _FILES_SCHEMA = (
     "content string, file_path string, file_format string, "
@@ -4190,6 +4191,33 @@ class SnapshotTable:
             "added_snapshot_id long, record_count long, live boolean",
         )
 
+    def indexes(self) -> DataFrame:
+        """The `indexes` metadata table: one row per value index —
+        column, pinned snapshot, current snapshot, and `lag_commits`
+        (how many commits behind the pin is; 0 = fresh, the operator's
+        cue to run `refresh_value_index`). Freshness comes from
+        metadata alone; the posting store is never opened."""
+        meta = self._read_meta()
+        current = meta["current_snapshot_id"]
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        rows = []
+        for col, entry in sorted(meta.get("value_indexes", {}).items()):
+            lag = 0
+            walk = current
+            while walk is not None and walk != entry["snapshot_id"] and walk in by_id:
+                lag += 1
+                walk = by_id[walk].get("parent_id")
+            if walk != entry["snapshot_id"]:
+                lag = -1  # pin not an ancestor (expired/rolled past)
+            rows.append(
+                (col, entry["snapshot_id"], current, lag, entry["path"])
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "column string, pinned_snapshot_id long, "
+            "current_snapshot_id long, lag_commits int, path string",
+        )
+
     def partitions(self, snapshot_id: int | None = None) -> DataFrame:
         """The `partitions` metadata table (Iceberg `partitions`): one
         row per live partition-value tuple with its file count, record
@@ -4668,6 +4696,11 @@ def resolve_table(
         base_loc = os.path.join(warehouse, base)
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).all_files()
+    if snapshots_table_enabled and name.endswith(INDEXES_SUFFIX):
+        base = name[: -len(INDEXES_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).indexes()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 

@@ -2943,3 +2943,24 @@ def test_value_index_in_list_probe(spark, warehouse):
             "data IN ('name_0_1', 'name_0_2')", virtual_column=None
         ).collect()
     } == {"name_0_1", "name_0_2"}
+
+
+def test_indexes_metadata_table_freshness(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "idx_meta"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.build_value_index("id")
+    assert t.indexes().collect()[0].lag_commits == 0
+    t.append(_simple_df(spark, [(2, "b")]))
+    t.append(_simple_df(spark, [(3, "c")]))
+    row = t.indexes().collect()[0]
+    assert (row.column, row.lag_commits) == ("id", 2)
+    t.refresh_value_index("id")
+    assert t.indexes().collect()[0].lag_commits == 0
+    # rollback is a forward commit, so the pin stays an ancestor and
+    # lag counts the rolled-past commits
+    t.append(_simple_df(spark, [(4, "d")]))
+    t.rollback_to(1)
+    assert t.indexes().collect()[0].lag_commits == 2
+    # an EXPIRED pin is no ancestor at all: reported as -1
+    t.expire_snapshots(older_than_ms=10**15, retain_last=1)
+    assert t.indexes().collect()[0].lag_commits == -1
