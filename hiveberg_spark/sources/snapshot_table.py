@@ -4804,6 +4804,7 @@ def register_sql_views(
         t.statistics().createOrReplaceTempView(name + STATS_SUFFIX)
         t.entries().createOrReplaceTempView(name + ENTRIES_SUFFIX)
         t.all_files().createOrReplaceTempView(name + ALL_FILES_SUFFIX)
+        t.indexes().createOrReplaceTempView(name + INDEXES_SUFFIX)
         registered.extend(
             [
                 name,
@@ -4815,6 +4816,7 @@ def register_sql_views(
                 name + STATS_SUFFIX,
                 name + ENTRIES_SUFFIX,
                 name + ALL_FILES_SUFFIX,
+                name + INDEXES_SUFFIX,
             ]
         )
     return registered

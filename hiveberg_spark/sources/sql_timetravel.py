@@ -93,8 +93,11 @@ def _register_referenced_tables(
     if not os.path.isdir(warehouse):
         return
     from hiveberg_spark.sources.snapshot_table import (
+        ALL_FILES_SUFFIX,
+        ENTRIES_SUFFIX,
         FILES_SUFFIX,
         HISTORY_SUFFIX,
+        INDEXES_SUFFIX,
         MANIFESTS_SUFFIX,
         PARTITIONS_SUFFIX,
         REFS_SUFFIX,
@@ -110,6 +113,9 @@ def _register_referenced_tables(
         PARTITIONS_SUFFIX: lambda t: t.partitions(),
         REFS_SUFFIX: lambda t: t.refs_table(),
         STATS_SUFFIX: lambda t: t.statistics(),
+        ENTRIES_SUFFIX: lambda t: t.entries(),
+        ALL_FILES_SUFFIX: lambda t: t.all_files(),
+        INDEXES_SUFFIX: lambda t: t.indexes(),
     }
     for d in os.listdir(warehouse):
         if not os.path.exists(os.path.join(warehouse, d, "metadata.json")):
@@ -407,10 +413,28 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+AS\s+"
+    r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s+)?AS\s+"
     r"(?P<select>SELECT\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: explicit-schema create — exactly the form SHOW CREATE TABLE emits,
+#: so its output round-trips back through execute_sql
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s*"
+    r"\(\s*(?P<cols>.*?)\s*\)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"(?:TBLPROPERTIES\s*\(\s*(?P<props>.*?)\s*\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_partition_fields(raw: str) -> list:
+    return [
+        _parse_transform(item.strip())
+        for item in _split_top_level_commas(raw)
+        if item.strip()
+    ]
 
 
 def _parse_call_args(raw: str) -> list:
@@ -726,9 +750,42 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         if os.path.exists(os.path.join(loc, "metadata.json")):
             raise ValueError(f"table already exists: {name}")
         df = sql_with_time_travel(spark, warehouse, m.group("select"))
-        t = SnapshotTable.create(spark, loc, schema=df.schema)
+        spec = (
+            _parse_partition_fields(m.group("parts"))
+            if m.group("parts")
+            else None
+        )
+        t = SnapshotTable.create(
+            spark, loc, schema=df.schema, partition_spec=spec
+        )
         sid = t.append(df)
         return _summary("create", sid)
+    m = _CREATE_TABLE_RE.match(sql)
+    if m:
+        name = m.group("table")
+        loc = os.path.join(warehouse, name)
+        if os.path.exists(os.path.join(loc, "metadata.json")):
+            raise ValueError(f"table already exists: {name}")
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(m.group("cols"))
+        spec = (
+            _parse_partition_fields(m.group("parts"))
+            if m.group("parts")
+            else None
+        )
+        t = SnapshotTable.create(
+            spark, loc, schema=schema, partition_spec=spec
+        )
+        if m.group("props"):
+            props = {}
+            for item in _split_top_level_commas(m.group("props")):
+                kv = _KV_RE.match(item)
+                if not kv:
+                    raise ValueError(f"bad TBLPROPERTIES item: {item!r}")
+                props[kv.group("k")] = kv.group("v")
+            t.set_properties(props)
+        return _summary("create", 0)
     m = _DELETE_RE.match(sql)
     if m:
         sid = _table(m.group("table")).delete_where(m.group("pred"))

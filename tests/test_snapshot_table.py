@@ -2964,3 +2964,52 @@ def test_indexes_metadata_table_freshness(spark, warehouse):
     # an EXPIRED pin is no ancestor at all: reported as -1
     t.expire_snapshots(older_than_ms=10**15, retain_last=1)
     assert t.indexes().collect()[0].lag_commits == -1
+
+
+def test_create_table_ddl_and_show_create_roundtrip(spark, warehouse):
+    """CREATE TABLE (schema) PARTITIONED BY (...) TBLPROPERTIES (...)
+    parses; SHOW CREATE TABLE's output re-executes verbatim to an
+    equivalent table (the round-trip contract)."""
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    execute_sql(
+        spark,
+        warehouse,
+        "CREATE TABLE ddl_rt (id bigint, tags map<string,int>, ts timestamp_ntz) "
+        "PARTITIONED BY (bucket(id, 4), month(ts)) "
+        "TBLPROPERTIES ('write.target-file-size-bytes'='1000000')",
+    )
+    t = SnapshotTable.load(spark, os.path.join(warehouse, "ddl_rt"))
+    assert t._read_meta()["partition_spec"] == [
+        ["bucket", "id", 4],
+        ["month", "ts", None],
+    ]
+    assert t.properties()["write.target-file-size-bytes"] == "1000000"
+    assert t.scan(virtual_column=None).count() == 0  # declared schema, no rows
+    assert "tags" in t.scan(virtual_column=None).columns
+
+    ddl = execute_sql(spark, warehouse, "SHOW CREATE TABLE ddl_rt").head()[0]
+    ddl2 = ddl.replace("ddl_rt", "ddl_rt2")
+    execute_sql(spark, warehouse, ddl2)
+    t2 = SnapshotTable.load(spark, os.path.join(warehouse, "ddl_rt2"))
+    assert t2._read_meta()["partition_spec"] == t._read_meta()["partition_spec"]
+    assert t2.schema().json() == t.schema().json()
+    assert t2.properties() == t.properties()
+
+
+def test_partitioned_ctas(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "ctas_src"))
+    src.append(_simple_df(spark, [(i, f"r{i}") for i in range(20)]))
+    src.scan(virtual_column=None).createOrReplaceTempView("ctas_src_v")
+    execute_sql(
+        spark,
+        warehouse,
+        "CREATE TABLE ctas_part PARTITIONED BY (bucket(id, 2)) "
+        "AS SELECT * FROM ctas_src_v",
+    )
+    t = SnapshotTable.load(spark, os.path.join(warehouse, "ctas_part"))
+    assert t._read_meta()["partition_spec"] == [["bucket", "id", 2]]
+    assert t.scan(virtual_column=None).count() == 20
+    assert len(t.plan_files("id = 3")) < len(t.plan_files())
