@@ -446,3 +446,96 @@ def events_cohort_retention(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id,
+             (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 2) AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM arms
+    )
+    , z AS (
+      SELECT *,
+             CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                  THEN 0.0
+                  ELSE (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                       / SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                              * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b))
+             END AS zval
+      FROM agg
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+           ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+           ROUND(zval, 6) AS z_score,
+           (ABS(zval) > 1.96) AS significant
+    FROM z
+    """,
+)
+def events_ab_test(spark, sf_dir):
+    """Two-proportion z-test over a deterministic hash split (the
+    experimentation-platform primitive): users assign to arm A/B by an
+    md5-derived bit, conversion = any 'purchase' event, and the pooled
+    two-proportion z statistic decides significance at α=0.05. One
+    user-keyed aggregation then a single four-number reduction — the
+    entire test collapses to O(1) state regardless of corpus size,
+    which is why experiment scorecards at 100 TB are cheap. All inputs
+    to the float math are exact integer counts, so the z computation
+    is operand-identical across engines (ROUND 6 guards the ULPs)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    arms = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn(
+        "arm",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ),
+    )
+    agg = arms.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    # degenerate arms (all or none converted): z pinned to 0, not NaN —
+    # a no-signal experiment reads as not-significant, never as NULL
+    z = F.when(
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")),
+        F.lit(0.0),
+    ).otherwise(
+        (p_a - p_b)
+        / F.sqrt(pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

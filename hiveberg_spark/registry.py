@@ -187,6 +187,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "simsearch_ivfpq",
     "events_cohort_retention",
     "events_gapfill_locf",
+    "events_ab_test",
     "timetravel_as_of_1",
     "snapshot_cherry_pick",
     "text_template_detect",

@@ -3013,3 +3013,28 @@ def test_partitioned_ctas(spark, warehouse):
     assert t._read_meta()["partition_spec"] == [["bucket", "id", 2]]
     assert t.scan(virtual_column=None).count() == 20
     assert len(t.plan_files("id = 3")) < len(t.plan_files())
+
+
+def test_value_index_multi_column_composition(spark, warehouse):
+    """Two indexed columns compose: each equality conjunct prunes
+    independently and exclusions intersect (a file survives only if
+    every probe's postings allow it)."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "vidx_multi"))
+    rows = []
+    for k in range(4):
+        rows.append([(k + 4 * j, f"g{(k + j) % 3}") for j in range(10)])
+    for batch in rows:
+        t.append(_simple_df(spark, batch).repartition(1))
+    t.build_value_index("id")
+    t.build_value_index("data")
+    total = len(t.plan_files())
+    both = t.plan_files("id = 5 AND data = 'g0'")
+    only_id = t.plan_files("id = 5")
+    assert len(both) <= len(only_id) < total
+    got = t.scan_where("id = 5 AND data = 'g0'", virtual_column=None).count()
+    exact = (
+        t.scan(virtual_column=None)
+        .filter("id = 5 AND data = 'g0'")
+        .count()
+    )
+    assert got == exact
