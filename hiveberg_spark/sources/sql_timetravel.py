@@ -412,6 +412,19 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>[A-Za-z_]\w*)\s+(?P<select>SELECT\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: INSERT OVERWRITE t SELECT ... — Iceberg's full-table overwrite
+#: (a new `replaces` snapshot; history stays travelable)
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<table>[A-Za-z_]\w*)\s+"
+    r"(?P<select>SELECT\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: TRUNCATE TABLE t — overwrite with the empty frame (metadata-fast,
+#: rows removed in one snapshot, history stays travelable)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s+)?AS\s+"
@@ -736,6 +749,17 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         return spark.createDataFrame(
             [(proc, str(result))], "procedure string, result string"
         )
+    m = _INSERT_OVERWRITE_RE.match(sql)
+    if m:
+        df = sql_with_time_travel(spark, warehouse, m.group("select"))
+        sid = _table(m.group("table")).overwrite(df)
+        return _summary("overwrite", sid)
+    m = _TRUNCATE_RE.match(sql)
+    if m:
+        t = _table(m.group("table"))
+        empty = t.scan(virtual_column=None).limit(0)
+        sid = t.overwrite(empty)
+        return _summary("truncate", sid)
     m = _INSERT_RE.match(sql)
     if m:
         # the SELECT side goes through the time-travel-aware path, so

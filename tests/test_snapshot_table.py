@@ -3038,3 +3038,21 @@ def test_value_index_multi_column_composition(spark, warehouse):
         .count()
     )
     assert got == exact
+
+
+def test_insert_overwrite_and_truncate(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "ovw"))
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    _simple_df(spark, [(9, "z")]).createOrReplaceTempView("ovw_src")
+    execute_sql(
+        spark, warehouse, "INSERT OVERWRITE ovw SELECT * FROM ovw_src"
+    )
+    assert {r.id for r in t.scan(virtual_column=None).collect()} == {9}
+    # pre-overwrite snapshot still travels
+    assert t.scan(snapshot_id=1, virtual_column=None).count() == 2
+    execute_sql(spark, warehouse, "TRUNCATE TABLE ovw")
+    assert t.scan(virtual_column=None).count() == 0
+    assert list(t.scan(virtual_column=None).columns) == ["id", "data"]
+    assert t.scan(snapshot_id=2, virtual_column=None).count() == 1
