@@ -425,6 +425,15 @@ _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+#: CREATE OR REPLACE TABLE t AS SELECT — Iceberg RTAS: an existing
+#: table is replaced in ONE replaces-snapshot (schema may change,
+#: history stays travelable); a missing table is plain CTAS
+_RTAS_RE = re.compile(
+    r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s+)?AS\s+"
+    r"(?P<select>SELECT\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s+)?AS\s+"
@@ -767,6 +776,38 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         df = sql_with_time_travel(spark, warehouse, m.group("select"))
         sid = _table(m.group("table")).append(df)
         return _summary("append", sid)
+    m = _RTAS_RE.match(sql)
+    if m:
+        name = m.group("table")
+        loc = os.path.join(warehouse, name)
+        df = sql_with_time_travel(spark, warehouse, m.group("select"))
+        spec = (
+            _parse_partition_fields(m.group("parts"))
+            if m.group("parts")
+            else None
+        )
+        if os.path.exists(os.path.join(loc, "metadata.json")):
+            t = SnapshotTable.load(spark, loc)
+            # RTAS on a live table: adopt the SELECT's schema (schema
+            # replacement is part of the contract), move the partition
+            # spec if given, then land the data as one replaces commit
+            meta = t._read_meta()
+            lock = t._acquire_lock()
+            try:
+                meta = t._read_meta()
+                meta["schema_json"] = df.schema.json()
+                t._write_meta(meta)
+            finally:
+                os.unlink(lock)
+            if spec is not None:
+                t.update_partition_spec(spec)
+            sid = t.overwrite(df)
+            return _summary("replace", sid)
+        t = SnapshotTable.create(
+            spark, loc, schema=df.schema, partition_spec=spec
+        )
+        sid = t.append(df)
+        return _summary("create", sid)
     m = _CTAS_RE.match(sql)
     if m:
         name = m.group("table")

@@ -3056,3 +3056,29 @@ def test_insert_overwrite_and_truncate(spark, warehouse):
     assert t.scan(virtual_column=None).count() == 0
     assert list(t.scan(virtual_column=None).columns) == ["id", "data"]
     assert t.scan(snapshot_id=2, virtual_column=None).count() == 1
+
+
+def test_replace_table_as_select(spark, warehouse):
+    """CREATE OR REPLACE TABLE: one replaces-snapshot adopts the new
+    schema and data; pre-replace history stays travelable; a missing
+    table degrades to plain CTAS."""
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    _simple_df(spark, [(1, "a"), (2, "b")]).createOrReplaceTempView("rtas_src")
+    execute_sql(
+        spark, warehouse, "CREATE OR REPLACE TABLE rtas AS SELECT * FROM rtas_src"
+    )
+    t = SnapshotTable.load(spark, os.path.join(warehouse, "rtas"))
+    assert t.scan(virtual_column=None).count() == 2
+    spark.createDataFrame(
+        [(10, 1.5)], "k long, score double"
+    ).createOrReplaceTempView("rtas_src2")
+    execute_sql(
+        spark, warehouse, "CREATE OR REPLACE TABLE rtas AS SELECT * FROM rtas_src2"
+    )
+    cur = t.scan(virtual_column=None)
+    assert set(cur.columns) == {"k", "score"}
+    assert cur.count() == 1
+    # the pre-replace generation still travels with its OLD schema data
+    old = t.scan(snapshot_id=1, virtual_column=None)
+    assert old.count() == 2
