@@ -2460,3 +2460,61 @@ def materialized_rollup_refresh(spark, sf_dir):
         F.col("max_value").cast("double").alias("max_value"),
         F.lit(bool(incremental)).alias("incremental"),
     )
+
+
+@query(
+    "snapshot_default_values",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(CASE
+             WHEN n_nationkey < 10 THEN 7
+             WHEN n_nationkey BETWEEN 10 AND 14
+               THEN CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey END
+             ELSE 7
+           END AS INTEGER) AS tier
+    FROM nation WHERE n_nationkey < 20
+    """,
+)
+def snapshot_default_values(spark, sf_dir):
+    """DEFAULT VALUES on ADD COLUMN — the Iceberg v3 default-value
+    semantics (the reference's Iceberg 0.7 predates them; spec §
+    default-values). Three file generations prove both halves:
+
+    - rows sealed BEFORE the add (n_nationkey < 10) read the INITIAL
+      default 7 — per-file data sequence numbers decide which files
+      predate the column, so this is not a blanket coalesce;
+    - rows appended WITH the column (10..14) keep their physical
+      values, INCLUDING the explicit NULLs on odd keys — the case a
+      coalesce-based implementation corrupts;
+    - rows appended WITHOUT the column (15..19) get the WRITE default
+      baked into their files at commit time.
+
+    SQL twin: `ALTER TABLE t ADD COLUMN tier int DEFAULT 7` through
+    the statement layer (sources/sql_timetravel.py:_ADD_COL_RE)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_defaults")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def builder(table):
+        table.append(nation.filter("n_nationkey < 10"))
+        table.add_column("tier", "int", default_sql="7")
+        table.append(
+            nation.filter("n_nationkey BETWEEN 10 AND 14").withColumn(
+                "tier",
+                F.when(
+                    F.col("n_nationkey") % 2 == 0, F.col("n_nationkey")
+                ).cast("int"),  # odd keys: explicit NULL, must survive
+            )
+        )
+        table.append(nation.filter("n_nationkey BETWEEN 15 AND 19"))
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan(virtual_column=None).select("n_nationkey", "tier")

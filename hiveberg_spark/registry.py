@@ -170,6 +170,8 @@ DRIVER_WINDOW: list[str] = [
 # additions that landed after the window filled; all green in local
 # oracle parity at sf0.001 + sf0.01 this round); rotate into round 6.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # never-driver-checked post-window round-5 additions lead round 6
+    "snapshot_default_values",
     # the five DML re-checks displaced by the late-round-5 additions
     # (pass(r4); their churned shared paths are driver-covered this
     # round by the entries/clone/rewrite-manifests fixtures) — plus the

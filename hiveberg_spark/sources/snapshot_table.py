@@ -2220,13 +2220,20 @@ class SnapshotTable:
             else:
                 carry.append((rel, stats, parts))
         deletes = self._raw_deletes_as_of(meta, current)
-        carry_seq = self._file_seq_as_of(meta, current) if deletes else None
+        # defaults need original data sequence numbers preserved on the
+        # carried files too: a COW rewrite must not promote an untouched
+        # pre-add file's seq past the column's as_of (it would silently
+        # stop reading its initial default)
+        carry_seq = (
+            self._file_seq_as_of(meta, current)
+            if deletes or meta.get("defaults")
+            else None
+        )
         if not affected:
             return _CowPlan(None, carry, current, deletes or None, carry_seq)
         renames = meta.get("renames", [])
-        df = self._read_data_files(
-            affected, renames, meta.get("drops", []), lineage=bool(deletes),
-            read_schema=self._widened_read_schema(meta),
+        df = self._read_with_defaults(
+            affected, meta, carry_seq, current, lineage=bool(deletes)
         )
         if deletes:
             df = self._apply_mor_deletes(
@@ -2259,10 +2266,22 @@ class SnapshotTable:
         CommitConflictError instead of silently dropping the
         intervening snapshot's files from the new full manifest
         (ADVICE r2: lost-update race)."""
+        pre_meta = self._read_meta()
+        if pre_meta.get("defaults") and pre_meta.get("schema_json"):
+            # WRITE DEFAULTS (Iceberg v3): a commit whose DataFrame
+            # omits a defaulted column bakes the default into the files
+            # it writes — physical, so those files never depend on the
+            # initial-default read path
+            declared = StructType.fromJson(json.loads(pre_meta["schema_json"]))
+            for d in pre_meta["defaults"]:
+                if d["col"] not in df.columns and d["col"] in declared.names:
+                    df = df.withColumn(
+                        d["col"],
+                        F.expr(d["sql"]).cast(declared[d["col"]].dataType),
+                    )
         user_schema = df.schema  # before hidden partition columns
         commit_uuid = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.location, "data", commit_uuid)
-        pre_meta = self._read_meta()
         spec = [tuple(t) for t in pre_meta.get("partition_spec") or []]
         fmt = pre_meta.get("file_format", "parquet")
         props = pre_meta.get("properties", {})
@@ -2618,6 +2637,9 @@ class SnapshotTable:
                 for t in spec:
                     if t[1] == old:
                         t[1] = new
+            for d in meta.get("defaults", []):
+                if d["col"] == old:  # defaults follow the rename too
+                    d["col"] = new
             if meta.get("schema_json"):
                 schema = StructType.fromJson(json.loads(meta["schema_json"]))
                 renamed = StructType(
@@ -2813,6 +2835,11 @@ class SnapshotTable:
                             "source column of a live table spec"
                         )
             meta.setdefault("drops", []).append(name)
+            if meta.get("defaults"):
+                # a dropped column's default must not re-inject it
+                meta["defaults"] = [
+                    d for d in meta["defaults"] if d["col"] != name
+                ]
             if meta.get("schema_json"):
                 schema = StructType.fromJson(json.loads(meta["schema_json"]))
                 kept = StructType([f for f in schema.fields if f.name != name])
@@ -2825,7 +2852,9 @@ class SnapshotTable:
         finally:
             os.unlink(lock)
 
-    def add_column(self, name: str, type_ddl: str) -> None:
+    def add_column(
+        self, name: str, type_ddl: str, default_sql: str | None = None
+    ) -> None:
         """Add an optional column to the table schema (Iceberg
         UpdateSchema.addColumn). Metadata-only: no file is touched;
         rows written before the add surface NULL — the scan null-fills
@@ -2833,10 +2862,41 @@ class SnapshotTable:
         column is queryable immediately, before any write carries it.
         Re-adding a previously dropped name is refused (old file data
         would resurrect through the merged read — the same caveat the
-        drop documents)."""
+        drop documents).
+
+        `default_sql` (a constant SQL expression, e.g. ``"7"`` or
+        ``"'unknown'"``) adds the column WITH A DEFAULT — the Iceberg
+        v3 default-value semantics the reference's Iceberg 0.7 predates:
+
+        - *initial default*: rows in files sealed BEFORE the add read
+          back the default instead of NULL (per-file data sequence
+          numbers decide which files predate the column, so a file
+          written after the add that stores an explicit NULL keeps its
+          NULL);
+        - *write default*: a later append whose DataFrame omits the
+          column has the default baked into the written files.
+
+        The expression must be constant (no column references) and
+        castable to the column type; both are validated here, at add
+        time, by evaluating it once."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
         dtype = _parse_datatype_string(type_ddl)
+        if default_sql is not None:
+            try:
+                # one 1-row driver job proves the expression is a valid
+                # constant of (castable to) the column type — failing
+                # the ALTER, never a later scan; the probe column is
+                # renamed so a default referencing `id` (or any real
+                # column) fails resolution instead of silently binding
+                self.spark.range(1).toDF("__hbs_default_probe__").select(
+                    F.expr(default_sql).cast(dtype)
+                ).collect()
+            except Exception as exc:
+                raise ValueError(
+                    f"invalid DEFAULT expression {default_sql!r} for "
+                    f"type {type_ddl}: {exc}"
+                ) from None
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()
@@ -2868,6 +2928,18 @@ class SnapshotTable:
                 list(schema.fields) + [StructField(name, dtype, True)]
             ).json()
             meta.setdefault("added_columns", []).append(name)
+            if default_sql is not None:
+                # `as_of` = the current snapshot id: files with data
+                # sequence number <= it predate the column and read the
+                # initial default; later files carry the column
+                # physically (write defaults bake it in at append)
+                meta.setdefault("defaults", []).append(
+                    {
+                        "col": name,
+                        "sql": default_sql,
+                        "as_of": meta["current_snapshot_id"] or 0,
+                    }
+                )
             self._write_meta(meta)
         finally:
             os.unlink(lock)
@@ -3264,6 +3336,61 @@ class SnapshotTable:
         files, sid = self._files_as_of(snapshot_id)
         return self._read_files(files, sid, virtual_column)
 
+    def _read_with_defaults(
+        self,
+        files: list[str],
+        meta: dict,
+        seq: dict[str, int] | None,
+        sid: int | None,
+        lineage: bool = False,
+    ) -> DataFrame:
+        """`_read_data_files` with Iceberg-v3 INITIAL DEFAULTS applied:
+        files whose data sequence number predates a defaulted column's
+        add (`defaults[*].as_of`) read that column as the default
+        expression; newer files read their physical values — including
+        explicit NULLs, which a blanket coalesce would corrupt. Files
+        are grouped by WHICH defaults apply (at most one group per
+        add-generation, not per file) and the groups union by name, so
+        a table with no defaults pays nothing and a table with k
+        default columns adds at most k+1 read groups. `seq` is the
+        caller's `_file_seq_as_of` map when it already has one (the
+        merge-on-read paths do); None lazily computes it only if a
+        default actually needs it."""
+        defaults = meta.get("defaults", [])
+        renames = meta.get("renames", [])
+        drops = meta.get("drops", [])
+        rs = self._widened_read_schema(meta)
+        if not defaults or not files:
+            return self._read_data_files(
+                files, renames, drops, lineage=lineage, read_schema=rs
+            )
+        if seq is None:
+            seq = self._file_seq_as_of(meta, sid) if sid is not None else {}
+        schema = StructType.fromJson(json.loads(meta["schema_json"]))
+        groups: dict[frozenset, list[str]] = {}
+        for f in files:
+            fseq = seq.get(self._index_file_rel(f), sid or 0)
+            need = frozenset(
+                d["col"] for d in defaults if fseq <= d["as_of"]
+            )
+            groups.setdefault(need, []).append(f)
+        parts: list[DataFrame] = []
+        for need in sorted(groups, key=sorted):
+            part = self._read_data_files(
+                groups[need], renames, drops, lineage=lineage, read_schema=rs
+            )
+            for d in defaults:
+                if d["col"] in need:
+                    part = part.withColumn(
+                        d["col"],
+                        F.expr(d["sql"]).cast(schema[d["col"]].dataType),
+                    )
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df
+
     def _read_data_files(
         self,
         files: list[str],
@@ -3457,9 +3584,8 @@ class SnapshotTable:
                 df = df.withColumn(virtual_column, F.lit(None).cast("long"))
             return df
         deletes = self._raw_deletes_as_of(meta, sid) if sid is not None else []
-        df = self._read_data_files(
-            files, renames, meta.get("drops", []), lineage=bool(deletes),
-            read_schema=self._widened_read_schema(meta),
+        df = self._read_with_defaults(
+            files, meta, None, sid, lineage=bool(deletes)
         )
         if deletes:
             df = self._apply_mor_deletes(
@@ -3526,10 +3652,7 @@ class SnapshotTable:
                     )
         if not files:
             return self.scan(virtual_column=virtual_column).limit(0)
-        df = self._read_data_files(
-            files, meta.get("renames", []), meta.get("drops", []),
-            read_schema=self._widened_read_schema(meta),
-        )
+        df = self._read_with_defaults(files, meta, None, to_snapshot)
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(to_snapshot).cast("long"))
         return df
@@ -3544,12 +3667,12 @@ class SnapshotTable:
             return None
         renames = meta.get("renames", [])
         deletes = self._raw_deletes_as_of(meta, sid)
-        df = self._read_data_files(
+        df = self._read_with_defaults(
             [os.path.join(self.location, r) for r in rels],
-            renames,
-            meta.get("drops", []),
+            meta,
+            None,
+            sid,
             lineage=bool(deletes) or keep_lineage,
-            read_schema=self._widened_read_schema(meta),
         )
         if deletes:
             df = self._apply_mor_deletes(

@@ -369,7 +369,8 @@ _ADD_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+ADD\s+COLUMN\s+"
     r"(?P<col>[A-Za-z_]\w*)\s+"
     r"(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
-    r"(?:\s*<[^>]+>)?)\s*;?\s*$",
+    r"(?:\s*<[^>]+>)?)"
+    r"(?:\s+DEFAULT\s+(?P<default>.+?))?\s*;?\s*$",
     re.IGNORECASE,
 )
 #: Iceberg partition-spec evolution statements:
@@ -700,7 +701,9 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         )
     m = _ADD_COL_RE.match(sql)
     if m:
-        _table(m.group("table")).add_column(m.group("col"), m.group("type"))
+        _table(m.group("table")).add_column(
+            m.group("col"), m.group("type"), default_sql=m.group("default")
+        )
         return spark.createDataFrame(
             [(m.group("table"), "add_column")], "table string, ddl string"
         )

@@ -1,0 +1,157 @@
+"""Default values on ADD COLUMN (Iceberg v3 default-value semantics —
+initial defaults for pre-existing files, write defaults for later
+appends that omit the column). The reference's Iceberg 0.7 predates
+the feature entirely; the contract followed here is the public Iceberg
+v3 spec (default-values section)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _t(spark, warehouse, name):
+    return SnapshotTable.create(spark, os.path.join(warehouse, name))
+
+
+def test_initial_default_fills_pre_add_files(spark, warehouse):
+    t = _t(spark, warehouse, "init")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    rows = {r.id: r.tier for r in t.scan().collect()}
+    assert rows == {1: 7, 2: 7}
+
+
+def test_post_add_explicit_null_survives(spark, warehouse):
+    # the case a blanket coalesce corrupts: a file written AFTER the
+    # add stores an explicit NULL — it must stay NULL
+    t = _t(spark, warehouse, "nulls")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", None), (3, "c", 30)], "id long, data string, tier int"
+        )
+    )
+    rows = {r.id: r.tier for r in t.scan().collect()}
+    assert rows == {1: 7, 2: None, 3: 30}
+
+
+def test_write_default_is_physical(spark, warehouse):
+    # an append omitting the column bakes the default into its files:
+    # the raw parquet (no snapshot-table read path) must carry it
+    t = _t(spark, warehouse, "wd")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    sid = t.append(spark.createDataFrame([(2, "b")], "id long, data string"))
+    meta = t._read_meta()
+    snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+    new_files = [os.path.join(t.location, f) for f in t._read_manifest(snap)]
+    raw = spark.read.parquet(*new_files)
+    assert "tier" in raw.columns
+    assert [r.tier for r in raw.collect()] == [7]
+
+
+def test_default_expression_and_string_type(spark, warehouse):
+    t = _t(spark, warehouse, "expr")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    t.add_column("src", "string", default_sql="'unknown'")
+    t.add_column("score", "double", default_sql="1.5 * 2")
+    row = t.scan().head()
+    assert row.src == "unknown" and row.score == 3.0
+
+
+def test_invalid_default_rejected_at_add_time(spark, warehouse):
+    t = _t(spark, warehouse, "bad")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    with pytest.raises(ValueError, match="DEFAULT"):
+        t.add_column("tier", "int", default_sql="id + 1")  # column ref
+    assert "tier" not in (t.schema() or []).fieldNames()
+
+
+def test_cow_rewrite_bakes_defaults(spark, warehouse):
+    # UPDATE rewrites pre-add files through the default-applying read,
+    # so the rewritten files physically carry the default, and the
+    # untouched rows still read it via the initial-default path
+    t = _t(spark, warehouse, "cow")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    t.update_where("id = 1", {"data": "'A'"})
+    rows = {r.id: (r.data, r.tier) for r in t.scan().collect()}
+    assert rows == {1: ("A", 7), 2: ("b", 7)}
+
+
+def test_time_travel_reads_default_through_current_schema(spark, warehouse):
+    # history reads through the CURRENT schema (Iceberg semantics):
+    # a pre-add snapshot surfaces the column with its initial default
+    t = _t(spark, warehouse, "tt")
+    s1 = t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    t.append(spark.createDataFrame([(2, "b", 20)], "id long, data string, tier int"))
+    old = t.scan(snapshot_id=s1).collect()
+    assert [(r.id, r.tier) for r in old] == [(1, 7)]
+
+
+def test_drop_column_purges_default(spark, warehouse):
+    t = _t(spark, warehouse, "drop")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    t.drop_column("tier")
+    assert "tier" not in t.scan().columns
+    assert t._read_meta().get("defaults") == []
+
+
+def test_rename_keeps_default(spark, warehouse):
+    t = _t(spark, warehouse, "ren")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    t.rename_column("tier", "rank")
+    rows = t.scan().collect()
+    assert [r.rank for r in rows] == [7]
+    # a post-rename append omitting the column still gets the write
+    # default under the new name
+    t.append(spark.createDataFrame([(2, "b")], "id long, data string"))
+    rows = {r.id: r.rank for r in t.scan().collect()}
+    assert rows == {1: 7, 2: 7}
+
+
+def test_sql_alter_add_column_default(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = _t(spark, warehouse, "sqlpath")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    execute_sql(
+        spark, warehouse, "ALTER TABLE sqlpath ADD COLUMN tier int DEFAULT 42"
+    )
+    assert [r.tier for r in t.scan().collect()] == [42]
+
+
+def test_incremental_read_applies_defaults(spark, warehouse):
+    t = _t(spark, warehouse, "incr")
+    s1 = t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    s2 = t.append(spark.createDataFrame([(2, "b")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    t.append(spark.createDataFrame([(3, "c", None)], "id long, data string, tier int"))
+    # delta (s1, current]: file from s2 predates the add -> default;
+    # the post-add file's explicit NULL survives
+    rows = {r.id: r.tier for r in t.scan_changes(s1).collect()}
+    assert rows == {2: 7, 3: None}
+
+
+def test_default_with_merge_on_read_delete(spark, warehouse):
+    t = _t(spark, warehouse, "mor")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    t.delete_where("id = 1")
+    rows = [(r.id, r.tier) for r in t.scan().collect()]
+    assert rows == [(2, 7)]
