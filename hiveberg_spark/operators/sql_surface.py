@@ -2518,3 +2518,65 @@ def snapshot_default_values(spark, sf_dir):
     with _lock:
         t = build_once(spark, loc, builder)
     return t.scan(virtual_column=None).select("n_nationkey", "tier")
+
+
+@query(
+    "snapshot_position_deletes",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM nation
+            WHERE n_nationkey < 20 AND n_nationkey IN (2, 4, 6, 8))
+           AS BIGINT) AS n_tombstones,
+      CAST(2 AS BIGINT) AS n_delete_commits,
+      CAST((SELECT COUNT(*) FROM nation
+            WHERE n_nationkey < 20 AND n_nationkey NOT IN (2, 4, 6, 8))
+           AS BIGINT) AS live_rows,
+      TRUE AS tombstones_point_at_live_files
+    """,
+)
+def snapshot_position_deletes(spark, sf_dir):
+    """The `position_deletes` metadata table (Iceberg's MOR-debt
+    introspection surface — `__position_deletes` suffix): one row per
+    live (data file, row position) tombstone, with the delete file and
+    commit that wrote it. Two merge-on-read DELETEs leave 4 tombstones
+    over the 20-row fixture; the query pins the tombstone count, the
+    delete-commit count, the shadowed scan count, and the referential
+    fact that every tombstone's `file_path` is a live data file — the
+    consistency an operator relies on when sizing
+    `rewrite_position_deletes` on a 100 TB table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_posdel")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def builder(table):
+        table.set_properties({"write.delete.mode": "merge-on-read"})
+        table.append(nation.filter("n_nationkey < 20"))
+        table.delete_where("n_nationkey IN (2, 4, 6)")
+        table.delete_where("n_nationkey = 8")
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    pd_table = t.position_deletes()
+    live = t.files().filter(F.col("content") == "data").select(
+        F.col("file_path").alias("live_path")
+    )
+    covered = (
+        pd_table.join(
+            live, pd_table["file_path"] == live["live_path"], "left_anti"
+        ).count()
+        == 0
+    )
+    return pd_table.agg(
+        F.count("*").alias("n_tombstones"),
+        F.countDistinct("delete_snapshot_id").alias("n_delete_commits"),
+    ).crossJoin(
+        t.scan(virtual_column=None)
+        .agg(F.count("*").alias("live_rows"))
+    ).withColumn("tombstones_point_at_live_files", F.lit(bool(covered)))

@@ -78,6 +78,7 @@ STATS_SUFFIX = "__stats"  # Iceberg's `statistics` files list (Puffin)
 ENTRIES_SUFFIX = "__entries"  # Iceberg's `entries` manifest-entry table
 ALL_FILES_SUFFIX = "__all_files"  # Iceberg's `all_files` (any snapshot)
 INDEXES_SUFFIX = "__indexes"  # value-index freshness (beyond Iceberg)
+POSITION_DELETES_SUFFIX = "__position_deletes"  # Iceberg's table of the same name
 
 _FILES_SCHEMA = (
     "content string, file_path string, file_format string, "
@@ -4099,6 +4100,62 @@ class SnapshotTable:
                 )
         return self.spark.createDataFrame(rows, _FILES_SCHEMA)
 
+    def position_deletes(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `position_deletes` metadata table (Iceberg's
+        introspection surface for merge-on-read delete debt): one row
+        per (data file, row position) tombstone live as of the snapshot
+        — which rows are shadowed, by which delete file, committed at
+        which sequence number. This is how an operator decides when
+        `rewrite_position_deletes` / compaction is due on a 100 TB
+        table: `COUNT(*) GROUP BY file_path` is the per-file debt.
+
+        Distributed: the delete files are read as ONE parquet load
+        (content rows stay in executors); only the metadata-sized
+        (path, seq) map is driver-built and broadcast."""
+        meta = self._read_meta()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta["current_snapshot_id"]
+        )
+        schema = (
+            "file_path string, pos long, delete_file_path string, "
+            "delete_snapshot_id long"
+        )
+        pos = (
+            [
+                d
+                for d in self._raw_deletes_as_of(meta, sid)
+                if d["type"] == "position"
+            ]
+            if sid is not None
+            else []
+        )
+        if not pos:
+            return self.spark.createDataFrame([], schema)
+        sidmap = self.spark.createDataFrame(
+            [(d["path"], int(d["sid"])) for d in pos],
+            "delete_file_path string, delete_snapshot_id long",
+        )
+        loc_prefix = os.path.abspath(self.location) + os.sep
+        rel_path = F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^[a-z0-9]+:/+", "/"
+            ),
+            "^" + re.escape(loc_prefix),
+            "",
+        )
+        return (
+            self.spark.read.parquet(
+                *[os.path.join(self.location, d["path"]) for d in pos]
+            )
+            .select("file_path", "pos", rel_path.alias("delete_file_path"))
+            .join(F.broadcast(sidmap), "delete_file_path", "left")
+            .select(
+                "file_path", "pos", "delete_file_path", "delete_snapshot_id"
+            )
+        )
+
     def _file_info_as_of(self, meta: dict) -> dict[str, dict]:
         """Relative path -> {records, bytes} from every manifest that
         ever recorded the file (paths are unique, info immutable, so no
@@ -4824,6 +4881,11 @@ def resolve_table(
         base_loc = os.path.join(warehouse, base)
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).indexes()
+    if snapshots_table_enabled and name.endswith(POSITION_DELETES_SUFFIX):
+        base = name[: -len(POSITION_DELETES_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).position_deletes()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 

@@ -490,3 +490,59 @@ def test_mor_model_based_random_ops(spark, warehouse):
         elif op == "rewrite":
             t.rewrite_position_deletes()
         check()
+
+
+# -- position_deletes metadata table -----------------------------------------
+
+
+def test_position_deletes_table_lists_tombstones(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "pdt"))
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(_simple_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    s_del = t.delete_where("id = 2")
+    pd_rows = t.position_deletes().collect()
+    assert len(pd_rows) == 1
+    [row] = pd_rows
+    assert row.delete_snapshot_id == s_del
+    assert row.file_path in _live_data_files(t)
+    assert row.pos == 1  # second row of the single data file
+    # empty before any delete (time travel to the append snapshot)
+    assert t.position_deletes(snapshot_id=s_del - 1).count() == 0
+
+
+def test_position_deletes_suffix_resolution(spark, warehouse):
+    from hiveberg_spark.sources.snapshot_table import resolve_table
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "pds"))
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where("id = 1")
+    df = resolve_table(spark, warehouse, "pds__position_deletes")
+    assert df.count() == 1
+    assert set(df.columns) == {
+        "file_path", "pos", "delete_file_path", "delete_snapshot_id"
+    }
+
+
+def test_position_deletes_after_rewrite_consolidation(spark, warehouse):
+    # rewrite_position_deletes folds N delete files into one; the table
+    # must show the SAME tombstones under the new delete file
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "pdr"))
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(_simple_df(spark, [(i, f"d{i}") for i in range(6)]))
+    t.delete_where("id = 1")
+    t.delete_where("id = 3")
+    before = {(r.file_path, r.pos) for r in t.position_deletes().collect()}
+    assert len(before) == 2
+    t.rewrite_position_deletes()
+    after_df = t.position_deletes()
+    after = {(r.file_path, r.pos) for r in after_df.collect()}
+    assert after == before
+    assert after_df.select("delete_file_path").distinct().count() == 1
+
+
+def test_position_deletes_empty_without_mor(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "pde"))
+    t.append(_simple_df(spark, [(1, "a")]))
+    t.delete_where("id = 1")  # copy-on-write: no delete files
+    assert t.position_deletes().count() == 0
