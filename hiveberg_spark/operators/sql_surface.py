@@ -2580,3 +2580,68 @@ def snapshot_position_deletes(spark, sf_dir):
         t.scan(virtual_column=None)
         .agg(F.count("*").alias("live_rows"))
     ).withColumn("tombstones_point_at_live_files", F.lit(bool(covered)))
+
+
+@query(
+    "snapshot_bloom_prune",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_rows_for_key,
+           CAST(4 AS BIGINT) AS files_total,
+           TRUE AS bloom_pruned
+    """,
+)
+def snapshot_bloom_prune(spark, sf_dir):
+    """Manifest-resident bloom file-skip index
+    (`write.metadata.bloom-filter-columns` — the plan-time sibling of
+    Iceberg's parquet-bloom/puffin evaluation; the reference's Iceberg
+    0.7 predates both): orders lands as 4 files whose o_orderkey sets
+    INTERLEAVE, so every file's [min,max] spans the whole key range and
+    the metrics evaluator keeps all 4 for any interior probe — the
+    exact shape where min/max pruning collapses on a 100 TB table. A
+    point probe for the median key must (a) return exactly its one row
+    and (b) open strictly fewer files than the live set, which only the
+    per-file bitsets can deliver. Unlike the value index this needs no
+    build/refresh: every commit's files carry their bitsets from birth."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "orders_bloom")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def builder(table):
+        table.set_properties(
+            {"write.metadata.bloom-filter-columns": "o_orderkey"}
+        )
+        for i in range(4):
+            table.append(
+                orders.filter(F.col("o_orderkey") % 4 == i).coalesce(1)
+            )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    # median distinct key — strictly inside every file's bounds
+    keys = orders.select("o_orderkey").distinct()
+    mid = (
+        keys.withColumn(
+            "rn", F.row_number().over(W.orderBy("o_orderkey"))
+        )
+        .withColumn("n", F.count("*").over(W.partitionBy()))
+        .filter(F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        .head()[0]
+    )
+    total = len(t.plan_files())
+    kept = len(t.plan_files(f"o_orderkey = {mid}"))
+    return (
+        t.scan_where(f"o_orderkey = {mid}")
+        .agg(F.count("*").alias("n_rows_for_key"))
+        .withColumn("files_total", F.lit(total).cast("long"))
+        .withColumn("bloom_pruned", F.lit(bool(kept < total)))
+    )

@@ -173,6 +173,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # never-driver-checked post-window round-5 additions lead round 6
     "snapshot_default_values",
     "snapshot_position_deletes",
+    "snapshot_bloom_prune",
     # the five DML re-checks displaced by the late-round-5 additions
     # (pass(r4); their churned shared paths are driver-covered this
     # round by the entries/clone/rewrite-manifests fixtures) — plus the

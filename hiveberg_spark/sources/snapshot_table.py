@@ -80,6 +80,58 @@ ALL_FILES_SUFFIX = "__all_files"  # Iceberg's `all_files` (any snapshot)
 INDEXES_SUFFIX = "__indexes"  # value-index freshness (beyond Iceberg)
 POSITION_DELETES_SUFFIX = "__position_deletes"  # Iceberg's table of the same name
 
+#: Manifest-resident bloom file-skip index (the plan-time sibling of
+#: the row-group blooms `write.parquet.bloom-filter-columns` delegates
+#: to parquet-mr): K is fixed — probe hashes must match bitsets written
+#: under any historical `write.metadata.bloom-filter-bits` value, so
+#: only the bit count (stored per file) may vary across commits.
+_BLOOM_K = 4
+_BLOOM_DEFAULT_BITS = 65536  # 8 KiB/bitset; FPR ≈ 4% at 10k distinct
+#: reserved stats key the bitsets ride under — never a real column
+#: (min/max lookups are by column name and skip it structurally)
+_BLOOM_STATS_KEY = "__bloom__"
+
+
+def _rename_stats_keys(stats: dict, renames: list[dict]) -> dict:
+    """Resolve a manifest stats dict recorded under WRITTEN column
+    names to CURRENT names (rename log, applied in log order) — both
+    the top-level min/max keys and the bloom bitset's inner column
+    keys. Copy-on-write: untouched dicts pass through unchanged."""
+    for r in renames:
+        if r["from"] in stats:
+            stats = dict(stats)
+            stats[r["to"]] = stats.pop(r["from"])
+        b = stats.get(_BLOOM_STATS_KEY)
+        if b and r["from"] in b.get("cols", {}):
+            stats = dict(stats)
+            cols = dict(b["cols"])
+            cols[r["to"]] = cols.pop(r["from"])
+            stats[_BLOOM_STATS_KEY] = {**b, "cols": cols}
+    return stats
+
+
+def _bloom_excludes_file(col: str, hashes: list[int], stats: dict) -> bool:
+    """True iff the file's bloom bitset PROVES `col` never holds the
+    probed literal (all-absent ⇒ definitely absent; any-present ⇒ maybe
+    — bloom semantics, false positives keep the file, never drop it).
+    Files without a bitset for the column (written before the property,
+    avro commits, nulls-only) never prune."""
+    import base64
+
+    b = stats.get(_BLOOM_STATS_KEY)
+    if not b:
+        return False
+    b64 = b.get("cols", {}).get(col)
+    m = int(b.get("m", 0))
+    if not b64 or m <= 0:
+        return False
+    bits = base64.b64decode(b64)
+    for h in hashes:
+        p = h % m  # python % == Spark pmod for negative hashes
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return True
+    return False
+
 _FILES_SCHEMA = (
     "content string, file_path string, file_format string, "
     "added_snapshot_id long, record_count long, "
@@ -480,6 +532,139 @@ class SnapshotTable:
                 cols[name] = [mn, mx]
             if cols:
                 out[rel] = cols
+        return out
+
+    def _collect_file_blooms(
+        self, files_rel: list[str], fmt: str, cols: list[str], m_bits: int
+    ) -> dict[str, dict]:
+        """Per-file bloom bitsets for the columns listed in
+        `write.metadata.bloom-filter-columns` — the plan-time FILE-skip
+        index for high-cardinality equality probes where min/max bounds
+        are too coarse (interleaved keys) and no value index is
+        maintained. Iceberg's analog is the engine-side evaluation of
+        parquet blooms / puffin blobs; here the bitset rides in the
+        manifest under a reserved stats key, so carry/compaction
+        persistence, the rename log, and BOTH planning paths (driver
+        loop + distributed manifest job) handle it like any stats.
+
+        ONE distributed aggregation over exactly this commit's files:
+        each row contributes K=4 JVM-side `xxhash64(col, seed)` bit
+        positions; per file-column the distinct positions collect (at
+        most K·ndv ints — the same metadata-sized class as the bound
+        rows above) and the driver packs them into m_bits/8-byte
+        bitsets. NULLs contribute no bits: equality never matches NULL,
+        and a nulls-only file prunes on every probe, correctly. Writer
+        cost is a second scan of the freshly written files, same class
+        as the ORC stats job (real Iceberg folds both into the write)."""
+        if not files_rel or fmt not in ("parquet", "orc"):
+            return {}
+        import base64
+
+        paths = [os.path.join(self.location, r) for r in files_rel]
+        try:
+            df = self.spark.read.format(fmt).load(paths)
+        except Exception:  # blooms are an optimization, never required
+            return {}
+        cols = [c for c in cols if c in df.columns]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            positions = F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m_bits))
+                    for i in range(_BLOOM_K)
+                ]
+            )
+            positions = F.when(F.col(c).isNotNull(), positions).otherwise(
+                F.array().cast("array<bigint>")
+            )
+            aggs.append(
+                F.array_distinct(
+                    F.flatten(F.collect_list(positions))
+                ).alias(f"__b_{c}")
+            )
+        rows = (
+            df.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()  # O(files in this commit) rows of position lists
+        )
+        from urllib.parse import unquote, urlparse
+
+        by_abs = {
+            os.path.abspath(os.path.join(self.location, r)): r for r in files_rel
+        }
+        out: dict[str, dict] = {}
+        for row in rows:
+            rel = by_abs.get(os.path.abspath(unquote(urlparse(row["__file"]).path)))
+            if rel is None:
+                continue
+            per: dict[str, str] = {}
+            for c in cols:
+                bits = bytearray(m_bits // 8)
+                for p in row[f"__b_{c}"]:
+                    bits[p >> 3] |= 1 << (p & 7)
+                per[c] = base64.b64encode(bytes(bits)).decode("ascii")
+            if per:
+                out[rel] = {"m": m_bits, "cols": per}
+        return out
+
+    def _bloom_hashes_of_literal(self, src: str, lit) -> list[int]:
+        """The K probe hashes of a literal AS the column's current
+        type — the same `xxhash64(value, seed)` Spark expressions the
+        write-side bitset job ran, so no cross-language hash
+        reimplementation can drift (one-row local job, cached)."""
+        cache = getattr(self, "_bloomhash_cache", None)
+        if cache is None:
+            cache = self._bloomhash_cache = {}
+        key = (src, repr(lit))
+        if key not in cache:
+            schema = self.schema()
+            col = F.lit(lit)
+            if schema is not None and src in schema.fieldNames():
+                col = col.cast(schema[src].dataType)
+            row = (
+                self.spark.range(1)
+                .select(
+                    *[
+                        F.xxhash64(col, F.lit(i)).alias(f"h{i}")
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+                .head()
+            )
+            cache[key] = [int(row[f"h{i}"]) for i in range(_BLOOM_K)]
+        return cache[key]
+
+    def _bloom_requirements(
+        self, meta: dict, conjuncts: list[str]
+    ) -> list[tuple[str, list[int]]]:
+        """(column, probe hashes) per `col = literal` conjunct on a
+        column the CURRENT bloom property covers. Widened columns are
+        skipped: their historical bitsets hashed the narrow physical
+        type, and a false EXCLUSION is the one bloom failure mode that
+        breaks correctness (false inclusions only cost IO)."""
+        prop = (
+            meta.get("properties", {})
+            .get("write.metadata.bloom-filter-columns", "")
+            .strip()
+        )
+        if not prop:
+            return []
+        bloom_cols = {c.strip() for c in prop.split(",") if c.strip()}
+        widened = {w["col"] for w in meta.get("widenings", [])}
+        out: list[tuple[str, list[int]]] = []
+        for c in conjuncts:
+            m = _PRUNE_CMP.match(c)
+            if not m or m.group("op") not in ("=", "=="):
+                continue
+            col = m.group("col")
+            if col not in bloom_cols or col in widened:
+                continue
+            lit = _parse_literal(m.group("lit"))
+            if lit is None:
+                continue
+            out.append((col, self._bloom_hashes_of_literal(col, lit)))
         return out
 
     # -- commit lock (Iceberg-style serialized metadata swap) -------------
@@ -2417,6 +2602,20 @@ class SnapshotTable:
             # commit wrote (set_file_format may change the default
             # concurrently)
             stats = self._collect_file_stats(files, fmt)
+        bloom_cols = [
+            x.strip()
+            for x in props.get("write.metadata.bloom-filter-columns", "").split(",")
+            if x.strip()
+        ]
+        if bloom_cols and files:
+            m_bits = int(
+                props.get("write.metadata.bloom-filter-bits", "").strip()
+                or _BLOOM_DEFAULT_BITS
+            )
+            for rel, b in self._collect_file_blooms(
+                files, fmt, bloom_cols, m_bits
+            ).items():
+                stats.setdefault(rel, {})[_BLOOM_STATS_KEY] = b
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()  # fresh read under lock (CAS-equivalent)
@@ -2971,10 +3170,7 @@ class SnapshotTable:
         renames = meta.get("renames", [])
         entries: list[tuple[str, dict, dict]] = []
         for f, stats, parts in self._raw_entries_as_of(meta, snapshot_id):
-            for r in renames:  # applied in log order, like the data
-                if r["from"] in stats:
-                    stats = dict(stats)
-                    stats[r["to"]] = stats.pop(r["from"])
+            stats = _rename_stats_keys(stats, renames)
             entries.append(
                 (
                     f if os.path.isabs(f) else os.path.join(self.location, f),
@@ -3063,9 +3259,10 @@ class SnapshotTable:
             raise ValueError(f"unknown snapshot id {sid} (have {sorted(known)})")
         bucket_by_source = self._bucket_sources(meta)
         vindex_req = self._value_index_requirements(meta, conjuncts)
+        bloom_req = self._bloom_requirements(meta, conjuncts)
         if self._entry_count_estimate(meta, sid) >= _DISTRIBUTED_PLAN_THRESHOLD:
             return self._plan_files_distributed(
-                meta, sid, conjuncts, bucket_by_source, vindex_req
+                meta, sid, conjuncts, bucket_by_source, vindex_req, bloom_req
             )
         entries, _ = self._entries_as_of(sid)
         kept = []
@@ -3080,6 +3277,10 @@ class SnapshotTable:
                 or any(
                     rel in covered and rel not in matches
                     for covered, matches in vindex_req
+                )
+                or any(
+                    _bloom_excludes_file(col, hashes, stats)
+                    for col, hashes in bloom_req
                 )
             )
             if not excluded:
@@ -3118,6 +3319,7 @@ class SnapshotTable:
         conjuncts: list[str],
         bucket_by_source: dict,
         vindex_req: list[tuple[frozenset, frozenset]] | None = None,
+        bloom_req: list[tuple[str, list[int]]] | None = None,
     ) -> list[str]:
         """Manifest reading + pruning as a Spark job: each worker parses
         whole manifests (binaryFile) and emits only surviving paths.
@@ -3156,15 +3358,21 @@ class SnapshotTable:
         # value-index sets are driver-resolved (one pushdown bucket read
         # per probe) and ship to workers as plain frozensets — the
         # covered set is O(indexed files), the same order as the
-        # manifests the workers are already reading
+        # manifests the workers are already reading; bloom probe hashes
+        # are K ints per conjunct, workers decode bitsets from the
+        # manifests they already hold
         vreq = list(vindex_req or [])
+        bloom_req = list(bloom_req or [])
 
         def survives(f: str, stats: dict, parts: dict) -> bool:
-            for r in renames:  # same key mapping as _entries_as_of
-                if r["from"] in stats:
-                    stats = dict(stats)
-                    stats[r["to"]] = stats.pop(r["from"])
+            # same key mapping as _entries_as_of
+            stats = _rename_stats_keys(stats, renames)
             if any(_conjunct_excludes_file(c, stats) for c in conj):
+                return False
+            if any(
+                _bloom_excludes_file(col, hashes, stats)
+                for col, hashes in bloom_req
+            ):
                 return False
             for pname, req in bucket_req:
                 if pname in parts:
@@ -4078,8 +4286,17 @@ class SnapshotTable:
                     added.get(rel),
                     (info.get(rel) or {}).get("records"),
                     {k: str(v) for k, v in (parts or {}).items()},
-                    {k: str(v[0]) for k, v in (stats or {}).items()},
-                    {k: str(v[1]) for k, v in (stats or {}).items()},
+                    # reserved keys (bloom bitsets) are not bounds
+                    {
+                        k: str(v[0])
+                        for k, v in (stats or {}).items()
+                        if k != _BLOOM_STATS_KEY
+                    },
+                    {
+                        k: str(v[1])
+                        for k, v in (stats or {}).items()
+                        if k != _BLOOM_STATS_KEY
+                    },
                 )
             )
         if sid is not None:
@@ -4787,6 +5004,8 @@ def _conjunct_excludes_file(conjunct: str, stats: dict) -> bool:
     m = _PRUNE_CMP.match(conjunct)
     if not m:
         return False
+    if m.group("col") == _BLOOM_STATS_KEY:
+        return False  # reserved key holds bitsets, not bounds
     bounds = stats.get(m.group("col"))
     if not bounds:
         return False
