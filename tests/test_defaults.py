@@ -155,3 +155,98 @@ def test_default_with_merge_on_read_delete(spark, warehouse):
     t.delete_where("id = 1")
     rows = [(r.id, r.tier) for r in t.scan().collect()]
     assert rows == [(2, 7)]
+
+
+def test_defaults_model_based_random_ops(spark, warehouse):
+    """Model-based check of default-value semantics under churn: a
+    seeded random op sequence (appends with the column / with explicit
+    NULL / omitting it, COW + MOR deletes, MOR updates, compaction)
+    runs against the table and a python dict model; the scan must equal
+    the model after every step. The add lands mid-sequence, so every
+    later op mixes pre-add files (initial default), post-add files
+    (physical values incl. NULL), and write-defaulted files."""
+    import random
+
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    rng = random.Random(0xDEF0514)
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "dmodel"), schema="id long, data string"
+    )
+    model: dict[int, tuple[str, object]] = {}  # id -> (data, tier)
+    next_id = 0
+    added = False
+
+    def check():
+        cols = ["id", "data"] + (["tier"] if added else [])
+        got = {
+            (r.id, r.data, r.tier if added else None)
+            for r in t.scan(virtual_column=None).select(*cols).collect()
+        }
+        want = {(i, d, tr if added else None) for i, (d, tr) in model.items()}
+        assert got == want, (sorted(got), sorted(want))
+
+    for step in range(16):
+        if step == 5:
+            t.add_column("tier", "int", default_sql="7")
+            model = {i: (d, 7) for i, (d, _) in model.items()}
+            added = True
+            check()
+            continue
+        op = rng.choice(
+            ["append", "append", "cow_del", "mor_del", "mor_upd", "compact"]
+        )
+        if op == "append" or not model:
+            n = rng.randint(1, 3)
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            if not added:
+                t.append(
+                    spark.createDataFrame(
+                        [(i, f"v{step}") for i in ids], "id long, data string"
+                    ).coalesce(1)
+                )
+                model.update({i: (f"v{step}", 7) for i in ids})
+            else:
+                shape = rng.choice(["omit", "explicit", "null"])
+                if shape == "omit":  # write default bakes 7
+                    t.append(
+                        spark.createDataFrame(
+                            [(i, f"v{step}") for i in ids],
+                            "id long, data string",
+                        ).coalesce(1)
+                    )
+                    model.update({i: (f"v{step}", 7) for i in ids})
+                elif shape == "explicit":
+                    t.append(
+                        spark.createDataFrame(
+                            [(i, f"v{step}", int(i)) for i in ids],
+                            "id long, data string, tier int",
+                        ).coalesce(1)
+                    )
+                    model.update({i: (f"v{step}", int(i)) for i in ids})
+                else:  # explicit NULL must survive every later rewrite
+                    t.append(
+                        spark.createDataFrame(
+                            [(i, f"v{step}", None) for i in ids],
+                            "id long, data string, tier int",
+                        ).coalesce(1)
+                    )
+                    model.update({i: (f"v{step}", None) for i in ids})
+        elif op == "cow_del":
+            victim = rng.choice(sorted(model))
+            t.delete_where(f"id = {victim}")
+            del model[victim]
+        elif op == "mor_del":
+            victim = rng.choice(sorted(model))
+            t.delete_where(f"id = {victim}", mode="merge-on-read")
+            del model[victim]
+        elif op == "mor_upd":
+            victim = rng.choice(sorted(model))
+            t.update_where(
+                f"id = {victim}", {"data": f"'u{step}'"}, mode="merge-on-read"
+            )
+            model[victim] = (f"u{step}", model[victim][1])
+        elif op == "compact":
+            t.compact()
+        check()
