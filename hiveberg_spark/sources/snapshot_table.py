@@ -2460,10 +2460,15 @@ class SnapshotTable:
             # initial-default read path
             declared = StructType.fromJson(json.loads(pre_meta["schema_json"]))
             for d in pre_meta["defaults"]:
+                # current write default: explicitly set one wins over
+                # the add-time initial default; None means dropped
+                wsql = d.get("write_sql", d.get("sql"))
+                if wsql is None:
+                    continue
                 if d["col"] not in df.columns and d["col"] in declared.names:
                     df = df.withColumn(
                         d["col"],
-                        F.expr(d["sql"]).cast(declared[d["col"]].dataType),
+                        F.expr(wsql).cast(declared[d["col"]].dataType),
                     )
         user_schema = df.schema  # before hidden partition columns
         commit_uuid = uuid.uuid4().hex[:12]
@@ -3144,6 +3149,70 @@ class SnapshotTable:
         finally:
             os.unlink(lock)
 
+    def set_column_default(self, name: str, default_sql: str) -> None:
+        """Set/replace a column's WRITE DEFAULT (Iceberg v3 ALTER
+        COLUMN ... SET DEFAULT): later commits omitting the column bake
+        this value in. The column's INITIAL default — what pre-add
+        files read back — is immutable once set (Iceberg semantics), so
+        changing the default never rewrites history; a column that
+        never had an initial default keeps surfacing NULL for files
+        that predate it."""
+        from pyspark.sql.types import _parse_datatype_string  # noqa: F401
+
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            if not meta.get("schema_json"):
+                raise ValueError("table has no committed schema yet")
+            schema = StructType.fromJson(json.loads(meta["schema_json"]))
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column: {name!r}")
+            try:
+                self.spark.range(1).toDF("__hbs_default_probe__").select(
+                    F.expr(default_sql).cast(schema[name].dataType)
+                ).collect()
+            except Exception as exc:
+                raise ValueError(
+                    f"invalid DEFAULT expression {default_sql!r}: {exc}"
+                ) from None
+            defaults = meta.setdefault("defaults", [])
+            for d in defaults:
+                if d["col"] == name:
+                    d["write_sql"] = default_sql
+                    break
+            else:
+                # no initial default: sql=None means the read path
+                # never injects anything for historical files
+                defaults.append(
+                    {"col": name, "sql": None, "write_sql": default_sql,
+                     "as_of": -1}
+                )
+            self._write_meta(meta)
+        finally:
+            os.unlink(lock)
+
+    def drop_column_default(self, name: str) -> None:
+        """Remove a column's write default (ALTER COLUMN ... DROP
+        DEFAULT): later omitting commits go back to NULL. The initial
+        default, if any, is retained — pre-add files keep reading it."""
+        lock = self._acquire_lock()
+        try:
+            meta = self._read_meta()
+            defaults = meta.get("defaults", [])
+            for d in list(defaults):
+                if d["col"] == name:
+                    if d.get("sql") is None:
+                        defaults.remove(d)  # pure write-default entry
+                    else:
+                        # write side must not fall back to the initial
+                        # default once dropped
+                        d["write_sql"] = None
+                    self._write_meta(meta)
+                    return
+            raise ValueError(f"column has no default: {name!r}")
+        finally:
+            os.unlink(lock)
+
     # -- read path --------------------------------------------------------
 
     def _files_as_of(self, snapshot_id: int | None) -> tuple[list[str], int | None]:
@@ -3565,7 +3634,12 @@ class SnapshotTable:
         caller's `_file_seq_as_of` map when it already has one (the
         merge-on-read paths do); None lazily computes it only if a
         default actually needs it."""
-        defaults = meta.get("defaults", [])
+        # only INITIAL defaults shape the read; pure write-default
+        # entries (sql None — ALTER COLUMN SET DEFAULT on a column that
+        # never had one) are a write-side concern only
+        defaults = [
+            d for d in meta.get("defaults", []) if d.get("sql") is not None
+        ]
         renames = meta.get("renames", [])
         drops = meta.get("drops", [])
         rs = self._widened_read_schema(meta)

@@ -441,6 +441,22 @@ _CTAS_RE = re.compile(
     r"(?P<select>SELECT\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: Iceberg v3 write-default DDL: ALTER COLUMN c SET DEFAULT <lit> /
+#: ALTER COLUMN c DROP DEFAULT (the TYPE form is _ALTER_TYPE_RE)
+_COL_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+"
+    r"(?:SET\s+DEFAULT\s+(?P<default>.+?)|(?P<drop>DROP\s+DEFAULT))\s*;?\s*$",
+    re.IGNORECASE,
+)
+#: one column item of an explicit-schema CREATE TABLE, with optional
+#: per-column DEFAULT (write default — a new table has no history for
+#: an initial default to apply to)
+_CREATE_COL_RE = re.compile(
+    r"^(?P<col>[A-Za-z_]\w*)\s+(?P<type>.+?)"
+    r"(?:\s+DEFAULT\s+(?P<default>.+?))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 #: explicit-schema create — exactly the form SHOW CREATE TABLE emits,
 #: so its output round-trips back through execute_sql
 _CREATE_TABLE_RE = re.compile(
@@ -542,8 +558,15 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         t = _table(m.group("table"))
         meta = t._read_meta()
         schema = t.schema()
+        # current write defaults round-trip through the CREATE parser
+        wdefaults = {
+            d["col"]: d.get("write_sql", d.get("sql"))
+            for d in meta.get("defaults", [])
+            if d.get("write_sql", d.get("sql")) is not None
+        }
         cols = ",\n  ".join(
             f"{f.name} {f.dataType.simpleString()}"
+            + (f" DEFAULT {wdefaults[f.name]}" if f.name in wdefaults else "")
             for f in (schema.fields if schema else [])
         )
         ddl = f"CREATE TABLE {m.group('table')} (\n  {cols}\n)"
@@ -693,6 +716,18 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         return spark.createDataFrame(
             [(m.group("table"), "drop_column")], "table string, ddl string"
         )
+    m = _COL_DEFAULT_RE.match(sql)
+    if m:
+        t = _table(m.group("table"))
+        if m.group("drop"):
+            t.drop_column_default(m.group("col"))
+            op = "drop_column_default"
+        else:
+            t.set_column_default(m.group("col"), m.group("default"))
+            op = "set_column_default"
+        return spark.createDataFrame(
+            [(m.group("table"), op)], "table string, ddl string"
+        )
     m = _ALTER_TYPE_RE.match(sql)
     if m:
         _table(m.group("table")).widen_column(m.group("col"), m.group("type"))
@@ -836,7 +871,17 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
             raise ValueError(f"table already exists: {name}")
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromDDL(m.group("cols"))
+        # per-column DEFAULT clauses: strip into write defaults (a new
+        # table has no pre-existing files for an initial default)
+        plain_items, col_defaults = [], {}
+        for item in _split_top_level_commas(m.group("cols")):
+            cm = _CREATE_COL_RE.match(item.strip())
+            if cm and cm.group("default"):
+                plain_items.append(f"{cm.group('col')} {cm.group('type')}")
+                col_defaults[cm.group("col")] = cm.group("default")
+            else:
+                plain_items.append(item.strip())
+        schema = StructType.fromDDL(", ".join(plain_items))
         spec = (
             _parse_partition_fields(m.group("parts"))
             if m.group("parts")
@@ -845,6 +890,8 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         t = SnapshotTable.create(
             spark, loc, schema=schema, partition_spec=spec
         )
+        for col, dflt in col_defaults.items():
+            t.set_column_default(col, dflt)
         if m.group("props"):
             props = {}
             for item in _split_top_level_commas(m.group("props")):

@@ -250,3 +250,84 @@ def test_defaults_model_based_random_ops(spark, warehouse):
         elif op == "compact":
             t.compact()
         check()
+
+
+def test_set_and_drop_column_default(spark, warehouse):
+    # ALTER COLUMN SET DEFAULT changes the WRITE default only; the
+    # initial default (what pre-add files read) is immutable
+    t = _t(spark, warehouse, "setdef")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    t.set_column_default("tier", "9")
+    t.append(spark.createDataFrame([(2, "b")], "id long, data string"))
+    rows = {r.id: r.tier for r in t.scan().collect()}
+    assert rows == {1: 7, 2: 9}  # pre-add file keeps initial default 7
+    t.drop_column_default("tier")
+    t.append(spark.createDataFrame([(3, "c")], "id long, data string"))
+    rows = {r.id: r.tier for r in t.scan().collect()}
+    assert rows == {1: 7, 2: 9, 3: None}
+
+
+def test_write_default_on_column_without_initial(spark, warehouse):
+    # a column that always existed gains a write default: historical
+    # files keep NULL (no initial default to resurrect)
+    t = _t(spark, warehouse, "wonly")
+    t.append(
+        spark.createDataFrame([(1, "a", None)], "id long, data string, tier int")
+    )
+    t.set_column_default("tier", "5")
+    t.append(spark.createDataFrame([(2, "b")], "id long, data string"))
+    rows = {r.id: r.tier for r in t.scan().collect()}
+    assert rows == {1: None, 2: 5}
+
+
+def test_create_table_with_default_and_show_create_roundtrip(spark, warehouse):
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    execute_sql(
+        spark,
+        warehouse,
+        "CREATE TABLE defct (id bigint, data string, tier int DEFAULT 3)",
+    )
+    t = SnapshotTable.load(spark, os.path.join(warehouse, "defct"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    assert [r.tier for r in t.scan().collect()] == [3]
+    ddl = execute_sql(spark, warehouse, "SHOW CREATE TABLE defct").head()[0]
+    assert "tier int DEFAULT 3" in ddl
+    # the emitted DDL round-trips through the CREATE parser
+    execute_sql(spark, warehouse, ddl.replace("defct", "defct2"))
+    t2 = SnapshotTable.load(spark, os.path.join(warehouse, "defct2"))
+    t2.append(spark.createDataFrame([(9, "z")], "id long, data string"))
+    assert [r.tier for r in t2.scan().collect()] == [3]
+
+
+def test_sql_alter_column_set_drop_default(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = _t(spark, warehouse, "sqldef")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    execute_sql(
+        spark, warehouse, "ALTER TABLE sqldef ADD COLUMN tier int DEFAULT 7"
+    )
+    execute_sql(
+        spark, warehouse, "ALTER TABLE sqldef ALTER COLUMN tier SET DEFAULT 11"
+    )
+    t.append(spark.createDataFrame([(2, "b")], "id long, data string"))
+    execute_sql(
+        spark, warehouse, "ALTER TABLE sqldef ALTER COLUMN tier DROP DEFAULT"
+    )
+    t.append(spark.createDataFrame([(3, "c")], "id long, data string"))
+    rows = {r.id: r.tier for r in t.scan().collect()}
+    assert rows == {1: 7, 2: 11, 3: None}
+
+
+def test_set_default_invalid_rejected(spark, warehouse):
+    t = _t(spark, warehouse, "badset")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    with pytest.raises(ValueError, match="no such column"):
+        t.set_column_default("nope", "1")
+    with pytest.raises(ValueError, match="DEFAULT"):
+        t.set_column_default("data", "id + 1")
+    with pytest.raises(ValueError, match="no default"):
+        t.drop_column_default("data")
