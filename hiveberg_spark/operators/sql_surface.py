@@ -2645,3 +2645,55 @@ def snapshot_bloom_prune(spark, sf_dir):
         .withColumn("files_total", F.lit(total).cast("long"))
         .withColumn("bloom_pruned", F.lit(bool(kept < total)))
     )
+
+
+@query(
+    "snapshot_row_lineage",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(n_nationkey AS BIGINT) AS _row_id,
+           CAST(CASE WHEN n_nationkey < 10 THEN 1 ELSE 2 END AS BIGINT)
+             AS _last_updated_sequence_number
+    FROM nation
+    WHERE n_nationkey < 15 AND n_nationkey NOT IN (3, 12)
+    """,
+)
+def snapshot_row_lineage(spark, sf_dir):
+    """Iceberg v3 ROW LINEAGE (`_row_id` +
+    `_last_updated_sequence_number` — the reference's Iceberg 0.7
+    predates the feature): each commit assigns its data files
+    contiguous first_row_id blocks from a monotonic counter, so every
+    row has a stable global identity with no natural key. Two ordered
+    appends give ids 0..14 equal to the key by construction; a
+    merge-on-read delete then removes two rows WITHOUT touching data
+    files — the surviving rows' ids and sequence numbers are pinned
+    unchanged, which is exactly the property an incremental consumer
+    (CDC materialization, dedup ledger) relies on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_rowlineage")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def builder(table):
+        table.set_properties({"write.delete.mode": "merge-on-read"})
+        for lo, hi in ((0, 10), (10, 15)):
+            table.append(
+                nation.filter(
+                    (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi)
+                )
+                .coalesce(1)
+                .sortWithinPartitions("n_nationkey")
+            )
+        table.delete_where("n_nationkey IN (3, 12)")
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan_with_row_lineage().select(
+        "n_nationkey", "_row_id", "_last_updated_sequence_number"
+    )

@@ -176,6 +176,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_bloom_prune",
     "simsearch_range_search",
     "simsearch_range_lsh",
+    "snapshot_row_lineage",
     # the five DML re-checks displaced by the late-round-5 additions
     # (pass(r4); their churned shared paths are driver-covered this
     # round by the entries/clone/rewrite-manifests fixtures) — plus the

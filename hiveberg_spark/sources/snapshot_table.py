@@ -327,6 +327,25 @@ class SnapshotTable:
                 seq[f] = recorded.get(f, s["snapshot_id"])
         return seq
 
+    def _first_row_id_as_of(
+        self, meta: dict, snapshot_id: int
+    ) -> dict[str, int]:
+        """Relative data path → the file's `first_row_id` block base
+        (Iceberg v3 row lineage: a commit assigns each new data file a
+        contiguous block from the table's monotonic row-id counter;
+        `_row_id` of a row = block base + its position in the file).
+        Carried files keep their block via the carrying manifest, like
+        `file_seq`. Files predating the counter (legacy commits,
+        adopted files with unknown record counts) are absent — their
+        rows read a null `_row_id`, never a wrong one."""
+        rid: dict[str, int] = {}
+        for s in self._lineage_chain(meta, snapshot_id):
+            m = self._read_manifest_json(s)
+            if s.get("replaces"):
+                rid = {}
+            rid.update(m.get("first_row_id", {}))
+        return rid
+
     def _collect_file_stats(
         self, files_rel: list[str], fmt: str | None = None
     ) -> dict[str, dict]:
@@ -2660,11 +2679,39 @@ class SnapshotTable:
                 if cparts:
                     all_parts[rel] = cparts
             all_files.sort()
+            # Iceberg v3 row lineage: each NEW data file with a known
+            # record count gets a contiguous first_row_id block from
+            # the table's monotonic counter (under the lock, so blocks
+            # never overlap across concurrent commits); carried files
+            # keep their original block via the carrying manifest —
+            # rewritten files get fresh blocks (ours does not
+            # materialize _row_id into rewritten files; divergence
+            # documented in scan_with_row_lineage)
+            next_rid = int(meta.get("next_row_id", 0))
+            first_row_id: dict[str, int] = {}
+            for rel in sorted(files):
+                n = (file_info.get(rel) or {}).get("records")
+                if n is None:
+                    continue
+                first_row_id[rel] = next_rid
+                next_rid += int(n)
+            meta["next_row_id"] = next_rid
+            if carry:
+                prev_rid = (
+                    self._first_row_id_as_of(meta, head)
+                    if head is not None
+                    else {}
+                )
+                for rel, _, _ in carry:
+                    if rel in prev_rid:
+                        first_row_id[rel] = prev_rid[rel]
             manifest_doc = {
                 "files": all_files,
                 "stats": all_stats,
                 "partitions": all_parts,
             }
+            if first_row_id:
+                manifest_doc["first_row_id"] = first_row_id
             if file_info:
                 # per-file record/byte counts for THIS commit's files;
                 # carried files resolve theirs from the manifest that
@@ -3673,6 +3720,60 @@ class SnapshotTable:
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
         return df
+
+    def scan_with_row_lineage(self, snapshot_id: int | None = None) -> DataFrame:
+        """Scan with Iceberg v3 ROW LINEAGE columns: `_row_id` (stable
+        global row identity = the file's commit-assigned first_row_id
+        block + the row's position) and `_last_updated_sequence_number`
+        (the file's data sequence number). Rows in untouched files keep
+        their ids across appends, MOR deletes/updates, and time travel
+        — the identity an incremental consumer (CDC materialization,
+        train-data dedup ledger) keys on without any natural key.
+
+        Divergences from the v3 spec, documented: ids live in manifest
+        blocks, not materialized `_row_id` columns, so a COW rewrite or
+        compaction re-assigns ids for the rows it rewrites (v3 writers
+        SHOULD carry them; swap-in point is the same manifest map), and
+        positions require parquet (`_metadata.row_index`) — ORC rows
+        surface null ids, avro lineage raises."""
+        meta = self._read_meta()
+        files, sid = self._files_as_of(snapshot_id)
+        if not files:
+            df = self._empty_df()
+            return df.withColumn("_row_id", F.lit(None).cast("long")).withColumn(
+                "_last_updated_sequence_number", F.lit(None).cast("long")
+            )
+        deletes = self._raw_deletes_as_of(meta, sid)
+        df = self._read_with_defaults(files, meta, None, sid, lineage=True)
+        if deletes:
+            df = self._apply_mor_deletes(
+                df, deletes, self._file_seq_as_of(meta, sid),
+                meta.get("renames", []),
+            )
+        rid_map = self._first_row_id_as_of(meta, sid)
+        seq_map = self._file_seq_as_of(meta, sid)
+        rels = [self._index_file_rel(f) for f in files]
+        map_df = self.spark.createDataFrame(
+            [(r, rid_map.get(r), seq_map.get(r)) for r in rels],
+            "__hb_rl_file string, __hb_first long, "
+            "_last_updated_sequence_number long",
+        )
+        return (
+            df.join(
+                F.broadcast(map_df),
+                df["__hb_file"] == map_df["__hb_rl_file"],
+                "left",
+            )
+            .withColumn(
+                "_row_id",
+                F.when(
+                    F.col("__hb_first").isNotNull()
+                    & F.col("__hb_pos").isNotNull(),
+                    F.col("__hb_first") + F.col("__hb_pos"),
+                ).cast("long"),
+            )
+            .drop("__hb_file", "__hb_pos", "__hb_rl_file", "__hb_first")
+        )
 
     def _read_data_files(
         self,
