@@ -119,6 +119,8 @@ def test_no_forced_broadcast_on_fact_tables():
         # the manifests themselves — never O(rows)
         "seq_df",                                    # file -> sequence number map
         "live_paths", "live_df",                     # live file-path lists
+        "sidmap",   # delete-file path -> commit id (position_deletes)
+        "map_df",   # file -> (first_row_id, seq) map (row lineage)
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
