@@ -2697,3 +2697,67 @@ def snapshot_row_lineage(spark, sf_dir):
     return t.scan_with_row_lineage().select(
         "n_nationkey", "_row_id", "_last_updated_sequence_number"
     )
+
+
+@query(
+    "materialized_dml_refresh",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           ROUND(SUM(CAST(n_nationkey AS DOUBLE)), 6) AS key_sum,
+           CAST(MAX(n_nationkey) AS BIGINT) AS key_max,
+           TRUE AS incremental
+    FROM nation WHERE n_nationkey % 5 <> 0
+    GROUP BY n_regionkey
+    """,
+)
+def materialized_dml_refresh(spark, sf_dir):
+    """Materialized-aggregate refresh ACROSS DML (the changelog IVM
+    path): after a COW DELETE shrinks several groups, refresh()
+    recomputes exactly the delete-touched groups from the changelog —
+    max retracts correctly, which no additive merge can do — and the
+    rollup equals a full recompute. The `incremental` flag pins that
+    the rollup advanced by an upsert (delete+append commits), not a
+    rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.materialized import MaterializedAggregate
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    wh = warehouse_dir(sf_dir)
+    src_loc = os.path.join(wh, "nation_mvdml_src")
+    mv_loc = os.path.join(wh, "nation_mvdml")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+
+    with _lock:
+        src = build_once(spark, src_loc, lambda t: t.append(nation))
+        if not os.path.exists(os.path.join(mv_loc, "mv_state.json")):
+            mv = MaterializedAggregate.create(
+                spark,
+                mv_loc,
+                src,
+                ["n_regionkey"],
+                {
+                    "n_nations": ("count", ""),
+                    "key_sum": ("sum", "n_nationkey"),
+                    "key_max": ("max", "n_nationkey"),
+                },
+            )
+            src.delete_where("n_nationkey % 5 = 0")
+            mv.refresh()
+        else:
+            mv = MaterializedAggregate.load(spark, mv_loc)
+    incremental = mv.table().snapshots().count() >= 3
+    return mv.read().select(
+        "n_regionkey",
+        "n_nations",
+        F.round(F.col("key_sum"), 6).alias("key_sum"),
+        F.col("key_max").cast("long").alias("key_max"),
+        F.lit(bool(incremental)).alias("incremental"),
+    )

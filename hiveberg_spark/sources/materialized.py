@@ -10,10 +10,12 @@ since the stored cursor (`scan_changes` — file-level change capture,
 no diffing), partially aggregates that delta, and upserts ONLY the
 affected group keys into the rollup table via an equality delete +
 append (O(delta + affected keys) write cost, never O(source) and never
-O(rollup)). Restricted, like every incremental-maintenance engine, to
-append-only sources and decomposable aggregates (count/sum/min/max —
-avg derives from sum+count); a DML commit in the refresh range makes
-`scan_changes` raise, so staleness can never be silent.
+O(rollup)). Aggregates must be decomposable (count/sum/min/max — avg
+derives from sum+count). A DML commit in the refresh range falls back
+to the CHANGELOG path (additive merge for insert-only groups, exact
+per-group recompute for delete-touched ones — the standard IVM
+treatment of non-retractable aggregates), so the view maintains
+incrementally across deletes and updates too.
 """
 
 from __future__ import annotations
@@ -144,18 +146,25 @@ class MaterializedAggregate:
         """Incremental refresh: aggregate the source rows appended since
         the cursor and upsert the affected group keys. Returns
         {"from", "to", "updated_keys"}; a no-op when the source has not
-        advanced. Raises (via scan_changes) if the range contains a
-        non-append commit — incremental maintenance over DML needs the
-        changelog consumer (`apply_changelog`), not this fast path."""
+        advanced. A range containing DML (scan_changes raises) falls
+        back to the CHANGELOG path: additive deltas for insert-only
+        groups, exact per-group recompute for delete-touched ones —
+        still O(delta + affected groups) rollup writes, never
+        O(rollup)."""
         state = self._state()
         prev_cursor = state["cursor"]
         source = SnapshotTable.load(self.spark, state["source_location"])
         src_current = source._read_meta()["current_snapshot_id"]
         if src_current == prev_cursor:
             return {"from": prev_cursor, "to": src_current, "updated_keys": 0}
-        delta_rows = source.scan_changes(
-            prev_cursor, src_current, virtual_column=None
-        )
+        try:
+            delta_rows = source.scan_changes(
+                prev_cursor, src_current, virtual_column=None
+            )
+        except ValueError:
+            return self._refresh_via_changelog(
+                state, source, prev_cursor, src_current
+            )
         keys = state["group_cols"]
         specs = {k: tuple(v) for k, v in state["agg_specs"].items()}
         delta = self._aggregate(delta_rows, keys, specs).persist()
@@ -179,3 +188,76 @@ class MaterializedAggregate:
         with open(self._state_path, "w") as f:
             json.dump(state, f)
         return {"from": prev_cursor, "to": src_current, "updated_keys": n_keys}
+
+    def _refresh_via_changelog(
+        self, state: dict, source: SnapshotTable, prev: int, cur: int
+    ) -> dict:
+        """Incremental maintenance ACROSS DML commits, from the row-level
+        changelog: insert-only groups merge additively exactly like the
+        append fast path; groups any delete touched are recomputed
+        EXACTLY from the source restricted to those keys — min/max
+        cannot retract, and a count that reaches zero must drop its
+        rollup row, so per-group recompute is the correct (and
+        standard) IVM fallback. Rollup write cost stays O(affected
+        groups): equality-delete + append, untouched keys carry. The
+        recompute READ is a source scan filtered to the affected keys —
+        file-skipped by whatever pruning the key column has (partition,
+        z-order bounds, bloom index), one pass worst case."""
+        keys = state["group_cols"]
+        specs = {k: tuple(v) for k, v in state["agg_specs"].items()}
+        ch = source.scan_changelog(prev, cur)
+        data_cols = [
+            c
+            for c in ch.columns
+            if c not in ("_change_type", "_commit_snapshot_id", "_committed_at")
+        ]
+        ins = ch.filter(F.col("_change_type") == "insert").select(*data_cols)
+        dels = ch.filter(F.col("_change_type") == "delete").select(*data_cols)
+        del_keys = dels.select(*keys).distinct().persist()
+        # groups no delete touched: pure additive merge of the inserts
+        add_delta = (
+            self._aggregate(ins, keys, specs)
+            .join(del_keys, keys, "left_anti")
+            .persist()
+        )
+        try:
+            n_add, n_del = add_delta.count(), del_keys.count()
+            if n_add or n_del:
+                table = self.table()
+                parts: list[DataFrame] = []
+                if n_add:
+                    current = table.scan(virtual_column=None).join(
+                        add_delta.select(*keys), keys, "left_semi"
+                    )
+                    parts.append(self._merge(current, add_delta, state))
+                if n_del:
+                    recomputed = self._aggregate(
+                        source.scan(virtual_column=None).join(
+                            del_keys, keys, "left_semi"
+                        ),
+                        keys,
+                        specs,
+                    )
+                    # a group whose rows all vanished yields no
+                    # recomputed row — the delete below drops it
+                    parts.append(recomputed)
+                merged = parts[0]
+                for p in parts[1:]:
+                    merged = merged.unionByName(p)
+                affected = (
+                    add_delta.select(*keys)
+                    .unionByName(del_keys)
+                    .distinct()
+                )
+                n_keys = affected.count()
+                table.delete_by_keys(affected)
+                table.append(merged)
+            else:
+                n_keys = 0
+        finally:
+            add_delta.unpersist()
+            del_keys.unpersist()
+        state["cursor"] = cur
+        with open(self._state_path, "w") as f:
+            json.dump(state, f)
+        return {"from": prev, "to": cur, "updated_keys": n_keys}

@@ -84,15 +84,68 @@ def test_refresh_multiple_appends_one_pass(spark, warehouse):
     assert _got(mv) == _expect(spark, src)
 
 
-def test_refresh_refuses_dml_range(spark, warehouse):
+def test_refresh_across_cow_delete(spark, warehouse):
+    # a DML range no longer refuses: the changelog path recomputes
+    # delete-touched groups exactly (min/max can't retract) and drops
+    # groups whose rows all vanished
     src = SnapshotTable.create(spark, os.path.join(warehouse, "src3"))
-    src.append(_rows(spark, [("a", 1.0), ("b", 2.0)]))
+    src.append(_rows(spark, [("a", 1.0), ("a", 5.0), ("b", 2.0)]))
     mv = MaterializedAggregate.create(
         spark, os.path.join(warehouse, "mv3"), src, ["k"], SPECS
     )
-    src.delete_where("k = 'a'")
-    with pytest.raises(ValueError, match="append-only"):
+    src.delete_where("v = 5.0")   # shrinks group a: max must retract
+    src.delete_where("k = 'b'")   # group b vanishes entirely
+    out = mv.refresh()
+    assert out["updated_keys"] == 2
+    assert _got(mv) == _expect(spark, src)
+    assert {r.k for r in mv.read().collect()} == {"a"}
+
+
+def test_refresh_mixed_append_and_mor_update(spark, warehouse):
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "src5"))
+    src.append(_rows(spark, [("a", 1.0), ("b", 2.0)]))
+    mv = MaterializedAggregate.create(
+        spark, os.path.join(warehouse, "mv5"), src, ["k"], SPECS
+    )
+    # range mixes: plain append (group c = insert-only, additive merge),
+    # MOR update (group a = delete+insert, recomputed)
+    src.append(_rows(spark, [("c", 7.0)]))
+    src.update_where("k = 'a'", {"v": "v + 10"}, mode="merge-on-read")
+    out = mv.refresh()
+    assert out["updated_keys"] == 2  # a recomputed, c merged; b untouched
+    assert _got(mv) == _expect(spark, src)
+    # second refresh is a no-op
+    assert mv.refresh()["updated_keys"] == 0
+
+
+def test_refresh_changelog_equals_recompute_after_churn(spark, warehouse):
+    import random
+
+    rng = random.Random(0x1710)
+    src = SnapshotTable.create(
+        spark, os.path.join(warehouse, "src6"), schema="k string, v double"
+    )
+    src.append(_rows(spark, [("a", 1.0), ("b", 2.0), ("c", 3.0)]))
+    mv = MaterializedAggregate.create(
+        spark, os.path.join(warehouse, "mv6"), src, ["k"], SPECS
+    )
+    for step in range(5):
+        for _ in range(rng.randint(1, 2)):
+            op = rng.choice(["append", "cow_del", "mor_upd"])
+            if op == "append":
+                src.append(
+                    _rows(spark, [(rng.choice("abcd"), float(step))])
+                )
+            elif op == "cow_del":
+                src.delete_where(f"v = {float(step - 1)}")
+            else:
+                src.update_where(
+                    f"k = '{rng.choice('abc')}'",
+                    {"v": "v + 0.5"},
+                    mode="merge-on-read",
+                )
         mv.refresh()
+        assert _got(mv) == _expect(spark, src), f"diverged at step {step}"
 
 
 def test_create_rejects_non_mergeable(spark, warehouse):
