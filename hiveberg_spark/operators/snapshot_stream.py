@@ -317,3 +317,83 @@ def stream_rate_limited_source(spark, sf_dir):
     out.count()  # materialize before the temp dirs are removed
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_mv_pipeline",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(MAX(n_nationkey) AS BIGINT) AS key_max,
+           TRUE AS multi_batch
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def stream_mv_pipeline(spark, sf_dir):
+    """The composed lakehouse loop, end to end in one query: subscribe
+    to the 3-append nation_versions table as a stream (per-file batches
+    via maxFilesPerTrigger=1), land every micro-batch as a snapshot
+    commit on a sink table via foreachBatch, and incrementally refresh
+    a materialized aggregate AFTER EACH BATCH — the rollup advances by
+    O(affected groups) upserts per batch, never a rebuild. The final
+    rollup must equal the batch GROUP BY over everything streamed, and
+    `multi_batch` pins that more than one refresh actually happened
+    (availableNow honors the per-trigger file cap)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.operators.timetravel import _ensure_fixture
+    from hiveberg_spark.sources.materialized import MaterializedAggregate
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    src = _ensure_fixture(spark, sf_dir)  # append-only by construction
+    schema = src.schema()
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_stream_mv_{tag}")
+    sink = SnapshotTable.create(spark, os.path.join(base, "sink"))
+    # seed snapshot so the MV can be created before the stream starts
+    sink.append(spark.createDataFrame([], schema))
+    mv = MaterializedAggregate.create(
+        spark,
+        os.path.join(base, "mv"),
+        sink,
+        ["n_regionkey"],
+        {"n_nations": ("count", ""), "key_max": ("max", "n_nationkey")},
+    )
+    n_batches = [0]
+
+    def commit_and_refresh(batch_df, batch_id):
+        sink.append(batch_df)
+        mv.refresh()
+        n_batches[0] += 1
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(os.path.join(src.location, "data"))
+    )
+    q = (
+        raw.writeStream.foreachBatch(commit_and_refresh)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        mv.read()
+        .select(
+            "n_regionkey",
+            "n_nations",
+            F.col("key_max").cast("long").alias("key_max"),
+            F.lit(bool(n_batches[0] > 1)).alias("multi_batch"),
+        )
+        .persist()
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out

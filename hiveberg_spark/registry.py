@@ -178,6 +178,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "simsearch_range_lsh",
     "snapshot_row_lineage",
     "materialized_dml_refresh",
+    "stream_mv_pipeline",
     # the five DML re-checks displaced by the late-round-5 additions
     # (pass(r4); their churned shared paths are driver-covered this
     # round by the entries/clone/rewrite-manifests fixtures) — plus the
