@@ -110,12 +110,17 @@ def _rename_stats_keys(stats: dict, renames: list[dict]) -> dict:
     return stats
 
 
-def _bloom_excludes_file(col: str, hashes: list[int], stats: dict) -> bool:
-    """True iff the file's bloom bitset PROVES `col` never holds the
-    probed literal (all-absent ⇒ definitely absent; any-present ⇒ maybe
-    — bloom semantics, false positives keep the file, never drop it).
-    Files without a bitset for the column (written before the property,
-    avro commits, nulls-only) never prune."""
+def _bloom_excludes_file(
+    col: str, hash_groups: list[list[int]], stats: dict
+) -> bool:
+    """True iff the file's bloom bitset PROVES `col` never holds ANY of
+    the probed literals — one hash group per literal (an equality
+    probe is a 1-group list; `col IN (...)` is one group per member).
+    A literal is definitely-absent when any of its K bits is clear;
+    the file prunes only if EVERY literal is absent. False positives
+    keep the file, never drop it. Files without a bitset for the
+    column (written before the property, avro commits, nulls-only)
+    never prune."""
     import base64
 
     b = stats.get(_BLOOM_STATS_KEY)
@@ -126,11 +131,12 @@ def _bloom_excludes_file(col: str, hashes: list[int], stats: dict) -> bool:
     if not b64 or m <= 0:
         return False
     bits = base64.b64decode(b64)
-    for h in hashes:
-        p = h % m  # python % == Spark pmod for negative hashes
-        if not (bits[p >> 3] >> (p & 7)) & 1:
-            return True
-    return False
+    for hashes in hash_groups:
+        if all(
+            (bits[(h % m) >> 3] >> ((h % m) & 7)) & 1 for h in hashes
+        ):  # python % == Spark pmod for negative hashes
+            return False  # this literal maybe-present: keep the file
+    return bool(hash_groups)
 
 _FILES_SCHEMA = (
     "content string, file_path string, file_format string, "
@@ -657,12 +663,14 @@ class SnapshotTable:
 
     def _bloom_requirements(
         self, meta: dict, conjuncts: list[str]
-    ) -> list[tuple[str, list[int]]]:
-        """(column, probe hashes) per `col = literal` conjunct on a
-        column the CURRENT bloom property covers. Widened columns are
-        skipped: their historical bitsets hashed the narrow physical
-        type, and a false EXCLUSION is the one bloom failure mode that
-        breaks correctness (false inclusions only cost IO)."""
+    ) -> list[tuple[str, list[list[int]]]]:
+        """(column, per-literal probe-hash groups) per `col = literal`
+        or `col IN (...)` conjunct on a column the CURRENT bloom
+        property covers — a file prunes only when EVERY probed literal
+        is bloom-absent. Widened columns are skipped: their historical
+        bitsets hashed the narrow physical type, and a false EXCLUSION
+        is the one bloom failure mode that breaks correctness (false
+        inclusions only cost IO)."""
         prop = (
             meta.get("properties", {})
             .get("write.metadata.bloom-filter-columns", "")
@@ -672,18 +680,34 @@ class SnapshotTable:
             return []
         bloom_cols = {c.strip() for c in prop.split(",") if c.strip()}
         widened = {w["col"] for w in meta.get("widenings", [])}
-        out: list[tuple[str, list[int]]] = []
+        out: list[tuple[str, list[list[int]]]] = []
         for c in conjuncts:
+            col = None
+            lits: list = []
             m = _PRUNE_CMP.match(c)
-            if not m or m.group("op") not in ("=", "=="):
+            if m and m.group("op") in ("=", "=="):
+                col = m.group("col")
+                lit = _parse_literal(m.group("lit"))
+                if lit is not None:
+                    lits = [lit]
+            else:
+                mi = _VINDEX_IN_RE.match(c)
+                if mi:
+                    parsed = [
+                        _parse_literal(x.strip())
+                        for x in mi.group("lits").split(",")
+                        if x.strip()
+                    ]
+                    if parsed and all(p is not None for p in parsed):
+                        col = mi.group("col")
+                        lits = parsed
+            if col is None or not lits:
                 continue
-            col = m.group("col")
             if col not in bloom_cols or col in widened:
                 continue
-            lit = _parse_literal(m.group("lit"))
-            if lit is None:
-                continue
-            out.append((col, self._bloom_hashes_of_literal(col, lit)))
+            out.append(
+                (col, [self._bloom_hashes_of_literal(col, v) for v in lits])
+            )
         return out
 
     # -- commit lock (Iceberg-style serialized metadata swap) -------------

@@ -148,3 +148,24 @@ def test_bloom_files_table_excludes_reserved_key(spark, warehouse):
     t = _interleaved(spark, warehouse, "meta")
     bounds = t.files().select("lower_bounds").collect()
     assert all("__bloom__" not in r.lower_bounds for r in bounds)
+
+
+def test_bloom_in_list_pruning(spark, warehouse):
+    t = _interleaved(spark, warehouse, "inlist")
+    # members live in files (42%4=2) and (43%4=3): exactly 2 files kept
+    kept = t.plan_files("id IN (42, 43)")
+    assert len(kept) == 2
+    got = sorted(r.id for r in t.scan_where("id IN (42, 43)").collect())
+    assert got == [42, 43]
+    # all-absent IN list prunes everything
+    assert t.plan_files("id IN (1042, 2042)") == []
+    # mixed present/absent keeps only the present member's file
+    assert len(t.plan_files("id IN (42, 9999)")) == 1
+    assert [r.id for r in t.scan_where("id IN (42, 9999)").collect()] == [42]
+
+
+def test_bloom_in_list_distributed_equivalence(spark, warehouse, monkeypatch):
+    t = _interleaved(spark, warehouse, "indist")
+    driver = t.plan_files("id IN (10, 11)")
+    monkeypatch.setattr(st_mod, "_DISTRIBUTED_PLAN_THRESHOLD", 0)
+    assert sorted(t.plan_files("id IN (10, 11)")) == sorted(driver)
