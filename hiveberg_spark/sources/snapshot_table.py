@@ -397,6 +397,8 @@ class SnapshotTable:
                     name = col.path_in_schema
                     if "." in name:  # nested field: skip
                         continue
+                    if name.startswith("__hb_"):  # engine-internal column
+                        continue
                     mn = mx = None
                     try:
                         st = col.statistics
@@ -491,6 +493,8 @@ class SnapshotTable:
         aggs = []
         for field in df.schema.fields:
             t, name = field.dataType, field.name
+            if name.startswith("__hb_"):  # engine-internal column
+                continue
             if isinstance(
                 t, (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
             ):
@@ -590,7 +594,9 @@ class SnapshotTable:
             df = self.spark.read.format(fmt).load(paths)
         except Exception:  # blooms are an optimization, never required
             return {}
-        cols = [c for c in cols if c in df.columns]
+        cols = [
+            c for c in cols if c in df.columns and not c.startswith("__hb_")
+        ]
         if not cols:
             return {}
         aggs = []
@@ -1104,8 +1110,19 @@ class SnapshotTable:
         # the commit's expected parent all come from the same version
         meta = self._read_meta()
         parent = meta["current_snapshot_id"]
-        current = self.scan(snapshot_id=parent, virtual_column=None)
-        n_files = len(self._files_as_of(parent)[0])
+        live_files = self._files_as_of(parent)[0]
+        if live_files and all(f.endswith(".parquet") for f in live_files):
+            # parquet-only: read WITH row ids so the compacted files
+            # materialize them — compaction preserves row identity
+            # (v3 row-lineage preservation)
+            current = (
+                self.scan_with_row_lineage(snapshot_id=parent)
+                .withColumnRenamed("_row_id", "__hb_row_id")
+                .drop("_last_updated_sequence_number")
+            )
+        else:
+            current = self.scan(snapshot_id=parent, virtual_column=None)
+        n_files = len(live_files)
         size_prop = (
             meta.get("properties", {})
             .get("write.target-file-size-bytes", "")
@@ -2036,13 +2053,36 @@ class SnapshotTable:
         if target_schema is not None:
             # align the source to the committed column set AND types —
             # a source with a widened type (bigint over int) must not
-            # produce rewritten files that diverge from carried files
+            # produce rewritten files that diverge from carried files.
+            # The engine-internal row-id column is not the source's to
+            # provide: inserted rows get fresh block ids at read time
             source = source.select(
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
                     for f in target_schema.fields
+                    if f.name != "__hb_row_id"
                 ]
             )
+            if "__hb_row_id" in (target_schema.names or []):
+                # a source row UPDATING an existing key inherits that
+                # row's id (v3: updates preserve row lineage); a source
+                # row inserting a new key gets null -> fresh block id
+                tgt_ids = (
+                    affected_df.groupBy(*keys).agg(
+                        F.min("__hb_row_id").alias("__hb_tgt_rid")
+                    )
+                    if affected_df is not None
+                    else None
+                )
+                if tgt_ids is not None:
+                    source = (
+                        source.join(tgt_ids, on=keys, how="left")
+                        .withColumnRenamed("__hb_tgt_rid", "__hb_row_id")
+                    )
+                else:
+                    source = source.withColumn(
+                        "__hb_row_id", F.lit(None).cast("long")
+                    )
         if affected_df is None:
             merged = source
         else:
@@ -2095,9 +2135,13 @@ class SnapshotTable:
         if not affected:
             return None, deletes
         renames = meta.get("renames", [])
-        df = self._read_data_files(
-            affected, renames, meta.get("drops", []), lineage=True,
-            read_schema=self._widened_read_schema(meta),
+        # _read_with_defaults (not the raw file read): a MOR UPDATE of a
+        # row in a pre-default-add file must re-write the DEFAULT, not a
+        # NULL; the lineage read schema keeps materialized row ids
+        # visible so the update's new rows can preserve them
+        df = self._read_with_defaults(
+            affected, meta, None, head, lineage=True,
+            read_schema=self._lineage_read_schema(meta),
         )
         if deletes:
             # already-deleted rows must not be re-recorded (idempotent
@@ -2191,7 +2235,9 @@ class SnapshotTable:
             new_rows = self.scan(virtual_column=None).limit(0)
         else:
             pred = F.expr(where).eqNullSafe(F.lit(True))
-            hit = df.filter(pred)
+            # materialize each hit row's id so the re-written version
+            # keeps its identity (v3 row-lineage preservation)
+            hit = self._attach_row_ids(df.filter(pred), meta, head)
             entries = self._write_delete_files(
                 hit.select(
                     F.col("__hb_file").alias("file_path"),
@@ -2461,13 +2507,23 @@ class SnapshotTable:
         if not affected:
             return _CowPlan(None, carry, current, deletes or None, carry_seq)
         renames = meta.get("renames", [])
+        # parquet-only rewrites read with row positions so the rewritten
+        # files can MATERIALIZE each row's id (v3 row-lineage
+        # preservation); other formats keep the historical behavior
+        # (fresh blocks — positions are unavailable)
+        use_rid = all(f.endswith(".parquet") for f in affected)
         df = self._read_with_defaults(
-            affected, meta, carry_seq, current, lineage=bool(deletes)
+            affected, meta, carry_seq, current,
+            lineage=bool(deletes) or use_rid,
+            read_schema=self._lineage_read_schema(meta) if use_rid else None,
         )
         if deletes:
-            df = self._apply_mor_deletes(
-                df, deletes, carry_seq, renames
-            ).drop("__hb_file", "__hb_pos")
+            df = self._apply_mor_deletes(df, deletes, carry_seq, renames)
+        if use_rid:
+            df = self._attach_row_ids(df, meta, current)
+        df = df.drop("__hb_file", "__hb_pos")
+        if not use_rid:
+            df = df.drop("__hb_row_id")  # determinism: all-or-nothing
         return _CowPlan(df, carry, current, deletes or None, carry_seq)
 
     def _commit(
@@ -2721,11 +2777,18 @@ class SnapshotTable:
                 next_rid += int(n)
             meta["next_row_id"] = next_rid
             if carry:
-                prev_rid = (
-                    self._first_row_id_as_of(meta, head)
-                    if head is not None
-                    else {}
-                )
+                # a file's block never changes, so the union over ALL
+                # manifests resolves carried files regardless of which
+                # snapshot the carry was planned from (rollback carries
+                # files that are not live at the current head) — the
+                # same walk pattern as _file_info_as_of
+                prev_rid: dict[str, int] = {}
+                for s in meta["snapshots"]:
+                    if "added_files" in s:
+                        continue
+                    prev_rid.update(
+                        self._read_manifest_json(s).get("first_row_id", {})
+                    )
                 for rel, _, _ in carry:
                     if rel in prev_rid:
                         first_row_id[rel] = prev_rid[rel]
@@ -3685,6 +3748,69 @@ class SnapshotTable:
         files, sid = self._files_as_of(snapshot_id)
         return self._read_files(files, sid, virtual_column)
 
+    def _lineage_read_schema(self, meta: dict) -> StructType | None:
+        """Explicit read schema for ROW-LINEAGE reads: the (widened)
+        current schema + rename-generation old names + the physical
+        `__hb_row_id` column rewrites materialize. Forced explicit
+        because without it Spark's parquet reader takes one arbitrary
+        footer's schema for a multi-file load — a mix of rewritten
+        (id-carrying) and plain files would surface or hide the column
+        nondeterministically."""
+        from pyspark.sql.types import LongType, StructField
+
+        base = self._widened_read_schema(meta)
+        if base is None:
+            if not meta.get("schema_json"):
+                return None
+            schema = StructType.fromJson(json.loads(meta["schema_json"]))
+            fields = list(schema.fields)
+            names = {f.name for f in fields}
+            for r in meta.get("renames", []):
+                if r["to"] in schema.names and r["from"] not in names:
+                    tgt = schema[r["to"]]
+                    fields.append(StructField(r["from"], tgt.dataType, True))
+                    names.add(r["from"])
+            base = StructType(fields)
+        if "__hb_row_id" not in base.names:
+            base = StructType(
+                list(base.fields)
+                + [StructField("__hb_row_id", LongType(), True)]
+            )
+        return base
+
+    def _attach_row_ids(
+        self, df: DataFrame, meta: dict, sid: int | None
+    ) -> DataFrame:
+        """Ensure a lineage-carrying frame has a physical `__hb_row_id`
+        column: ids already materialized by an earlier rewrite win;
+        otherwise block base + row position; null where neither exists
+        (pre-counter files). Rewrite paths call this BEFORE writing, so
+        the new files preserve row identity — the Iceberg v3
+        'writers should preserve row ids' contract."""
+        rid_map = self._first_row_id_as_of(meta, sid) if sid is not None else {}
+        if "__hb_row_id" not in df.columns:
+            df = df.withColumn("__hb_row_id", F.lit(None).cast("long"))
+        if not rid_map:
+            return df
+        map_df = self.spark.createDataFrame(
+            sorted(rid_map.items()), "__hb_rf string, __hb_first long"
+        )
+        return (
+            df.join(
+                F.broadcast(map_df),
+                df["__hb_file"] == map_df["__hb_rf"],
+                "left",
+            )
+            .withColumn(
+                "__hb_row_id",
+                F.coalesce(
+                    F.col("__hb_row_id"),
+                    F.col("__hb_first") + F.col("__hb_pos"),
+                ),
+            )
+            .drop("__hb_rf", "__hb_first")
+        )
+
     def _read_with_defaults(
         self,
         files: list[str],
@@ -3692,6 +3818,7 @@ class SnapshotTable:
         seq: dict[str, int] | None,
         sid: int | None,
         lineage: bool = False,
+        read_schema: StructType | None = None,
     ) -> DataFrame:
         """`_read_data_files` with Iceberg-v3 INITIAL DEFAULTS applied:
         files whose data sequence number predates a defaulted column's
@@ -3713,7 +3840,11 @@ class SnapshotTable:
         ]
         renames = meta.get("renames", [])
         drops = meta.get("drops", [])
-        rs = self._widened_read_schema(meta)
+        rs = (
+            read_schema
+            if read_schema is not None
+            else self._widened_read_schema(meta)
+        )
         if not defaults or not files:
             return self._read_data_files(
                 files, renames, drops, lineage=lineage, read_schema=rs
@@ -3754,12 +3885,13 @@ class SnapshotTable:
         — the identity an incremental consumer (CDC materialization,
         train-data dedup ledger) keys on without any natural key.
 
-        Divergences from the v3 spec, documented: ids live in manifest
-        blocks, not materialized `_row_id` columns, so a COW rewrite or
-        compaction re-assigns ids for the rows it rewrites (v3 writers
-        SHOULD carry them; swap-in point is the same manifest map), and
-        positions require parquet (`_metadata.row_index`) — ORC rows
-        surface null ids, avro lineage raises."""
+        Rewrites PRESERVE ids: copy-on-write DML, merge-on-read
+        updates/merges, and compaction materialize the id into the
+        rewritten files as a physical (engine-internal) column, which
+        this scan prefers over the block computation — the v3 'writers
+        should preserve' contract. Remaining divergence: positions
+        require parquet (`_metadata.row_index`) — ORC rows surface
+        null ids, avro lineage raises."""
         meta = self._read_meta()
         files, sid = self._files_as_of(snapshot_id)
         if not files:
@@ -3768,19 +3900,21 @@ class SnapshotTable:
                 "_last_updated_sequence_number", F.lit(None).cast("long")
             )
         deletes = self._raw_deletes_as_of(meta, sid)
-        df = self._read_with_defaults(files, meta, None, sid, lineage=True)
+        df = self._read_with_defaults(
+            files, meta, None, sid, lineage=True,
+            read_schema=self._lineage_read_schema(meta),
+        )
         if deletes:
             df = self._apply_mor_deletes(
                 df, deletes, self._file_seq_as_of(meta, sid),
                 meta.get("renames", []),
             )
-        rid_map = self._first_row_id_as_of(meta, sid)
+        df = self._attach_row_ids(df, meta, sid)
         seq_map = self._file_seq_as_of(meta, sid)
-        rels = [self._index_file_rel(f) for f in files]
+        rels = sorted({self._index_file_rel(f) for f in files})
         map_df = self.spark.createDataFrame(
-            [(r, rid_map.get(r), seq_map.get(r)) for r in rels],
-            "__hb_rl_file string, __hb_first long, "
-            "_last_updated_sequence_number long",
+            [(r, seq_map.get(r)) for r in rels],
+            "__hb_rl_file string, _last_updated_sequence_number long",
         )
         return (
             df.join(
@@ -3788,15 +3922,8 @@ class SnapshotTable:
                 df["__hb_file"] == map_df["__hb_rl_file"],
                 "left",
             )
-            .withColumn(
-                "_row_id",
-                F.when(
-                    F.col("__hb_first").isNotNull()
-                    & F.col("__hb_pos").isNotNull(),
-                    F.col("__hb_first") + F.col("__hb_pos"),
-                ).cast("long"),
-            )
-            .drop("__hb_file", "__hb_pos", "__hb_rl_file", "__hb_first")
+            .withColumnRenamed("__hb_row_id", "_row_id")
+            .drop("__hb_file", "__hb_pos", "__hb_rl_file")
         )
 
     def _read_data_files(
@@ -3999,6 +4126,9 @@ class SnapshotTable:
             df = self._apply_mor_deletes(
                 df, deletes, self._file_seq_as_of(meta, sid), renames
             ).drop("__hb_file", "__hb_pos")
+        # the physical row-id column rewrites materialize is an
+        # engine-internal detail: only scan_with_row_lineage surfaces it
+        df = df.drop("__hb_row_id")
         # declared columns no file carries yet (add_column before any
         # write) surface as typed NULLs — Iceberg reads through the
         # CURRENT schema
@@ -4060,7 +4190,9 @@ class SnapshotTable:
                     )
         if not files:
             return self.scan(virtual_column=virtual_column).limit(0)
-        df = self._read_with_defaults(files, meta, None, to_snapshot)
+        df = self._read_with_defaults(files, meta, None, to_snapshot).drop(
+            "__hb_row_id"
+        )
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(to_snapshot).cast("long"))
         return df
@@ -4088,7 +4220,9 @@ class SnapshotTable:
             )
         if not keep_lineage and (deletes or keep_lineage):
             df = df.drop("__hb_file", "__hb_pos")
-        return df
+        # physical row ids must not leak into the changelog's row
+        # pairing (one side rewritten, the other not -> phantom diffs)
+        return df.drop("__hb_row_id")
 
     def scan_changelog(
         self,

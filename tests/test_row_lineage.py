@@ -44,12 +44,12 @@ def test_row_ids_survive_mor_delete_and_update(spark, warehouse):
     t.delete_where("id = 2", mode="merge-on-read")
     t.update_where("id = 4", {"data": "'upd'"}, mode="merge-on-read")
     rows = {r.id: (r._row_id, r.data) for r in t.scan_with_row_lineage().collect()}
-    # untouched rows keep their ids; the MOR-updated row was re-inserted
-    # into a new file -> new id from a fresh block
+    # untouched rows keep their ids; the MOR-updated row's new version
+    # MATERIALIZES its old id into the new file (v3 preservation)
     for i in (0, 1, 3, 5):
         assert rows[i] == (i, f"a{i}")
     assert 2 not in rows
-    assert rows[4][1] == "upd" and rows[4][0] >= 6
+    assert rows[4] == (4, "upd")
 
 
 def test_row_id_seq_reflects_adding_commit(spark, warehouse):
@@ -71,19 +71,58 @@ def test_row_ids_time_travel(spark, warehouse):
     assert old == {0: 0, 1: 1, 2: 2}
 
 
-def test_cow_carry_keeps_blocks_rewrite_reassigns(spark, warehouse):
+def test_cow_rewrite_preserves_ids(spark, warehouse):
     t = SnapshotTable.create(spark, os.path.join(warehouse, "cow"))
     t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))   # file A: 0-3
     t.append(_df(spark, [(i, f"b{i}") for i in range(4, 8)]))  # file B: 4-7
     t.delete_where("id = 6")  # COW rewrites file B only; file A carries
     rows = {r.id: r._row_id for r in t.scan_with_row_lineage().collect()}
-    for i in range(4):  # carried file keeps its block
-        assert rows[i] == i
-    # rewritten survivors get fresh ids from a new block past the old top
-    for i in (4, 5, 7):
-        assert rows[i] >= 8
-    # ids remain globally unique
-    assert len(set(rows.values())) == len(rows)
+    # carried file keeps its block; rewritten survivors keep their ids
+    # via the materialized column (v3 preservation)
+    assert rows == {i: i for i in (0, 1, 2, 3, 4, 5, 7)}
+
+
+def test_compaction_preserves_ids(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "cmp"))
+    t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    t.append(_df(spark, [(i, f"b{i}") for i in range(4, 8)]))
+    t.compact()
+    rows = {r.id: r._row_id for r in t.scan_with_row_lineage().collect()}
+    assert rows == {i: i for i in range(8)}
+    # a second rewrite generation keeps them too (column round-trips)
+    t.delete_where("id = 0")
+    rows = {r.id: r._row_id for r in t.scan_with_row_lineage().collect()}
+    assert rows == {i: i for i in range(1, 8)}
+
+
+def test_cow_merge_preserves_matched_inserts_fresh(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "mrg"))
+    t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    t.merge_upsert(
+        _df(spark, [(2, "upd"), (9, "new")]), keys=["id"]
+    )
+    rows = {r.id: (r._row_id, r.data) for r in t.scan_with_row_lineage().collect()}
+    assert rows[2] == (2, "upd")  # matched row keeps its id
+    for i in (0, 1, 3):
+        assert rows[i] == (i, f"a{i}")
+    assert rows[9][0] >= 4  # inserted row: fresh block id
+    assert len({v[0] for v in rows.values()}) == len(rows)
+
+
+def test_hidden_row_id_column_never_leaks(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "leak"))
+    t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    t.delete_where("id = 1")  # rewrite materializes the column
+    assert "__hb_row_id" not in t.scan().columns
+    assert "__hb_row_id" not in t.scan_where("id = 2").columns
+    ch = t.scan_changelog(1)
+    assert "__hb_row_id" not in ch.columns
+    # stats jobs skip engine-internal columns
+    bounds = t.files().select("lower_bounds").collect()
+    assert all(
+        not any(k.startswith("__hb_") for k in r.lower_bounds)
+        for r in bounds
+    )
 
 
 def test_row_ids_unique_after_random_churn(spark, warehouse):
