@@ -4198,11 +4198,18 @@ class SnapshotTable:
         return df
 
     def _read_subset_with_deletes(
-        self, meta: dict, sid: int, rels: list[str], keep_lineage: bool = False
+        self,
+        meta: dict,
+        sid: int,
+        rels: list[str],
+        keep_lineage: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame | None:
         """Read a subset of the files live at `sid` with that snapshot's
         merge-on-read deletes applied — the per-snapshot building block
-        of the changelog. Returns None for an empty subset."""
+        of the changelog. Returns None for an empty subset.
+        `with_row_ids=True` attaches the v3 `_row_id` (materialized id
+        preferred, else block base + position) as an OUTPUT column."""
         if not rels:
             return None
         renames = meta.get("renames", [])
@@ -4212,13 +4219,20 @@ class SnapshotTable:
             meta,
             None,
             sid,
-            lineage=bool(deletes) or keep_lineage,
+            lineage=bool(deletes) or keep_lineage or with_row_ids,
+            read_schema=(
+                self._lineage_read_schema(meta) if with_row_ids else None
+            ),
         )
         if deletes:
             df = self._apply_mor_deletes(
                 df, deletes, self._file_seq_as_of(meta, sid), renames
             )
-        if not keep_lineage and (deletes or keep_lineage):
+        if with_row_ids:
+            df = self._attach_row_ids(df, meta, sid).withColumnRenamed(
+                "__hb_row_id", "_row_id"
+            )
+        if not keep_lineage and (deletes or keep_lineage or with_row_ids):
             df = df.drop("__hb_file", "__hb_pos")
         # physical row ids must not leak into the changelog's row
         # pairing (one side rewritten, the other not -> phantom diffs)
@@ -4230,6 +4244,7 @@ class SnapshotTable:
         to_snapshot: int | None = None,
         compute_updates: bool = False,
         identifier_columns: list[str] | None = None,
+        use_row_lineage: bool = False,
     ) -> DataFrame:
         """Row-level change-data-capture between two snapshots (Iceberg's
         `create_changelog_view` with carryovers removed): every table
@@ -4262,9 +4277,23 @@ class SnapshotTable:
           so rows already deleted before the commit are never
           re-reported.
 
+        `use_row_lineage=True` keys the changelog on v3 ROW LINEAGE
+        instead: every change row carries `_row_id`, and
+        `compute_updates` pairs pre/post images on it — update
+        detection with NO natural key, valid because every rewrite
+        class materializes ids into its output files (preservation).
+        Rows without ids (ORC positions, pre-counter files) degrade to
+        plain insert/delete — never a wrong pairing.
+
         Cost is O(churned files + delete-targeted files) per commit."""
         meta = self._read_meta()
         ids: list[str] = list(identifier_columns or [])
+        if use_row_lineage:
+            if identifier_columns:
+                raise ValueError(
+                    "pass identifier_columns OR use_row_lineage, not both"
+                )
+            ids = ["_row_id"]
         if compute_updates and not ids:
             ids = [
                 c.strip()
@@ -4314,9 +4343,13 @@ class SnapshotTable:
             )
             added = sorted(live_s - live_p)
             removed = sorted(live_p - live_s)
-            ins = self._read_subset_with_deletes(meta, sid, added)
+            ins = self._read_subset_with_deletes(
+                meta, sid, added, with_row_ids=use_row_lineage
+            )
             rem = (
-                self._read_subset_with_deletes(meta, parent, removed)
+                self._read_subset_with_deletes(
+                    meta, parent, removed, with_row_ids=use_row_lineage
+                )
                 if parent is not None
                 else None
             )
@@ -4325,6 +4358,8 @@ class SnapshotTable:
                 if probe is None:
                     sch = self.schema()
                     out_cols = [f.name for f in sch.fields] if sch else []
+                    if use_row_lineage:
+                        out_cols.append("_row_id")
                 else:
                     out_cols = list(probe.columns)
             ins_net = del_net = None
@@ -4352,7 +4387,8 @@ class SnapshotTable:
             if new_dels and parent is not None:
                 common = live_p & live_s
                 mor_deleted = self._mor_deleted_rows(
-                    meta, parent, common, new_dels, renames
+                    meta, parent, common, new_dels, renames,
+                    with_row_ids=use_row_lineage,
                 )
                 if mor_deleted is not None:
                     md = mor_deleted.select(*out_cols)
@@ -4391,6 +4427,8 @@ class SnapshotTable:
         if out is None:
             sch = self.schema()
             cols = [f"{f.name} {f.dataType.simpleString()}" for f in sch.fields] if sch else []
+            if use_row_lineage:
+                cols.append("_row_id long")
             ddl = ", ".join(
                 cols
                 + [
@@ -4409,6 +4447,7 @@ class SnapshotTable:
         common: set[str],
         new_dels: list[dict],
         renames: list[dict],
+        with_row_ids: bool = False,
     ) -> DataFrame | None:
         """Rows a commit's NEW merge-on-read delete files remove, read
         as of the PARENT snapshot (its deletes applied first, so
@@ -4430,7 +4469,8 @@ class SnapshotTable:
                 & common
             )
             df = self._read_subset_with_deletes(
-                meta, parent, targets, keep_lineage=True
+                meta, parent, targets, keep_lineage=True,
+                with_row_ids=with_row_ids,
             )
             if df is not None:
                 parts.append(
@@ -4443,7 +4483,8 @@ class SnapshotTable:
                 )
         if eq:
             df = self._read_subset_with_deletes(
-                meta, parent, sorted(common), keep_lineage=True
+                meta, parent, sorted(common), keep_lineage=True,
+                with_row_ids=with_row_ids,
             )
             if df is not None:
                 for d in eq:

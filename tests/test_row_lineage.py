@@ -160,3 +160,52 @@ def test_empty_table_lineage_schema(spark, warehouse):
     assert df.count() == 0
     assert "_row_id" in df.columns
     assert "_last_updated_sequence_number" in df.columns
+
+
+def test_changelog_keyed_on_row_lineage(spark, warehouse):
+    # update detection with NO natural key: the pre/post images of a
+    # COW UPDATE pair on _row_id because the rewrite preserved it
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "chrl"))
+    s0 = t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    t.update_where("id = 2", {"data": "'upd'"})
+    ch = t.scan_changelog(s0, compute_updates=True, use_row_lineage=True)
+    rows = {(r._change_type, r.id): r for r in ch.collect()}
+    assert ("update_preimage", 2) in rows and ("update_postimage", 2) in rows
+    pre, post = rows[("update_preimage", 2)], rows[("update_postimage", 2)]
+    assert pre._row_id == post._row_id == 2
+    assert pre.data == "a2" and post.data == "upd"
+    # untouched rows of the rewritten file paired off via their ids —
+    # no phantom insert/delete rows for them
+    assert not any(k[1] != 2 for k in rows)
+
+
+def test_changelog_row_lineage_mor_update(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "chmor"))
+    s0 = t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    t.update_where("id = 1", {"data": "'m'"}, mode="merge-on-read")
+    ch = t.scan_changelog(s0, compute_updates=True, use_row_lineage=True)
+    rows = {(r._change_type, r.id): r for r in ch.collect()}
+    assert rows[("update_preimage", 1)]._row_id == 1
+    assert rows[("update_postimage", 1)]._row_id == 1
+    assert rows[("update_postimage", 1)].data == "m"
+    assert len(rows) == 2
+
+
+def test_changelog_row_lineage_insert_delete_stay_plain(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "chplain"))
+    s0 = t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    t.delete_where("id = 1", mode="merge-on-read")
+    ch = t.scan_changelog(s0, compute_updates=True, use_row_lineage=True)
+    rows = {(r._change_type, r.id) for r in ch.collect()}
+    assert rows == {("insert", 3), ("delete", 1)}
+
+
+def test_changelog_row_lineage_rejects_both_key_sources(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "chbad"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="not both"):
+        t.scan_changelog(
+            1, compute_updates=True, use_row_lineage=True,
+            identifier_columns=["id"],
+        )
