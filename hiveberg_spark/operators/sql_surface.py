@@ -2761,3 +2761,66 @@ def materialized_dml_refresh(spark, sf_dir):
         F.col("key_max").cast("long").alias("key_max"),
         F.lit(bool(incremental)).alias("incremental"),
     )
+
+
+@query(
+    "snapshot_keyless_cdc",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('update_preimage',  CAST(5 AS BIGINT), CAST(5 AS BIGINT), 'orig'),
+      ('update_postimage', CAST(5 AS BIGINT), CAST(5 AS BIGINT), 'edited'),
+      ('insert',           CAST(25 AS BIGINT), CAST(50 AS BIGINT), 'new')
+    ) AS t(_change_type, n_nationkey, _row_id, status)
+    """,
+)
+def snapshot_keyless_cdc(spark, sf_dir):
+    """KEYLESS CDC — changelog update pairing on v3 row lineage: a COW
+    UPDATE's pre/post images pair on `_row_id` with NO identifier
+    columns, because the rewrite materialized each surviving row's id
+    into its new file. The fixture's ordered single-file append makes
+    _row_id == n_nationkey by construction, so the exact change rows
+    are DuckDB-pinnable: one update pair sharing id 5, and one plain
+    insert at id 50 — the rewrite's (unused) fresh block consumed
+    25..49 of the counter, itself a pinned fact of the allocation
+    protocol. The 24 untouched rows of the rewritten file pair off
+    id-to-id and emit nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_keyless_cdc")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.lit("orig").alias("status")
+    )
+
+    def builder(table):
+        table.append(
+            nation.coalesce(1).sortWithinPartitions("n_nationkey")
+        )  # _row_id == n_nationkey
+        table.update_where("n_nationkey = 5", {"status": "'edited'"})
+        extra = spark.createDataFrame(
+            [(25, "new")], "n_nationkey long, status string"
+        )
+        table.append(  # align to the committed column types
+            extra.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in nation.schema.fields
+                ]
+            )
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan_changelog(
+        1, compute_updates=True, use_row_lineage=True
+    ).select(
+        "_change_type",
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "_row_id",
+        "status",
+    )
