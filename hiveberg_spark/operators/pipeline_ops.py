@@ -951,3 +951,69 @@ def sample_weighted_ares(spark, sf_dir):
         F.round(-F.log(u) / F.col("n_chars"), 9).alias("race_key"),
     )
     return keyed.orderBy(F.asc("race_key"), F.asc("doc_id")).limit(ARES_K)
+
+
+@query(
+    "pipeline_incremental_dedup",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash FROM (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text)
+               ORDER BY (doc_id % 3), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def pipeline_incremental_dedup(spark, sf_dir):
+    """INCREMENTAL INGESTION DEDUP — the pattern a continuously-fed
+    training corpus actually runs: documents arrive in commits on a
+    snapshot table; each batch is read via the INCREMENTAL READ
+    (scan_changes — only the new files, never a rescan), deduped
+    within itself (keep-first), then anti-joined against the accepted
+    LEDGER's content hashes before appending to it. Per-batch cost is
+    O(batch + hash-probe of the ledger) — at 100 TB the ledger probe is
+    a broadcast/hash anti-join on the md5 key, and no batch ever
+    re-reads history. The final ledger must equal the global keep-first
+    dedup over everything ingested, in arrival order — which the
+    oracle replays as ORDER BY (batch, doc_id) inside the hash
+    partition."""
+    import os
+
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable, build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "docs_incr_dedup")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def builder(ledger):
+        src = SnapshotTable.create(
+            spark, os.path.join(ledger.location, "src_tbl")
+        )
+        cursor = None
+        for i in range(3):  # three arrival batches
+            sid = src.append(docs.filter(F.col("doc_id") % 3 == i))
+            batch = (
+                src.scan_changes(cursor, sid, virtual_column=None)
+                if cursor is not None
+                else src.scan(snapshot_id=sid, virtual_column=None)
+            )
+            w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+            cand = (
+                batch.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", F.md5("text").alias("content_hash"))
+            )
+            if cursor is not None:
+                cand = cand.join(
+                    ledger.scan(virtual_column=None).select("content_hash"),
+                    "content_hash",
+                    "left_anti",
+                )
+            ledger.append(cand.select("doc_id", "content_hash"))
+            cursor = sid
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan(virtual_column=None).select("doc_id", "content_hash")

@@ -180,6 +180,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "materialized_dml_refresh",
     "stream_mv_pipeline",
     "snapshot_keyless_cdc",
+    "pipeline_incremental_dedup",
     # the five DML re-checks displaced by the late-round-5 additions
     # (pass(r4); their churned shared paths are driver-covered this
     # round by the entries/clone/rewrite-manifests fixtures) — plus the
