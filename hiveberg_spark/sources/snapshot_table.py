@@ -79,6 +79,7 @@ ENTRIES_SUFFIX = "__entries"  # Iceberg's `entries` manifest-entry table
 ALL_FILES_SUFFIX = "__all_files"  # Iceberg's `all_files` (any snapshot)
 INDEXES_SUFFIX = "__indexes"  # value-index freshness (beyond Iceberg)
 POSITION_DELETES_SUFFIX = "__position_deletes"  # Iceberg's table of the same name
+ROW_LINEAGE_SUFFIX = "__row_lineage"  # v3 _row_id scan by suffix convention
 
 #: Manifest-resident bloom file-skip index (the plan-time sibling of
 #: the row-group blooms `write.parquet.bloom-filter-columns` delegates
@@ -5479,6 +5480,11 @@ def resolve_table(
         base_loc = os.path.join(warehouse, base)
         if os.path.exists(os.path.join(base_loc, "metadata.json")):
             return SnapshotTable.load(spark, base_loc).position_deletes()
+    if snapshots_table_enabled and name.endswith(ROW_LINEAGE_SUFFIX):
+        base = name[: -len(ROW_LINEAGE_SUFFIX)]
+        base_loc = os.path.join(warehouse, base)
+        if os.path.exists(os.path.join(base_loc, "metadata.json")):
+            return SnapshotTable.load(spark, base_loc).scan_with_row_lineage()
     return SnapshotTable.load(spark, os.path.join(warehouse, name)).scan()
 
 

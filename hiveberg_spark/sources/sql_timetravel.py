@@ -785,11 +785,38 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
     m = _CALL_RE.match(sql)
     if m:
         proc = m.group("proc").lower()
+        args = _parse_call_args(m.group("args"))
+        if proc == "create_changelog_view":
+            # DataFrame-returning procedure (Iceberg's
+            # create_changelog_view): CALL system.create_changelog_view(
+            #   't', from_sid[, to_sid[, 'id_col1,id_col2' | 'row_lineage']])
+            # — the optional 4th argument turns on update pairing, keyed
+            # on the named identifier columns or on v3 row lineage
+            if len(args) < 2:
+                raise ValueError(
+                    "create_changelog_view needs (table, from_snapshot"
+                    "[, to_snapshot[, identifier_cols|'row_lineage']])"
+                )
+            t = _table(args[0])
+            to_sid = int(args[2]) if len(args) > 2 and args[2] else None
+            key = args[3] if len(args) > 3 else None
+            if key == "row_lineage":
+                return t.scan_changelog(
+                    int(args[1]), to_sid, compute_updates=True,
+                    use_row_lineage=True,
+                )
+            if key:
+                return t.scan_changelog(
+                    int(args[1]), to_sid, compute_updates=True,
+                    identifier_columns=[
+                        c.strip() for c in key.split(",") if c.strip()
+                    ],
+                )
+            return t.scan_changelog(int(args[1]), to_sid)
         if proc not in _PROCEDURES:
             raise ValueError(
                 f"unknown procedure: {proc!r} (have {sorted(_PROCEDURES)})"
             )
-        args = _parse_call_args(m.group("args"))
         if not args:
             raise ValueError("CALL needs at least the table name argument")
         result = _PROCEDURES[proc](_table(args[0]), *args[1:])

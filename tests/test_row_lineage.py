@@ -209,3 +209,29 @@ def test_changelog_row_lineage_rejects_both_key_sources(spark, warehouse):
             1, compute_updates=True, use_row_lineage=True,
             identifier_columns=["id"],
         )
+
+
+def test_row_lineage_suffix_and_changelog_call(spark, warehouse):
+    from hiveberg_spark.sources.snapshot_table import resolve_table
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "sqlrl"))
+    s0 = t.append(_df(spark, [(i, f"a{i}") for i in range(3)]))
+    t.update_where("id = 1", {"data": "'u'"})
+    # __row_lineage suffix resolves to the lineage scan
+    df = resolve_table(spark, warehouse, "sqlrl__row_lineage")
+    assert {r.id: r._row_id for r in df.collect()} == {0: 0, 1: 1, 2: 2}
+    # CALL system.create_changelog_view with row-lineage pairing
+    ch = execute_sql(
+        spark, warehouse,
+        f"CALL system.create_changelog_view('sqlrl', {s0}, '', 'row_lineage')",
+    )
+    rows = {(r._change_type, r.id) for r in ch.collect()}
+    assert rows == {("update_preimage", 1), ("update_postimage", 1)}
+    # plain changelog form
+    ch2 = execute_sql(
+        spark, warehouse, f"CALL system.create_changelog_view('sqlrl', {s0})"
+    )
+    assert {(r._change_type, r.id) for r in ch2.collect()} == {
+        ("insert", 1), ("delete", 1)
+    }
