@@ -235,3 +235,17 @@ def test_row_lineage_suffix_and_changelog_call(spark, warehouse):
     assert {(r._change_type, r.id) for r in ch2.collect()} == {
         ("insert", 1), ("delete", 1)
     }
+
+
+def test_concurrent_handles_get_disjoint_blocks(spark, warehouse):
+    # two independent handles (simulating two processes): the counter is
+    # advanced under the commit lock, so blocks can never overlap even
+    # through a stale handle
+    loc = os.path.join(warehouse, "cblk")
+    t1 = SnapshotTable.create(spark, loc)
+    t2 = SnapshotTable(spark, loc)
+    t1.append(_df(spark, [(i, "x") for i in range(3)]))
+    t2.append(_df(spark, [(i, "y") for i in range(3, 5)]))  # stale handle
+    rows = {r.id: r._row_id for r in t1.scan_with_row_lineage().collect()}
+    assert rows == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    assert t1._read_meta()["next_row_id"] == 5
