@@ -643,29 +643,40 @@ class SnapshotTable:
 
     def _bloom_hashes_of_literal(self, src: str, lit) -> list[int]:
         """The K probe hashes of a literal AS the column's current
-        type — the same `xxhash64(value, seed)` Spark expressions the
-        write-side bitset job ran, so no cross-language hash
-        reimplementation can drift (one-row local job, cached)."""
+        type — the same `xxhash64(value, seed_i)` hashing the
+        write-side bitset job's Spark expressions ran. Fast path: the
+        self-checked pure-Python XXH64 port with the two-argument chain
+        (seed literal is IntegerType, matching `F.lit(i)`); fallback:
+        one-row Spark job (cached per literal)."""
+        from hiveberg_spark.sources import xxh64
+
         cache = getattr(self, "_bloomhash_cache", None)
         if cache is None:
             cache = self._bloomhash_cache = {}
         key = (src, repr(lit))
         if key not in cache:
-            schema = self.schema()
-            col = F.lit(lit)
-            if schema is not None and src in schema.fieldNames():
-                col = col.cast(schema[src].dataType)
-            row = (
-                self.spark.range(1)
-                .select(
-                    *[
-                        F.xxhash64(col, F.lit(i)).alias(f"h{i}")
-                        for i in range(_BLOOM_K)
-                    ]
+            args = self._python_hash_args(src, lit)
+            if args is not None and xxh64.self_check(self.spark):
+                cache[key] = [
+                    xxh64.xxhash64_chain([args, (i, "int")])
+                    for i in range(_BLOOM_K)
+                ]
+            else:
+                schema = self.schema()
+                col = F.lit(lit)
+                if schema is not None and src in schema.fieldNames():
+                    col = col.cast(schema[src].dataType)
+                row = (
+                    self.spark.range(1)
+                    .select(
+                        *[
+                            F.xxhash64(col, F.lit(i)).alias(f"h{i}")
+                            for i in range(_BLOOM_K)
+                        ]
+                    )
+                    .head()
                 )
-                .head()
-            )
-            cache[key] = [int(row[f"h{i}"]) for i in range(_BLOOM_K)]
+                cache[key] = [int(row[f"h{i}"]) for i in range(_BLOOM_K)]
         return cache[key]
 
     def _bloom_requirements(
@@ -1388,25 +1399,67 @@ class SnapshotTable:
             os.unlink(lock)
         return {"column": column, "snapshot_id": cur, "path": entry["path"]}
 
+    def _python_hash_args(self, src: str, lit) -> tuple | None:
+        """(value, simple_type) for the pure-Python hash fast path, or
+        None when the Spark job must be used: the literal's python type
+        must map onto the column type without any cast the fast path
+        does not replicate bit-for-bit (out-of-range ints would WRAP
+        under ANSI-off casts; mixed-type string casts have formatting
+        rules — both fall back rather than risk a wrong hash)."""
+        from hiveberg_spark.sources import xxh64
+
+        schema = self.schema()
+        if schema is None or src not in schema.fieldNames():
+            return None
+        stype = schema[src].dataType.simpleString()
+        if not xxh64.supported(stype):
+            return None
+        if isinstance(lit, bool):
+            return (lit, stype) if stype == "boolean" else None
+        if isinstance(lit, int):
+            bounds = {
+                "tinyint": 7, "smallint": 15, "int": 31, "bigint": 63
+            }.get(stype)
+            if bounds is not None:
+                lim = 1 << bounds
+                return (lit, stype) if -lim <= lit < lim else None
+            if stype in ("float", "double"):
+                return (float(lit), stype)
+            return None
+        if isinstance(lit, float):
+            return (lit, stype) if stype in ("float", "double") else None
+        if isinstance(lit, str):
+            return (lit, stype) if stype == "string" else None
+        return None
+
     def _hash_of_literal(self, src: str, lit) -> int:
         """xxhash64 of a literal AS the indexed column's type — the
-        same Spark expression the index build ran, so there is no
-        cross-language hash reimplementation to drift (one-row local
-        job, cached per literal)."""
+        same hashing the index build's Spark expression ran. Fast path:
+        the pure-Python XXH64 port (sources/xxh64.py), used ONLY after
+        its one-time self-check against Spark passes and only for
+        literal/column type pairs whose cast it replicates exactly;
+        otherwise a one-row Spark job (cached per literal) — correct
+        either way, never drifting."""
+        from hiveberg_spark.sources import xxh64
+
         cache = getattr(self, "_vhash_cache", None)
         if cache is None:
             cache = self._vhash_cache = {}
         key = (src, repr(lit))
         if key not in cache:
-            schema = self.schema()
-            col = F.lit(lit)
-            if schema is not None and src in schema.fieldNames():
-                col = col.cast(schema[src].dataType)
-            cache[key] = int(
-                self.spark.range(1)
-                .select(F.xxhash64(col).alias("h"))
-                .head()[0]
-            )
+            args = self._python_hash_args(src, lit)
+            if args is not None and xxh64.self_check(self.spark):
+                cache[key] = xxh64.xxhash64_chain([args])
+            else:
+                schema = self.schema()
+                col = F.lit(lit)
+                if schema is not None and src in schema.fieldNames():
+                    col = col.cast(schema[src].dataType)
+                cache[key] = int(
+                    self.spark.range(1)
+                    .select(F.xxhash64(col).alias("h"))
+                    .head()[0]
+                )
         return cache[key]
 
     def _index_file_rel(self, path: str) -> str:
