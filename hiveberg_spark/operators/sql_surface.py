@@ -2824,3 +2824,75 @@ def snapshot_keyless_cdc(spark, sf_dir):
         "_row_id",
         "status",
     )
+
+
+@query(
+    "snapshot_deletion_vectors",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM nation
+            WHERE n_nationkey < 20 AND n_nationkey IN (2, 4, 6, 8))
+           AS BIGINT) AS n_tombstones,
+      CAST(1 AS BIGINT) AS n_dv_blobs,
+      CAST((SELECT COUNT(*) FROM nation
+            WHERE n_nationkey < 20 AND n_nationkey NOT IN (2, 4, 6, 8))
+           AS BIGINT) AS live_rows,
+      TRUE AS metadata_count_matches,
+      TRUE AS no_delete_files_on_disk
+    """,
+)
+def snapshot_deletion_vectors(spark, sf_dir):
+    """Iceberg v3 DELETION VECTORS (`write.delete.vectors=true` — the
+    v3 replacement for standalone position-delete files, which the
+    reference's Iceberg 0.7 predates entirely): two merge-on-read
+    DELETEs over one data file leave ONE manifest-resident bitmap (the
+    second write merged the first's bits — the one-DV-per-file
+    invariant), zero delete files on disk, and a metadata-only
+    COUNT(*) that subtracts the recorded DV cardinality. The query pins
+    the tombstone count from the decoded bitmap (`position_deletes`),
+    the single-blob invariant, the shadowed scan count, the
+    metadata-vs-scan count agreement, and the absence of any delete
+    file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_dv")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def builder(table):
+        table.set_properties(
+            {
+                "write.delete.mode": "merge-on-read",
+                "write.delete.vectors": "true",
+            }
+        )
+        table.append(nation.filter("n_nationkey < 20").coalesce(1))
+        table.delete_where("n_nationkey IN (2, 4, 6)")
+        table.delete_where("n_nationkey = 8")
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    no_files = not os.path.isdir(os.path.join(t.location, "deletes"))
+    meta_count = t.count_rows()
+    return (
+        t.position_deletes()
+        .agg(F.count("*").alias("n_tombstones"))
+        .crossJoin(
+            t.files()
+            .filter(F.col("file_format") == "dv")
+            .agg(F.count("*").alias("n_dv_blobs"))
+        )
+        .crossJoin(
+            t.scan(virtual_column=None).agg(F.count("*").alias("live_rows"))
+        )
+        .withColumn(
+            "metadata_count_matches",
+            F.col("live_rows") == F.lit(int(meta_count)),
+        )
+        .withColumn("no_delete_files_on_disk", F.lit(bool(no_files)))
+    )

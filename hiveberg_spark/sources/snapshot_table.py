@@ -93,6 +93,46 @@ _BLOOM_DEFAULT_BITS = 65536  # 8 KiB/bitset; FPR ≈ 4% at 10k distinct
 _BLOOM_STATS_KEY = "__bloom__"
 
 
+def _dv_encode(positions) -> tuple[str, int]:
+    """Serialize a set of deleted row positions as a base64 bitmap —
+    the deletion-vector payload (Iceberg v3 DVs are roaring bitmaps in
+    puffin files; a plain bitmap carries the same information for the
+    row counts a single data file holds, ~125 KB per million rows)."""
+    import base64
+
+    ps = sorted(set(int(p) for p in positions))
+    if not ps:
+        return base64.b64encode(b"").decode("ascii"), 0
+    bits = bytearray(ps[-1] // 8 + 1)
+    for p in ps:
+        bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii"), len(ps)
+
+
+def _dv_decode(b64: str) -> list[int]:
+    import base64
+
+    bits = base64.b64decode(b64)
+    out = []
+    for i, byte in enumerate(bits):
+        while byte:
+            low = byte & -byte
+            out.append((i << 3) + low.bit_length() - 1)
+            byte ^= low
+    return out
+
+
+def _dv_last_per_file(deletes: list[dict]) -> dict[str, dict]:
+    """DV entries keyed by data file, LAST in lineage order winning —
+    the one-DV-per-file invariant (a newer DV already merged the older
+    one's bits at write time)."""
+    last: dict[str, dict] = {}
+    for d in deletes:
+        if d["type"] == "dv":
+            last[d["file"]] = d
+    return last
+
+
 def _rename_stats_keys(stats: dict, renames: list[dict]) -> dict:
     """Resolve a manifest stats dict recorded under WRITTEN column
     names to CURRENT names (rename log, applied in log order) — both
@@ -1856,7 +1896,7 @@ class SnapshotTable:
                 seq_by_survivor[sid] = (
                     self._file_seq_as_of(meta, sid) if dels else {}
                 )
-                referenced.update(d["path"] for d in dels)
+                referenced.update(d["path"] for d in dels if "path" in d)
             # tracked-but-unreferenced files are orphans to delete
             orphans: set[str] = set()
             for s in meta["snapshots"]:
@@ -1864,7 +1904,8 @@ class SnapshotTable:
                     if f not in referenced:
                         orphans.add(f)
                 for d in self._read_manifest_json(s).get("deletes", []):
-                    if d["path"] not in referenced:
+                    # deletion vectors are manifest-resident: no file
+                    if "path" in d and d["path"] not in referenced:
                         orphans.add(d["path"])
             # Consolidate every survivor whose LINEAGE CHAIN crosses a
             # deleted manifest: its manifest is rewritten as the full
@@ -2242,12 +2283,56 @@ class SnapshotTable:
                 entries.append(entry)
         return entries
 
+    def _dv_enabled(self, meta: dict) -> bool:
+        """Iceberg v3 DELETION VECTORS opt-in (`write.delete.vectors`):
+        merge-on-read position deletes become per-data-file bitmaps
+        carried in the manifest instead of standalone delete files —
+        scans skip the extra file IO, and the one-DV-per-file invariant
+        (each write MERGES the prior bitmap) bounds the apply cost to
+        one anti-join input regardless of delete history."""
+        return (
+            meta.get("properties", {})
+            .get("write.delete.vectors", "")
+            .strip()
+            .lower()
+            == "true"
+        )
+
+    def _build_dv_entries(
+        self, hits: DataFrame, meta: dict, head: int
+    ) -> list[dict]:
+        """Per-file DV delete entries from a (file_path, pos) frame,
+        MERGED with each file's prior DV as of `head` (one DV per file,
+        v3 invariant). The per-file position lists collect to the
+        driver — MOR deletes are small by construction, the same
+        contract as the tiny-delete-file write they replace."""
+        rows = (
+            hits.groupBy("file_path")
+            .agg(F.collect_list("pos").alias("ps"))
+            .collect()
+        )
+        if not rows:
+            return []
+        prior = _dv_last_per_file(self._raw_deletes_as_of(meta, head))
+        entries = []
+        for r in rows:
+            ps = set(int(p) for p in r["ps"])
+            if r["file_path"] in prior:
+                ps |= set(_dv_decode(prior[r["file_path"]]["bits"]))
+            b64, n = _dv_encode(ps)
+            entries.append(
+                {"type": "dv", "file": r["file_path"], "bits": b64, "count": n}
+            )
+        return entries
+
     def _delete_where_mor(
         self, where: str, committed_at: int | None, branch: str | None
     ) -> int:
         """Merge-on-read DELETE: record (file_path, pos) of every
-        predicate-TRUE live row in a position delete file; no data file
-        is touched. See delete_where(mode=...)."""
+        predicate-TRUE live row in a position delete file — or, with
+        `write.delete.vectors=true`, merge them into per-file DELETION
+        VECTORS in the manifest; no data file is touched either way.
+        See delete_where(mode=...)."""
         meta = self._read_meta()
         head = self._mor_head(meta, branch)
         df, _ = self._mor_affected(meta, head, where)
@@ -2257,7 +2342,10 @@ class SnapshotTable:
                 F.col("__hb_file").alias("file_path"),
                 F.col("__hb_pos").alias("pos"),
             )
-            entries = self._write_delete_files(hits, "position")
+            if self._dv_enabled(meta):
+                entries = self._build_dv_entries(hits, meta, head)
+            else:
+                entries = self._write_delete_files(hits, "position")
         return self._commit(
             self._empty_df(),
             "delete",
@@ -2292,13 +2380,14 @@ class SnapshotTable:
             # materialize each hit row's id so the re-written version
             # keeps its identity (v3 row-lineage preservation)
             hit = self._attach_row_ids(df.filter(pred), meta, head)
-            entries = self._write_delete_files(
-                hit.select(
-                    F.col("__hb_file").alias("file_path"),
-                    F.col("__hb_pos").alias("pos"),
-                ),
-                "position",
+            old_positions = hit.select(
+                F.col("__hb_file").alias("file_path"),
+                F.col("__hb_pos").alias("pos"),
             )
+            if self._dv_enabled(meta):
+                entries = self._build_dv_entries(old_positions, meta, head)
+            else:
+                entries = self._write_delete_files(old_positions, "position")
             new_rows = _apply_assignments(
                 hit.drop("__hb_file", "__hb_pos"), where, assignments
             )
@@ -2430,7 +2519,8 @@ class SnapshotTable:
                 for f, _, _ in self._read_manifest_entries(s):
                     referenced.add(f)
                 for d in self._read_manifest_json(s).get("deletes", []):
-                    referenced.add(d["path"])
+                    if "path" in d:  # DVs are manifest-resident, no file
+                        referenced.add(d["path"])
             cutoff_s = older_than_ms / 1000.0
             deleted = 0
             for sub in ("data", "deletes"):
@@ -2481,17 +2571,60 @@ class SnapshotTable:
         deletes = self._raw_deletes_as_of(meta, head)
         pos = [d for d in deletes if d["type"] == "position"]
         eq = [d for d in deletes if d["type"] == "equality"]
+        dvs = _dv_last_per_file(deletes)
         carry = self._raw_entries_as_of(meta, head)
         carry_seq = self._file_seq_as_of(meta, head)
+        live = {rel for rel, _, _ in carry}
         entries: list[dict] = []
-        if pos:
-            live_paths = self.spark.createDataFrame(
-                [(rel,) for rel, _, _ in carry], "file_path string"
-            )
-            rows = self.spark.read.parquet(
-                *[os.path.join(self.location, d["path"]) for d in pos]
-            ).join(F.broadcast(live_paths), "file_path", "left_semi").distinct()
-            entries = self._write_delete_files(rows, "position")
+        if pos or dvs:
+            # the target representation follows the CURRENT property —
+            # this action migrates a table's delete debt in either
+            # direction (files -> DVs on enabling vectors, DVs -> one
+            # consolidated file on disabling)
+            rows = None
+            if pos:
+                live_paths = self.spark.createDataFrame(
+                    [(rel,) for rel in sorted(live)], "file_path string"
+                )
+                rows = (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.location, d["path"]) for d in pos]
+                    )
+                    .join(F.broadcast(live_paths), "file_path", "left_semi")
+                    .distinct()
+                )
+            dv_rows = [
+                (f, p)
+                for f, d in dvs.items()
+                if f in live
+                for p in _dv_decode(d["bits"])
+            ]
+            if dv_rows:
+                dv_df = self.spark.createDataFrame(
+                    dv_rows, "file_path string, pos long"
+                )
+                rows = dv_df if rows is None else rows.unionByName(dv_df).distinct()
+            if rows is not None:
+                if self._dv_enabled(meta):
+                    # prior DVs are already folded into `rows` — build
+                    # fresh per-file bitmaps directly, no re-merge
+                    entries = []
+                    for r in (
+                        rows.groupBy("file_path")
+                        .agg(F.collect_list("pos").alias("ps"))
+                        .collect()
+                    ):
+                        b64, n = _dv_encode(r["ps"])
+                        entries.append(
+                            {
+                                "type": "dv",
+                                "file": r["file_path"],
+                                "bits": b64,
+                                "count": n,
+                            }
+                        )
+                else:
+                    entries = self._write_delete_files(rows, "position")
         return self._commit(
             self._empty_df(),
             "replace",
@@ -2502,7 +2635,7 @@ class SnapshotTable:
             delete_entries=entries,
             carry_deletes=eq,
             carry_seq=carry_seq,
-            summary_extra={"rewritten-delete-files": str(len(pos))},
+            summary_extra={"rewritten-delete-files": str(len(pos) + len(dvs))},
         )
 
     def _cow_split(
@@ -4126,6 +4259,26 @@ class SnapshotTable:
                 & (df["__hb_pos"] == dels["pos"]),
                 "left_anti",
             )
+        dv_last = _dv_last_per_file(deletes)
+        if dv_last:
+            # deletion vectors: one bitmap per file, decoded to the
+            # (file, pos) anti-join input with NO extra file IO —
+            # deleted-row counts are MOR-small by construction
+            rows = [
+                (f, p)
+                for f, d in dv_last.items()
+                for p in _dv_decode(d["bits"])
+            ]
+            if rows:
+                dv_df = self.spark.createDataFrame(
+                    rows, "file_path string, pos long"
+                )
+                df = df.join(
+                    dv_df,
+                    (df["__hb_file"] == dv_df["file_path"])
+                    & (df["__hb_pos"] == dv_df["pos"]),
+                    "left_anti",
+                )
         eq = [d for d in deletes if d["type"] == "equality"]
         if eq:
             seq_df = self.spark.createDataFrame(
@@ -4427,17 +4580,31 @@ class SnapshotTable:
             elif rem is not None:
                 del_net = rem.select(*out_cols)
             # merge-on-read: rows newly deleted by THIS commit's delete
-            # files (targets restricted to files live on both sides)
-            prev_paths = (
-                {d["path"] for d in self._raw_deletes_as_of(meta, parent)}
+            # files (targets restricted to files live on both sides).
+            # DV newness is positional, not path-based: the commit's
+            # merged bitmap minus the parent's bitmap for the same file
+            prev_deletes = (
+                self._raw_deletes_as_of(meta, parent)
                 if parent is not None
-                else set()
+                else []
             )
+            prev_paths = {d["path"] for d in prev_deletes if "path" in d}
+            prev_dv = _dv_last_per_file(prev_deletes)
+            cur_deletes = self._raw_deletes_as_of(meta, sid)
             new_dels = [
                 d
-                for d in self._raw_deletes_as_of(meta, sid)
-                if d["path"] not in prev_paths
+                for d in cur_deletes
+                if "path" in d and d["path"] not in prev_paths
             ]
+            for f, d in _dv_last_per_file(cur_deletes).items():
+                prev_bits = (
+                    set(_dv_decode(prev_dv[f]["bits"])) if f in prev_dv else set()
+                )
+                delta = sorted(set(_dv_decode(d["bits"])) - prev_bits)
+                if delta:
+                    new_dels.append(
+                        {"type": "dv_delta", "file": f, "positions": delta}
+                    )
             if new_dels and parent is not None:
                 common = live_p & live_s
                 mor_deleted = self._mor_deleted_rows(
@@ -4510,7 +4677,34 @@ class SnapshotTable:
         the common files their sequence covers and semi-join the keys."""
         pos = [d for d in new_dels if d["type"] == "position"]
         eq = [d for d in new_dels if d["type"] == "equality"]
+        dv_deltas = [d for d in new_dels if d["type"] == "dv_delta"]
         parts: list[DataFrame] = []
+        if dv_deltas:
+            # newly-set DV bits: read just the targeted files and
+            # semi-join the delta positions
+            targets = sorted({d["file"] for d in dv_deltas} & common)
+            df = self._read_subset_with_deletes(
+                meta, parent, targets, keep_lineage=True,
+                with_row_ids=with_row_ids,
+            )
+            if df is not None:
+                rows = [
+                    (d["file"], p)
+                    for d in dv_deltas
+                    if d["file"] in common
+                    for p in d["positions"]
+                ]
+                delta_df = self.spark.createDataFrame(
+                    rows, "file_path string, pos long"
+                )
+                parts.append(
+                    df.join(
+                        delta_df,
+                        (df["__hb_file"] == delta_df["file_path"])
+                        & (df["__hb_pos"] == delta_df["pos"]),
+                        "left_semi",
+                    ).drop("__hb_file", "__hb_pos")
+                )
         if pos:
             pos_df = self.spark.read.parquet(
                 *[os.path.join(self.location, d["path"]) for d in pos]
@@ -4620,6 +4814,12 @@ class SnapshotTable:
                 .count()
             )
             total -= int(dead)
+        live_set = set(live_rels)
+        for f, d in _dv_last_per_file(deletes).items():
+            # deletion vectors: the recorded cardinality IS the deleted
+            # row count — pure metadata, no file opened
+            if f in live_set:
+                total -= int(d.get("count", 0))
         return int(total)
 
     def history(self) -> DataFrame:
@@ -4729,8 +4929,29 @@ class SnapshotTable:
             )
         if sid is not None:
             # merge-on-read delete files are content files too
-            # (Iceberg files.content 1 = position deletes, 2 = equality)
-            for d in self._raw_deletes_as_of(meta, sid):
+            # (Iceberg files.content 1 = position deletes, 2 = equality);
+            # DELETION VECTORS are manifest-resident — surfaced with a
+            # dv: pseudo-path, format 'dv' (Iceberg v3 lists DVs in the
+            # same content-file views with their puffin location)
+            all_dels = self._raw_deletes_as_of(meta, sid)
+            for d in _dv_last_per_file(all_dels).values():
+                # one LIVE DV per file (older generations were merged
+                # into it and are dead weight in old manifests only)
+                rows.append(
+                    (
+                        "position-deletes",
+                        f"dv:{d['file']}",
+                        "dv",
+                        d.get("sid"),
+                        d.get("count"),
+                        {},
+                        {},
+                        {},
+                    )
+                )
+            for d in all_dels:
+                if d["type"] == "dv":
+                    continue
                 rows.append(
                     (
                         f"{d['type']}-deletes",
@@ -4767,39 +4988,49 @@ class SnapshotTable:
             "file_path string, pos long, delete_file_path string, "
             "delete_snapshot_id long"
         )
-        pos = (
-            [
-                d
-                for d in self._raw_deletes_as_of(meta, sid)
-                if d["type"] == "position"
-            ]
-            if sid is not None
-            else []
+        all_dels = (
+            self._raw_deletes_as_of(meta, sid) if sid is not None else []
         )
-        if not pos:
+        pos = [d for d in all_dels if d["type"] == "position"]
+        dvs = _dv_last_per_file(all_dels)
+        parts: list[DataFrame] = []
+        if pos:
+            sidmap = self.spark.createDataFrame(
+                [(d["path"], int(d["sid"])) for d in pos],
+                "delete_file_path string, delete_snapshot_id long",
+            )
+            loc_prefix = os.path.abspath(self.location) + os.sep
+            rel_path = F.regexp_replace(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^[a-z0-9]+:/+", "/"
+                ),
+                "^" + re.escape(loc_prefix),
+                "",
+            )
+            parts.append(
+                self.spark.read.parquet(
+                    *[os.path.join(self.location, d["path"]) for d in pos]
+                )
+                .select("file_path", "pos", rel_path.alias("delete_file_path"))
+                .join(F.broadcast(sidmap), "delete_file_path", "left")
+                .select(
+                    "file_path", "pos", "delete_file_path",
+                    "delete_snapshot_id",
+                )
+            )
+        dv_rows = [
+            (f, p, f"dv:{f}", int(d.get("sid", 0)))
+            for f, d in dvs.items()
+            for p in _dv_decode(d["bits"])
+        ]
+        if dv_rows:
+            parts.append(self.spark.createDataFrame(dv_rows, schema))
+        if not parts:
             return self.spark.createDataFrame([], schema)
-        sidmap = self.spark.createDataFrame(
-            [(d["path"], int(d["sid"])) for d in pos],
-            "delete_file_path string, delete_snapshot_id long",
-        )
-        loc_prefix = os.path.abspath(self.location) + os.sep
-        rel_path = F.regexp_replace(
-            F.regexp_replace(
-                F.col("_metadata.file_path"), r"^[a-z0-9]+:/+", "/"
-            ),
-            "^" + re.escape(loc_prefix),
-            "",
-        )
-        return (
-            self.spark.read.parquet(
-                *[os.path.join(self.location, d["path"]) for d in pos]
-            )
-            .select("file_path", "pos", rel_path.alias("delete_file_path"))
-            .join(F.broadcast(sidmap), "delete_file_path", "left")
-            .select(
-                "file_path", "pos", "delete_file_path", "delete_snapshot_id"
-            )
-        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _file_info_as_of(self, meta: dict) -> dict[str, dict]:
         """Relative path -> {records, bytes} from every manifest that
