@@ -1886,6 +1886,7 @@ class SnapshotTable:
             by_survivor: dict[int, list] = {}
             del_by_survivor: dict[int, list] = {}
             seq_by_survivor: dict[int, dict] = {}
+            rid_by_survivor: dict[int, dict] = {}
             for s in survivors:
                 sid = s["snapshot_id"]
                 entries = self._raw_entries_as_of(meta, sid)
@@ -1896,6 +1897,9 @@ class SnapshotTable:
                 seq_by_survivor[sid] = (
                     self._file_seq_as_of(meta, sid) if dels else {}
                 )
+                # row-id blocks must survive consolidation too (v3 row
+                # lineage: a file's block never changes)
+                rid_by_survivor[sid] = self._first_row_id_as_of(meta, sid)
                 referenced.update(d["path"] for d in dels if "path" in d)
             # tracked-but-unreferenced files are orphans to delete
             orphans: set[str] = set()
@@ -1957,6 +1961,13 @@ class SnapshotTable:
                         for p, q in seq_by_survivor[sid].items()
                         if p in set(doc["files"])
                     }
+                rid = {
+                    p: r
+                    for p, r in rid_by_survivor[sid].items()
+                    if p in set(doc["files"])
+                }
+                if rid:
+                    doc["first_row_id"] = rid
                 with open(
                     os.path.join(self.location, manifest_rel), "w"
                 ) as f:

@@ -249,3 +249,15 @@ def test_concurrent_handles_get_disjoint_blocks(spark, warehouse):
     rows = {r.id: r._row_id for r in t1.scan_with_row_lineage().collect()}
     assert rows == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
     assert t1._read_meta()["next_row_id"] == 5
+
+
+def test_row_ids_survive_expire_consolidation(spark, warehouse):
+    # expire_snapshots consolidates surviving manifests; the carried
+    # files' first_row_id blocks must re-record (a block never changes)
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "exp"))
+    t.append(_df(spark, [(i, "x") for i in range(3)]), committed_at=1_000)
+    t.append(_df(spark, [(i, "y") for i in range(3, 6)]), committed_at=2_000)
+    t.append(_df(spark, [(i, "z") for i in range(6, 8)]), committed_at=9_000)
+    t.expire_snapshots(5_000)  # expires the first two snapshots
+    rows = {r.id: r._row_id for r in t.scan_with_row_lineage().collect()}
+    assert rows == {i: i for i in range(8)}
