@@ -1213,11 +1213,15 @@ class SnapshotTable:
         "drops",
         "widenings",
         "added_columns",
+        "defaults",
         "partition_spec",
         "partition_specs_history",
         "file_format",
         "properties",
         "adopted_hive_bases",
+        # the row-id counter seeds >= the source's top so blocks carried
+        # with the clone can never collide with its future appends
+        "next_row_id",
     )
 
     @classmethod
@@ -1270,12 +1274,23 @@ class SnapshotTable:
                 dmeta[k] = _copy.deepcopy(smeta[k])
         dst._write_meta(dmeta)
         empty = src.scan(snapshot_id=sid, virtual_column=None).limit(0)
+        # row identity crosses the clone: carried files keep their
+        # source blocks (keyed by the SAME path form the carry entries
+        # use), and next_row_id (cloned above) guarantees future
+        # appends never collide with them
+        src_rid = src._first_row_id_as_of(smeta, sid)
+        carry_row_ids = {}
+        for p, _, _ in entries:
+            rid = src_rid.get(src._index_file_rel(p))
+            if rid is not None:
+                carry_row_ids[p] = rid
         dst._commit(
             empty,
             "snapshot-clone",
             committed_at,
             replaces=True,
             carry=list(entries),
+            carry_row_ids=carry_row_ids,
             summary_extra={
                 "source-table": os.path.abspath(src_location),
                 "source-snapshot-id": str(sid),
@@ -2737,6 +2752,7 @@ class SnapshotTable:
         delete_entries: list[dict] | None = None,
         carry_deletes: list[dict] | None = None,
         carry_seq: dict[str, int] | None = None,
+        carry_row_ids: dict[str, int] | None = None,
     ) -> int:
         """Shared commit protocol: write data (hidden-partitioned when
         the table has a spec) into a unique uuid dir outside the lock,
@@ -2987,6 +3003,8 @@ class SnapshotTable:
                     prev_rid.update(
                         self._read_manifest_json(s).get("first_row_id", {})
                     )
+                if carry_row_ids:  # cross-table carry (zero-copy clone)
+                    prev_rid.update(carry_row_ids)
                 for rel, _, _ in carry:
                     if rel in prev_rid:
                         first_row_id[rel] = prev_rid[rel]

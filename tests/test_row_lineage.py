@@ -261,3 +261,20 @@ def test_row_ids_survive_expire_consolidation(spark, warehouse):
     t.expire_snapshots(5_000)  # expires the first two snapshots
     rows = {r.id: r._row_id for r in t.scan_with_row_lineage().collect()}
     assert rows == {i: i for i in range(8)}
+
+
+def test_clone_carries_row_identity(spark, warehouse):
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable as ST
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "csrc"))
+    t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    clone = ST.snapshot_of(
+        spark, t.location, os.path.join(warehouse, "cdst")
+    )
+    rows = {r.id: r._row_id for r in clone.scan_with_row_lineage().collect()}
+    assert rows == {i: i for i in range(4)}
+    # the cloned counter prevents collisions on the clone's own appends
+    clone.append(_df(spark, [(9, "n")]))
+    rows = {r.id: r._row_id for r in clone.scan_with_row_lineage().collect()}
+    assert rows == {0: 0, 1: 1, 2: 2, 3: 3, 9: 4}
+    assert len(set(rows.values())) == 5
