@@ -463,3 +463,68 @@ def text_gopher_rules(spark, sf_dir):
         & (F.col("alpha_word_ratio") >= _GOPHER_ALPHA_RATIO)
         & (F.col("n_req_stopwords") >= _GOPHER_MIN_STOPS),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             UNNEST(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    firsts AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM grams gr JOIN firsts f ON f.g = gr.g
+    GROUP BY gr.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """N-GRAM NOVELTY scoring (corpus-curation metric): per document,
+    the fraction of its distinct word trigrams the corpus has never
+    seen in any EARLIER document (arrival order = doc_id). Low-novelty
+    documents are near-copies or boilerplate recombinations — the
+    curriculum/pruning signal dedup thresholds miss because no single
+    pair crosses them. Scale shape: one explode + one shuffle keyed on
+    the shingle (the inverted-index layout the dedup family already
+    uses), a min-aggregate for first sightings, and a key-join back —
+    never any pairwise comparison. Reuses the dedup family's shingler
+    (JVM higher-order functions, no Python in the hot path)."""
+    from hiveberg_spark.operators.dedup import shingled
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        shingled(docs)
+        .select("doc_id", F.explode("shingles").alias("g"))
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.col("n_novel") / F.col("n_grams").cast("double"), 6
+            ),
+        )
+    )

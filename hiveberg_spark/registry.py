@@ -182,6 +182,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_keyless_cdc",
     "pipeline_incremental_dedup",
     "snapshot_deletion_vectors",
+    "text_ngram_novelty",
     # the five DML re-checks displaced by the late-round-5 additions
     # (pass(r4); their churned shared paths are driver-covered this
     # round by the entries/clone/rewrite-manifests fixtures) — plus the

@@ -539,6 +539,10 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
                     rows.append(
                         (tr[1], f"{tr[0]}({tr[1]}{arg})", "partition")
                     )
+            for d in meta.get("defaults", []):
+                wsql = d.get("write_sql", d.get("sql"))
+                if wsql is not None:
+                    rows.append((d["col"], f"DEFAULT {wsql}", "default"))
             for k, v in sorted(t.properties().items()):
                 rows.append((k, v, "property"))
             rows.append(

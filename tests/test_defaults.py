@@ -331,3 +331,14 @@ def test_set_default_invalid_rejected(spark, warehouse):
         t.set_column_default("data", "id + 1")
     with pytest.raises(ValueError, match="no default"):
         t.drop_column_default("data")
+
+
+def test_describe_extended_shows_defaults(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = _t(spark, warehouse, "desc")
+    t.append(spark.createDataFrame([(1, "a")], "id long, data string"))
+    t.add_column("tier", "int", default_sql="7")
+    rows = execute_sql(spark, warehouse, "DESCRIBE EXTENDED desc").collect()
+    dflt = [r for r in rows if r.kind == "default"]
+    assert [(r.col_name, r.data_type) for r in dflt] == [("tier", "DEFAULT 7")]
