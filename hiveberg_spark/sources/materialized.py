@@ -231,10 +231,15 @@ class MaterializedAggregate:
                     )
                     parts.append(self._merge(current, add_delta, state))
                 if n_del:
+                    # pinned to the refresh boundary `cur`, NOT the
+                    # current head: a commit landing between the
+                    # changelog read and this recompute would otherwise
+                    # be baked into the rollup now and re-applied
+                    # additively on the next refresh — double counting
                     recomputed = self._aggregate(
-                        source.scan(virtual_column=None).join(
-                            del_keys, keys, "left_semi"
-                        ),
+                        source.scan(
+                            snapshot_id=cur, virtual_column=None
+                        ).join(del_keys, keys, "left_semi"),
                         keys,
                         specs,
                     )

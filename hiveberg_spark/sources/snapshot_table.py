@@ -94,16 +94,42 @@ _BLOOM_STATS_KEY = "__bloom__"
 
 
 def _dv_encode(positions) -> tuple[str, int]:
-    """Serialize a set of deleted row positions as a base64 bitmap —
-    the deletion-vector payload (Iceberg v3 DVs are roaring bitmaps in
-    puffin files; a plain bitmap carries the same information for the
-    row counts a single data file holds, ~125 KB per million rows)."""
+    """Serialize a set of deleted row positions as the SMALLER of two
+    representations — the deletion-vector payload (Iceberg v3 DVs are
+    roaring bitmaps in puffin files; these two tiers bracket roaring's
+    behavior for the row counts a single data file holds):
+
+    - dense bitmap (base64): ~125 KB per million rows, best for heavy
+      delete fractions;
+    - sparse delta-varint position list (`s:` + base64 LEB128 deltas):
+      O(deleted) bytes regardless of position magnitude — a single
+      tombstone at row 10^9 costs ~6 bytes, not the 125 MB a bitmap
+      sized by max position would put in the manifest JSON (ADVICE r5).
+
+    Decode accepts both (the prefix disambiguates: ':' is not in the
+    base64 alphabet), so historical dense payloads stay readable."""
     import base64
 
     ps = sorted(set(int(p) for p in positions))
     if not ps:
         return base64.b64encode(b"").decode("ascii"), 0
-    bits = bytearray(ps[-1] // 8 + 1)
+    deltas = bytearray()
+    prev = -1
+    for p in ps:
+        d = p - prev  # >= 1; LEB128 varint
+        prev = p
+        while True:
+            b = d & 0x7F
+            d >>= 7
+            if d:
+                deltas.append(b | 0x80)
+            else:
+                deltas.append(b)
+                break
+    dense_len = ps[-1] // 8 + 1
+    if len(deltas) < dense_len:
+        return "s:" + base64.b64encode(bytes(deltas)).decode("ascii"), len(ps)
+    bits = bytearray(dense_len)
     for p in ps:
         bits[p >> 3] |= 1 << (p & 7)
     return base64.b64encode(bytes(bits)).decode("ascii"), len(ps)
@@ -112,6 +138,19 @@ def _dv_encode(positions) -> tuple[str, int]:
 def _dv_decode(b64: str) -> list[int]:
     import base64
 
+    if b64.startswith("s:"):
+        raw = base64.b64decode(b64[2:])
+        out = []
+        pos, shift, cur = -1, 0, 0
+        for byte in raw:
+            cur |= (byte & 0x7F) << shift
+            if byte & 0x80:
+                shift += 7
+            else:
+                pos += cur
+                out.append(pos)
+                shift, cur = 0, 0
+        return out
     bits = base64.b64decode(b64)
     out = []
     for i, byte in enumerate(bits):
@@ -1170,7 +1209,9 @@ class SnapshotTable:
             current = (
                 self.scan_with_row_lineage(snapshot_id=parent)
                 .withColumnRenamed("_row_id", "__hb_row_id")
-                .drop("_last_updated_sequence_number")
+                .withColumnRenamed(
+                    "_last_updated_sequence_number", "__hb_last_seq"
+                )
             )
         else:
             current = self.scan(snapshot_id=parent, virtual_column=None)
@@ -2111,7 +2152,18 @@ class SnapshotTable:
         if plan.affected_df is None:
             updated = self.scan(virtual_column=None).limit(0)
         else:
-            updated = _apply_assignments(plan.affected_df, where, assignments)
+            aff = plan.affected_df
+            if "__hb_last_seq" in aff.columns:
+                # updated rows take the NEW commit's sequence number;
+                # only copied-but-unmodified rows preserve theirs (v3)
+                aff = aff.withColumn(
+                    "__hb_last_seq",
+                    F.when(
+                        F.expr(where).eqNullSafe(F.lit(True)),
+                        F.lit(None).cast("long"),
+                    ).otherwise(F.col("__hb_last_seq")),
+                )
+            updated = _apply_assignments(aff, where, assignments)
         return self._commit(
             updated,
             "update",
@@ -2181,9 +2233,16 @@ class SnapshotTable:
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
                     for f in target_schema.fields
-                    if f.name != "__hb_row_id"
+                    if f.name not in ("__hb_row_id", "__hb_last_seq")
                 ]
             )
+            if "__hb_last_seq" in (target_schema.names or []):
+                # every source row is an update or insert: it takes the
+                # NEW commit's sequence number (null -> file seq at
+                # read); only unmatched target rows preserve theirs
+                source = source.withColumn(
+                    "__hb_last_seq", F.lit(None).cast("long")
+                )
             if "__hb_row_id" in (target_schema.names or []):
                 # a source row UPDATING an existing key inherits that
                 # row's id (v3: updates preserve row lineage); a source
@@ -2414,8 +2473,13 @@ class SnapshotTable:
                 entries = self._build_dv_entries(old_positions, meta, head)
             else:
                 entries = self._write_delete_files(old_positions, "position")
+            # the re-written versions ARE updates: they take this
+            # commit's sequence number (their new file's seq), never a
+            # stale materialized one from a prior rewrite
             new_rows = _apply_assignments(
-                hit.drop("__hb_file", "__hb_pos"), where, assignments
+                hit.drop("__hb_file", "__hb_pos", "__hb_last_seq"),
+                where,
+                assignments,
             )
         return self._commit(
             new_rows,
@@ -2708,15 +2772,13 @@ class SnapshotTable:
             else:
                 carry.append((rel, stats, parts))
         deletes = self._raw_deletes_as_of(meta, current)
-        # defaults need original data sequence numbers preserved on the
-        # carried files too: a COW rewrite must not promote an untouched
-        # pre-add file's seq past the column's as_of (it would silently
-        # stop reading its initial default)
-        carry_seq = (
-            self._file_seq_as_of(meta, current)
-            if deletes or meta.get("defaults")
-            else None
-        )
+        # original data sequence numbers are ALWAYS preserved on the
+        # carried files: a COW rewrite must not promote an untouched
+        # pre-default-add file's seq past the column's as_of (it would
+        # silently stop reading its initial default), and a carried
+        # file's rows must keep their _last_updated_sequence_number
+        # (v3 lineage — carry is not a modification). Manifest-sized.
+        carry_seq = self._file_seq_as_of(meta, current)
         if not affected:
             return _CowPlan(None, carry, current, deletes or None, carry_seq)
         renames = meta.get("renames", [])
@@ -2734,9 +2796,11 @@ class SnapshotTable:
             df = self._apply_mor_deletes(df, deletes, carry_seq, renames)
         if use_rid:
             df = self._attach_row_ids(df, meta, current)
+            df = self._attach_last_seq(df, meta, current)
         df = df.drop("__hb_file", "__hb_pos")
         if not use_rid:
-            df = df.drop("__hb_row_id")  # determinism: all-or-nothing
+            # determinism: all-or-nothing
+            df = df.drop("__hb_row_id", "__hb_last_seq")
         return _CowPlan(df, carry, current, deletes or None, carry_seq)
 
     def _commit(
@@ -2978,9 +3042,11 @@ class SnapshotTable:
             # the table's monotonic counter (under the lock, so blocks
             # never overlap across concurrent commits); carried files
             # keep their original block via the carrying manifest —
-            # rewritten files get fresh blocks (ours does not
-            # materialize _row_id into rewritten files; divergence
-            # documented in scan_with_row_lineage)
+            # rewritten files get fresh blocks, but parquet rewrites
+            # MATERIALIZE each copied row's id (__hb_row_id) and
+            # originating sequence number (__hb_last_seq) as physical
+            # columns, which the lineage scan prefers over the block /
+            # file-seq computation
             next_rid = int(meta.get("next_row_id", 0))
             first_row_id: dict[str, int] = {}
             for rel in sorted(files):
@@ -3195,6 +3261,14 @@ class SnapshotTable:
             for d in meta.get("defaults", []):
                 if d["col"] == old:  # defaults follow the rename too
                     d["col"] = new
+            for w in meta.get("widenings", []):
+                # widenings follow the rename too — _bloom_requirements
+                # skips widened columns by CURRENT name, so a stale name
+                # here would let a probe on the renamed column hash the
+                # wide type against pre-widening narrow-type bitsets and
+                # falsely prune files (silently missing rows)
+                if w["col"] == old:
+                    w["col"] = new
             if meta.get("schema_json"):
                 schema = StructType.fromJson(json.loads(meta["schema_json"]))
                 renamed = StructType(
@@ -3987,11 +4061,11 @@ class SnapshotTable:
                     fields.append(StructField(r["from"], tgt.dataType, True))
                     names.add(r["from"])
             base = StructType(fields)
-        if "__hb_row_id" not in base.names:
-            base = StructType(
-                list(base.fields)
-                + [StructField("__hb_row_id", LongType(), True)]
-            )
+        for eng in ("__hb_row_id", "__hb_last_seq"):
+            if eng not in base.names:
+                base = StructType(
+                    list(base.fields) + [StructField(eng, LongType(), True)]
+                )
         return base
 
     def _attach_row_ids(
@@ -4025,6 +4099,40 @@ class SnapshotTable:
                 ),
             )
             .drop("__hb_rf", "__hb_first")
+        )
+
+    def _attach_last_seq(
+        self, df: DataFrame, meta: dict, sid: int | None
+    ) -> DataFrame:
+        """Ensure a lineage-carrying frame has a physical
+        `__hb_last_seq` column — each row's ORIGINATING data sequence
+        number: a value materialized by an earlier rewrite wins;
+        otherwise the containing file's data sequence number. Rewrite
+        paths call this before writing so copied-but-unmodified rows
+        keep their `_last_updated_sequence_number` across COW DML and
+        compaction (the Iceberg v3 preservation contract — same shape
+        as `_row_id`); without it every rewrite looks like an update to
+        incremental consumers keyed on the sequence number. Requires
+        `__hb_file` (call before dropping lineage columns)."""
+        if "__hb_last_seq" not in df.columns:
+            df = df.withColumn("__hb_last_seq", F.lit(None).cast("long"))
+        seq_map = self._file_seq_as_of(meta, sid) if sid is not None else {}
+        if not seq_map:
+            return df
+        map_df = self.spark.createDataFrame(
+            sorted(seq_map.items()), "__hb_sf string, __hb_fseq long"
+        )
+        return (
+            df.join(
+                F.broadcast(map_df),
+                df["__hb_file"] == map_df["__hb_sf"],
+                "left",
+            )
+            .withColumn(
+                "__hb_last_seq",
+                F.coalesce(F.col("__hb_last_seq"), F.col("__hb_fseq")),
+            )
+            .drop("__hb_sf", "__hb_fseq")
         )
 
     def _read_with_defaults(
@@ -4096,16 +4204,22 @@ class SnapshotTable:
         """Scan with Iceberg v3 ROW LINEAGE columns: `_row_id` (stable
         global row identity = the file's commit-assigned first_row_id
         block + the row's position) and `_last_updated_sequence_number`
-        (the file's data sequence number). Rows in untouched files keep
-        their ids across appends, MOR deletes/updates, and time travel
-        — the identity an incremental consumer (CDC materialization,
-        train-data dedup ledger) keys on without any natural key.
+        (the sequence number of the commit that last MODIFIED the row).
+        Rows in untouched files keep their ids across appends, MOR
+        deletes/updates, and time travel — the identity an incremental
+        consumer (CDC materialization, train-data dedup ledger) keys on
+        without any natural key.
 
-        Rewrites PRESERVE ids: copy-on-write DML, merge-on-read
-        updates/merges, and compaction materialize the id into the
-        rewritten files as a physical (engine-internal) column, which
-        this scan prefers over the block computation — the v3 'writers
-        should preserve' contract. Remaining divergence: positions
+        Rewrites PRESERVE lineage: copy-on-write DML, merge-on-read
+        updates/merges, and compaction materialize BOTH the id and the
+        originating sequence number into the rewritten files as
+        physical (engine-internal) columns, which this scan prefers
+        over the block / file-seq computation — the v3 'writers should
+        preserve' contract for `_row_id` AND
+        `_last_updated_sequence_number`: a COW delete or compaction
+        copying unmodified rows does not read as an update of them;
+        only rows an UPDATE/MERGE actually changed take the new
+        commit's sequence number. Remaining divergence: positions
         require parquet (`_metadata.row_index`) — ORC rows surface
         null ids, avro lineage raises."""
         meta = self._read_meta()
@@ -4130,16 +4244,28 @@ class SnapshotTable:
         rels = sorted({self._index_file_rel(f) for f in files})
         map_df = self.spark.createDataFrame(
             [(r, seq_map.get(r)) for r in rels],
-            "__hb_rl_file string, _last_updated_sequence_number long",
+            "__hb_rl_file string, __hb_rl_seq long",
         )
+        if "__hb_last_seq" not in df.columns:
+            df = df.withColumn("__hb_last_seq", F.lit(None).cast("long"))
         return (
             df.join(
                 F.broadcast(map_df),
                 df["__hb_file"] == map_df["__hb_rl_file"],
                 "left",
             )
+            # a rewrite-materialized originating seq wins over the
+            # containing file's seq — rewritten-but-unmodified rows
+            # must not read as updated (v3 preservation contract)
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(F.col("__hb_last_seq"), F.col("__hb_rl_seq")),
+            )
             .withColumnRenamed("__hb_row_id", "_row_id")
-            .drop("__hb_file", "__hb_pos", "__hb_rl_file")
+            .drop(
+                "__hb_file", "__hb_pos", "__hb_rl_file", "__hb_rl_seq",
+                "__hb_last_seq",
+            )
         )
 
     def _read_data_files(
@@ -4362,9 +4488,9 @@ class SnapshotTable:
             df = self._apply_mor_deletes(
                 df, deletes, self._file_seq_as_of(meta, sid), renames
             ).drop("__hb_file", "__hb_pos")
-        # the physical row-id column rewrites materialize is an
-        # engine-internal detail: only scan_with_row_lineage surfaces it
-        df = df.drop("__hb_row_id")
+        # the physical lineage columns rewrites materialize are an
+        # engine-internal detail: only scan_with_row_lineage surfaces them
+        df = df.drop("__hb_row_id", "__hb_last_seq")
         # declared columns no file carries yet (add_column before any
         # write) surface as typed NULLs — Iceberg reads through the
         # CURRENT schema
@@ -4427,7 +4553,7 @@ class SnapshotTable:
         if not files:
             return self.scan(virtual_column=virtual_column).limit(0)
         df = self._read_with_defaults(files, meta, None, to_snapshot).drop(
-            "__hb_row_id"
+            "__hb_row_id", "__hb_last_seq"
         )
         if virtual_column:
             df = df.withColumn(virtual_column, F.lit(to_snapshot).cast("long"))
@@ -4470,9 +4596,9 @@ class SnapshotTable:
             )
         if not keep_lineage and (deletes or keep_lineage or with_row_ids):
             df = df.drop("__hb_file", "__hb_pos")
-        # physical row ids must not leak into the changelog's row
-        # pairing (one side rewritten, the other not -> phantom diffs)
-        return df.drop("__hb_row_id")
+        # physical lineage columns must not leak into the changelog's
+        # row pairing (one side rewritten, the other not -> phantom diffs)
+        return df.drop("__hb_row_id", "__hb_last_seq")
 
     def scan_changelog(
         self,

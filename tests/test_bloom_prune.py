@@ -169,3 +169,22 @@ def test_bloom_in_list_distributed_equivalence(spark, warehouse, monkeypatch):
     driver = t.plan_files("id IN (10, 11)")
     monkeypatch.setattr(st_mod, "_DISTRIBUTED_PLAN_THRESHOLD", 0)
     assert sorted(t.plan_files("id IN (10, 11)")) == sorted(driver)
+
+
+def test_bloom_widen_then_rename_still_skipped(spark, warehouse):
+    # ADVICE r5: rename_column must rewrite the widenings log (or the
+    # probe would hash the wide type under the NEW name against
+    # pre-widening narrow-type bitsets and falsely prune the file)
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "widern"))
+    t.set_properties({"write.metadata.bloom-filter-columns": "id"})
+    t.append(
+        spark.createDataFrame(
+            [(v, f"d{v}") for v in range(10)], "id int, data string"
+        ).coalesce(1)
+    )
+    t.widen_column("id", "long")
+    t.rename_column("id", "key")
+    t.set_properties({"write.metadata.bloom-filter-columns": "key"})
+    assert t._read_meta()["widenings"][0]["col"] == "key"
+    assert len(t.plan_files("key = 5")) == 1  # kept: no bloom exclusion
+    assert t.scan_where("key = 5").count() == 1

@@ -209,3 +209,26 @@ def test_materialized_view_sql_statements(spark, warehouse):
     execute_sql(spark, warehouse, "DROP MATERIALIZED VIEW ev_mv")
     with pytest.raises(ValueError, match="no such materialized view"):
         execute_sql(spark, warehouse, "DROP MATERIALIZED VIEW ev_mv")
+
+
+def test_changelog_refresh_pinned_to_boundary(spark, warehouse):
+    # ADVICE r5: the delete-touched-group recompute must read the
+    # source AT the refresh boundary `cur`, not the current head — a
+    # commit landing between the changelog read and the recompute must
+    # not be baked in now AND re-applied additively next refresh
+    src = SnapshotTable.create(spark, os.path.join(warehouse, "racesrc"))
+    src.append(_rows(spark, [("a", 1.0), ("a", 2.0), ("b", 5.0)]))
+    mv = MaterializedAggregate.create(
+        spark, os.path.join(warehouse, "racemv"), src, ["k"], SPECS
+    )
+    src.delete_where("v = 1.0")  # DML -> changelog path, touches 'a'
+    boundary = src._read_meta()["current_snapshot_id"]
+    # the "racing" commit: lands after the boundary the refresh planned
+    src.append(_rows(spark, [("a", 100.0)]))
+    state = mv._state()
+    mv._refresh_via_changelog(state, src, state["cursor"], boundary)
+    got = {(r.k, r.n, r.total) for r in mv.read().collect()}
+    assert got == {("a", 1, 2.0), ("b", 1, 5.0)}  # no 100.0 baked in
+    # the next refresh folds the racing append in EXACTLY once
+    mv.refresh()
+    assert _got(mv) == _expect(spark, src)

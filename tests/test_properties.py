@@ -293,3 +293,22 @@ def test_xxh64_bytes_matches_reference_properties(data, seed):
     assert 0 <= h1 < 2**64
     if data:
         assert hash_bytes(data, seed) != hash_bytes(data + b"x", seed)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=50
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_deletion_vector_sparse_tier_bounds_payload(positions):
+    # ADVICE r5: the payload must be O(min(deleted, max_pos/8)) — a
+    # handful of tombstones at huge positions must take the sparse
+    # delta-varint tier, never a bitmap sized by the max position
+    from hiveberg_spark.sources.snapshot_table import _dv_decode, _dv_encode
+
+    payload, n = _dv_encode(positions)
+    assert _dv_decode(payload) == sorted(set(positions))
+    assert n == len(set(positions))
+    # <= ~10 base64 chars per position (varint64 worst case), +prefix
+    assert len(payload) <= 14 * len(set(positions)) + 8

@@ -278,3 +278,64 @@ def test_clone_carries_row_identity(spark, warehouse):
     rows = {r.id: r._row_id for r in clone.scan_with_row_lineage().collect()}
     assert rows == {0: 0, 1: 1, 2: 2, 3: 3, 9: 4}
     assert len(set(rows.values())) == 5
+
+
+def _seqs(t, **kw):
+    return {
+        r.id: r._last_updated_sequence_number
+        for r in t.scan_with_row_lineage(**kw).collect()
+    }
+
+
+def test_cow_delete_preserves_last_updated_seq(spark, warehouse):
+    # ADVICE r5: a COW rewrite copying unmodified rows must NOT bump
+    # their _last_updated_sequence_number (v3 preservation, same
+    # contract as _row_id) — else incremental consumers keyed on it
+    # see phantom updates for every rewritten-but-untouched row
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "seqcow"))
+    s1 = t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    s2 = t.append(_df(spark, [(i, f"b{i}") for i in range(4, 8)]))
+    t.delete_where("id = 6")  # rewrites file B only
+    seqs = _seqs(t)
+    assert seqs == {0: s1, 1: s1, 2: s1, 3: s1, 4: s2, 5: s2, 7: s2}
+
+
+def test_cow_update_bumps_only_modified_rows(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "sequpd"))
+    s1 = t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    s2 = t.update_where("id = 2", {"data": "'upd'"})
+    seqs = _seqs(t)
+    assert seqs == {0: s1, 1: s1, 2: s2, 3: s1}
+
+
+def test_compaction_preserves_last_updated_seq(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "seqcmp"))
+    s1 = t.append(_df(spark, [(1, "a")]))
+    s2 = t.update_where("id = 1", {"data": "'u'"})
+    t.append(_df(spark, [(2, "b")]))
+    s3 = t._read_meta()["current_snapshot_id"]
+    t.compact()
+    seqs = _seqs(t)
+    assert seqs == {1: s2, 2: s3}
+    # second-generation rewrite round-trips the materialized column
+    t.delete_where("id = 2")
+    assert _seqs(t) == {1: s2}
+
+
+def test_cow_merge_seq_matched_bumps_unmatched_keeps(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "seqmrg"))
+    s1 = t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    s2 = t.merge_upsert(_df(spark, [(2, "upd"), (9, "new")]), keys=["id"])
+    seqs = _seqs(t)
+    assert seqs == {0: s1, 1: s1, 2: s2, 3: s1, 9: s2}
+
+
+def test_mor_update_new_version_takes_new_seq(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "seqmor"))
+    s1 = t.append(_df(spark, [(i, f"a{i}") for i in range(4)]))
+    s2 = t.update_where("id = 1", {"data": "'m'"}, mode="merge-on-read")
+    seqs = _seqs(t)
+    assert seqs == {0: s1, 1: s2, 2: s1, 3: s1}
+    # and a later COW rewrite of that file preserves BOTH generations
+    t.delete_where("id = 3")
+    assert _seqs(t) == {0: s1, 1: s2, 2: s1}
