@@ -264,10 +264,11 @@ def lsh_topk(spark, sf_dir):
 
 
 # Measured recall at 6 bits × 12 tables: 0.54 (sf0.001) / 0.50 (sf0.01).
-# Bound 0.3 = the long-standing test floor — margin for fixture regen,
-# tight enough that a broken signature/bucket join (recall ≈ collision
-# noise) goes red.
-_LSH_RECALL_BOUND = 0.3
+# Bound 0.45 (VERDICT r5 #6: 0.3 would let a 40% recall regression pass
+# silently) — below the sf0.01 measurement with margin for fixture
+# regen, far above collision noise (~0.17), so only a real signature/
+# bucket-join regression flips it.
+_LSH_RECALL_BOUND = 0.45
 
 
 @query("simsearch_lsh_ann", oracle=RECALL_CONTRACT_SQL)
@@ -344,7 +345,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-@query("dedup_embedding_blocked")  # rows-only: blocking recall is data-dependent
+# NOT registered (VERDICT r5 #3): its rows-only check was strictly
+# weaker than dedup_blocked_recall, which drives this exact pipeline
+# through an oracle-checked planted-duplicate recall contract. The
+# function stays the unit-test surface for boundary-pair recall.
 def dedup_embedding_blocked(spark, sf_dir):
     """The 100 TB version of embedding near-dup: block on the coarse
     quantizer, generate pairs only within a cell, verify exact cosine.
@@ -567,8 +571,10 @@ def ivf_topk(spark, sf_dir):
 
 
 # Measured recall probing 3 of 10 cells: 0.56 (sf0.001) / 0.48 (sf0.01).
-# Bound 0.3 = the long-standing test floor.
-_IVF_RECALL_BOUND = 0.3
+# Bound 0.42 (VERDICT r5 #6) — just under the sf0.01 measurement (0.48
+# leaves less headroom than LSH's 0.50, hence the slightly lower pin),
+# far above the ~0.3 a broken probe selection would score.
+_IVF_RECALL_BOUND = 0.42
 
 
 @query("simsearch_ivf", oracle=RECALL_CONTRACT_SQL)

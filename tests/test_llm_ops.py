@@ -9,6 +9,7 @@ import os
 import pytest
 
 from hiveberg_spark import registry
+from hiveberg_spark.operators.simsearch import dedup_embedding_blocked
 
 registry.load_all()
 
@@ -47,10 +48,24 @@ def test_lsh_ann_results_are_true_neighbors(spark, sf_dir):
 
 
 def test_simhash_pairs_symmetric_and_bounded(spark, sf_dir):
-    rows = registry.QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.dedup import shingled, simhash_pairs
+
+    rows = simhash_pairs(
+        shingled(load_table(spark, sf_dir, "documents"))
+    ).collect()
     for r in rows:
         assert r.doc_a < r.doc_b
         assert 0 <= r.hamming <= 3
+
+
+def test_simhash_contract_row_planted_recall(spark, sf_dir):
+    row = registry.QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_planted_pairs == 20
+    assert r.n_found == 20
+    assert bool(r.found_all) is True
 
 
 def test_multimodal_features_match_pure_python(spark, sf_dir):
@@ -153,7 +168,7 @@ def test_embedding_blocked_subset_of_exact(spark, sf_dir):
         (r.vec_a, r.vec_b): r.cosine
         for r in registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
     }
-    blocked = registry.QUERIES["dedup_embedding_blocked"](spark, sf_dir).collect()
+    blocked = dedup_embedding_blocked(spark, sf_dir).collect()
     for r in blocked:
         assert exact.get((r.vec_a, r.vec_b)) == r.cosine
     assert len(blocked) == len(exact)  # full recall on the fixture
@@ -196,7 +211,7 @@ def test_embedding_blocked_recall_on_planted_boundary_pairs(spark, tmp_path):
     }
     blocked = {
         (r.vec_a, r.vec_b)
-        for r in registry.QUERIES["dedup_embedding_blocked"](spark, sf_dir).collect()
+        for r in dedup_embedding_blocked(spark, sf_dir).collect()
     }
     assert (1000, 1001) in exact and (2000, 2001) in exact
     assert blocked <= exact
