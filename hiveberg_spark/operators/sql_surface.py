@@ -479,6 +479,61 @@ def snapshot_drop_column_evolution(spark, sf_dir):
 
 
 @query(
+    "snapshot_field_id_reuse",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS legacy_name,
+           CASE WHEN n_nationkey >= 17 THEN 'new_' || n_name END AS n_name
+    FROM nation
+    """,
+)
+def snapshot_field_id_reuse(spark, sf_dir):
+    """FIELD-ID schema resolution (round-6; VERDICT r5 #4 — the
+    reference resolves columns by Iceberg field id,
+    IcebergSerDe.java:60-62, never by name): snapshot 1 writes
+    `n_name`, the column is renamed to `legacy_name`, and a NEW column
+    reuses the freed name `n_name`. Old files' physical `n_name`
+    carries the old field's id, so it reads as `legacy_name`; new
+    files' physical `n_name` is the new field — the exact case a
+    name-keyed rename log mis-resolves (coalescing both generations
+    into one column). Rows from the pre-reuse files read NULL for the
+    new field; the oracle reconstructs both columns from the raw
+    nation table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_fieldid")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def builder(table):
+        table.append(
+            nation.filter("n_nationkey < 17").select("n_nationkey", "n_name"),
+            committed_at=_commit_ts(1),
+        )
+        table.rename_column("n_name", "legacy_name")
+        table.add_column("n_name", "string")  # reuses the freed name
+        table.append(
+            nation.filter("n_nationkey >= 17").select(
+                "n_nationkey",
+                F.col("n_name").alias("legacy_name"),
+                F.concat(F.lit("new_"), F.col("n_name")).alias("n_name"),
+            ),
+            committed_at=_commit_ts(2),
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan(virtual_column=None).select(
+        "n_nationkey", "legacy_name", "n_name"
+    )
+
+
+@query(
     "snapshot_expire_history",
     oracle="""
     SELECT CAST(2 AS BIGINT) AS n_expired,

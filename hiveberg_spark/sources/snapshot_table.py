@@ -384,6 +384,82 @@ class SnapshotTable:
         with open(os.path.join(self.location, snap["manifest"])) as f:
             return json.load(f)
 
+    # -- synthetic FIELD IDS (Iceberg schema resolution semantics) --------
+    #
+    # The reference resolves columns by Iceberg field id
+    # (IcebergSerDe.java:60-62), never by name — the property that makes
+    # rename-then-reuse safe. Here each schema field carries a synthetic
+    # id (meta["fields"]), every commit's manifest records the written
+    # name -> id map per new data file, and the scan resolves each
+    # mapped file's physical names through ITS map to current names.
+    # Files predating id tracking (legacy tables) have no map and
+    # resolve through the name-based rename log, which is correct while
+    # no name was reused — add_column enforces exactly that boundary.
+
+    def _ensure_field_ids(self, meta: dict, user_schema=None) -> None:
+        """Seed meta['fields'] (list of {id, name}) from the declared
+        schema — the lazy upgrade point for tables created before id
+        tracking. Ids are keyed to the CURRENT names; files already on
+        disk carry no map and keep resolving via the rename log."""
+        if meta.get("fields") is not None:
+            return
+        if meta.get("schema_json"):
+            names = list(
+                StructType.fromJson(json.loads(meta["schema_json"])).names
+            )
+        elif user_schema is not None:
+            names = [
+                c for c in user_schema.names if not c.startswith("__hb_")
+            ]
+        else:
+            return
+        if not names:
+            return
+        meta["fields"] = [
+            {"id": i + 1, "name": n} for i, n in enumerate(names)
+        ]
+        meta["next_field_id"] = len(names) + 1
+
+    @staticmethod
+    def _manifest_name_maps(m: dict) -> dict[str, dict[str, int]]:
+        """Decode a manifest's deduplicated per-file name->field-id maps
+        (`name_maps` holds the distinct dicts, `file_name_map` indexes
+        into it per relative data path)."""
+        maps, idx = m.get("name_maps"), m.get("file_name_map")
+        if not maps or not idx:
+            return {}
+        return {rel: maps[i] for rel, i in idx.items()}
+
+    def _all_file_name_maps(self, meta: dict) -> dict[str, dict[str, int]]:
+        """Relative data path -> written name->field-id map, unioned
+        over EVERY manifest (a file's map never changes once written, so
+        any occurrence is authoritative — same walk as the row-id block
+        resolution). Files absent from the result predate id tracking
+        and resolve by the name-based rename log."""
+        out: dict[str, dict[str, int]] = {}
+        for s in meta.get("snapshots", []):
+            if "added_files" in s:
+                continue
+            out.update(self._manifest_name_maps(self._read_manifest_json(s)))
+        return out
+
+    def _pruning_tainted(self, meta: dict) -> set[str]:
+        """Column names file-skip pruning must NOT trust after a name
+        reuse: the reused name itself (old files' stats under that key
+        describe a DIFFERENT field) and every current name its rename
+        chain leads to (new files' stats get mis-keyed onto it by the
+        name-based stats resolution). Conservative — these columns
+        still filter correctly at scan time, they just stop pruning
+        files. Empty (zero cost) for every table that never reused a
+        name."""
+        tainted = set(meta.get("reused_names", []))
+        if not tainted:
+            return tainted
+        for r in meta.get("renames", []):
+            if r["from"] in tainted:
+                tainted.add(r["to"])
+        return tainted
+
     def _raw_deletes_as_of(self, meta: dict, snapshot_id: int) -> list[dict]:
         """Live merge-on-read delete entries as of the snapshot, composed
         along the lineage chain exactly like data entries: additive
@@ -880,17 +956,25 @@ class SnapshotTable:
                     raise ValueError(f"unknown partition transform: {t[0]}")
             if file_format not in ("parquet", "orc", "avro"):
                 raise ValueError(f"unsupported file_format: {file_format}")
-            table._write_meta(
-                {
-                    "format_version": 2,
-                    "schema_json": schema.json() if schema is not None else None,
-                    "partition_spec": [list(t) for t in partition_spec or []],
-                    "file_format": file_format,
-                    "renames": [],
-                    "snapshots": [],
-                    "current_snapshot_id": None,
-                }
-            )
+            meta = {
+                "format_version": 2,
+                "schema_json": schema.json() if schema is not None else None,
+                "partition_spec": [list(t) for t in partition_spec or []],
+                "file_format": file_format,
+                "renames": [],
+                "snapshots": [],
+                "current_snapshot_id": None,
+            }
+            if schema is not None:
+                # synthetic field ids from day one (Iceberg schema
+                # resolution); schema-less tables seed them at the
+                # first commit from the written DataFrame
+                meta["fields"] = [
+                    {"id": i + 1, "name": f.name}
+                    for i, f in enumerate(schema.fields)
+                ]
+                meta["next_field_id"] = len(schema.fields) + 1
+            table._write_meta(meta)
         return table
 
     def file_format(self) -> str:
@@ -1263,6 +1347,11 @@ class SnapshotTable:
         # the row-id counter seeds >= the source's top so blocks carried
         # with the clone can never collide with its future appends
         "next_row_id",
+        # field-id state crosses the clone so carried files keep
+        # resolving by id and future evolution can't collide ids
+        "fields",
+        "next_field_id",
+        "reused_names",
     )
 
     @classmethod
@@ -1325,6 +1414,14 @@ class SnapshotTable:
             rid = src_rid.get(src._index_file_rel(p))
             if rid is not None:
                 carry_row_ids[p] = rid
+        # field-id maps cross the clone the same way (keyed by the
+        # carry-entry path form, like the row-id blocks)
+        src_nm = src._all_file_name_maps(smeta)
+        carry_name_maps = {}
+        for p, _, _ in entries:
+            nm = src_nm.get(src._index_file_rel(p))
+            if nm is not None:
+                carry_name_maps[p] = nm
         dst._commit(
             empty,
             "snapshot-clone",
@@ -1332,6 +1429,7 @@ class SnapshotTable:
             replaces=True,
             carry=list(entries),
             carry_row_ids=carry_row_ids,
+            carry_name_maps=carry_name_maps,
             summary_extra={
                 "source-table": os.path.abspath(src_location),
                 "source-snapshot-id": str(sid),
@@ -1352,9 +1450,9 @@ class SnapshotTable:
         # the target's merge-on-read delete files are part of its state:
         # rolling back past a MOR delete must not resurrect its rows
         carry_deletes = self._raw_deletes_as_of(meta, snapshot_id)
-        carry_seq = (
-            self._file_seq_as_of(meta, snapshot_id) if carry_deletes else None
-        )
+        # always carried: rolled-back-to files keep their original data
+        # sequence numbers (delete scoping AND v3 row-lineage seq)
+        carry_seq = self._file_seq_as_of(meta, snapshot_id)
         empty = self.scan(virtual_column=None).limit(0)
         return self._commit(
             empty,
@@ -2817,6 +2915,7 @@ class SnapshotTable:
         carry_deletes: list[dict] | None = None,
         carry_seq: dict[str, int] | None = None,
         carry_row_ids: dict[str, int] | None = None,
+        carry_name_maps: dict[str, dict[str, int]] | None = None,
     ) -> int:
         """Shared commit protocol: write data (hidden-partitioned when
         the table has a spec) into a unique uuid dir outside the lock,
@@ -3074,6 +3173,33 @@ class SnapshotTable:
                 for rel, _, _ in carry:
                     if rel in prev_rid:
                         first_row_id[rel] = prev_rid[rel]
+            # FIELD IDS: record each NEW file's written name -> field-id
+            # map; carried files re-record the map of the manifest that
+            # added them (the map of a file never changes) so id-based
+            # resolution survives replaces commits, rollback, and clone
+            self._ensure_field_ids(meta, user_schema)
+            name_maps: dict[str, dict[str, int]] = {}
+            if meta.get("fields"):
+                cur_ids = {fl["name"]: fl["id"] for fl in meta["fields"]}
+                written = {
+                    n: cur_ids[n] for n in user_schema.names if n in cur_ids
+                }
+                if written:
+                    for rel in files:
+                        name_maps[rel] = written
+            if carry:
+                prev_nm: dict[str, dict[str, int]] = {}
+                for s in meta["snapshots"]:
+                    if "added_files" in s:
+                        continue
+                    prev_nm.update(
+                        self._manifest_name_maps(self._read_manifest_json(s))
+                    )
+                if carry_name_maps:  # cross-table carry (zero-copy clone)
+                    prev_nm.update(carry_name_maps)
+                for rel, _, _ in carry:
+                    if rel in prev_nm:
+                        name_maps[rel] = prev_nm[rel]
             manifest_doc = {
                 "files": all_files,
                 "stats": all_stats,
@@ -3081,6 +3207,20 @@ class SnapshotTable:
             }
             if first_row_id:
                 manifest_doc["first_row_id"] = first_row_id
+            if name_maps:
+                # deduplicated encoding: the distinct maps (usually one
+                # per schema generation) + a per-file index into them
+                uniq: list[dict[str, int]] = []
+                keyof: dict[str, int] = {}
+                enc: dict[str, int] = {}
+                for rel in sorted(name_maps):
+                    k = json.dumps(name_maps[rel], sort_keys=True)
+                    if k not in keyof:
+                        keyof[k] = len(uniq)
+                        uniq.append(name_maps[rel])
+                    enc[rel] = keyof[k]
+                manifest_doc["name_maps"] = uniq
+                manifest_doc["file_name_map"] = enc
             if file_info:
                 # per-file record/byte counts for THIS commit's files;
                 # carried files resolve theirs from the manifest that
@@ -3269,6 +3409,13 @@ class SnapshotTable:
                 # falsely prune files (silently missing rows)
                 if w["col"] == old:
                     w["col"] = new
+            # field ids: the rename is a NAME change on the same field
+            # id (IcebergSerDe field-id semantics) — id-mapped files
+            # resolve through their map untouched by this log entry
+            self._ensure_field_ids(meta)
+            for fl in meta.get("fields") or []:
+                if fl["name"] == old:
+                    fl["name"] = new
             if meta.get("schema_json"):
                 schema = StructType.fromJson(json.loads(meta["schema_json"]))
                 renamed = StructType(
@@ -3477,6 +3624,13 @@ class SnapshotTable:
                 if not kept.fields:
                     raise ValueError("cannot drop the last column")
                 meta["schema_json"] = kept.json()
+            self._ensure_field_ids(meta)
+            if meta.get("fields") is not None:
+                # the id is retired with the field: mapped files whose
+                # map still holds it project the column away at scan
+                meta["fields"] = [
+                    fl for fl in meta["fields"] if fl["name"] != name
+                ]
             self._write_meta(meta)
         finally:
             os.unlink(lock)
@@ -3553,6 +3707,58 @@ class SnapshotTable:
                     "(explicit read schemas do not reach the pure-Python "
                     "avro decoder)"
                 )
+            self._ensure_field_ids(meta)
+            if meta.get("fields") is not None:
+                freed = {r["from"] for r in meta.get("renames", [])}
+                if name in freed:
+                    # NAME REUSE (rename a->b then add a new a): legal
+                    # with field ids — but only if every live data file
+                    # resolves by id (has a name map); a legacy file
+                    # would mis-resolve its physical column through the
+                    # rename log onto the NEW field
+                    live_rels = [
+                        f
+                        for f, _, _ in (
+                            self._raw_entries_as_of(
+                                meta, meta["current_snapshot_id"]
+                            )
+                            if meta["current_snapshot_id"] is not None
+                            else []
+                        )
+                    ]
+                    maps = self._all_file_name_maps(meta)
+                    unmapped = [
+                        r
+                        for r in live_rels
+                        if self._index_file_rel(r) not in maps
+                        and r not in maps
+                    ]
+                    if unmapped:
+                        raise ValueError(
+                            f"cannot reuse column name {name!r}: "
+                            f"{len(unmapped)} live data file(s) predate "
+                            "field-id tracking and would mis-resolve "
+                            f"(e.g. {unmapped[0]!r}); compact() first"
+                        )
+                    if meta["current_snapshot_id"] is not None and any(
+                        d["type"] == "equality" and name in d.get("cols", [])
+                        for d in self._raw_deletes_as_of(
+                            meta, meta["current_snapshot_id"]
+                        )
+                    ):
+                        raise ValueError(
+                            f"cannot reuse column name {name!r}: a live "
+                            "equality delete file references it"
+                        )
+                    # pruning stops trusting stats under this name (old
+                    # files' keys describe the retired field) — scans
+                    # stay correct, they just skip no files on it
+                    meta.setdefault("reused_names", []).append(name)
+                nid = int(
+                    meta.get("next_field_id", len(meta["fields"]) + 1)
+                )
+                meta["fields"].append({"id": nid, "name": name})
+                meta["next_field_id"] = nid + 1
             meta["schema_json"] = StructType(
                 list(schema.fields) + [StructField(name, dtype, True)]
             ).json()
@@ -3740,6 +3946,20 @@ class SnapshotTable:
         design real Iceberg uses past the driver-planning ceiling."""
         conjuncts = _split_top_level_and(where) if where else []
         meta = self._read_meta()
+        tainted = self._pruning_tainted(meta)
+        if tainted:
+            # after a column-name reuse, stats recorded under the
+            # reused name (and its rename-chain target) may describe
+            # EITHER field generation — a conjunct touching one must
+            # not prune (conservative word-level match; the residual
+            # filter still applies at scan)
+            conjuncts = [
+                c
+                for c in conjuncts
+                if not (
+                    set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", c)) & tainted
+                )
+            ]
         sid = (
             snapshot_id
             if snapshot_id is not None
@@ -4293,18 +4513,40 @@ class SnapshotTable:
         `_metadata.row_index`; null for ORC), which merge-on-read
         delete application anti-joins against. Avro files cannot carry
         lineage (pure-Python codec, no `_metadata`); tables mixing avro
-        with MOR deletes raise rather than silently skip deletes."""
+        with MOR deletes raise rather than silently skip deletes.
+
+        FIELD-ID RESOLUTION: files whose manifest recorded a written
+        name -> field-id map are grouped BY MAP and each group's
+        physical names resolve through its own map to current names
+        (the IcebergSerDe.java:60-62 semantics) — a column renamed
+        a->b and a NEW column later added under the freed name `a`
+        both read correctly, because the old file's physical `a`
+        carries the old field's id. Unmapped (pre-id-tracking) files
+        keep the name-based rename-log resolution, correct while no
+        name was reused (add_column enforces that boundary)."""
         by_fmt: dict[str, list[str]] = {}
         for f in files:
             by_fmt.setdefault(f.rsplit(".", 1)[-1], []).append(f)
+        meta = self._read_meta()
         # adopted Hive-partitioned roots (add_files): files under a
         # registered base read with basePath so Spark re-attaches the
         # dir-only partition columns, cast to the adoption-time types
-        bases = self._read_meta().get("adopted_hive_bases", {})
+        bases = meta.get("adopted_hive_bases", {})
+        fields = meta.get("fields")
+        name_maps = self._all_file_name_maps(meta) if fields else {}
+        id_to_cur = (
+            {fl["id"]: fl["name"] for fl in fields} if fields else {}
+        )
         parts: list[DataFrame] = []
         for fmt in sorted(by_fmt):
             group = by_fmt[fmt]
             if fmt == "avro":
+                if meta.get("reused_names"):
+                    raise NotImplementedError(
+                        "avro data files resolve columns by the "
+                        "name-based rename log, which is ambiguous "
+                        "after a column-name reuse"
+                    )
                 if lineage:
                     raise NotImplementedError(
                         "merge-on-read deletes require parquet/ORC data "
@@ -4332,48 +4574,95 @@ class SnapshotTable:
                     byb.setdefault(b, []).append(f)
                 subgroups = sorted(byb.items(), key=lambda kv: kv[0] or "")
             for b, sub in subgroups:
-                reader = self.spark.read
-                if b is not None:
-                    reader = reader.option("basePath", b)
-                if read_schema is not None:
-                    # widened tables: every file reads through the
-                    # explicit current schema (narrow physical types
-                    # upcast natively; rename-generation names are extra
-                    # fields, coalesced by _apply_renames below) —
-                    # mergeSchema would refuse the int/long mix
-                    reader = reader.schema(read_schema)
-                elif renames:
-                    # pre- and post-rename files differ in column names;
-                    # merge then resolve through the mapping
-                    reader = reader.option("mergeSchema", "true")
-                part = reader.format(fmt).load(sub)
-                if b is not None and read_schema is None:
-                    for c, t in bases[b].items():
-                        if c in part.columns:
-                            part = part.withColumn(c, F.col(c).cast(t))
-                if lineage:
-                    pos = (
-                        F.col("_metadata.row_index")
-                        if fmt == "parquet"
-                        else F.lit(None).cast("long")
-                    )
-                    # LOCATION-RELATIVE path, like every manifest entry —
-                    # position delete files must stay valid when the whole
-                    # table directory moves (build-then-rename fixtures,
-                    # storage migrations)
-                    loc_prefix = os.path.abspath(self.location) + os.sep
-                    part = part.select(
-                        "*",
-                        F.regexp_replace(
+                # further split by name->field-id map identity: one
+                # group per schema generation, each resolved through
+                # ITS OWN map (never another generation's names)
+                bymap: dict[str | None, list[str]] = {}
+                for f in sub:
+                    # manifests key own files by relative path and
+                    # cross-location (cloned) files by absolute path —
+                    # probe both forms, like the file_seq consumers
+                    mp0 = name_maps.get(
+                        self._index_file_rel(f)
+                    ) or name_maps.get(f)
+                    bymap.setdefault(
+                        json.dumps(mp0, sort_keys=True) if mp0 else None, []
+                    ).append(f)
+                for mk in sorted(bymap, key=lambda k: k or ""):
+                    sub2 = bymap[mk]
+                    mp = json.loads(mk) if mk else None
+                    reader = self.spark.read
+                    if b is not None:
+                        reader = reader.option("basePath", b)
+                    if read_schema is not None:
+                        # widened tables: every file reads through an
+                        # explicit schema (narrow physical types upcast
+                        # natively) — mergeSchema would refuse the
+                        # int/long mix. Mapped groups translate the
+                        # schema's CURRENT names back to this group's
+                        # written names first.
+                        reader = reader.schema(
+                            self._group_read_schema(
+                                read_schema, mp, id_to_cur
+                            )
+                            if mp
+                            else read_schema
+                        )
+                    elif renames and not mp:
+                        # pre- and post-rename LEGACY files differ in
+                        # column names; merge then resolve through the
+                        # rename log (mapped groups are uniform)
+                        reader = reader.option("mergeSchema", "true")
+                    part = reader.format(fmt).load(sub2)
+                    if b is not None and read_schema is None:
+                        for c, t in bases[b].items():
+                            if c in part.columns:
+                                part = part.withColumn(c, F.col(c).cast(t))
+                    if lineage:
+                        pos = (
+                            F.col("_metadata.row_index")
+                            if fmt == "parquet"
+                            else F.lit(None).cast("long")
+                        )
+                        # LOCATION-RELATIVE path, like every manifest
+                        # entry — position delete files must stay valid
+                        # when the whole table directory moves
+                        # (build-then-rename fixtures, storage
+                        # migrations)
+                        loc_prefix = os.path.abspath(self.location) + os.sep
+                        part = part.select(
+                            "*",
                             F.regexp_replace(
-                                F.col("_metadata.file_path"), r"^[a-z0-9]+:/+", "/"
-                            ),
-                            "^" + re.escape(loc_prefix),
-                            "",
-                        ).alias("__hb_file"),
-                        pos.alias("__hb_pos"),
-                    )
-                parts.append(self._apply_renames(part, renames))
+                                F.regexp_replace(
+                                    F.col("_metadata.file_path"),
+                                    r"^[a-z0-9]+:/+",
+                                    "/",
+                                ),
+                                "^" + re.escape(loc_prefix),
+                                "",
+                            ).alias("__hb_file"),
+                            pos.alias("__hb_pos"),
+                        )
+                    if mp:
+                        # ONE atomic select: physical name -> current
+                        # name by field id (atomicity makes swap
+                        # renames safe); retired ids project away;
+                        # unmapped columns (engine lineage, adopted
+                        # partition dirs) pass through
+                        sel = []
+                        for c in part.columns:
+                            fid = mp.get(c)
+                            if fid is None:
+                                sel.append(part[c])
+                            elif fid not in id_to_cur:
+                                continue  # dropped field
+                            elif id_to_cur[fid] != c:
+                                sel.append(part[c].alias(id_to_cur[fid]))
+                            else:
+                                sel.append(part[c])
+                        parts.append(part.select(*sel))
+                    else:
+                        parts.append(self._apply_renames(part, renames))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
@@ -4384,6 +4673,39 @@ class SnapshotTable:
             if name in df.columns:
                 df = df.drop(name)
         return df
+
+    @staticmethod
+    def _group_read_schema(
+        read_schema: StructType,
+        mp: dict[str, int],
+        id_to_cur: dict[int, str],
+    ) -> StructType:
+        """Translate an explicit read schema (keyed by CURRENT column
+        names) to one id-mapped file group's WRITTEN names: each mapped
+        physical column takes its current field's (possibly widened)
+        type under its written name; engine lineage columns pass
+        through; retired ids and legacy rename-generation extras are
+        excluded (the group resolves purely by id)."""
+        from pyspark.sql.types import StructField
+
+        # ordered by the read schema's CURRENT field order, so files a
+        # rewrite later writes from this read keep the declared column
+        # order (not an alphabetical artifact)
+        inv = {
+            id_to_cur[fid]: phys
+            for phys, fid in mp.items()
+            if fid in id_to_cur
+        }
+        gf = []
+        for f0 in read_schema.fields:
+            phys = inv.get(f0.name)
+            if phys is not None:
+                gf.append(StructField(phys, f0.dataType, True))
+            elif f0.name in ("__hb_row_id", "__hb_last_seq"):
+                gf.append(StructField(f0.name, f0.dataType, True))
+            # legacy rename-generation extras and retired ids are
+            # excluded: the group resolves purely by id
+        return StructType(gf)
 
     def _apply_mor_deletes(
         self, df: DataFrame, deletes: list[dict], file_seq: dict[str, int],
