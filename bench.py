@@ -45,6 +45,10 @@ HEADLINE = [
     # bucket-pruned COW delete + pruned scan + time travel) — the
     # repo's largest module previously had no bench coverage
     "snapshot_lifecycle_bench",
+    # round 6: the merge-on-read READ path — a scan applying live
+    # position-delete files AND deletion-vector bitmaps (VERDICT r5 #7:
+    # only the COW lifecycle was tracked before)
+    "snapshot_mor_dv_read_bench",
     # round 5: the composed training-data pipeline (decontaminate →
     # dedup → quality → split → cap → accounting) as one Catalyst DAG
     "pipeline_corpus_build",

@@ -220,6 +220,139 @@ def stream_changelog_source(spark, sf_dir):
 
 
 @query(
+    "stream_keyless_cdc",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS _row_id,
+           n_nationkey,
+           CASE WHEN n_regionkey = 1 THEN lower(n_name) ELSE n_name END
+             AS n_name,
+           n_regionkey, TRUE AS multi_batch
+    FROM nation WHERE n_regionkey <> 3
+    UNION ALL
+    SELECT 49 + ROW_NUMBER() OVER (ORDER BY n_nationkey),
+           n_nationkey + 100, 'new_' || lower(n_name), n_regionkey + 9,
+           TRUE
+    FROM nation WHERE n_regionkey = 0
+    """,
+)
+def stream_keyless_cdc(spark, sf_dir):
+    """KEYLESS CDC over an unbounded stream (round-6; the roadmap item
+    VERDICT r5 #5 called for): the same checkpointed foreachBatch
+    trigger loop as `stream_changelog_source`, but every micro-batch
+    reads `scan_changelog(cursor, tick]` with `use_row_lineage=True`
+    and applies it to the mirror KEYED ON `_row_id` — no natural key
+    anywhere. A COW UPDATE's pre/post images pair across micro-batches
+    because the rewrite materialized each surviving row's id; the
+    mirror equality-deletes on `_row_id` and appends postimages/
+    inserts. Ids are DuckDB-pinnable: the ordered single-file first
+    append makes `_row_id == n_nationkey`; the COW update's rewrite
+    block consumes ids 25-49 (allocation protocol, same pin as
+    `snapshot_keyless_cdc`); the final append's 5 inserts take 50-54
+    in sort order. `multi_batch` pins that the commits really replayed
+    in separate micro-batches. At 100 TB each batch is O(that commit's
+    churn): the changelog is a file-level diff and the mirror write is
+    an equality delete + append, never a table rewrite."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_keyless_{tag}")
+    tick_dir = os.path.join(base, "ticks")
+    ckpt = os.path.join(base, "ckpt")
+    cursor_path = os.path.join(base, "cursor.json")
+    os.makedirs(tick_dir)
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src = SnapshotTable.create(
+        spark, os.path.join(base, "src"), schema=nation.schema
+    )
+    mirror = SnapshotTable.create(
+        spark,
+        os.path.join(base, "mirror"),
+        schema=StructType(
+            [StructField("_row_id", LongType(), True)]
+            + list(nation.schema.fields)
+        ),
+    )
+
+    # ordered single-file append => _row_id == n_nationkey; then a COW
+    # update (pre/post pairs carry ids through the rewrite), a MOR
+    # delete, and a fresh-block append
+    sids = [
+        src.append(nation.coalesce(1).sortWithinPartitions("n_nationkey"))
+    ]
+    sids.append(
+        src.update_where("n_regionkey = 1", {"n_name": "lower(n_name)"})
+    )
+    sids.append(src.delete_where("n_regionkey = 3", mode="merge-on-read"))
+    sids.append(
+        src.append(
+            nation.filter("n_regionkey = 0")
+            .select(
+                (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                F.concat(F.lit("new_"), F.lower("n_name")).alias("n_name"),
+                (F.col("n_regionkey") + 9).alias("n_regionkey"),
+            )
+            .coalesce(1)
+            .sortWithinPartitions("n_nationkey")
+        )
+    )
+
+    for sid in sids:
+        spark.createDataFrame([(sid,)], "sid long").coalesce(1).write.parquet(
+            os.path.join(tick_dir, f"tick_{sid}")
+        )
+
+    with open(cursor_path, "w") as f:
+        json.dump({"cursor": 0, "batches": 0}, f)
+
+    def advance(batch_df, batch_id):
+        state = json.load(open(cursor_path))
+        hi = max(r.sid for r in batch_df.select("sid").collect())
+        if hi <= state["cursor"]:
+            return  # replayed tick after restart: already applied
+        changes = src.scan_changelog(
+            state["cursor"], hi, compute_updates=True, use_row_lineage=True
+        )
+        apply_changelog(changes, mirror, key_cols=["_row_id"])
+        with open(cursor_path, "w") as f:
+            json.dump({"cursor": hi, "batches": state["batches"] + 1}, f)
+
+    q = (
+        spark.readStream.schema("sid long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(tick_dir)
+        .writeStream.foreachBatch(advance)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi_batch = json.load(open(cursor_path))["batches"] > 1
+    out = (
+        mirror.scan(virtual_column=None)
+        .withColumn("multi_batch", F.lit(bool(multi_batch)))
+        .select(
+            "_row_id", "n_nationkey", "n_name", "n_regionkey", "multi_batch"
+        )
+        .persist()
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@query(
     "stream_rate_limited_source",
     oracle="""
     SELECT n_regionkey, COUNT(*) AS n_nations,

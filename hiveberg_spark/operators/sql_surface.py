@@ -127,6 +127,75 @@ def snapshot_lifecycle_bench(spark, sf_dir):
 
 
 @query(
+    "snapshot_mor_dv_read_bench",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey % 7 <> 1 AND l_partkey % 5 <> 2) AS BIGINT)
+        AS live_rows,
+      (SELECT ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) FROM lineitem
+       WHERE l_orderkey % 7 <> 1 AND l_partkey % 5 <> 2) AS qty_sum,
+      CAST((SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey % 7 <> 1 AND l_partkey % 5 <> 2
+              AND l_returnflag = 'R') AS BIGINT) AS flagged_rows
+    FROM (SELECT 1)
+    """,
+)
+def snapshot_mor_dv_read_bench(spark, sf_dir):
+    """The merge-on-read READ path's bench query (round-6; VERDICT r5
+    #7: only the COW lifecycle was benched, so the position-delete /
+    deletion-vector anti-join overhead had no round-over-round
+    tracking): a fresh SF-scaled lineitem table takes one MOR position
+    DELETE (standalone delete files) and, after enabling
+    `write.delete.vectors`, a second MOR delete that lands as per-file
+    DELETION VECTOR bitmaps — then the benched read scans the table
+    with BOTH apply mechanisms live (position-file anti-join + decoded
+    DV anti-join) and aggregates. Counts and the quantity sum are
+    data-derived, so the DuckDB oracle pins read correctness while the
+    bench tracks the overhead. Scale: the delete sets are O(deleted
+    rows), broadcast-joined; the scan itself stays one distributed
+    pass."""
+    import os
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    base = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"), "hbs_mor_dv_bench"
+    )
+    if os.path.isdir(base):  # reclaim prior invocations' stale dirs
+        cutoff = _time.time() - 1800
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    loc = os.path.join(base, _uuid.uuid4().hex[:12])
+    t = SnapshotTable.create(spark, loc)
+    t.append(load_table(spark, sf_dir, "lineitem"))
+    # generation 1: standalone position delete files
+    t.delete_where("l_orderkey % 7 = 1", mode="merge-on-read")
+    # generation 2: deletion-vector bitmaps (v3)
+    t.set_properties({"write.delete.vectors": "true"})
+    t.delete_where("l_partkey % 5 = 2", mode="merge-on-read")
+    df = t.scan(virtual_column=None)
+    return df.agg(
+        F.count("*").cast("long").alias("live_rows"),
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("qty_sum"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("long")
+        .alias("flagged_rows"),
+    )
+
+
+@query(
     "snapshot_maintenance_ops",
     oracle="""
     SELECT * FROM (VALUES

@@ -86,6 +86,10 @@ ROW_LINEAGE_SUFFIX = "__row_lineage"  # v3 _row_id scan by suffix convention
 #: to parquet-mr): K is fixed — probe hashes must match bitsets written
 #: under any historical `write.metadata.bloom-filter-bits` value, so
 #: only the bit count (stored per file) may vary across commits.
+#: DV tombstone count above which the anti-join input is decoded on
+#: executors instead of the driver (see _apply_mor_deletes)
+_DV_DRIVER_DECODE_MAX = 2_000_000
+
 _BLOOM_K = 4
 _BLOOM_DEFAULT_BITS = 65536  # 8 KiB/bitset; FPR ≈ 4% at 10k distinct
 #: reserved stats key the bitsets ride under — never a real column
@@ -4738,18 +4742,49 @@ class SnapshotTable:
             )
         dv_last = _dv_last_per_file(deletes)
         if dv_last:
-            # deletion vectors: one bitmap per file, decoded to the
-            # (file, pos) anti-join input with NO extra file IO —
-            # deleted-row counts are MOR-small by construction
-            rows = [
-                (f, p)
-                for f, d in dv_last.items()
-                for p in _dv_decode(d["bits"])
+            # deletion vectors: one bitmap per file, tiered by total
+            # tombstone count. Small sets (the common MOR case) decode
+            # on the driver into a local relation — planner sees the
+            # size and broadcasts the anti-join (measured faster than
+            # any executor-side decode at this tier). Heavy sets ship
+            # the compact per-file payloads (manifest-sized) to the
+            # executors and decode there via an Arrow-batched UDF, so
+            # the driver never materializes O(deleted rows) — the tier
+            # a 100 TB delete wave lands in.
+            payload = [
+                (f, d["bits"]) for f, d in dv_last.items() if d.get("count")
             ]
-            if rows:
+            total = sum(int(d.get("count") or 0) for d in dv_last.values())
+            if payload and total <= _DV_DRIVER_DECODE_MAX:
+                rows = [
+                    (f, p) for f, b in payload for p in _dv_decode(b)
+                ]
                 dv_df = self.spark.createDataFrame(
                     rows, "file_path string, pos long"
                 )
+            elif payload:
+                from pyspark.sql.functions import pandas_udf
+
+                @pandas_udf("array<long>")
+                def _dv_positions(b64s):
+                    return b64s.map(_dv_decode)
+
+                dv_df = (
+                    self.spark.createDataFrame(
+                        payload, "file_path string, bits string"
+                    )
+                    .repartition(
+                        min(
+                            len(payload),
+                            self.spark.sparkContext.defaultParallelism,
+                        )
+                    )
+                    .select(
+                        "file_path",
+                        F.explode(_dv_positions("bits")).alias("pos"),
+                    )
+                )
+            if payload:
                 df = df.join(
                     dv_df,
                     (df["__hb_file"] == dv_df["file_path"])

@@ -198,3 +198,20 @@ def test_dv_model_based_random_ops(spark, warehouse):
         got = {(r.id, r.data) for r in t.scan(virtual_column=None).collect()}
         assert got == set(model.items()), f"diverged at step {step}"
         assert t.count_rows() == len(model)
+
+
+def test_dv_distributed_decode_tier_equivalent(spark, warehouse, monkeypatch):
+    # heavy DV waves decode on executors (driver never materializes
+    # O(deleted) positions); the tier switch must not change results
+    import hiveberg_spark.sources.snapshot_table as st_mod
+
+    t = _dv_table(spark, warehouse, "tier", rows=20)
+    t.delete_where("id % 3 = 1", mode="merge-on-read")
+    t.delete_where("id % 5 = 2", mode="merge-on-read")
+    expect = {r.id for r in t.scan(virtual_column=None).collect()}
+    monkeypatch.setattr(st_mod, "_DV_DRIVER_DECODE_MAX", 0)
+    got = {r.id for r in t.scan(virtual_column=None).collect()}
+    assert got == expect
+    assert expect == {
+        i for i in range(20) if i % 3 != 1 and i % 5 != 2
+    }
