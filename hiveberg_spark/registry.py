@@ -52,99 +52,99 @@ def load_all() -> None:
 
 
 # The grading driver hard-checks the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round.  Round 4's window was 50/50
-# green (CORRECTNESS_r04); across r1-r4 every query registered at the
-# r4 freeze has a driver row EXCEPT the 10 late-round-4 additions that
-# missed the frozen window.  Round 5's window therefore leads with
-# (a) those 10 never-driver-checked queries; (b) queries added or
-# re-oracled since the freeze (snapshot-lifecycle bench query,
-# branch-DML WAP composition, the three ANN queries whose rows-only
-# checks became recall contracts); (c) re-checks of every query whose
-# implementation churned in the post-verdict commits (avro writer
-# stats vectorization, ref/timestamp-travel semantics, monotonic
-# snapshot ids, simsearch refactor); (d) round-5 additions appended by
-# this round's work; remaining slots = oldest-checked (r1) spot
-# re-checks.
+# ``__spark_entry__.queries()`` per round. Round 5's window was 50/50
+# green (CORRECTNESS_r05). Round 6's window is EXACTLY 50 names
+# (VERDICT r5 #2: the r5 list held 67, so its claimed re-check groups
+# never ran — overflow now lives in DEFERRED explicitly), composed of:
+# (a) the 27 queries that had never had a driver CORRECTNESS row
+#     (VERDICT r5 #1 — the v3 trio, range-ANN, events analytics, MV
+#     refresh, multimodal real-decode, text analysis extensions);
+# (b) round-6 additions: field-id reuse resolution, keyless-CDC
+#     streaming, the MOR/DV read-path bench;
+# (c) re-checks of every query whose implementation churned this
+#     round: the simhash recall contract + raised ANN bounds, the
+#     seq-preservation/carry changes (MOR, changelog, incremental
+#     read, lifecycle), and the field-id read-path regrouping that
+#     touches every multi-generation scan (widen/drop/avro-rename/
+#     clone/hidden-partitioning/add_files/mixed-formats), plus the r5
+#     deferred churn trio (minmax/orc prune, dml-prune compose,
+#     format dispatch).
 DRIVER_WINDOW: list[str] = [
-    # (a) never driver-checked — late round-4 flagship surface
-    "snapshot_avro_prune",
-    "snapshot_mixed_formats",
-    "snapshot_format_migration",
-    "sample_epoch_shuffle",
-    "stream_static_join",
-    "snapshot_drop_column_evolution",
-    "snapshot_expire_history",
-    "snapshot_tags",
-    "snapshot_history_table",
-    "snapshot_branch_wap",
-    # (b) added / re-oracled after the r4 freeze
-    "snapshot_lifecycle_bench",
-    "snapshot_branch_dml_wap",
+    # (a) never driver-checked — lead the window (27)
+    "snapshot_row_lineage",
+    "snapshot_deletion_vectors",
+    "snapshot_default_values",
+    "snapshot_position_deletes",
+    "snapshot_bloom_prune",
+    "snapshot_keyless_cdc",
+    "snapshot_cherry_pick",
+    "snapshot_rewrite_manifests",
+    "simsearch_range_search",
+    "simsearch_range_lsh",
+    "simsearch_ivfpq",
+    "multimodal_real_decode",
+    "multimodal_patchify",
+    "multimodal_audio_energy",
+    "text_gopher_rules",
+    "text_template_detect",
+    "text_ngram_novelty",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_gapfill_locf",
+    "events_ab_test",
+    "sample_weighted_ares",
+    "pipeline_incremental_dedup",
+    "materialized_rollup_refresh",
+    "materialized_dml_refresh",
+    "stream_mv_pipeline",
+    "stream_rate_limited_source",
+    # (b) round-6 additions (3)
+    "snapshot_field_id_reuse",
+    "stream_keyless_cdc",
+    "snapshot_mor_dv_read_bench",
+    # (c) round-6 churn re-checks (20): new simhash contract + raised
+    # ANN recall bounds
+    "dedup_simhash",
     "simsearch_lsh_ann",
     "simsearch_ivf",
-    "simsearch_sq8_rerank",
-    "dedup_blocked_recall",
-    "simsearch_bruteforce_topk",
-    # (c) churned since the verdict: avro stats vectorization,
-    # made_current_at/monotonic-id ref semantics, partition escaping
-    "format_avro_roundtrip",
-    "snapshot_avro_rename_evolution",
-    "snapshot_hidden_partitioning",
-    "timetravel_as_of_timestamp",
-    # value index displaces timetravel_as_of_1: id-travel semantics are
-    # untouched by the made_current_at churn (that was timestamp
-    # travel, re-checked by its two neighbors), while the index is
-    # never-checked new pruning surface
-    "snapshot_value_index",
-    "timetravel_sql_version_as_of",
-    "snapshot_rollback",
-    "snapshot_maintenance_ops",
-    "timetravel_incremental_read",
-    # (c') five late-round-5 additions take the slots of the five DML
-    # re-checks (pass(r4), zero read-path churn since — their shared
-    # commit path is re-proven by snapshot_entries_table/clone below
-    # and they lead the round-6 deferred list): the entries/all_files
-    # metadata tables, the zero-copy clone, the time transform family,
-    # streaming WAP, and DSIR selection are all never-driver-checked
-    # new surface — strictly more information per slot
-    "snapshot_entries_table",
-    "snapshot_zero_copy_clone",
-    "snapshot_time_transforms",
-    "stream_branch_wap",
-    "sample_dsir_weights",
-    # (d) round-5 additions: merge-on-read deletes/updates/merges
-    # (Iceberg v2 delete files), CDC changelog, partition evolution,
-    # partitions/metadata-log tables, streaming CDC upsert sink, table
-    # properties (write modes + sort order + range distribution),
-    # PQ-ADC ANN, fuzzy decontamination, type widening, the composed
-    # corpus-build pipeline
+    # seq preservation / always-carry + DV decode tiering
     "snapshot_mor_delete",
     "snapshot_mor_upsert_seq",
     "snapshot_changelog_cdc",
-    "snapshot_partition_evolution",
-    "snapshot_partitions_table",
-    "stream_upsert_sink",
-    "snapshot_table_properties",
-    "simsearch_pq_adc",
-    "decontaminate_minhash_lsh",
+    # field-id read-path regrouping (every multi-generation scan)
     "snapshot_widen_evolution",
-    "pipeline_corpus_build",
-    "snapshot_metadata_log",
-    "snapshot_zorder_table",
-    "stream_scd_enrichment",
-    "snapshot_refs_and_views",
-    "snapshot_add_files",
+    "snapshot_drop_column_evolution",
+    "snapshot_avro_rename_evolution",
+    "snapshot_zero_copy_clone",
+    "snapshot_lifecycle_bench",
+    "snapshot_hidden_partitioning",
     "snapshot_add_files_hive",
-    "stream_changelog_source",
-    "snapshot_table_stats",
-    # (e) round-5 churn re-checks: _bucket_excludes_file went
-    # multi-spec, _read_data_files gained lineage/read_schema paths,
-    # scan_changes gained the non-append refusal
+    "snapshot_mixed_formats",
+    "timetravel_incremental_read",
+    # pruning chokepoint gained the reuse-taint filter
     "snapshot_minmax_prune",
+    "snapshot_value_index",
     "snapshot_orc_prune",
     "snapshot_dml_prune_compose",
     "snapshot_format_dispatch",
-    # (f) oldest driver check (r1) — rotation spot re-checks
+]
+
+# Positions 51+ — re-checks that cede their round-6 slot (all green in
+# earlier driver rounds AND in local oracle parity at sf0.001+sf0.01
+# this round); they lead round 7's rotation.
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # DML re-checks displaced since r5 (pass r4; their churned shared
+    # commit path is re-proven this round by the lifecycle/clone/MOR
+    # window rows)
+    "snapshot_delete_where",
+    "snapshot_update_where",
+    "snapshot_merge_upsert",
+    "snapshot_sql_dml",
+    "timetravel_where_shim",
+    "timetravel_as_of_1",
+    "timetravel_current",
+    "snapshots_metadata_table",
+    # oldest driver check (r1) — rotation spot re-checks
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -163,61 +163,6 @@ DRIVER_WINDOW: list[str] = [
     "limit_topk",
     "set_except",
     "distinct_dropdup",
-]
-
-# Round-5 entries that sit just past the 50-slot cut (positions 51+ —
-# churn re-checks green in earlier driver rounds, plus late-round-5
-# additions that landed after the window filled; all green in local
-# oracle parity at sf0.001 + sf0.01 this round); rotate into round 6.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    # never-driver-checked post-window round-5 additions lead round 6
-    "snapshot_default_values",
-    "snapshot_position_deletes",
-    "snapshot_bloom_prune",
-    "simsearch_range_search",
-    "simsearch_range_lsh",
-    "snapshot_row_lineage",
-    "materialized_dml_refresh",
-    "stream_mv_pipeline",
-    "snapshot_keyless_cdc",
-    "pipeline_incremental_dedup",
-    "snapshot_deletion_vectors",
-    "text_ngram_novelty",
-    # the five DML re-checks displaced by the late-round-5 additions
-    # (pass(r4); their churned shared paths are driver-covered this
-    # round by the entries/clone/rewrite-manifests fixtures) — plus the
-    # remaining never-checked late-round-5 queries — lead round 6
-    "snapshot_delete_where",
-    "snapshot_update_where",
-    "snapshot_merge_upsert",
-    "snapshot_sql_dml",
-    "timetravel_where_shim",
-    "stream_rate_limited_source",
-    "sample_weighted_ares",
-    "snapshot_rewrite_manifests",
-    "text_gopher_rules",
-    "events_funnel_conversion",
-    "simsearch_ivfpq",
-    "events_cohort_retention",
-    "events_gapfill_locf",
-    "events_ab_test",
-    "timetravel_as_of_1",
-    "snapshot_cherry_pick",
-    "text_template_detect",
-    "multimodal_real_decode",
-    "multimodal_patchify",
-    "multimodal_audio_energy",
-    "materialized_rollup_refresh",
-    "snapshot_dml_prune_compose",
-    "snapshot_format_dispatch",
-    # pass(r4), zero churn since; displaced by stream_changelog_source
-    "timetravel_current",
-    # rows-only by design (spark_rows > 0, pass(r4)); displaced by
-    # snapshot_add_files_hive — the weaker check cedes its slot
-    "dedup_embedding_blocked",
-    # pass(r4); the made_current_at churn is covered by the
-    # timetravel_as_of_* re-checks — displaced by snapshot_table_stats
-    "snapshots_metadata_table",
 ]
 
 
