@@ -90,6 +90,12 @@ ROW_LINEAGE_SUFFIX = "__row_lineage"  # v3 _row_id scan by suffix convention
 #: executors instead of the driver (see _apply_mor_deletes)
 _DV_DRIVER_DECODE_MAX = 2_000_000
 
+#: process-level parsed-manifest memo, keyed (path, mtime_ns, size) —
+#: manifests are immutable per snapshot, so the memo turns the repeated
+#: lineage-chain + name-map walks of one scan into dict lookups
+_MANIFEST_CACHE: dict = {}
+_MANIFEST_CACHE_MAX = 4096
+
 _BLOOM_K = 4
 _BLOOM_DEFAULT_BITS = 65536  # 8 KiB/bitset; FPR ≈ 4% at 10k distinct
 #: reserved stats key the bitsets ride under — never a real column
@@ -382,11 +388,34 @@ class SnapshotTable:
           manifest's own snapshot id. This is Iceberg's data sequence
           number: an equality delete at sequence S applies only to
           rows from files with seq < S, so re-inserting a deleted key
-          after the delete survives it."""
+          after the delete survives it.
+
+        Parsed documents are memoized in a bounded process-level cache
+        keyed by (path, mtime, size): a manifest is written once per
+        snapshot and never mutated, so the key is stable — and a scan
+        composing k lineage-chain manifests (plus the field-id map
+        walk) stops re-reading and re-parsing the same JSON documents
+        on every read. The mtime/size key keeps the cache correct for
+        the rare out-of-band rewrite (tests, manual repair)."""
         if "added_files" in snap:
             return {"files": list(snap["added_files"])}
-        with open(os.path.join(self.location, snap["manifest"])) as f:
-            return json.load(f)
+        path = os.path.join(self.location, snap["manifest"])
+        try:
+            st = os.stat(path)
+            key = (path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None
+        if key is not None and key in _MANIFEST_CACHE:
+            return _MANIFEST_CACHE[key]
+        with open(path) as f:
+            doc = json.load(f)
+        if key is not None:
+            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                # drop the oldest insertions (dict preserves order)
+                for k in list(_MANIFEST_CACHE)[: _MANIFEST_CACHE_MAX // 4]:
+                    del _MANIFEST_CACHE[k]
+            _MANIFEST_CACHE[key] = doc
+        return doc
 
     # -- synthetic FIELD IDS (Iceberg schema resolution semantics) --------
     #
@@ -2059,6 +2088,10 @@ class SnapshotTable:
                 # lineage: a file's block never changes)
                 rid_by_survivor[sid] = self._first_row_id_as_of(meta, sid)
                 referenced.update(d["path"] for d in dels if "path" in d)
+            # field-id name maps survive consolidation the same way (a
+            # file's written-name map never changes; losing it would
+            # demote id-resolved files to the name-based legacy path)
+            all_name_maps = self._all_file_name_maps(meta)
             # tracked-but-unreferenced files are orphans to delete
             orphans: set[str] = set()
             for s in meta["snapshots"]:
@@ -2126,6 +2159,23 @@ class SnapshotTable:
                 }
                 if rid:
                     doc["first_row_id"] = rid
+                nm_files = {
+                    p: all_name_maps[p]
+                    for p in doc["files"]
+                    if p in all_name_maps
+                }
+                if nm_files:
+                    uniq: list = []
+                    keyof: dict = {}
+                    enc: dict = {}
+                    for p in sorted(nm_files):
+                        k = json.dumps(nm_files[p], sort_keys=True)
+                        if k not in keyof:
+                            keyof[k] = len(uniq)
+                            uniq.append(nm_files[p])
+                        enc[p] = keyof[k]
+                    doc["name_maps"] = uniq
+                    doc["file_name_map"] = enc
                 with open(
                     os.path.join(self.location, manifest_rel), "w"
                 ) as f:

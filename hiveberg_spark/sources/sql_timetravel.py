@@ -533,6 +533,10 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         ]
         if m.group("ext"):
             meta = t._read_meta()
+            for fl in meta.get("fields") or []:
+                # synthetic field ids (round 6): the resolution identity
+                # behind each current column, Iceberg DESCRIBE parity
+                rows.append((fl["name"], str(fl["id"]), "field_id"))
             for spec in [meta.get("partition_spec") or []]:
                 for tr in spec:
                     arg = f", {tr[2]}" if len(tr) > 2 and tr[2] is not None else ""

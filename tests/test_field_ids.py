@@ -185,3 +185,44 @@ def test_field_ids_are_stable_and_monotonic(spark, warehouse):
     ]
     assert meta["next_field_id"] == 4
     assert meta["reused_names"] == ["a"]
+
+
+def test_name_maps_survive_expire_consolidation(spark, warehouse):
+    # expire_snapshots rewrites surviving manifests (consolidation);
+    # the carried files' name->field-id maps must re-record, or the
+    # reuse table would silently demote to name-based resolution
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "expfid"))
+    t.append(_df(spark, [(1, "old1")]), committed_at=1_000)
+    t.rename_column("a", "b")
+    t.add_column("a", "string")
+    t.append(
+        spark.createDataFrame(
+            [(2, "old2", "new2")], "id long, b string, a string"
+        ).coalesce(1),
+        committed_at=2_000,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, "old3", "new3")], "id long, b string, a string"
+        ).coalesce(1),
+        committed_at=9_000,
+    )
+    t.expire_snapshots(5_000)  # expires the first two snapshots
+    rows = {r.id: (r.b, r.a) for r in t.scan(virtual_column=None).collect()}
+    assert rows == {
+        1: ("old1", None),
+        2: ("old2", "new2"),
+        3: ("old3", "new3"),
+    }
+
+
+def test_describe_extended_shows_field_ids(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "descfid"))
+    t.append(_df(spark, [(1, "x")]))
+    t.rename_column("a", "b")
+    t.add_column("a", "string")
+    rows = execute_sql(spark, warehouse, "DESCRIBE EXTENDED descfid").collect()
+    fids = {r.col_name: r.data_type for r in rows if r.kind == "field_id"}
+    assert fids == {"id": "1", "b": "2", "a": "3"}

@@ -2168,7 +2168,7 @@ def test_sql_describe_and_show_statements(spark, warehouse):
     assert cols == {"id": "bigint", "region": "string"}
     ext = execute_sql(spark, warehouse, "DESCRIBE EXTENDED dsc").collect()
     kinds = {r.kind for r in ext}
-    assert kinds == {"data", "partition", "property", "info"}
+    assert kinds == {"data", "field_id", "partition", "property", "info"}
     props = {
         r.key: r.value
         for r in execute_sql(spark, warehouse, "SHOW TBLPROPERTIES dsc").collect()
