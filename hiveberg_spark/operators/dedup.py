@@ -517,3 +517,106 @@ def decontaminate_minhash_lsh(spark, sf_dir):
             F.coalesce(F.col("hit"), F.lit(False)).alias("contaminated"),
         )
     )
+
+
+# -- near-dup CLUSTERING (connected components over the pair graph) -----------
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE base_pairs AS ({_NGRAM_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM base_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM base_pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(src, dst) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+    ),
+    comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT c.doc_id, c.component, s.cluster_size
+    FROM comp c
+    JOIN (
+      SELECT component, COUNT(*) AS cluster_size
+      FROM comp GROUP BY component
+    ) s USING (component)
+"""
+
+
+@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH
+    pair graph, each document labeled with its component's minimum
+    doc_id — the canonical-representative step a dedup pipeline runs
+    AFTER pair generation ("keep one doc per duplicate cluster", which
+    pairwise output alone cannot express when duplicates chain
+    A~B~C without A~C).
+
+    Algorithm: hash-to-min label propagation — labels start as own
+    doc_id; each round every node takes min(own, neighbors' labels);
+    fixpoint = components labeled by their min id (unique, hence
+    deterministic). Rounds are bounded by graph diameter; near-dup
+    clusters are shallow (duplicates of one source), so convergence is
+    2-3 rounds here and O(log n) with the alternating small-star/
+    large-star contraction this would switch to for adversarial chain
+    graphs at 100 TB. Each round is one shuffle on the node id; the
+    per-round driver work is a single converged-count scalar, and
+    `localCheckpoint` truncates the iterative lineage (the standard
+    Spark iterative-algorithm pattern — without it the plan doubles
+    per round).
+
+    Oracle: DuckDB recursive CTE computing min-reachable-id over the
+    exact-Jaccard pair graph (== the LSH graph on this fixture, the
+    same equivalence dedup_minhash_lsh's oracle rests on)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(50):  # diameter bound; near-dup graphs are shallow
+        nb = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb, labels.doc_id == nb.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    labels.component,
+                    F.coalesce(F.col("nb_min"), labels.component),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("component labeling did not converge")
+    edges.unpersist()
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "component")
+        .select("doc_id", "component", "cluster_size")
+        .orderBy("doc_id")
+    )

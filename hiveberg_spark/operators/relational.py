@@ -124,6 +124,52 @@ def q3_shipping_priority(spark, sf_dir):
 
 
 @query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking — the one query number
+    the relational battery was missing): date-window filter on orders +
+    correlated EXISTS against lineitem + priority rollup. The fixture
+    has no l_commitdate/l_receiptdate, so the EXISTS predicate adapts
+    to the available columns as "shipped more than 60 days after
+    ordering" — same correlated-semi-join shape, same plan. Scale: the
+    EXISTS compiles to a LEFT SEMI join shuffling on orderkey with the
+    date filters pushed to both scans; no row multiplication ever
+    reaches the aggregate."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,

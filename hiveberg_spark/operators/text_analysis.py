@@ -528,3 +528,72 @@ def text_ngram_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(text, ' ')) AS word
+      FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    stats AS (SELECT COUNT(*) AS n, COUNT(DISTINCT word) AS v FROM tok),
+    lp AS (
+      SELECT doc_id,
+             CAST(FLOOR(LN((cnt + 1.0) / (n + v)) * 1000000) AS BIGINT)
+               AS lp_micro
+      FROM tok JOIN counts USING (word) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(lp_micro) AS logprob_micro,
+           ROUND(-SUM(lp_micro) * 1.0 / COUNT(*) / 1000000, 6) AS avg_nll
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark, sf_dir):
+    """Perplexity-proxy quality scoring (the CCNet/CC-filtering shape:
+    score each document by a language model trained ON the corpus, drop
+    the high-NLL tail): an add-one-smoothed UNIGRAM model
+    p(w) = (count(w)+1)/(N+V) is fit in one aggregation pass, then
+    every document scores avg negative log-likelihood in a second.
+
+    Cross-engine determinism: each token's ln p(w) is quantized to
+    integer micro-nats (FLOOR(x*1e6) — floor, not cast: SQL casts
+    round while Spark's truncate) and SUMMED AS INTEGERS, so float
+    summation order can never drift the result; avg_nll derives from
+    the exact integer sum. Scale: token→count join shuffles on the
+    word (AQE handles stop-word skew); the model itself is two scalars
+    plus a vocabulary-sized count table — at 100 TB the counts table
+    stays data-distributed and the per-doc score is one partial-agg
+    shuffle on doc_id. A production pipeline swaps the unigram for a
+    KenLM scorer in the same two-pass shape."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    tok = docs.select("doc_id", F.explode("w").alias("word")).persist()
+    counts = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    stats = tok.agg(
+        F.count("*").alias("n"), F.countDistinct("word").alias("v")
+    )
+    lp = (
+        tok.join(counts, "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("cnt") + 1.0) / (F.col("n") + F.col("v")))
+                * 1000000
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lp_micro").alias("logprob_micro"),
+        F.round(
+            -F.sum("lp_micro") * 1.0 / F.count("*") / 1000000, 6
+        ).alias("avg_nll"),
+    )

@@ -133,6 +133,10 @@ DRIVER_WINDOW: list[str] = [
 # earlier driver rounds AND in local oracle parity at sf0.001+sf0.01
 # this round); they lead round 7's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # round-6 additions that landed after the window froze — lead r7
+    "dedup_cluster_components",
+    "text_perplexity_proxy",
+    "q4_order_priority",
     # DML re-checks displaced since r5 (pass r4; their churned shared
     # commit path is re-proven this round by the lifecycle/clone/MOR
     # window rows)

@@ -121,6 +121,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "live_paths", "live_df",                     # live file-path lists
         "sidmap",   # delete-file path -> commit id (position_deletes)
         "map_df",   # file -> (first_row_id, seq) map (row lineage)
+        "stats",    # one-row corpus (N, V) scalars (perplexity proxy)
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
