@@ -693,9 +693,11 @@ RANGE_CONTRACT_SQL = f"""
 
 # Measured range recall at 6 bits × 12 tables: 0.54 (sf0.001) / 0.56
 # (sf0.01) at τ=0.3 — collision probability rises with cosine, so the
-# τ-threshold truth set is easier than uniform; bound far below, same
-# policy as _LSH_RECALL_BOUND.
-_RANGE_RECALL_BOUND = 0.25
+# τ-threshold truth set is easier than uniform. Bound 0.45 (round 6:
+# same tightening policy as _LSH_RECALL_BOUND — 0.25 would let a ~50%
+# recall regression pass silently), below both measurements, far above
+# collision noise.
+_RANGE_RECALL_BOUND = 0.45
 
 
 @query("simsearch_range_lsh", oracle=RANGE_CONTRACT_SQL)

@@ -547,7 +547,7 @@ def text_ngram_novelty(spark, sf_dir):
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           SUM(lp_micro) AS logprob_micro,
+           CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro,
            ROUND(-SUM(lp_micro) * 1.0 / COUNT(*) / 1000000, 6) AS avg_nll
     FROM lp GROUP BY doc_id
     """,

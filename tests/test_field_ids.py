@@ -226,3 +226,19 @@ def test_describe_extended_shows_field_ids(spark, warehouse):
     rows = execute_sql(spark, warehouse, "DESCRIBE EXTENDED descfid").collect()
     fids = {r.col_name: r.data_type for r in rows if r.kind == "field_id"}
     assert fids == {"id": "1", "b": "2", "a": "3"}
+
+
+def test_mapped_scan_preserves_pushdown(spark, warehouse):
+    # the id-mapped read groups must not cost the headline DSv2
+    # optimizations: filters and projection still reach the parquet scan
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.plans import pushed_filters, read_schema_columns
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "pushfid"))
+    t.append(_df(spark, [(i, f"r{i}") for i in range(100)]))
+    t.rename_column("a", "b")
+    t.add_column("a", "string")
+    df = t.scan(virtual_column=None).filter(F.col("id") > 50).select("id")
+    assert any("id" in f for f in pushed_filters(df))
+    assert all(cols == ["id"] for cols in read_schema_columns(df))
