@@ -679,6 +679,34 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+_spark_avro_probe: dict[int, bool] = {}
+
+
+def spark_avro_available(spark: SparkSession) -> bool:
+    """True iff the native `avro` DATA SOURCE is usable in this session
+    — the roadmapped swap point for this codec's 10-100× read-
+    throughput gap vs the JVM reader at scale. A functional probe, not
+    a classpath check: Spark distributions can carry the avro CLASSES
+    while the module is still not deployed as a data source (this
+    environment does exactly that — `Class.forName` succeeds but
+    `format("avro")` raises FAILED_TO_FIND_DATA_SOURCE), so the probe
+    attempts a real source resolution and classifies the failure:
+    source-not-found ⇒ unavailable; path errors ⇒ the source resolved
+    fine. Memoized per session."""
+    key = id(spark)
+    if key not in _spark_avro_probe:
+        try:
+            spark.read.format("avro").schema("__hbs_probe int").load(
+                "/nonexistent/__hbs_avro_probe__"
+            )
+            _spark_avro_probe[key] = True
+        except Exception as exc:
+            _spark_avro_probe[key] = (
+                "Failed to find data source" not in str(exc)
+            )
+    return _spark_avro_probe[key]
+
+
 def read_avro_files(
     spark: SparkSession, files: list[str], renames: list[dict] | None = None
 ) -> DataFrame:
@@ -686,7 +714,16 @@ def read_avro_files(
     table's planned-file-list scan path). Files written under different
     generations of a renamed schema are resolved to current names
     through `renames` (list of {"from","to"} in log order); types must
-    agree — only names evolve."""
+    agree — only names evolve.
+
+    When the spark-avro jar is present AND no rename resolution is
+    needed, the native vectorized reader takes over (the files are
+    standard Avro 1.11 containers, written by either side) — the
+    jar-drop swap the roadmap promises, scoped to the hot bulk-ingest
+    path; renamed-generation files keep the per-file header resolution
+    only this decoder performs."""
     if not files:
         raise ValueError("read_avro_files: empty file list")
+    if not renames and spark_avro_available(spark):
+        return spark.read.format("avro").load(list(files))
     return _read_avro_listing(spark, list(files), files[0], renames)

@@ -1307,13 +1307,44 @@ class SnapshotTable:
             df, "overwrite", committed_at, replaces=True, expected_parent=parent
         )
 
-    def compact(self, committed_at: int | None = None) -> int:
+    def compact(
+        self, committed_at: int | None = None, where: str | None = None
+    ) -> int:
         """Small-file compaction (Iceberg's rewrite_data_files
         maintenance action): rewrite the current snapshot's live data as
         one coalesced file set in a new `replace` snapshot. Contents are
         identical; history is preserved. The scale lever: snapshot-table
         reads open O(files) — appends fragment the table, compaction
-        restores scan efficiency."""
+        restores scan efficiency.
+
+        `where` runs a TARGETED compaction (Iceberg
+        `rewrite_data_files(filter => ...)`): only files that might
+        hold matching rows are read and rewritten coalesced — rows are
+        NOT filtered, the predicate only selects files — while every
+        other file carries by reference with its stats, sequence
+        number, row-id block, and name map intact. The maintenance
+        shape for 'compact yesterday's fragmented partition' on a
+        100 TB table: O(matching files) rewritten, never the table."""
+        if where is not None:
+            plan = self._cow_split(where)
+            if plan.affected_df is None:
+                rewritten = self.scan(virtual_column=None).limit(0)
+            else:
+                n_aff = len(self.plan_files(where, snapshot_id=plan.parent))
+                rewritten = plan.affected_df.coalesce(
+                    max(1, min(8, n_aff // 4))
+                )
+            return self._commit(
+                rewritten,
+                "replace",
+                committed_at,
+                replaces=True,
+                carry=plan.carry,
+                expected_parent=plan.parent,
+                carry_deletes=plan.deletes,
+                carry_seq=plan.seq,
+                summary_extra={"rewrite-filter": where},
+            )
         # pin planning to one observed snapshot: scan, file count, and
         # the commit's expected parent all come from the same version
         meta = self._read_meta()

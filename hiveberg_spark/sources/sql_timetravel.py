@@ -268,7 +268,11 @@ _PROCEDURES = {
     "expire_snapshots": lambda t, older_than_ms, *retain: t.expire_snapshots(
         int(older_than_ms), int(retain[0]) if retain else 1
     ),
-    "rewrite_data_files": lambda t: t.compact(),
+    # optional second arg = Iceberg's `filter`: targeted compaction of
+    # only the files that might match (rows are never filtered)
+    "rewrite_data_files": lambda t, *flt: t.compact(
+        where=flt[0] if flt else None
+    ),
     "rewrite_manifests": lambda t: t.rewrite_manifests(),
     "build_value_index": lambda t, col: t.build_value_index(col),
     "refresh_value_index": lambda t, col: t.refresh_value_index(col),

@@ -242,3 +242,53 @@ def test_mapped_scan_preserves_pushdown(spark, warehouse):
     df = t.scan(virtual_column=None).filter(F.col("id") > 50).select("id")
     assert any("id" in f for f in pushed_filters(df))
     assert all(cols == ["id"] for cols in read_schema_columns(df))
+
+
+def test_targeted_compaction_rewrites_only_matching_files(spark, warehouse):
+    # compact(where=...) — Iceberg rewrite_data_files(filter): only
+    # files that might match are rewritten; the rest carry by path
+    # with lineage intact, and contents never change
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "tcmp"))
+    for lo in (0, 100, 200):
+        for part in range(3):  # fragment each key range across files
+            t.append(
+                _df(
+                    spark,
+                    [(i, f"v{i}") for i in range(lo + part * 10, lo + part * 10 + 10)],
+                )
+            )
+    before_files = set(t.plan_files())
+    before = sorted(
+        tuple(r) for r in t.scan(virtual_column=None).collect()
+    )
+    rid_before = {
+        r.id: r._row_id for r in t.scan_with_row_lineage().collect()
+    }
+    t.compact(where="id < 100")  # only the 0-29 range fragments match
+    after_files = set(t.plan_files())
+    after = sorted(tuple(r) for r in t.scan(virtual_column=None).collect())
+    assert after == before
+    untouched = {f for f in before_files if f in after_files}
+    # the non-matching ranges' files carried by reference (same paths)
+    assert len(untouched) == 6
+    assert len(after_files) < len(before_files)
+    # row identity preserved through the targeted rewrite
+    rid_after = {
+        r.id: r._row_id for r in t.scan_with_row_lineage().collect()
+    }
+    assert rid_after == rid_before
+
+
+def test_sql_rewrite_data_files_filter(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "sqlrw"))
+    for i in range(4):
+        t.append(_df(spark, [(i * 10 + j, "x") for j in range(10)]))
+    before = t.scan(virtual_column=None).count()
+    n_files_before = len(t.plan_files())
+    execute_sql(
+        spark, warehouse, "CALL system.rewrite_data_files('sqlrw', 'id < 20')"
+    )
+    assert t.scan(virtual_column=None).count() == before
+    assert len(t.plan_files()) < n_files_before
