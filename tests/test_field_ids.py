@@ -292,3 +292,105 @@ def test_sql_rewrite_data_files_filter(spark, warehouse):
     )
     assert t.scan(virtual_column=None).count() == before
     assert len(t.plan_files()) < n_files_before
+
+
+def test_field_id_resolution_random_churn_vs_model(spark, warehouse):
+    """Randomized sequences of append / rename / add(+reuse) / COW
+    delete / compact (full + targeted) checked against a pure-Python
+    model of the logical table — the same churn-model pattern the DV
+    and row-id suites use. Columns evolve by (stable) field identity in
+    the model; any divergence means the per-file map resolution broke."""
+    import random
+
+    rng = random.Random(0xF1E1D)
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "fidchurn"), schema="id long, c1 string"
+    )
+    # model: rows[id] = {field_id: value}; fields: list of (fid, name)
+    fields = [(1, "id"), (2, "c1")]
+    next_fid = 3  # mirrors meta["next_field_id"]
+    rows: dict[int, dict[int, str]] = {}
+    next_id = 0
+    freed: set[str] = set()
+
+    def live_names():
+        return [n for _, n in fields]
+
+    def append(n):
+        nonlocal next_id
+        names = live_names()
+        batch = []
+        for _ in range(n):
+            vals = {1: next_id}
+            for fid, nm in fields:
+                if nm == "id":
+                    continue
+                vals[fid] = f"{nm}_v{next_id}"
+            rows[next_id] = vals
+            batch.append(
+                tuple(
+                    next_id if nm == "id" else vals[fid]
+                    for fid, nm in fields
+                )
+            )
+            next_id += 1
+        schema = ", ".join(
+            f"{nm} long" if nm == "id" else f"{nm} string"
+            for _, nm in fields
+        )
+        t.append(spark.createDataFrame(batch, schema).coalesce(1))
+
+    append(3)
+    for step in range(12):
+        op = rng.choice(["append", "rename", "add", "cow_del", "compact"])
+        if op == "append" or not rows:
+            append(rng.randint(1, 3))
+        elif op == "rename":
+            cands = [(f, n) for f, n in fields if n != "id"]
+            if not cands:
+                continue
+            fid, old = rng.choice(cands)
+            new = f"r{step}_{old[:8]}"
+            t.rename_column(old, new)
+            fields[:] = [
+                (f, new if f == fid else n) for f, n in fields
+            ]
+            freed.add(old)
+        elif op == "add":
+            name = (
+                rng.choice(sorted(freed)) if freed and rng.random() < 0.5
+                else f"n{step}"
+            )
+            if name in live_names():
+                continue
+            t.add_column(name, "string")
+            fields.append((next_fid, name))
+            next_fid += 1
+            freed.discard(name)
+        elif op == "cow_del":
+            victim = rng.choice(sorted(rows))
+            t.delete_where(f"id = {victim}")
+            del rows[victim]
+        else:
+            if rng.random() < 0.5 and rows:
+                pivot = rng.choice(sorted(rows))
+                t.compact(where=f"id >= {pivot}")
+            else:
+                t.compact()
+        got = {
+            r["id"]: {
+                nm: r[nm] for _, nm in fields if nm != "id"
+            }
+            for r in (
+                x.asDict() for x in t.scan(virtual_column=None).collect()
+            )
+        }
+        expect = {
+            i: {
+                nm: vals.get(fid)
+                for fid, nm in fields
+                if nm != "id"
+            }
+            for i, vals in rows.items()
+        }
+        assert got == expect, f"diverged at step {step} after {op}"
