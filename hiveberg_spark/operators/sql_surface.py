@@ -196,6 +196,96 @@ def snapshot_mor_dv_read_bench(spark, sf_dir):
 
 
 @query(
+    "snapshot_merge_into_clauses",
+    oracle="""
+    WITH target AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ),
+    src AS (
+      SELECT n_nationkey, 'S_' || n_name AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+    ),
+    kept AS (  -- matched: delete region-0 matches, update the rest
+      SELECT t.n_nationkey,
+             CASE WHEN s.n_nationkey IS NULL THEN t.n_name
+                  ELSE t.n_name || '~' || s.n_name END AS n_name,
+             t.n_regionkey
+      FROM target t LEFT JOIN src s ON t.n_nationkey = s.n_nationkey
+      WHERE s.n_nationkey IS NULL OR s.n_regionkey <> 0
+    ),
+    ins AS (   -- not matched: only region >= 3 inserts, lower-cased
+      SELECT s.n_nationkey, lower(s.n_name) AS n_name, s.n_regionkey
+      FROM src s LEFT JOIN target t ON t.n_nationkey = s.n_nationkey
+      WHERE t.n_nationkey IS NULL AND s.n_regionkey >= 3
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM ins
+    """,
+)
+def snapshot_merge_into_clauses(spark, sf_dir):
+    """MERGE INTO with the FULL clause surface (round 6 — beyond the
+    upsert-all shape `snapshot_merge_upsert` pins): conditional
+    matched DELETE, matched UPDATE with expressions over both rows
+    (`t.x`/`s.x`), and a conditional NOT MATCHED INSERT with an
+    explicit column list — first-match-wins clause order and the
+    cardinality-violation guard, exactly Spark/Iceberg MERGE
+    semantics, executed copy-on-write with source-key-bounds file
+    pruning. The oracle reconstructs every clause with plain joins +
+    CASE."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_merge_clauses")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def builder(table):
+        table.append(nation)
+        source = nation.filter("n_nationkey < 10").select(
+            "n_nationkey",
+            F.concat(F.lit("S_"), F.col("n_name")).alias("n_name"),
+            "n_regionkey",
+        ).unionByName(
+            nation.select(
+                (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            )
+        )
+        table.merge_into(
+            source,
+            keys=["n_nationkey"],
+            matched=[
+                ("delete", "s.n_regionkey = 0"),
+                ("update", None, {"n_name": "concat(t.n_name, '~', s.n_name)"}),
+            ],
+            not_matched=[
+                (
+                    "s.n_regionkey >= 3",
+                    {
+                        "n_nationkey": "s.n_nationkey",
+                        "n_name": "lower(s.n_name)",
+                        "n_regionkey": "s.n_regionkey",
+                    },
+                )
+            ],
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan(virtual_column=None).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
     "snapshot_maintenance_ops",
     oracle="""
     SELECT * FROM (VALUES

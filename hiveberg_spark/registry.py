@@ -137,6 +137,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_cluster_components",
     "text_perplexity_proxy",
     "q4_order_priority",
+    "snapshot_merge_into_clauses",
     # DML re-checks displaced since r5 (pass r4; their churned shared
     # commit path is re-proven this round by the lifecycle/clone/MOR
     # window rows)

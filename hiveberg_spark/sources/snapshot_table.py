@@ -2465,6 +2465,222 @@ class SnapshotTable:
             carry_seq=plan.seq,
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        matched: list[tuple] | None = None,
+        not_matched: list[tuple] | None = None,
+        committed_at: int | None = None,
+        branch: str | None = None,
+    ) -> int:
+        """General MERGE INTO with the full clause surface (Spark/
+        Iceberg `MERGE INTO t USING s ON ... WHEN [NOT] MATCHED [AND
+        cond] THEN UPDATE SET ... | DELETE | INSERT ...`), beyond
+        `merge_upsert`'s upsert-all shape:
+
+        - `matched`: ordered clauses, each ``("update", cond, {col:
+          expr})`` or ``("delete", cond)`` — `cond` is a Spark SQL
+          string (None = unconditional) over the struct columns ``t``
+          (target row) and ``s`` (source row), e.g. ``"t.v < s.v"``;
+          update expressions likewise (``"s.v"``, ``"t.v + s.dv"``).
+          The FIRST matching clause wins, exactly SQL MERGE.
+        - `not_matched`: ordered clauses ``(cond, {col: expr} | None)``
+          over ``s`` only; None assignments = INSERT * (all source
+          columns by name). Source rows matching no clause are dropped.
+        - A target row matched by MORE THAN ONE source row fails the
+          command (Spark's MERGE cardinality violation), enforced
+          inside the write job via `raise_error` — no extra pass.
+
+        Copy-on-write execution: file pruning by the source's key
+        bounds (only files that might hold a matching key are read and
+        rewritten; the rest carry by reference), updated/deleted rows
+        take the new commit's sequence number, copied-but-unmodified
+        rows preserve `_row_id` AND `_last_updated_sequence_number`
+        (v3 lineage, same as every other rewrite path). The clause
+        form always runs copy-on-write — MOR stays the upsert-all
+        shape (`merge_upsert(mode="merge-on-read")`)."""
+        from pyspark.sql import Window as W
+
+        matched = list(matched or [])
+        not_matched = list(not_matched or [])
+        for cl in matched:
+            if cl[0] not in ("update", "delete"):
+                raise ValueError(f"unknown matched clause kind: {cl[0]!r}")
+        schema = self.schema()
+        if schema is None:
+            raise ValueError("merge_into on a table with no declared schema")
+        user_cols = [f.name for f in schema.fields]
+        missing = [k for k in keys if k not in user_cols]
+        if missing:
+            raise ValueError(f"unknown merge key columns: {missing}")
+        src_cols = [c for c in source.columns if not c.startswith("__hb_")]
+        source = source.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+                if f.name in src_cols
+            ],
+            *[F.col(c) for c in src_cols if c not in user_cols],
+        )
+        src_cols = list(source.columns)
+        # bounds pruning on the source keys, as merge_upsert
+        bounds = source.select(
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
+        ).head()
+        conjuncts = []
+        for k in keys:
+            lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+            if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+                conjuncts.append(f"{k} >= {lo} AND {k} <= {hi}")
+        where = " AND ".join(conjuncts) if conjuncts else None
+        plan = self._cow_split(where, branch=branch)
+        aff = plan.affected_df
+        s_struct = F.struct(*[F.col(c) for c in src_cols]).alias("s")
+        src_s = source.select(s_struct)
+        if aff is None:
+            survivors = self.scan(virtual_column=None).limit(0)
+            ins_src = src_s
+        else:
+            eng = [c for c in aff.columns if c.startswith("__hb_")]
+            tgt = aff.select(
+                F.struct(*[F.col(c) for c in user_cols if c in aff.columns]).alias("t"),
+                *[F.col(c) for c in eng],
+            ).withColumn(
+                # per-target-row identity for the cardinality window —
+                # duplicate KEYS in the target are legal (each row pairs
+                # with its own match count); only used within this one
+                # write action's DAG
+                "__hb_mrg_tid",
+                F.monotonically_increasing_id(),
+            )
+            on = None
+            for k in keys:
+                c = F.col(f"t.{k}") == F.col(f"s.{k}")
+                on = c if on is None else (on & c)
+            j = tgt.join(src_s, on, "left")
+            w = W.partitionBy("__hb_mrg_tid")
+            j = j.withColumn(
+                "__hb_nmatch",
+                F.when(
+                    F.col("s").isNotNull(), F.count(F.col("s")).over(w)
+                ).otherwise(F.lit(0)),
+            )
+            has_match = F.col("s").isNotNull()
+            # first-match-wins clause index over the ordered clauses
+            idx = F.lit(-1)
+            chain = None
+            for i, cl in enumerate(matched):
+                cond = has_match
+                if cl[1] is not None:
+                    cond = cond & F.expr(cl[1]).eqNullSafe(F.lit(True))
+                chain = (
+                    F.when(cond, F.lit(i))
+                    if chain is None
+                    else chain.when(cond, F.lit(i))
+                )
+            idx = chain.otherwise(F.lit(-1)) if chain is not None else idx
+            j = j.withColumn("__hb_clause", idx)
+            # cardinality violation fails the command inside the job
+            j = j.withColumn(
+                "__hb_clause",
+                F.when(
+                    F.col("__hb_nmatch") > 1,
+                    F.raise_error(
+                        F.lit(
+                            "MERGE cardinality violation: a target row "
+                            "matches more than one source row"
+                        )
+                    ).cast("int"),
+                ).otherwise(F.col("__hb_clause")),
+            )
+            deleted = F.lit(False)
+            for i, cl in enumerate(matched):
+                if cl[0] == "delete":
+                    deleted = deleted | (F.col("__hb_clause") == i)
+            out_cols = []
+            for c in user_cols:
+                if c not in aff.columns:
+                    continue
+                val = F.col(f"t.{c}")
+                for i, cl in enumerate(matched):
+                    if cl[0] == "update" and c in cl[2]:
+                        val = F.when(
+                            F.col("__hb_clause") == i,
+                            F.expr(cl[2][c]).cast(schema[c].dataType),
+                        ).otherwise(val)
+                out_cols.append(val.alias(c))
+            updated_any = F.lit(False)
+            for i, cl in enumerate(matched):
+                if cl[0] == "update":
+                    updated_any = updated_any | (F.col("__hb_clause") == i)
+            for c in eng:
+                if c == "__hb_last_seq":
+                    # updated rows take the NEW commit's seq; only
+                    # copied-but-unmodified rows preserve theirs (v3)
+                    out_cols.append(
+                        F.when(
+                            updated_any, F.lit(None).cast("long")
+                        ).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    out_cols.append(F.col(c))
+            survivors = j.filter(~deleted).select(*out_cols)
+            tkeys = tgt.select(
+                *[F.col(f"t.{k}").alias(f"__hb_tk_{k}") for k in keys]
+            )
+            anti = None
+            for k in keys:
+                c = F.col(f"s.{k}") == F.col(f"__hb_tk_{k}")
+                anti = c if anti is None else (anti & c)
+            ins_src = src_s.join(tkeys, anti, "left_anti")
+        inserts = None
+        if not_matched:
+            chain = None
+            for i, (cond, _assigns) in enumerate(not_matched):
+                c = (
+                    F.expr(cond).eqNullSafe(F.lit(True))
+                    if cond is not None
+                    else F.lit(True)
+                )
+                chain = (
+                    F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
+                )
+            picked = ins_src.withColumn(
+                "__hb_clause", chain.otherwise(F.lit(-1))
+            ).filter(F.col("__hb_clause") >= 0)
+            ins_cols = []
+            for c in user_cols:
+                val = F.lit(None).cast(schema[c].dataType)
+                for i, (_cond, assigns) in enumerate(not_matched):
+                    expr = (
+                        f"s.{c}"
+                        if assigns is None
+                        else assigns.get(c)
+                    )
+                    if expr is not None:
+                        val = F.when(
+                            F.col("__hb_clause") == i,
+                            F.expr(expr).cast(schema[c].dataType),
+                        ).otherwise(val)
+                ins_cols.append(val.alias(c))
+            inserts = picked.select(*ins_cols)
+        merged = survivors
+        if inserts is not None:
+            merged = merged.unionByName(inserts, allowMissingColumns=True)
+        return self._commit(
+            merged,
+            "merge",
+            committed_at,
+            replaces=True,
+            carry=plan.carry,
+            expected_parent=plan.parent,
+            branch=branch,
+            carry_deletes=plan.deletes,
+            carry_seq=plan.seq,
+        )
+
     # -- merge-on-read write path ----------------------------------------
 
     def _mor_head(self, meta: dict, branch: str | None) -> int:

@@ -214,10 +214,20 @@ _UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[A-Za-z_]\w*)\s+USING\s+"
-    r"(?P<source>[A-Za-z_]\w*)\s+ON\s+(?P<on>.+?)\s+"
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    r"^\s*MERGE\s+INTO\s+(?P<target>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_]\w*))?\s+USING\s+"
+    r"(?P<source>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<salias>[A-Za-z_]\w*))?\s+ON\s+(?P<on>.+?)\s+"
+    r"(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_WHEN_RE = re.compile(
+    r"^\s*(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?"
+    r"\s+THEN\s+(?P<act>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_INSERT_RE = re.compile(
+    r"^INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ON_EQ_RE = re.compile(
@@ -980,6 +990,111 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
             )
         else:  # a registered view/temp table
             source_df = spark.table(source)
-        sid = _table(target).merge_upsert(source_df, keys=keys)
+
+        # requalify target/source table names and aliases to the
+        # struct columns merge_into evaluates against (t.* / s.*)
+        tnames = {target, m.group("talias")} - {None}
+        snames = {source, m.group("salias")} - {None}
+        if tnames & snames:
+            raise ValueError("MERGE target and source aliases collide")
+
+        def requal(expr: str) -> str:
+            for n in tnames:
+                expr = re.sub(rf"\b{re.escape(n)}\s*\.", "t.", expr)
+            for n in snames:
+                expr = re.sub(rf"\b{re.escape(n)}\s*\.", "s.", expr)
+            return expr.strip()
+
+        # parse the ordered WHEN clause list (full Spark/Iceberg MERGE
+        # surface: conditional UPDATE SET ... / DELETE / INSERT (...)
+        # VALUES (...), plus the * shorthands)
+        matched: list[tuple] = []
+        not_matched: list[tuple] = []
+        raw = re.split(r"(?i)\bWHEN\b", m.group("clauses"))
+        for part in raw:
+            if not part.strip():
+                continue
+            wm = _MERGE_WHEN_RE.match(part)
+            if not wm:
+                raise ValueError(f"unsupported MERGE clause: WHEN {part!r}")
+            cond = requal(wm.group("cond")) if wm.group("cond") else None
+            act = wm.group("act").strip()
+            if wm.group("not"):
+                if re.fullmatch(r"(?is)INSERT\s*\*", act):
+                    not_matched.append((cond, None))
+                    continue
+                im = _MERGE_INSERT_RE.match(act)
+                if not im:
+                    raise ValueError(
+                        f"unsupported NOT MATCHED action: {act!r}"
+                    )
+                cols = [
+                    c.strip() for c in im.group("cols").split(",") if c.strip()
+                ]
+                vals = _split_top_level_commas(im.group("vals"))
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        "INSERT column list and VALUES arity differ"
+                    )
+                not_matched.append(
+                    (cond, {c: requal(v) for c, v in zip(cols, vals)})
+                )
+            else:
+                if re.fullmatch(r"(?is)DELETE", act):
+                    matched.append(("delete", cond))
+                elif re.fullmatch(r"(?is)UPDATE\s+SET\s*\*", act):
+                    matched.append(("update", cond, "*"))
+                else:
+                    um = re.match(
+                        r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$", act
+                    )
+                    if not um:
+                        raise ValueError(
+                            f"unsupported MATCHED action: {act!r}"
+                        )
+                    assigns = {}
+                    for part2 in _split_top_level_commas(um.group("sets")):
+                        lhs, _, rhs = part2.partition("=")
+                        col = requal(lhs).removeprefix("t.").strip()
+                        if not col or not rhs.strip():
+                            raise ValueError(
+                                f"bad SET assignment: {part2!r}"
+                            )
+                        assigns[col] = requal(rhs)
+                    matched.append(("update", cond, assigns))
+
+        # the classic upsert-all shape keeps routing through
+        # merge_upsert so write.merge.mode (merge-on-read) still
+        # applies; any richer clause set runs the general COW executor
+        is_upsert_all = (
+            len(matched) == 1
+            and matched[0][0] == "update"
+            and matched[0][1] is None
+            and matched[0][2] == "*"
+            and len(not_matched) == 1
+            and not_matched[0] == (None, None)
+        )
+        if is_upsert_all:
+            sid = _table(target).merge_upsert(source_df, keys=keys)
+            return _summary("merge", sid)
+        t = _table(target)
+        tcols = set((t.schema() or source_df.schema).fieldNames())
+        matched = [
+            (
+                "update",
+                cl[1],
+                {
+                    c: f"s.{c}"
+                    for c in source_df.columns
+                    if c in tcols and not c.startswith("__hb_")
+                },
+            )
+            if cl[0] == "update" and cl[2] == "*"
+            else cl
+            for cl in matched
+        ]
+        sid = t.merge_into(
+            source_df, keys=keys, matched=matched, not_matched=not_matched
+        )
         return _summary("merge", sid)
     return sql_with_time_travel(spark, warehouse, sql)

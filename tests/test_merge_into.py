@@ -1,0 +1,159 @@
+"""General MERGE INTO (full Spark/Iceberg clause surface): conditional
+matched UPDATE/DELETE, conditional NOT MATCHED INSERT with explicit
+columns, first-match-wins ordering, the cardinality-violation guard,
+and v3 lineage preservation through the copy-on-write execution."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _target(spark, warehouse, name):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, name))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "id long, v string, n long",
+        ).coalesce(1)
+    )
+    return t
+
+
+def test_clause_semantics_first_match_wins(spark, warehouse):
+    t = _target(spark, warehouse, "cl")
+    src = spark.createDataFrame(
+        [(2, "B", -1), (3, "C", 5), (9, "new", 99), (8, "small", 3)],
+        "id long, v string, n long",
+    )
+    sid = t.merge_into(
+        src,
+        keys=["id"],
+        matched=[
+            ("delete", "s.n < 0"),
+            ("update", None, {"v": "concat(t.v, '+', s.v)", "n": "t.n + s.n"}),
+        ],
+        not_matched=[
+            ("s.n > 50", None),  # INSERT *
+            (None, {"id": "s.id", "v": "'capped'", "n": "cast(0 as long)"}),
+        ],
+    )
+    rows = sorted(tuple(r) for r in t.scan(virtual_column=None).collect())
+    assert rows == sorted(
+        [
+            (1, "a", 10),       # untouched
+            (3, "c+C", 35),     # second matched clause (first's cond false)
+            (4, "d", 40),       # untouched
+            (8, "capped", 0),   # second not-matched clause
+            (9, "new", 99),     # first not-matched clause, INSERT *
+        ]
+    )
+    # v3 lineage: only genuinely modified rows take the merge's seq
+    seqs = {
+        r.id: r._last_updated_sequence_number
+        for r in t.scan_with_row_lineage().collect()
+    }
+    assert seqs[1] == 1 and seqs[4] == 1
+    assert seqs[3] == sid and seqs[9] == sid and seqs[8] == sid
+
+
+def test_matched_only_and_not_matched_only(spark, warehouse):
+    t = _target(spark, warehouse, "only")
+    src = spark.createDataFrame(
+        [(2, "x", 0), (9, "y", 1)], "id long, v string, n long"
+    )
+    # matched-only merge: unmatched source rows are dropped
+    t.merge_into(src, keys=["id"], matched=[("delete", None)])
+    assert sorted(r.id for r in t.scan(virtual_column=None).collect()) == [
+        1, 3, 4,
+    ]
+    # not-matched-only merge: matched source rows are no-ops
+    t.merge_into(src, keys=["id"], not_matched=[(None, None)])
+    rows = {r.id: r.v for r in t.scan(virtual_column=None).collect()}
+    assert rows == {1: "a", 3: "c", 4: "d", 2: "x", 9: "y"}
+
+
+def test_cardinality_violation_fails_the_command(spark, warehouse):
+    t = _target(spark, warehouse, "card")
+    dup = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2)], "id long, v string, n long"
+    )
+    with pytest.raises(Exception, match="cardinality"):
+        t.merge_into(
+            dup, keys=["id"], matched=[("update", None, {"n": "s.n"})]
+        )
+    # duplicate target keys are legal (each pairs with its own match)
+    t.append(
+        spark.createDataFrame([(1, "a2", 11)], "id long, v string, n long")
+    )
+    one = spark.createDataFrame([(1, "z", 7)], "id long, v string, n long")
+    t.merge_into(one, keys=["id"], matched=[("update", None, {"n": "s.n"})])
+    assert sorted(
+        r.n for r in t.scan_where("id = 1").collect()
+    ) == [7, 7]
+
+
+def test_sql_merge_full_clause_surface(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = _target(spark, warehouse, "tgt")
+    s = SnapshotTable.create(spark, os.path.join(warehouse, "src"))
+    s.append(
+        spark.createDataFrame(
+            [(2, "B", -5), (3, "C", 7), (9, "N", 99)],
+            "id long, v string, n long",
+        ).coalesce(1)
+    )
+    execute_sql(
+        spark,
+        warehouse,
+        """
+        MERGE INTO tgt t USING src s ON t.id = s.id
+        WHEN MATCHED AND s.n < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = concat(t.v, s.v), n = t.n + s.n
+        WHEN NOT MATCHED AND s.n > 50
+          THEN INSERT (id, v, n) VALUES (s.id, upper(s.v), s.n)
+        """,
+    )
+    rows = sorted(tuple(r) for r in t.scan(virtual_column=None).collect())
+    assert rows == sorted(
+        [(1, "a", 10), (3, "cC", 37), (4, "d", 40), (9, "N", 99)]
+    )
+    # the classic upsert-all shape still routes through merge_upsert
+    # (so write.merge.mode keeps applying)
+    execute_sql(
+        spark,
+        warehouse,
+        "MERGE INTO tgt USING src ON tgt.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {r.id: (r.v, r.n) for r in t.scan(virtual_column=None).collect()}
+    assert rows[2] == ("B", -5) and rows[3] == ("C", 7)
+
+
+def test_merge_into_prunes_by_source_bounds(spark, warehouse):
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "prune"))
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, "x", lo) for i in range(10)],
+                "id long, v string, n long",
+            ).coalesce(1)
+        )
+    before = set(t.plan_files())
+    src = spark.createDataFrame([(105, "u", 0)], "id long, v string, n long")
+    t.merge_into(
+        src, keys=["id"], matched=[("update", None, {"v": "s.v"})]
+    )
+    after = set(t.plan_files())
+    # only the 100-range file rewrote; the other two carried by path
+    assert len(before & after) == 2
+    assert t.scan_where("id = 105").collect()[0].v == "u"
