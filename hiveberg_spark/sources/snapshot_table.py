@@ -2471,6 +2471,7 @@ class SnapshotTable:
         keys: list[str],
         matched: list[tuple] | None = None,
         not_matched: list[tuple] | None = None,
+        not_matched_by_source: list[tuple] | None = None,
         committed_at: int | None = None,
         branch: str | None = None,
     ) -> int:
@@ -2488,6 +2489,11 @@ class SnapshotTable:
         - `not_matched`: ordered clauses ``(cond, {col: expr} | None)``
           over ``s`` only; None assignments = INSERT * (all source
           columns by name). Source rows matching no clause are dropped.
+        - `not_matched_by_source` (Spark 4 MERGE): ordered clauses of
+          the same shapes as `matched` but over ``t`` only — they act
+          on TARGET rows with no source match. Their presence disables
+          source-key-bounds file pruning (every target row must be
+          evaluated, by definition), so the whole live set rewrites.
         - A target row matched by MORE THAN ONE source row fails the
           command (Spark's MERGE cardinality violation), enforced
           inside the write job via `raise_error` — no extra pass.
@@ -2504,7 +2510,8 @@ class SnapshotTable:
 
         matched = list(matched or [])
         not_matched = list(not_matched or [])
-        for cl in matched:
+        nmbs = list(not_matched_by_source or [])
+        for cl in matched + nmbs:
             if cl[0] not in ("update", "delete"):
                 raise ValueError(f"unknown matched clause kind: {cl[0]!r}")
         schema = self.schema()
@@ -2535,6 +2542,10 @@ class SnapshotTable:
             if isinstance(lo, (int, float)) and not isinstance(lo, bool):
                 conjuncts.append(f"{k} >= {lo} AND {k} <= {hi}")
         where = " AND ".join(conjuncts) if conjuncts else None
+        if nmbs:
+            # NOT MATCHED BY SOURCE evaluates EVERY target row — file
+            # pruning by source bounds would silently skip the clause
+            where = None
         plan = self._cow_split(where, branch=branch)
         aff = plan.affected_df
         s_struct = F.struct(*[F.col(c) for c in src_cols]).alias("s")
@@ -2568,17 +2579,23 @@ class SnapshotTable:
                 ).otherwise(F.lit(0)),
             )
             has_match = F.col("s").isNotNull()
-            # first-match-wins clause index over the ordered clauses
+            # first-match-wins clause index over the ordered clauses;
+            # NOT-MATCHED-BY-SOURCE clauses live at indices 1000+i
+            # (disjoint predicate groups, so the combined chain order
+            # is still first-match within each group)
+            all_clauses = [
+                (i, cl, has_match) for i, cl in enumerate(matched)
+            ] + [(1000 + i, cl, ~has_match) for i, cl in enumerate(nmbs)]
             idx = F.lit(-1)
             chain = None
-            for i, cl in enumerate(matched):
-                cond = has_match
+            for ci, cl, base in all_clauses:
+                cond = base
                 if cl[1] is not None:
                     cond = cond & F.expr(cl[1]).eqNullSafe(F.lit(True))
                 chain = (
-                    F.when(cond, F.lit(i))
+                    F.when(cond, F.lit(ci))
                     if chain is None
-                    else chain.when(cond, F.lit(i))
+                    else chain.when(cond, F.lit(ci))
                 )
             idx = chain.otherwise(F.lit(-1)) if chain is not None else idx
             j = j.withColumn("__hb_clause", idx)
@@ -2596,25 +2613,25 @@ class SnapshotTable:
                 ).otherwise(F.col("__hb_clause")),
             )
             deleted = F.lit(False)
-            for i, cl in enumerate(matched):
+            for ci, cl, _base in all_clauses:
                 if cl[0] == "delete":
-                    deleted = deleted | (F.col("__hb_clause") == i)
+                    deleted = deleted | (F.col("__hb_clause") == ci)
             out_cols = []
             for c in user_cols:
                 if c not in aff.columns:
                     continue
                 val = F.col(f"t.{c}")
-                for i, cl in enumerate(matched):
+                for ci, cl, _base in all_clauses:
                     if cl[0] == "update" and c in cl[2]:
                         val = F.when(
-                            F.col("__hb_clause") == i,
+                            F.col("__hb_clause") == ci,
                             F.expr(cl[2][c]).cast(schema[c].dataType),
                         ).otherwise(val)
                 out_cols.append(val.alias(c))
             updated_any = F.lit(False)
-            for i, cl in enumerate(matched):
+            for ci, cl, _base in all_clauses:
                 if cl[0] == "update":
-                    updated_any = updated_any | (F.col("__hb_clause") == i)
+                    updated_any = updated_any | (F.col("__hb_clause") == ci)
             for c in eng:
                 if c == "__hb_last_seq":
                     # updated rows take the NEW commit's seq; only

@@ -222,8 +222,8 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_WHEN_RE = re.compile(
-    r"^\s*(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?"
-    r"\s+THEN\s+(?P<act>.+?)\s*$",
+    r"^\s*(?P<not>NOT\s+)?MATCHED(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+(?P<act>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_INSERT_RE = re.compile(
@@ -1010,6 +1010,7 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         # VALUES (...), plus the * shorthands)
         matched: list[tuple] = []
         not_matched: list[tuple] = []
+        nmbs: list[tuple] = []
         raw = re.split(r"(?i)\bWHEN\b", m.group("clauses"))
         for part in raw:
             if not part.strip():
@@ -1019,6 +1020,28 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
                 raise ValueError(f"unsupported MERGE clause: WHEN {part!r}")
             cond = requal(wm.group("cond")) if wm.group("cond") else None
             act = wm.group("act").strip()
+            by = (wm.group("by") or "").upper()
+            if by == "SOURCE":
+                # Spark 4: WHEN NOT MATCHED BY SOURCE THEN UPDATE|DELETE
+                if not wm.group("not"):
+                    raise ValueError("MATCHED BY SOURCE is not a clause")
+                if re.fullmatch(r"(?is)DELETE", act):
+                    nmbs.append(("delete", cond))
+                    continue
+                um = re.match(r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$", act)
+                if not um:
+                    raise ValueError(
+                        f"unsupported NOT MATCHED BY SOURCE action: {act!r}"
+                    )
+                assigns = {}
+                for part2 in _split_top_level_commas(um.group("sets")):
+                    lhs, _, rhs = part2.partition("=")
+                    col = requal(lhs).removeprefix("t.").strip()
+                    if not col or not rhs.strip():
+                        raise ValueError(f"bad SET assignment: {part2!r}")
+                    assigns[col] = requal(rhs)
+                nmbs.append(("update", cond, assigns))
+                continue
             if wm.group("not"):
                 if re.fullmatch(r"(?is)INSERT\s*\*", act):
                     not_matched.append((cond, None))
@@ -1067,7 +1090,8 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         # merge_upsert so write.merge.mode (merge-on-read) still
         # applies; any richer clause set runs the general COW executor
         is_upsert_all = (
-            len(matched) == 1
+            not nmbs
+            and len(matched) == 1
             and matched[0][0] == "update"
             and matched[0][1] is None
             and matched[0][2] == "*"
@@ -1094,7 +1118,11 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
             for cl in matched
         ]
         sid = t.merge_into(
-            source_df, keys=keys, matched=matched, not_matched=not_matched
+            source_df,
+            keys=keys,
+            matched=matched,
+            not_matched=not_matched,
+            not_matched_by_source=nmbs,
         )
         return _summary("merge", sid)
     return sql_with_time_travel(spark, warehouse, sql)

@@ -157,3 +157,53 @@ def test_merge_into_prunes_by_source_bounds(spark, warehouse):
     # only the 100-range file rewrote; the other two carried by path
     assert len(before & after) == 2
     assert t.scan_where("id = 105").collect()[0].v == "u"
+
+
+def test_not_matched_by_source_clauses(spark, warehouse):
+    # Spark 4 MERGE: target rows with NO source match take their own
+    # clause chain (delete stale rows / flag surviving ones)
+    t = _target(spark, warehouse, "nmbs")
+    src = spark.createDataFrame(
+        [(1, "A", 0), (9, "new", 9)], "id long, v string, n long"
+    )
+    t.merge_into(
+        src,
+        keys=["id"],
+        matched=[("update", None, {"v": "s.v"})],
+        not_matched=[(None, None)],
+        not_matched_by_source=[
+            ("delete", "t.n >= 40"),
+            ("update", None, {"v": "concat(t.v, '_stale')"}),
+        ],
+    )
+    rows = {r.id: (r.v, r.n) for r in t.scan(virtual_column=None).collect()}
+    assert rows == {
+        1: ("A", 10),          # matched update
+        2: ("b_stale", 20),    # NMBS update
+        3: ("c_stale", 30),    # NMBS update
+        # 4 deleted by the first NMBS clause (n >= 40)
+        9: ("new", 9),         # insert
+    }
+
+
+def test_sql_not_matched_by_source(spark, warehouse):
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    t = _target(spark, warehouse, "tgt2")
+    s = SnapshotTable.create(spark, os.path.join(warehouse, "src2"))
+    s.append(
+        spark.createDataFrame([(1, "A", 0)], "id long, v string, n long")
+        .coalesce(1)
+    )
+    execute_sql(
+        spark,
+        warehouse,
+        """
+        MERGE INTO tgt2 t USING src2 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE AND t.n > 25 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = t.n + 1
+        """,
+    )
+    rows = {r.id: (r.v, r.n) for r in t.scan(virtual_column=None).collect()}
+    assert rows == {1: ("A", 10), 2: ("b", 21)}
