@@ -286,6 +286,54 @@ def snapshot_merge_into_clauses(spark, sf_dir):
 
 
 @query(
+    "snapshot_merge_nmbs",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey < 10 THEN n_name
+                ELSE n_name || '!' END AS n_name,
+           n_regionkey
+    FROM nation
+    WHERE n_nationkey < 10 OR n_regionkey <> 4
+    """,
+)
+def snapshot_merge_nmbs(spark, sf_dir):
+    """MERGE `WHEN NOT MATCHED BY SOURCE` (round 6; the Spark 4 clause
+    family): with source = the first 10 nations, target rows WITHOUT a
+    source match either DELETE (region 4) or UPDATE (append '!') via
+    their own ordered clause chain, while matched rows pass untouched
+    (no matched clause) — the one-statement stale-row expiry shape.
+    The equivalent SQL statement form is pinned by
+    tests/test_merge_into.py::test_sql_not_matched_by_source."""
+    import os
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "nation_merge_nmbs")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def builder(table):
+        table.append(nation)
+        table.merge_into(
+            nation.filter("n_nationkey < 10"),
+            keys=["n_nationkey"],
+            not_matched_by_source=[
+                ("delete", "t.n_regionkey = 4"),
+                ("update", None, {"n_name": "concat(t.n_name, '!')"}),
+            ],
+        )
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    return t.scan(virtual_column=None).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
     "snapshot_maintenance_ops",
     oracle="""
     SELECT * FROM (VALUES

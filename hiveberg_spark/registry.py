@@ -138,6 +138,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
+    "snapshot_merge_nmbs",
     # DML re-checks displaced since r5 (pass r4; their churned shared
     # commit path is re-proven this round by the lifecycle/clone/MOR
     # window rows)
