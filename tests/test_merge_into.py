@@ -207,3 +207,67 @@ def test_sql_not_matched_by_source(spark, warehouse):
     )
     rows = {r.id: (r.v, r.n) for r in t.scan(virtual_column=None).collect()}
     assert rows == {1: ("A", 10), 2: ("b", 21)}
+
+
+def test_merge_into_random_churn_vs_model(spark, warehouse):
+    """Randomized MERGE sequences against a pure-Python model: random
+    clause sets (conditional matched update/delete, not-matched
+    inserts, NMBS update/delete) over random sources — the executor's
+    clause selection, bounds pruning, and union semantics must track
+    the model exactly at every step."""
+    import random
+
+    rng = random.Random(0xA1B2)
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "mrgchurn"),
+        schema="id long, v string, n long",
+    )
+    model: dict[int, tuple[str, int]] = {}
+    rows = [(i, f"r{i}", i * 10) for i in range(8)]
+    model.update({i: (v, n) for i, v, n in rows})
+    t.append(spark.createDataFrame(rows, "id long, v string, n long").coalesce(1))
+
+    for step in range(8):
+        # source: unique keys, mix of hits and misses
+        src_keys = rng.sample(range(0, 30), rng.randint(1, 5))
+        src = [(k, f"s{step}_{k}", rng.randint(-5, 50)) for k in src_keys]
+        src_df = spark.createDataFrame(src, "id long, v string, n long")
+        threshold = rng.randint(-5, 50)
+        use_nmbs = rng.random() < 0.4
+        t.merge_into(
+            src_df,
+            keys=["id"],
+            matched=[
+                ("delete", f"s.n < {threshold}"),
+                ("update", None, {"v": "s.v", "n": "t.n + s.n"}),
+            ],
+            not_matched=[(f"s.n >= {threshold}", None)],
+            not_matched_by_source=(
+                [("update", f"t.n > 100", {"n": "t.n - 1"})]
+                if use_nmbs
+                else None
+            ),
+        )
+        # apply the same semantics to the model
+        src_by_key = {k: (v, n) for k, v, n in src}
+        new_model: dict[int, tuple[str, int]] = {}
+        for k, (tv, tn) in model.items():
+            if k in src_by_key:
+                sv, sn = src_by_key[k]
+                if sn < threshold:
+                    continue  # matched delete
+                new_model[k] = (sv, tn + sn)  # matched update
+            else:
+                if use_nmbs and tn > 100:
+                    new_model[k] = (tv, tn - 1)
+                else:
+                    new_model[k] = (tv, tn)
+        for k, (sv, sn) in src_by_key.items():
+            if k not in model and sn >= threshold:
+                new_model[k] = (sv, sn)  # insert *
+        model = new_model
+        got = {
+            r.id: (r.v, r.n)
+            for r in t.scan(virtual_column=None).collect()
+        }
+        assert got == model, f"diverged at step {step}"
