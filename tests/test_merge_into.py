@@ -271,3 +271,65 @@ def test_merge_into_random_churn_vs_model(spark, warehouse):
             for r in t.scan(virtual_column=None).collect()
         }
         assert got == model, f"diverged at step {step}"
+
+
+def test_merge_into_on_branch_wap(spark, warehouse):
+    # write-audit-publish: the clause merge lands on a branch; main is
+    # untouched until fast_forward publishes it
+    t = _target(spark, warehouse, "wap")
+    t.create_branch("audit")
+    src = spark.createDataFrame([(2, "B", 1)], "id long, v string, n long")
+    t.merge_into(
+        src, keys=["id"],
+        matched=[("update", None, {"v": "s.v"})],
+        branch="audit",
+    )
+    main_rows = {r.id: r.v for r in t.scan(virtual_column=None).collect()}
+    assert main_rows[2] == "b"  # main unchanged
+    branch_rows = {r.id: r.v for r in t.scan(ref="audit").collect()}
+    assert branch_rows[2] == "B"
+    t.fast_forward("audit")
+    assert {r.id: r.v for r in t.scan(virtual_column=None).collect()}[2] == "B"
+
+
+def test_merge_into_partitioned_table(spark, warehouse):
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "part"),
+        partition_spec=[("bucket", "id", 4)],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}", i) for i in range(20)], "id long, v string, n long"
+        )
+    )
+    src = spark.createDataFrame(
+        [(3, "U", 0), (40, "I", 1)], "id long, v string, n long"
+    )
+    t.merge_into(
+        src, keys=["id"],
+        matched=[("update", None, {"v": "s.v"})],
+        not_matched=[(None, None)],
+    )
+    rows = {r.id: r.v for r in t.scan(virtual_column=None).collect()}
+    assert rows[3] == "U" and rows[40] == "I" and len(rows) == 21
+    # bucket pruning still works on the post-merge layout
+    assert len(t.plan_files("id = 3")) < len(t.plan_files())
+
+
+def test_merge_into_with_added_default_column(spark, warehouse):
+    t = _target(spark, warehouse, "dflt")
+    t.add_column("tier", "int", default_sql="7")
+    src = spark.createDataFrame(
+        [(2, "B", 0, 9), (9, "N", 1, None)],
+        "id long, v string, n long, tier int",
+    )
+    t.merge_into(
+        src, keys=["id"],
+        matched=[("update", None, {"tier": "s.tier"})],
+        not_matched=[(None, None)],
+    )
+    rows = {r.id: r.tier for r in t.scan(virtual_column=None).collect()}
+    # pre-add rows read the initial default; updated row takes source;
+    # inserted row keeps its explicit NULL (no blanket coalesce)
+    assert rows == {1: 7, 2: 9, 3: 7, 4: 7, 9: None}
