@@ -3217,6 +3217,19 @@ class SnapshotTable:
         if not use_rid:
             # determinism: all-or-nothing
             df = df.drop("__hb_row_id", "__hb_last_seq")
+        # declared columns no affected file carries yet (add_column with
+        # no default, before any write) surface as typed NULLs — same
+        # rule as scan(); without this, a COW UPDATE/MERGE assignment
+        # to the new column was silently dropped for pre-add files
+        # (the rewrite loops skip columns absent from the frame)
+        if meta.get("schema_json"):
+            declared = StructType.fromJson(json.loads(meta["schema_json"]))
+            have = set(df.columns)
+            for fld in declared.fields:
+                if fld.name not in have:
+                    df = df.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
         return _CowPlan(df, carry, current, deletes or None, carry_seq)
 
     def _commit(

@@ -333,3 +333,42 @@ def test_merge_into_with_added_default_column(spark, warehouse):
     # pre-add rows read the initial default; updated row takes source;
     # inserted row keeps its explicit NULL (no blanket coalesce)
     assert rows == {1: 7, 2: 9, 3: 7, 4: 7, 9: None}
+
+
+def test_merge_into_after_field_id_reuse(spark, warehouse):
+    # the clause merge must compose with id-resolved reads: rename a
+    # column, reuse its name, then merge on the key — both generations
+    # resolve correctly through the rewrite
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "fidmrg"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "old1"), (2, "old2")], "id long, a string"
+        ).coalesce(1)
+    )
+    t.rename_column("a", "b")
+    t.add_column("a", "string")
+    src = spark.createDataFrame(
+        [(2, "B2", "A2"), (9, "B9", "A9")], "id long, b string, a string"
+    )
+    t.merge_into(
+        src, keys=["id"],
+        matched=[("update", None, {"b": "s.b", "a": "s.a"})],
+        not_matched=[(None, None)],
+    )
+    rows = {r.id: (r.b, r.a) for r in t.scan(virtual_column=None).collect()}
+    assert rows == {
+        1: ("old1", None),
+        2: ("B2", "A2"),
+        9: ("B9", "A9"),
+    }
+
+
+def test_cow_update_on_freshly_added_column(spark, warehouse):
+    # the latent bug the reuse-merge test surfaced: a COW UPDATE
+    # assignment to a just-added (default-less) column must apply to
+    # rows in files that predate the add — not silently drop
+    t = _target(spark, warehouse, "addupd")
+    t.add_column("flag", "string")
+    t.update_where("id = 2", {"flag": "'hit'"})
+    rows = {r.id: r.flag for r in t.scan(virtual_column=None).collect()}
+    assert rows == {1: None, 2: "hit", 3: None, 4: None}
