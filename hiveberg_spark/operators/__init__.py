@@ -50,4 +50,5 @@ from hiveberg_spark.operators import (  # noqa: F401
     aggregates,
     windows,
     setops,
+    facade,
 )

@@ -1,0 +1,70 @@
+"""Driver-checkable query for the `hiveberg` Python Data Source facade
+(sources/pyds.py): the same snapshot-table semantics the engine scan
+is oracled on, read through `spark.read.format("hiveberg")` instead —
+proving the DSv2 surface end-to-end (plan → partitions → executor
+Arrow read) against DuckDB.
+
+Reference contract: main/IcebergStorageHandler.java:21-38 (the
+reference's pluggable-source exposure, re-expressed as Spark's)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hiveberg_spark.registry import query
+
+
+@query(
+    "pyds_facade_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+           CAST(SUM(7) AS BIGINT) AS sum_default,
+           CAST(COUNT(name) AS BIGINT) AS n_named
+    FROM (SELECT s_suppkey, s_name AS name FROM supplier
+          WHERE s_suppkey >= 2)
+    """,
+)
+def pyds_facade_scan(spark, sf_dir):
+    """Read a snapshot table through the Python Data Source facade
+    after it has been through a merge-on-read DELETE, a column rename,
+    and an add-column-with-default — the three evolution shapes whose
+    per-file read specs the facade resolves at plan time. The oracle
+    recomputes the aggregate from the raw supplier rows: s_suppkey<2
+    deleted (MOR), s_name visible under its renamed name, and every
+    surviving row reading the initial default 7 (all data files
+    predate the add)."""
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources import pyds
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_pyds_facade")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+
+    def builder(t):
+        k = F.col("s_suppkey")
+        t.append(supplier.filter(k < 6).coalesce(1))
+        t.append(supplier.filter(k >= 6).coalesce(1))
+        t.delete_where("s_suppkey < 2", mode="merge-on-read")
+        t.rename_column("s_name", "name")
+        t.add_column("score", "int", default_sql="7")
+
+    with _lock:
+        build_once(spark, loc, builder)
+    pyds.register(spark)
+    df = (
+        spark.read.format("hiveberg")
+        .option("virtual_column", "")
+        .load(loc)
+    )
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("s_suppkey").cast("long").alias("sum_key"),
+        F.sum("score").cast("long").alias("sum_default"),
+        F.count("name").cast("long").alias("n_named"),
+    )

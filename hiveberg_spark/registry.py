@@ -134,6 +134,7 @@ DRIVER_WINDOW: list[str] = [
 # this round); they lead round 7's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # round-6 additions that landed after the window froze — lead r7
+    "pyds_facade_scan",
     "dedup_cluster_components",
     "text_perplexity_proxy",
     "q4_order_priority",

@@ -66,6 +66,9 @@ def get_spark(
         # error-on-cast behavior.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python Data Source facade (sources/pyds.py): let pushFilters
+        # feed manifest pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # INT96 timestamps carry no footer stats (kills snapshot-table
         # temporal pruning) and are legacy; micros is Arrow/DuckDB-native
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -99,6 +102,10 @@ _RUNTIME_CONF = {
     # is the modern interoperable physical type (DuckDB/Arrow read it
     # natively) and footer min/max work
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # the hiveberg Python Data Source facade (sources/pyds.py) routes
+    # pushed filters into manifest min/max pruning; off by default in
+    # Spark 4.1 while the Python pushdown API stabilizes
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

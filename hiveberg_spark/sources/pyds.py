@@ -1,0 +1,554 @@
+"""Python Data Source facade: ``spark.read.format("hiveberg")``.
+
+The idiomatic-Spark front door to the snapshot-table layer (PySpark 4's
+Python Data Source API, `pyspark.sql.datasource`): the table registers
+as a real DSv2 source, so a user reads it exactly like parquet —
+
+    spark.dataSource.register(HivebergDataSource)
+    df = (spark.read.format("hiveberg")
+          .option("snapshot_id", 3)          # or ref=..., or
+          .load("/warehouse/orders"))        #   as_of_timestamp_ms=...
+
+Execution model (the 100 TB shape):
+
+- **Planning is driver-side pure Python** over the same snapshot
+  metadata `SnapshotTable.scan()` uses — the facade instantiates the
+  table with ``spark=None`` and reuses `plan_files`/`_files_as_of`/
+  `_raw_deletes_as_of`/`_file_seq_as_of`/`_all_file_name_maps`
+  verbatim, so file pruning, delete scoping, and field-id resolution
+  CANNOT drift from the engine's own scan.
+- **Each live data file becomes one InputPartition** carrying a fully
+  resolved read spec (physical→current column map, applicable
+  defaults as evaluated constants, the delete payloads that target
+  this file). Executors read with pyarrow and yield Arrow record
+  batches — partition-parallel, no driver data movement.
+- **Filter pushdown** (`pushFilters`) feeds the engine's manifest
+  pruning (min/max stats tier); every filter is also returned to
+  Spark, which re-applies it — pruning is advisory, correctness never
+  depends on it.
+
+Semantics parity with `scan()` (each is tested head-to-head in
+tests/test_pyds.py): snapshot / timestamp / ref time travel, virtual
+snapshot-id column, rename log AND field-id column resolution (name
+reuse safe), type widening, drops, Iceberg-v3 initial defaults,
+declared-but-never-written columns as typed NULLs, and merge-on-read
+position deletes, deletion vectors, and sequence-scoped equality
+deletes.
+
+Documented v1 limits (these shapes raise; `SnapshotTable.scan()`
+remains the full-fidelity path): avro data files (pure-Python codec,
+no arrow reader), `add_files`-adopted Hive-layout roots (dir-derived
+partition columns), and row-lineage output columns. Default
+expressions are evaluated ONCE at plan time (DuckDB constant fold) —
+exact for the literal defaults Iceberg v3 `initial-default` allows.
+
+Reference contract: the reference exposes its table through a Hive
+StorageHandler + InputFormat (main/IcebergStorageHandler.java:21-38,
+main/IcebergInputFormat.java:47-107 — splits carry per-file state to
+record readers); this module is that surface re-expressed as Spark's
+native source API with executor-side Arrow reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from hiveberg_spark.sources.snapshot_table import (
+    DEFAULT_VIRTUAL_COLUMN,
+    SnapshotTable,
+    _dv_decode,
+    _dv_last_per_file,
+)
+
+__all__ = ["HivebergDataSource", "UnsupportedTableShape", "register"]
+
+
+class UnsupportedTableShape(Exception):
+    """A table shape the facade documents as out of scope (read it via
+    `SnapshotTable.scan()`). Deliberately NOT NotImplementedError: the
+    Python Data Source protocol interprets NotImplementedError from
+    `partitions()` as "source does not partition" and silently falls
+    back to a single None partition — a guard must never be read as a
+    capability probe."""
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def register(spark) -> None:
+    """Register the `hiveberg` format on a session (idempotent)."""
+    spark.dataSource.register(HivebergDataSource)
+
+
+# -- plan-time helpers (driver-side, pure Python) -------------------------
+
+
+def _render_literal(v: Any) -> str | None:
+    """Render a pushed-filter value as the SQL literal form the
+    engine's conjunct parser (`_parse_literal`) accepts; None = not
+    renderable (that filter simply doesn't prune)."""
+    import datetime as _dt
+    import decimal
+
+    if isinstance(v, bool):  # bool is int; min/max pruning has no bool tier
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _dt.datetime):
+        return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+    if isinstance(v, _dt.date):
+        return "DATE '" + v.isoformat() + "'"
+    return None
+
+
+_CMP_OPS: list[tuple[type, str]] = [
+    (EqualTo, "="),
+    (EqualNullSafe, "="),
+    (GreaterThan, ">"),
+    (GreaterThanOrEqual, ">="),
+    (LessThan, "<"),
+    (LessThanOrEqual, "<="),
+]
+
+
+def _filters_to_conjuncts(filters: list[Filter]) -> list[str]:
+    """Translate the prunable subset of pushed filters into the
+    `col op literal` conjunct strings `plan_files` evaluates against
+    manifest min/max stats. Unsupported shapes are skipped — Spark
+    re-applies every filter anyway."""
+    out: list[str] = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1 or not _IDENT.match(attr[0]):
+            continue
+        col = attr[0]
+        if isinstance(f, In):
+            lits = [_render_literal(v) for v in f.value]
+            if lits and all(x is not None for x in lits):
+                out.append(f"{col} IN ({', '.join(lits)})")
+            continue
+        for klass, op in _CMP_OPS:
+            if isinstance(f, klass):
+                if isinstance(f, EqualNullSafe) and f.value is None:
+                    break  # `col <=> NULL`: stats can't prove absence
+                lit = _render_literal(f.value)
+                if lit is not None:
+                    out.append(f"{col} {op} {lit}")
+                break
+    return out
+
+
+def _eval_default(sql: str) -> Any:
+    """Constant-fold a default expression to a Python value (DuckDB).
+    Iceberg v3 `initial-default` values are literals, so one plan-time
+    evaluation is exact."""
+    import duckdb
+
+    return duckdb.sql(f"SELECT {sql}").fetchone()[0]
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One live data file with its fully-resolved read spec (picklable
+    plain dict — ships to the executor inside the partition)."""
+
+    spec: dict | None  # None = empty-table sentinel
+
+
+class HivebergReader(DataSourceReader):
+    def __init__(self, options: dict, user_schema: StructType | None):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hiveberg: .load(<table location>) is required")
+        self.options = dict(options)
+        self.conjuncts: list[str] = []
+        # resolved eagerly so schema/planning failures surface on the
+        # driver, not inside executors
+        self.plan = _plan_shared(self.path, self.options)
+        if user_schema is not None and [
+            (f.name, f.dataType) for f in user_schema.fields
+        ] != [(f.name, f.dataType) for f in self.plan["out_schema"].fields]:
+            raise ValueError(
+                "hiveberg: user-supplied schema must match the table "
+                "schema (schema evolution is table-managed)"
+            )
+
+    # -- pushdown ------------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        self.conjuncts = _filters_to_conjuncts(filters)
+        # every filter goes back to Spark: pruning is advisory
+        return filters
+
+    # -- planning ------------------------------------------------------
+
+    def partitions(self) -> list[InputPartition]:
+        specs = _plan_partitions(self.path, self.options, self.conjuncts)
+        if not specs:
+            return [_FilePartition(None)]
+        return [_FilePartition(s) for s in specs]
+
+    # -- executor-side read -------------------------------------------
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None or partition.spec is None:
+            return
+        yield from _read_partition(
+            partition.spec,
+            self.plan["out_schema_json"],
+            self.plan["renames"],
+            self.plan["drops"],
+            self.plan["virtual_column"],
+            self.plan["sid"],
+        )
+
+
+class HivebergDataSource(DataSource):
+    """`spark.read.format("hiveberg").load(location)` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hiveberg"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("hiveberg: .load(<table location>) is required")
+        return _plan_shared(path, dict(self.options))["out_schema"]
+
+    def reader(self, schema: StructType) -> HivebergReader:
+        return HivebergReader(dict(self.options), None)
+
+
+# -- shared plan state ----------------------------------------------------
+
+
+def _resolve_sid(tbl: SnapshotTable, options: dict) -> int | None:
+    picked = [
+        k
+        for k in ("snapshot_id", "ref", "as_of_timestamp_ms")
+        if options.get(k) is not None
+    ]
+    if len(picked) > 1:
+        raise ValueError(
+            "hiveberg: pass snapshot_id OR ref OR as_of_timestamp_ms, "
+            f"not {picked}"
+        )
+    if options.get("snapshot_id") is not None:
+        return int(options["snapshot_id"])
+    if options.get("ref") is not None:
+        return tbl.resolve_ref(str(options["ref"]))
+    if options.get("as_of_timestamp_ms") is not None:
+        return tbl.snapshot_id_as_of(int(options["as_of_timestamp_ms"]))
+    return None
+
+
+def _virtual_column(options: dict) -> str | None:
+    if "virtual_column" in options:
+        v = options.get("virtual_column")
+        return v or None  # empty string / None opts the column out
+    return DEFAULT_VIRTUAL_COLUMN
+
+
+def _plan_shared(path: str, options: dict) -> dict:
+    """Schema + scan-invariant state (cheap: metadata.json only)."""
+    from pyspark.sql.types import LongType, StructField
+
+    tbl = SnapshotTable(None, path)
+    meta = tbl._read_meta()
+    if not meta.get("schema_json"):
+        raise UnsupportedTableShape(
+            "hiveberg: the facade needs a declared schema "
+            "(legacy schemaless tables read via SnapshotTable.scan())"
+        )
+    files, sid = tbl._files_as_of(_resolve_sid(tbl, options))
+    declared = StructType.fromJson(json.loads(meta["schema_json"]))
+    vcol = _virtual_column(options)
+    fields = list(declared.fields)
+    if vcol:
+        if vcol in declared.names:
+            raise ValueError(
+                f"hiveberg: virtual column {vcol!r} collides with a "
+                "table column"
+            )
+        fields.append(StructField(vcol, LongType(), True))
+    out = StructType(fields)
+    return {
+        "out_schema": out,
+        "out_schema_json": out.json(),
+        "renames": meta.get("renames", []),
+        "drops": meta.get("drops", []),
+        "virtual_column": vcol,
+        "sid": sid,
+        "n_files": len(files),
+    }
+
+
+def _plan_partitions(
+    path: str, options: dict, conjuncts: list[str]
+) -> list[dict]:
+    """One read spec per surviving data file (driver-side planning:
+    O(live files) metadata, zero data reads except plan-time default
+    evaluation)."""
+    tbl = SnapshotTable(None, path)
+    meta = tbl._read_meta()
+    sid_req = _resolve_sid(tbl, options)
+    files, sid = tbl._files_as_of(sid_req)
+    if not files:
+        return []
+    if conjuncts:
+        kept = set(
+            tbl.plan_files(where=" AND ".join(conjuncts), snapshot_id=sid)
+        )
+        files = [f for f in files if f in kept]
+
+    bases = meta.get("adopted_hive_bases", {})
+    for f in files:
+        fmt = f.rsplit(".", 1)[-1]
+        if fmt == "avro":
+            raise UnsupportedTableShape(
+                "hiveberg facade: avro data files read via "
+                "SnapshotTable.scan() (pure-Python codec, no arrow path)"
+            )
+        if fmt not in ("parquet", "orc"):
+            raise UnsupportedTableShape(f"hiveberg facade: format {fmt!r}")
+        if any(f.startswith(b + os.sep) for b in bases):
+            raise UnsupportedTableShape(
+                "hiveberg facade: add_files-adopted Hive-layout roots "
+                "read via SnapshotTable.scan()"
+            )
+
+    renames = meta.get("renames", [])
+    fields_meta = meta.get("fields")
+    name_maps = tbl._all_file_name_maps(meta) if fields_meta else {}
+    id_to_cur = (
+        {fl["id"]: fl["name"] for fl in fields_meta} if fields_meta else {}
+    )
+    seq = tbl._file_seq_as_of(meta, sid) if sid is not None else {}
+    deletes = tbl._raw_deletes_as_of(meta, sid) if sid is not None else []
+    defaults = [
+        d for d in meta.get("defaults", []) if d.get("sql") is not None
+    ]
+    default_vals = {d["col"]: _eval_default(d["sql"]) for d in defaults}
+
+    pos_paths = sorted(
+        os.path.join(tbl.location, d["path"])
+        for d in deletes
+        if d["type"] == "position"
+    )
+    dv_last = _dv_last_per_file(deletes)
+    eq_deletes = [d for d in deletes if d["type"] == "equality"]
+
+    specs: list[dict] = []
+    for f in files:
+        rel = tbl._index_file_rel(f)
+        fseq = seq.get(rel, sid or 0)
+        mp = name_maps.get(rel) or name_maps.get(f)
+        colmap = None
+        if mp:
+            # physical name -> current name; absent target = retired id
+            colmap = {
+                phys: id_to_cur.get(fid) for phys, fid in mp.items()
+            }
+        file_defaults = [
+            (d["col"], default_vals[d["col"]])
+            for d in defaults
+            if fseq <= d["as_of"]
+        ]
+        dv = dv_last.get(rel)
+        eq = []
+        for d in eq_deletes:
+            if fseq >= int(d["sid"]):
+                continue  # row written at-or-after the delete survives
+            cols = list(d["cols"])
+            for r in renames:
+                cols = [r["to"] if c == r["from"] else c for c in cols]
+            eq.append(
+                {"path": os.path.join(tbl.location, d["path"]), "cols": cols}
+            )
+        specs.append(
+            {
+                "path": f,
+                "rel": rel,
+                "fmt": f.rsplit(".", 1)[-1],
+                "colmap": colmap,
+                "defaults": file_defaults,
+                "pos_delete_paths": pos_paths,
+                "dv_bits": (dv or {}).get("bits"),
+                "eq_deletes": eq,
+            }
+        )
+    return specs
+
+
+# -- executor-side read ---------------------------------------------------
+
+
+def _legacy_rename(t, renames: list[dict]):
+    """The rename-log resolution `_apply_renames` runs, in Arrow: per
+    file, old-name columns rename to (or coalesce into) current names."""
+    import pyarrow.compute as pc
+
+    for r in renames:
+        cols = t.column_names
+        old, new = r["from"], r["to"]
+        if old in cols and new in cols:
+            merged = pc.coalesce(
+                t[new].combine_chunks(), t[old].combine_chunks()
+            )
+            t = t.set_column(cols.index(new), new, merged).drop_columns([old])
+        elif old in cols:
+            t = t.rename_columns([new if c == old else c for c in cols])
+    return t
+
+
+def _anti_filter_keys(t, keys_t, cols: list[str]):
+    """Null-safe multi-column anti-semi-join, vectorized: both sides'
+    key columns stringify (same types both sides — the delete file was
+    written from the same schema) with a null marker, join with a
+    separator, and rows whose composite key appears in the delete set
+    drop (eqNullSafe semantics: null matches null)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def composite(tab, names):
+        parts = []
+        for c in names:
+            arr = tab[c].combine_chunks()
+            s = pc.coalesce(
+                pc.cast(arr, pa.string()), pa.scalar("\x01<null>")
+            )
+            parts.append(s)
+        if len(parts) == 1:
+            return parts[0]
+        return pc.binary_join_element_wise(*parts, "\x00")
+
+    data_keys = composite(t, cols)
+    del_keys = composite(keys_t, list(keys_t.column_names))
+    kill = pc.is_in(data_keys, value_set=pc.unique(del_keys))
+    return t.filter(pc.invert(kill))
+
+
+def _read_partition(
+    spec: dict,
+    out_schema_json: str,
+    renames: list[dict],
+    drops: list[str],
+    virtual_column: str | None,
+    sid: int | None,
+):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if spec["fmt"] == "parquet":
+        t = pq.read_table(spec["path"])
+    else:
+        from pyarrow import orc
+
+        t = orc.ORCFile(spec["path"]).read()
+
+    # position-based deletes key on parquet row positions; ORC rows
+    # have no position (engine parity: its __hb_pos is null for ORC)
+    if spec["fmt"] == "parquet":
+        dead: set[int] = set()
+        for dp in spec["pos_delete_paths"]:
+            dt_ = pq.read_table(
+                dp, filters=[("file_path", "==", spec["rel"])]
+            )
+            dead.update(dt_["pos"].to_pylist())
+        if spec["dv_bits"]:
+            dead.update(_dv_decode(spec["dv_bits"]))
+        if dead:
+            mask = np.ones(t.num_rows, dtype=bool)
+            idx = [p for p in dead if 0 <= p < t.num_rows]
+            if idx:
+                mask[idx] = False
+                t = t.filter(pa.array(mask))
+
+    # column resolution: field-id map when the manifest recorded one
+    # (name reuse safe), else the rename log
+    if spec["colmap"] is not None:
+        keep, names = [], []
+        for c in t.column_names:
+            cur = spec["colmap"].get(c, c)
+            if cur is None:
+                continue  # retired field id
+            keep.append(c)
+            names.append(cur)
+        t = t.select(keep).rename_columns(names)
+    elif renames:
+        t = _legacy_rename(t, renames)
+    if drops:
+        present = [c for c in drops if c in t.column_names]
+        if present:
+            t = t.drop_columns(present)
+
+    # v3 initial defaults: files predating the defaulted column's add
+    # read the evaluated constant (overriding, like the engine's
+    # withColumn — such files have no physical value to preserve)
+    out_struct = StructType.fromJson(json.loads(out_schema_json))
+    arrow_out = to_arrow_schema(out_struct)
+    for col, val in spec["defaults"]:
+        typ = arrow_out.field(col).type
+        const = pa.array([val], type=None).cast(typ)
+        arr = pa.chunked_array(
+            [const.take(pa.array(np.zeros(t.num_rows, dtype=np.int64)))]
+        ) if t.num_rows else pa.chunked_array([pa.array([], type=typ)])
+        if col in t.column_names:
+            t = t.set_column(t.column_names.index(col), col, arr)
+        else:
+            t = t.append_column(col, arr)
+
+    # sequence-scoped equality deletes (already scoped at plan time)
+    for eq in spec["eq_deletes"]:
+        keys_t = pq.read_table(eq["path"])
+        if keys_t.num_rows:
+            t = _anti_filter_keys(t, keys_t, eq["cols"])
+
+    # final projection: declared order, declared (possibly widened)
+    # types, typed NULLs for declared-never-written columns, constant
+    # virtual snapshot-id column
+    n = t.num_rows
+    arrays = []
+    for field in arrow_out:
+        if virtual_column and field.name == virtual_column:
+            if sid is None:
+                arrays.append(pa.nulls(n, field.type))
+            else:
+                arrays.append(
+                    pa.chunked_array(
+                        [pa.array(np.full(n, sid, dtype=np.int64))]
+                    ).cast(field.type)
+                )
+        elif field.name in t.column_names:
+            arrays.append(t[field.name].cast(field.type))
+        else:
+            arrays.append(pa.nulls(n, field.type))
+    out = pa.table(arrays, schema=arrow_out)
+    yield from out.to_batches(max_chunksize=1 << 16)

@@ -4301,10 +4301,26 @@ class SnapshotTable:
         known = {s["snapshot_id"] for s in meta["snapshots"]}
         if sid not in known:
             raise ValueError(f"unknown snapshot id {sid} (have {sorted(known)})")
-        bucket_by_source = self._bucket_sources(meta)
-        vindex_req = self._value_index_requirements(meta, conjuncts)
-        bloom_req = self._bloom_requirements(meta, conjuncts)
-        if self._entry_count_estimate(meta, sid) >= _DISTRIBUTED_PLAN_THRESHOLD:
+        if self.spark is None:
+            # SPARK-FREE planning (the Python Data Source facade plans
+            # inside a driver-side Python process with no session): the
+            # min/max stats tier still prunes; the tiers whose literal
+            # hashing / bucket resolution needs a one-row Spark job
+            # (value index, bloom, bucket) degrade to keep-everything —
+            # conservative, never wrong, and scan-side residual filters
+            # still apply.
+            bucket_by_source = {}
+            vindex_req: list = []
+            bloom_req: list = []
+        else:
+            bucket_by_source = self._bucket_sources(meta)
+            vindex_req = self._value_index_requirements(meta, conjuncts)
+            bloom_req = self._bloom_requirements(meta, conjuncts)
+        if (
+            self.spark is not None
+            and self._entry_count_estimate(meta, sid)
+            >= _DISTRIBUTED_PLAN_THRESHOLD
+        ):
             return self._plan_files_distributed(
                 meta, sid, conjuncts, bucket_by_source, vindex_req, bloom_req
             )

@@ -1,0 +1,304 @@
+"""Head-to-head parity: the `hiveberg` Python Data Source facade vs
+`SnapshotTable.scan()` on every semantic the facade claims (module doc
+of sources/pyds.py). The engine scan is the oracle here — its own
+correctness is pinned by the DuckDB differential suite — so the facade
+can never drift silently.
+
+Reference contract: main/IcebergStorageHandler.java:21-38 exposes the
+reference table through Hive's pluggable-source API; this suite pins
+the same exposure through Spark's."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiveberg_spark.sources import pyds
+from hiveberg_spark.sources.snapshot_table import SnapshotTable
+from hiveberg_spark.sources.pyds import _filters_to_conjuncts, _plan_partitions
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    pyds.register(spark)
+
+
+def _facade(spark, loc, **opts):
+    r = spark.read.format("hiveberg")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(loc)
+
+
+def _assert_parity(facade_df, engine_df):
+    fc, ec = sorted(facade_df.columns), sorted(engine_df.columns)
+    assert fc == ec
+    assert dict(facade_df.dtypes) == dict(engine_df.dtypes)
+    from collections import Counter
+
+    f_rows = Counter(map(tuple, facade_df.select(*fc).collect()))
+    e_rows = Counter(map(tuple, engine_df.select(*ec).collect()))
+    assert f_rows == e_rows
+
+
+def _simple(spark, rows):
+    return spark.createDataFrame(rows, "id long, data string")
+
+
+def test_basic_scan_and_time_travel(spark, warehouse):
+    loc = os.path.join(warehouse, "basic")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a"), (2, None)]))
+    t.append(_simple(spark, [(3, "c")]))
+    _assert_parity(_facade(spark, loc), t.scan())
+    s1 = t.snapshots().collect()[0].snapshot_id
+    _assert_parity(
+        _facade(spark, loc, snapshot_id=s1), t.scan(snapshot_id=s1)
+    )
+
+
+def test_ref_and_timestamp_travel(spark, warehouse):
+    loc = os.path.join(warehouse, "refs")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]), committed_at=1000)
+    t.create_tag("v1")
+    t.append(_simple(spark, [(2, "b")]), committed_at=2000)
+    _assert_parity(_facade(spark, loc, ref="v1"), t.scan(ref="v1"))
+    _assert_parity(
+        _facade(spark, loc, as_of_timestamp_ms=1500),
+        t.scan(as_of_timestamp_ms=1500),
+    )
+
+
+def test_empty_table_declared_schema(spark, warehouse):
+    loc = os.path.join(warehouse, "empty")
+    SnapshotTable.create(spark, loc, schema="id long, data string")
+    df = _facade(spark, loc)
+    assert df.count() == 0
+    assert df.columns == ["id", "data", "snapshot__id"]
+
+
+def test_virtual_column_rename_and_optout(spark, warehouse):
+    loc = os.path.join(warehouse, "vcol")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    named = _facade(spark, loc, virtual_column="commit_id")
+    assert "commit_id" in named.columns
+    _assert_parity(named, t.scan(virtual_column="commit_id"))
+    off = _facade(spark, loc, virtual_column="")
+    assert off.columns == ["id", "data"]
+
+
+def test_mor_position_deletes(spark, warehouse):
+    loc = os.path.join(warehouse, "mor")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(i, f"d{i}") for i in range(10)]).coalesce(1))
+    t.delete_where("id % 3 = 1", mode="merge-on-read")
+    _assert_parity(_facade(spark, loc), t.scan())
+    assert _facade(spark, loc).filter("id = 5").count() == 1
+    assert _facade(spark, loc).filter("id = 7").count() == 0
+
+
+def test_deletion_vectors(spark, warehouse):
+    loc = os.path.join(warehouse, "dv")
+    t = SnapshotTable.create(spark, loc)
+    t.set_properties(
+        {"write.delete.mode": "merge-on-read", "write.delete.vectors": "true"}
+    )
+    t.append(_simple(spark, [(i, f"d{i}") for i in range(12)]).coalesce(1))
+    t.delete_where("id % 4 = 2", mode="merge-on-read")
+    t.delete_where("id = 5", mode="merge-on-read")
+    meta = t._read_meta()
+    dels = t._raw_deletes_as_of(meta, meta["current_snapshot_id"])
+    assert any(d["type"] == "dv" for d in dels)
+    _assert_parity(_facade(spark, loc), t.scan())
+
+
+def test_equality_deletes_reinsert_survives(spark, warehouse):
+    loc = os.path.join(warehouse, "eq")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a"), (2, "b"), (3, None)]))
+    t.delete_by_keys(spark.createDataFrame([(2,), (3,)], "id long"))
+    t.append(_simple(spark, [(2, "b2")]))  # re-insert AFTER the delete
+    engine = t.scan()
+    assert sorted(r.id for r in engine.collect()) == [1, 2]
+    _assert_parity(_facade(spark, loc), engine)
+
+
+def test_equality_delete_null_key_matches(spark, warehouse):
+    # eqNullSafe semantics: a NULL key value deletes NULL rows
+    loc = os.path.join(warehouse, "eqnull")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a"), (2, None), (3, "c")]))
+    t.delete_by_keys(
+        spark.createDataFrame([(None,)], "data string")
+    )
+    engine = t.scan()
+    assert sorted(r.id for r in engine.collect()) == [1, 3]
+    _assert_parity(_facade(spark, loc), engine)
+
+
+def test_cow_delete_and_compaction(spark, warehouse):
+    # rewritten files carry physical lineage columns (__hb_row_id,
+    # __hb_last_seq) — the facade must project them away
+    loc = os.path.join(warehouse, "cow")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(i, f"d{i}") for i in range(8)]).coalesce(1))
+    t.append(_simple(spark, [(i, f"d{i}") for i in range(8, 12)]).coalesce(1))
+    t.delete_where("id = 3", mode="copy-on-write")
+    t.compact()
+    engine = t.scan()
+    assert "__hb_row_id" not in engine.columns
+    _assert_parity(_facade(spark, loc), engine)
+
+
+def test_rename_across_generations(spark, warehouse):
+    loc = os.path.join(warehouse, "ren")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    t.rename_column("data", "payload")
+    t.append(spark.createDataFrame([(2, "b")], "id long, payload string"))
+    _assert_parity(_facade(spark, loc), t.scan())
+
+
+def test_field_id_name_reuse(spark, warehouse):
+    # rename a->b then add a NEW column under the freed name `a`:
+    # old files' physical `a` must resolve to `b`, not the new `a`
+    loc = os.path.join(warehouse, "reuse")
+    t = SnapshotTable.create(spark, loc, schema="id long, a string")
+    t.append(spark.createDataFrame([(1, "old")], "id long, a string"))
+    t.rename_column("a", "b")
+    t.add_column("a", "int")
+    t.append(
+        spark.createDataFrame([(2, "new", 7)], "id long, b string, a int")
+    )
+    engine = t.scan()
+    rows = {r.id: (r.b, r.a) for r in engine.collect()}
+    assert rows[1] == ("old", None) and rows[2] == ("new", 7)
+    _assert_parity(_facade(spark, loc), engine)
+
+
+def test_widen_and_drop(spark, warehouse):
+    loc = os.path.join(warehouse, "widen")
+    t = SnapshotTable.create(spark, loc, schema="id int, v int, junk string")
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, "x")], "id int, v int, junk string"
+        )
+    )
+    t.widen_column("v", "bigint")
+    t.drop_column("junk")
+    t.append(spark.createDataFrame([(2, 2**40)], "id int, v bigint"))
+    engine = t.scan()
+    assert dict(engine.dtypes)["v"] == "bigint"
+    assert "junk" not in engine.columns
+    _assert_parity(_facade(spark, loc), engine)
+
+
+def test_initial_defaults(spark, warehouse):
+    loc = os.path.join(warehouse, "defaults")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    t.add_column("score", "int", default_sql="7")
+    t.add_column("tag", "string", default_sql="'unknown'")
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 99, None)], "id long, data string, score int, tag string"
+        )
+    )
+    engine = t.scan()
+    rows = {r.id: (r.score, r.tag) for r in engine.collect()}
+    # old file reads defaults; new file keeps its explicit NULL
+    assert rows[1] == (7, "unknown") and rows[2] == (99, None)
+    _assert_parity(_facade(spark, loc), engine)
+
+
+def test_declared_never_written_column(spark, warehouse):
+    loc = os.path.join(warehouse, "declared")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    t.add_column("fresh", "double")
+    engine = t.scan()
+    assert dict(engine.dtypes)["fresh"] == "double"
+    _assert_parity(_facade(spark, loc), engine)
+
+
+def test_orc_table(spark, warehouse):
+    loc = os.path.join(warehouse, "orc")
+    t = SnapshotTable.create(spark, loc, file_format="orc")
+    t.append(_simple(spark, [(1, "a"), (2, "b")]))
+    _assert_parity(_facade(spark, loc), t.scan())
+
+
+def test_hidden_partitioning_table(spark, warehouse):
+    loc = os.path.join(warehouse, "hidden")
+    t = SnapshotTable.create(
+        spark,
+        loc,
+        schema="id long, data string",
+        partition_spec=[("bucket", "id", 4)],
+    )
+    t.append(_simple(spark, [(i, f"d{i}") for i in range(20)]))
+    _assert_parity(_facade(spark, loc), t.scan())
+
+
+def test_filter_pushdown_prunes_partitions(spark, warehouse):
+    loc = os.path.join(warehouse, "prune")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(i, f"d{i}") for i in range(0, 10)]).coalesce(1))
+    t.append(
+        _simple(spark, [(i, f"d{i}") for i in range(100, 110)]).coalesce(1)
+    )
+    all_parts = _plan_partitions(loc, {}, [])
+    pruned = _plan_partitions(loc, {}, ["id < 50"])
+    assert len(all_parts) == 2 and len(pruned) == 1
+    # and the pruned read still returns exactly the right rows
+    got = _facade(spark, loc).filter("id < 50")
+    assert sorted(r.id for r in got.collect()) == list(range(0, 10))
+
+
+def test_filter_translation():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNotNull,
+        LessThanOrEqual,
+        StringContains,
+    )
+
+    conj = _filters_to_conjuncts(
+        [
+            EqualTo(("id",), 3),
+            GreaterThan(("v",), 1.5),
+            LessThanOrEqual(("s",), "o'k"),
+            In(("k",), (1, 2)),
+            IsNotNull(("id",)),  # not prunable -> skipped
+            StringContains(("s",), "x"),  # not prunable -> skipped
+            EqualTo(("nested", "field"), 1),  # nested -> skipped
+        ]
+    )
+    assert conj == ["id = 3", "v > 1.5", "s <= 'o''k'", "k IN (1, 2)"]
+
+
+def test_avro_table_raises(spark, warehouse):
+    loc = os.path.join(warehouse, "avro")
+    t = SnapshotTable.create(spark, loc, file_format="avro")
+    t.append(_simple(spark, [(1, "a")]))
+    with pytest.raises(Exception, match="avro"):
+        _facade(spark, loc).collect()
+
+
+def test_snapshot_id_virtual_value_matches(spark, warehouse):
+    loc = os.path.join(warehouse, "vval")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    sid = t._read_meta()["current_snapshot_id"]
+    assert _facade(spark, loc).head().snapshot__id == sid
