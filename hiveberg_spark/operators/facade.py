@@ -68,3 +68,31 @@ def pyds_facade_scan(spark, sf_dir):
         F.sum("score").cast("long").alias("sum_default"),
         F.count("name").cast("long").alias("n_named"),
     )
+
+
+@query(
+    "stream_pyds_source",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(CASE WHEN n_nationkey < 8 THEN 1
+                     WHEN n_nationkey <= 16 THEN 2
+                     ELSE 3 END AS BIGINT) AS snapshot__id
+    FROM nation
+    """,
+)
+def stream_pyds_source(spark, sf_dir):
+    """Streaming read through the facade's DataSourceStreamReader:
+    subscribe to the 3-append nation_versions fixture with snapshot
+    ids as offsets. Every row arrives exactly once, stamped with the
+    snapshot that COMMITTED it (the streaming virtual column) — the
+    oracle reconstructs that stamp from the fixture's deterministic
+    key-range appends (<8 -> commit 1, 8..16 -> commit 2, else 3)."""
+    from hiveberg_spark.operators.timetravel import _ensure_fixture
+    from hiveberg_spark.sources import pyds
+    from hiveberg_spark.streaming.events import run_to_memory
+
+    t = _ensure_fixture(spark, sf_dir)
+    pyds.register(spark)
+    sdf = spark.readStream.format("hiveberg").load(t.location)
+    out = run_to_memory(sdf, output_mode="append", name="pyds_stream_src")
+    return out.select("n_nationkey", "n_name", "n_regionkey", "snapshot__id")

@@ -42,6 +42,13 @@ partition columns), and row-lineage output columns. Default
 expressions are evaluated ONCE at plan time (DuckDB constant fold) —
 exact for the literal defaults Iceberg v3 `initial-default` allows.
 
+The same registration also provides the STREAMING read —
+``spark.readStream.format("hiveberg").load(loc)`` — with snapshot ids
+as offsets: each microbatch is exactly the files appended by the
+commits in (start, end], delivered once, resumable from the query
+checkpoint at a commit boundary (HivebergStreamReader below; Iceberg's
+Spark streaming-read semantics, incl. skip-overwrite opt-in).
+
 Reference contract: the reference exposes its table through a Hive
 StorageHandler + InputFormat (main/IcebergStorageHandler.java:21-38,
 main/IcebergInputFormat.java:47-107 — splits carry per-file state to
@@ -60,6 +67,7 @@ from typing import Any, Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -79,7 +87,12 @@ from hiveberg_spark.sources.snapshot_table import (
     _dv_last_per_file,
 )
 
-__all__ = ["HivebergDataSource", "UnsupportedTableShape", "register"]
+__all__ = [
+    "HivebergDataSource",
+    "HivebergStreamReader",
+    "UnsupportedTableShape",
+    "register",
+]
 
 
 class UnsupportedTableShape(Exception):
@@ -243,6 +256,9 @@ class HivebergDataSource(DataSource):
     def reader(self, schema: StructType) -> HivebergReader:
         return HivebergReader(dict(self.options), None)
 
+    def streamReader(self, schema: StructType) -> "HivebergStreamReader":
+        return HivebergStreamReader(dict(self.options))
+
 
 # -- shared plan state ----------------------------------------------------
 
@@ -403,6 +419,160 @@ def _plan_partitions(
             }
         )
     return specs
+
+
+# -- streaming (offsets = snapshot ids) -----------------------------------
+
+
+def _plan_stream_specs(
+    path: str, options: dict, start_sid: int, end_sid: int
+) -> list[dict]:
+    """Read specs for the data files APPENDED in (start_sid, end_sid]
+    on main — the per-microbatch planning of the streaming read.
+    Append-only contract (Iceberg's streaming read): a replace commit
+    (compaction, COW DML, overwrite) or a merge-on-read delete in the
+    range raises unless `skip_replace_snapshots` opts into skipping it
+    — silently re-reading rewritten files would duplicate rows.
+    Each spec carries its ADDING snapshot id, so the virtual column
+    tells the consumer which commit delivered the row."""
+    tbl = SnapshotTable(None, path)
+    meta = tbl._read_meta()
+    skip_replace = str(
+        options.get("skip_replace_snapshots", "false")
+    ).lower() in ("true", "1", "yes")
+    fields_meta = meta.get("fields")
+    name_maps = tbl._all_file_name_maps(meta) if fields_meta else {}
+    id_to_cur = (
+        {fl["id"]: fl["name"] for fl in fields_meta} if fields_meta else {}
+    )
+    defaults = [
+        d for d in meta.get("defaults", []) if d.get("sql") is not None
+    ]
+    default_vals = {d["col"]: _eval_default(d["sql"]) for d in defaults}
+    bases = meta.get("adopted_hive_bases", {})
+
+    specs: list[dict] = []
+    for s in meta.get("snapshots", []):
+        sid = s["snapshot_id"]
+        if s.get("branch") or not (start_sid < sid <= end_sid):
+            continue
+        is_replace = bool(s.get("replaces")) or s["operation"] != "append"
+        has_deletes = bool(
+            tbl._read_manifest_json(s).get("deletes")
+        )
+        if is_replace or has_deletes:
+            if skip_replace:
+                continue
+            raise ValueError(
+                f"hiveberg stream: snapshot {sid} is "
+                f"{s['operation']!r}; the streaming read requires an "
+                "append-only range (set skip_replace_snapshots=true "
+                "to skip non-append commits)"
+            )
+        for rel in tbl._read_manifest(s):
+            f = (
+                rel
+                if os.path.isabs(rel)
+                else os.path.join(tbl.location, rel)
+            )
+            fmt = f.rsplit(".", 1)[-1]
+            if fmt == "avro":
+                raise UnsupportedTableShape(
+                    "hiveberg stream: avro data files are unsupported"
+                )
+            if fmt not in ("parquet", "orc"):
+                raise UnsupportedTableShape(f"hiveberg stream: {fmt!r}")
+            if any(f.startswith(b + os.sep) for b in bases):
+                raise UnsupportedTableShape(
+                    "hiveberg stream: add_files-adopted Hive roots are "
+                    "unsupported"
+                )
+            relkey = tbl._index_file_rel(f)
+            mp = name_maps.get(relkey) or name_maps.get(f)
+            colmap = (
+                {phys: id_to_cur.get(fid) for phys, fid in mp.items()}
+                if mp
+                else None
+            )
+            specs.append(
+                {
+                    "path": f,
+                    "rel": relkey,
+                    "fmt": fmt,
+                    "colmap": colmap,
+                    # appends never carry: the file's data sequence
+                    # number IS its adding snapshot
+                    "defaults": [
+                        (d["col"], default_vals[d["col"]])
+                        for d in defaults
+                        if sid <= d["as_of"]
+                    ],
+                    "pos_delete_paths": [],
+                    "dv_bits": None,
+                    "eq_deletes": [],
+                    "sid": sid,
+                }
+            )
+    return specs
+
+
+class HivebergStreamReader(DataSourceStreamReader):
+    """`spark.readStream.format("hiveberg")` — snapshot-granular
+    microbatches: offsets ARE snapshot ids ({"snapshot_id": N}), so a
+    restart from checkpoint resumes exactly at a commit boundary and
+    every appended file is delivered exactly once. Executors read the
+    batch's files via the same Arrow partition reader as the batch
+    facade.
+
+    Options: `starting_snapshot_id` (exclusive; default 0 = full
+    history), `starting_offsets=latest` (start at the current head),
+    `skip_replace_snapshots` (skip non-append commits instead of
+    failing). Parity target: Iceberg's Spark streaming read
+    (stream-from-timestamp / skip-overwrite-snapshots semantics)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hiveberg: .load(<table location>) is required")
+        self.options = dict(options)
+        self.plan = _plan_shared(self.path, self.options)
+
+    def _head(self) -> int:
+        meta = SnapshotTable(None, self.path)._read_meta()
+        return meta["current_snapshot_id"] or 0
+
+    def initialOffset(self) -> dict:
+        if self.options.get("starting_snapshot_id") is not None:
+            return {"snapshot_id": int(self.options["starting_snapshot_id"])}
+        if str(self.options.get("starting_offsets", "")).lower() == "latest":
+            return {"snapshot_id": self._head()}
+        return {"snapshot_id": 0}
+
+    def latestOffset(self) -> dict:
+        return {"snapshot_id": self._head()}
+
+    def partitions(self, start: dict, end: dict):
+        specs = _plan_stream_specs(
+            self.path, self.options, start["snapshot_id"], end["snapshot_id"]
+        )
+        if not specs:
+            return [_FilePartition(None)]
+        return [_FilePartition(s) for s in specs]
+
+    def read(self, partition: _FilePartition):
+        if partition is None or partition.spec is None:
+            return
+        yield from _read_partition(
+            partition.spec,
+            self.plan["out_schema_json"],
+            self.plan["renames"],
+            self.plan["drops"],
+            self.plan["virtual_column"],
+            partition.spec["sid"],
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to ack
 
 
 # -- executor-side read ---------------------------------------------------

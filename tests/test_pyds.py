@@ -302,3 +302,92 @@ def test_snapshot_id_virtual_value_matches(spark, warehouse):
     t.append(_simple(spark, [(1, "a")]))
     sid = t._read_meta()["current_snapshot_id"]
     assert _facade(spark, loc).head().snapshot__id == sid
+
+
+# -- streaming reader ------------------------------------------------------
+
+
+def _run_stream(spark, loc, ckpt, out, **opts):
+    r = spark.readStream.format("hiveberg")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load(loc)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(
+        map(tuple, spark.read.parquet(out).select("id", "data", "snapshot__id").collect())
+    )
+
+
+def test_stream_reader_delivers_per_commit(spark, warehouse, tmp_path):
+    loc = os.path.join(warehouse, "stream")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a"), (2, "b")]))
+    t.append(_simple(spark, [(3, "c")]))
+    rows = _run_stream(
+        spark, loc, str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    # virtual column = the ADDING commit, not the head
+    assert rows == [(1, "a", 1), (2, "b", 1), (3, "c", 2)]
+
+
+def test_stream_reader_resumes_from_checkpoint(spark, warehouse, tmp_path):
+    loc = os.path.join(warehouse, "resume")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    assert _run_stream(spark, loc, ck, out) == [(1, "a", 1)]
+    t.append(_simple(spark, [(2, "b")]))
+    # second run reads ONLY the delta (offsets = snapshot ids)
+    assert _run_stream(spark, loc, ck, out) == [(1, "a", 1), (2, "b", 2)]
+
+
+def test_stream_reader_refuses_replace_commits(spark, warehouse, tmp_path):
+    loc = os.path.join(warehouse, "replace")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a"), (2, "b")]))
+    t.delete_where("id = 1", mode="copy-on-write")
+    with pytest.raises(Exception, match="append-only range"):
+        _run_stream(spark, loc, str(tmp_path / "ck"), str(tmp_path / "out"))
+    # opt-in skip: the replace commit is passed over, appends still flow
+    t.append(_simple(spark, [(3, "c")]))
+    rows = _run_stream(
+        spark,
+        loc,
+        str(tmp_path / "ck2"),
+        str(tmp_path / "out2"),
+        skip_replace_snapshots="true",
+    )
+    assert (3, "c", 3) in rows
+
+
+def test_stream_reader_starting_offsets_latest(spark, warehouse, tmp_path):
+    loc = os.path.join(warehouse, "latest")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    # starting at the head: the backlog is skipped...
+    q = (
+        spark.readStream.format("hiveberg")
+        .option("starting_offsets", "latest")
+        .load(loc)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 0
+    # ...and only post-subscription commits arrive
+    t.append(_simple(spark, [(2, "b")]))
+    rows = _run_stream(spark, loc, ck, out)
+    assert rows == [(2, "b", 2)]
