@@ -305,6 +305,16 @@ def _plan_shared(path: str, options: dict) -> dict:
     declared = StructType.fromJson(json.loads(meta["schema_json"]))
     vcol = _virtual_column(options)
     fields = list(declared.fields)
+    if options.get("columns"):
+        # explicit projection: the Python Data Source API has no
+        # column-pruning callback yet, so `.option("columns", "a,b")`
+        # is the scale lever — executors then read ONLY those columns
+        # from the parquet/ORC files (pyarrow column selection)
+        want = [c.strip() for c in str(options["columns"]).split(",") if c.strip()]
+        unknown = [c for c in want if c not in declared.names]
+        if unknown:
+            raise ValueError(f"hiveberg: unknown columns {unknown}")
+        fields = [declared[c] for c in want]
     if vcol:
         if vcol in declared.names:
             raise ValueError(
@@ -636,12 +646,41 @@ def _read_partition(
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    out_struct = StructType.fromJson(json.loads(out_schema_json))
+    # physical column selection (the `.option("columns", ...)` path):
+    # the needed CURRENT names are the projected schema plus any
+    # equality-delete key columns; each file reads only the physical
+    # columns that resolve to one of them
+    needed = {f.name for f in out_struct.fields if f.name != virtual_column}
+    for eq in spec["eq_deletes"]:
+        needed.update(eq["cols"])
+
+    def resolves_to(phys: str) -> str | None:
+        if spec["colmap"] is not None:
+            return spec["colmap"].get(phys, phys)
+        cur = phys
+        for r in renames:
+            if cur == r["from"]:
+                cur = r["to"]
+        return cur
+
     if spec["fmt"] == "parquet":
-        t = pq.read_table(spec["path"])
+        file_cols = pq.ParquetFile(spec["path"]).schema_arrow.names
     else:
         from pyarrow import orc
 
-        t = orc.ORCFile(spec["path"]).read()
+        file_cols = orc.ORCFile(spec["path"]).schema.names
+    sel = [c for c in file_cols if resolves_to(c) in needed]
+    if not sel and file_cols:
+        # no needed column is physical in this file (all defaulted /
+        # null-filled) — read one column anyway to carry the row count
+        sel = [file_cols[0]]
+    if spec["fmt"] == "parquet":
+        t = pq.read_table(spec["path"], columns=sel)
+    else:
+        from pyarrow import orc
+
+        t = orc.ORCFile(spec["path"]).read(columns=sel)
 
     # position-based deletes key on parquet row positions; ORC rows
     # have no position (engine parity: its __hb_pos is null for ORC)
@@ -682,9 +721,10 @@ def _read_partition(
     # v3 initial defaults: files predating the defaulted column's add
     # read the evaluated constant (overriding, like the engine's
     # withColumn — such files have no physical value to preserve)
-    out_struct = StructType.fromJson(json.loads(out_schema_json))
     arrow_out = to_arrow_schema(out_struct)
     for col, val in spec["defaults"]:
+        if col not in needed:
+            continue  # projected away — don't materialize it
         typ = arrow_out.field(col).type
         const = pa.array([val], type=None).cast(typ)
         arr = pa.chunked_array(

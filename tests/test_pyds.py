@@ -391,3 +391,24 @@ def test_stream_reader_starting_offsets_latest(spark, warehouse, tmp_path):
     t.append(_simple(spark, [(2, "b")]))
     rows = _run_stream(spark, loc, ck, out)
     assert rows == [(2, "b", 2)]
+
+
+def test_columns_projection_option(spark, warehouse):
+    loc = os.path.join(warehouse, "proj")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string, v int")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, data string, v int"
+        )
+    )
+    df = _facade(spark, loc, columns="v,id", virtual_column="")
+    assert df.columns == ["v", "id"]
+    assert sorted(map(tuple, df.collect())) == [(10, 1), (20, 2)]
+    with pytest.raises(Exception, match="unknown columns"):
+        _facade(spark, loc, columns="nope").collect()
+    # projection composes with renames + defaults + eq deletes
+    t.rename_column("data", "payload")
+    t.add_column("score", "int", default_sql="5")
+    t.delete_by_keys(spark.createDataFrame([(1,)], "id long"))
+    df2 = _facade(spark, loc, columns="payload,score", virtual_column="")
+    assert sorted(map(tuple, df2.collect())) == [("b", 5)]
