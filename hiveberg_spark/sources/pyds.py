@@ -192,6 +192,100 @@ class _FilePartition(InputPartition):
     spec: dict | None  # None = empty-table sentinel
 
 
+class HivebergMetaReader(DataSourceReader):
+    """`.option("table", "snapshots"|"history"|"refs"|"files")` — the
+    metadata tables through the same format (Iceberg's `db.tbl.files`
+    suffix addressing, as a read option). Metadata-sized by definition:
+    one partition, rows built from the manifest/metadata JSON by the
+    SAME row builders the engine's metadata DataFrames use."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.table = str(options["table"]).lower()
+        self.snapshot_id = (
+            int(options["snapshot_id"])
+            if options.get("snapshot_id") is not None
+            else None
+        )
+        if self.table not in _META_TABLES:
+            raise ValueError(
+                f"hiveberg: unknown metadata table {self.table!r} "
+                f"(have {sorted(_META_TABLES)})"
+            )
+
+    def partitions(self) -> list[InputPartition]:
+        return [_FilePartition({"meta": self.table})]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        tbl = SnapshotTable(None, self.path)
+        if self.table == "files":
+            rows = tbl._files_rows(self.snapshot_id)
+        else:
+            builder = getattr(tbl, _META_TABLES[self.table])
+            rows = builder(tbl._read_meta())
+        yield from iter(rows)
+
+
+#: option value -> SnapshotTable row-builder (files is special-cased:
+#: it takes a snapshot id, not a meta dict)
+_META_TABLES = {
+    "snapshots": "_snapshots_rows",
+    "history": "_history_rows",
+    "refs": "_refs_rows",
+    "files": "_files_rows",
+}
+
+
+def _meta_schema(table: str) -> StructType:
+    # StructType.fromDDL needs a live SparkContext, which the planning
+    # worker lacks — build the (engine-matching) schemas directly; the
+    # facade-vs-engine parity tests pin them to the DDL constants
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+    )
+
+    def f(name, typ):
+        return StructField(name, typ, True)
+
+    smap = MapType(StringType(), StringType())
+    schemas = {
+        "snapshots": [
+            f("committed_at", LongType()),
+            f("snapshot_id", LongType()),
+            f("parent_id", LongType()),
+            f("operation", StringType()),
+            f("manifest_list", StringType()),
+            f("summary", smap),
+        ],
+        "history": [
+            f("made_current_at", LongType()),
+            f("snapshot_id", LongType()),
+            f("parent_id", LongType()),
+            f("is_current_ancestor", BooleanType()),
+        ],
+        "refs": [
+            f("name", StringType()),
+            f("type", StringType()),
+            f("snapshot_id", LongType()),
+        ],
+        "files": [
+            f("content", StringType()),
+            f("file_path", StringType()),
+            f("file_format", StringType()),
+            f("added_snapshot_id", LongType()),
+            f("record_count", LongType()),
+            f("partition", smap),
+            f("lower_bounds", smap),
+            f("upper_bounds", smap),
+        ],
+    }
+    return StructType(schemas[table])
+
+
 class HivebergReader(DataSourceReader):
     def __init__(self, options: dict, user_schema: StructType | None):
         self.path = options.get("path")
@@ -251,9 +345,19 @@ class HivebergDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("hiveberg: .load(<table location>) is required")
+        if self.options.get("table"):
+            t = str(self.options["table"]).lower()
+            if t not in _META_TABLES:
+                raise ValueError(
+                    f"hiveberg: unknown metadata table {t!r} "
+                    f"(have {sorted(_META_TABLES)})"
+                )
+            return _meta_schema(t)
         return _plan_shared(path, dict(self.options))["out_schema"]
 
-    def reader(self, schema: StructType) -> HivebergReader:
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("table"):
+            return HivebergMetaReader(dict(self.options))
         return HivebergReader(dict(self.options), None)
 
     def streamReader(self, schema: StructType) -> "HivebergStreamReader":

@@ -240,6 +240,13 @@ _SNAPSHOT_SCHEMA = (
     "operation string, manifest_list string, summary map<string,string>"
 )
 
+_HISTORY_SCHEMA = (
+    "made_current_at long, snapshot_id long, parent_id long, "
+    "is_current_ancestor boolean"
+)
+
+_REFS_SCHEMA = "name string, type string, snapshot_id long"
+
 _LOCK_STALE_SECS = 120.0
 _LOCK_WAIT_SECS = 60.0
 
@@ -5618,15 +5625,18 @@ class SnapshotTable:
         ref — name, type ('branch' | 'tag'), and the snapshot it
         points at. `main` is included as a branch pointing at the
         current snapshot, matching Iceberg's implicit main ref."""
-        meta = self._read_meta()
+        return self.spark.createDataFrame(
+            self._refs_rows(self._read_meta()), _REFS_SCHEMA
+        )
+
+    @staticmethod
+    def _refs_rows(meta: dict) -> list[tuple]:
         rows = []
         if meta["current_snapshot_id"] is not None:
             rows.append(("main", "branch", meta["current_snapshot_id"]))
         for name, r in sorted(meta.get("refs", {}).items()):
             rows.append((name, r.get("type", "tag"), r["snapshot_id"]))
-        return self.spark.createDataFrame(
-            rows, "name string, type string, snapshot_id long"
-        )
+        return rows
 
     def count_rows(self, snapshot_id: int | None = None) -> int:
         """COUNT(*) from METADATA when possible (Iceberg's aggregate
@@ -5687,7 +5697,12 @@ class SnapshotTable:
         (their changes are not in the current state) while staying
         time-travelable, exactly Iceberg's `is_current_ancestor`
         distinction."""
-        meta = self._read_meta()
+        return self.spark.createDataFrame(
+            self._history_rows(self._read_meta()), _HISTORY_SCHEMA
+        )
+
+    @staticmethod
+    def _history_rows(meta: dict) -> list[tuple]:
         current = meta["current_snapshot_id"]
         by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
         ancestors: set[int] = set()
@@ -5700,7 +5715,7 @@ class SnapshotTable:
                 sid = int(target) if target is not None else s["parent_id"]
             else:
                 sid = s["parent_id"]
-        rows = [
+        return [
             (
                 # the instant this snapshot BECAME current (publish time
                 # for fast-forwarded branch commits), matching Iceberg's
@@ -5714,18 +5729,17 @@ class SnapshotTable:
             )
             for s in sorted(meta["snapshots"], key=lambda x: x["snapshot_id"])
         ]
-        return self.spark.createDataFrame(
-            rows,
-            "made_current_at long, snapshot_id long, parent_id long, "
-            "is_current_ancestor boolean",
-        )
 
     def snapshots(self) -> DataFrame:
         """The `__snapshots` metadata table (SnapshotIterable.java:48-57):
         (committed_at, snapshot_id, parent_id, operation, manifest_list,
         summary map)."""
-        meta = self._read_meta()
-        rows = [
+        return self.spark.createDataFrame(
+            self._snapshots_rows(self._read_meta()), _SNAPSHOT_SCHEMA
+        )
+
+    def _snapshots_rows(self, meta: dict) -> list[tuple]:
+        return [
             (
                 s["committed_at"],
                 s["snapshot_id"],
@@ -5736,7 +5750,6 @@ class SnapshotTable:
             )
             for s in meta["snapshots"]
         ]
-        return self.spark.createDataFrame(rows, _SNAPSHOT_SCHEMA)
 
     def files(self, snapshot_id: int | None = None) -> DataFrame:
         """The `__files` metadata table (Iceberg's `files` table; the
@@ -5749,6 +5762,11 @@ class SnapshotTable:
         readable lower/upper column bounds from the manifest stats.
         Metadata-only: no data file is opened; this is how an operator
         inspects layout/pruning health of a 100 TB table for free."""
+        return self.spark.createDataFrame(
+            self._files_rows(snapshot_id), _FILES_SCHEMA
+        )
+
+    def _files_rows(self, snapshot_id: int | None = None) -> list[tuple]:
         meta = self._read_meta()
         entries, sid = self._entries_as_of(snapshot_id)
         added: dict[str, int] = {}
@@ -5819,7 +5837,7 @@ class SnapshotTable:
                         {},
                     )
                 )
-        return self.spark.createDataFrame(rows, _FILES_SCHEMA)
+        return rows
 
     def position_deletes(self, snapshot_id: int | None = None) -> DataFrame:
         """The `position_deletes` metadata table (Iceberg's

@@ -412,3 +412,39 @@ def test_columns_projection_option(spark, warehouse):
     t.delete_by_keys(spark.createDataFrame([(1,)], "id long"))
     df2 = _facade(spark, loc, columns="payload,score", virtual_column="")
     assert sorted(map(tuple, df2.collect())) == [("b", 5)]
+
+
+def test_metadata_tables_option(spark, warehouse):
+    loc = os.path.join(warehouse, "meta")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    t.create_tag("v1")
+    t.append(_simple(spark, [(2, "b")]))
+    t.delete_where("id = 1", mode="merge-on-read")
+
+    def canon(df):
+        # Row.asDict with maps canonicalized (map key order is
+        # unspecified across engines)
+        out = []
+        for r in df.collect():
+            d = r.asDict()
+            out.append(
+                tuple(
+                    tuple(sorted(v.items())) if isinstance(v, dict) else v
+                    for v in d.values()
+                )
+            )
+        return sorted(out)
+
+    pairs = [
+        ("snapshots", t.snapshots()),
+        ("history", t.history()),
+        ("refs", t.refs_table()),
+        ("files", t.files()),
+    ]
+    for name, engine in pairs:
+        facade = spark.read.format("hiveberg").option("table", name).load(loc)
+        assert facade.schema == engine.schema, name
+        assert canon(facade) == canon(engine), name
+    with pytest.raises(Exception, match="unknown metadata table"):
+        spark.read.format("hiveberg").option("table", "nope").load(loc).collect()
