@@ -723,6 +723,11 @@ def _anti_filter_keys(t, keys_t, cols: list[str]):
         parts = []
         for c in names:
             arr = tab[c].combine_chunks()
+            if pa.types.is_floating(arr.type):
+                # Spark's eqNullSafe treats -0.0 = 0.0 (and NaN = NaN);
+                # +0.0 collapses the signed zeros before stringifying —
+                # NaN already stringifies to one canonical form
+                arr = pc.add(arr, pa.scalar(0.0, type=arr.type))
             s = pc.coalesce(
                 pc.cast(arr, pa.string()), pa.scalar("\x01<null>")
             )

@@ -448,3 +448,57 @@ def test_metadata_tables_option(spark, warehouse):
         assert canon(facade) == canon(engine), name
     with pytest.raises(Exception, match="unknown metadata table"):
         spark.read.format("hiveberg").option("table", "nope").load(loc).collect()
+
+
+def test_typed_columns_roundtrip(spark, warehouse):
+    # timestamps (tz-aware arrow read), dates, decimals, arrays, maps,
+    # structs, floats — the facade's arrow->Spark hop must be exact
+    import datetime
+    from decimal import Decimal
+
+    loc = os.path.join(warehouse, "typed")
+    schema = (
+        "id long, ts timestamp, d date, dec decimal(12,2), "
+        "arr array<double>, m map<string,int>, s struct<a:int,b:string>, "
+        "f float"
+    )
+    t = SnapshotTable.create(spark, loc, schema=schema)
+    t.append(
+        spark.createDataFrame(
+            [
+                (
+                    1,
+                    datetime.datetime(2024, 3, 1, 12, 30, 45, 123456),
+                    datetime.date(2024, 3, 1),
+                    Decimal("1234.56"),
+                    [1.5, 2.5],
+                    {"k": 7},
+                    (3, "x"),
+                    -1.25,
+                ),
+                (2, None, None, None, None, None, None, None),
+            ],
+            schema,
+        )
+    )
+    eng = sorted(map(str, t.scan().collect()))
+    fac = sorted(map(str, _facade(spark, loc).collect()))
+    assert eng == fac
+
+
+def test_equality_delete_float_edge_cases(spark, warehouse):
+    # Spark eqNullSafe: -0.0 = 0.0 and NaN = NaN — the facade's
+    # composite-key anti-join must reproduce both
+    loc = os.path.join(warehouse, "feq")
+    t = SnapshotTable.create(spark, loc, schema="id long, f double")
+    t.append(
+        spark.createDataFrame(
+            [(1, 0.0), (2, -0.0), (3, 1.0), (4, float("nan"))],
+            "id long, f double",
+        )
+    )
+    t.delete_by_keys(
+        spark.createDataFrame([(-0.0,), (float("nan"),)], "f double")
+    )
+    assert sorted(r.id for r in t.scan().collect()) == [3]
+    assert sorted(r.id for r in _facade(spark, loc).collect()) == [3]
