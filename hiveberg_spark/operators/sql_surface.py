@@ -3158,3 +3158,72 @@ def snapshot_deletion_vectors(spark, sf_dir):
         )
         .withColumn("no_delete_files_on_disk", F.lit(bool(no_files)))
     )
+
+@query(
+    "snapshot_value_index_freshness",
+    oracle="""
+    SELECT 's_name' AS col,
+           CAST(1 AS BIGINT) AS behind_stale,
+           CAST(1 AS BIGINT) AS covered_stale,
+           CAST(1 AS BIGINT) AS uncovered_stale,
+           FALSE AS fresh_stale,
+           CAST(0 AS BIGINT) AS behind_after,
+           CAST(2 AS BIGINT) AS covered_after,
+           CAST(0 AS BIGINT) AS uncovered_after,
+           TRUE AS fresh_after
+    """,
+)
+def snapshot_value_index_freshness(spark, sf_dir):
+    """`value_indexes` metadata table (roadmap: pin-lag visibility
+    without opening the postings): after append -> build-index ->
+    append, the freshness row shows the index one commit behind with
+    one live file uncovered (always kept by planning — sound, but
+    unpruned); `refresh_value_index` then indexes ONLY the new file
+    (O(new rows)) and the row flips to fresh with full coverage. The
+    stale-state numbers are captured at fixture build time (the
+    refresh that follows is what a maintenance loop would run); the
+    fresh-state numbers are read live from the metadata table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_vi_freshness")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+
+    def builder(t):
+        k = F.col("s_suppkey")
+        t.append(supplier.filter(k < 5).coalesce(1))
+        t.build_value_index("s_name")
+        t.append(supplier.filter(k >= 5).coalesce(1))
+        stale = t.value_indexes().head()
+        t.set_properties(
+            {
+                "test.vi-behind-stale": str(stale.commits_behind),
+                "test.vi-covered-stale": str(stale.covered_live_files),
+                "test.vi-uncovered-stale": str(stale.uncovered_live_files),
+                "test.vi-fresh-stale": str(stale.fresh).lower(),
+            }
+        )
+        t.refresh_value_index("s_name")
+
+    with _lock:
+        t = build_once(spark, loc, builder)
+    props = t.properties()
+    after = t.value_indexes().head()
+    return spark.range(1).select(
+        F.lit("s_name").alias("col"),
+        F.lit(int(props["test.vi-behind-stale"])).cast("long").alias("behind_stale"),
+        F.lit(int(props["test.vi-covered-stale"])).cast("long").alias("covered_stale"),
+        F.lit(int(props["test.vi-uncovered-stale"])).cast("long").alias("uncovered_stale"),
+        F.lit(props["test.vi-fresh-stale"] == "true").alias("fresh_stale"),
+        F.lit(int(after.commits_behind)).cast("long").alias("behind_after"),
+        F.lit(int(after.covered_live_files)).cast("long").alias("covered_after"),
+        F.lit(int(after.uncovered_live_files)).cast("long").alias("uncovered_after"),
+        F.lit(bool(after.fresh)).alias("fresh_after"),
+    )

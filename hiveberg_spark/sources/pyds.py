@@ -233,6 +233,7 @@ _META_TABLES = {
     "history": "_history_rows",
     "refs": "_refs_rows",
     "files": "_files_rows",
+    "value_indexes": "_value_indexes_rows",
 }
 
 
@@ -281,6 +282,15 @@ def _meta_schema(table: str) -> StructType:
             f("partition", smap),
             f("lower_bounds", smap),
             f("upper_bounds", smap),
+        ],
+        "value_indexes": [
+            f("column", StringType()),
+            f("index_snapshot_id", LongType()),
+            f("current_snapshot_id", LongType()),
+            f("commits_behind", LongType()),
+            f("covered_live_files", LongType()),
+            f("uncovered_live_files", LongType()),
+            f("fresh", BooleanType()),
         ],
     }
     return StructType(schemas[table])

@@ -247,6 +247,12 @@ _HISTORY_SCHEMA = (
 
 _REFS_SCHEMA = "name string, type string, snapshot_id long"
 
+_VALUE_INDEXES_SCHEMA = (
+    "column string, index_snapshot_id long, current_snapshot_id long, "
+    "commits_behind long, covered_live_files long, "
+    "uncovered_live_files long, fresh boolean"
+)
+
 _LOCK_STALE_SECS = 120.0
 _LOCK_WAIT_SECS = 60.0
 
@@ -1569,21 +1575,23 @@ class SnapshotTable:
             raise ValueError(f"no such column: {column}")
         rel = os.path.join("metadata", f"valindex-{column}-s{sid}")
         out_dir = os.path.join(self.location, rel)
-        # postings store LOCATION-RELATIVE paths: the table (and the
-        # build_once fixture protocol) may be renamed/moved after the
-        # index is built, and a stale absolute prefix would silently
-        # turn "covered but not matching" into spurious exclusions
-        prefix = os.path.abspath(self.location) + os.sep
-        rel_file = F.replace(
-            F.regexp_replace(F.input_file_name(), F.lit("^file:/+"), F.lit("/")),
-            F.lit(prefix),
-            F.lit(""),
-        )
+        # postings store LOCATION-RELATIVE paths (the lineage column is
+        # already location-relative): the table (and the build_once
+        # fixture protocol) may be renamed/moved after the index is
+        # built, and a stale absolute prefix would silently turn
+        # "covered but not matching" into spurious exclusions. The read
+        # is the RAW file scan (widening + renames + defaults applied,
+        # merge-on-read deletes NOT applied): a deleted row's value
+        # still physically sits in its file, and a superset posting
+        # only costs a harmless read — while joining the delete files
+        # in would break the per-file provenance expression
+        # (MULTI_SOURCES) and buy nothing.
+        files, _ = self._files_as_of(sid)
         postings = (
-            self.scan(snapshot_id=sid, virtual_column=None)
+            self._read_with_defaults(files, meta, None, sid, lineage=True)
             .select(
                 F.xxhash64(F.col(column)).alias("vhash"),
-                rel_file.alias("file"),
+                F.col("__hb_file").alias("file"),
             )
             .distinct()
         )
@@ -1631,21 +1639,17 @@ class SnapshotTable:
             if self._index_file_rel(f) not in covered
         ]
         if new_files:
-            prefix = os.path.abspath(self.location) + os.sep
-            rel_file = F.replace(
-                F.regexp_replace(
-                    F.input_file_name(), F.lit("^file:/+"), F.lit("/")
-                ),
-                F.lit(prefix),
-                F.lit(""),
-            )
+            # same read shape as the full build: widened/defaulted
+            # CURRENT types (a narrow-typed file indexed post-widening
+            # must hash the wide value the probe hashes), raw files
+            # with lineage provenance, no delete joins
             postings = (
-                self._read_data_files(
-                    new_files, meta.get("renames", []), meta.get("drops")
+                self._read_with_defaults(
+                    new_files, meta, None, cur, lineage=True
                 )
                 .select(
                     F.xxhash64(F.col(column)).alias("vhash"),
-                    rel_file.alias("file"),
+                    F.col("__hb_file").alias("file"),
                 )
                 .distinct()
             )
@@ -6232,6 +6236,62 @@ class SnapshotTable:
         finally:
             os.unlink(lock)
         return entry
+
+    def value_indexes(self) -> DataFrame:
+        """The `value_indexes` metadata table (roadmap: index freshness
+        without reading postings): one row per secondary value index —
+        the column, the snapshot it is pinned to, the current snapshot,
+        how many main-published commits it is behind, and the live-file
+        coverage split (covered files prune by bucket lookup; files
+        committed after the pin are ALWAYS kept — sound but unpruned).
+        `fresh` is the signal a maintenance job keys on: false means
+        point probes on the column are degrading toward no-index and
+        `refresh_value_index` would restore full pruning. Metadata-only
+        (manifest walks); the postings store is never opened."""
+        return self.spark.createDataFrame(
+            self._value_indexes_rows(self._read_meta()),
+            _VALUE_INDEXES_SCHEMA,
+        )
+
+    def _value_indexes_rows(self, meta: dict) -> list[tuple]:
+        current = meta["current_snapshot_id"]
+        live = (
+            {self._index_file_rel(p) for p, _, _ in self._entries_as_of(None)[0]}
+            if current is not None
+            else set()
+        )
+        published = [
+            s["snapshot_id"]
+            for s in meta.get("snapshots", [])
+            if not s.get("branch")
+        ]
+        rows = []
+        for col, entry in sorted(meta.get("value_indexes", {}).items()):
+            pin = entry["snapshot_id"]
+            behind = sum(1 for sid in published if sid > pin)
+            try:
+                covered = {
+                    self._index_file_rel(f)
+                    for f, _, _ in self._raw_entries_as_of(meta, pin)
+                }
+            except ValueError:
+                # index snapshot expired: pruning already ignores the
+                # index (graceful degrade) — surface that as zero
+                # coverage so the freshness signal says "rebuild"
+                covered = set()
+            covered_live = len(live & covered)
+            rows.append(
+                (
+                    col,
+                    pin,
+                    current,
+                    behind,
+                    covered_live,
+                    len(live) - covered_live,
+                    len(live) == covered_live,
+                )
+            )
+        return rows
 
     def statistics(self) -> DataFrame:
         """The `statistics` metadata table: one row per (snapshot,

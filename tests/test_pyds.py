@@ -436,11 +436,13 @@ def test_metadata_tables_option(spark, warehouse):
             )
         return sorted(out)
 
+    t.build_value_index("data")
     pairs = [
         ("snapshots", t.snapshots()),
         ("history", t.history()),
         ("refs", t.refs_table()),
         ("files", t.files()),
+        ("value_indexes", t.value_indexes()),
     ]
     for name, engine in pairs:
         facade = spark.read.format("hiveberg").option("table", name).load(loc)

@@ -3082,3 +3082,24 @@ def test_replace_table_as_select(spark, warehouse):
     # the pre-replace generation still travels with its OLD schema data
     old = t.scan(snapshot_id=1, virtual_column=None)
     assert old.count() == 2
+
+
+def test_value_indexes_metadata_table(spark, warehouse):
+    """Freshness rows: pin lag + coverage split, manifest-walk-only;
+    an expired pin surfaces as zero coverage (rebuild signal), and a
+    refresh restores fresh=True."""
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "vi_meta"))
+    assert t.value_indexes().count() == 0  # unindexed: empty with schema
+    t.append(_simple_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.build_value_index("data")
+    row = t.value_indexes().head()
+    assert (row.column, row.commits_behind, row.fresh) == ("data", 0, True)
+    assert (row.covered_live_files, row.uncovered_live_files) == (1, 0)
+    t.append(_simple_df(spark, [(3, "c")]).coalesce(1))
+    row = t.value_indexes().head()
+    assert (row.commits_behind, row.fresh) == (1, False)
+    assert (row.covered_live_files, row.uncovered_live_files) == (1, 1)
+    t.refresh_value_index("data")
+    row = t.value_indexes().head()
+    assert (row.commits_behind, row.fresh) == (0, True)
+    assert (row.covered_live_files, row.uncovered_live_files) == (2, 0)
