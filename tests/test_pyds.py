@@ -504,3 +504,116 @@ def test_equality_delete_float_edge_cases(spark, warehouse):
     )
     assert sorted(r.id for r in t.scan().collect()) == [3]
     assert sorted(r.id for r in _facade(spark, loc).collect()) == [3]
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_facade_random_churn_parity(spark, warehouse, seed):
+    """Randomized append / COW+MOR delete / equality delete / rename /
+    add(+default) / widen / drop / compact churn, with facade-vs-scan
+    parity (current AND a random historical snapshot) asserted along
+    the way — the same churn-guard pattern the field-id and MERGE
+    suites use, here guarding the whole facade read stack."""
+    import random
+
+    rng = random.Random(seed)
+    loc = os.path.join(warehouse, f"churn{seed}")
+    t = SnapshotTable.create(spark, loc, schema="id long, a int, b string")
+    cols: dict[str, str] = {"a": "int", "b": "string"}
+    next_id = 0
+    next_col = 0
+    dropped: set[str] = set()
+
+    def append():
+        nonlocal next_id
+        rows = []
+        for _ in range(rng.randint(1, 6)):
+            vals = [next_id]
+            for c, ty in cols.items():
+                vals.append(
+                    next_id * 3 if ty in ("int", "bigint") else f"v{next_id}"
+                )
+            rows.append(tuple(vals))
+            next_id += 1
+        ddl = "id long, " + ", ".join(f"{c} {ty}" for c, ty in cols.items())
+        df = spark.createDataFrame(rows, ddl)
+        t.append(df.coalesce(1) if rng.random() < 0.5 else df)
+
+    def some_ids():
+        return rng.sample(range(next_id), k=min(2, next_id))
+
+    def op_mor_delete():
+        if next_id:
+            t.delete_where(
+                f"id in ({','.join(map(str, some_ids()))})",
+                mode="merge-on-read",
+            )
+
+    def op_cow_delete():
+        if next_id:
+            t.delete_where(f"id = {rng.randrange(next_id)}")
+
+    def op_eq_delete():
+        if next_id:
+            t.delete_by_keys(
+                spark.createDataFrame([(i,) for i in some_ids()], "id long")
+            )
+
+    def op_rename():
+        nonlocal next_col
+        old = rng.choice(list(cols))
+        new = f"r{next_col}"
+        next_col += 1
+        cols[new] = cols.pop(old)
+        t.rename_column(old, new)
+
+    def op_add():
+        nonlocal next_col
+        name = f"c{next_col}"
+        next_col += 1
+        default = rng.choice([None, "42", "'dflt'"])
+        ty = "string" if default == "'dflt'" else "int"
+        cols[name] = ty
+        t.add_column(name, ty, default_sql=default)
+
+    def op_widen():
+        ints = [c for c, ty in cols.items() if ty == "int"]
+        if ints:
+            c = rng.choice(ints)
+            cols[c] = "bigint"
+            t.widen_column(c, "bigint")
+
+    def op_drop():
+        if len(cols) > 1:
+            c = rng.choice(list(cols))
+            del cols[c]
+            dropped.add(c)
+            t.drop_column(c)
+
+    def check():
+        _assert_parity(_facade(spark, loc), t.scan())
+        sids = [r.snapshot_id for r in t.snapshots().collect()]
+        if sids:
+            sid = rng.choice(sids)
+            _assert_parity(
+                _facade(spark, loc, snapshot_id=sid),
+                t.scan(snapshot_id=sid),
+            )
+
+    ops = [
+        append,
+        append,
+        op_mor_delete,
+        op_cow_delete,
+        op_eq_delete,
+        op_rename,
+        op_add,
+        op_widen,
+        op_drop,
+        t.compact,
+    ]
+    append()
+    for i in range(12):
+        rng.choice(ops)()
+        if i % 4 == 3:
+            check()
+    check()
