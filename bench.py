@@ -52,6 +52,11 @@ HEADLINE = [
     # round 5: the composed training-data pipeline (decontaminate →
     # dedup → quality → split → cap → accounting) as one Catalyst DAG
     "pipeline_corpus_build",
+    # round 6: the Python Data Source facade read path (plan-time
+    # manifest pruning + executor-side Arrow reads over a MOR-deleted,
+    # renamed, defaulted table) — tracks the facade's overhead vs the
+    # JVM scan path round-over-round
+    "pyds_facade_scan",
 ]
 
 
