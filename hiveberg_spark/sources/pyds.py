@@ -105,6 +105,11 @@ class UnsupportedTableShape(Exception):
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+#: plan-time routing reads a position-delete file's file_path column on
+#: the driver; above this record count the file broadcasts to every
+#: partition instead (bounded driver memory)
+_POS_ROUTE_MAX_RECORDS = 2_000_000
+
 
 def register(spark) -> None:
     """Register the `hiveberg` format on a session (idempotent)."""
@@ -500,6 +505,35 @@ def _plan_partitions(
         for d in deletes
         if d["type"] == "position"
     )
+    # route each position-delete file to the data files it actually
+    # targets: one COLUMN-PRUNED read of its file_path values at plan
+    # time replaces every partition re-reading every delete file (an
+    # N-files x M-delete-files read amplification). Oversized delete
+    # files (manifest record count above the tier, or unknown) skip
+    # routing and broadcast to all partitions — the driver never
+    # materializes an unbounded target list.
+    pos_route: dict[str, list[str]] | None = None
+    if pos_paths:
+        counts = {
+            os.path.join(tbl.location, d["path"]): d.get("count")
+            for d in deletes
+            if d["type"] == "position"
+        }
+        if all(
+            c is not None and int(c) <= _POS_ROUTE_MAX_RECORDS
+            for c in counts.values()
+        ):
+            import pyarrow.parquet as _pq
+
+            pos_route = {}
+            for p in pos_paths:
+                targets = set(
+                    _pq.read_table(p, columns=["file_path"])[
+                        "file_path"
+                    ].to_pylist()
+                )
+                for tg in targets:
+                    pos_route.setdefault(tg, []).append(p)
     dv_last = _dv_last_per_file(deletes)
     eq_deletes = [d for d in deletes if d["type"] == "equality"]
 
@@ -537,7 +571,11 @@ def _plan_partitions(
                 "fmt": f.rsplit(".", 1)[-1],
                 "colmap": colmap,
                 "defaults": file_defaults,
-                "pos_delete_paths": pos_paths,
+                "pos_delete_paths": (
+                    sorted(pos_route.get(rel, []))
+                    if pos_route is not None
+                    else pos_paths
+                ),
                 "dv_bits": (dv or {}).get("bits"),
                 "eq_deletes": eq,
             }

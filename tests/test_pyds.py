@@ -617,3 +617,19 @@ def test_facade_random_churn_parity(spark, warehouse, seed):
         if i % 4 == 3:
             check()
     check()
+
+
+def test_pos_delete_routing(spark, warehouse):
+    """Plan-time routing: a position-delete file reaches only the
+    partitions whose data file it targets (no N x M delete-file read
+    amplification); a file with no deletes carries an empty list."""
+    loc = os.path.join(warehouse, "route")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(i, f"d{i}") for i in range(5)]).coalesce(1))
+    t.append(_simple(spark, [(i, f"d{i}") for i in range(5, 10)]).coalesce(1))
+    t.delete_where("id = 2", mode="merge-on-read")  # targets file 1 only
+    specs = {s["rel"]: s for s in _plan_partitions(loc, {}, [])}
+    with_dels = [s for s in specs.values() if s["pos_delete_paths"]]
+    without = [s for s in specs.values() if not s["pos_delete_paths"]]
+    assert len(with_dels) == 1 and len(without) == 1
+    _assert_parity(_facade(spark, loc), t.scan())
