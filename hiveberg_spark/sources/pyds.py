@@ -35,12 +35,19 @@ declared-but-never-written columns as typed NULLs, and merge-on-read
 position deletes, deletion vectors, and sequence-scoped equality
 deletes.
 
+`.option("row_lineage", "true")` appends the Iceberg v3 lineage
+columns `_row_id` / `_last_updated_sequence_number` with
+`scan_with_row_lineage`'s exact semantics: rewrite-materialized
+values win over the block-base/file-seq computation (the v3
+preservation contract), positions require parquet (ORC ids are
+null), and the virtual snapshot column is omitted.
+
 Documented v1 limits (these shapes raise; `SnapshotTable.scan()`
 remains the full-fidelity path): avro data files (pure-Python codec,
-no arrow reader), `add_files`-adopted Hive-layout roots (dir-derived
-partition columns), and row-lineage output columns. Default
-expressions are evaluated ONCE at plan time (DuckDB constant fold) —
-exact for the literal defaults Iceberg v3 `initial-default` allows.
+no arrow reader) and `add_files`-adopted Hive-layout roots
+(dir-derived partition columns). Default expressions are evaluated
+ONCE at plan time (DuckDB constant fold) — exact for the literal
+defaults Iceberg v3 `initial-default` allows.
 
 The same registration also provides the STREAMING read —
 ``spark.readStream.format("hiveberg").load(loc)`` — with snapshot ids
@@ -409,6 +416,14 @@ def _virtual_column(options: dict) -> str | None:
     return DEFAULT_VIRTUAL_COLUMN
 
 
+def _lineage_on(options: dict) -> bool:
+    return str(options.get("row_lineage", "false")).lower() in (
+        "true",
+        "1",
+        "yes",
+    )
+
+
 def _plan_shared(path: str, options: dict) -> dict:
     """Schema + scan-invariant state (cheap: metadata.json only)."""
     from pyspark.sql.types import LongType, StructField
@@ -434,6 +449,22 @@ def _plan_shared(path: str, options: dict) -> dict:
         if unknown:
             raise ValueError(f"hiveberg: unknown columns {unknown}")
         fields = [declared[c] for c in want]
+    if _lineage_on(options):
+        # `.option("row_lineage", "true")`: the Iceberg v3 lineage
+        # columns, matching scan_with_row_lineage's output shape
+        # (which carries no virtual snapshot column)
+        vcol = None
+        clash = {"_row_id", "_last_updated_sequence_number"} & set(
+            declared.names
+        )
+        if clash:
+            raise ValueError(
+                f"hiveberg: row_lineage reserves {sorted(clash)}"
+            )
+        fields = fields + [
+            StructField("_row_id", LongType(), True),
+            StructField("_last_updated_sequence_number", LongType(), True),
+        ]
     if vcol:
         if vcol in declared.names:
             raise ValueError(
@@ -536,6 +567,12 @@ def _plan_partitions(
                     pos_route.setdefault(tg, []).append(p)
     dv_last = _dv_last_per_file(deletes)
     eq_deletes = [d for d in deletes if d["type"] == "equality"]
+    lineage = _lineage_on(options)
+    rid_map = (
+        tbl._first_row_id_as_of(meta, sid)
+        if lineage and sid is not None
+        else {}
+    )
 
     specs: list[dict] = []
     for f in files:
@@ -578,6 +615,13 @@ def _plan_partitions(
                 ),
                 "dv_bits": (dv or {}).get("bits"),
                 "eq_deletes": eq,
+                # row lineage (None keys when the option is off):
+                # the file's commit-assigned first_row_id block base
+                # and its data sequence number — the per-file inputs
+                # scan_with_row_lineage broadcasts as map joins
+                "lineage": lineage,
+                "first_row_id": rid_map.get(rel) if lineage else None,
+                "fseq": fseq if lineage else None,
             }
         )
     return specs
@@ -827,7 +871,13 @@ def _read_partition(
         from pyarrow import orc
 
         file_cols = orc.ORCFile(spec["path"]).schema.names
-    sel = [c for c in file_cols if resolves_to(c) in needed]
+    lineage = bool(spec.get("lineage"))
+    sel = [
+        c
+        for c in file_cols
+        if resolves_to(c) in needed
+        or (lineage and c in ("__hb_row_id", "__hb_last_seq"))
+    ]
     if not sel and file_cols:
         # no needed column is physical in this file (all defaulted /
         # null-filled) — read one column anyway to carry the row count
@@ -838,6 +888,48 @@ def _read_partition(
         from pyarrow import orc
 
         t = orc.ORCFile(spec["path"]).read(columns=sel)
+
+    if lineage:
+        # Iceberg v3 lineage, scan_with_row_lineage's exact semantics:
+        # a rewrite-materialized id / originating-seq column wins over
+        # block-base+position / the file's data sequence number
+        # (copied-but-unmodified rows keep their identity). Positions
+        # require parquet — ORC ids fall back to materialized-or-null.
+        import pyarrow.compute as pc
+
+        n0 = t.num_rows
+        if spec["fmt"] == "parquet" and spec.get("first_row_id") is not None:
+            base = pa.array(
+                np.arange(n0, dtype=np.int64) + int(spec["first_row_id"])
+            )
+        else:
+            base = pa.nulls(n0, pa.int64())
+        rid = base
+        if "__hb_row_id" in t.column_names:
+            rid = pc.coalesce(
+                t["__hb_row_id"].combine_chunks().cast(pa.int64()), base
+            )
+        fseq = spec.get("fseq")
+        seq_arr = (
+            pa.array(np.full(n0, int(fseq), dtype=np.int64))
+            if fseq is not None
+            else pa.nulls(n0, pa.int64())
+        )
+        if "__hb_last_seq" in t.column_names:
+            seq_arr = pc.coalesce(
+                t["__hb_last_seq"].combine_chunks().cast(pa.int64()),
+                seq_arr,
+            )
+        t = t.append_column("_row_id", rid).append_column(
+            "_last_updated_sequence_number", seq_arr
+        )
+        eng = [
+            c
+            for c in ("__hb_row_id", "__hb_last_seq")
+            if c in t.column_names
+        ]
+        if eng:
+            t = t.drop_columns(eng)
 
     # position-based deletes key on parquet row positions; ORC rows
     # have no position (engine parity: its __hb_pos is null for ORC)

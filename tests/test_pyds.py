@@ -633,3 +633,69 @@ def test_pos_delete_routing(spark, warehouse):
     without = [s for s in specs.values() if not s["pos_delete_paths"]]
     assert len(with_dels) == 1 and len(without) == 1
     _assert_parity(_facade(spark, loc), t.scan())
+
+def test_row_lineage_option_basic(spark, warehouse):
+    """`.option("row_lineage", "true")`: the v3 lineage columns with
+    scan_with_row_lineage's exact values — block base + position for
+    appended files, the adding commit's sequence number — and no
+    virtual snapshot column (the engine lineage scan omits it too)."""
+    loc = os.path.join(warehouse, "rl")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(i, f"a{i}") for i in range(6)]).coalesce(1))
+    t.append(_simple(spark, [(i, f"b{i}") for i in range(6, 9)]).coalesce(1))
+    f = _facade(spark, loc, row_lineage=True)
+    assert "_row_id" in f.columns
+    assert "_last_updated_sequence_number" in f.columns
+    assert "snapshot__id" not in f.columns
+    _assert_parity(f, t.scan_with_row_lineage())
+
+
+def test_row_lineage_preserved_across_rewrites(spark, warehouse):
+    """Rewrite-materialized ids / originating seqs win over the
+    block/file-seq computation: COW delete + compaction copy rows whose
+    lineage must NOT change (the v3 preservation contract)."""
+    loc = os.path.join(warehouse, "rlcow")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(i, f"a{i}") for i in range(4)]).coalesce(1))
+    t.append(_simple(spark, [(i, f"b{i}") for i in range(4, 8)]).coalesce(1))
+    t.delete_where("id = 6", mode="copy-on-write")
+    t.compact()
+    _assert_parity(
+        _facade(spark, loc, row_lineage=True), t.scan_with_row_lineage()
+    )
+
+
+def test_row_lineage_mor_and_time_travel(spark, warehouse):
+    loc = os.path.join(warehouse, "rlmor")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    s1 = t.append(_simple(spark, [(i, f"a{i}") for i in range(6)]).coalesce(1))
+    t.delete_where("id = 2", mode="merge-on-read")
+    t.update_where("id = 4", {"data": "'upd'"}, mode="merge-on-read")
+    _assert_parity(
+        _facade(spark, loc, row_lineage=True), t.scan_with_row_lineage()
+    )
+    _assert_parity(
+        _facade(spark, loc, row_lineage=True, snapshot_id=s1),
+        t.scan_with_row_lineage(snapshot_id=s1),
+    )
+
+
+def test_row_lineage_orc_null_ids(spark, warehouse):
+    """Engine parity: ORC rows have no parquet position — ids are null
+    unless a rewrite materialized them."""
+    loc = os.path.join(warehouse, "rlorc")
+    t = SnapshotTable.create(
+        spark, loc, schema="id long, data string", file_format="orc"
+    )
+    t.append(_simple(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    _assert_parity(
+        _facade(spark, loc, row_lineage=True), t.scan_with_row_lineage()
+    )
+
+
+def test_row_lineage_reserved_name_collision(spark, warehouse):
+    loc = os.path.join(warehouse, "rlclash")
+    t = SnapshotTable.create(spark, loc, schema="_row_id long, data string")
+    t.append(spark.createDataFrame([(1, "a")], "_row_id long, data string"))
+    with pytest.raises(Exception, match="row_lineage reserves"):
+        _facade(spark, loc, row_lineage=True).collect()
