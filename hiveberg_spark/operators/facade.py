@@ -71,6 +71,58 @@ def pyds_facade_scan(spark, sf_dir):
 
 
 @query(
+    "pyds_lineage_scan",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY (s_suppkey >= 6), s_suppkey)
+                - 1 AS BIGINT) AS _row_id,
+           CAST(CASE WHEN s_suppkey < 6 THEN 1 ELSE 2 END AS BIGINT)
+               AS _last_updated_sequence_number
+    FROM supplier
+    QUALIFY s_suppkey <> 3
+    """,
+)
+def pyds_lineage_scan(spark, sf_dir):
+    """Iceberg v3 row lineage through the facade:
+    `.option("row_lineage", "true")` after a COW delete AND a
+    compaction — both rewrites must PRESERVE each surviving row's
+    `_row_id` and `_last_updated_sequence_number` (the v3 writers-
+    should-preserve contract). The oracle reconstructs the lineage
+    from the deterministic build: append 1 writes s_suppkey<6 sorted
+    (row-id block 0.., seq 1), append 2 the rest (block n1.., seq 2);
+    the delete and compaction change NEITHER column for survivors, so
+    row ids are the pre-delete global rank and the seq is the adding
+    commit's."""
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources import pyds
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_pyds_lineage")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    k = F.col("s_suppkey")
+
+    def builder(t):
+        t.append(
+            supplier.filter(k < 6).coalesce(1).sortWithinPartitions(k)
+        )
+        t.append(
+            supplier.filter(k >= 6).coalesce(1).sortWithinPartitions(k)
+        )
+        t.delete_where("s_suppkey = 3", mode="copy-on-write")
+        t.compact()
+
+    with _lock:
+        build_once(spark, loc, builder)
+    pyds.register(spark)
+    return (
+        spark.read.format("hiveberg")
+        .option("row_lineage", "true")
+        .load(loc)
+    )
+
+
+@query(
     "stream_pyds_source",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey,

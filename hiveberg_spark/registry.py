@@ -135,6 +135,7 @@ DRIVER_WINDOW: list[str] = [
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # round-6 additions that landed after the window froze — lead r7
     "pyds_facade_scan",
+    "pyds_lineage_scan",
     "stream_pyds_source",
     "snapshot_value_index_freshness",
     "dedup_cluster_components",
