@@ -123,6 +123,65 @@ def pyds_lineage_scan(spark, sf_dir):
 
 
 @query(
+    "pyds_facade_write",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+           CAST(SUM(3) AS BIGINT) AS sum_score,
+           CAST(3 AS BIGINT) AS n_commits
+    FROM supplier WHERE s_suppkey < 4
+    """,
+)
+def pyds_facade_write(spark, sf_dir):
+    """The facade WRITE path end-to-end:
+    `df.write.format("hiveberg")` appends supplier in two halves (the
+    missing defaulted `score` column bakes its write default 3
+    physically), then `mode("overwrite")` replaces the contents with
+    the s_suppkey<4 slice — three commits through the executor-staged
+    write protocol (_commit_register). The result reads BACK through
+    the facade read and the oracle recomputes the final aggregate from
+    raw supplier; n_commits pins that all three snapshots landed."""
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources import pyds
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_pyds_write")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_name").alias("name")
+    )
+    pyds.register(spark)
+    k = F.col("s_suppkey")
+
+    def builder(t):
+        t.add_column("score", "int", default_sql="3")
+
+        def put(df, mode):
+            df.write.format("hiveberg").mode(mode).save(t.location)
+
+        put(supplier.filter(k < 6), "append")
+        put(supplier.filter(k >= 6), "append")
+        put(supplier.filter(k < 4), "overwrite")
+
+    with _lock:
+        t = build_once(
+            spark, loc, builder, schema="s_suppkey long, name string"
+        )
+    df = (
+        spark.read.format("hiveberg")
+        .option("virtual_column", "")
+        .load(t.location)
+    )
+    n_commits = t.snapshots().count()
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("s_suppkey").cast("long").alias("sum_key"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.lit(n_commits).cast("long").alias("n_commits"),
+    )
+
+
+@query(
     "stream_pyds_source",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey,

@@ -136,6 +136,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # round-6 additions that landed after the window froze — lead r7
     "pyds_facade_scan",
     "pyds_lineage_scan",
+    "pyds_facade_write",
     "stream_pyds_source",
     "snapshot_value_index_freshness",
     "dedup_cluster_components",

@@ -73,8 +73,10 @@ from typing import Any, Iterable, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -84,11 +86,13 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from hiveberg_spark.sources.snapshot_table import (
     DEFAULT_VIRTUAL_COLUMN,
+    _NO_VALIDATION,
     SnapshotTable,
     _dv_decode,
     _dv_last_per_file,
@@ -96,6 +100,7 @@ from hiveberg_spark.sources.snapshot_table import (
 
 __all__ = [
     "HivebergDataSource",
+    "HivebergDataWriter",
     "HivebergStreamReader",
     "UnsupportedTableShape",
     "register",
@@ -384,6 +389,272 @@ class HivebergDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "HivebergStreamReader":
         return HivebergStreamReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return HivebergDataWriter(dict(self.options), schema, overwrite)
+
+
+# -- batch write (df.write.format("hiveberg")) -----------------------------
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    rel: str | None  # location-relative data-file path; None = 0 rows
+    records: int
+    nbytes: int
+
+
+class HivebergDataWriter(DataSourceArrowWriter):
+    """``df.write.format("hiveberg").mode("append"|"overwrite").save(loc)``
+    — the write half of the facade, against an EXISTING table
+    (`SnapshotTable.create` declares the schema; like Iceberg, writes
+    never create tables implicitly).
+
+    Execution model mirrors the engine's two-phase commit protocol:
+    executors stream Arrow batches into one parquet file per task
+    inside a unique staging dir (write-then-rename, so failed attempts
+    never surface a partial file), commit messages carry the file
+    paths + counts back, and the driver registers them through the
+    SAME `_commit_register` the engine's own writes use — snapshot-id
+    assignment, row-id block allocation (v3 lineage), field-id name
+    maps, footer min/max stats, and metadata-bloom collection are
+    byte-identical between the two write paths by construction.
+
+    Semantics: `mode("append")` = `SnapshotTable.append`;
+    `mode("overwrite")` = `SnapshotTable.overwrite` (a replaces
+    commit validated against the plan-time parent, so a concurrent
+    commit raises instead of being clobbered). Options: `committed_at`
+    (epoch ms, deterministic fixtures), `branch` (append onto a WAP
+    branch). Input columns must belong to the declared schema; values
+    cast to the DECLARED types at write (executor-side, vectorized);
+    missing defaulted columns bake the write default as a plan-time
+    constant (physical, like the engine); other missing columns read
+    back as typed NULLs (declared-never-written semantics).
+
+    Documented v1 limits (raise; `SnapshotTable.append()` is the
+    full-fidelity writer): non-parquet table formats, hidden
+    partition specs, and `write.sort.order`/zorder clustering — each
+    needs an engine-side Spark exchange the executor-local protocol
+    cannot express. The `write.parquet.bloom-filter-*` FILE-level
+    property is skipped (pyarrow's writer has no bloom hook);
+    manifest-level `write.metadata.bloom-filter-columns` pruning works.
+
+    Reference contract: the reference is read-only
+    (main/IcebergSerDe.java:77-80 serialize -> null); this writer
+    exceeds it the same way the engine's append does."""
+
+    def __init__(
+        self, options: dict, schema: StructType, overwrite: bool
+    ):
+        import uuid as _uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hiveberg: .save(<table location>) is required")
+        self.overwrite = bool(overwrite)
+        self.committed_at = (
+            int(options["committed_at"])
+            if options.get("committed_at") is not None
+            else None
+        )
+        self.branch = options.get("branch")
+        if self.branch and self.overwrite:
+            raise ValueError(
+                "hiveberg write: overwrite targets main; branch writes "
+                "are append-only (WAP)"
+            )
+        tbl = SnapshotTable(None, self.path)
+        meta = tbl._read_meta()
+        if not meta.get("schema_json"):
+            raise UnsupportedTableShape(
+                "hiveberg write: the table must exist with a declared "
+                "schema (SnapshotTable.create first — writes never "
+                "create tables implicitly)"
+            )
+        fmt = meta.get("file_format", "parquet")
+        if fmt != "parquet":
+            raise UnsupportedTableShape(
+                f"hiveberg write: {fmt}-format tables write via "
+                "SnapshotTable.append()"
+            )
+        if meta.get("partition_spec"):
+            raise UnsupportedTableShape(
+                "hiveberg write: hidden-partitioned tables write via "
+                "SnapshotTable.append() (transform clustering needs an "
+                "engine-side exchange)"
+            )
+        props = meta.get("properties", {})
+        if props.get("write.sort.order", "").strip():
+            raise UnsupportedTableShape(
+                "hiveberg write: write.sort.order/zorder tables write "
+                "via SnapshotTable.append() (clustering needs an "
+                "engine-side exchange)"
+            )
+        declared = StructType.fromJson(json.loads(meta["schema_json"]))
+        extra = [f.name for f in schema.fields if f.name not in declared.names]
+        if extra:
+            raise ValueError(
+                f"hiveberg write: columns {extra} are not in the table "
+                f"schema {declared.names} (evolve the schema through "
+                "the table API first)"
+            )
+        baked: list[tuple[str, Any]] = []
+        for d in meta.get("defaults", []):
+            wsql = d.get("write_sql", d.get("sql"))
+            if (
+                wsql is None
+                or d["col"] in schema.names
+                or d["col"] not in declared.names
+            ):
+                continue
+            baked.append((d["col"], _eval_default(wsql)))
+        written = StructType(
+            [declared[f.name] for f in schema.fields]
+            + [declared[c] for c, _ in baked]
+        )
+        self.written_schema = written
+        self.spec = {
+            "location": self.path,
+            "commit_uuid": _uuid.uuid4().hex[:12],
+            "compression": props.get("write.parquet.compression-codec", "")
+            .strip()
+            .lower()
+            or None,
+            "written_schema_json": written.json(),
+            "baked": baked,
+        }
+        # overwrite validates against the snapshot it planned over —
+        # same CommitConflictError contract as SnapshotTable.overwrite
+        self.expected_parent = (
+            meta["current_snapshot_id"] if self.overwrite else None
+        )
+
+    # -- executor side --------------------------------------------------
+
+    def write(self, iterator) -> _WriteMessage:
+        import uuid as _uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        spec = self.spec
+        arrow_schema = to_arrow_schema(
+            StructType.fromJson(json.loads(spec["written_schema_json"]))
+        )
+        data_dir = os.path.join(
+            spec["location"], "data", spec["commit_uuid"]
+        )
+        fname = f"part-{_uuid.uuid4().hex}.parquet"
+        final_path = os.path.join(data_dir, fname)
+        tmp_path = final_path + ".inprogress"
+        writer = None
+        n = 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                t = pa.Table.from_batches([batch])
+                rows = t.num_rows
+                arrays = []
+                for field in arrow_schema:
+                    if field.name in t.column_names:
+                        arrays.append(t[field.name].cast(field.type))
+                    else:
+                        val = dict(spec["baked"]).get(field.name)
+                        if val is None:
+                            arrays.append(pa.nulls(rows, field.type))
+                        else:
+                            const = pa.array([val], type=None).cast(
+                                field.type
+                            )
+                            arrays.append(
+                                const.take(
+                                    pa.array(np.zeros(rows, dtype=np.int64))
+                                )
+                            )
+                out = pa.table(arrays, schema=arrow_schema)
+                if writer is None:
+                    os.makedirs(data_dir, exist_ok=True)
+                    kwargs = {}
+                    if spec["compression"]:
+                        kwargs["compression"] = spec["compression"]
+                    writer = pq.ParquetWriter(
+                        tmp_path, arrow_schema, **kwargs
+                    )
+                writer.write_table(out)
+                n += rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _WriteMessage(rel=None, records=0, nbytes=0)
+        os.rename(tmp_path, final_path)  # attempt-atomic publish
+        return _WriteMessage(
+            rel=os.path.relpath(final_path, spec["location"]),
+            records=n,
+            nbytes=os.path.getsize(final_path),
+        )
+
+    # -- driver side ------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        from hiveberg_spark.sources.snapshot_table import (
+            _BLOOM_DEFAULT_BITS,
+            _BLOOM_STATS_KEY,
+        )
+
+        tbl = SnapshotTable(None, self.path)
+        done = [m for m in messages if m is not None and m.rel]
+        files = sorted(m.rel for m in done)
+        file_info = {
+            m.rel: {"records": int(m.records), "bytes": int(m.nbytes)}
+            for m in done
+        }
+        stats = tbl._collect_file_stats(files, "parquet")
+        props = tbl._read_meta().get("properties", {})
+        bloom_cols = [
+            x.strip()
+            for x in props.get(
+                "write.metadata.bloom-filter-columns", ""
+            ).split(",")
+            if x.strip()
+        ]
+        if bloom_cols and files:
+            m_bits = int(
+                props.get("write.metadata.bloom-filter-bits", "").strip()
+                or _BLOOM_DEFAULT_BITS
+            )
+            for rel, b in tbl._collect_file_blooms(
+                files, "parquet", bloom_cols, m_bits
+            ).items():
+                stats.setdefault(rel, {})[_BLOOM_STATS_KEY] = b
+        tbl._commit_register(
+            operation="overwrite" if self.overwrite else "append",
+            committed_at=self.committed_at,
+            replaces=self.overwrite,
+            files=files,
+            stats=stats,
+            partitions={},
+            file_info=file_info,
+            n_records=sum(int(m.records) for m in done),
+            user_schema=self.written_schema,
+            branch=self.branch,
+            expected_parent=(
+                self.expected_parent if self.overwrite else _NO_VALIDATION
+            ),
+        )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(
+                self.path, "data", self.spec["commit_uuid"]
+            ),
+            ignore_errors=True,
+        )
 
 
 # -- shared plan state ----------------------------------------------------

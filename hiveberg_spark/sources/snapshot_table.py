@@ -3439,6 +3439,57 @@ class SnapshotTable:
                 files, fmt, bloom_cols, m_bits
             ).items():
                 stats.setdefault(rel, {})[_BLOOM_STATS_KEY] = b
+        return self._commit_register(
+            operation=operation,
+            committed_at=committed_at,
+            replaces=replaces,
+            carry=carry,
+            expected_parent=expected_parent,
+            summary_extra=summary_extra,
+            branch=branch,
+            delete_entries=delete_entries,
+            carry_deletes=carry_deletes,
+            carry_seq=carry_seq,
+            carry_row_ids=carry_row_ids,
+            carry_name_maps=carry_name_maps,
+            files=files,
+            stats=stats,
+            partitions=partitions,
+            file_info=file_info,
+            n_records=n_records,
+            user_schema=user_schema,
+        )
+
+    def _commit_register(
+        self,
+        *,
+        operation: str,
+        committed_at: int | None,
+        replaces: bool,
+        files: list[str],
+        stats: dict[str, dict],
+        partitions: dict[str, dict],
+        file_info: dict[str, dict],
+        n_records: int,
+        user_schema: StructType,
+        carry: list[tuple[str, dict, dict]] | None = None,
+        expected_parent=_NO_VALIDATION,
+        summary_extra: dict | None = None,
+        branch: str | None = None,
+        delete_entries: list[dict] | None = None,
+        carry_deletes: list[dict] | None = None,
+        carry_seq: dict[str, int] | None = None,
+        carry_row_ids: dict[str, int] | None = None,
+        carry_name_maps: dict[str, dict[str, int]] | None = None,
+    ) -> int:
+        """Metadata half of the commit protocol: snapshot-id assignment,
+        row-id block allocation, field-id name maps, manifest write, and
+        the metadata swap — all under the O_EXCL commit lock. Factored
+        out of `_commit` so ALREADY-WRITTEN data files (the facade's
+        executor-staged writes, pyds.HivebergDataWriter) register
+        through the IDENTICAL protocol as engine-written ones — the
+        write paths cannot drift. Needs no SparkSession: everything here
+        is metadata-sized pure Python."""
         lock = self._acquire_lock()
         try:
             meta = self._read_meta()  # fresh read under lock (CAS-equivalent)

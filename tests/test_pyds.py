@@ -699,3 +699,131 @@ def test_row_lineage_reserved_name_collision(spark, warehouse):
     t.append(spark.createDataFrame([(1, "a")], "_row_id long, data string"))
     with pytest.raises(Exception, match="row_lineage reserves"):
         _facade(spark, loc, row_lineage=True).collect()
+
+# -- batch write facade ----------------------------------------------------
+
+
+def test_write_append_matches_engine_append(spark, warehouse):
+    """df.write.format("hiveberg") and SnapshotTable.append commit
+    through the same _commit_register — scans of the two tables are
+    identical (rows, stats-driven pruning, lineage blocks)."""
+    rows = [(i, f"d{i}") for i in range(20)]
+    loc_w = os.path.join(warehouse, "w")
+    loc_e = os.path.join(warehouse, "e")
+    tw = SnapshotTable.create(spark, loc_w, schema="id long, data string")
+    te = SnapshotTable.create(spark, loc_e, schema="id long, data string")
+    df = _simple(spark, rows).repartition(3)
+    df.write.format("hiveberg").mode("append").save(loc_w)
+    te.append(df)
+    _assert_parity(tw.scan(), te.scan())
+    _assert_parity(_facade(spark, loc_w), tw.scan())
+
+
+def test_write_overwrite_replaces_with_history(spark, warehouse):
+    loc = os.path.join(warehouse, "ow")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    _simple(spark, [(1, "a"), (2, "b")]).write.format("hiveberg").mode(
+        "append"
+    ).save(loc)
+    s1 = t._read_meta()["current_snapshot_id"]
+    _simple(spark, [(9, "z")]).write.format("hiveberg").mode(
+        "overwrite"
+    ).save(loc)
+    assert [r.id for r in t.scan().collect()] == [9]
+    assert sorted(r.id for r in t.scan(snapshot_id=s1).collect()) == [1, 2]
+    ops = [r.operation for r in t.snapshots().collect()]
+    assert ops == ["append", "overwrite"]
+
+
+def test_write_bakes_defaults_and_casts(spark, warehouse):
+    """A missing defaulted column is baked PHYSICALLY (the engine's
+    write-default contract); input types cast to declared types."""
+    loc = os.path.join(warehouse, "defw")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.add_column("score", "int", default_sql="7")
+    spark.createDataFrame([(1, "a")], "id int, data string").write.format(
+        "hiveberg"
+    ).mode("append").save(loc)
+    got = t.scan().select("id", "score").collect()
+    assert [(r.id, r.score) for r in got] == [(1, 7)]
+    assert dict(t.scan().dtypes)["id"] == "bigint"
+    # physically baked, not read-path defaulted: a later default change
+    # must not alter already-written rows
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f = glob.glob(os.path.join(loc, "data", "*", "*.parquet"))
+    assert any("score" in pq.ParquetFile(p).schema_arrow.names for p in f)
+
+
+def test_write_branch_wap(spark, warehouse):
+    loc = os.path.join(warehouse, "wapw")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    t.create_branch("audit")
+    _simple(spark, [(2, "b")]).write.format("hiveberg").mode("append").option(
+        "branch", "audit"
+    ).save(loc)
+    assert t.scan().count() == 1  # main unaffected until publish
+    assert t.scan(ref="audit").count() == 2
+    t.fast_forward("audit")
+    assert t.scan().count() == 2
+
+
+def test_write_guards(spark, warehouse):
+    from pyspark.errors import PythonException
+
+    loc = os.path.join(warehouse, "guards")
+    t = SnapshotTable.create(
+        spark, loc, schema="id long, data string",
+        partition_spec=[("identity", "id")],
+    )
+    df = _simple(spark, [(1, "a")])
+    with pytest.raises(Exception, match="hidden-partitioned"):
+        df.write.format("hiveberg").mode("append").save(loc)
+    loc2 = os.path.join(warehouse, "guards2")
+    SnapshotTable.create(spark, loc2, schema="id long, data string")
+    bad = spark.createDataFrame([(1, "a", 2.0)], "id long, data string, x double")
+    with pytest.raises(Exception, match="not in the table schema"):
+        bad.write.format("hiveberg").mode("append").save(loc2)
+    loc3 = os.path.join(warehouse, "guards3")
+    t3 = SnapshotTable.create(spark, loc3, schema="id long, data string")
+    t3.set_properties({"write.sort.order": "id"})
+    with pytest.raises(Exception, match="sort.order"):
+        df.write.format("hiveberg").mode("append").save(loc3)
+
+
+def test_write_missing_column_reads_null(spark, warehouse):
+    loc = os.path.join(warehouse, "missw")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    spark.createDataFrame([(5,)], "id long").write.format("hiveberg").mode(
+        "append"
+    ).save(loc)
+    r = t.scan().select("id", "data").collect()[0]
+    assert (r.id, r.data) == (5, None)
+
+
+def test_write_stats_prune_and_lineage(spark, warehouse):
+    """Facade-written files carry footer min/max stats (plan_files
+    prunes on them) and first_row_id blocks (lineage scan works)."""
+    loc = os.path.join(warehouse, "statw")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    _simple(spark, [(i, "x") for i in range(10)]).coalesce(1).write.format(
+        "hiveberg"
+    ).mode("append").save(loc)
+    _simple(spark, [(i, "y") for i in range(100, 110)]).coalesce(
+        1
+    ).write.format("hiveberg").mode("append").save(loc)
+    assert len(t.plan_files(where="id >= 100")) == 1
+    rows = {r.id: r._row_id for r in t.scan_with_row_lineage().collect()}
+    assert sorted(rows.values()) == list(range(20))
+
+
+def test_write_empty_frame_commits_zero_files(spark, warehouse):
+    loc = os.path.join(warehouse, "emptyw")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    _simple(spark, []).write.format("hiveberg").mode("append").save(loc)
+    assert t.scan().count() == 0
+    snaps = t.snapshots().collect()
+    assert len(snaps) == 1 and snaps[0].summary["added-data-files"] == "0"
