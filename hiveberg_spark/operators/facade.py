@@ -182,6 +182,55 @@ def pyds_facade_write(spark, sf_dir):
 
 
 @query(
+    "stream_pyds_sink",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def stream_pyds_sink(spark, sf_dir):
+    """The facade as a native STREAMING SINK:
+    `writeStream.format("hiveberg")` consumes the 3-commit
+    nation_versions fixture through the facade stream reader and lands
+    each micro-batch as an exactly-once append snapshot (batch-id dedup
+    in the snapshot summary). The oracle is raw nation — every row
+    delivered exactly once through the read-stream -> write-stream
+    loop."""
+    import tempfile
+
+    from hiveberg_spark.operators.timetravel import (
+        _ensure_fixture,
+        _lock,
+        warehouse_dir,
+    )
+    from hiveberg_spark.sources import pyds
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    src = _ensure_fixture(spark, sf_dir)
+    pyds.register(spark)
+    dst_loc = os.path.join(warehouse_dir(sf_dir), "nation_pyds_sink")
+    sdf = (
+        spark.readStream.format("hiveberg")
+        .option("virtual_column", "")
+        .load(src.location)
+    )
+
+    def builder(t):
+        q = (
+            sdf.writeStream.format("hiveberg")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="hb_sink_ck"))
+            .trigger(availableNow=True)
+            .start(t.location)
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("stream_pyds_sink did not drain in 180s")
+
+    with _lock:
+        t = build_once(spark, dst_loc, builder, schema=sdf.schema)
+    return t.scan().select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
     "stream_pyds_source",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey,

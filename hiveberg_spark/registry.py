@@ -138,6 +138,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "pyds_lineage_scan",
     "pyds_facade_write",
     "stream_pyds_source",
+    "stream_pyds_sink",
     "snapshot_value_index_freshness",
     "dedup_cluster_components",
     "text_perplexity_proxy",

@@ -393,6 +393,11 @@ class HivebergDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return HivebergDataWriter(dict(self.options), schema, overwrite)
 
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "HivebergStreamWriter":
+        return HivebergStreamWriter(dict(self.options), schema, overwrite)
+
 
 # -- batch write (df.write.format("hiveberg")) -----------------------------
 
@@ -655,6 +660,94 @@ class HivebergDataWriter(DataSourceArrowWriter):
             ),
             ignore_errors=True,
         )
+
+
+from pyspark.sql.datasource import DataSourceStreamArrowWriter  # noqa: E402
+
+
+class HivebergStreamWriter(HivebergDataWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("hiveberg").start(loc)`` — the snapshot
+    table as a native streaming SINK: every micro-batch becomes one
+    append snapshot, committed EXACTLY ONCE.
+
+    Exactly-once protocol: executors stage each batch's parquet files
+    like the batch writer; the driver's `commit(messages, batchId)`
+    records `streaming-sink-id` + `streaming-batch-id` in the snapshot
+    summary and SKIPS registration (deleting the staged files) when the
+    table's latest commit for this sink id already covers the batch —
+    Structured Streaming replays the last uncommitted batch after a
+    restart, and the summary check makes the replay a no-op instead of
+    a duplicate snapshot (the same batch-id dedup Iceberg's Spark sink
+    performs against snapshot summary `spark.app.id`+`epoch-id`).
+
+    `.option("sink_id", ...)` scopes the dedup when several streaming
+    queries append to one table (default "default": one writer query
+    per table). Append output mode only — a streaming overwrite of the
+    whole table per batch has no Iceberg analogue.
+
+    Reference contract: none (reference is read-only); parity target is
+    Iceberg's Spark structured-streaming write (append mode)."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise UnsupportedTableShape(
+                "hiveberg stream write: append output mode only"
+            )
+        super().__init__(options, schema, overwrite=False)
+        self.sink_id = str(options.get("sink_id", "default"))
+
+    def _last_batch_id(self, tbl: SnapshotTable) -> int | None:
+        meta = tbl._read_meta()
+        for s in reversed(meta.get("snapshots", [])):
+            summ = s.get("summary", {})
+            if summ.get("streaming-sink-id") == self.sink_id:
+                return int(summ["streaming-batch-id"])
+        return None
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        tbl = SnapshotTable(None, self.path)
+        done = [m for m in messages if m is not None and m.rel]
+        last = self._last_batch_id(tbl)
+        if last is not None and last >= batchId:
+            # replayed micro-batch after a restart: already committed —
+            # drop the staged duplicates, never double-append
+            for m in done:
+                try:
+                    os.unlink(os.path.join(self.path, m.rel))
+                except OSError:
+                    pass
+            return
+        files = sorted(m.rel for m in done)
+        file_info = {
+            m.rel: {"records": int(m.records), "bytes": int(m.nbytes)}
+            for m in done
+        }
+        tbl._commit_register(
+            operation="append",
+            committed_at=self.committed_at,
+            replaces=False,
+            files=files,
+            stats=tbl._collect_file_stats(files, "parquet"),
+            partitions={},
+            file_info=file_info,
+            n_records=sum(int(m.records) for m in done),
+            user_schema=self.written_schema,
+            branch=self.branch,
+            summary_extra={
+                "streaming-sink-id": self.sink_id,
+                "streaming-batch-id": str(int(batchId)),
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        # staged files of THIS batch only — other batches' files in the
+        # shared staging dir are already manifested; remove by message
+        for m in messages:
+            if m is not None and m.rel:
+                try:
+                    os.unlink(os.path.join(self.path, m.rel))
+                except OSError:
+                    pass
 
 
 # -- shared plan state ----------------------------------------------------

@@ -827,3 +827,72 @@ def test_write_empty_frame_commits_zero_files(spark, warehouse):
     assert t.scan().count() == 0
     snaps = t.snapshots().collect()
     assert len(snaps) == 1 and snaps[0].summary["added-data-files"] == "0"
+
+
+def test_stream_write_sink(spark, warehouse, tmp_path):
+    """writeStream.format("hiveberg"): each micro-batch commits one
+    append snapshot; contents match the source exactly once."""
+    src_loc = os.path.join(warehouse, "ssrc")
+    dst_loc = os.path.join(warehouse, "sdst")
+    src = SnapshotTable.create(spark, src_loc, schema="id long, data string")
+    src.append(_simple(spark, [(1, "a"), (2, "b")]))
+    src.append(_simple(spark, [(3, "c")]))
+    dst = SnapshotTable.create(spark, dst_loc, schema="id long, data string")
+    q = (
+        spark.readStream.format("hiveberg")
+        .option("virtual_column", "")
+        .load(src_loc)
+        .writeStream.format("hiveberg")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start(dst_loc)
+    )
+    q.awaitTermination(120)
+    _assert_parity(
+        dst.scan().drop("snapshot__id"), src.scan().drop("snapshot__id")
+    )
+    summ = dst.snapshots().collect()[-1].summary
+    assert summ["streaming-sink-id"] == "default"
+    assert "streaming-batch-id" in summ
+
+
+def test_stream_write_replay_is_noop(spark, warehouse):
+    """Exactly-once: re-committing an already-committed batchId (the
+    restart replay) registers nothing and removes the staged files."""
+    import pyarrow as pa
+
+    loc = os.path.join(warehouse, "replay")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("id long, data string")
+    w = pyds.HivebergStreamWriter({"path": loc}, schema, overwrite=False)
+    batch = pa.record_batch(
+        {"id": pa.array([1, 2], pa.int64()), "data": pa.array(["a", "b"])}
+    )
+    m1 = w.write(iter([batch]))
+    w.commit([m1], batchId=0)
+    assert t.scan().count() == 2
+    # replay of batch 0: staged again, must NOT double-commit
+    m2 = w.write(iter([batch]))
+    staged = os.path.join(loc, m2.rel)
+    assert os.path.exists(staged)
+    w.commit([m2], batchId=0)
+    assert t.scan().count() == 2
+    assert not os.path.exists(staged)
+    assert len(t.snapshots().collect()) == 1
+    # the NEXT batch commits normally
+    m3 = w.write(iter([batch]))
+    w.commit([m3], batchId=1)
+    assert t.scan().count() == 4
+
+
+def test_stream_write_rejects_overwrite_mode(spark, warehouse):
+    loc = os.path.join(warehouse, "sow")
+    SnapshotTable.create(spark, loc, schema="id long, data string")
+    from pyspark.sql.types import StructType
+
+    with pytest.raises(Exception, match="append output mode"):
+        pyds.HivebergStreamWriter(
+            {"path": loc}, StructType.fromDDL("id long"), overwrite=True
+        )
