@@ -402,11 +402,109 @@ class HivebergDataSource(DataSource):
 # -- batch write (df.write.format("hiveberg")) -----------------------------
 
 
+_TIME_FMT = {
+    "day": "%Y-%m-%d",
+    "year": "%Y",
+    "month": "%Y-%m",
+    "hour": "%Y-%m-%d-%H",
+}
+
+_INT_KINDS = ("tinyint", "smallint", "int", "bigint")
+
+
+def _transform_column(t, p: dict):
+    """One hidden-partition transform over an Arrow table, value-matched
+    to the engine's Spark expressions (snapshot_table._transform_expr):
+    bucket = pmod(xxhash64(col), n) via the self-checked XXH64 lanes
+    (vectorized for int kinds; per-value for strings; null hashes to
+    the seed 42 exactly like Spark's null-skipping xxhash64), truncate
+    = floored multiple / codepoint prefix, time family = the same
+    UTC-rendered monotonic strings. Returns a numpy unicode array of
+    LOGICAL partition values prefixed 'V' ('N' alone = null) so
+    composite np.unique can group rows without a per-row Python loop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hiveberg_spark.sources import xxh64 as xx
+
+    kind, src, arg, styp = p["kind"], p["src"], p["arg"], p["styp"]
+    n = t.num_rows
+    col = t[src].combine_chunks()
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+
+    def with_nulls(rendered: "np.ndarray"):
+        out = np.char.add("V", rendered.astype(str))
+        out[null_mask] = "N"
+        return out
+
+    if kind == "bucket":
+        if styp == "string":
+            h = np.fromiter(
+                (
+                    xx.hash_bytes(s.encode("utf-8"), 42)
+                    if s is not None
+                    else 42
+                    for s in col.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=n,
+            )
+        else:
+            vals = col.cast(pa.int64()).fill_null(0).to_numpy(
+                zero_copy_only=False
+            )
+            lane = xx.hash_long_vec if styp == "bigint" else xx.hash_int_vec
+            h = lane(vals, 42)
+            h[null_mask] = np.uint64(42)  # xxhash64 skips nulls -> seed
+        bucket = xx.to_signed_vec(np.ascontiguousarray(h)) % np.int64(
+            int(arg)
+        )
+        # bucket is never null: Spark's xxhash64(NULL) yields the seed
+        return np.char.add("V", bucket.astype(str))
+    if kind == "truncate":
+        if styp == "string":
+            w = int(arg)
+            rendered = np.array(
+                ["" if s is None else s[:w] for s in col.to_pylist()],
+                dtype=str,
+            )
+            return with_nulls(rendered)
+        vals = col.cast(pa.int64()).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        return with_nulls(vals - vals % np.int64(int(arg)))
+    if kind in _TIME_FMT:
+        c = col
+        if pa.types.is_timestamp(c.type) and c.type.tz is None:
+            # engine timestamps are UTC wall-clock (session runs UTC)
+            c = pc.assume_timezone(c, "UTC")
+        rendered = pc.strftime(c, format=_TIME_FMT[kind]).fill_null("")
+        return with_nulls(
+            np.asarray(rendered.to_numpy(zero_copy_only=False), dtype=str)
+        )
+    # identity
+    if styp == "date":
+        rendered = pc.strftime(col, format="%Y-%m-%d").fill_null("")
+        return with_nulls(
+            np.asarray(rendered.to_numpy(zero_copy_only=False), dtype=str)
+        )
+    if styp in _INT_KINDS:
+        vals = col.cast(pa.int64()).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        return with_nulls(vals)
+    rendered = np.array(
+        ["" if s is None else s for s in col.to_pylist()], dtype=str
+    )
+    return with_nulls(rendered)
+
+
 @dataclass
 class _WriteMessage(WriterCommitMessage):
-    rel: str | None  # location-relative data-file path; None = 0 rows
-    records: int
-    nbytes: int
+    #: one entry per data file this task published:
+    #: {"rel", "records", "bytes", "partition": {pfield: str|None}}
+    files: list
 
 
 class HivebergDataWriter(DataSourceArrowWriter):
@@ -436,13 +534,26 @@ class HivebergDataWriter(DataSourceArrowWriter):
     constant (physical, like the engine); other missing columns read
     back as typed NULLs (declared-never-written semantics).
 
+    Hidden-partitioned tables fan out executor-side: each task computes
+    the spec's transforms over its Arrow batches (value-matched to the
+    engine's Spark expressions — bucket through the self-checked
+    vectorized XXH64 lanes, null hashing to the seed like Spark's
+    null-skipping xxhash64), groups rows by composite np.unique, and
+    streams each group into its own `_p_x=v/` file with the engine's
+    Hive-escaped dir naming — manifests record identical partition
+    values either way, so bucket/identity pruning is write-path
+    agnostic. (Unlike the engine there is no exchange: a task writes
+    one file per partition value it SEES — same trade as Spark's
+    partitionBy without a repartition.)
+
     Documented v1 limits (raise; `SnapshotTable.append()` is the
-    full-fidelity writer): non-parquet table formats, hidden
-    partition specs, and `write.sort.order`/zorder clustering — each
-    needs an engine-side Spark exchange the executor-local protocol
-    cannot express. The `write.parquet.bloom-filter-*` FILE-level
-    property is skipped (pyarrow's writer has no bloom hook);
-    manifest-level `write.metadata.bloom-filter-columns` pruning works.
+    full-fidelity writer): non-parquet table formats,
+    `write.sort.order`/zorder clustering (needs an engine-side
+    exchange), and partition transforms over types the Arrow path
+    can't value-match (timestamp/float identity). The
+    `write.parquet.bloom-filter-*` FILE-level property is skipped
+    (pyarrow's writer has no bloom hook); manifest-level
+    `write.metadata.bloom-filter-columns` pruning works.
 
     Reference contract: the reference is read-only
     (main/IcebergSerDe.java:77-80 serialize -> null); this writer
@@ -482,12 +593,6 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 f"hiveberg write: {fmt}-format tables write via "
                 "SnapshotTable.append()"
             )
-        if meta.get("partition_spec"):
-            raise UnsupportedTableShape(
-                "hiveberg write: hidden-partitioned tables write via "
-                "SnapshotTable.append() (transform clustering needs an "
-                "engine-side exchange)"
-            )
         props = meta.get("properties", {})
         if props.get("write.sort.order", "").strip():
             raise UnsupportedTableShape(
@@ -518,6 +623,52 @@ class HivebergDataWriter(DataSourceArrowWriter):
             + [declared[c] for c, _ in baked]
         )
         self.written_schema = written
+        # hidden partitioning: validate the spec's transforms are
+        # executor-computable in Arrow (the engine computes them as
+        # Spark expressions; the facade matches them value-for-value —
+        # bucket via the self-checked XXH64 lanes, vectorized)
+        part_plan: list[dict] = []
+        for tr in meta.get("partition_spec") or []:
+            tr = tuple(tr)
+            kind, src = tr[0], tr[1]
+            arg = tr[2] if len(tr) > 2 else None
+            if src not in declared.names:
+                raise UnsupportedTableShape(
+                    f"hiveberg write: partition source {src!r} is not a "
+                    "declared column"
+                )
+            styp = declared[src].dataType.simpleString()
+            ints = ("tinyint", "smallint", "int", "bigint")
+            if kind in ("bucket", "truncate"):
+                ok = styp in ints or styp == "string"
+            elif kind in ("day", "year", "month", "hour"):
+                ok = styp == "date" or styp.startswith("timestamp")
+            elif kind == "identity":
+                ok = styp in ints or styp in ("string", "date")
+            else:
+                ok = False
+            if not ok:
+                raise UnsupportedTableShape(
+                    f"hiveberg write: partition transform {kind}({src}: "
+                    f"{styp}) writes via SnapshotTable.append()"
+                )
+            from hiveberg_spark.sources.snapshot_table import _pfield_name
+
+            if src not in written.names:
+                raise ValueError(
+                    f"hiveberg write: partition source column {src!r} "
+                    "must be present in the written DataFrame"
+                )
+            part_plan.append(
+                {
+                    "kind": kind,
+                    "src": src,
+                    "arg": arg,
+                    "styp": styp,
+                    "name": _pfield_name(tr),
+                }
+            )
+        self.spec_part_plan = part_plan
         self.spec = {
             "location": self.path,
             "commit_uuid": _uuid.uuid4().hex[:12],
@@ -544,6 +695,8 @@ class HivebergDataWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from hiveberg_spark.sources.avro_io import _partition_dir
+
         spec = self.spec
         arrow_schema = to_arrow_schema(
             StructType.fromJson(json.loads(spec["written_schema_json"]))
@@ -551,11 +704,30 @@ class HivebergDataWriter(DataSourceArrowWriter):
         data_dir = os.path.join(
             spec["location"], "data", spec["commit_uuid"]
         )
-        fname = f"part-{_uuid.uuid4().hex}.parquet"
-        final_path = os.path.join(data_dir, fname)
-        tmp_path = final_path + ".inprogress"
-        writer = None
-        n = 0
+        kwargs = {}
+        if spec["compression"]:
+            kwargs["compression"] = spec["compression"]
+        pnames = [p["name"] for p in self.spec_part_plan]
+        # dir component -> [writer, tmp, final, partition-values dict]
+        sinks: dict[str, list] = {}
+
+        def sink_for(subdir: str, pvals: dict) -> list:
+            s = sinks.get(subdir)
+            if s is None:
+                d = os.path.join(data_dir, subdir) if subdir else data_dir
+                os.makedirs(d, exist_ok=True)
+                final = os.path.join(
+                    d, f"part-{_uuid.uuid4().hex}.parquet"
+                )
+                tmp = final + ".inprogress"
+                s = sinks[subdir] = [
+                    pq.ParquetWriter(tmp, arrow_schema, **kwargs),
+                    tmp,
+                    final,
+                    pvals,
+                ]
+            return s
+
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
@@ -580,27 +752,43 @@ class HivebergDataWriter(DataSourceArrowWriter):
                                 )
                             )
                 out = pa.table(arrays, schema=arrow_schema)
-                if writer is None:
-                    os.makedirs(data_dir, exist_ok=True)
-                    kwargs = {}
-                    if spec["compression"]:
-                        kwargs["compression"] = spec["compression"]
-                    writer = pq.ParquetWriter(
-                        tmp_path, arrow_schema, **kwargs
+                if not self.spec_part_plan:
+                    sink_for("", {})[0].write_table(out)
+                    continue
+                # hidden-partition fan-out: per-transform logical value
+                # strings (null-flag-prefixed), composite np.unique for
+                # the group ids — fully vectorized grouping
+                cols = [
+                    _transform_column(out, p) for p in self.spec_part_plan
+                ]
+                mat = np.stack(cols, axis=1)
+                uniq, inverse = np.unique(
+                    mat, axis=0, return_inverse=True
+                )
+                for gi in range(len(uniq)):
+                    vals = tuple(
+                        None if u[0] == "N" else u[1:] for u in uniq[gi]
                     )
-                writer.write_table(out)
-                n += rows
+                    pvals = dict(zip(pnames, vals))
+                    subdir = _partition_dir(pnames, vals)
+                    sub = out.filter(pa.array(inverse == gi))
+                    sink_for(subdir, pvals)[0].write_table(sub)
         finally:
-            if writer is not None:
-                writer.close()
-        if writer is None:
-            return _WriteMessage(rel=None, records=0, nbytes=0)
-        os.rename(tmp_path, final_path)  # attempt-atomic publish
-        return _WriteMessage(
-            rel=os.path.relpath(final_path, spec["location"]),
-            records=n,
-            nbytes=os.path.getsize(final_path),
-        )
+            for s in sinks.values():
+                s[0].close()
+        files = []
+        for s in sinks.values():
+            _, tmp, final, pvals = s
+            os.rename(tmp, final)  # attempt-atomic publish
+            files.append(
+                {
+                    "rel": os.path.relpath(final, spec["location"]),
+                    "records": pq.ParquetFile(final).metadata.num_rows,
+                    "bytes": os.path.getsize(final),
+                    "partition": pvals,
+                }
+            )
+        return _WriteMessage(files=files)
 
     # -- driver side ------------------------------------------------------
 
@@ -611,11 +799,19 @@ class HivebergDataWriter(DataSourceArrowWriter):
         )
 
         tbl = SnapshotTable(None, self.path)
-        done = [m for m in messages if m is not None and m.rel]
-        files = sorted(m.rel for m in done)
+        entries = [
+            e for m in messages if m is not None for e in m.files
+        ]
+        files = sorted(e["rel"] for e in entries)
         file_info = {
-            m.rel: {"records": int(m.records), "bytes": int(m.nbytes)}
-            for m in done
+            e["rel"]: {
+                "records": int(e["records"]),
+                "bytes": int(e["bytes"]),
+            }
+            for e in entries
+        }
+        partitions = {
+            e["rel"]: e["partition"] for e in entries if e["partition"]
         }
         stats = tbl._collect_file_stats(files, "parquet")
         props = tbl._read_meta().get("properties", {})
@@ -641,9 +837,9 @@ class HivebergDataWriter(DataSourceArrowWriter):
             replaces=self.overwrite,
             files=files,
             stats=stats,
-            partitions={},
+            partitions=partitions,
             file_info=file_info,
-            n_records=sum(int(m.records) for m in done),
+            n_records=sum(int(e["records"]) for e in entries),
             user_schema=self.written_schema,
             branch=self.branch,
             expected_parent=(
@@ -706,21 +902,26 @@ class HivebergStreamWriter(HivebergDataWriter, DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         tbl = SnapshotTable(None, self.path)
-        done = [m for m in messages if m is not None and m.rel]
+        entries = [
+            e for m in messages if m is not None for e in m.files
+        ]
         last = self._last_batch_id(tbl)
         if last is not None and last >= batchId:
             # replayed micro-batch after a restart: already committed —
             # drop the staged duplicates, never double-append
-            for m in done:
+            for e in entries:
                 try:
-                    os.unlink(os.path.join(self.path, m.rel))
+                    os.unlink(os.path.join(self.path, e["rel"]))
                 except OSError:
                     pass
             return
-        files = sorted(m.rel for m in done)
+        files = sorted(e["rel"] for e in entries)
         file_info = {
-            m.rel: {"records": int(m.records), "bytes": int(m.nbytes)}
-            for m in done
+            e["rel"]: {
+                "records": int(e["records"]),
+                "bytes": int(e["bytes"]),
+            }
+            for e in entries
         }
         tbl._commit_register(
             operation="append",
@@ -728,9 +929,11 @@ class HivebergStreamWriter(HivebergDataWriter, DataSourceStreamArrowWriter):
             replaces=False,
             files=files,
             stats=tbl._collect_file_stats(files, "parquet"),
-            partitions={},
+            partitions={
+                e["rel"]: e["partition"] for e in entries if e["partition"]
+            },
             file_info=file_info,
-            n_records=sum(int(m.records) for m in done),
+            n_records=sum(int(e["records"]) for e in entries),
             user_schema=self.written_schema,
             branch=self.branch,
             summary_extra={
@@ -743,9 +946,11 @@ class HivebergStreamWriter(HivebergDataWriter, DataSourceStreamArrowWriter):
         # staged files of THIS batch only — other batches' files in the
         # shared staging dir are already manifested; remove by message
         for m in messages:
-            if m is not None and m.rel:
+            if m is None:
+                continue
+            for e in m.files:
                 try:
-                    os.unlink(os.path.join(self.path, m.rel))
+                    os.unlink(os.path.join(self.path, e["rel"]))
                 except OSError:
                     pass
 

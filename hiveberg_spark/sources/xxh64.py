@@ -220,3 +220,62 @@ def self_check(spark) -> bool:
         ok = False
     _SELF_CHECK_RESULT = ok
     return ok
+
+
+# -- numpy-vectorized lanes (facade partitioned writes) -----------------------
+#
+# The facade writer computes bucket-transform partition keys executor-
+# side in Arrow batches; a per-row Python hash would be the classic
+# 100× cliff, so the two fixed-width lanes vectorize in numpy uint64
+# (wrapping C semantics == the & _MASK reductions above). Strings keep
+# the scalar path — variable-length XXH64 doesn't vectorize — and the
+# same self_check gate governs both.
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _rotl_vec(x, r: int):
+    np = _np()
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix_vec(h):
+    np = _np()
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_PRIME2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_PRIME3)
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def hash_int_vec(values, seed: int):
+    """Vectorized `hash_int` over an int array; returns uint64 array.
+    Negative inputs take their two's-complement low 32 bits, exactly
+    like `value & 0xFFFFFFFF` in the scalar lane."""
+    np = _np()
+    v = values.astype(np.int64).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    h = np.uint64((seed + _PRIME5 + 4) & _MASK) ^ (v * np.uint64(_PRIME1))
+    h = _rotl_vec(h, 23) * np.uint64(_PRIME2) + np.uint64(_PRIME3)
+    return _fmix_vec(h)
+
+
+def hash_long_vec(values, seed: int):
+    """Vectorized `hash_long` over an int array; returns uint64 array."""
+    np = _np()
+    v = values.astype(np.int64).astype(np.uint64)
+    k = _rotl_vec(v * np.uint64(_PRIME2), 31) * np.uint64(_PRIME1)
+    h = np.uint64((seed + _PRIME5 + 8) & _MASK) ^ k
+    h = _rotl_vec(h, 27) * np.uint64(_PRIME1) + np.uint64(_PRIME4)
+    return _fmix_vec(h)
+
+
+def to_signed_vec(h):
+    """uint64 hash array -> the signed int64 values Spark returns."""
+    return h.view(_np().int64) if h.flags["C_CONTIGUOUS"] else h.astype(
+        "uint64"
+    ).view(_np().int64)

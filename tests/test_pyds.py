@@ -772,16 +772,16 @@ def test_write_branch_wap(spark, warehouse):
 
 
 def test_write_guards(spark, warehouse):
-    from pyspark.errors import PythonException
-
     loc = os.path.join(warehouse, "guards")
-    t = SnapshotTable.create(
-        spark, loc, schema="id long, data string",
-        partition_spec=[("identity", "id")],
+    SnapshotTable.create(
+        spark, loc, schema="id long, ts timestamp",
+        partition_spec=[("identity", "ts")],  # timestamp identity: no
     )
     df = _simple(spark, [(1, "a")])
-    with pytest.raises(Exception, match="hidden-partitioned"):
-        df.write.format("hiveberg").mode("append").save(loc)
+    with pytest.raises(Exception, match="partition transform"):
+        spark.sql(
+            "SELECT CAST(1 AS LONG) id, TIMESTAMP'2024-01-01' ts"
+        ).write.format("hiveberg").mode("append").save(loc)
     loc2 = os.path.join(warehouse, "guards2")
     SnapshotTable.create(spark, loc2, schema="id long, data string")
     bad = spark.createDataFrame([(1, "a", 2.0)], "id long, data string, x double")
@@ -875,7 +875,7 @@ def test_stream_write_replay_is_noop(spark, warehouse):
     assert t.scan().count() == 2
     # replay of batch 0: staged again, must NOT double-commit
     m2 = w.write(iter([batch]))
-    staged = os.path.join(loc, m2.rel)
+    staged = os.path.join(loc, m2.files[0]["rel"])
     assert os.path.exists(staged)
     w.commit([m2], batchId=0)
     assert t.scan().count() == 2
@@ -896,3 +896,93 @@ def test_stream_write_rejects_overwrite_mode(spark, warehouse):
         pyds.HivebergStreamWriter(
             {"path": loc}, StructType.fromDDL("id long"), overwrite=True
         )
+
+
+def _manifest_partitions(t):
+    meta = t._read_meta()
+    out = {}
+    for s in meta["snapshots"]:
+        m = t._read_manifest_json(s)
+        for rel, parts in (m.get("partitions") or {}).items():
+            out[rel] = dict(sorted(parts.items()))
+    return sorted(
+        (tuple(p.items()) for p in out.values()), key=repr
+    )
+
+
+@pytest.mark.parametrize(
+    "spec,schema,rows",
+    [
+        (
+            [("bucket", "id", 4)],
+            "id long, data string",
+            [(i, f"d{i}") for i in range(40)] + [(None, "nul")],
+        ),
+        (
+            [("identity", "data"), ("truncate", "id", 10)],
+            "id long, data string",
+            [(i, f"k{i % 3}") for i in range(30)] + [(-7, None), (None, None)],
+        ),
+        (
+            [("bucket", "data", 3)],
+            "id long, data string",
+            [(i, f"v {i}/x=%{i}") for i in range(20)],  # escape-worthy
+        ),
+    ],
+)
+def test_write_partitioned_matches_engine(spark, warehouse, spec, schema, rows):
+    """Hidden-partitioned facade writes: identical scan results AND
+    identical manifest partition values to an engine append of the
+    same rows — bucket (int + string + null keys), identity (incl.
+    Hive-escaped values and null dirs), and truncate transforms."""
+    loc_w = os.path.join(warehouse, "pw")
+    loc_e = os.path.join(warehouse, "pe")
+    tw = SnapshotTable.create(spark, loc_w, schema=schema, partition_spec=spec)
+    te = SnapshotTable.create(spark, loc_e, schema=schema, partition_spec=spec)
+    df = spark.createDataFrame(rows, schema).repartition(2)
+    df.write.format("hiveberg").mode("append").save(loc_w)
+    te.append(df)
+    _assert_parity(
+        tw.scan().drop("snapshot__id"), te.scan().drop("snapshot__id")
+    )
+    assert _manifest_partitions(tw) == _manifest_partitions(te)
+
+
+def test_write_partitioned_time_transforms(spark, warehouse):
+    loc_w = os.path.join(warehouse, "tw")
+    loc_e = os.path.join(warehouse, "te")
+    schema = "id long, ts timestamp, d date"
+    spec = [("day", "ts"), ("month", "d")]
+    tw = SnapshotTable.create(spark, loc_w, schema=schema, partition_spec=spec)
+    te = SnapshotTable.create(spark, loc_e, schema=schema, partition_spec=spec)
+    df = spark.sql("""
+        SELECT CAST(id AS LONG) id,
+               timestampadd(HOUR, CAST(id * 11 AS INT),
+                            TIMESTAMP'2024-03-30 22:15:00') ts,
+               date_add(DATE'2024-01-25', CAST(id * 9 AS INT)) d
+        FROM range(12)
+    """)
+    df.write.format("hiveberg").mode("append").save(loc_w)
+    te.append(df)
+    _assert_parity(
+        tw.scan().drop("snapshot__id"), te.scan().drop("snapshot__id")
+    )
+    assert _manifest_partitions(tw) == _manifest_partitions(te)
+
+
+def test_write_partitioned_bucket_prunes(spark, warehouse):
+    """Facade-written bucket partitions prune point probes exactly like
+    engine-written ones (the manifests are the same)."""
+    loc = os.path.join(warehouse, "bp")
+    t = SnapshotTable.create(
+        spark, loc, schema="id long, data string",
+        partition_spec=[("bucket", "id", 8)],
+    )
+    _simple(spark, [(i, f"d{i}") for i in range(200)]).coalesce(
+        1
+    ).write.format("hiveberg").mode("append").save(loc)
+    all_files = t.plan_files()
+    probed = t.plan_files(where="id = 17")
+    assert len(all_files) == 8
+    assert len(probed) == 1
+    assert t.scan_where("id = 17").count() == 1

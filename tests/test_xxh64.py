@@ -96,3 +96,32 @@ def test_bloom_prunes_on_string_column(spark, tmp_path):
     assert len(t.plan_files("data = 'w14'")) == 1
     assert t.scan_where("data = 'w14'").count() == 1
     assert t.plan_files("data = 'nope'") == []
+
+
+def test_vectorized_lanes_match_scalar():
+    """The numpy-vectorized int/long lanes (facade partitioned writes)
+    must agree bit-for-bit with the scalar lanes the self_check pins
+    against Spark — including negative values and type boundaries."""
+    import numpy as np
+
+    from hiveberg_spark.sources import xxh64 as xx
+
+    rng = np.random.default_rng(7)
+    ints = np.concatenate(
+        [
+            np.array([0, 1, -1, -7, 2**31 - 1, -(2**31)], dtype=np.int64),
+            rng.integers(-(2**31), 2**31, 1000, dtype=np.int64),
+        ]
+    )
+    vec = xx.to_signed_vec(xx.hash_int_vec(ints, 42))
+    assert list(vec) == [xx._to_signed(xx.hash_int(int(v), 42)) for v in ints]
+    longs = np.concatenate(
+        [
+            np.array([0, 1, -1, 2**63 - 1, -(2**63)], dtype=np.int64),
+            rng.integers(-(2**63), 2**63 - 1, 1000, dtype=np.int64),
+        ]
+    )
+    vec = xx.to_signed_vec(xx.hash_long_vec(longs, 42))
+    assert list(vec) == [
+        xx._to_signed(xx.hash_long(int(v), 42)) for v in longs
+    ]
