@@ -182,6 +182,60 @@ def pyds_facade_write(spark, sf_dir):
 
 
 @query(
+    "pyds_partitioned_write",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM supplier) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey = 5)
+                AS BIGINT) AS n_probe,
+           TRUE AS pruned
+    """,
+)
+def pyds_partitioned_write(spark, sf_dir):
+    """Hidden-partitioned facade WRITE + bucket pruning end to end:
+    `df.write.format("hiveberg")` fans supplier out into
+    bucket(s_suppkey, 4) partition dirs executor-side (vectorized
+    XXH64 transform), and a point probe then plans STRICTLY fewer
+    files than the full scan — proving the facade-written manifests
+    carry engine-equivalent partition values. The oracle recomputes
+    both counts from raw supplier; `pruned` pins the file-skip (the
+    bucket layout is deterministic for the fixed fixture data)."""
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources import pyds
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    loc = os.path.join(warehouse_dir(sf_dir), "supplier_pyds_pwrite")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    pyds.register(spark)
+
+    def builder(t):
+        supplier.coalesce(1).write.format("hiveberg").mode("append").save(
+            t.location
+        )
+
+    with _lock:
+        t = build_once(
+            spark,
+            loc,
+            builder,
+            schema="s_suppkey long, s_name string",
+            partition_spec=[("bucket", "s_suppkey", 4)],
+        )
+    pruned = len(t.plan_files(where="s_suppkey = 5")) < len(t.plan_files())
+    return t.scan().agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("s_suppkey") == 5, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_probe"),
+        F.lit(bool(pruned)).alias("pruned"),
+    )
+
+
+@query(
     "stream_pyds_sink",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -137,6 +137,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "pyds_facade_scan",
     "pyds_lineage_scan",
     "pyds_facade_write",
+    "pyds_partitioned_write",
     "stream_pyds_source",
     "stream_pyds_sink",
     "snapshot_value_index_freshness",
