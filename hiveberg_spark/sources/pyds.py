@@ -42,12 +42,17 @@ values win over the block-base/file-seq computation (the v3
 preservation contract), positions require parquet (ORC ids are
 null), and the virtual snapshot column is omitted.
 
-Documented v1 limits (these shapes raise; `SnapshotTable.scan()`
+`add_files`-adopted Hive-layout roots read natively: the dir-only
+partition columns are parsed from the `key=value` components at plan
+time, cast to the adoption-pinned types, and attached per file
+through the same constant-column path as initial defaults — the
+plan-time equivalent of the engine's basePath discovery.
+
+Documented v1 limit (this shape raises; `SnapshotTable.scan()`
 remains the full-fidelity path): avro data files (pure-Python codec,
-no arrow reader) and `add_files`-adopted Hive-layout roots
-(dir-derived partition columns). Default expressions are evaluated
-ONCE at plan time (DuckDB constant fold) — exact for the literal
-defaults Iceberg v3 `initial-default` allows.
+no arrow reader). Default expressions are evaluated ONCE at plan
+time (DuckDB constant fold) — exact for the literal defaults Iceberg
+v3 `initial-default` allows.
 
 The same registration also provides the STREAMING read —
 ``spark.readStream.format("hiveberg").load(loc)`` — with snapshot ids
@@ -90,6 +95,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from hiveberg_spark.sources.avro_io import unescape_path_name
 from hiveberg_spark.sources.snapshot_table import (
     DEFAULT_VIRTUAL_COLUMN,
     _NO_VALIDATION,
@@ -190,6 +196,24 @@ def _filters_to_conjuncts(filters: list[Filter]) -> list[str]:
                     out.append(f"{col} {op} {lit}")
                 break
     return out
+
+
+def _hive_cast(raw: str | None, styp: str) -> Any:
+    """Adoption-pinned type cast for a Hive dir partition value (the
+    same rendering Spark's partition discovery parses)."""
+    if raw is None:
+        return None
+    if styp in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if styp in ("float", "double"):
+        return float(raw)
+    if styp == "boolean":
+        return raw.lower() == "true"
+    if styp == "date":
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(raw)
+    return raw
 
 
 def _eval_default(sql: str) -> Any:
@@ -1081,11 +1105,32 @@ def _plan_partitions(
             )
         if fmt not in ("parquet", "orc"):
             raise UnsupportedTableShape(f"hiveberg facade: format {fmt!r}")
-        if any(f.startswith(b + os.sep) for b in bases):
-            raise UnsupportedTableShape(
-                "hiveberg facade: add_files-adopted Hive-layout roots "
-                "read via SnapshotTable.scan()"
-            )
+
+    def hive_parts_for(f: str) -> list[tuple[str, Any]]:
+        """Dir-only partition columns of an add_files-adopted Hive
+        layout, parsed from the `key=value` components below the
+        adoption root and cast to the adoption-pinned types — the
+        plan-time equivalent of the engine's basePath discovery
+        (attached per file through the same constant-column path as
+        initial defaults)."""
+        for b, ptypes in bases.items():
+            if not f.startswith(b + os.sep):
+                continue
+            out = []
+            for comp in os.path.relpath(f, b).split(os.sep)[:-1]:
+                if "=" not in comp:
+                    continue
+                k, v = comp.split("=", 1)
+                if k not in ptypes:
+                    continue
+                raw = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else unescape_path_name(v)
+                )
+                out.append((k, _hive_cast(raw, ptypes[k])))
+            return out
+        return []
 
     renames = meta.get("renames", [])
     fields_meta = meta.get("fields")
@@ -1158,7 +1203,7 @@ def _plan_partitions(
             (d["col"], default_vals[d["col"]])
             for d in defaults
             if fseq <= d["as_of"]
-        ]
+        ] + hive_parts_for(f)
         dv = dv_last.get(rel)
         eq = []
         for d in eq_deletes:

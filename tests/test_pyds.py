@@ -986,3 +986,29 @@ def test_write_partitioned_bucket_prunes(spark, warehouse):
     assert len(all_files) == 8
     assert len(probed) == 1
     assert t.scan_where("id = 17").count() == 1
+
+
+def test_add_files_hive_layout_reads(spark, warehouse, tmp_path):
+    """add_files-adopted Hive `key=value` layouts read through the
+    facade: dir-only partition columns attach per file with the
+    adoption-pinned types — parity with the engine's basePath
+    discovery, including a COW rewrite that materializes them."""
+    ext = str(tmp_path / "hive")
+    for y, c, lo in [(2023, "us", 0), (2023, "de", 100), (2024, "us", 200)]:
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(lo, lo + 10)], "id long, data string"
+        ).coalesce(1).write.parquet(
+            os.path.join(ext, f"year={y}", f"country={c}")
+        )
+    loc = os.path.join(warehouse, "adopt")
+    t = SnapshotTable.create(spark, loc)
+    t.add_files(ext, committed_at=1000)
+    _assert_parity(_facade(spark, loc), t.scan())
+    assert _facade(spark, loc).filter("year = 2024").count() == 10
+    # pushed filter on a dir-only column prunes via the min==max stats
+    specs = _plan_partitions(loc, {}, ["year = 2024"])
+    assert len(specs) == 1
+    # COW delete rewrites one adopted file into a table-owned one (the
+    # columns materialize physically); the mixed state still matches
+    t.delete_where("id = 205", committed_at=2000)
+    _assert_parity(_facade(spark, loc), t.scan())
