@@ -13,7 +13,9 @@ distributed either way:
   read:  ``binaryFile`` scan (file-parallel) + ``mapInPandas`` decode.
 
 Supported types: long/int, double/float, boolean, string, bytes, and
-nullable unions of those, plus timestamp-micros and date logicals —
+nullable unions of those, plus timestamp-micros /
+local-timestamp-micros (instant vs wall-clock, per the Avro spec) and
+date logicals —
 the full type surface of the driver fixtures. Codecs: null, deflate.
 Paths must be shared storage in a real cluster (true of any file sink).
 """
@@ -81,7 +83,10 @@ _SPARK_TO_AVRO = {
     T.BooleanType: ("boolean", None),
     T.StringType: ("string", None),
     T.BinaryType: ("bytes", None),
-    T.TimestampNTZType: ("long", "timestamp-micros"),
+    # Avro spec: timestamp-micros = instant (Spark TimestampType),
+    # local-timestamp-micros = wall-clock (TimestampNTZType) — distinct
+    # logicals so the round-trip preserves the declared type
+    T.TimestampNTZType: ("long", "local-timestamp-micros"),
     T.TimestampType: ("long", "timestamp-micros"),
     T.DateType: ("int", "date"),
 }
@@ -94,7 +99,8 @@ _AVRO_TO_SPARK = {
     ("boolean", None): T.BooleanType(),
     ("string", None): T.StringType(),
     ("bytes", None): T.BinaryType(),
-    ("long", "timestamp-micros"): T.TimestampNTZType(),
+    ("long", "timestamp-micros"): T.TimestampType(),
+    ("long", "local-timestamp-micros"): T.TimestampNTZType(),
     ("int", "date"): T.DateType(),
 }
 
@@ -181,7 +187,7 @@ def _spec_to_spark_schema(spec: list[dict]) -> T.StructType:
 def _encode_value(buf: bytearray, v, s: dict) -> None:
     t = s["type"]
     if t in ("long", "int"):
-        if s["logical"] == "timestamp-micros":
+        if s["logical"] in ("timestamp-micros", "local-timestamp-micros"):
             import pandas as pd
 
             v = pd.Timestamp(v).value // 1_000  # ns → µs
@@ -382,7 +388,7 @@ class _ColStats:
             mn_s, mx_s = mm["min"], mm["max"]
             if not mn_s.is_valid:
                 continue
-            if logical == "timestamp-micros":
+            if logical in ("timestamp-micros", "local-timestamp-micros"):
                 mn, mx = (
                     _ts_scalar_to_micros(v, arr.type) for v in (mn_s, mx_s)
                 )
@@ -406,7 +412,7 @@ class _ColStats:
             if name not in self.lo:
                 continue
             mn, mx = self.lo[name], self.hi[name]
-            if s["logical"] == "timestamp-micros":
+            if s["logical"] in ("timestamp-micros", "local-timestamp-micros"):
                 epoch = _sdt.datetime(1970, 1, 1)
                 mn = (epoch + _sdt.timedelta(microseconds=mn)).strftime(
                     "%Y-%m-%d %H:%M:%S.%f"
@@ -637,7 +643,9 @@ def _make_decoder(renames: list[dict]):
                 data: dict = {}
                 for i, s in enumerate(fspec):
                     col = [r[i] for r in rows]
-                    if s["logical"] == "timestamp-micros":
+                    if s["logical"] in (
+                        "timestamp-micros", "local-timestamp-micros"
+                    ):
                         data[names[i]] = pd.to_datetime(col, unit="us")
                     elif s["logical"] == "date":
                         data[names[i]] = pd.Series(

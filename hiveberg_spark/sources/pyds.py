@@ -48,11 +48,14 @@ time, cast to the adoption-pinned types, and attached per file
 through the same constant-column path as initial defaults — the
 plan-time equivalent of the engine's basePath discovery.
 
-Documented v1 limit (this shape raises; `SnapshotTable.scan()`
-remains the full-fidelity path): avro data files (pure-Python codec,
-no arrow reader). Default expressions are evaluated ONCE at plan
-time (DuckDB constant fold) — exact for the literal defaults Iceberg
-v3 `initial-default` allows.
+Avro data files decode per file through the pure-Python container
+codec (avro_io) into Arrow — same column-resolution path as
+parquet/ORC afterward, same per-row cost as the engine's jar-free
+avro read; position-keyed features stay parquet-only (row lineage
+over avro raises, matching `scan_with_row_lineage`). Default
+expressions are evaluated ONCE at plan time (DuckDB constant fold)
+— exact for the literal defaults Iceberg v3 `initial-default`
+allows.
 
 The same registration also provides the STREAMING read —
 ``spark.readStream.format("hiveberg").load(loc)`` — with snapshot ids
@@ -1098,13 +1101,15 @@ def _plan_partitions(
     bases = meta.get("adopted_hive_bases", {})
     for f in files:
         fmt = f.rsplit(".", 1)[-1]
-        if fmt == "avro":
-            raise UnsupportedTableShape(
-                "hiveberg facade: avro data files read via "
-                "SnapshotTable.scan() (pure-Python codec, no arrow path)"
-            )
-        if fmt not in ("parquet", "orc"):
+        if fmt not in ("parquet", "orc", "avro"):
             raise UnsupportedTableShape(f"hiveberg facade: format {fmt!r}")
+        if fmt == "avro" and _lineage_on(options):
+            # engine parity: scan_with_row_lineage raises for avro
+            # (no row positions in the pure-Python path)
+            raise UnsupportedTableShape(
+                "hiveberg facade: row lineage is unavailable over avro "
+                "data files"
+            )
 
     def hive_parts_for(f: str) -> list[tuple[str, Any]]:
         """Dir-only partition columns of an add_files-adopted Hive
@@ -1398,6 +1403,35 @@ class HivebergStreamReader(DataSourceStreamReader):
 # -- executor-side read ---------------------------------------------------
 
 
+def _read_avro_arrow(path: str):
+    """Decode one Avro container file to an Arrow table with its
+    PHYSICAL written column names (resolution happens downstream via
+    the field-id map / rename log, same as parquet) — the facade's
+    executor-side mirror of avro_io._make_decoder's conversions."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from hiveberg_spark.sources.avro_io import _decode_file
+
+    with open(path, "rb") as fh:
+        fspec, rows = _decode_file(fh.read())
+    names = [s["name"] for s in fspec]
+    data: dict = {}
+    for i, s in enumerate(fspec):
+        col = [r[i] for r in rows]
+        if s["logical"] in ("timestamp-micros", "local-timestamp-micros"):
+            data[names[i]] = pd.to_datetime(col, unit="us")
+        elif s["logical"] == "date":
+            data[names[i]] = pd.Series(
+                pd.to_datetime(col, unit="D").date, dtype=object
+            )
+        else:
+            data[names[i]] = pd.Series(col, dtype=object)
+    return pa.Table.from_pandas(
+        pd.DataFrame(data, columns=names), preserve_index=False
+    )
+
+
 def _legacy_rename(t, renames: list[dict]):
     """The rename-log resolution `_apply_renames` runs, in Arrow: per
     file, old-name columns rename to (or coalesce into) current names."""
@@ -1479,29 +1513,37 @@ def _read_partition(
                 cur = r["to"]
         return cur
 
-    if spec["fmt"] == "parquet":
-        file_cols = pq.ParquetFile(spec["path"]).schema_arrow.names
-    else:
-        from pyarrow import orc
-
-        file_cols = orc.ORCFile(spec["path"]).schema.names
     lineage = bool(spec.get("lineage"))
-    sel = [
-        c
-        for c in file_cols
-        if resolves_to(c) in needed
-        or (lineage and c in ("__hb_row_id", "__hb_last_seq"))
-    ]
-    if not sel and file_cols:
-        # no needed column is physical in this file (all defaulted /
-        # null-filled) — read one column anyway to carry the row count
-        sel = [file_cols[0]]
-    if spec["fmt"] == "parquet":
-        t = pq.read_table(spec["path"], columns=sel)
+    if spec["fmt"] == "avro":
+        # pure-Python Avro container decode to Arrow (the jar-free
+        # path, same per-row cost as the engine's avro read); the codec
+        # has no column projection, so pruning happens post-decode
+        t = _read_avro_arrow(spec["path"])
+        sel = [c for c in t.column_names if resolves_to(c) in needed]
+        t = t.select(sel or t.column_names[:1])
     else:
-        from pyarrow import orc
+        if spec["fmt"] == "parquet":
+            file_cols = pq.ParquetFile(spec["path"]).schema_arrow.names
+        else:
+            from pyarrow import orc
 
-        t = orc.ORCFile(spec["path"]).read(columns=sel)
+            file_cols = orc.ORCFile(spec["path"]).schema.names
+        sel = [
+            c
+            for c in file_cols
+            if resolves_to(c) in needed
+            or (lineage and c in ("__hb_row_id", "__hb_last_seq"))
+        ]
+        if not sel and file_cols:
+            # no needed column is physical in this file (all defaulted
+            # / null-filled) — read one anyway to carry the row count
+            sel = [file_cols[0]]
+        if spec["fmt"] == "parquet":
+            t = pq.read_table(spec["path"], columns=sel)
+        else:
+            from pyarrow import orc
+
+            t = orc.ORCFile(spec["path"]).read(columns=sel)
 
     if lineage:
         # Iceberg v3 lineage, scan_with_row_lineage's exact semantics:

@@ -158,3 +158,29 @@ def test_native_avro_roundtrip_when_jar_present(spark, tmp_path):
     files = sorted(glob.glob(out + "/*.avro"))
     native = spark.read.format("avro").load(files)
     assert sorted(map(tuple, native.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_avro_timestamp_logicals_preserve_declared_type(spark, tmp_path):
+    """Avro spec: `timestamp-micros` is an INSTANT (Spark TimestampType),
+    `local-timestamp-micros` is wall-clock (TimestampNTZType) — the
+    round-trip must preserve whichever was declared (previously both
+    wrote timestamp-micros and always read back NTZ)."""
+    import json
+
+    from hiveberg_spark.sources.avro_io import read_avro, write_avro
+
+    df = spark.sql(
+        "SELECT TIMESTAMP'2024-01-02 03:04:05.123456' ts, "
+        "TIMESTAMP_NTZ'2024-01-02 03:04:05.123456' tsn"
+    )
+    out = str(tmp_path / "tslog")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert dict(back.dtypes) == {"ts": "timestamp", "tsn": "timestamp_ntz"}
+    r = back.head()
+    assert str(r.ts) == "2024-01-02 03:04:05.123456"
+    assert str(r.tsn) == "2024-01-02 03:04:05.123456"
+    # the container header carries the spec's two distinct logicals
+    f = glob.glob(out + "/*.avro")[0]
+    head = open(f, "rb").read(4096)
+    assert b"local-timestamp-micros" in head

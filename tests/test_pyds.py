@@ -288,12 +288,41 @@ def test_filter_translation():
     assert conj == ["id = 3", "v > 1.5", "s <= 'o''k'", "k IN (1, 2)"]
 
 
-def test_avro_table_raises(spark, warehouse):
+def test_avro_table_reads_and_evolves(spark, warehouse):
+    """Avro data files decode per file through the pure-Python codec:
+    parity with the engine scan incl. a rename and a mixed
+    avro-then-parquet format migration; row lineage over avro raises
+    (engine parity — no row positions in the jar-free path)."""
     loc = os.path.join(warehouse, "avro")
     t = SnapshotTable.create(spark, loc, file_format="avro")
-    t.append(_simple(spark, [(1, "a")]))
-    with pytest.raises(Exception, match="avro"):
-        _facade(spark, loc).collect()
+    t.append(_simple(spark, [(1, "a"), (2, None)]))
+    _assert_parity(_facade(spark, loc), t.scan())
+    t.rename_column("data", "payload")
+    t.append(spark.createDataFrame([(3, "c")], "id long, payload string"))
+    _assert_parity(_facade(spark, loc), t.scan())
+    t.set_file_format("parquet")
+    t.append(spark.createDataFrame([(4, "d")], "id long, payload string"))
+    _assert_parity(_facade(spark, loc), t.scan())
+    with pytest.raises(Exception, match="row lineage is unavailable"):
+        _facade(spark, loc, row_lineage=True).collect()
+
+
+def test_avro_typed_columns_roundtrip(spark, warehouse):
+    loc = os.path.join(warehouse, "avrotyped")
+    t = SnapshotTable.create(
+        spark, loc,
+        schema="id long, f double, d date, ts timestamp, ok boolean",
+        file_format="avro",
+    )
+    t.append(
+        spark.sql(
+            "SELECT CAST(1 AS LONG) id, CAST(1.5 AS DOUBLE) f, "
+            "DATE'2024-02-29' d, TIMESTAMP'2024-01-02 03:04:05.123456' ts, "
+            "true ok "
+            "UNION ALL SELECT 2, NULL, NULL, NULL, NULL"
+        )
+    )
+    _assert_parity(_facade(spark, loc), t.scan())
 
 
 def test_snapshot_id_virtual_value_matches(spark, warehouse):
