@@ -703,6 +703,14 @@ class HivebergDataWriter(DataSourceArrowWriter):
             .strip()
             .lower()
             or None,
+            # Iceberg write.target-file-size-bytes: tasks ROLL to a new
+            # file once the open one reaches the target, so one long
+            # task never produces one giant file (the engine sizes via
+            # Spark partitioning; an executor-local writer must roll)
+            "target_bytes": int(
+                props.get("write.target-file-size-bytes", "").strip() or 0
+            )
+            or None,
             "written_schema_json": written.json(),
             "baked": baked,
         }
@@ -737,6 +745,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
         pnames = [p["name"] for p in self.spec_part_plan]
         # dir component -> [writer, tmp, final, partition-values dict]
         sinks: dict[str, list] = {}
+        published: list[dict] = []
 
         def sink_for(subdir: str, pvals: dict) -> list:
             s = sinks.get(subdir)
@@ -754,6 +763,28 @@ class HivebergDataWriter(DataSourceArrowWriter):
                     pvals,
                 ]
             return s
+
+        def publish(s: list) -> None:
+            _, tmp, final, pvals = s
+            os.rename(tmp, final)  # attempt-atomic publish
+            published.append(
+                {
+                    "rel": os.path.relpath(final, spec["location"]),
+                    "records": pq.ParquetFile(final).metadata.num_rows,
+                    "bytes": os.path.getsize(final),
+                    "partition": pvals,
+                }
+            )
+
+        def maybe_roll(subdir: str) -> None:
+            # every write_table flushes a row group, so the on-disk
+            # size is current; past the target, seal and start fresh
+            target = spec.get("target_bytes")
+            s = sinks.get(subdir)
+            if target and s and os.path.getsize(s[1]) >= target:
+                s[0].close()
+                publish(s)
+                del sinks[subdir]
 
         try:
             for batch in iterator:
@@ -781,6 +812,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 out = pa.table(arrays, schema=arrow_schema)
                 if not self.spec_part_plan:
                     sink_for("", {})[0].write_table(out)
+                    maybe_roll("")
                     continue
                 # hidden-partition fan-out: per-transform logical value
                 # strings (null-flag-prefixed), composite np.unique for
@@ -800,22 +832,13 @@ class HivebergDataWriter(DataSourceArrowWriter):
                     subdir = _partition_dir(pnames, vals)
                     sub = out.filter(pa.array(inverse == gi))
                     sink_for(subdir, pvals)[0].write_table(sub)
+                    maybe_roll(subdir)
         finally:
             for s in sinks.values():
                 s[0].close()
-        files = []
         for s in sinks.values():
-            _, tmp, final, pvals = s
-            os.rename(tmp, final)  # attempt-atomic publish
-            files.append(
-                {
-                    "rel": os.path.relpath(final, spec["location"]),
-                    "records": pq.ParquetFile(final).metadata.num_rows,
-                    "bytes": os.path.getsize(final),
-                    "partition": pvals,
-                }
-            )
-        return _WriteMessage(files=files)
+            publish(s)
+        return _WriteMessage(files=published)
 
     # -- driver side ------------------------------------------------------
 

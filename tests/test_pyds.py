@@ -1041,3 +1041,22 @@ def test_add_files_hive_layout_reads(spark, warehouse, tmp_path):
     # columns materialize physically); the mixed state still matches
     t.delete_where("id = 205", committed_at=2000)
     _assert_parity(_facade(spark, loc), t.scan())
+
+
+def test_write_target_file_size_rolls(spark, warehouse):
+    """write.target-file-size-bytes: a single long task rolls to new
+    files at the target instead of producing one giant file; contents
+    and lineage blocks stay exact."""
+    loc = os.path.join(warehouse, "roll")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.set_properties({"write.target-file-size-bytes": "1"})
+    _simple(spark, [(i, f"d{i}") for i in range(25000)]).coalesce(
+        1
+    ).write.format("hiveberg").mode("append").save(loc)
+    files = t.plan_files()
+    assert len(files) >= 2  # one task, multiple rolled files
+    df = t.scan()
+    assert df.count() == 25000
+    assert df.select("id").distinct().count() == 25000
+    rows = t.scan_with_row_lineage().select("_row_id").collect()
+    assert sorted(r._row_id for r in rows) == list(range(25000))
