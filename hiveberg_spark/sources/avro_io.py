@@ -628,32 +628,39 @@ def _resolve_renamed(names: list[str], renames: list[dict]) -> list[str]:
     return out
 
 
+def rows_to_pandas(fspec: list[dict], rows: list[list], names: list[str] | None = None):
+    """Decoded (fspec, rows) → pandas DataFrame with per-logical-type
+    conversions — THE one conversion body shared by the engine's
+    mapInPandas decoder and the facade's per-file Arrow read, so a new
+    logical type lands in exactly one place."""
+    import pandas as pd
+
+    names = names or [s["name"] for s in fspec]
+    data: dict = {}
+    for i, s in enumerate(fspec):
+        col = [r[i] for r in rows]
+        if s["logical"] in ("timestamp-micros", "local-timestamp-micros"):
+            data[names[i]] = pd.to_datetime(col, unit="us")
+        elif s["logical"] == "date":
+            data[names[i]] = pd.Series(
+                pd.to_datetime(col, unit="D").date, dtype=object
+            )
+        else:
+            data[names[i]] = pd.Series(col, dtype=object)
+    return pd.DataFrame(data, columns=names)
+
+
 def _make_decoder(renames: list[dict]):
     """mapInPandas worker: binaryFile content column → decoded rows,
     per-file header names resolved through the rename log so pre- and
     post-rename files surface one current-name schema."""
 
     def _decode_batches(batches):
-        import pandas as pd
-
         for pdf in batches:
             for content in pdf["content"]:
                 fspec, rows = _decode_file(bytes(content))
                 names = _resolve_renamed([s["name"] for s in fspec], renames)
-                data: dict = {}
-                for i, s in enumerate(fspec):
-                    col = [r[i] for r in rows]
-                    if s["logical"] in (
-                        "timestamp-micros", "local-timestamp-micros"
-                    ):
-                        data[names[i]] = pd.to_datetime(col, unit="us")
-                    elif s["logical"] == "date":
-                        data[names[i]] = pd.Series(
-                            pd.to_datetime(col, unit="D").date, dtype=object
-                        )
-                    else:
-                        data[names[i]] = pd.Series(col, dtype=object)
-                yield pd.DataFrame(data, columns=names)
+                yield rows_to_pandas(fspec, rows, names)
 
     return _decode_batches
 

@@ -206,7 +206,7 @@ def _hive_cast(raw: str | None, styp: str) -> Any:
     same rendering Spark's partition discovery parses)."""
     if raw is None:
         return None
-    if styp in ("tinyint", "smallint", "int", "bigint"):
+    if styp in _INT_KINDS:
         return int(raw)
     if styp in ("float", "double"):
         return float(raw)
@@ -439,6 +439,36 @@ _TIME_FMT = {
 _INT_KINDS = ("tinyint", "smallint", "int", "bigint")
 
 
+def _stats_with_blooms(tbl: SnapshotTable, files: list[str]) -> dict:
+    """Footer min/max stats plus (when the table property asks)
+    manifest bloom bitsets — the one stats-collection body both the
+    batch and the streaming commit share, so the two can't drift."""
+    from hiveberg_spark.sources.snapshot_table import (
+        _BLOOM_DEFAULT_BITS,
+        _BLOOM_STATS_KEY,
+    )
+
+    stats = tbl._collect_file_stats(files, "parquet")
+    props = tbl._read_meta().get("properties", {})
+    bloom_cols = [
+        x.strip()
+        for x in props.get("write.metadata.bloom-filter-columns", "").split(
+            ","
+        )
+        if x.strip()
+    ]
+    if bloom_cols and files:
+        m_bits = int(
+            props.get("write.metadata.bloom-filter-bits", "").strip()
+            or _BLOOM_DEFAULT_BITS
+        )
+        for rel, b in tbl._collect_file_blooms(
+            files, "parquet", bloom_cols, m_bits
+        ).items():
+            stats.setdefault(rel, {})[_BLOOM_STATS_KEY] = b
+    return stats
+
+
 def _transform_column(t, p: dict):
     """One hidden-partition transform over an Arrow table, value-matched
     to the engine's Spark expressions (snapshot_table._transform_expr):
@@ -463,6 +493,11 @@ def _transform_column(t, p: dict):
     def with_nulls(rendered: "np.ndarray"):
         out = np.char.add("V", rendered.astype(str))
         out[null_mask] = "N"
+        # Spark's getPartitionPathString maps EMPTY string values to
+        # __HIVE_DEFAULT_PARTITION__ too — an empty rendered value
+        # must take the null dir, or facade and engine manifests would
+        # record different partition keys ('' vs None) for equal rows
+        out[out == "V"] = "N"
         return out
 
     if kind == "bucket":
@@ -665,13 +700,12 @@ class HivebergDataWriter(DataSourceArrowWriter):
                     "declared column"
                 )
             styp = declared[src].dataType.simpleString()
-            ints = ("tinyint", "smallint", "int", "bigint")
             if kind in ("bucket", "truncate"):
-                ok = styp in ints or styp == "string"
+                ok = styp in _INT_KINDS or styp == "string"
             elif kind in ("day", "year", "month", "hour"):
                 ok = styp == "date" or styp.startswith("timestamp")
             elif kind == "identity":
-                ok = styp in ints or styp in ("string", "date")
+                ok = styp in _INT_KINDS or styp in ("string", "date")
             else:
                 ok = False
             if not ok:
@@ -743,9 +777,16 @@ class HivebergDataWriter(DataSourceArrowWriter):
         if spec["compression"]:
             kwargs["compression"] = spec["compression"]
         pnames = [p["name"] for p in self.spec_part_plan]
-        # dir component -> [writer, tmp, final, partition-values dict]
+        baked = dict(spec["baked"])
+        # per-field single-element constants, built once per task
+        baked_consts = {
+            f.name: pa.array([baked[f.name]], type=None).cast(f.type)
+            for f in arrow_schema
+            if f.name in baked and baked[f.name] is not None
+        }
+        # dir -> [writer, tmp, final, partition-values dict, row count]
         sinks: dict[str, list] = {}
-        published: list[dict] = []
+        sealed: list[list] = []
 
         def sink_for(subdir: str, pvals: dict) -> list:
             s = sinks.get(subdir)
@@ -761,29 +802,21 @@ class HivebergDataWriter(DataSourceArrowWriter):
                     tmp,
                     final,
                     pvals,
+                    0,
                 ]
             return s
 
-        def publish(s: list) -> None:
-            _, tmp, final, pvals = s
-            os.rename(tmp, final)  # attempt-atomic publish
-            published.append(
-                {
-                    "rel": os.path.relpath(final, spec["location"]),
-                    "records": pq.ParquetFile(final).metadata.num_rows,
-                    "bytes": os.path.getsize(final),
-                    "partition": pvals,
-                }
-            )
-
         def maybe_roll(subdir: str) -> None:
             # every write_table flushes a row group, so the on-disk
-            # size is current; past the target, seal and start fresh
+            # size is current; past the target, SEAL and start fresh.
+            # Sealed files stay `.inprogress` until the whole task
+            # succeeds — a failed or speculatively-duplicated attempt
+            # must never leave published-looking files behind
             target = spec.get("target_bytes")
             s = sinks.get(subdir)
             if target and s and os.path.getsize(s[1]) >= target:
                 s[0].close()
-                publish(s)
+                sealed.append(s)
                 del sinks[subdir]
 
         try:
@@ -796,22 +829,19 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 for field in arrow_schema:
                     if field.name in t.column_names:
                         arrays.append(t[field.name].cast(field.type))
+                    elif field.name in baked_consts:
+                        arrays.append(
+                            baked_consts[field.name].take(
+                                pa.array(np.zeros(rows, dtype=np.int64))
+                            )
+                        )
                     else:
-                        val = dict(spec["baked"]).get(field.name)
-                        if val is None:
-                            arrays.append(pa.nulls(rows, field.type))
-                        else:
-                            const = pa.array([val], type=None).cast(
-                                field.type
-                            )
-                            arrays.append(
-                                const.take(
-                                    pa.array(np.zeros(rows, dtype=np.int64))
-                                )
-                            )
+                        arrays.append(pa.nulls(rows, field.type))
                 out = pa.table(arrays, schema=arrow_schema)
                 if not self.spec_part_plan:
-                    sink_for("", {})[0].write_table(out)
+                    s = sink_for("", {})
+                    s[0].write_table(out)
+                    s[4] += rows
                     maybe_roll("")
                     continue
                 # hidden-partition fan-out: per-transform logical value
@@ -831,23 +861,30 @@ class HivebergDataWriter(DataSourceArrowWriter):
                     pvals = dict(zip(pnames, vals))
                     subdir = _partition_dir(pnames, vals)
                     sub = out.filter(pa.array(inverse == gi))
-                    sink_for(subdir, pvals)[0].write_table(sub)
+                    s = sink_for(subdir, pvals)
+                    s[0].write_table(sub)
+                    s[4] += sub.num_rows
                     maybe_roll(subdir)
         finally:
             for s in sinks.values():
                 s[0].close()
-        for s in sinks.values():
-            publish(s)
-        return _WriteMessage(files=published)
+        files = []
+        for s in sealed + list(sinks.values()):
+            _, tmp, final, pvals, nrows = s
+            os.rename(tmp, final)  # task-end publish, attempt-atomic
+            files.append(
+                {
+                    "rel": os.path.relpath(final, spec["location"]),
+                    "records": nrows,
+                    "bytes": os.path.getsize(final),
+                    "partition": pvals,
+                }
+            )
+        return _WriteMessage(files=files)
 
     # -- driver side ------------------------------------------------------
 
     def commit(self, messages) -> None:
-        from hiveberg_spark.sources.snapshot_table import (
-            _BLOOM_DEFAULT_BITS,
-            _BLOOM_STATS_KEY,
-        )
-
         tbl = SnapshotTable(None, self.path)
         entries = [
             e for m in messages if m is not None for e in m.files
@@ -863,24 +900,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
         partitions = {
             e["rel"]: e["partition"] for e in entries if e["partition"]
         }
-        stats = tbl._collect_file_stats(files, "parquet")
-        props = tbl._read_meta().get("properties", {})
-        bloom_cols = [
-            x.strip()
-            for x in props.get(
-                "write.metadata.bloom-filter-columns", ""
-            ).split(",")
-            if x.strip()
-        ]
-        if bloom_cols and files:
-            m_bits = int(
-                props.get("write.metadata.bloom-filter-bits", "").strip()
-                or _BLOOM_DEFAULT_BITS
-            )
-            for rel, b in tbl._collect_file_blooms(
-                files, "parquet", bloom_cols, m_bits
-            ).items():
-                stats.setdefault(rel, {})[_BLOOM_STATS_KEY] = b
+        stats = _stats_with_blooms(tbl, files)
         tbl._commit_register(
             operation="overwrite" if self.overwrite else "append",
             committed_at=self.committed_at,
@@ -956,9 +976,15 @@ class HivebergStreamWriter(HivebergDataWriter, DataSourceStreamArrowWriter):
             e for m in messages if m is not None for e in m.files
         ]
         last = self._last_batch_id(tbl)
-        if last is not None and last >= batchId:
+        if last is not None and last == batchId:
             # replayed micro-batch after a restart: already committed —
-            # drop the staged duplicates, never double-append
+            # drop the staged duplicates, never double-append.
+            # EQUALITY, not >=: Structured Streaming replays at most
+            # the single last uncommitted batch, so only an exact
+            # repeat of the latest committed id is a replay; a NEW
+            # query (fresh checkpoint, batch ids restarting at 0)
+            # against a previously-streamed table must NOT have its
+            # early batches discarded.
             for e in entries:
                 try:
                     os.unlink(os.path.join(self.path, e["rel"]))
@@ -978,7 +1004,7 @@ class HivebergStreamWriter(HivebergDataWriter, DataSourceStreamArrowWriter):
             committed_at=self.committed_at,
             replaces=False,
             files=files,
-            stats=tbl._collect_file_stats(files, "parquet"),
+            stats=_stats_with_blooms(tbl, files),
             partitions={
                 e["rel"]: e["partition"] for e in entries if e["partition"]
             },
@@ -1429,29 +1455,17 @@ class HivebergStreamReader(DataSourceStreamReader):
 def _read_avro_arrow(path: str):
     """Decode one Avro container file to an Arrow table with its
     PHYSICAL written column names (resolution happens downstream via
-    the field-id map / rename log, same as parquet) — the facade's
-    executor-side mirror of avro_io._make_decoder's conversions."""
-    import pandas as pd
+    the field-id map / rename log, same as parquet); the per-logical
+    conversions live in avro_io.rows_to_pandas, shared with the
+    engine's decoder."""
     import pyarrow as pa
 
-    from hiveberg_spark.sources.avro_io import _decode_file
+    from hiveberg_spark.sources.avro_io import _decode_file, rows_to_pandas
 
     with open(path, "rb") as fh:
         fspec, rows = _decode_file(fh.read())
-    names = [s["name"] for s in fspec]
-    data: dict = {}
-    for i, s in enumerate(fspec):
-        col = [r[i] for r in rows]
-        if s["logical"] in ("timestamp-micros", "local-timestamp-micros"):
-            data[names[i]] = pd.to_datetime(col, unit="us")
-        elif s["logical"] == "date":
-            data[names[i]] = pd.Series(
-                pd.to_datetime(col, unit="D").date, dtype=object
-            )
-        else:
-            data[names[i]] = pd.Series(col, dtype=object)
     return pa.Table.from_pandas(
-        pd.DataFrame(data, columns=names), preserve_index=False
+        rows_to_pandas(fspec, rows), preserve_index=False
     )
 
 

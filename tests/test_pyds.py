@@ -1060,3 +1060,88 @@ def test_write_target_file_size_rolls(spark, warehouse):
     assert df.select("id").distinct().count() == 25000
     rows = t.scan_with_row_lineage().select("_row_id").collect()
     assert sorted(r._row_id for r in rows) == list(range(25000))
+
+
+def test_stream_write_new_query_after_old_sink_commits(spark, warehouse):
+    """A NEW streaming query (fresh checkpoint, batch ids restarting
+    at 0) against a table previously streamed to must NOT have its
+    early batches discarded — dedup fires only on an exact repeat of
+    the latest committed batch id (the one-batch replay Structured
+    Streaming can produce)."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import StructType
+
+    loc = os.path.join(warehouse, "newq")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    schema = StructType.fromDDL("id long, data string")
+    batch = pa.record_batch(
+        {"id": pa.array([1], pa.int64()), "data": pa.array(["a"])}
+    )
+    w1 = pyds.HivebergStreamWriter({"path": loc}, schema, overwrite=False)
+    for b in range(3):  # query 1 commits batches 0..2
+        w1.commit([w1.write(iter([batch]))], batchId=b)
+    assert t.scan().count() == 3
+    # query 2: fresh checkpoint, batch ids restart at 0 — must append
+    w2 = pyds.HivebergStreamWriter({"path": loc}, schema, overwrite=False)
+    w2.commit([w2.write(iter([batch]))], batchId=0)
+    assert t.scan().count() == 4
+    # replay of query 2's batch 0 (restart) — must dedup
+    w2.commit([w2.write(iter([batch]))], batchId=0)
+    assert t.scan().count() == 4
+
+
+def test_write_partitioned_empty_string_value(spark, warehouse):
+    """Empty-string partition values take the null dir, matching
+    Spark's getPartitionPathString (engine-write parity)."""
+    loc_w = os.path.join(warehouse, "es_w")
+    loc_e = os.path.join(warehouse, "es_e")
+    spec = [("identity", "data")]
+    tw = SnapshotTable.create(
+        spark, loc_w, schema="id long, data string", partition_spec=spec
+    )
+    te = SnapshotTable.create(
+        spark, loc_e, schema="id long, data string", partition_spec=spec
+    )
+    df = _simple(spark, [(1, ""), (2, "x"), (3, None)])
+    df.write.format("hiveberg").mode("append").save(loc_w)
+    te.append(df)
+    _assert_parity(
+        tw.scan().drop("snapshot__id"), te.scan().drop("snapshot__id")
+    )
+    assert _manifest_partitions(tw) == _manifest_partitions(te)
+
+
+def test_write_rolled_files_stay_staged_until_task_end(spark, warehouse):
+    """Rolled files remain .inprogress until the task finishes — a
+    failed attempt must never leave published-looking parquet files."""
+    import glob
+
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+
+    loc = os.path.join(warehouse, "rollstage")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.set_properties({"write.target-file-size-bytes": "1"})
+    w = pyds.HivebergDataWriter(
+        {"path": loc}, StructType.fromDDL("id long, data string"), False
+    )
+    batches = [
+        pa.record_batch(
+            {"id": pa.array([i], pa.int64()), "data": pa.array([f"d{i}"])}
+        )
+        for i in range(3)
+    ]
+
+    def gen():
+        yield batches[0]
+        yield batches[1]
+        # mid-task: the first file has rolled (sealed) but NOTHING is
+        # published as .parquet yet
+        assert glob.glob(os.path.join(loc, "data", "*", "*.parquet")) == []
+        yield batches[2]
+
+    msg = w.write(gen())
+    assert len(msg.files) == 3  # every batch rolled
+    w.commit([msg])
+    assert t.scan().count() == 3
