@@ -19,6 +19,55 @@ from hiveberg_spark.operators.dedup import (
 )
 
 
+def label_components(pairs):
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation to fixpoint: each round every vertex takes
+    the min label among itself and its neighbors; rounds = graph
+    diameter (dup clusters are shallow; hard cap 20 with a convergence
+    assert). Each round is one shuffle join keyed on the vertex id —
+    the standard large-graph CC pattern (no driver-side graph state;
+    the driver only checks the converged flag). `pairs` must have
+    columns (doc_a, doc_b); returns (v, label) with label = the min
+    vertex id of v's component."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.v)
+            .groupBy(F.col("doc_a").alias("nv"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.v == neighbor_min.nv, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "v")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        if labels.is_cached:  # release the superseded round's cache
+            labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    else:  # pragma: no cover - diameter > 20 impossible on dup clusters
+        raise RuntimeError("connected components did not converge in 20 rounds")
+    return labels
+
+
 @query(
     "dedup_cluster_pick",
     oracle=f"""
@@ -59,42 +108,7 @@ def dedup_cluster_pick(spark, sf_dir):
     pairs = ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, SHINGLE_DF_CAP).select(
         "doc_a", "doc_b"
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
-    )
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.v)
-            .groupBy(F.col("doc_a").alias("nv"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.v == neighbor_min.nv, "left")
-            .select(
-                "v",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "v")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        if labels.is_cached:  # release the superseded round's cache
-            labels.unpersist()
-        labels = updated
-        if changed == 0:
-            break
-    else:  # pragma: no cover - diameter > 20 impossible on dup clusters
-        raise RuntimeError("connected components did not converge in 20 rounds")
+    labels = label_components(pairs)
     return labels.select(
         F.col("v").alias("doc_id"),
         F.col("label").alias("cluster_rep"),

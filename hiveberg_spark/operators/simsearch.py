@@ -494,6 +494,84 @@ def dedup_blocked_recall(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_semdedup",
+    oracle="""
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS removed_id,
+           CAST(vec_id AS BIGINT) AS kept_id
+    FROM embeddings WHERE vec_id < 20
+    ORDER BY removed_id
+    """,
+)
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    deduplication as the composed pipeline the paper describes:
+    (1) cluster the embedding corpus with the k-means coarse quantizer
+    (multi-probe assignment so boundary duplicates still co-block),
+    (2) within each cluster only, pairwise cosine above a tight
+    threshold (0.95) marks semantic duplicates — never a global
+    all-pairs, so the pair space is Σ|cell|² instead of n²,
+    (3) connected components over the duplicate graph, keeping ONE
+    representative per component (deterministic keep-min-id; the
+    paper keeps low-centroid-similarity members — same output
+    cardinality, tie-stable here).
+
+    Oracle: the corpus is augmented with 20 planted 1.001-scaled
+    copies (cosine exactly 1 with their originals; the synthetic
+    corpus has no natural >=0.95 pairs), so the removed set is exactly
+    the plants and DuckDB lists it directly — any assignment
+    mis-blocking, threshold drift, or component over/under-delete
+    turns the row red."""
+    from hiveberg_spark.operators.pipeline_ops import label_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.001).alias(
+            "embedding"
+        ),
+    )
+    aug = with_norm(base.unionByName(dups))
+    assigned = _assign_nearest_centroid(
+        aug, _label_centroids(spark, sf_dir), probes=2
+    )
+    a = assigned.select(
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(F.round(cos, 6) >= 0.95)
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    labels = label_components(pairs)
+    return (
+        labels.filter(F.col("v") != F.col("label"))
+        .select(
+            F.col("v").alias("removed_id"),
+            F.col("label").alias("kept_id"),
+        )
+        .orderBy("removed_id")
+    )
+
+
 def _label_centroids(spark, sf_dir):
     """(label, centroid array<double>) — the IVF coarse quantizer,
     trained distributedly (posexplode → per-dim mean → re-assemble)."""

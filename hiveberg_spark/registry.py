@@ -142,6 +142,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_pyds_sink",
     "snapshot_value_index_freshness",
     "dedup_cluster_components",
+    "dedup_semdedup",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
