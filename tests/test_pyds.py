@@ -1145,3 +1145,60 @@ def test_write_rolled_files_stay_staged_until_task_end(spark, warehouse):
     assert len(msg.files) == 3  # every batch rolled
     w.commit([msg])
     assert t.scan().count() == 3
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_write_partitioned_random_parity(spark, warehouse, seed):
+    """Randomized engine-vs-facade WRITE parity: random partition
+    specs over random data (negative ints, unicode and escape-worthy
+    strings, nulls, boundary dates) must produce identical scans AND
+    identical manifest partition values."""
+    import datetime
+    import random
+
+    rng = random.Random(seed)
+    schema = "id long, s string, d date"
+    specs = [
+        [("bucket", "id", rng.choice([2, 4, 8]))],
+        [("truncate", "id", 100), ("bucket", "s", 3)],
+        [("identity", "s")],
+        [("truncate", "s", 2)],
+        [("month", "d"), ("bucket", "id", 4)],
+        [("identity", "d")],
+    ]
+    strings = [
+        "plain", "", None, "with space", "a=b/c:d", "ünïcödé", "x" * 40,
+        "%41", "new\nline", "tab\tsep", "'quote'",
+    ]
+    rows = [
+        (
+            rng.randint(-(10**6), 10**6),
+            rng.choice(strings),
+            rng.choice(
+                [
+                    None,
+                    datetime.date(1970, 1, 1),
+                    datetime.date(2024, 2, 29),
+                    datetime.date(1969, 12, 31),
+                    datetime.date(2033, 11, 3),
+                ]
+            ),
+        )
+        for _ in range(60)
+    ]
+    for si, spec in enumerate(rng.sample(specs, 3)):
+        loc_w = os.path.join(warehouse, f"rw{si}")
+        loc_e = os.path.join(warehouse, f"re{si}")
+        tw = SnapshotTable.create(
+            spark, loc_w, schema=schema, partition_spec=spec
+        )
+        te = SnapshotTable.create(
+            spark, loc_e, schema=schema, partition_spec=spec
+        )
+        df = spark.createDataFrame(rows, schema).repartition(2)
+        df.write.format("hiveberg").mode("append").save(loc_w)
+        te.append(df)
+        _assert_parity(
+            tw.scan().drop("snapshot__id"), te.scan().drop("snapshot__id")
+        )
+        assert _manifest_partitions(tw) == _manifest_partitions(te), spec
