@@ -597,3 +597,69 @@ def text_perplexity_proxy(spark, sf_dir):
             -F.sum("lp_micro") * 1.0 / F.count("*") / 1000000, 6
         ).alias("avg_nll"),
     )
+
+
+@query(
+    "text_hashed_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS tok
+      FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
+      WHERE len(t) > 0
+    ),
+    scored AS (
+      SELECT doc_id,
+             SUM((CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 1024)
+                 % 21 - 10) AS w_sum,
+             COUNT(*) AS n_tok
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(w_sum, 0) AS BIGINT) AS w_sum,
+           CAST(COALESCE(n_tok, 0) AS BIGINT) AS n_tok,
+           COALESCE(w_sum, 0) > 0 AS keep
+    FROM documents d LEFT JOIN scored USING (doc_id)
+    """,
+)
+def text_hashed_classifier(spark, sf_dir):
+    """fastText-shaped HASHED LINEAR CLASSIFIER scoring — the quality-
+    filter architecture (Joulin et al. 2016; the CCNet/GPT-3 quality
+    gate): tokenize, hash each token into a fixed bucket space (1024
+    buckets via an md5 prefix, the hashing-trick feature map), sum the
+    per-bucket weights, threshold. Weights here are a deterministic
+    function of the bucket (integer, exactly representable) so the
+    oracle recomputes the identical score — in production the weight
+    table is a trained vector broadcast as a map-literal column; the
+    PLAN SHAPE (one scan, explode, map-side partial sum on doc_id, no
+    all-pairs, no UDF) is what this query pins.
+
+    Scale: tokenize+hash+weight are JVM higher-order expressions; the
+    only shuffle is the per-doc aggregation, partial-aggregated
+    map-side. 100 TB cost = one pass over text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+        % 1024
+    )
+    scored = (
+        toks.select("doc_id", (bucket % 21 - 10).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").cast("long").alias("w_sum"),
+            F.count("*").cast("long").alias("n_tok"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("w_sum", F.lit(0)).cast("long").alias("w_sum"),
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            (F.coalesce("w_sum", F.lit(0)) > 0).alias("keep"),
+        )
+    )

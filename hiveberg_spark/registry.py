@@ -143,6 +143,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_value_index_freshness",
     "dedup_cluster_components",
     "dedup_semdedup",
+    "text_hashed_classifier",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
