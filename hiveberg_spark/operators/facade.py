@@ -236,6 +236,35 @@ def pyds_partitioned_write(spark, sf_dir):
 
 
 @query(
+    "pyds_incremental_read",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(CASE WHEN n_nationkey <= 16 THEN 2 ELSE 3 END AS BIGINT)
+               AS snapshot__id
+    FROM nation WHERE n_nationkey >= 8
+    """,
+)
+def pyds_incremental_read(spark, sf_dir):
+    """Iceberg's INCREMENTAL batch read as facade options
+    (`start_snapshot_id` exclusive / `end_snapshot_id`): only the
+    files appended after commit 1 of the 3-commit nation fixture,
+    each row stamped with its ADDING commit — the batch twin of the
+    streaming read's offset contract. Oracle reconstructs the stamp
+    from the fixture's deterministic key-range appends."""
+    from hiveberg_spark.operators.timetravel import _ensure_fixture
+    from hiveberg_spark.sources import pyds
+
+    t = _ensure_fixture(spark, sf_dir)
+    pyds.register(spark)
+    return (
+        spark.read.format("hiveberg")
+        .option("start_snapshot_id", 1)
+        .load(t.location)
+        .select("n_nationkey", "n_name", "n_regionkey", "snapshot__id")
+    )
+
+
+@query(
     "stream_pyds_sink",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation

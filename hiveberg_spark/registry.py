@@ -140,6 +140,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "pyds_partitioned_write",
     "stream_pyds_source",
     "stream_pyds_sink",
+    "pyds_incremental_read",
     "snapshot_value_index_freshness",
     "dedup_cluster_components",
     "dedup_semdedup",

@@ -358,6 +358,38 @@ class HivebergReader(DataSourceReader):
                 "schema (schema evolution is table-managed)"
             )
 
+    def _incremental_range(self) -> tuple[int, int] | None:
+        """Iceberg's INCREMENTAL batch read options: files appended in
+        (start_snapshot_id, end_snapshot_id] only — start is exclusive
+        like Iceberg's `start-snapshot-id`; end defaults to the current
+        head. Mutually exclusive with time travel."""
+        if self.options.get("start_snapshot_id") is None:
+            return None
+        if any(
+            self.options.get(k) is not None
+            for k in ("snapshot_id", "ref", "as_of_timestamp_ms")
+        ):
+            raise ValueError(
+                "hiveberg: start_snapshot_id (incremental read) is "
+                "mutually exclusive with time-travel options"
+            )
+        if _lineage_on(self.options):
+            raise ValueError(
+                "hiveberg: row_lineage composes with full scans, not "
+                "the incremental read (append files carry no lineage "
+                "rewrites; use scan_with_row_lineage + snapshot_id)"
+            )
+        start = int(self.options["start_snapshot_id"])
+        end = (
+            int(self.options["end_snapshot_id"])
+            if self.options.get("end_snapshot_id") is not None
+            else SnapshotTable(None, self.path)._read_meta()[
+                "current_snapshot_id"
+            ]
+            or 0
+        )
+        return start, end
+
     # -- pushdown ------------------------------------------------------
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
@@ -368,7 +400,15 @@ class HivebergReader(DataSourceReader):
     # -- planning ------------------------------------------------------
 
     def partitions(self) -> list[InputPartition]:
-        specs = _plan_partitions(self.path, self.options, self.conjuncts)
+        rng = self._incremental_range()
+        if rng is not None:
+            specs = _plan_stream_specs(
+                self.path, self.options, rng[0], rng[1]
+            )
+        else:
+            specs = _plan_partitions(
+                self.path, self.options, self.conjuncts
+            )
         if not specs:
             return [_FilePartition(None)]
         return [_FilePartition(s) for s in specs]
@@ -384,7 +424,10 @@ class HivebergReader(DataSourceReader):
             self.plan["renames"],
             self.plan["drops"],
             self.plan["virtual_column"],
-            self.plan["sid"],
+            # incremental specs carry their ADDING snapshot id, so the
+            # virtual column tells the consumer which commit delivered
+            # the row (same contract as the streaming read)
+            partition.spec.get("sid", self.plan["sid"]),
         )
 
 

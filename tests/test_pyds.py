@@ -1202,3 +1202,37 @@ def test_write_partitioned_random_parity(spark, warehouse, seed):
             tw.scan().drop("snapshot__id"), te.scan().drop("snapshot__id")
         )
         assert _manifest_partitions(tw) == _manifest_partitions(te), spec
+
+
+def test_incremental_batch_read_options(spark, warehouse):
+    """Iceberg's incremental batch read (`start-snapshot-id` /
+    `end-snapshot-id`): only the files appended in (start, end], each
+    row stamped with its ADDING commit in the virtual column; replace
+    commits refuse unless skipped (exactly the streaming-read
+    contract, as a batch option)."""
+    loc = os.path.join(warehouse, "incr")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    s1 = t.append(_simple(spark, [(1, "a")]))
+    s2 = t.append(_simple(spark, [(2, "b")]))
+    s3 = t.append(_simple(spark, [(3, "c")]))
+    got = _facade(spark, loc, start_snapshot_id=s1).collect()
+    assert sorted((r.id, r.snapshot__id) for r in got) == [(2, s2), (3, s3)]
+    got = _facade(
+        spark, loc, start_snapshot_id=s1, end_snapshot_id=s2
+    ).collect()
+    assert [(r.id, r.snapshot__id) for r in got] == [(2, s2)]
+    # engine parity: same range through scan_changes
+    eng = t.scan_changes(s1, s2).collect()
+    assert sorted(r.id for r in eng) == [2]
+    # replace commits in range refuse without the skip option
+    t.compact()
+    with pytest.raises(Exception, match="append-only|skip_replace"):
+        _facade(spark, loc, start_snapshot_id=s1).collect()
+    assert (
+        _facade(
+            spark, loc, start_snapshot_id=s3, skip_replace_snapshots=True
+        ).count()
+        == 0
+    )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _facade(spark, loc, start_snapshot_id=s1, snapshot_id=s2).collect()
