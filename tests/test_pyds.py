@@ -1236,3 +1236,32 @@ def test_incremental_batch_read_options(spark, warehouse):
     )
     with pytest.raises(Exception, match="mutually exclusive"):
         _facade(spark, loc, start_snapshot_id=s1, snapshot_id=s2).collect()
+
+
+def test_stream_write_into_partitioned_table(spark, warehouse, tmp_path):
+    """The streaming sink shares the batch writer's hidden-partition
+    fan-out: micro-batches land in `_p_x=v/` files and bucket pruning
+    works over the streamed table."""
+    src_loc = os.path.join(warehouse, "psrc")
+    dst_loc = os.path.join(warehouse, "pdst")
+    src = SnapshotTable.create(spark, src_loc, schema="id long, data string")
+    src.append(_simple(spark, [(i, f"d{i}") for i in range(50)]).coalesce(1))
+    dst = SnapshotTable.create(
+        spark, dst_loc, schema="id long, data string",
+        partition_spec=[("bucket", "id", 4)],
+    )
+    q = (
+        spark.readStream.format("hiveberg")
+        .option("virtual_column", "")
+        .load(src_loc)
+        .writeStream.format("hiveberg")
+        .option("checkpointLocation", str(tmp_path / "pck"))
+        .trigger(availableNow=True)
+        .start(dst_loc)
+    )
+    q.awaitTermination(120)
+    assert dst.scan().count() == 50
+    assert len(dst.plan_files(where="id = 17")) < len(dst.plan_files())
+    _assert_parity(
+        dst.scan().drop("snapshot__id"), src.scan().drop("snapshot__id")
+    )
