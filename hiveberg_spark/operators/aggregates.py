@@ -539,3 +539,40 @@ def events_ab_test(spark, sf_dir):
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """Event TRANSITION MATRIX (first-order Markov counts — the
+    next-action analytics behind product flow diagrams and behavioral
+    anomaly baselines): per user, each event pairs with its successor
+    in (ts, event_id) order, then one count per (from, to) edge.
+    One user-keyed window + one partial-aggregated count — both
+    shuffles on keys AQE coalesces; at 100 TB this is a single
+    events pass, never a self-join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

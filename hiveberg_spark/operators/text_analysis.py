@@ -663,3 +663,77 @@ def text_hashed_classifier(spark, sf_dir):
             (F.coalesce("w_sum", F.lit(0)) > 0).alias("keep"),
         )
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or bot@mail.test from 10.'
+                  || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.1 tel 555-0148.' AS t
+      FROM documents WHERE doc_id < 1000
+    )
+    SELECT doc_id,
+           (LENGTH(t) - LENGTH(regexp_replace(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g')))
+               AS email_chars,
+           (LENGTH(t) - LENGTH(regexp_replace(
+               t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '', 'g')))
+               AS ip_chars,
+           (LENGTH(t) - LENGTH(regexp_replace(
+               t, '\\b[0-9]{3}-[0-9]{4}\\b', '', 'g'))) AS phone_chars,
+           LENGTH(regexp_replace(regexp_replace(regexp_replace(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')) AS scrubbed_len
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII SCRUBBING battery (the Dolma/CCNet pre-training scrub):
+    email, IPv4, and phone patterns each redact to a typed placeholder
+    with an audit count of removed characters — the contract a
+    compliance pass needs (how much was removed, of what class),
+    checkable without comparing full rewritten text. The synthetic
+    corpus carries no natural PII, so both engines seed identical
+    deterministic PII spans per document first; what the oracle then
+    pins is the cross-engine regex semantics and the scrub arithmetic.
+    Patterns stay in the Java∩RE2 portable subset. One narrow
+    projection, zero shuffle — 100 TB cost is one text pass."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or bot@mail.test from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 tel 555-0148."),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    phone = r"\b[0-9]{3}-[0-9]{4}\b"
+    seeded = d.select("doc_id", t.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, "<EMAIL>"), ip, "<IP>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        (
+            F.length("t") - F.length(F.regexp_replace(F.col("t"), email, ""))
+        ).alias("email_chars"),
+        (
+            F.length("t") - F.length(F.regexp_replace(F.col("t"), ip, ""))
+        ).alias("ip_chars"),
+        (
+            F.length("t") - F.length(F.regexp_replace(F.col("t"), phone, ""))
+        ).alias("phone_chars"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )

@@ -145,6 +145,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_cluster_components",
     "dedup_semdedup",
     "text_hashed_classifier",
+    "text_pii_scrub",
+    "events_transition_matrix",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
