@@ -737,3 +737,67 @@ def text_pii_scrub(spark, sf_dir):
         ).alias("phone_chars"),
         F.length(scrubbed).alias("scrubbed_len"),
     )
+
+
+@query(
+    "sample_perplexity_split",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(text, ' ')) AS word
+      FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    stats AS (SELECT COUNT(*) AS n, COUNT(DISTINCT word) AS v FROM tok),
+    lp AS (
+      SELECT doc_id,
+             CAST(FLOOR(LN((cnt + 1.0) / (n + v)) * 1000000) AS BIGINT)
+               AS lp_micro
+      FROM tok JOIN counts USING (word) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micro) AS lpm
+      FROM lp GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, s.doc_id,
+             NTILE(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY -s.lpm * 1.0 / s.n_tokens, s.doc_id
+             ) AS bucket
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def sample_perplexity_split(spark, sf_dir):
+    """CCNet's HEAD/MIDDLE/TAIL corpus split: per language, documents
+    rank by their perplexity-proxy score (the unigram-LM avg NLL from
+    text_perplexity_proxy, composed here) and NTILE(3) into the three
+    quality terciles — head+middle is what CCNet keeps for training.
+    Ordering is the exact integer-micro-nat sum divided by the exact
+    token count (identical IEEE division both engines), ties broken by
+    doc_id, so the tercile boundaries can never drift cross-engine.
+    Scale: the scoring pass's shuffles plus one lang-keyed window —
+    the window state is per-language doc ranks, the standard
+    quantile-split shape."""
+    from pyspark.sql import Window
+
+    scored = text_perplexity_proxy(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("logprob_micro").alias("lpm")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        (-F.col("lpm") * 1.0 / F.col("n_tokens")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(docs, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

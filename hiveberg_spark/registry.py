@@ -147,6 +147,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_hashed_classifier",
     "text_pii_scrub",
     "events_transition_matrix",
+    "sample_perplexity_split",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
