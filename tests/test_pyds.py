@@ -1265,3 +1265,32 @@ def test_stream_write_into_partitioned_table(spark, warehouse, tmp_path):
     _assert_parity(
         dst.scan().drop("snapshot__id"), src.scan().drop("snapshot__id")
     )
+
+
+def test_concurrent_facade_appends_both_commit(spark, warehouse):
+    """Two facade appends racing: the O_EXCL commit lock serializes the
+    metadata swaps and BOTH snapshots land (no lost update), with
+    disjoint row-id blocks."""
+    import threading
+
+    loc = os.path.join(warehouse, "race")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    errs = []
+
+    def put(lo):
+        try:
+            _simple(
+                spark, [(i, f"d{i}") for i in range(lo, lo + 10)]
+            ).write.format("hiveberg").mode("append").save(loc)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    th = [threading.Thread(target=put, args=(lo,)) for lo in (0, 100)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    assert t.scan().count() == 20
+    assert len(t.snapshots().collect()) == 2
+    rows = t.scan_with_row_lineage().select("_row_id").collect()
+    ids = sorted(r._row_id for r in rows)
+    assert ids == list(range(20))  # disjoint blocks, no overlap
