@@ -518,3 +518,66 @@ def multimodal_audio_energy(spark, sf_dir):
         _audio_energy,
         schema="doc_id long, frame_idx long, rms_amp long, voiced boolean, rate long",
     )
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash over really-decoded PPM pixels: patch means
+    thresholded at the global mean, packed row-major into an integer.
+    The synthetic gradient flips direction with doc parity, so the
+    hash takes exactly two values the oracle derives in closed form."""
+    import numpy as np
+
+    W, H, P = 16, 8, 4
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc = int(doc_id)
+            base = (
+                np.arange(W, dtype=np.uint8)
+                if doc % 2 == 0
+                else np.arange(W - 1, -1, -1, dtype=np.uint8)
+            )
+            pix = np.repeat(np.tile(base, (H, 1))[:, :, None], 3, axis=2)
+            ppm = b"P6\n%d %d\n255\n" % (W, H) + pix.tobytes()
+            d = decode_media(ppm)
+            p = (
+                d["pixels"]
+                .reshape(H // P, P, W // P, P, 3)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(H // P, W // P, -1)
+            )
+            means = p.astype(np.float64).mean(axis=2)
+            bits = (means > means.mean()).astype(np.int64).reshape(-1)
+            h = int((bits << np.arange(bits.size)).sum())
+            rows.append((doc, h, int(bits.sum())))
+        yield pd.DataFrame(rows, columns=["doc_id", "ahash", "n_hot"])
+
+
+@query(
+    "multimodal_ahash",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 204 ELSE 51 END AS BIGINT)
+               AS ahash,
+           CAST(4 AS BIGINT) AS n_hot
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def multimodal_ahash(spark, sf_dir):
+    """PERCEPTUAL IMAGE HASH (average-hash family — the image twin of
+    SimHash for near-duplicate image detection): real PPM decode,
+    4x4 patch means, threshold at the global mean, bit-pack row-major.
+    Images whose hashes sit within a small hamming radius are
+    near-duplicate candidates — the image-dedup blocking key a
+    multimodal corpus pipeline buckets on, exactly like the text
+    SimHash bands. The parity-flipped synthetic gradient yields a
+    closed-form two-value hash (204 even / 51 odd — mirrored images
+    get complementary bit patterns), so the oracle pins the decode →
+    patch → threshold → pack chain end to end. mapInPandas,
+    partition-parallel, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).select("doc_id")
+    return d.mapInPandas(
+        _ahash_batches, schema="doc_id long, ahash long, n_hot long"
+    )

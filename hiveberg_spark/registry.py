@@ -148,6 +148,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_pii_scrub",
     "events_transition_matrix",
     "sample_perplexity_split",
+    "multimodal_ahash",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
