@@ -137,6 +137,18 @@ def register(spark) -> None:
     spark.dataSource.register(HivebergDataSource)
 
 
+def _norm_path(p: str | None) -> str | None:
+    """Strip a local `file:` URI scheme: the SQL DDL surface
+    (`CREATE TABLE ... USING hiveberg OPTIONS (path ...)` /
+    `LOCATION ...`) hands the option through Spark's catalog as a
+    qualified URI, while `.load(loc)` hands a bare path."""
+    if p and p.startswith("file://"):
+        return p[7:]
+    if p and p.startswith("file:"):
+        return p[5:]
+    return p
+
+
 # -- plan-time helpers (driver-side, pure Python) -------------------------
 
 
@@ -244,7 +256,7 @@ class HivebergMetaReader(DataSourceReader):
     SAME row builders the engine's metadata DataFrames use."""
 
     def __init__(self, options: dict):
-        self.path = options["path"]
+        self.path = _norm_path(options["path"])
         self.table = str(options["table"]).lower()
         self.snapshot_id = (
             int(options["snapshot_id"])
@@ -342,7 +354,7 @@ def _meta_schema(table: str) -> StructType:
 
 class HivebergReader(DataSourceReader):
     def __init__(self, options: dict, user_schema: StructType | None):
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise ValueError("hiveberg: .load(<table location>) is required")
         self.options = dict(options)
@@ -439,7 +451,7 @@ class HivebergDataSource(DataSource):
         return "hiveberg"
 
     def schema(self) -> StructType:
-        path = self.options.get("path")
+        path = _norm_path(self.options.get("path"))
         if not path:
             raise ValueError("hiveberg: .load(<table location>) is required")
         if self.options.get("table"):
@@ -669,7 +681,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
     ):
         import uuid as _uuid
 
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise ValueError("hiveberg: .save(<table location>) is required")
         self.overwrite = bool(overwrite)
@@ -1448,7 +1460,7 @@ class HivebergStreamReader(DataSourceStreamReader):
     (stream-from-timestamp / skip-overwrite-snapshots semantics)."""
 
     def __init__(self, options: dict):
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise ValueError("hiveberg: .load(<table location>) is required")
         self.options = dict(options)

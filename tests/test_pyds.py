@@ -1294,3 +1294,16 @@ def test_concurrent_facade_appends_both_commit(spark, warehouse):
     rows = t.scan_with_row_lineage().select("_row_id").collect()
     ids = sorted(r._row_id for r in rows)
     assert ids == list(range(20))  # disjoint blocks, no overlap
+
+
+def test_file_uri_paths_accepted(spark, warehouse):
+    """`file:` URIs work everywhere a path option does (Spark's SQL
+    catalog hands locations through as qualified URIs)."""
+    loc = os.path.join(warehouse, "uri")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    assert _facade(spark, "file://" + loc).count() == 1
+    _simple(spark, [(2, "b")]).write.format("hiveberg").mode("append").save(
+        "file:" + loc
+    )
+    assert t.scan().count() == 2
