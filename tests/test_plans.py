@@ -200,3 +200,31 @@ def test_mor_scan_plan_pushdown_and_broadcast_only(spark, tmp_path_factory):
         if re.search(r"\bExchange hashpartitioning", ln)
     ]
     assert not non_broadcast, non_broadcast
+
+
+def test_hashed_classifier_stays_jvm_side(spark, sf_dir):
+    # the quality gate must be pure JVM expressions with map-side
+    # partial aggregation — no Python eval anywhere in the plan
+    plan = explain_str(
+        registry.QUERIES["text_hashed_classifier"](spark, sf_dir)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan[:1500]
+
+
+def test_transition_matrix_single_events_pass(spark, sf_dir):
+    # one user-keyed window + one partial-aggregated count; never a
+    # self-join of events against itself
+    plan = explain_str(
+        registry.QUERIES["events_transition_matrix"](spark, sf_dir)
+    )
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_no_cartesian_product(spark, sf_dir):
+    # candidate pairs come from the cell-equality join only — a
+    # cartesian in this plan would be the O(n^2) bug at 100 TB
+    plan = explain_str(registry.QUERIES["dedup_semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
