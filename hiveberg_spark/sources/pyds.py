@@ -494,16 +494,36 @@ _TIME_FMT = {
 _INT_KINDS = ("tinyint", "smallint", "int", "bigint")
 
 
-def _stats_with_blooms(tbl: SnapshotTable, files: list[str]) -> dict:
+def _gather_stats(
+    tbl: SnapshotTable, entries: list[dict], files: list[str], spec: dict
+) -> dict:
+    """Per-file bounds for the commit: parquet reads its own footers
+    (+ manifest blooms when the property asks); ORC bounds were folded
+    writer-side over the Arrow batches and ride the commit messages
+    (the commit worker has no session for the engine's distributed
+    stats job; metadata blooms are parquet-facade-only — ORC bloom
+    tables write via SnapshotTable.append)."""
+    if spec.get("fmt") == "orc":
+        return {
+            e["rel"]: e["stats"] for e in entries if e.get("stats")
+        }
+    return _stats_with_blooms(tbl, files, "parquet")
+
+
+def _stats_with_blooms(
+    tbl: SnapshotTable, files: list[str], fmt: str = "parquet"
+) -> dict:
     """Footer min/max stats plus (when the table property asks)
     manifest bloom bitsets — the one stats-collection body both the
-    batch and the streaming commit share, so the two can't drift."""
+    batch and the streaming commit share, so the two can't drift.
+    (ORC bounds run the engine's distributed stats job — the caller
+    hands a session-bearing table for that format.)"""
     from hiveberg_spark.sources.snapshot_table import (
         _BLOOM_DEFAULT_BITS,
         _BLOOM_STATS_KEY,
     )
 
-    stats = tbl._collect_file_stats(files, "parquet")
+    stats = tbl._collect_file_stats(files, fmt)
     props = tbl._read_meta().get("properties", {})
     bloom_cols = [
         x.strip()
@@ -518,7 +538,7 @@ def _stats_with_blooms(tbl: SnapshotTable, files: list[str]) -> dict:
             or _BLOOM_DEFAULT_BITS
         )
         for rel, b in tbl._collect_file_blooms(
-            files, "parquet", bloom_cols, m_bits
+            files, fmt, bloom_cols, m_bits
         ).items():
             stats.setdefault(rel, {})[_BLOOM_STATS_KEY] = b
     return stats
@@ -663,14 +683,22 @@ class HivebergDataWriter(DataSourceArrowWriter):
     one file per partition value it SEES — same trade as Spark's
     partitionBy without a repartition.)
 
+    ORC-format tables write through pyarrow's ORC writer with BOUNDS
+    FOLDED WRITER-SIDE over the Arrow batches (avro_io._ColStats —
+    ORC footers expose no stats via pyarrow and the commit worker has
+    no session for a distributed job), so min/max pruning works
+    identically; roll targets bound the stripe size so the on-disk
+    size check stays current.
+
     Documented v1 limits (raise; `SnapshotTable.append()` is the
-    full-fidelity writer): non-parquet table formats,
+    full-fidelity writer): avro-format tables,
     `write.sort.order`/zorder clustering (needs an engine-side
     exchange), and partition transforms over types the Arrow path
     can't value-match (timestamp/float identity). The
     `write.parquet.bloom-filter-*` FILE-level property is skipped
     (pyarrow's writer has no bloom hook); manifest-level
-    `write.metadata.bloom-filter-columns` pruning works.
+    `write.metadata.bloom-filter-columns` pruning works for parquet
+    (ORC bloom tables write via the engine).
 
     Reference contract: the reference is read-only
     (main/IcebergSerDe.java:77-80 serialize -> null); this writer
@@ -705,7 +733,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 "create tables implicitly)"
             )
         fmt = meta.get("file_format", "parquet")
-        if fmt != "parquet":
+        if fmt not in ("parquet", "orc"):
             raise UnsupportedTableShape(
                 f"hiveberg write: {fmt}-format tables write via "
                 "SnapshotTable.append()"
@@ -785,10 +813,27 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 }
             )
         self.spec_part_plan = part_plan
+        stats_spec = []
+        if fmt == "orc":
+            # writer-side bounds (avro_io._ColStats): ORC footers expose
+            # no stats via pyarrow and the commit worker has no session
+            # for the engine's distributed job — so bounds fold over the
+            # Arrow batches as they are written, like the avro encoder
+            from hiveberg_spark.sources.avro_io import _schema_to_spec
+
+            for f in written.fields:
+                try:
+                    stats_spec.extend(
+                        _schema_to_spec(StructType([f]))
+                    )
+                except TypeError:
+                    pass  # nested/unsupported: no bounds, prune keeps
         self.spec = {
             "location": self.path,
+            "fmt": fmt,
+            "stats_spec": stats_spec,
             "commit_uuid": _uuid.uuid4().hex[:12],
-            "compression": props.get("write.parquet.compression-codec", "")
+            "compression": props.get(f"write.{fmt}.compression-codec", "")
             .strip()
             .lower()
             or None,
@@ -828,9 +873,27 @@ class HivebergDataWriter(DataSourceArrowWriter):
         data_dir = os.path.join(
             spec["location"], "data", spec["commit_uuid"]
         )
-        kwargs = {}
-        if spec["compression"]:
-            kwargs["compression"] = spec["compression"]
+        fmt = spec.get("fmt", "parquet")
+        if fmt == "orc":
+            from pyarrow import orc as _orc
+
+            kwargs = {"compression": spec["compression"] or "snappy"}
+            if spec.get("target_bytes"):
+                # flush stripes at the roll target so the on-disk size
+                # maybe_roll checks tracks what was actually written
+                kwargs["stripe_size"] = max(
+                    1 << 16, min(spec["target_bytes"], 1 << 26)
+                )
+            mk_writer = lambda path: _orc.ORCWriter(path, **kwargs)  # noqa: E731
+            put = lambda w, tab: w.write(tab)  # noqa: E731
+        else:
+            kwargs = {}
+            if spec["compression"]:
+                kwargs["compression"] = spec["compression"]
+            mk_writer = lambda path: pq.ParquetWriter(  # noqa: E731
+                path, arrow_schema, **kwargs
+            )
+            put = lambda w, tab: w.write_table(tab)  # noqa: E731
         pnames = [p["name"] for p in self.spec_part_plan]
         baked = dict(spec["baked"])
         # per-field single-element constants, built once per task
@@ -839,7 +902,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
             for f in arrow_schema
             if f.name in baked and baked[f.name] is not None
         }
-        # dir -> [writer, tmp, final, partition-values dict, row count]
+        # dir -> [writer, tmp, final, partition values, rows, stats]
         sinks: dict[str, list] = {}
         sealed: list[list] = []
 
@@ -849,15 +912,21 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 d = os.path.join(data_dir, subdir) if subdir else data_dir
                 os.makedirs(d, exist_ok=True)
                 final = os.path.join(
-                    d, f"part-{_uuid.uuid4().hex}.parquet"
+                    d, f"part-{_uuid.uuid4().hex}.{fmt}"
                 )
                 tmp = final + ".inprogress"
+                cs = None
+                if spec.get("stats_spec"):
+                    from hiveberg_spark.sources.avro_io import _ColStats
+
+                    cs = _ColStats(spec["stats_spec"])
                 s = sinks[subdir] = [
-                    pq.ParquetWriter(tmp, arrow_schema, **kwargs),
+                    mk_writer(tmp),
                     tmp,
                     final,
                     pvals,
                     0,
+                    cs,
                 ]
             return s
 
@@ -895,8 +964,12 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 out = pa.table(arrays, schema=arrow_schema)
                 if not self.spec_part_plan:
                     s = sink_for("", {})
-                    s[0].write_table(out)
+                    put(s[0], out)
                     s[4] += rows
+                    if s[5] is not None:
+                        s[5].update_batch(
+                            {c: out[c].combine_chunks() for c in out.column_names}
+                        )
                     maybe_roll("")
                     continue
                 # hidden-partition fan-out: per-transform logical value
@@ -917,15 +990,19 @@ class HivebergDataWriter(DataSourceArrowWriter):
                     subdir = _partition_dir(pnames, vals)
                     sub = out.filter(pa.array(inverse == gi))
                     s = sink_for(subdir, pvals)
-                    s[0].write_table(sub)
+                    put(s[0], sub)
                     s[4] += sub.num_rows
+                    if s[5] is not None:
+                        s[5].update_batch(
+                            {c: sub[c].combine_chunks() for c in sub.column_names}
+                        )
                     maybe_roll(subdir)
         finally:
             for s in sinks.values():
                 s[0].close()
         files = []
         for s in sealed + list(sinks.values()):
-            _, tmp, final, pvals, nrows = s
+            _, tmp, final, pvals, nrows, cs = s
             os.rename(tmp, final)  # task-end publish, attempt-atomic
             files.append(
                 {
@@ -933,6 +1010,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
                     "records": nrows,
                     "bytes": os.path.getsize(final),
                     "partition": pvals,
+                    "stats": cs.finalize() if cs is not None else None,
                 }
             )
         return _WriteMessage(files=files)
@@ -955,7 +1033,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
         partitions = {
             e["rel"]: e["partition"] for e in entries if e["partition"]
         }
-        stats = _stats_with_blooms(tbl, files)
+        stats = _gather_stats(tbl, entries, files, self.spec)
         tbl._commit_register(
             operation="overwrite" if self.overwrite else "append",
             committed_at=self.committed_at,
@@ -1059,7 +1137,7 @@ class HivebergStreamWriter(HivebergDataWriter, DataSourceStreamArrowWriter):
             committed_at=self.committed_at,
             replaces=False,
             files=files,
-            stats=_stats_with_blooms(tbl, files),
+            stats=_gather_stats(tbl, entries, files, self.spec),
             partitions={
                 e["rel"]: e["partition"] for e in entries if e["partition"]
             },

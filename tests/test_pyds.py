@@ -1307,3 +1307,28 @@ def test_file_uri_paths_accepted(spark, warehouse):
         "file:" + loc
     )
     assert t.scan().count() == 2
+
+
+def test_write_orc_table(spark, warehouse):
+    """ORC-format tables write through the facade too: pyarrow ORC
+    writer executor-side, engine-distributed footer stats at commit —
+    scan parity with an engine append and min/max pruning intact."""
+    loc_w = os.path.join(warehouse, "orcw")
+    loc_e = os.path.join(warehouse, "orce")
+    tw = SnapshotTable.create(
+        spark, loc_w, schema="id long, data string", file_format="orc"
+    )
+    te = SnapshotTable.create(
+        spark, loc_e, schema="id long, data string", file_format="orc"
+    )
+    df = _simple(spark, [(i, f"d{i}") for i in range(20)])
+    df.coalesce(1).write.format("hiveberg").mode("append").save(loc_w)
+    te.append(df.coalesce(1))
+    _assert_parity(
+        tw.scan().drop("snapshot__id"), te.scan().drop("snapshot__id")
+    )
+    _simple(spark, [(i, "y") for i in range(100, 120)]).coalesce(
+        1
+    ).write.format("hiveberg").mode("append").save(loc_w)
+    assert len(tw.plan_files(where="id >= 100")) == 1  # ORC stats prune
+    _assert_parity(_facade(spark, loc_w), tw.scan())
