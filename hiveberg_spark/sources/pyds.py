@@ -503,7 +503,7 @@ def _gather_stats(
     (the commit worker has no session for the engine's distributed
     stats job; metadata blooms are parquet-facade-only — ORC bloom
     tables write via SnapshotTable.append)."""
-    if spec.get("fmt") == "orc":
+    if spec.get("fmt") in ("orc", "avro"):
         return {
             e["rel"]: e["stats"] for e in entries if e.get("stats")
         }
@@ -637,6 +637,64 @@ def _transform_column(t, p: dict):
     return with_nulls(rendered)
 
 
+class _AvroTaskWriter:
+    """One Avro container per (task, partition value): header + one
+    block per incoming Arrow table, built from avro_io's public-spec
+    encode primitives — the same per-row encode cost as the engine's
+    jar-free avro write (inherent to the pure-Python codec)."""
+
+    def __init__(self, path: str, spec: list[dict], codec: str):
+        import json as _json
+
+        from hiveberg_spark.sources.avro_io import (
+            SYNC_SIZE,
+            _spec_to_avro_schema,
+            _write_header,
+        )
+
+        if codec not in ("null", "deflate"):
+            raise ValueError(
+                f"hiveberg write: avro codec {codec!r} (null|deflate)"
+            )
+        self.spec = spec
+        self.codec = codec
+        self.sync = os.urandom(SYNC_SIZE)
+        self.fh = open(path, "wb")
+        _write_header(
+            self.fh,
+            _json.dumps(_spec_to_avro_schema(spec)),
+            codec,
+            self.sync,
+        )
+
+    def write(self, t) -> None:
+        from hiveberg_spark.sources.avro_io import (
+            _append_long,
+            _encode_value,
+            _is_null,
+            _write_block,
+        )
+
+        n = t.num_rows
+        if n == 0:
+            return
+        cols = [t[s["name"]].to_pylist() for s in self.spec]
+        buf = bytearray()
+        for i in range(n):
+            for c, sp in zip(cols, self.spec):
+                v = c[i]
+                if sp["nullable"]:
+                    if _is_null(v):
+                        _append_long(buf, 0)
+                        continue
+                    _append_long(buf, 1)
+                _encode_value(buf, v, sp)
+        _write_block(self.fh, buf, n, self.codec, self.sync)
+
+    def close(self) -> None:
+        self.fh.close()
+
+
 @dataclass
 class _WriteMessage(WriterCommitMessage):
     #: one entry per data file this task published:
@@ -690,11 +748,15 @@ class HivebergDataWriter(DataSourceArrowWriter):
     identically; roll targets bound the stripe size so the on-disk
     size check stays current.
 
+    Avro-format tables write through per-task container encode
+    (avro_io's public-spec primitives; the engine's jar-free per-row
+    cost, documented) with the same writer-side bounds as ORC.
+
     Documented v1 limits (raise; `SnapshotTable.append()` is the
-    full-fidelity writer): avro-format tables,
-    `write.sort.order`/zorder clustering (needs an engine-side
-    exchange), and partition transforms over types the Arrow path
-    can't value-match (timestamp/float identity). The
+    full-fidelity writer): `write.sort.order`/zorder clustering
+    (needs an engine-side exchange) and partition transforms over
+    types the Arrow path can't value-match (timestamp/float
+    identity). The
     `write.parquet.bloom-filter-*` FILE-level property is skipped
     (pyarrow's writer has no bloom hook); manifest-level
     `write.metadata.bloom-filter-columns` pruning works for parquet
@@ -733,7 +795,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 "create tables implicitly)"
             )
         fmt = meta.get("file_format", "parquet")
-        if fmt not in ("parquet", "orc"):
+        if fmt not in ("parquet", "orc", "avro"):
             raise UnsupportedTableShape(
                 f"hiveberg write: {fmt}-format tables write via "
                 "SnapshotTable.append()"
@@ -813,8 +875,19 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 }
             )
         self.spec_part_plan = part_plan
+        avro_spec = None
+        if fmt == "avro":
+            from hiveberg_spark.sources.avro_io import _schema_to_spec
+
+            try:
+                avro_spec = _schema_to_spec(written)
+            except TypeError as ex:
+                raise UnsupportedTableShape(
+                    f"hiveberg write: {ex} (avro writes of this schema "
+                    "go via SnapshotTable.append())"
+                )
         stats_spec = []
-        if fmt == "orc":
+        if fmt in ("orc", "avro"):
             # writer-side bounds (avro_io._ColStats): ORC footers expose
             # no stats via pyarrow and the commit worker has no session
             # for the engine's distributed job — so bounds fold over the
@@ -832,6 +905,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
             "location": self.path,
             "fmt": fmt,
             "stats_spec": stats_spec,
+            "avro_spec": avro_spec,
             "commit_uuid": _uuid.uuid4().hex[:12],
             "compression": props.get(f"write.{fmt}.compression-codec", "")
             .strip()
@@ -874,7 +948,13 @@ class HivebergDataWriter(DataSourceArrowWriter):
             spec["location"], "data", spec["commit_uuid"]
         )
         fmt = spec.get("fmt", "parquet")
-        if fmt == "orc":
+        if fmt == "avro":
+            codec = spec["compression"] or "deflate"
+            mk_writer = lambda path: _AvroTaskWriter(  # noqa: E731
+                path, spec["avro_spec"], codec
+            )
+            put = lambda w, tab: w.write(tab)  # noqa: E731
+        elif fmt == "orc":
             from pyarrow import orc as _orc
 
             kwargs = {"compression": spec["compression"] or "snappy"}

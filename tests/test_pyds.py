@@ -1332,3 +1332,29 @@ def test_write_orc_table(spark, warehouse):
     ).write.format("hiveberg").mode("append").save(loc_w)
     assert len(tw.plan_files(where="id >= 100")) == 1  # ORC stats prune
     _assert_parity(_facade(spark, loc_w), tw.scan())
+
+
+def test_write_avro_table(spark, warehouse):
+    """Avro-format tables write through the facade: per-task container
+    encode via avro_io's primitives, writer-side bounds in the commit
+    message — engine-append scan parity, stats pruning, and a facade
+    read-back over the same files."""
+    loc_w = os.path.join(warehouse, "avw")
+    loc_e = os.path.join(warehouse, "ave")
+    tw = SnapshotTable.create(
+        spark, loc_w, schema="id long, data string", file_format="avro"
+    )
+    te = SnapshotTable.create(
+        spark, loc_e, schema="id long, data string", file_format="avro"
+    )
+    df = _simple(spark, [(i, f"d{i}") for i in range(20)] + [(99, None)])
+    df.coalesce(1).write.format("hiveberg").mode("append").save(loc_w)
+    te.append(df.coalesce(1))
+    _assert_parity(
+        tw.scan().drop("snapshot__id"), te.scan().drop("snapshot__id")
+    )
+    _simple(spark, [(i, "y") for i in range(200, 220)]).coalesce(
+        1
+    ).write.format("hiveberg").mode("append").save(loc_w)
+    assert len(tw.plan_files(where="id >= 200")) == 1  # writer stats
+    _assert_parity(_facade(spark, loc_w), tw.scan())
