@@ -886,6 +886,16 @@ class HivebergDataWriter(DataSourceArrowWriter):
                     f"hiveberg write: {ex} (avro writes of this schema "
                     "go via SnapshotTable.append())"
                 )
+            codec = (
+                props.get("write.avro.compression-codec", "")
+                .strip()
+                .lower()
+                or "deflate"
+            )
+            if codec not in ("null", "deflate"):
+                raise ValueError(
+                    f"hiveberg write: avro codec {codec!r} (null|deflate)"
+                )
         stats_spec = []
         if fmt in ("orc", "avro"):
             # writer-side bounds (avro_io._ColStats): ORC footers expose
