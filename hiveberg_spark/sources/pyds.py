@@ -231,6 +231,32 @@ def _hive_cast(raw: str | None, styp: str) -> Any:
     return raw
 
 
+def _hive_parts_for(bases: dict, f: str) -> list[tuple[str, Any]]:
+    """Dir-only partition columns of an add_files-adopted Hive layout,
+    parsed from the `key=value` components below the adoption root and
+    cast to the adoption-pinned types — the plan-time equivalent of the
+    engine's basePath discovery (attached per file through the same
+    constant-column path as initial defaults)."""
+    for b, ptypes in bases.items():
+        if not f.startswith(b + os.sep):
+            continue
+        out = []
+        for comp in os.path.relpath(f, b).split(os.sep)[:-1]:
+            if "=" not in comp:
+                continue
+            k, v = comp.split("=", 1)
+            if k not in ptypes:
+                continue
+            raw = (
+                None
+                if v == "__HIVE_DEFAULT_PARTITION__"
+                else unescape_path_name(v)
+            )
+            out.append((k, _hive_cast(raw, ptypes[k])))
+        return out
+    return []
+
+
 def _eval_default(sql: str) -> Any:
     """Constant-fold a default expression to a Python value (DuckDB).
     Iceberg v3 `initial-default` values are literals, so one plan-time
@@ -376,6 +402,14 @@ class HivebergReader(DataSourceReader):
         like Iceberg's `start-snapshot-id`; end defaults to the current
         head. Mutually exclusive with time travel."""
         if self.options.get("start_snapshot_id") is None:
+            if self.options.get("end_snapshot_id") is not None:
+                # Iceberg parity: "Cannot set only end-snapshot-id for
+                # incremental scans" — silently returning a full scan
+                # would exceed the requested upper bound
+                raise ValueError(
+                    "hiveberg: end_snapshot_id requires "
+                    "start_snapshot_id (incremental read)"
+                )
             return None
         if any(
             self.options.get(k) is not None
@@ -417,6 +451,22 @@ class HivebergReader(DataSourceReader):
             specs = _plan_stream_specs(
                 self.path, self.options, rng[0], rng[1]
             )
+            if specs and self.conjuncts:
+                # same advisory manifest pruning as the full scan:
+                # stats-disproven files drop, Spark re-applies every
+                # filter to what remains
+                tbl = SnapshotTable(None, self.path)
+                # prune against the range END (every file appended in
+                # the range is live there; the head may have compacted
+                # them away, which must not drop incremental rows)
+                kept = {
+                    tbl._index_file_rel(f)
+                    for f in tbl.plan_files(
+                        where=" AND ".join(self.conjuncts),
+                        snapshot_id=rng[1],
+                    )
+                }
+                specs = [s for s in specs if s["rel"] in kept]
         else:
             specs = _plan_partitions(
                 self.path, self.options, self.conjuncts
@@ -875,6 +925,19 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 }
             )
         self.spec_part_plan = part_plan
+        if fmt == "orc":
+            codec = (
+                props.get("write.orc.compression-codec", "")
+                .strip()
+                .lower()
+            )
+            if codec and codec not in (
+                "none", "uncompressed", "snappy", "zlib", "zstd", "lz4"
+            ):
+                raise ValueError(
+                    f"hiveberg write: orc codec {codec!r} "
+                    "(none|uncompressed|snappy|zlib|zstd|lz4)"
+                )
         avro_spec = None
         if fmt == "avro":
             from hiveberg_spark.sources.avro_io import _schema_to_spec
@@ -897,7 +960,9 @@ class HivebergDataWriter(DataSourceArrowWriter):
                     f"hiveberg write: avro codec {codec!r} (null|deflate)"
                 )
         stats_spec = []
-        if fmt in ("orc", "avro"):
+        if fmt == "avro":
+            stats_spec = avro_spec
+        elif fmt == "orc":
             # writer-side bounds (avro_io._ColStats): ORC footers expose
             # no stats via pyarrow and the commit worker has no session
             # for the engine's distributed job — so bounds fold over the
@@ -968,6 +1033,8 @@ class HivebergDataWriter(DataSourceArrowWriter):
             from pyarrow import orc as _orc
 
             kwargs = {"compression": spec["compression"] or "snappy"}
+            if kwargs["compression"] == "none":
+                kwargs["compression"] = "uncompressed"
             if spec.get("target_bytes"):
                 # flush stripes at the roll target so the on-disk size
                 # maybe_roll checks tracks what was actually written
@@ -1383,31 +1450,7 @@ def _plan_partitions(
                 "data files"
             )
 
-    def hive_parts_for(f: str) -> list[tuple[str, Any]]:
-        """Dir-only partition columns of an add_files-adopted Hive
-        layout, parsed from the `key=value` components below the
-        adoption root and cast to the adoption-pinned types — the
-        plan-time equivalent of the engine's basePath discovery
-        (attached per file through the same constant-column path as
-        initial defaults)."""
-        for b, ptypes in bases.items():
-            if not f.startswith(b + os.sep):
-                continue
-            out = []
-            for comp in os.path.relpath(f, b).split(os.sep)[:-1]:
-                if "=" not in comp:
-                    continue
-                k, v = comp.split("=", 1)
-                if k not in ptypes:
-                    continue
-                raw = (
-                    None
-                    if v == "__HIVE_DEFAULT_PARTITION__"
-                    else unescape_path_name(v)
-                )
-                out.append((k, _hive_cast(raw, ptypes[k])))
-            return out
-        return []
+
 
     renames = meta.get("renames", [])
     fields_meta = meta.get("fields")
@@ -1480,7 +1523,7 @@ def _plan_partitions(
             (d["col"], default_vals[d["col"]])
             for d in defaults
             if fseq <= d["as_of"]
-        ] + hive_parts_for(f)
+        ] + _hive_parts_for(bases, f)
         dv = dv_last.get(rel)
         eq = []
         for d in eq_deletes:
@@ -1561,10 +1604,10 @@ def _plan_stream_specs(
             if skip_replace:
                 continue
             raise ValueError(
-                f"hiveberg stream: snapshot {sid} is "
-                f"{s['operation']!r}; the streaming read requires an "
-                "append-only range (set skip_replace_snapshots=true "
-                "to skip non-append commits)"
+                f"hiveberg: snapshot {sid} is {s['operation']!r}; the "
+                "streaming/incremental read requires an append-only "
+                "range (set skip_replace_snapshots=true to skip "
+                "non-append commits)"
             )
         for rel in tbl._read_manifest(s):
             f = (
@@ -1573,17 +1616,8 @@ def _plan_stream_specs(
                 else os.path.join(tbl.location, rel)
             )
             fmt = f.rsplit(".", 1)[-1]
-            if fmt == "avro":
-                raise UnsupportedTableShape(
-                    "hiveberg stream: avro data files are unsupported"
-                )
-            if fmt not in ("parquet", "orc"):
-                raise UnsupportedTableShape(f"hiveberg stream: {fmt!r}")
-            if any(f.startswith(b + os.sep) for b in bases):
-                raise UnsupportedTableShape(
-                    "hiveberg stream: add_files-adopted Hive roots are "
-                    "unsupported"
-                )
+            if fmt not in ("parquet", "orc", "avro"):
+                raise UnsupportedTableShape(f"hiveberg: format {fmt!r}")
             relkey = tbl._index_file_rel(f)
             mp = name_maps.get(relkey) or name_maps.get(f)
             colmap = (
@@ -1603,7 +1637,8 @@ def _plan_stream_specs(
                         (d["col"], default_vals[d["col"]])
                         for d in defaults
                         if sid <= d["as_of"]
-                    ],
+                    ]
+                    + _hive_parts_for(bases, f),
                     "pos_delete_paths": [],
                     "dv_bits": None,
                     "eq_deletes": [],

@@ -1358,3 +1358,36 @@ def test_write_avro_table(spark, warehouse):
     ).write.format("hiveberg").mode("append").save(loc_w)
     assert len(tw.plan_files(where="id >= 200")) == 1  # writer stats
     _assert_parity(_facade(spark, loc_w), tw.scan())
+
+
+def test_incremental_read_avro_and_pruning(spark, warehouse):
+    """Review fixes: avro files flow through the incremental read (the
+    shared partition reader decodes them); pushed filters prune the
+    incremental file set against the range END; end_snapshot_id alone
+    refuses (Iceberg parity)."""
+    loc = os.path.join(warehouse, "incrav")
+    t = SnapshotTable.create(
+        spark, loc, schema="id long, data string", file_format="avro"
+    )
+    s1 = t.append(_simple(spark, [(1, "a")]))
+    t.append(_simple(spark, [(2, "b")]))
+    got = _facade(spark, loc, start_snapshot_id=s1).collect()
+    assert [(r.id) for r in got] == [2]
+    with pytest.raises(Exception, match="requires\\s+start_snapshot_id"):
+        _facade(spark, loc, end_snapshot_id=1).collect()
+    # parquet table: manifest pruning applies inside the range
+    loc2 = os.path.join(warehouse, "incrpr")
+    t2 = SnapshotTable.create(spark, loc2, schema="id long, data string")
+    p1 = t2.append(_simple(spark, [(i, "x") for i in range(10)]).coalesce(1))
+    t2.append(_simple(spark, [(i, "y") for i in range(100, 110)]).coalesce(1))
+    t2.append(
+        _simple(spark, [(i, "z") for i in range(200, 210)]).coalesce(1)
+    )
+    from hiveberg_spark.sources.pyds import HivebergReader
+
+    r = HivebergReader({"path": loc2, "start_snapshot_id": str(p1)}, None)
+    r.conjuncts = ["id >= 200"]  # what pushFilters would derive
+    specs = [p.spec for p in r.partitions() if p.spec]
+    assert len(specs) == 1  # only the z-file survives the range prune
+    df = _facade(spark, loc2, start_snapshot_id=p1).filter("id >= 200")
+    assert df.count() == 10
