@@ -234,3 +234,41 @@ def explode_posexplode(spark, sf_dir):
     return e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
         "vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val")
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_variant_funcs(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured analytics (the open-table-format
+    v3 variant type): `parse_json` once into a variant column, then
+    typed path extraction with `variant_get` feeding ordinary
+    aggregation, and `try_variant_get` for absent paths (NULL, never an
+    error). The scale point: variant is a BINARY encoding — the
+    parse happens once and every extraction is a typed binary probe,
+    not a per-access string re-parse; the oracle recomputes through
+    DuckDB's JSON path functions on the raw strings."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    miss = F.expr("try_variant_get(v, '$.missing', 'long')")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.sum(F.when(miss.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.count("*").cast("long").alias("n"),
+    )

@@ -149,6 +149,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_transition_matrix",
     "sample_perplexity_split",
     "multimodal_ahash",
+    "scalar_variant_funcs",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
