@@ -1372,6 +1372,18 @@ def _plan_shared(path: str, options: dict) -> dict:
         )
     files, sid = tbl._files_as_of(_resolve_sid(tbl, options))
     declared = StructType.fromJson(json.loads(meta["schema_json"]))
+    variant_cols = [
+        f.name
+        for f in declared.fields
+        if f.dataType.simpleString() == "variant"
+    ]
+    if variant_cols:
+        # VariantType has no Arrow conversion in this PySpark — a
+        # plan-time refusal beats an executor traceback
+        raise UnsupportedTableShape(
+            f"hiveberg facade: variant columns {variant_cols} read via "
+            "SnapshotTable.scan() (no Arrow mapping for VariantType)"
+        )
     vcol = _virtual_column(options)
     fields = list(declared.fields)
     if options.get("columns"):

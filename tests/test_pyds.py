@@ -1391,3 +1391,11 @@ def test_incremental_read_avro_and_pruning(spark, warehouse):
     assert len(specs) == 1  # only the z-file survives the range prune
     df = _facade(spark, loc2, start_snapshot_id=p1).filter("id >= 200")
     assert df.count() == 10
+
+
+def test_variant_table_raises_at_plan_time(spark, warehouse):
+    loc = os.path.join(warehouse, "variantf")
+    t = SnapshotTable.create(spark, loc, schema="id long, v variant")
+    t.append(spark.sql("SELECT CAST(1 AS LONG) id, parse_json('{}') v"))
+    with pytest.raises(Exception, match="variant columns"):
+        _facade(spark, loc).collect()

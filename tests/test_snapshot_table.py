@@ -3103,3 +3103,30 @@ def test_value_indexes_metadata_table(spark, warehouse):
     row = t.value_indexes().head()
     assert (row.commits_behind, row.fresh) == (0, True)
     assert (row.covered_live_files, row.uncovered_live_files) == (2, 0)
+
+
+def test_variant_column_in_snapshot_table(spark, warehouse):
+    """Spark 4 VARIANT columns live in snapshot tables like any other
+    type: append, typed path extraction, COW DML, and time travel all
+    work (variant round-trips parquet natively)."""
+    import os
+
+    loc = os.path.join(warehouse, "variant")
+    t = SnapshotTable.create(spark, loc, schema="id long, v variant")
+    t.append(
+        spark.sql(
+            "SELECT CAST(id AS LONG) id, "
+            "parse_json(concat('{\"k\": ', id, '}')) v FROM range(5)"
+        )
+    )
+    got = {
+        r.id: r.k
+        for r in t.scan()
+        .selectExpr("id", "variant_get(v, '$.k', 'long') k")
+        .collect()
+    }
+    assert got == {i: i for i in range(5)}
+    s1 = t._read_meta()["current_snapshot_id"]
+    t.delete_where("id = 3")  # COW rewrite carries the variant column
+    assert t.scan().count() == 4
+    assert t.scan(snapshot_id=s1).count() == 5
