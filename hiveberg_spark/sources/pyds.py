@@ -831,6 +831,14 @@ class HivebergDataWriter(DataSourceArrowWriter):
             else None
         )
         self.branch = options.get("branch")
+        # Iceberg's snapshot-property.* write options: custom keys
+        # stamped into the commit's snapshot summary (audit markers,
+        # wap ids, job lineage) — readable from the snapshots table
+        self.summary_props = {
+            k[len("snapshot-property.") :]: str(v)
+            for k, v in options.items()
+            if k.startswith("snapshot-property.")
+        }
         if self.branch and self.overwrite:
             raise ValueError(
                 "hiveberg write: overwrite targets main; branch writes "
@@ -1205,6 +1213,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
             expected_parent=(
                 self.expected_parent if self.overwrite else _NO_VALIDATION
             ),
+            summary_extra=self.summary_props or None,
         )
 
     def abort(self, messages) -> None:
@@ -1303,6 +1312,7 @@ class HivebergStreamWriter(HivebergDataWriter, DataSourceStreamArrowWriter):
             user_schema=self.written_schema,
             branch=self.branch,
             summary_extra={
+                **self.summary_props,
                 "streaming-sink-id": self.sink_id,
                 "streaming-batch-id": str(int(batchId)),
             },

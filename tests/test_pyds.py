@@ -1399,3 +1399,17 @@ def test_variant_table_raises_at_plan_time(spark, warehouse):
     t.append(spark.sql("SELECT CAST(1 AS LONG) id, parse_json('{}') v"))
     with pytest.raises(Exception, match="variant columns"):
         _facade(spark, loc).collect()
+
+
+def test_write_snapshot_properties(spark, warehouse):
+    """Iceberg's snapshot-property.* write options stamp custom keys
+    into the commit summary (batch and streaming sinks)."""
+    loc = os.path.join(warehouse, "sprops")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    _simple(spark, [(1, "a")]).write.format("hiveberg").mode(
+        "append"
+    ).option("snapshot-property.job", "nightly-7").option(
+        "snapshot-property.audit", "yes"
+    ).save(loc)
+    summ = t.snapshots().collect()[-1].summary
+    assert summ["job"] == "nightly-7" and summ["audit"] == "yes"
