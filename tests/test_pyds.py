@@ -1413,3 +1413,35 @@ def test_write_snapshot_properties(spark, warehouse):
     ).save(loc)
     summ = t.snapshots().collect()[-1].summary
     assert summ["job"] == "nightly-7" and summ["audit"] == "yes"
+
+
+def test_write_typed_columns_roundtrip(spark, warehouse):
+    """Typed-value fidelity through the facade writer: decimals,
+    doubles (incl. -0.0 and infinities), boundary dates/timestamps,
+    booleans, unicode strings, and nulls in every column must scan
+    identically to an engine append of the same frame."""
+    loc_w = os.path.join(warehouse, "tw2")
+    loc_e = os.path.join(warehouse, "te2")
+    schema = (
+        "id long, f double, dec decimal(12,4), d date, ts timestamp, "
+        "ok boolean, s string"
+    )
+    df = spark.sql("""
+        SELECT * FROM VALUES
+          (CAST(1 AS LONG), CAST(1.5 AS DOUBLE), CAST(12345.6789 AS DECIMAL(12,4)),
+           DATE'0001-01-01', TIMESTAMP'1969-12-31 23:59:59.999999', true, 'plain'),
+          (2, CAST(-0.0 AS DOUBLE), CAST(-0.0001 AS DECIMAL(12,4)),
+           DATE'9999-12-31', TIMESTAMP'2262-04-11 23:47:16.854775', false, 'ünïcödé'),
+          (3, CAST('Infinity' AS DOUBLE), NULL, NULL, NULL, NULL, NULL),
+          (4, NULL, CAST(0 AS DECIMAL(12,4)), DATE'2024-02-29',
+           TIMESTAMP'2024-01-01 00:00:00', true, '')
+        t(id, f, dec, d, ts, ok, s)
+    """)
+    tw = SnapshotTable.create(spark, loc_w, schema=schema)
+    te = SnapshotTable.create(spark, loc_e, schema=schema)
+    df.write.format("hiveberg").mode("append").save(loc_w)
+    te.append(df)
+    _assert_parity(
+        tw.scan().drop("snapshot__id"), te.scan().drop("snapshot__id")
+    )
+    _assert_parity(_facade(spark, loc_w), tw.scan())
