@@ -473,24 +473,28 @@ class HivebergReader(DataSourceReader):
             )
         if not specs:
             return [_FilePartition(None)]
-        return [_FilePartition(s) for s in specs]
+        return [
+            _FilePartition({"specs": group})
+            for group in _pack_splits(self.path, self.options, specs)
+        ]
 
     # -- executor-side read -------------------------------------------
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None or partition.spec is None:
             return
-        yield from _read_partition(
-            partition.spec,
-            self.plan["out_schema_json"],
-            self.plan["renames"],
-            self.plan["drops"],
-            self.plan["virtual_column"],
-            # incremental specs carry their ADDING snapshot id, so the
-            # virtual column tells the consumer which commit delivered
-            # the row (same contract as the streaming read)
-            partition.spec.get("sid", self.plan["sid"]),
-        )
+        for spec in partition.spec["specs"]:
+            yield from _read_partition(
+                spec,
+                self.plan["out_schema_json"],
+                self.plan["renames"],
+                self.plan["drops"],
+                self.plan["virtual_column"],
+                # incremental specs carry their ADDING snapshot id, so
+                # the virtual column tells the consumer which commit
+                # delivered the row (streaming-read contract)
+                spec.get("sid", self.plan["sid"]),
+            )
 
 
 class HivebergDataSource(DataSource):
@@ -1439,6 +1443,43 @@ def _plan_shared(path: str, options: dict) -> dict:
         "sid": sid,
         "n_files": len(files),
     }
+
+
+#: default split-packing target — Spark's files.maxPartitionBytes
+_DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _pack_splits(
+    path: str, options: dict, specs: list[dict]
+) -> list[list[dict]]:
+    """Bin-pack per-file read specs into read SPLITS (Iceberg's split
+    planning / Spark's maxPartitionBytes): many small files share one
+    InputPartition instead of paying per-partition scheduling overhead
+    each, while files at or above the target keep their own split.
+    Sizes come from manifest file_info (no file opens); unknown sizes
+    conservatively count as a full split. `.option("target_split_bytes",
+    n)` tunes; 0 disables packing."""
+    target = int(
+        options.get("target_split_bytes", _DEFAULT_SPLIT_BYTES) or 0
+    )
+    if target <= 0 or len(specs) <= 1:
+        return [[s] for s in specs]
+    tbl = SnapshotTable(None, path)
+    info = tbl._file_info_as_of(tbl._read_meta())
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_bytes = 0
+    for spec in specs:
+        nb = (info.get(spec["rel"]) or {}).get("bytes")
+        nb = int(nb) if nb is not None else target
+        if cur and cur_bytes + nb > target:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(spec)
+        cur_bytes += nb
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def _plan_partitions(

@@ -1445,3 +1445,26 @@ def test_write_typed_columns_roundtrip(spark, warehouse):
         tw.scan().drop("snapshot__id"), te.scan().drop("snapshot__id")
     )
     _assert_parity(_facade(spark, loc_w), tw.scan())
+
+
+def test_split_packing_groups_small_files(spark, warehouse):
+    """Split planning: many small files bin-pack into shared
+    InputPartitions (manifest byte counts, no file opens); a tiny
+    target or option 0 disables; results identical either way."""
+    from hiveberg_spark.sources.pyds import HivebergReader
+
+    loc = os.path.join(warehouse, "pack")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    for i in range(6):
+        t.append(_simple(spark, [(i, f"d{i}")]).coalesce(1))
+    packed = HivebergReader({"path": loc}, None).partitions()
+    assert len(packed) == 1  # six tiny files -> one 128MB-target split
+    assert len(packed[0].spec["specs"]) == 6
+    solo = HivebergReader(
+        {"path": loc, "target_split_bytes": "0"}, None
+    ).partitions()
+    assert len(solo) == 6
+    assert _facade(spark, loc).count() == 6
+    _assert_parity(
+        _facade(spark, loc, target_split_bytes=0), _facade(spark, loc)
+    )
