@@ -268,10 +268,12 @@ def _eval_default(sql: str) -> Any:
 
 @dataclass
 class _FilePartition(InputPartition):
-    """One live data file with its fully-resolved read spec (picklable
-    plain dict — ships to the executor inside the partition)."""
+    """One read split (picklable plain dict, ships to the executor):
+    data partitions carry {"specs": [per-file read spec, ...]} —
+    possibly several bin-packed small files — and the metadata reader
+    carries {"meta": table-name}. None = empty-scan sentinel."""
 
-    spec: dict | None  # None = empty-table sentinel
+    spec: dict | None
 
 
 class HivebergMetaReader(DataSourceReader):
@@ -843,6 +845,19 @@ class HivebergDataWriter(DataSourceArrowWriter):
             for k, v in options.items()
             if k.startswith("snapshot-property.")
         }
+        reserved = {
+            k
+            for k in self.summary_props
+            if k.startswith(("streaming-", "added-", "carried-"))
+        }
+        if reserved:
+            # engine-consumed keys: the streaming sink's exactly-once
+            # dedup markers and the commit accounting counters must
+            # never be user-forgeable
+            raise ValueError(
+                f"hiveberg write: snapshot properties {sorted(reserved)} "
+                "collide with engine-reserved summary keys"
+            )
         if self.branch and self.overwrite:
             raise ValueError(
                 "hiveberg write: overwrite targets main; branch writes "
@@ -876,6 +891,17 @@ class HivebergDataWriter(DataSourceArrowWriter):
                 f"hiveberg write: columns {extra} are not in the table "
                 f"schema {declared.names} (evolve the schema through "
                 "the table API first)"
+            )
+        written_variant = [
+            f.name
+            for f in schema.fields
+            if "variant" in declared[f.name].dataType.simpleString()
+        ]
+        if written_variant:
+            raise UnsupportedTableShape(
+                f"hiveberg write: variant columns {written_variant} "
+                "write via SnapshotTable.append() (no Arrow mapping "
+                "for VariantType)"
             )
         baked: list[tuple[str, Any]] = []
         for d in meta.get("defaults", []):
@@ -1386,18 +1412,7 @@ def _plan_shared(path: str, options: dict) -> dict:
         )
     files, sid = tbl._files_as_of(_resolve_sid(tbl, options))
     declared = StructType.fromJson(json.loads(meta["schema_json"]))
-    variant_cols = [
-        f.name
-        for f in declared.fields
-        if f.dataType.simpleString() == "variant"
-    ]
-    if variant_cols:
-        # VariantType has no Arrow conversion in this PySpark — a
-        # plan-time refusal beats an executor traceback
-        raise UnsupportedTableShape(
-            f"hiveberg facade: variant columns {variant_cols} read via "
-            "SnapshotTable.scan() (no Arrow mapping for VariantType)"
-        )
+
     vcol = _virtual_column(options)
     fields = list(declared.fields)
     if options.get("columns"):
@@ -1410,6 +1425,21 @@ def _plan_shared(path: str, options: dict) -> dict:
         if unknown:
             raise ValueError(f"hiveberg: unknown columns {unknown}")
         fields = [declared[c] for c in want]
+    variant_cols = [
+        f.name
+        for f in declared.fields
+        if "variant" in f.dataType.simpleString()  # incl. nested
+    ]
+    if variant_cols:
+        # pyarrow 16 cannot even OPEN a parquet footer carrying a
+        # variant column (unrecognized Thrift LogicalType), so even a
+        # projected read of such files is impossible — a plan-time
+        # refusal on the DECLARED schema beats an executor traceback
+        raise UnsupportedTableShape(
+            f"hiveberg facade: variant columns {variant_cols} read via "
+            "SnapshotTable.scan() (pyarrow cannot open parquet files "
+            "containing VariantType)"
+        )
     if _lineage_on(options):
         # `.option("row_lineage", "true")`: the Iceberg v3 lineage
         # columns, matching scan_with_row_lineage's output shape
@@ -1464,13 +1494,11 @@ def _pack_splits(
     )
     if target <= 0 or len(specs) <= 1:
         return [[s] for s in specs]
-    tbl = SnapshotTable(None, path)
-    info = tbl._file_info_as_of(tbl._read_meta())
     groups: list[list[dict]] = []
     cur: list[dict] = []
     cur_bytes = 0
     for spec in specs:
-        nb = (info.get(spec["rel"]) or {}).get("bytes")
+        nb = spec.get("bytes")  # stamped at plan time from manifests
         nb = int(nb) if nb is not None else target
         if cur and cur_bytes + nb > target:
             groups.append(cur)
@@ -1564,6 +1592,7 @@ def _plan_partitions(
                     pos_route.setdefault(tg, []).append(p)
     dv_last = _dv_last_per_file(deletes)
     eq_deletes = [d for d in deletes if d["type"] == "equality"]
+    byte_info = tbl._file_info_as_of(meta)
     lineage = _lineage_on(options)
     rid_map = (
         tbl._first_row_id_as_of(meta, sid)
@@ -1619,6 +1648,7 @@ def _plan_partitions(
                 "lineage": lineage,
                 "first_row_id": rid_map.get(rel) if lineage else None,
                 "fseq": fseq if lineage else None,
+                "bytes": (byte_info.get(rel) or {}).get("bytes"),
             }
         )
     return specs
@@ -1659,6 +1689,7 @@ def _plan_stream_specs(
         sid = s["snapshot_id"]
         if s.get("branch") or not (start_sid < sid <= end_sid):
             continue
+        snap_info = tbl._read_manifest_json(s).get("file_info", {})
         is_replace = bool(s.get("replaces")) or s["operation"] != "append"
         has_deletes = bool(
             tbl._read_manifest_json(s).get("deletes")
@@ -1706,6 +1737,7 @@ def _plan_stream_specs(
                     "dv_bits": None,
                     "eq_deletes": [],
                     "sid": sid,
+                    "bytes": (snap_info.get(relkey) or {}).get("bytes"),
                 }
             )
     return specs
@@ -1752,19 +1784,23 @@ class HivebergStreamReader(DataSourceStreamReader):
         )
         if not specs:
             return [_FilePartition(None)]
-        return [_FilePartition(s) for s in specs]
+        # one file per partition (micro-batches are few files by
+        # construction) — but the same {"specs": [...]} payload shape
+        # as the batch reader, so there is ONE partition contract
+        return [_FilePartition({"specs": [s]}) for s in specs]
 
     def read(self, partition: _FilePartition):
         if partition is None or partition.spec is None:
             return
-        yield from _read_partition(
-            partition.spec,
-            self.plan["out_schema_json"],
-            self.plan["renames"],
-            self.plan["drops"],
-            self.plan["virtual_column"],
-            partition.spec["sid"],
-        )
+        for spec in partition.spec["specs"]:
+            yield from _read_partition(
+                spec,
+                self.plan["out_schema_json"],
+                self.plan["renames"],
+                self.plan["drops"],
+                self.plan["virtual_column"],
+                spec["sid"],
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to ack

@@ -1387,8 +1387,13 @@ def test_incremental_read_avro_and_pruning(spark, warehouse):
 
     r = HivebergReader({"path": loc2, "start_snapshot_id": str(p1)}, None)
     r.conjuncts = ["id >= 200"]  # what pushFilters would derive
-    specs = [p.spec for p in r.partitions() if p.spec]
-    assert len(specs) == 1  # only the z-file survives the range prune
+    files = [
+        spec
+        for p in r.partitions()
+        if p.spec
+        for spec in p.spec["specs"]
+    ]
+    assert len(files) == 1  # only the z-file survives the range prune
     df = _facade(spark, loc2, start_snapshot_id=p1).filter("id >= 200")
     assert df.count() == 10
 
@@ -1468,3 +1473,32 @@ def test_split_packing_groups_small_files(spark, warehouse):
     _assert_parity(
         _facade(spark, loc, target_split_bytes=0), _facade(spark, loc)
     )
+
+
+def test_variant_guard_respects_projection_and_writes(spark, warehouse):
+    """Review fixes: variant tables refuse at PLAN time even when the
+    projection excludes the column (pyarrow cannot open parquet files
+    carrying VariantType at all); facade writes of variant columns
+    refuse driver-side; reserved snapshot-summary keys are not
+    user-forgeable."""
+    loc = os.path.join(warehouse, "varproj")
+    t = SnapshotTable.create(spark, loc, schema="id long, v variant")
+    t.append(spark.sql("SELECT CAST(7 AS LONG) id, parse_json('{}') v"))
+    with pytest.raises(Exception, match="variant columns"):
+        _facade(spark, loc, columns="id").collect()
+    with pytest.raises(Exception, match="variant columns"):
+        spark.sql(
+            "SELECT CAST(8 AS LONG) id, parse_json('{}') v"
+        ).write.format("hiveberg").mode("append").save(loc)
+    # writes that omit the variant column succeed (engine scan reads
+    # the new file's variant as null)
+    spark.sql("SELECT CAST(9 AS LONG) id").write.format("hiveberg").mode(
+        "append"
+    ).save(loc)
+    assert sorted(r.id for r in t.scan().collect()) == [7, 9]
+    with pytest.raises(Exception, match="engine-reserved"):
+        spark.sql("SELECT CAST(1 AS LONG) id").write.format(
+            "hiveberg"
+        ).mode("append").option(
+            "snapshot-property.streaming-batch-id", "3"
+        ).save(loc)
