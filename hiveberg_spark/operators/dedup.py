@@ -620,3 +620,154 @@ def dedup_cluster_components(spark, sf_dir):
         .select("doc_id", "component", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+# -- exact-substring span dedup (Lee et al. 2021, arXiv:2107.06499) -----------
+
+_SUBSTR_L = 10  # window length in tokens (the paper uses 50 BPE tokens)
+
+_SUBSTR_SPANS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.i AS s,
+             md5(array_to_string(w[u.i:u.i+{_SUBSTR_L - 1}], ' ')) AS g
+      FROM toks CROSS JOIN UNNEST(range(1, len(w) - {_SUBSTR_L - 2})) AS u(i)
+      WHERE len(w) >= {_SUBSTR_L}
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    spans AS (
+      SELECT doc_id, s, s + {_SUBSTR_L - 1} AS e
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+             THEN 1 ELSE 0 END AS new_island
+      FROM spans
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    ),
+    merged AS (
+      SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY doc_id, isl
+    ),
+    cov AS (
+      SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM merged GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           c.dup_tokens, c.n_spans,
+           ROUND(c.dup_tokens / CAST(len(string_split(d.text, ' '))
+                                     AS DOUBLE), 6) AS dup_frac
+    FROM cov c JOIN documents d USING (doc_id)
+"""
+
+
+@query("dedup_substring_spans", oracle=_SUBSTR_SPANS_ORACLE)
+def dedup_substring_spans(spark, sf_dir):
+    """EXACT-SUBSTRING dedup (ExactSubstr, Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better"): mark, per document, the
+    token spans that occur verbatim elsewhere in the corpus. The paper
+    builds a corpus-wide suffix array; the Spark-native equivalent for a
+    fixed match length L is exact and complete: any duplicated substring
+    of >= L tokens contains a duplicated L-token window, and the UNION of
+    duplicated L-windows covers exactly the duplicated regions — so
+    duplicated-window coverage IS the paper's "duplicated span" set at
+    granularity L (no false positives: every flagged window literally
+    occurs >= 2 times).
+
+    Pipeline (all JVM, one data shuffle + one narrow window):
+      1. slide an L-token window per doc (higher-order transform, no UDF),
+         keyed by md5(window) so the shuffle ships a fixed-width 32-char
+         key, never raw text (at 100 TB: xxhash64 halves it again);
+      2. global duplicate-window set = groupBy(hash) HAVING count >= 2 —
+         map-side partial counts, shuffle width capped by distinct windows;
+      3. left-semi back onto the positions (reuses the same hash
+         partitioning, AQE-coalesced), keeping only dup-hit (doc, pos);
+      4. per-doc interval merge of overlapping [s, s+L-1] spans —
+         gaps-and-islands with a running-max window, partitioned by
+         doc_id, so the sort is per-document and only over dup hits
+         (a tiny fraction of the corpus).
+    Output: per affected doc, merged dup-token coverage + span count +
+    coverage fraction — the decision column a pipeline thresholds on
+    (the paper removes spans; a filter keeps docs with dup_frac < 0.X).
+    """
+    L = _SUBSTR_L
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    # n_tokens rides the pre-explode stage (the split array is already
+    # materialized there) — no persist of raw text, no second scan; docs
+    # shorter than L can never reach cov (zero windows), so the filtered
+    # frame covers every joinable doc_id
+    wd = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= L
+    )
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (L - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, L))),
+    )
+    grams = wd.select(
+        "doc_id", F.posexplode(win_hashes).alias("p0", "g")
+    ).select("doc_id", (F.col("p0") + 1).alias("s"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    spans = grams.join(dup, "g", "left_semi").select(
+        "doc_id", "s", (F.col("s") + (L - 1)).alias("e")
+    )
+    from pyspark.sql import Window as W
+
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = spans.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        W.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn("isl", F.sum("new_island").over(w_run))
+    cov = (
+        islands.groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("me") - F.col("ms") + 1).alias("dup_tokens"),
+            F.count("*").alias("n_spans"),
+        )
+    )
+    n_tok = wd.select(
+        "doc_id", F.size("w").cast("long").alias("n_tokens")
+    )
+    return cov.join(n_tok, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.round(
+            F.col("dup_tokens") / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_frac"),
+    )

@@ -150,6 +150,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "sample_perplexity_split",
     "multimodal_ahash",
     "scalar_variant_funcs",
+    "dedup_substring_spans",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",

@@ -228,3 +228,13 @@ def test_semdedup_no_cartesian_product(spark, sf_dir):
     # cartesian in this plan would be the O(n^2) bug at 100 TB
     plan = explain_str(registry.QUERIES["dedup_semdedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_substring_spans_jvm_side_no_cartesian(spark, sf_dir):
+    # ExactSubstr coverage must be pure JVM (windowing + higher-order
+    # transform, never Python eval) and the dup-window probe must be a
+    # semi join on the gram hash, never an all-pairs product
+    plan = explain_str(registry.QUERIES["dedup_substring_spans"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan, plan[:2000]
