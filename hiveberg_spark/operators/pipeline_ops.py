@@ -1031,3 +1031,74 @@ def pipeline_incremental_dedup(spark, sf_dir):
     with _lock:
         t = build_once(spark, loc, builder)
     return t.scan(virtual_column=None).select("doc_id", "content_hash")
+
+
+# -- single-pass pipeline observability (Observation API) ---------------------
+
+
+@query(
+    "pipeline_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST((SELECT COUNT(*) FROM documents WHERE n_chars >= 150)
+                AS BIGINT) AS n_kept,
+           CAST((SELECT SUM(n_chars) FROM documents WHERE n_chars >= 150)
+                AS BIGINT) AS kept_chars
+    FROM documents
+    """,
+)
+def pipeline_observed_metrics(spark, sf_dir):
+    """Single-pass pipeline OBSERVABILITY via `DataFrame.observe` — the
+    data-quality counters a production corpus job must emit WITHOUT a
+    second scan (at 100 TB, "run the pipeline, then re-aggregate the
+    input for the dashboard" doubles the IO bill; `observe` piggybacks
+    accumulator-style aggregates on the very pass that writes the
+    output). Two Observations bracket a length gate (keep n_chars >=
+    150): one on the raw scan (volume + length profile), one after the
+    filter (kept counts) — i.e. per-stage funnel metrics from ONE
+    action. The action is a real sink write (temp parquet, immediately
+    discarded); the returned row is the observed metrics, which the
+    oracle recomputes from the source table directly — pinning that
+    observe-collected metrics equal first-class aggregation."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Observation
+
+    d = load_table(spark, sf_dir, "documents")
+    ingest = Observation("ingest")
+    kept = Observation("kept")
+    gated = d.observe(
+        ingest,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") < 150, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    ).filter(F.col("n_chars") >= 150).observe(
+        kept,
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    out_dir = tempfile.mkdtemp(prefix=f"hbs_obs_{uuid.uuid4().hex[:8]}_")
+    try:
+        gated.write.mode("overwrite").parquet(out_dir)  # the ONE action
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    m = {**ingest.get, **kept.get}
+    return spark.createDataFrame(
+        [tuple(int(m[k]) for k in (
+            "n_docs", "n_short", "total_chars", "min_chars", "max_chars",
+            "n_kept", "kept_chars",
+        ))],
+        "n_docs long, n_short long, total_chars long, min_chars long, "
+        "max_chars long, n_kept long, kept_chars long",
+    )

@@ -530,3 +530,60 @@ def stream_mv_pipeline(spark, sf_dir):
     out.count()  # materialize before the temp dirs are removed
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           TRUE AS multi_batch
+    FROM nation
+    """,
+)
+def stream_observed_metrics(spark, sf_dir):
+    """Streaming OBSERVABILITY: `observe` on an unbounded DataFrame
+    reports named aggregates per micro-batch through
+    StreamingQueryProgress.observedMetrics — the zero-cost way a 100 TB
+    ingest stream exposes per-trigger row counts and checksums to a
+    monitoring loop (no foreachBatch side-aggregation, no second read
+    of the batch; the metrics ride the trigger's own execution). The
+    3-append nation_versions fixture replays one file per trigger into
+    a `noop` sink; the per-batch observed (rows, key_sum) are summed
+    driver-side — across batches they must equal the batch aggregate
+    over the final table, which the oracle recomputes from `nation`
+    directly. `multi_batch` pins that the backlog genuinely split, so
+    the equality proves cross-batch metric accounting, not one
+    trivial batch."""
+    t = _ensure_fixture(spark, sf_dir)  # append-only parquet fixture
+    schema = t.schema()
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(os.path.join(t.location, "data"))
+    )
+    observed = raw.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_batch = []
+    for p in q.recentProgress:
+        row = (p.observedMetrics or {}).get("ingest")
+        if row is not None and row["rows"]:
+            per_batch.append((int(row["rows"]), int(row["key_sum"])))
+    n_rows = sum(r for r, _ in per_batch)
+    key_sum = sum(s for _, s in per_batch)
+    return spark.createDataFrame(
+        [(n_rows, key_sum, len(per_batch) > 1)],
+        "n_rows long, key_sum long, multi_batch boolean",
+    )

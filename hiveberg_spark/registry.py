@@ -151,6 +151,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "multimodal_ahash",
     "scalar_variant_funcs",
     "dedup_substring_spans",
+    "pipeline_observed_metrics",
+    "stream_observed_metrics",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
