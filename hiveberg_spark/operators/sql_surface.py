@@ -3227,3 +3227,78 @@ def snapshot_value_index_freshness(spark, sf_dir):
         F.lit(int(after.uncovered_live_files)).cast("long").alias("uncovered_after"),
         F.lit(bool(after.fresh)).alias("fresh_after"),
     )
+
+
+@query(
+    "snapshot_write_distribution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_partitions,
+           TRUE AS hash_one_file_per_partition,
+           TRUE AS unclustered_more_files
+    FROM orders
+    """,
+)
+def snapshot_write_distribution(spark, sf_dir):
+    """`write.distribution.mode=hash` (Iceberg write.distribution-mode):
+    a partitioned commit shuffles on the partition transform values so
+    each partition value's rows land in exactly ONE task — one data file
+    per partition per commit. The contrast table writes the SAME input
+    (repartitioned to 8 tasks, the wide-input shape a real cluster
+    feeds) with mode none: every task emits a file into every partition
+    it touches, fanning out to tasks x partitions small files. At
+    100 TB this property is the difference between manifest growth
+    O(commits x partitions) and O(commits x tasks x partitions) — the
+    number-one operational cause of slow planning on high-cardinality
+    partitioned tables. File counts come from plan_files() (manifest
+    walk, no data IO); row parity pins that the shuffle lost nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    wide = orders.repartition(8)
+    spec = [("identity", "o_orderpriority", None)]
+
+    def hash_builder(table):
+        table.set_properties({"write.distribution.mode": "hash"})
+        table.append(wide)
+
+    def none_builder(table):
+        table.append(wide)
+
+    with _lock:
+        t_hash = build_once(
+            spark,
+            os.path.join(warehouse_dir(sf_dir), "orders_dist_hash"),
+            hash_builder,
+            partition_spec=spec,
+        )
+        t_none = build_once(
+            spark,
+            os.path.join(warehouse_dir(sf_dir), "orders_dist_none"),
+            none_builder,
+            partition_spec=spec,
+        )
+    n_hash_files = len(t_hash.plan_files())
+    n_none_files = len(t_none.plan_files())
+    n_rows = t_hash.scan(virtual_column=None).count()
+    n_parts = orders.select("o_orderpriority").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                n_parts,
+                n_hash_files == n_parts,
+                n_none_files > n_parts,
+            )
+        ],
+        "n_rows long, n_partitions long, hash_one_file_per_partition "
+        "boolean, unclustered_more_files boolean",
+    )

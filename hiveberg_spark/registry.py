@@ -153,6 +153,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_substring_spans",
     "pipeline_observed_metrics",
     "stream_observed_metrics",
+    "snapshot_write_distribution",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",

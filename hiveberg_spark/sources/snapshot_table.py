@@ -1061,11 +1061,16 @@ class SnapshotTable:
         - `write.sort.order`: comma-separated columns; every commit
           sorts rows by them within output files, tightening footer
           min/max bounds so range predicates prune better.
-        - `write.distribution.mode`: 'none' (default) | 'range' —
-          'range' repartitions each commit by the sort-order columns
+        - `write.distribution.mode`: 'none' (default) | 'hash' | 'range'
+          — 'range' repartitions each commit by the sort-order columns
           first (Iceberg write.distribution-mode=range), making file
           ranges DISJOINT instead of merely sorted: an equality/range
-          probe then prunes to O(1) files instead of one-per-task."""
+          probe then prunes to O(1) files instead of one-per-task.
+          'hash' shuffles each commit on the PARTITION transform values
+          (Iceberg write.distribution-mode=hash): one file per partition
+          value per commit instead of (input tasks x partitions) small
+          files — the small-files valve for wide-input partitioned
+          writes at scale."""
         return dict(self._read_meta().get("properties", {}))
 
     def set_properties(self, props: dict[str, str]) -> None:
@@ -1078,9 +1083,10 @@ class SnapshotTable:
                 if v not in known_modes:
                     raise ValueError(f"{k} must be one of {known_modes}")
             if k == "write.distribution.mode" and v is not None:
-                if v not in ("none", "range"):
+                if v not in ("none", "hash", "range"):
                     raise ValueError(
-                        "write.distribution.mode must be 'none' or 'range'"
+                        "write.distribution.mode must be 'none', 'hash' "
+                        "or 'range'"
                     )
         lock = self._acquire_lock()
         try:
@@ -3345,6 +3351,10 @@ class SnapshotTable:
                 name = _pfield_name(tr)
                 writer = writer.withColumn(name, _transform_expr(tr, user_schema))
                 pnames.append(name)
+            if pnames and props.get("write.distribution.mode") == "hash":
+                # same hash-distribution contract as the native branch:
+                # one task (and so one container file) per partition value
+                writer = writer.repartition(*[F.col(n) for n in pnames])
             n_records, avro_stats_abs = write_avro(
                 writer, data_dir, partition_cols=pnames, return_stats=True
             )
@@ -3385,6 +3395,18 @@ class SnapshotTable:
                         name, _transform_expr(tr, user_schema)
                     )
                     pnames.append(name)
+                if props.get("write.distribution.mode") == "hash" and not zm:
+                    # Iceberg write.distribution-mode=hash: shuffle on
+                    # the partition transform values so each partition
+                    # value's rows land in exactly ONE task — one file
+                    # per partition per commit instead of (input tasks
+                    # x partitions) small files. The sortWithinPartitions
+                    # above survives a same-key exchange only per-task;
+                    # re-apply it after the shuffle so footer bounds stay
+                    # tight in hash mode too.
+                    writer = writer.repartition(*[F.col(n) for n in pnames])
+                    if sort_cols:
+                        writer = writer.sortWithinPartitions(*sort_cols)
                 # hidden partitioning: cluster files by transform values;
                 # the helper columns live only in directory names, never
                 # in file data or scan schemas (Iceberg PartitionSpec

@@ -3130,3 +3130,48 @@ def test_variant_column_in_snapshot_table(spark, warehouse):
     t.delete_where("id = 3")  # COW rewrite carries the variant column
     assert t.scan().count() == 4
     assert t.scan(snapshot_id=s1).count() == 5
+
+
+def test_hash_distribution_one_file_per_partition(spark, warehouse):
+    # write.distribution.mode=hash on a partitioned table: each commit
+    # shuffles on the partition transform values, so every partition
+    # value gets exactly ONE file — the small-files valve for
+    # wide-input partitioned writes (Iceberg write.distribution-mode)
+    rows = spark.createDataFrame(
+        [(i, f"g{i % 5}") for i in range(2000)], "id long, grp string"
+    ).repartition(8)
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "hashdist"),
+        schema="id long, grp string",
+        partition_spec=[("identity", "grp", None)],
+    )
+    t.set_properties({"write.distribution.mode": "hash"})
+    t.append(rows)
+    assert len(t.plan_files()) == 5
+    assert t.scan().count() == 2000
+    # identity pruning still plans exactly that partition's one file
+    assert len(t.plan_files("grp = 'g3'")) == 1
+    # contrast: mode none fans out tasks x partitions files
+    u = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "nodist"),
+        schema="id long, grp string",
+        partition_spec=[("identity", "grp", None)],
+    )
+    u.append(rows)
+    assert len(u.plan_files()) > 5
+    # avro branch honors the same contract
+    a = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "avrodist"),
+        schema="id long, grp string",
+        partition_spec=[("identity", "grp", None)],
+        file_format="avro",
+    )
+    a.set_properties({"write.distribution.mode": "hash"})
+    a.append(rows)
+    assert len(a.plan_files()) == 5
+    assert a.scan().count() == 2000
+    with pytest.raises(ValueError, match="distribution.mode"):
+        t.set_properties({"write.distribution.mode": "sideways"})
