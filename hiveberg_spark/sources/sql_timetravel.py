@@ -327,6 +327,10 @@ _DESCRIBE_RE = re.compile(
     r"(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_PARTS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_PROPS_RE = re.compile(
     r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
@@ -508,9 +512,9 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
     snapshot_id); `ALTER TABLE ... SET/UNSET TBLPROPERTIES` edits table
     properties; schema DDL maps to the evolution ops (`RENAME COLUMN`,
     `DROP COLUMN`, `ALTER COLUMN ... TYPE` -> rename/drop/widen);
-    catalog DDL maps to warehouse ops (`SHOW TABLES`, `DROP TABLE [IF
-    EXISTS]`, `ALTER TABLE ... RENAME TO`, `CREATE TABLE ... AS
-    SELECT`, `INSERT INTO ... SELECT`); `CALL system.<proc>('t', ...)`
+    catalog DDL maps to warehouse ops (`SHOW TABLES`, `SHOW PARTITIONS`,
+    `DROP TABLE [IF EXISTS]`, `ALTER TABLE ... RENAME TO`, `CREATE
+    TABLE ... AS SELECT`, `INSERT INTO ... SELECT`); `CALL system.<proc>('t', ...)`
     runs the Iceberg-style maintenance procedures (expire_snapshots,
     rewrite_data_files, rewrite_position_deletes, rollback_to_snapshot,
     fast_forward, create_tag, create_branch, remove_orphan_files);
@@ -568,6 +572,28 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
             )
         return spark.createDataFrame(
             rows, "col_name string, data_type string, kind string"
+        )
+    m = _SHOW_PARTS_RE.match(sql)
+    if m and _exists(m.group("table")):
+        # SHOW PARTITIONS <t>: Spark renders `k=v[/k2=v2]` strings; ours
+        # adds the layout-health counters the `partitions` metadata
+        # table computes from manifests alone (no data IO)
+        t = _table(m.group("table"))
+        rows = []
+        for r in t.partitions().collect():
+            pd = dict(r.partition or {})
+            rows.append(
+                (
+                    "/".join(f"{k}={pd[k]}" for k in sorted(pd)),
+                    r.file_count,
+                    r.record_count,
+                    r.total_bytes,
+                )
+            )
+        return spark.createDataFrame(
+            sorted(rows) or [],
+            "partition string, file_count long, record_count long, "
+            "total_bytes long",
         )
     m = _SHOW_PROPS_RE.match(sql)
     if m and _exists(m.group("table")):

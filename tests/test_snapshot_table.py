@@ -2182,6 +2182,24 @@ def test_sql_describe_and_show_statements(spark, warehouse):
     # a DESCRIBE of a non-warehouse name still reaches Spark's parser
     spark.range(1).createOrReplaceTempView("plain_view")
     assert execute_sql(spark, warehouse, "DESCRIBE plain_view").count() >= 1
+    # SHOW PARTITIONS: k=v rendering + manifest-only layout counters
+    p = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "shparts"),
+        schema="id long, grp string",
+        partition_spec=[("identity", "grp", None)],
+    )
+    p.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "id long, grp string"
+        )
+    )
+    parts = {
+        r.partition: (r.file_count, r.record_count)
+        for r in execute_sql(spark, warehouse, "SHOW PARTITIONS shparts").collect()
+    }
+    assert set(parts) == {"_p_grp=a", "_p_grp=b"}
+    assert parts["_p_grp=a"][1] == 2 and parts["_p_grp=b"][1] == 1
 
 
 def test_add_files_adopts_external_parquet_in_place(spark, warehouse, tmp_path):
