@@ -824,3 +824,86 @@ def simsearch_range_lsh(spark, sf_dir):
     return recall_contract(
         simsearch_range_search(spark, sf_dir), ann, _RANGE_RECALL_BOUND
     )
+
+
+# -- k-NN graph construction ---------------------------------------------------
+
+_KNN_GRAPH_SQL = f"""
+    WITH flat AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vid, b.vec_id AS nb, SUM(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT vid, nb, ROUND(dot / (n1.nrm * n2.nrm), 6) AS cosine
+      FROM dots JOIN norms n1 ON n1.vec_id = vid
+                JOIN norms n2 ON n2.vec_id = nb
+    ),
+    topk AS (
+      SELECT vid, nb, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vid ORDER BY cosine DESC, nb) AS rn
+        FROM sims
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT t.vid AS vec_id, t.nb AS nb_id, t.cosine,
+           (r.vid IS NOT NULL) AS mutual
+    FROM topk t LEFT JOIN topk r ON r.vid = t.nb AND r.nb = t.vid
+"""
+
+
+@query("simsearch_knn_graph", oracle=_KNN_GRAPH_SQL)
+def simsearch_knn_graph(spark, sf_dir):
+    """k-NN GRAPH construction: every vector's exact cosine top-k
+    neighbors, with each edge marked MUTUAL when both endpoints rank
+    each other — the standard substrate for graph-based corpus curation
+    (mutual-kNN clustering, coreset/diversity selection, hubness-aware
+    dedup) that pointwise top-k search (simsearch_bruteforce_topk: a
+    small query set vs the corpus) does not produce.
+
+    Exact all-pairs baseline: the neighbor side broadcasts and scoring
+    is JVM zip_with/aggregate, one row_number window per node, then the
+    mutual bit is a self-join of the top-k edge list on the reversed
+    pair (edge list is n x k — tiny relative to the corpus). At 100 TB
+    the all-pairs stage swaps for LSH/IVF candidate generation
+    (lsh_topk/ivf_topk in this module) with identical downstream graph
+    mechanics; ordering is on the ROUNDED cosine with nb_id tiebreak in
+    both engines, so ranking is deterministic cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
+    sims = a.join(F.broadcast(b), F.col("vid") != F.col("nb")).select(
+        "vid",
+        "nb",
+        F.round(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("nb"))
+    topk = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("vid", "nb", "cosine")
+    )
+    rev = topk.select(
+        F.col("nb").alias("vid"), F.col("vid").alias("nb")
+    ).withColumn("_m", F.lit(1))
+    return (
+        topk.join(rev, ["vid", "nb"], "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("nb").alias("nb_id"),
+            "cosine",
+            F.col("_m").isNotNull().alias("mutual"),
+        )
+    )

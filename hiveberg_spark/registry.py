@@ -154,6 +154,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "pipeline_observed_metrics",
     "stream_observed_metrics",
     "snapshot_write_distribution",
+    "simsearch_knn_graph",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
