@@ -200,3 +200,64 @@ def udtf_mapinarrow(spark, sf_dir):
         measure,
         schema="doc_id long, n_chars long, measured_chars long, length_consistent boolean",
     )
+
+
+@query(
+    "udtf_word_runs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, ws[u.i] AS w, u.i
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+      CROSS JOIN UNNEST(range(1, len(ws) + 1)) AS u(i)
+    ),
+    isl AS (
+      SELECT doc_id, w, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+      FROM toks
+    )
+    SELECT doc_id, w AS word, CAST(MIN(i) AS BIGINT) AS start_pos,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM isl GROUP BY doc_id, w, grp HAVING COUNT(*) >= 2
+    """,
+)
+def udtf_word_runs(spark, sf_dir):
+    """Python UDTF (PySpark 4 `@udtf`) exercised through SQL LATERAL —
+    the table-function API the reference's Hive surface gets from
+    LATERAL VIEW + Hive UDTFs (via IcebergObjectInspectorGenerator's
+    inspectors); ours is the native Spark registration + lateral
+    correlation. The function run-length-encodes consecutive repeated
+    words per document (emitting runs >= 2: the intra-doc duplication
+    signal repetition filters consume), which keeps per-row output
+    small and is exactly replicable in the oracle via gaps-and-islands.
+    House rule unchanged: row-at-a-time Python stays OUT of hot paths —
+    this registers the API surface and is sized accordingly (one corpus
+    pass; the equivalent hot-path form is the JVM window in
+    text_repetition_filter)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, start_pos long, run_len long")
+    class WordRuns:
+        def eval(self, text):
+            if text is None:
+                return
+            words = text.split(" ")
+            n = len(words)
+            i = 0
+            while i < n:
+                j = i
+                while j + 1 < n and words[j + 1] == words[i]:
+                    j += 1
+                if j > i:
+                    yield words[i], i + 1, j - i + 1
+                i = j + 1
+
+    spark.udtf.register("hb_word_runs", WordRuns)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("hb_word_runs_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.word, r.start_pos, r.run_len
+        FROM hb_word_runs_docs d, LATERAL hb_word_runs(d.text) r
+        """
+    )

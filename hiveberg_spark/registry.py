@@ -155,6 +155,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_observed_metrics",
     "snapshot_write_distribution",
     "simsearch_knn_graph",
+    "udtf_word_runs",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
