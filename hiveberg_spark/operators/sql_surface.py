@@ -3302,3 +3302,79 @@ def snapshot_write_distribution(spark, sf_dir):
         "n_rows long, n_partitions long, hash_one_file_per_partition "
         "boolean, unclustered_more_files boolean",
     )
+
+
+@query(
+    "snapshot_runtime_prune",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_custkey < 60 AND c_nationkey = 3
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price,
+           TRUE AS files_pruned
+    FROM orders WHERE o_custkey IN (SELECT c_custkey FROM keys)
+    """,
+)
+def snapshot_runtime_prune(spark, sf_dir):
+    """RUNTIME JOIN FILTERING (the Spark dynamic-partition-pruning /
+    Iceberg runtime-filter shape, re-expressed for a driver-planned
+    scan): a filtered dimension's distinct join keys are pushed into
+    the fact scan as one `key IN (...)` conjunct, which every pruning
+    tier consumes — bucket partitions via allowed-bucket sets, footer
+    min/max via any-member-in-bounds, plus value/bloom indexes when
+    present. A static predicate cannot express this (the key set exists
+    only at run time); at 100 TB it turns "scan the fact table, then
+    join" into "scan O(matching buckets)". The fixture is orders
+    bucket(16)-partitioned on o_custkey; the dim filter yields 2 keys
+    -> at most 2 of 16 buckets survive, pinned by `files_pruned`. The
+    aggregate over the pruned scan must equal the oracle's semi-join,
+    proving pruning changed IO, never results."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def builder(table):
+        table.append(orders.repartition(8))
+
+    with _lock:
+        t = build_once(
+            spark,
+            os.path.join(warehouse_dir(sf_dir), "orders_rt_prune"),
+            builder,
+            partition_spec=[("bucket", "o_custkey", 16)],
+        )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_custkey < 60 AND c_nationkey = 3")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    n_keys = dim.distinct().count()
+    pruned = t.scan_runtime_pruned(dim, "o_custkey")
+    total_files = len(t.plan_files())
+    kept_files = len(
+        t.plan_files(
+            "o_custkey IN ("
+            + ", ".join(str(r[0]) for r in dim.distinct().collect())
+            + ")"
+        )
+    )
+    return pruned.agg(
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_price"),
+        F.lit(bool(0 < kept_files < total_files)).alias("files_pruned"),
+    )

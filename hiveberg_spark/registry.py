@@ -156,6 +156,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_write_distribution",
     "simsearch_knn_graph",
     "udtf_word_runs",
+    "snapshot_runtime_prune",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",

@@ -4481,21 +4481,23 @@ class SnapshotTable:
                 inline.extend((f, {}, {}) for f in s["added_files"])
             else:
                 manifests.append(os.path.join(self.location, s["manifest"]))
-        # pre-resolve bucket equality literals: (partition field, value)
-        bucket_req: list[tuple[str, str]] = []
+        # pre-resolve bucket =/IN literals: (partition field, allowed
+        # bucket values) — a file survives a requirement only if its
+        # bucket is one of the allowed set (singleton for `=`)
+        bucket_req: list[tuple[str, frozenset]] = []
         for c in conjuncts:
-            m = _PRUNE_CMP.match(c)
-            if not m or m.group("op") not in ("=", "=="):
-                continue
-            src = m.group("col")
-            if src not in bucket_by_source:
-                continue
-            lit = _parse_literal(m.group("lit"))
-            if lit is None:
+            src, lits = _eq_or_in_literals(c)
+            if src is None or src not in bucket_by_source:
                 continue
             for pname, n in bucket_by_source[src]:
                 bucket_req.append(
-                    (pname, str(self._bucket_of_literal(src, n, lit)))
+                    (
+                        pname,
+                        frozenset(
+                            str(self._bucket_of_literal(src, n, lit))
+                            for lit in lits
+                        ),
+                    )
                 )
         renames = meta.get("renames", [])
         conj = list(conjuncts)
@@ -4521,7 +4523,7 @@ class SnapshotTable:
             for pname, req in bucket_req:
                 if pname in parts:
                     v = parts[pname]
-                    if v is None or v != req:  # null partition or other bucket
+                    if v is None or v not in req:  # null or disallowed bucket
                         return False
             for covered, matches in vreq:
                 if f in covered and f not in matches:
@@ -4570,22 +4572,16 @@ class SnapshotTable:
     def _bucket_excludes_file(
         self, conjunct: str, parts: dict, bucket_by_source: dict
     ) -> bool:
-        """True when an equality conjunct on a bucket-partitioned source
-        column names a literal whose bucket differs from this file's
-        partition value. The literal's bucket is computed by the SAME
-        engine expression that wrote the layout (a one-row local job,
-        cached per literal) — no cross-language hash reimplementation to
-        drift."""
+        """True when an equality or IN conjunct on a bucket-partitioned
+        source column names literal(s) none of whose buckets match this
+        file's partition value. Each literal's bucket is computed by the
+        SAME engine expression that wrote the layout (a one-row local
+        job, cached per literal) — no cross-language hash
+        reimplementation to drift."""
         if not parts or not bucket_by_source:
             return False
-        m = _PRUNE_CMP.match(conjunct)
-        if not m or m.group("op") not in ("=", "=="):
-            return False
-        src = m.group("col")
-        if src not in bucket_by_source:
-            return False
-        lit = _parse_literal(m.group("lit"))
-        if lit is None:
+        src, lits = _eq_or_in_literals(conjunct)
+        if src is None or src not in bucket_by_source:
             return False
         # a file carries the bucket field of the SPEC GENERATION that
         # wrote it; evaluate every generation and prune on whichever
@@ -4595,8 +4591,13 @@ class SnapshotTable:
             if pname not in parts:
                 continue
             if parts[pname] is None:
-                return True  # null-partition file: `col = lit` matches no row
-            if str(self._bucket_of_literal(src, n, lit)) != parts[pname]:
+                # null-partition file: `col = lit` / `col IN (...)`
+                # matches no row
+                return True
+            if all(
+                str(self._bucket_of_literal(src, n, lit)) != parts[pname]
+                for lit in lits
+            ):
                 return True
         return False
 
@@ -6426,6 +6427,70 @@ class SnapshotTable:
             df = df.filter(F.expr(c))
         return df
 
+    def scan_runtime_pruned(
+        self,
+        keys_df: DataFrame,
+        key_col: str,
+        max_keys: int = 10_000,
+        virtual_column: str | None = None,
+    ) -> DataFrame:
+        """RUNTIME FILTERING (the Spark DPP / Iceberg runtime-filter
+        shape for a planned-on-the-driver scan): collect the build
+        side's DISTINCT join keys and push them into this table's scan
+        as one `key IN (...)` conjunct, so every pruning tier engages —
+        footer min/max (each file kept only if SOME key is inside its
+        bounds), hidden-bucket partitions (allowed-bucket sets), the
+        value index, and bloom bitsets. Rows are fully filtered to the
+        key set (the IN is also the residual), so the result is the
+        semi-join reduction of the fact table; the caller joins it to
+        the dim for payload columns.
+
+        Static predicates can't express this: the key set exists only
+        at run time. At 100 TB this is the difference between scanning
+        the whole fact table and scanning O(matching partitions) when a
+        filtered dimension drives the join. Guards: above `max_keys`
+        distinct keys (or any non-numeric/non-string key, or an empty
+        build side) the pruned scan degrades safely — full scan, or an
+        empty-but-typed frame for zero keys. NULL keys never match an
+        IN, matching SQL semantics."""
+        # `key_col` names the FACT column the IN pushes down on; the
+        # build side supplies keys from its same-named column, or from
+        # its only column when single-column
+        if key_col in keys_df.columns:
+            src_col = key_col
+        elif len(keys_df.columns) == 1:
+            src_col = keys_df.columns[0]
+        else:
+            raise ValueError(
+                f"scan_runtime_pruned: build side has no column "
+                f"{key_col!r} and is not single-column: {keys_df.columns}"
+            )
+        rows = (
+            keys_df.select(src_col).distinct().limit(max_keys + 1).collect()
+        )
+        vals = [r[0] for r in rows if r[0] is not None]
+        base_kwargs = {"virtual_column": virtual_column}
+        if len(vals) > max_keys:
+            # key set too wide to inline — planning cost would dominate;
+            # the ordinary join path (broadcast/shuffle) takes over
+            return self.scan(**base_kwargs)
+        if not vals:
+            scan = self.scan(**base_kwargs)
+            return scan.filter(F.lit(False))
+        lits = []
+        for v in vals:
+            if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+                return self.scan(**base_kwargs)  # unprunable key type
+            lits.append(
+                "'" + v.replace("'", "''") + "'"
+                if isinstance(v, str)
+                else repr(v)
+            )
+        return self.scan_where(
+            f"{key_col} IN ({', '.join(lits)})",
+            virtual_column=virtual_column,
+        )
+
 
 _Z_BITS = 16  # per-dimension resolution of the Morton key
 
@@ -6601,9 +6666,11 @@ def _transform_expr(tr: tuple, schema: StructType):
     return c  # identity
 
 
-#: `col IN (lit, lit, ...)` — consumed only by the value index (the
-#: min/max evaluator stays conjunct-binary); parenthesized list with
-#: simple literals, conservative on anything fancier
+#: `col IN (lit, lit, ...)` — consumed by the value index, the bloom
+#: index, the min/max evaluator (excluded only when EVERY member is
+#: outside the bounds) and the bucket evaluators (allowed-bucket sets);
+#: parenthesized list with simple literals, conservative on anything
+#: fancier
 _VINDEX_IN_RE = re.compile(
     r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\((?P<lits>[^()]*)\)\s*$",
     re.IGNORECASE,
@@ -6661,6 +6728,27 @@ def _align_temporal(lit: str, lo: str, hi: str) -> str | None:
     return lit
 
 
+def _eq_or_in_literals(conjunct: str):
+    """(col, [literals]) for `col = lit` or `col IN (a, b, ...)` with
+    fully-parseable literals; (None, []) otherwise. The shared shape the
+    bucket evaluators prune on — IN support is what lets a runtime
+    join-key set prune bucket partitions like the equality probe does."""
+    m = _PRUNE_CMP.match(conjunct)
+    if m and m.group("op") in ("=", "=="):
+        lit = _parse_literal(m.group("lit"))
+        return (m.group("col"), [lit]) if lit is not None else (None, [])
+    mi = _VINDEX_IN_RE.match(conjunct)
+    if mi:
+        lits = [
+            _parse_literal(x.strip())
+            for x in mi.group("lits").split(",")
+            if x.strip()
+        ]
+        if lits and all(lit is not None for lit in lits):
+            return mi.group("col"), lits
+    return None, []
+
+
 def _conjunct_excludes_file(conjunct: str, stats: dict) -> bool:
     """True only when the file's [min,max] PROVES the conjunct matches no
     row (Iceberg InclusiveMetricsEvaluator semantics: 'might match' keeps
@@ -6668,7 +6756,39 @@ def _conjunct_excludes_file(conjunct: str, stats: dict) -> bool:
     comparisons never exclude."""
     m = _PRUNE_CMP.match(conjunct)
     if not m:
-        return False
+        # `col IN (a, b, c)` — an OR of equalities: the file is excluded
+        # only when EVERY member is provably outside [min, max] (the
+        # runtime join-pruning shape: a dim's key set pushed into the
+        # fact scan)
+        mi = _VINDEX_IN_RE.match(conjunct)
+        if not mi or mi.group("col") == _BLOOM_STATS_KEY:
+            return False
+        bounds = stats.get(mi.group("col"))
+        if not bounds:
+            return False
+        lo, hi = bounds
+        lits = [
+            _parse_literal(x.strip())
+            for x in mi.group("lits").split(",")
+            if x.strip()
+        ]
+        if not lits or any(lit is None for lit in lits):
+            return False
+        for lit in lits:
+            numeric = isinstance(lit, (int, float)) and isinstance(
+                lo, (int, float)
+            )
+            if not numeric and not (
+                isinstance(lit, str) and isinstance(lo, str)
+            ):
+                return False  # cross-type member: keep the file
+            if isinstance(lit, str):
+                lit = _align_temporal(lit, lo, hi)
+                if lit is None:
+                    return False
+            if lo <= lit <= hi:
+                return False  # this member might match
+        return True
     if m.group("col") == _BLOOM_STATS_KEY:
         return False  # reserved key holds bitsets, not bounds
     bounds = stats.get(m.group("col"))

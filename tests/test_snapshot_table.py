@@ -3193,3 +3193,85 @@ def test_hash_distribution_one_file_per_partition(spark, warehouse):
     assert a.scan().count() == 2000
     with pytest.raises(ValueError, match="distribution.mode"):
         t.set_properties({"write.distribution.mode": "sideways"})
+
+
+def test_in_list_pruning_minmax_and_bucket(spark, warehouse):
+    # `col IN (...)` engages BOTH static pruning tiers: footer min/max
+    # (file kept only if SOME member is inside its bounds) and hidden
+    # bucket partitions (allowed-bucket sets) — the substrate runtime
+    # join filtering pushes through
+    b = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "inbucket"),
+        schema="id long, v string",
+        partition_spec=[("bucket", "id", 16)],
+    )
+    b.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(5000)], "id long, v string"
+        ).repartition(8)
+    )
+    total = len(b.plan_files())
+    kept = len(b.plan_files("id IN (7, 123, 4001)"))
+    assert 0 < kept < total  # at most 3 of 16 buckets survive
+    got = sorted(r.id for r in b.scan_where("id IN (7, 123, 4001)").collect())
+    assert got == [7, 123, 4001]
+    # min/max tier: range-clustered files have disjoint id ranges; two
+    # far-apart members keep at most two files
+    r = SnapshotTable.create(
+        spark, os.path.join(warehouse, "inrange"), schema="id long, v string"
+    )
+    r.set_properties(
+        {"write.sort.order": "id", "write.distribution.mode": "range"}
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        r.append(
+            spark.createDataFrame(
+                [(i, f"r{i}") for i in range(4000)], "id long, v string"
+            ).repartition(8)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert len(r.plan_files()) > 2
+    assert len(r.plan_files("id IN (5, 3990)")) <= 2
+    # every member outside the table's range -> zero files planned
+    assert len(r.plan_files("id IN (-5, 99999)")) == 0
+
+
+def test_scan_runtime_pruned_guards_and_semantics(spark, warehouse):
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "rtp"),
+        schema="id long, v string",
+        partition_spec=[("bucket", "id", 16)],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(2000)], "id long, v string"
+        ).repartition(8)
+    )
+    keys = spark.createDataFrame(
+        [(3,), (777,), (None,), (3,)], "k long"  # dup + NULL: both ignored
+    )
+    got = t.scan_runtime_pruned(keys, "id")
+    assert sorted(r.id for r in got.collect()) == [3, 777]
+    # empty build side -> empty typed result, same schema as scan
+    empty = t.scan_runtime_pruned(keys.filter("k IS NULL AND k IS NOT NULL"), "id")
+    assert empty.count() == 0 and empty.columns == t.scan(virtual_column=None).columns
+    # key-set wider than max_keys -> safe fallback to the full scan
+    wide = spark.range(0, 50).select(F.col("id").alias("k"))
+    assert t.scan_runtime_pruned(wide, "id", max_keys=10).count() == 2000
+    # string keys: quoting round-trips (incl. an embedded quote)
+    s = SnapshotTable.create(
+        spark, os.path.join(warehouse, "rtps"), schema="name string, n long"
+    )
+    s.append(
+        spark.createDataFrame(
+            [("a", 1), ("o'brien", 2), ("z", 3)], "name string, n long"
+        )
+    )
+    ks = spark.createDataFrame([("o'brien",), ("z",)], "name string")
+    assert sorted(
+        r.n for r in s.scan_runtime_pruned(ks, "name").collect()
+    ) == [2, 3]
