@@ -312,3 +312,66 @@ def test_deletion_vector_sparse_tier_bounds_payload(positions):
     assert n == len(set(positions))
     # <= ~10 base64 chars per position (varint64 worst case), +prefix
     assert len(payload) <= 14 * len(set(positions)) + 8
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=-1000, max_value=1000),
+    st.integers(min_value=-1000, max_value=1000),
+)
+def test_in_list_prune_evaluator_is_sound(lits, a, b):
+    """IN-list pruning soundness (round 6 runtime-filter tier): if the
+    min/max evaluator EXCLUDES a file for `c IN (...)` given bounds
+    [lo, hi], then NO member of the list lies inside [lo, hi] — and
+    conversely whenever some member is in bounds the file is KEPT."""
+    from hiveberg_spark.sources.snapshot_table import _conjunct_excludes_file
+
+    lo, hi = min(a, b), max(a, b)
+    expr = "c IN (" + ", ".join(str(x) for x in lits) + ")"
+    excluded = _conjunct_excludes_file(expr, {"c": [lo, hi]})
+    any_inside = any(lo <= x <= hi for x in lits)
+    if excluded:
+        assert not any_inside, (lits, lo, hi)
+    if any_inside:
+        assert not excluded, (lits, lo, hi)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=4),
+        min_size=1,
+        max_size=6,
+    ),
+    st.text(alphabet="abc", min_size=0, max_size=4),
+    st.text(alphabet="abc", min_size=0, max_size=4),
+)
+def test_in_list_prune_sound_for_strings(lits, a, b):
+    from hiveberg_spark.sources.snapshot_table import _conjunct_excludes_file
+
+    lo, hi = min(a, b), max(a, b)
+    expr = "c IN (" + ", ".join(f"'{x}'" for x in lits) + ")"
+    excluded = _conjunct_excludes_file(expr, {"c": [lo, hi]})
+    if excluded:
+        assert not any(lo <= x <= hi for x in lits), (lits, lo, hi)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=6
+    )
+)
+def test_eq_or_in_literals_parse_roundtrip(lits):
+    from hiveberg_spark.sources.snapshot_table import _eq_or_in_literals
+
+    col, got = _eq_or_in_literals(
+        "k IN (" + ", ".join(str(x) for x in lits) + ")"
+    )
+    assert col == "k" and got == lits
+    col, got = _eq_or_in_literals(f"k = {lits[0]}")
+    assert col == "k" and got == [lits[0]]
+    assert _eq_or_in_literals("k > 3") == (None, [])
+    assert _eq_or_in_literals("k IN (a, 2)") == (None, [])  # unparseable member
