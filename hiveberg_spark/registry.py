@@ -157,6 +157,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "simsearch_knn_graph",
     "udtf_word_runs",
     "snapshot_runtime_prune",
+    "snapshot_summary_totals",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",

@@ -848,7 +848,7 @@ class HivebergDataWriter(DataSourceArrowWriter):
         reserved = {
             k
             for k in self.summary_props
-            if k.startswith(("streaming-", "added-", "carried-"))
+            if k.startswith(("streaming-", "added-", "carried-", "total-"))
         }
         if reserved:
             # engine-consumed keys: the streaming sink's exactly-once

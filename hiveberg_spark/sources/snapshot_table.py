@@ -3678,6 +3678,12 @@ class SnapshotTable:
                     "added-records": str(n_records),
                 },
             }
+            entry["summary"].update(
+                self._commit_totals(
+                    meta, head, bool(replaces), files, n_records,
+                    file_info, all_files,
+                )
+            )
             if carry is not None:
                 entry["summary"]["carried-data-files"] = str(len(carry))
             if delete_entries:
@@ -5828,6 +5834,95 @@ class SnapshotTable:
             )
             for s in meta["snapshots"]
         ]
+
+    def _commit_totals(
+        self,
+        meta: dict,
+        head,
+        replaces: bool,
+        files,
+        n_records: int,
+        file_info: dict | None,
+        all_files,
+    ) -> dict:
+        """Iceberg snapshot-summary RUNNING TOTALS (`total-data-files`,
+        `total-records`, `total-files-size`) for the entry being
+        committed: growth dashboards and size-based maintenance
+        triggers read them straight off `snapshots()` with no manifest
+        walk. Appends extend the parent's totals in O(added files);
+        replacing commits recount over their full live list (already
+        materialized); a legacy parent without totals is recounted once
+        via the additive walk. Any unknown per-file count degrades that
+        one total to absent rather than wrong."""
+        info = dict(file_info or {})
+
+        def _nbytes(rel):
+            b = (info.get(rel) or {}).get("bytes")
+            if b is None:
+                try:
+                    b = os.path.getsize(os.path.join(self.location, rel))
+                except OSError:
+                    return None
+            return int(b)
+
+        def _totals_over(rels) -> dict:
+            out = {"total-data-files": str(len(rels))}
+            recs = size = 0
+            ok_r = ok_s = True
+            for rel in rels:
+                r = (info.get(rel) or {}).get("records")
+                if r is None:
+                    ok_r = False
+                else:
+                    recs += int(r)
+                b = _nbytes(rel)
+                if b is None:
+                    ok_s = False
+                else:
+                    size += b
+            if ok_r:
+                out["total-records"] = str(recs)
+            if ok_s:
+                out["total-files-size"] = str(size)
+            return out
+
+        if replaces:
+            # full live set is this manifest's list; carried files'
+            # counts resolve through the additive info chain
+            info = {**self._file_info_as_of(meta), **info}
+            return _totals_over(list(all_files))
+        parent = next(
+            (s for s in meta["snapshots"] if s["snapshot_id"] == head), None
+        )
+        if parent is None:  # first snapshot of a lineage
+            return _totals_over(list(files))
+        psum = parent.get("summary", {})
+        if "total-data-files" not in psum:
+            # legacy parent: one recount over the live set as of head
+            info = {**self._file_info_as_of(meta), **info}
+            live = [
+                self._index_file_rel(p)
+                for p, _, _ in self._raw_entries_as_of(meta, head)
+            ]
+            base = _totals_over(live)
+        else:
+            base = {
+                k: psum[k]
+                for k in (
+                    "total-data-files", "total-records", "total-files-size"
+                )
+                if k in psum
+            }
+        add = _totals_over(list(files))
+        out = {
+            "total-data-files": str(
+                int(base["total-data-files"]) + int(add["total-data-files"])
+            )
+        }
+        for k in ("total-records", "total-files-size"):
+            if k in base and k in add:
+                out[k] = str(int(base[k]) + int(add[k]))
+        return out
 
     def files(self, snapshot_id: int | None = None) -> DataFrame:
         """The `__files` metadata table (Iceberg's `files` table; the

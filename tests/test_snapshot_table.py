@@ -1724,8 +1724,9 @@ def test_table_properties_roundtrip_and_validation(spark, warehouse):
     assert "owner" not in t.properties()
     with pytest.raises(ValueError, match="write.delete.mode"):
         t.set_properties({"write.delete.mode": "sideways"})
+    t.set_properties({"write.distribution.mode": "hash"})  # valid since r6
     with pytest.raises(ValueError, match="distribution"):
-        t.set_properties({"write.distribution.mode": "hash"})
+        t.set_properties({"write.distribution.mode": "sideways"})
 
 
 def test_write_mode_properties_drive_dml_strategy(spark, warehouse):
@@ -3275,3 +3276,30 @@ def test_scan_runtime_pruned_guards_and_semantics(spark, warehouse):
     assert sorted(
         r.n for r in s.scan_runtime_pruned(ks, "name").collect()
     ) == [2, 3]
+
+
+def test_snapshot_summary_running_totals(spark, warehouse):
+    # Iceberg summary parity: every commit records total-data-files /
+    # total-records / total-files-size for ITS lineage state — growth
+    # dashboards read snapshots() with no manifest walk
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "totals"), schema="id long, v string"
+    )
+    t.append(spark.createDataFrame([(i, "a") for i in range(10)], "id long, v string"))
+    t.append(spark.createDataFrame([(i, "b") for i in range(5)], "id long, v string"))
+    t.compact()
+    t.overwrite(spark.createDataFrame([(1, "z")], "id long, v string"))
+    snaps = {s.snapshot_id: s.summary for s in t.snapshots().collect()}
+    assert snaps[1]["total-records"] == "10"
+    assert snaps[2]["total-records"] == "15"
+    assert snaps[3]["total-records"] == "15"  # compact: contents unchanged
+    assert snaps[4]["total-records"] == "1"
+    assert int(snaps[3]["total-data-files"]) <= int(snaps[2]["total-data-files"])
+    for sid in (1, 2, 3, 4):
+        assert int(snaps[sid]["total-files-size"]) > 0
+        assert int(snaps[sid]["total-data-files"]) >= 1
+    # MOR delete: data totals unchanged (no data file rewritten)
+    t.delete_where("id = 1", mode="merge-on-read")
+    snaps = {s.snapshot_id: s.summary for s in t.snapshots().collect()}
+    assert snaps[5]["total-records"] == snaps[4]["total-records"]
+    assert snaps[5]["total-data-files"] == snaps[4]["total-data-files"]
