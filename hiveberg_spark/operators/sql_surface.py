@@ -3438,3 +3438,44 @@ def snapshot_summary_totals(spark, sf_dir):
             "added_records"
         ),
     )
+
+
+@query(
+    "snapshot_plan_maintenance",
+    oracle="""
+    SELECT 'expire_snapshots' AS action, FALSE AS recommended
+    UNION ALL SELECT 'remove_orphan_files', FALSE
+    UNION ALL SELECT 'rewrite_data_files', TRUE
+    UNION ALL SELECT 'rewrite_position_deletes', TRUE
+    """,
+)
+def snapshot_plan_maintenance(spark, sf_dir):
+    """Maintenance ADVISOR contract (round 6): `plan_maintenance()` /
+    `CALL system.plan_maintenance('t')` reads manifests + directory
+    listings ONLY and emits one recommended/not verdict per Iceberg
+    maintenance action — the scheduled decision pass that picks WHICH
+    100 TB tables pay for compaction, delete-rewrite, expiry, or orphan
+    GC. The fixture forces two verdicts TRUE deterministically (ten
+    tiny files -> rewrite_data_files; one MOR delete -> live debt ->
+    rewrite_position_deletes) and two FALSE (3 snapshots <= the
+    default 10; no crash leftovers), pinned by the oracle."""
+    import os
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    nation = load_table(spark, sf_dir, "nation")
+
+    def builder(table):
+        table.append(nation.filter("n_nationkey < 13").repartition(5))
+        table.append(nation.filter("n_nationkey >= 13").repartition(5))
+        table.delete_where("n_nationkey = 1", mode="merge-on-read")
+
+    with _lock:
+        t = build_once(
+            spark,
+            os.path.join(warehouse_dir(sf_dir), "nation_maint_advisor"),
+            builder,
+        )
+    return t.plan_maintenance().select("action", "recommended")

@@ -158,6 +158,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "udtf_word_runs",
     "snapshot_runtime_prune",
     "snapshot_summary_totals",
+    "snapshot_plan_maintenance",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",

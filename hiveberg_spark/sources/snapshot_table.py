@@ -5835,6 +5835,99 @@ class SnapshotTable:
             for s in meta["snapshots"]
         ]
 
+    def plan_maintenance(
+        self,
+        small_file_ratio: float = 0.5,
+        max_snapshots: int = 10,
+    ) -> DataFrame:
+        """Maintenance ADVISOR (the planning half of Iceberg's
+        maintenance actions, as one metadata-only call): one row per
+        action with a `recommended` verdict and the metric that drove
+        it — what an operator of a 100 TB table runs on a schedule to
+        decide WHICH tables need compaction/expiry/delete-rewrite/GC
+        before paying for any of them. Reads manifests and directory
+        listings only; no data file is opened.
+
+        - rewrite_data_files: avg live file size below
+          `small_file_ratio` x write.target-file-size-bytes (and >1
+          file) — the small-files signal.
+        - rewrite_position_deletes: any live MOR delete debt
+          (position files or deletion vectors).
+        - expire_snapshots: snapshot count above `max_snapshots`.
+        - remove_orphan_files: content files on disk referenced by NO
+          snapshot (the crash-leftover audit; the action itself also
+          applies its age cutoff)."""
+        meta = self._read_meta()
+        head = meta.get("current_snapshot_id")
+        entries, _ = self._entries_as_of(None)
+        info = self._file_info_as_of(meta)
+        sizes = []
+        for p, _, _ in entries:
+            rel = self._index_file_rel(p)
+            b = (info.get(rel) or self._file_info_fallback(rel)).get("bytes")
+            if b is not None:
+                sizes.append(int(b))
+        n_live = len(entries)
+        target = int(
+            self.properties().get(
+                "write.target-file-size-bytes", str(128 * 1024 * 1024)
+            )
+        )
+        avg = sum(sizes) // len(sizes) if sizes else 0
+        deletes = self._raw_deletes_as_of(meta, head) if head else []
+        n_del_rec = sum(int(d.get("count", 0) or 0) for d in deletes)
+        n_snaps = len(meta.get("snapshots", []))
+        referenced: set[str] = set()
+        for s in meta.get("snapshots", []):
+            for f, _, _ in self._read_manifest_entries(s):
+                referenced.add(f)
+            for d in self._read_manifest_json(s).get("deletes", []):
+                if "path" in d:
+                    referenced.add(d["path"])
+        n_orphans = 0
+        for sub in ("data", "deletes"):
+            root_dir = os.path.join(self.location, sub)
+            if not os.path.isdir(root_dir):
+                continue
+            for root, _, names in os.walk(root_dir):
+                for fn in names:
+                    if not fn.endswith((".parquet", ".orc", ".avro")):
+                        continue
+                    rel = os.path.relpath(
+                        os.path.join(root, fn), self.location
+                    )
+                    if rel not in referenced:
+                        n_orphans += 1
+        rows = [
+            (
+                "rewrite_data_files",
+                bool(n_live > 1 and avg < target * small_file_ratio),
+                n_live,
+                f"avg_file_bytes={avg} target={target}",
+            ),
+            (
+                "rewrite_position_deletes",
+                bool(deletes),
+                len(deletes),
+                f"delete_records={n_del_rec}",
+            ),
+            (
+                "expire_snapshots",
+                bool(n_snaps > max_snapshots),
+                n_snaps,
+                f"max_snapshots={max_snapshots}",
+            ),
+            (
+                "remove_orphan_files",
+                bool(n_orphans > 0),
+                n_orphans,
+                "unreferenced content files on disk",
+            ),
+        ]
+        return self.spark.createDataFrame(
+            rows, "action string, recommended boolean, n long, detail string"
+        )
+
     def _commit_totals(
         self,
         meta: dict,

@@ -516,7 +516,8 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
     `DROP TABLE [IF EXISTS]`, `ALTER TABLE ... RENAME TO`, `CREATE
     TABLE ... AS SELECT`, `INSERT INTO ... SELECT`); `CALL system.<proc>('t', ...)`
     runs the Iceberg-style maintenance procedures (expire_snapshots,
-    rewrite_data_files, rewrite_position_deletes, rollback_to_snapshot,
+    rewrite_data_files, rewrite_position_deletes, plan_maintenance,
+    rollback_to_snapshot,
     fast_forward, create_tag, create_branch, remove_orphan_files);
     anything else goes through the time-travel-aware SELECT path."""
 
@@ -861,6 +862,12 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
                     ],
                 )
             return t.scan_changelog(int(args[1]), to_sid)
+        if proc == "plan_maintenance":
+            # DataFrame-returning advisor: CALL system.plan_maintenance('t')
+            return _table(args[0]).plan_maintenance(
+                *[float(a) for a in args[1:2]],
+                **({"max_snapshots": int(args[2])} if len(args) > 2 else {}),
+            )
         if proc not in _PROCEDURES:
             raise ValueError(
                 f"unknown procedure: {proc!r} (have {sorted(_PROCEDURES)})"

@@ -3303,3 +3303,52 @@ def test_snapshot_summary_running_totals(spark, warehouse):
     snaps = {s.snapshot_id: s.summary for s in t.snapshots().collect()}
     assert snaps[5]["total-records"] == snaps[4]["total-records"]
     assert snaps[5]["total-data-files"] == snaps[4]["total-data-files"]
+
+
+def test_plan_maintenance_advisor(spark, warehouse):
+    # metadata-only advisor: verdicts flip with the table's state
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "adv"), schema="id long, v string"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "x") for i in range(100)], "id long, v string"
+        ).repartition(4)
+    )
+    plan = {r.action: r for r in t.plan_maintenance().collect()}
+    assert set(plan) == {
+        "rewrite_data_files", "rewrite_position_deletes",
+        "expire_snapshots", "remove_orphan_files",
+    }
+    assert plan["rewrite_data_files"].recommended  # 4 tiny files
+    assert not plan["rewrite_position_deletes"].recommended
+    assert not plan["expire_snapshots"].recommended
+    assert not plan["remove_orphan_files"].recommended
+    assert plan["rewrite_data_files"].n == 4
+    # MOR debt flips the delete-rewrite verdict; compacting + rewriting
+    # clears both
+    t.delete_where("id = 7", mode="merge-on-read")
+    plan = {r.action: r for r in t.plan_maintenance().collect()}
+    assert plan["rewrite_position_deletes"].recommended
+    t.rewrite_position_deletes()
+    t.compact()
+    plan = {r.action: r for r in t.plan_maintenance().collect()}
+    assert not plan["rewrite_position_deletes"].recommended
+    # a crash leftover (complete-but-unreferenced uuid dir) is audited
+    stray = os.path.join(t.location, "data", "deadbeef")
+    os.makedirs(stray)
+    spark.createDataFrame([(1, "s")], "id long, v string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(stray)
+    plan = {r.action: r for r in t.plan_maintenance().collect()}
+    assert plan["remove_orphan_files"].recommended
+    # snapshot-count threshold is tunable
+    plan = {r.action: r for r in t.plan_maintenance(max_snapshots=2).collect()}
+    assert plan["expire_snapshots"].recommended
+    # SQL surface
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    got = execute_sql(
+        spark, warehouse, "CALL system.plan_maintenance('adv')"
+    ).collect()
+    assert {r.action for r in got} == set(plan)
