@@ -867,20 +867,24 @@ def simsearch_knn_graph(spark, sf_dir):
     dedup) that pointwise top-k search (simsearch_bruteforce_topk: a
     small query set vs the corpus) does not produce.
 
-    Exact all-pairs baseline: the neighbor side broadcasts and scoring
-    is JVM zip_with/aggregate, one row_number window per node, then the
-    mutual bit is a self-join of the top-k edge list on the reversed
-    pair (edge list is n x k — tiny relative to the corpus). At 100 TB
-    the all-pairs stage swaps for LSH/IVF candidate generation
-    (lsh_topk/ivf_topk in this module) with identical downstream graph
-    mechanics; ordering is on the ROUNDED cosine with nb_id tiebreak in
-    both engines, so ranking is deterministic cross-engine."""
+    Exact all-pairs baseline: the neighbor side is left to AQE (no
+    forced broadcast — embeddings is an SF-scaling table, and the house
+    rule is that only fixed-cardinality frames may carry a broadcast
+    hint; AQE still broadcasts it wherever it fits the threshold).
+    Scoring is JVM zip_with/aggregate, one row_number window per node,
+    then the mutual bit is a self-join of the top-k edge list on the
+    reversed pair (edge list is n x k — tiny relative to the corpus).
+    At 100 TB the all-pairs stage swaps for LSH/IVF candidate
+    generation (lsh_topk/ivf_topk in this module) with identical
+    downstream graph mechanics; ordering is on the ROUNDED cosine with
+    nb_id tiebreak in both engines, so ranking is deterministic
+    cross-engine."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     a = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
-    sims = a.join(F.broadcast(b), F.col("vid") != F.col("nb")).select(
+    sims = a.join(b, F.col("vid") != F.col("nb")).select(
         "vid",
         "nb",
         F.round(

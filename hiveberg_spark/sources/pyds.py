@@ -23,9 +23,12 @@ Execution model (the 100 TB shape):
   this file). Executors read with pyarrow and yield Arrow record
   batches — partition-parallel, no driver data movement.
 - **Filter pushdown** (`pushFilters`) feeds the engine's manifest
-  pruning (min/max stats tier); every filter is also returned to
-  Spark, which re-applies it — pruning is advisory, correctness never
-  depends on it.
+  pruning: the min/max stats tier always; bucket partitions and bloom
+  bitsets too (since round 6) via the self-checked pure-Python XXH64
+  port, which borrows the driver's active session for its one-time
+  verification — `=`/`In` probes on bucket columns prune sessionless.
+  Every filter is also returned to Spark, which re-applies it —
+  pruning is advisory, correctness never depends on it.
 
 Semantics parity with `scan()` (each is tested head-to-head in
 tests/test_pyds.py): snapshot / timestamp / ref time travel, virtual

@@ -842,7 +842,7 @@ class SnapshotTable:
                 out[rel] = {"m": m_bits, "cols": per}
         return out
 
-    def _bloom_hashes_of_literal(self, src: str, lit) -> list[int]:
+    def _bloom_hashes_of_literal(self, src: str, lit) -> list[int] | None:
         """The K probe hashes of a literal AS the column's current
         type — the same `xxhash64(value, seed_i)` hashing the
         write-side bitset job's Spark expressions ran. Fast path: the
@@ -857,12 +857,12 @@ class SnapshotTable:
         key = (src, repr(lit))
         if key not in cache:
             args = self._python_hash_args(src, lit)
-            if args is not None and xxh64.self_check(self.spark):
+            if args is not None and self._fastpath_ok():
                 cache[key] = [
                     xxh64.xxhash64_chain([args, (i, "int")])
                     for i in range(_BLOOM_K)
                 ]
-            else:
+            elif self.spark is not None:
                 schema = self.schema()
                 col = F.lit(lit)
                 if schema is not None and src in schema.fieldNames():
@@ -878,6 +878,8 @@ class SnapshotTable:
                     .head()
                 )
                 cache[key] = [int(row[f"h{i}"]) for i in range(_BLOOM_K)]
+            else:
+                return None  # sessionless + unverified: caller keeps file
         return cache[key]
 
     def _bloom_requirements(
@@ -924,9 +926,10 @@ class SnapshotTable:
                 continue
             if col not in bloom_cols or col in widened:
                 continue
-            out.append(
-                (col, [self._bloom_hashes_of_literal(col, v) for v in lits])
-            )
+            groups = [self._bloom_hashes_of_literal(col, v) for v in lits]
+            if any(g is None for g in groups):
+                continue  # unhashable literal: this probe can't prune
+            out.append((col, groups))
         return out
 
     # -- commit lock (Iceberg-style serialized metadata swap) -------------
@@ -1723,7 +1726,7 @@ class SnapshotTable:
         key = (src, repr(lit))
         if key not in cache:
             args = self._python_hash_args(src, lit)
-            if args is not None and xxh64.self_check(self.spark):
+            if args is not None and self._fastpath_ok():
                 cache[key] = xxh64.xxhash64_chain([args])
             else:
                 schema = self.schema()
@@ -4393,15 +4396,17 @@ class SnapshotTable:
             raise ValueError(f"unknown snapshot id {sid} (have {sorted(known)})")
         if self.spark is None:
             # SPARK-FREE planning (the Python Data Source facade plans
-            # inside a driver-side Python process with no session): the
-            # min/max stats tier still prunes; the tiers whose literal
-            # hashing / bucket resolution needs a one-row Spark job
-            # (value index, bloom, bucket) degrade to keep-everything —
-            # conservative, never wrong, and scan-side residual filters
-            # still apply.
-            bucket_by_source = {}
+            # inside a driver-side Python process with no session
+            # handle): min/max always prunes; bucket and bloom prune
+            # through the self-checked pure-Python XXH64 port (the
+            # check borrows the process's ACTIVE session — present in
+            # the driver during facade planning — and literal hashes
+            # resolve to None when it is not, degrading those tiers to
+            # keep-everything). Only the value index stays off: its
+            # postings read needs a session.
+            bucket_by_source = self._bucket_sources(meta)
             vindex_req: list = []
-            bloom_req: list = []
+            bloom_req: list = self._bloom_requirements(meta, conjuncts)
         else:
             bucket_by_source = self._bucket_sources(meta)
             vindex_req = self._value_index_requirements(meta, conjuncts)
@@ -4496,14 +4501,13 @@ class SnapshotTable:
             if src is None or src not in bucket_by_source:
                 continue
             for pname, n in bucket_by_source[src]:
+                buckets = [
+                    self._bucket_of_literal(src, n, lit) for lit in lits
+                ]
+                if any(b is None for b in buckets):
+                    continue  # unhashable literal: requirement can't prune
                 bucket_req.append(
-                    (
-                        pname,
-                        frozenset(
-                            str(self._bucket_of_literal(src, n, lit))
-                            for lit in lits
-                        ),
-                    )
+                    (pname, frozenset(str(b) for b in buckets))
                 )
         renames = meta.get("renames", [])
         conj = list(conjuncts)
@@ -4600,26 +4604,62 @@ class SnapshotTable:
                 # null-partition file: `col = lit` / `col IN (...)`
                 # matches no row
                 return True
-            if all(
-                str(self._bucket_of_literal(src, n, lit)) != parts[pname]
-                for lit in lits
-            ):
+            buckets = [self._bucket_of_literal(src, n, lit) for lit in lits]
+            if any(b is None for b in buckets):
+                continue  # unhashable literal: requirement can't prune
+            if all(str(b) != parts[pname] for b in buckets):
                 return True
         return False
 
-    def _bucket_of_literal(self, src: str, n: int, lit) -> int:
+    def _fastpath_ok(self) -> bool:
+        """May the pure-Python XXH64 port hash literals for pruning?
+        True only after its one-time self-check against a live Spark
+        session passed. Sessionless callers (the facade plans in the
+        driver's Python process with no session handle) borrow the
+        process's ACTIVE session for the check, or reuse a prior pass;
+        with neither, False — callers degrade conservatively."""
+        from hiveberg_spark.sources import xxh64
+
+        s = self.spark
+        if s is None:
+            if xxh64.checked_ok():
+                return True
+            try:
+                from pyspark.sql import SparkSession
+
+                s = SparkSession.getActiveSession()
+            except Exception:
+                s = None
+        if s is None:
+            return False
+        return xxh64.self_check(s)
+
+    def _bucket_of_literal(self, src: str, n: int, lit) -> int | None:
+        """The literal's bucket under bucket(n) — via the pure-Python
+        XXH64 fast path (self-checked against Spark) or a one-row Spark
+        job; None when neither is available (sessionless planning on an
+        unverified process) — callers must then KEEP the file."""
         cache = getattr(self, "_bucket_cache", None)
         if cache is None:
             cache = self._bucket_cache = {}
         key = (src, n, repr(lit))
         if key not in cache:
-            schema = self.schema()
-            col = F.lit(lit)
-            if schema is not None and src in schema.fieldNames():
-                col = col.cast(schema[src].dataType)
-            cache[key] = self.spark.range(1).select(
-                F.pmod(F.xxhash64(col), F.lit(n)).alias("b")
-            ).head()[0]
+            from hiveberg_spark.sources import xxh64
+
+            args = self._python_hash_args(src, lit)
+            if args is not None and self._fastpath_ok():
+                # Python % matches Spark pmod for positive n
+                cache[key] = xxh64.xxhash64_chain([args]) % int(n)
+            elif self.spark is not None:
+                schema = self.schema()
+                col = F.lit(lit)
+                if schema is not None and src in schema.fieldNames():
+                    col = col.cast(schema[src].dataType)
+                cache[key] = self.spark.range(1).select(
+                    F.pmod(F.xxhash64(col), F.lit(n)).alias("b")
+                ).head()[0]
+            else:
+                return None  # uncached: a session may appear later
         return cache[key]
 
     def snapshot_id_as_of(self, timestamp_ms: int) -> int:

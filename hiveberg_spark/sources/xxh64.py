@@ -129,6 +129,13 @@ def supported(simple_type: str) -> bool:
     }
 
 
+def checked_ok() -> bool:
+    """True iff self_check already PASSED in this process — lets
+    sessionless callers (facade planning) reuse a prior verification
+    without a SparkSession of their own."""
+    return _SELF_CHECK_RESULT is True
+
+
 def hash_typed(value, simple_type: str, seed: int) -> int:
     """Hash one non-null value AS its Spark type (seed and result are
     UNSIGNED here; convert at the boundary). Mirrors Spark's

@@ -1502,3 +1502,39 @@ def test_variant_guard_respects_projection_and_writes(spark, warehouse):
         ).mode("append").option(
             "snapshot-property.streaming-batch-id", "3"
         ).save(loc)
+
+
+def test_facade_in_filter_prunes_buckets_and_bounds(spark, warehouse):
+    """Spark pushes `isin` as an In filter; the facade renders it as a
+    `col IN (...)` conjunct, which (since round 6) prunes through BOTH
+    static tiers — bucket partitions (allowed-bucket sets) and footer
+    min/max (any-member-in-bounds) — before any data IO."""
+    loc = os.path.join(warehouse, "in_prune")
+    t = SnapshotTable.create(
+        spark,
+        loc,
+        schema="id long, v string",
+        partition_spec=[("bucket", "id", 16)],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(5000)], "id long, v string"
+        ).repartition(8)
+    )
+    total = len(t.plan_files())
+
+    from hiveberg_spark.sources.pyds import HivebergReader
+
+    r = HivebergReader({"path": loc}, None)
+    r.conjuncts = ["id IN (7, 123, 4001)"]  # what pushFilters derives
+    planned = sum(
+        len(p.spec["specs"]) for p in r.partitions() if p.spec
+    )
+    assert 0 < planned < total
+    got = (
+        _facade(spark, loc)
+        .filter(F.col("id").isin(7, 123, 4001))
+        .select("id")
+        .collect()
+    )
+    assert sorted(x.id for x in got) == [7, 123, 4001]
