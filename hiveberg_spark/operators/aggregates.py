@@ -576,3 +576,98 @@ def events_transition_matrix(spark, sf_dir):
         .groupBy("event_type", "next_type")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                   ORDER BY ts, event_id) AS rn
+      FROM sessions
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ranked WHERE rn <= 5 GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """PATH analysis (the sequence sibling of the funnel and the
+    transition matrix): top session journeys — each session's first
+    five event types in order, '>'-joined — ranked by frequency. The
+    per-pair transition matrix cannot distinguish A>B>C from C>B>A
+    chains; full path counting is how product analytics finds dominant
+    journeys. Pipeline: gaps-and-islands sessionization (one shuffle on
+    user_id; the lag, cumulative-sum, and rank windows all reuse that
+    partitioning), truncate to the session head (rn <= 5 caps the path
+    alphabet so the path-keyed aggregation stays bounded at any scale),
+    collect_list of (ts, event_id, type) structs sorted JVM-side for a
+    deterministic join order, then one path-keyed count. Ordering ties
+    break on (ts, event_id) in BOTH engines, and the top-20 boundary
+    breaks on (n_sessions DESC, path), so the cut is cross-engine
+    deterministic."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    marked = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(cum))
+    ranked = sessions.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id", "session_no").orderBy(
+                "ts_us", "event_id"
+            )
+        ),
+    ).filter(F.col("rn") <= 5)
+    paths = (
+        ranked.groupBy("user_id", "session_no")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("evs", lambda s: s["event_type"])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

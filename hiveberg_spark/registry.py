@@ -159,6 +159,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_runtime_prune",
     "snapshot_summary_totals",
     "snapshot_plan_maintenance",
+    "events_top_paths",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
