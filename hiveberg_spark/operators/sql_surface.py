@@ -3479,3 +3479,66 @@ def snapshot_plan_maintenance(spark, sf_dir):
             builder,
         )
     return t.plan_maintenance().select("action", "recommended")
+
+
+@query(
+    "snapshot_widen_date_ts",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM orders WHERE o_orderkey < 100
+    UNION ALL
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S')
+    FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+    """,
+)
+def snapshot_widen_date_ts(spark, sf_dir):
+    """Iceberg v3 DATE -> TIMESTAMP type promotion, end to end: a
+    date-typed column widens metadata-only; files sealed BEFORE the
+    widen keep date32 physicals and read back as midnight timestamps
+    (per-generation read groups keyed on data sequence numbers — the
+    one promotion Spark's readers can't upcast natively), files written
+    AFTER carry real timestamps (here orderdate + 1 hour, so a wrong
+    generation split cannot cancel out). Output is formatted strings
+    (no temporal columns cross the oracle hash)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def builder(table):
+        table.append(
+            orders.filter("o_orderkey < 100").select(
+                "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+            )
+        )
+        table.widen_column("d", "timestamp")
+        table.append(
+            orders.filter("o_orderkey >= 100 AND o_orderkey < 200").select(
+                "o_orderkey",
+                (
+                    F.col("o_orderdate").cast("timestamp")
+                    + F.expr("INTERVAL 1 HOUR")
+                ).alias("d"),
+            )
+        )
+
+    with _lock:
+        t = build_once(
+            spark,
+            os.path.join(warehouse_dir(sf_dir), "orders_widen_dt"),
+            builder,
+            schema="o_orderkey long, d date",
+        )
+    return t.scan(virtual_column=None).select(
+        "o_orderkey",
+        F.date_format("d", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )

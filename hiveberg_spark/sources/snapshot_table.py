@@ -3926,6 +3926,10 @@ class SnapshotTable:
         ("int", "bigint"),
         ("int", "double"),
         ("float", "double"),
+        # Iceberg v3 adds date -> timestamp promotion: narrow files
+        # read date physicals and cast (midnight, session UTC) — per
+        # add-generation read groups, not native reader upcast
+        ("date", "timestamp"),
     }
 
     def widen_column(self, name: str, new_type: str) -> None:
@@ -3967,6 +3971,7 @@ class SnapshotTable:
                 raise ValueError(
                     f"cannot widen {name!r} from {old_s} to {new_s}; "
                     "allowed: int->long, int->double, float->double, "
+                    "date->timestamp (v3), "
                     "decimal precision growth at equal scale"
                 )
             current = meta["current_snapshot_id"]
@@ -3985,7 +3990,16 @@ class SnapshotTable:
             )
             meta["schema_json"] = widened.json()
             meta.setdefault("widenings", []).append(
-                {"col": name, "from": old_s, "to": new_s}
+                # `as_of`: files with data sequence number <= it carry
+                # the NARROW physical type (same generation contract as
+                # defaults' as_of) — consumed only by promotions the
+                # native readers can't upcast (date -> timestamp)
+                {
+                    "col": name,
+                    "from": old_s,
+                    "to": new_s,
+                    "as_of": meta["current_snapshot_id"] or 0,
+                }
             )
             self._write_meta(meta)
         finally:
@@ -4867,25 +4881,50 @@ class SnapshotTable:
             if read_schema is not None
             else self._widened_read_schema(meta)
         )
-        if not defaults or not files:
+        # date -> timestamp promotions (v3): the ONE widening the native
+        # readers can't upcast — files sealed before the widen read the
+        # column as DATE (their physical type) and cast post-read, via
+        # the same sequence-number generation groups as defaults
+        temporal = [
+            w
+            for w in meta.get("widenings", [])
+            if w.get("from") == "date"
+            and str(w.get("to", "")).startswith("timestamp")
+        ]
+        if (not defaults and not temporal) or not files:
             return self._read_data_files(
                 files, renames, drops, lineage=lineage, read_schema=rs
             )
         if seq is None:
             seq = self._file_seq_as_of(meta, sid) if sid is not None else {}
         schema = StructType.fromJson(json.loads(meta["schema_json"]))
-        groups: dict[frozenset, list[str]] = {}
+        groups: dict[tuple[frozenset, frozenset], list[str]] = {}
         for f in files:
             fseq = seq.get(self._index_file_rel(f), sid or 0)
             need = frozenset(
                 d["col"] for d in defaults if fseq <= d["as_of"]
             )
-            groups.setdefault(need, []).append(f)
-        parts: list[DataFrame] = []
-        for need in sorted(groups, key=sorted):
-            part = self._read_data_files(
-                groups[need], renames, drops, lineage=lineage, read_schema=rs
+            narrow = frozenset(
+                w["col"] for w in temporal if fseq <= w.get("as_of", -1)
             )
+            groups.setdefault((need, narrow), []).append(f)
+        parts: list[DataFrame] = []
+        for need, narrow in sorted(
+            groups, key=lambda k: (sorted(k[0]), sorted(k[1]))
+        ):
+            grs = self._narrowed_schema(rs, narrow, renames) if narrow else rs
+            part = self._read_data_files(
+                groups[(need, narrow)],
+                renames,
+                drops,
+                lineage=lineage,
+                read_schema=grs,
+            )
+            for col in sorted(narrow):
+                if col in part.columns:  # midnight under the pinned UTC tz
+                    part = part.withColumn(
+                        col, F.col(col).cast(schema[col].dataType)
+                    )
             for d in defaults:
                 if d["col"] in need:
                     part = part.withColumn(
@@ -4964,6 +5003,44 @@ class SnapshotTable:
                 "__hb_file", "__hb_pos", "__hb_rl_file", "__hb_rl_seq",
                 "__hb_last_seq",
             )
+        )
+
+    def _narrowed_schema(
+        self,
+        rs: StructType | None,
+        narrow: frozenset,
+        renames: list[dict],
+    ) -> StructType | None:
+        """The group read schema for files sealed before a
+        date->timestamp widen: every field (including rename-log alias
+        fields) whose CURRENT name is in `narrow` reads as DATE — the
+        physical type those files actually carry — and the caller casts
+        post-read."""
+        if rs is None:
+            return None
+        from pyspark.sql.types import DateType
+
+        def current_name(name: str) -> str:
+            seen = {name}
+            changed = True
+            while changed:
+                changed = False
+                for r in renames:
+                    if r["from"] == name and r["to"] not in seen:
+                        name = r["to"]
+                        seen.add(name)
+                        changed = True
+            return name
+
+        return StructType(
+            [
+                (
+                    type(f)(f.name, DateType(), f.nullable)
+                    if current_name(f.name) in narrow
+                    else f
+                )
+                for f in rs.fields
+            ]
         )
 
     def _read_data_files(

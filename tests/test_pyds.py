@@ -1538,3 +1538,30 @@ def test_facade_in_filter_prunes_buckets_and_bounds(spark, warehouse):
         .collect()
     )
     assert sorted(x.id for x in got) == [7, 123, 4001]
+
+
+def test_facade_reads_date_to_timestamp_widening(spark, warehouse):
+    """v3 date->timestamp promotion through the facade: files sealed
+    before the widen carry date32 physicals; the facade must surface
+    the widened TIMESTAMP schema with midnight values for them and
+    verbatim values for post-widen files."""
+    loc = os.path.join(warehouse, "dtw")
+    t = SnapshotTable.create(spark, loc, schema="id long, d date")
+    t.append(
+        spark.sql(
+            "SELECT CAST(1 AS LONG) id, DATE '2024-03-05' d "
+            "UNION ALL SELECT 2, DATE '2023-12-31'"
+        )
+    )
+    t.widen_column("d", "timestamp")
+    t.append(
+        spark.sql("SELECT CAST(3 AS LONG) id, TIMESTAMP '2024-06-01 10:30:00' d")
+    )
+    engine = t.scan()
+    assert dict(engine.dtypes)["d"] == "timestamp"
+    assert sorted(str(r.d) for r in engine.collect()) == [
+        "2023-12-31 00:00:00",
+        "2024-03-05 00:00:00",
+        "2024-06-01 10:30:00",
+    ]
+    _assert_parity(_facade(spark, loc), engine)

@@ -3352,3 +3352,65 @@ def test_plan_maintenance_advisor(spark, warehouse):
         spark, warehouse, "CALL system.plan_maintenance('adv')"
     ).collect()
     assert {r.action for r in got} == set(plan)
+
+
+def test_widen_date_to_timestamp(spark, warehouse):
+    """Iceberg v3 date->timestamp promotion: metadata-only; files sealed
+    before the widen read their DATE physicals per generation group and
+    cast (midnight, session UTC); later files carry timestamps. Composes
+    with time travel, MOR deletes, COW rewrites, compaction, rename —
+    and ORC data files."""
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "dtw"), schema="id long, d date"
+    )
+    t.append(
+        spark.sql(
+            "SELECT CAST(1 AS LONG) id, DATE '2024-03-05' d "
+            "UNION ALL SELECT 2, DATE '2023-12-31'"
+        )
+    )
+    t.widen_column("d", "timestamp")
+    t.append(
+        spark.sql("SELECT CAST(3 AS LONG) id, TIMESTAMP '2024-06-01 10:30:00' d")
+    )
+    def vals(df):
+        return sorted((r.id, str(r.d)) for r in df.collect())
+    assert vals(t.scan(virtual_column=None)) == [
+        (1, "2024-03-05 00:00:00"),
+        (2, "2023-12-31 00:00:00"),
+        (3, "2024-06-01 10:30:00"),
+    ]
+    # time travel reads through the CURRENT (widened) schema
+    assert vals(t.scan(snapshot_id=1, virtual_column=None)) == [
+        (1, "2024-03-05 00:00:00"),
+        (2, "2023-12-31 00:00:00"),
+    ]
+    t.delete_where("id = 2", mode="merge-on-read")
+    assert vals(t.scan(virtual_column=None)) == [
+        (1, "2024-03-05 00:00:00"),
+        (3, "2024-06-01 10:30:00"),
+    ]
+    t.delete_where("id = -1")          # COW rewrite over mixed generations
+    t.compact()                         # folds narrow files into timestamp
+    t.rename_column("d", "ts_col")
+    got = sorted((r.id, str(r.ts_col)) for r in t.scan(virtual_column=None).collect())
+    assert got == [(1, "2024-03-05 00:00:00"), (3, "2024-06-01 10:30:00")]
+    # ORC tables take the same per-generation path
+    o = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "dtworc"),
+        schema="id long, d date",
+        file_format="orc",
+    )
+    o.append(spark.sql("SELECT CAST(1 AS LONG) id, DATE '2020-05-06' d"))
+    o.widen_column("d", "timestamp")
+    o.append(
+        spark.sql("SELECT CAST(2 AS LONG) id, TIMESTAMP '2021-01-02 03:04:05' d")
+    )
+    assert sorted((r.id, str(r.d)) for r in o.scan(virtual_column=None).collect()) == [
+        (1, "2020-05-06 00:00:00"),
+        (2, "2021-01-02 03:04:05"),
+    ]
+    # still refused: narrowing and unrelated pairs
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("id", "int")
