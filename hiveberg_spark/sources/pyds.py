@@ -1757,8 +1757,22 @@ class HivebergStreamReader(DataSourceStreamReader):
     Options: `starting_snapshot_id` (exclusive; default 0 = full
     history), `starting_offsets=latest` (start at the current head),
     `skip_replace_snapshots` (skip non-append commits instead of
-    failing). Parity target: Iceberg's Spark streaming read
-    (stream-from-timestamp / skip-overwrite-snapshots semantics)."""
+    failing), `max_snapshots_per_batch` (admission control: each
+    trigger advances the offset by at most N commits, so a stream
+    catching up on a month of backlog holds per-batch state bounded
+    instead of swallowing the table in one batch — Iceberg's
+    streaming-max-files valve at snapshot granularity; `availableNow`
+    captures the capped offset once at query start, so one
+    availableNow run drains at most N commits — continuous triggers
+    batch the whole backlog N at a time). Parity target:
+    Iceberg's Spark streaming read (stream-from-timestamp /
+    skip-overwrite-snapshots semantics).
+
+    Admission-control caveat: the cap floor is tracked in-process
+    (initialOffset, then each planned batch's end). After a restart
+    from a checkpoint whose offset is AHEAD of initialOffset, the
+    first trigger(s) may plan empty ranges until the cap catches up —
+    idle triggers, never wrong or duplicated rows."""
 
     def __init__(self, options: dict):
         self.path = _norm_path(options.get("path"))
@@ -1766,6 +1780,10 @@ class HivebergStreamReader(DataSourceStreamReader):
             raise ValueError("hiveberg: .load(<table location>) is required")
         self.options = dict(options)
         self.plan = _plan_shared(self.path, self.options)
+        self._max_snaps = int(options.get("max_snapshots_per_batch", 0) or 0)
+        if self._max_snaps < 0:
+            raise ValueError("max_snapshots_per_batch must be >= 0")
+        self._last_end: int | None = None
 
     def _head(self) -> int:
         meta = SnapshotTable(None, self.path)._read_meta()
@@ -1779,9 +1797,22 @@ class HivebergStreamReader(DataSourceStreamReader):
         return {"snapshot_id": 0}
 
     def latestOffset(self) -> dict:
-        return {"snapshot_id": self._head()}
+        head = self._head()
+        if self._max_snaps:
+            if self._last_end is None:
+                self._last_end = self.initialOffset()["snapshot_id"]
+            head = min(head, self._last_end + self._max_snaps)
+        return {"snapshot_id": head}
 
     def partitions(self, start: dict, end: dict):
+        # floor for admission control: never re-admit below a planned
+        # batch's end (also re-anchors the cap after a restart replay)
+        if self._last_end is None or end["snapshot_id"] > self._last_end:
+            self._last_end = end["snapshot_id"]
+        if end["snapshot_id"] < start["snapshot_id"]:
+            # restart with a cap below the checkpointed offset: an idle
+            # batch while the cap catches up (see class docstring)
+            return [_FilePartition(None)]
         specs = _plan_stream_specs(
             self.path, self.options, start["snapshot_id"], end["snapshot_id"]
         )

@@ -1565,3 +1565,39 @@ def test_facade_reads_date_to_timestamp_widening(spark, warehouse):
         "2024-06-01 10:30:00",
     ]
     _assert_parity(_facade(spark, loc), engine)
+
+
+def test_stream_reader_max_snapshots_per_batch(spark, warehouse, tmp_path):
+    """Admission control: with max_snapshots_per_batch=1 each trigger
+    admits at most ONE commit. Under availableNow the capped offset is
+    captured at query start, so each run drains exactly one commit of
+    the 3-commit backlog — bounded per-trigger state, exactly-once, in
+    commit order."""
+    loc = os.path.join(warehouse, "ratelim")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]))
+    t.append(_simple(spark, [(2, "b")]))
+    t.append(_simple(spark, [(3, "c")]))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run():
+        return _run_stream(
+            spark, loc, ck, out, max_snapshots_per_batch="1"
+        )
+
+    assert run() == [(1, "a", 1)]
+    assert run() == [(1, "a", 1), (2, "b", 2)]
+    assert run() == [(1, "a", 1), (2, "b", 2), (3, "c", 3)]
+    # caught up: another capped run admits nothing new
+    assert run() == [(1, "a", 1), (2, "b", 2), (3, "c", 3)]
+    # uncapped resume still gets exactly the remaining delta
+    t.append(_simple(spark, [(4, "d")]))
+    t.append(_simple(spark, [(5, "e")]))
+    assert _run_stream(spark, loc, ck, out) == [
+        (1, "a", 1), (2, "b", 2), (3, "c", 3), (4, "d", 4), (5, "e", 5)
+    ]
+    with pytest.raises(Exception, match="max_snapshots_per_batch"):
+        _run_stream(
+            spark, loc, str(tmp_path / "ck2"), str(tmp_path / "out2"),
+            max_snapshots_per_batch="-2",
+        )
