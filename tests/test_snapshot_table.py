@@ -3414,3 +3414,48 @@ def test_widen_date_to_timestamp(spark, warehouse):
     # still refused: narrowing and unrelated pairs
     with pytest.raises(ValueError, match="cannot widen"):
         t.widen_column("id", "int")
+
+
+def test_summary_totals_random_ops_invariant(spark, warehouse):
+    """Randomized churn model for the running totals: after EVERY
+    commit, the head entry's total-data-files equals the live file
+    count and total-records equals the live files' record sum (data-file
+    accounting — MOR deletes don't subtract, Iceberg semantics)."""
+    import random
+
+    rng = random.Random(61)
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "tot_rand"), schema="id long, v string"
+    )
+    next_id = 0
+
+    def batch(n):
+        nonlocal next_id
+        rows = [(next_id + i, f"r{next_id + i}") for i in range(n)]
+        next_id += n
+        return spark.createDataFrame(rows, "id long, v string")
+
+    t.append(batch(7))
+    for _ in range(8):
+        op = rng.choice(["append", "cow_del", "mor_del", "compact", "overwrite"])
+        if op == "append":
+            t.append(batch(rng.randint(1, 9)))
+        elif op == "cow_del":
+            t.delete_where(f"id % 5 = {rng.randint(0, 4)}")
+        elif op == "mor_del":
+            t.delete_where(f"id % 7 = {rng.randint(0, 6)}", mode="merge-on-read")
+        elif op == "compact":
+            t.compact()
+        else:
+            t.overwrite(batch(rng.randint(1, 5)))
+        meta = t._read_meta()
+        head = meta["current_snapshot_id"]
+        entry = next(s for s in meta["snapshots"] if s["snapshot_id"] == head)
+        live = t.plan_files()
+        info = t._file_info_as_of(meta)
+        recs = sum(
+            int((info.get(os.path.relpath(p, t.location)) or {}).get("records") or 0)
+            for p in live
+        )
+        assert int(entry["summary"]["total-data-files"]) == len(live), op
+        assert int(entry["summary"]["total-records"]) == recs, op
