@@ -57,6 +57,14 @@ HEADLINE = [
     # renamed, defaulted table) — tracks the facade's overhead vs the
     # JVM scan path round-over-round
     "pyds_facade_scan",
+    # round 6 (second session): exact-substring span dedup — one
+    # fixed-width-key shuffle over every L-token window in the corpus,
+    # the heaviest text-dedup primitive (Lee et al. ExactSubstr shape)
+    "dedup_substring_spans",
+    # round 6 (second session): runtime join filtering — dim-key IN
+    # pushdown through bucket + min/max pruning; tracks planner cost +
+    # the pruned-scan read path round-over-round
+    "snapshot_runtime_prune",
 ]
 
 
