@@ -911,3 +911,116 @@ def simsearch_knn_graph(spark, sf_dir):
             F.col("_m").isNotNull().alias("mutual"),
         )
     )
+
+
+# -- PageRank over the k-NN graph ----------------------------------------------
+
+_PAGERANK_SQL = f"""
+    WITH flat AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vid, b.vec_id AS nb, SUM(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT vid, nb, ROUND(dot / (n1.nrm * n2.nrm), 6) AS cosine
+      FROM dots JOIN norms n1 ON n1.vec_id = vid
+                JOIN norms n2 ON n2.vec_id = nb
+    ),
+    edges AS (
+      SELECT vid, nb FROM (
+        SELECT vid, nb, ROW_NUMBER() OVER (
+          PARTITION BY vid ORDER BY cosine DESC, nb) AS rn
+        FROM sims
+      ) WHERE rn <= {TOP_K}
+    ),
+    nodes AS (SELECT DISTINCT vid FROM edges),
+    r0 AS (SELECT vid, 1.0 AS r FROM nodes),
+    r1 AS (
+      SELECT n.vid, ROUND(0.15 + 0.85 * COALESCE(SUM(r0.r / {TOP_K}.0), 0), 6) AS r
+      FROM nodes n LEFT JOIN edges e ON e.nb = n.vid
+                   LEFT JOIN r0 ON r0.vid = e.vid
+      GROUP BY n.vid
+    ),
+    r2 AS (
+      SELECT n.vid, ROUND(0.15 + 0.85 * COALESCE(SUM(r1.r / {TOP_K}.0), 0), 6) AS r
+      FROM nodes n LEFT JOIN edges e ON e.nb = n.vid
+                   LEFT JOIN r1 ON r1.vid = e.vid
+      GROUP BY n.vid
+    ),
+    r3 AS (
+      SELECT n.vid, ROUND(0.15 + 0.85 * COALESCE(SUM(r2.r / {TOP_K}.0), 0), 6) AS r
+      FROM nodes n LEFT JOIN edges e ON e.nb = n.vid
+                   LEFT JOIN r2 ON r2.vid = e.vid
+      GROUP BY n.vid
+    )
+    SELECT vid AS vec_id, r AS pagerank
+    FROM r3 ORDER BY pagerank DESC, vec_id LIMIT 25
+"""
+
+
+@query("graph_pagerank_knn", oracle=_PAGERANK_SQL)
+def graph_pagerank_knn(spark, sf_dir):
+    """PageRank over the directed k-NN graph (3 power iterations,
+    damping 0.85) — graph-centrality data selection: a vector many
+    other vectors rank among their nearest neighbors scores high
+    (density/authority), the signal coreset selection and
+    representativeness weighting consume. Each iteration is ONE
+    shuffle: contributions group by destination and the rank frame
+    joins back on the edge list (out-degree is exactly k, so the
+    contribution divisor is a literal — no degree join). Ranks round
+    to 6 dp per iteration IN BOTH ENGINES, so iterative float drift
+    can never accumulate into a cross-engine hash mismatch. Fixed
+    iteration count keeps the op SQL-expressible (unrolled CTEs) —
+    convergence-looped variants reuse the same step with the
+    localCheckpoint pattern of dedup_cluster_components."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
+    sims = a.join(b, F.col("vid") != F.col("nb")).select(
+        "vid",
+        "nb",
+        F.round(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("nb"))
+    edges = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("vid", "nb")
+        .persist()
+    )
+    nodes = edges.select("vid").distinct()
+    rank = nodes.withColumn("r", F.lit(1.0))
+    for _ in range(3):
+        contrib = (
+            edges.join(rank, "vid")
+            .groupBy(F.col("nb").alias("vid"))
+            .agg(F.sum(F.col("r") / F.lit(float(TOP_K))).alias("inflow"))
+        )
+        rank = nodes.join(contrib, "vid", "left").select(
+            "vid",
+            F.round(
+                F.lit(0.15) + F.lit(0.85) * F.coalesce("inflow", F.lit(0.0)),
+                6,
+            ).alias("r"),
+        )
+    out = (
+        rank.select(F.col("vid").alias("vec_id"), F.col("r").alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "vec_id")
+        .limit(25)
+    )
+    out = out.persist()
+    out.count()
+    edges.unpersist()
+    return out

@@ -161,6 +161,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_plan_maintenance",
     "events_top_paths",
     "snapshot_widen_date_ts",
+    "graph_pagerank_knn",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
