@@ -321,6 +321,7 @@ _META_TABLES = {
     "refs": "_refs_rows",
     "files": "_files_rows",
     "value_indexes": "_value_indexes_rows",
+    "maintenance": "_plan_maintenance_rows",
 }
 
 
@@ -378,6 +379,12 @@ def _meta_schema(table: str) -> StructType:
             f("covered_live_files", LongType()),
             f("uncovered_live_files", LongType()),
             f("fresh", BooleanType()),
+        ],
+        "maintenance": [
+            f("action", StringType()),
+            f("recommended", BooleanType()),
+            f("n", LongType()),
+            f("detail", StringType()),
         ],
     }
     return StructType(schemas[table])

@@ -5974,6 +5974,22 @@ class SnapshotTable:
         - remove_orphan_files: content files on disk referenced by NO
           snapshot (the crash-leftover audit; the action itself also
           applies its age cutoff)."""
+        return self.spark.createDataFrame(
+            self._plan_maintenance_rows(
+                None, small_file_ratio=small_file_ratio,
+                max_snapshots=max_snapshots,
+            ),
+            "action string, recommended boolean, n long, detail string",
+        )
+
+    def _plan_maintenance_rows(
+        self,
+        meta: dict | None = None,
+        small_file_ratio: float = 0.5,
+        max_snapshots: int = 10,
+    ) -> list[tuple]:
+        """Sessionless row builder behind plan_maintenance (also the
+        facade's `.option("table", "maintenance")`)."""
         meta = self._read_meta()
         head = meta.get("current_snapshot_id")
         entries, _ = self._entries_as_of(None)
@@ -6041,9 +6057,7 @@ class SnapshotTable:
                 "unreferenced content files on disk",
             ),
         ]
-        return self.spark.createDataFrame(
-            rows, "action string, recommended boolean, n long, detail string"
-        )
+        return rows
 
     def _commit_totals(
         self,

@@ -472,6 +472,7 @@ def test_metadata_tables_option(spark, warehouse):
         ("refs", t.refs_table()),
         ("files", t.files()),
         ("value_indexes", t.value_indexes()),
+        ("maintenance", t.plan_maintenance()),
     ]
     for name, engine in pairs:
         facade = spark.read.format("hiveberg").option("table", name).load(loc)
