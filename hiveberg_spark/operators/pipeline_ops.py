@@ -1102,3 +1102,105 @@ def pipeline_observed_metrics(spark, sf_dir):
         "n_docs long, n_short long, total_chars long, min_chars long, "
         "max_chars long, n_kept long, kept_chars long",
     )
+
+
+# -- k-center greedy coreset (farthest-point diversity sampling) --------------
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Programmatically unrolled DuckDB oracle: the greedy farthest-
+    point recurrence as k materialized CTE steps (argmax of min
+    cosine-distance to the chosen set, vec_id tiebreak)."""
+    s = """
+    WITH flat AS MATERIALIZED (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id
+    ),
+    dist AS MATERIALIZED (
+      SELECT a.vec_id AS x, b.vec_id AS y,
+             ROUND(1 - SUM(a.v * b.v) / (MIN(n1.nrm) * MIN(n2.nrm)), 6) AS d
+      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id != b.vec_id
+      JOIN norms n1 ON n1.vec_id = a.vec_id
+      JOIN norms n2 ON n2.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    ch1 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id, 1 AS pick FROM embeddings)"""
+    for i in range(2, k + 1):
+        s += f""",
+    s{i} AS MATERIALIZED (
+      SELECT d.x AS vec_id, {i} AS pick FROM dist d
+      JOIN ch{i - 1} c ON d.y = c.vec_id
+      WHERE d.x NOT IN (SELECT vec_id FROM ch{i - 1})
+      GROUP BY d.x
+      ORDER BY MIN(d.d) DESC, d.x
+      LIMIT 1
+    ),
+    ch{i} AS MATERIALIZED (
+      SELECT * FROM ch{i - 1} UNION ALL SELECT * FROM s{i}
+    )"""
+    return s + f"""
+    SELECT CAST(pick AS BIGINT) AS pick, vec_id FROM ch{k}"""
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle(_KCENTER_K))
+def sample_kcenter_coreset(spark, sf_dir):
+    """K-CENTER GREEDY coreset (farthest-point diversity sampling — the
+    2-approximation of the k-center objective; Sener & Savarese 2018's
+    active-learning coreset): start from the lowest vec_id, then k-1
+    times pick the vector MAXIMIZING its minimum cosine-distance to the
+    already-chosen set. The complement of dedup: dedup removes what's
+    too close, a coreset KEEPS a maximally-spread representative subset
+    (eval-set construction, label-budget allocation, prototype picks).
+
+    Each greedy step is one distributed reduction over the candidate x
+    chosen distance slice (chosen is k ids — a driver-side list by
+    nature of the algorithm, never data rows); the all-pairs distance
+    frame is computed ONCE and persisted, steps reuse it. Distances
+    round to 6 dp before the argmax with a vec_id tiebreak, so the
+    greedy trajectory is deterministic cross-engine. At 100 TB the
+    candidate pool is first reduced (IVF cells / LSH buckets / uniform
+    sample) and the same k-step loop runs over the pool."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    from hiveberg_spark.operators.simsearch import _dot, _norm
+
+    a = emb.select(F.col("vec_id").alias("x"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("y"), F.col("embedding").alias("vb"))
+    dist = (
+        a.join(b, F.col("x") != F.col("y"))
+        .select(
+            "x",
+            "y",
+            F.round(
+                F.lit(1.0)
+                - _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("d"),
+        )
+        .persist()
+    )
+    chosen = [emb.agg(F.min("vec_id")).head()[0]]
+    for _ in range(_KCENTER_K - 1):
+        nxt = (
+            dist.filter(
+                F.col("y").isin(chosen) & ~F.col("x").isin(chosen)
+            )
+            .groupBy("x")
+            .agg(F.min("d").alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("x"))
+            .limit(1)
+            .head()
+        )
+        chosen.append(nxt["x"])
+    dist.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(chosen)], "pick long, vec_id long"
+    )

@@ -162,6 +162,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_top_paths",
     "snapshot_widen_date_ts",
     "graph_pagerank_knn",
+    "sample_kcenter_coreset",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
