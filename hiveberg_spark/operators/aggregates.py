@@ -671,3 +671,52 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@query(
+    "events_rolling_actives",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      CAST(COUNT(DISTINCT CASE WHEN du.day = d.day
+                               THEN du.user_id END) AS BIGINT) AS dau,
+      CAST(COUNT(DISTINCT CASE WHEN du.day > d.day - 7
+                               THEN du.user_id END) AS BIGINT) AS wau,
+      CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+    FROM days d JOIN du ON du.day BETWEEN d.day - 27 AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_rolling_actives(spark, sf_dir):
+    """Rolling active-user metrics (DAU / trailing-7-day WAU /
+    trailing-28-day MAU per day) — the product-analytics staple that a
+    plain window function cannot express exactly (COUNT(DISTINCT) over
+    a RANGE frame is unsupported; approx sketches drift). Exact shape:
+    dedupe events to (day, user) pairs FIRST (the only O(events) pass),
+    then range-join the tiny day spine against the pair table and take
+    three conditional distinct counts in ONE aggregation. Scale: the
+    joined fan-out is days x active-pairs-in-window — bounded by 28 x
+    |pairs|, independent of raw event volume; the spine is metadata-
+    sized and broadcasts."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    )
+    du = e.distinct()
+    days = du.select(F.col("day").alias("d")).distinct()
+    j = F.broadcast(days).join(
+        du,
+        (F.col("day") >= F.date_sub(F.col("d"), 27))
+        & (F.col("day") <= F.col("d")),
+    )
+    return j.groupBy("d").agg(
+        F.count_distinct(
+            F.when(F.col("day") == F.col("d"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(F.col("day") > F.date_sub(F.col("d"), 7), F.col("user_id"))
+        ).alias("wau"),
+        F.count_distinct("user_id").alias("mau"),
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "wau", "mau"
+    )

@@ -163,6 +163,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_widen_date_ts",
     "graph_pagerank_knn",
     "sample_kcenter_coreset",
+    "events_rolling_actives",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
