@@ -327,6 +327,7 @@ _DESCRIBE_RE = re.compile(
     r"(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.IGNORECASE)
 _SHOW_PARTS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
@@ -574,6 +575,18 @@ def execute_sql(spark: SparkSession, warehouse: str, sql: str) -> DataFrame:
         return spark.createDataFrame(
             rows, "col_name string, data_type string, kind string"
         )
+    m = _SHOW_VIEWS_RE.match(sql)
+    if m:
+        names = (
+            sorted(
+                fn[: -len(".view.json")]
+                for fn in os.listdir(warehouse)
+                if fn.endswith(".view.json")
+            )
+            if os.path.isdir(warehouse)
+            else []
+        )
+        return spark.createDataFrame([(n,) for n in names] or [], "view string")
     m = _SHOW_PARTS_RE.match(sql)
     if m and _exists(m.group("table")):
         # SHOW PARTITIONS <t>: Spark renders `k=v[/k2=v2]` strings; ours

@@ -2113,9 +2113,14 @@ def test_stored_views_resolve_with_time_travel(spark, warehouse):
     assert execute_sql(
         spark, warehouse, "SELECT n FROM v_nested"
     ).collect()[0].n == 2
+    # SHOW VIEWS lists stored views only (not tables)
+    views = [r.view for r in execute_sql(spark, warehouse, "SHOW VIEWS").collect()]
+    assert views == ["v_big", "v_nested", "v_old"]
     # drop
     r = execute_sql(spark, warehouse, "DROP VIEW v_nested").collect()[0]
     assert r.dropped is True
+    views = [r.view for r in execute_sql(spark, warehouse, "SHOW VIEWS").collect()]
+    assert views == ["v_big", "v_old"]
     with pytest.raises(ValueError, match="no such view"):
         execute_sql(spark, warehouse, "DROP VIEW v_nested")
     # name collision with a table refused
