@@ -720,3 +720,47 @@ def events_rolling_actives(spark, sf_dir):
     ).select(
         F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "wau", "mau"
     )
+
+
+@query(
+    "agg_numeric_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0 THEN 0
+                  WHEN CAST(o_totalprice AS DOUBLE) >= 600000 THEN 13
+                  ELSE CAST(FLOOR(CAST(o_totalprice AS DOUBLE)
+                                  / (600000.0 / 12)) AS INTEGER) + 1
+             END AS bucket,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS p
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(p) AS DOUBLE) AS lo,
+           CAST(MAX(p) AS DOUBLE) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_numeric_histogram(spark, sf_dir):
+    """Equi-width numeric HISTOGRAM (the OLAP profiling staple —
+    SQL width_bucket semantics: 12 buckets over [0, 600000), bucket 13
+    for overflow): one map-side-combinable aggregation keyed by a pure
+    arithmetic bucket expression — distribution profiling at 100 TB
+    costs exactly one scan. Neither engine ships width_bucket (Spark
+    has no such function; this DuckDB build lacks it), so BOTH sides
+    spell out the identical floor definition — which also pins the
+    cross-engine arithmetic exactly."""
+    lo, hi, nb = 0.0, 600000.0, 12
+    p = F.col("o_totalprice").cast("double")
+    bucket = F.when(p < lo, F.lit(0)).when(p >= hi, F.lit(nb + 1)).otherwise(
+        F.floor((p - lo) / ((hi - lo) / nb)) + 1
+    )
+    d = load_table(spark, sf_dir, "orders").select(
+        bucket.cast("long").alias("bucket"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("pd"),
+    )
+    return d.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("pd").cast("double").alias("lo"),
+        F.max("pd").cast("double").alias("hi"),
+    )

@@ -164,6 +164,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "graph_pagerank_knn",
     "sample_kcenter_coreset",
     "events_rolling_actives",
+    "agg_numeric_histogram",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
