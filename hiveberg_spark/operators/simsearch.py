@@ -1024,3 +1024,122 @@ def graph_pagerank_knn(spark, sf_dir):
     out.count()
     edges.unpersist()
     return out
+
+
+# -- hybrid retrieval (lexical BM25 + dense cosine, RRF fusion) ----------------
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+_HYBRID_RRF_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      WHERE w IN ('merge', 'shuffle', 'window') GROUP BY doc_id, w
+    ),
+    dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    lex AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               LN(((SELECT n_docs FROM stats) - dfq.df + 0.5)
+                  / (dfq.df + 0.5) + 1)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len
+                                 / (SELECT avgdl FROM stats)))
+             ), 6) AS s
+      FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id
+    ),
+    lex_rank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk
+      FROM lex QUALIFY rnk <= {_RRF_DEPTH}
+    ),
+    flat AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM flat GROUP BY vec_id),
+    qv AS (SELECT pos, v FROM flat WHERE vec_id = 0),
+    dots AS (
+      SELECT f.vec_id, SUM(f.v * qv.v) AS dot
+      FROM flat f JOIN qv USING (pos) WHERE f.vec_id != 0 GROUP BY f.vec_id
+    ),
+    dense AS (
+      SELECT d.vec_id AS doc_id,
+             ROUND(dot / (n1.nrm * (SELECT nrm FROM norms
+                                    WHERE vec_id = 0)), 6) AS c
+      FROM dots d JOIN norms n1 ON n1.vec_id = d.vec_id
+    ),
+    dense_rank_ AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS rnk
+      FROM dense QUALIFY rnk <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.rnk), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + d.rnk), 0), 6) AS rrf
+      FROM lex_rank l FULL OUTER JOIN dense_rank_ d USING (doc_id)
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+@query("hybrid_rrf_retrieval", oracle=_HYBRID_RRF_SQL)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """HYBRID retrieval: lexical BM25 and dense cosine rankings for the
+    same information need (query terms + query vector vec_id 0, the
+    corpus aligning doc_id == vec_id), fused by Reciprocal Rank Fusion
+    (Cormack et al. 2009: score = sum 1/(60 + rank)) — the standard
+    production retrieval stack (e.g. BM25 + ANN in every hybrid search
+    engine), where RRF needs no score calibration between the two
+    incomparable scales. Both arms compute distributed (BM25's single
+    tokenize pass feeds length + postings; cosine scores one broadcast
+    query against the corpus); each arm then ranks its OWN top-50 —
+    rank-window input is the candidate list, not the corpus — and the
+    fusion is a full outer join of two 50-row frames. Rounded scores +
+    doc_id tiebreaks at every cut keep the composition cross-engine
+    deterministic."""
+    from hiveberg_spark.operators.text_analysis import (
+        _BM25_TERMS,
+        bm25_scores,
+    )
+
+    lex = bm25_scores(spark, sf_dir, list(_BM25_TERMS))
+    w_lex = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_rank = (
+        lex.withColumn("rnk", F.row_number().over(w_lex))
+        .filter(F.col("rnk") <= _RRF_DEPTH)
+        .select("doc_id", F.col("rnk").alias("lrnk"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
+    dense = emb.filter("vec_id != 0").crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+            6,
+        ).alias("c"),
+    )
+    w_dense = W.orderBy(F.desc("c"), F.asc("doc_id"))
+    dense_rank = (
+        dense.withColumn("rnk", F.row_number().over(w_dense))
+        .filter(F.col("rnk") <= _RRF_DEPTH)
+        .select("doc_id", F.col("rnk").alias("drnk"))
+    )
+    fused = lex_rank.join(dense_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lrnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("drnk")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)

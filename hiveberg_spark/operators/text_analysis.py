@@ -801,3 +801,88 @@ def sample_perplexity_split(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# -- BM25 ranking --------------------------------------------------------------
+
+_BM25_TERMS = ("merge", "shuffle", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      WHERE w IN ('merge', 'shuffle', 'window') GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               LN(((SELECT n_docs FROM stats) - df.df + 0.5)
+                  / (df.df + 0.5) + 1)
+               * tf.tf * {_BM25_K1 + 1}
+               / (tf.tf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B}
+                          * dl.len / (SELECT avgdl FROM stats)))
+             ) AS s
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s, 6) AS bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 ranking (Robertson/Sparck-Jones Okapi weighting, k1=1.2,
+    b=0.75, the +1-smoothed idf Lucene uses) for a fixed query term
+    set — the lexical-retrieval baseline every hybrid-search pipeline
+    pairs with dense ANN. Pipeline: one tokenize pass feeds BOTH the
+    per-doc length table and the term-filtered tf table (the term
+    filter collapses the explode to O(matching postings) immediately);
+    corpus stats (N, avgdl) are a one-row broadcast; scores round to
+    6 dp before the (score, doc_id) top-k cut so ranking is
+    cross-engine deterministic."""
+    return (
+        bm25_scores(spark, sf_dir, list(_BM25_TERMS))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def bm25_scores(spark, sf_dir, terms):
+    """(doc_id, bm25) for every doc matching any query term — the
+    shared scorer behind text_bm25_topk and the hybrid RRF fusion.
+    Scores are rounded to 6 dp HERE so every consumer ranks on the
+    same cross-engine-stable values."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("len").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))  # <= |terms| rows
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1
+    )
+    denom = F.col("tf") + k1 * (
+        (1 - b) + b * F.col("len") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (k1 + 1) / denom), 6).alias("bm25"))
+    )

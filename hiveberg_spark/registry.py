@@ -165,6 +165,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "sample_kcenter_coreset",
     "events_rolling_actives",
     "agg_numeric_histogram",
+    "text_bm25_topk",
+    "hybrid_rrf_retrieval",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",

@@ -113,6 +113,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "planes_df",                                 # 1-row literal plane matrix
         "tot",                                       # 1-row totals aggregate (DSIR)
         "spine",   # hour spine: one row per hour in the corpus range
+        "days",    # day spine: one row per active DAY (calendar-bounded)
         "sizes",   # cohort sizes: one row per cohort DAY
         "luts",    # ADC lookup tables: queries × probed cells rows
         # metadata-sized frames: O(live data files), the same scale as
