@@ -1143,3 +1143,137 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+# -- MMR diversity reranking ----------------------------------------------------
+
+_MMR_M, _MMR_CAND, _MMR_LAMBDA = 8, 20, 0.7
+
+
+def _mmr_oracle(m: int) -> str:
+    """Programmatically unrolled DuckDB oracle for the MMR greedy
+    recurrence (materialized CTE per step, like the k-center oracle)."""
+    s = """
+    WITH flat AS MATERIALIZED (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM flat GROUP BY vec_id
+    ),
+    qv AS MATERIALIZED (SELECT pos, v FROM flat WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT f.vec_id AS doc_id,
+             ROUND(SUM(f.v * qv.v) / (MIN(n.nrm) * (SELECT nrm FROM norms
+                                                    WHERE vec_id = 0)), 6) AS r
+      FROM flat f JOIN qv USING (pos) JOIN norms n ON n.vec_id = f.vec_id
+      WHERE f.vec_id != 0
+      GROUP BY f.vec_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT doc_id, r FROM rel ORDER BY r DESC, doc_id LIMIT 20
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS x, b.vec_id AS y,
+             ROUND(SUM(a.v * b.v) / (MIN(n1.nrm) * MIN(n2.nrm)), 6) AS s
+      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id != b.vec_id
+      JOIN norms n1 ON n1.vec_id = a.vec_id
+      JOIN norms n2 ON n2.vec_id = b.vec_id
+      WHERE a.vec_id IN (SELECT doc_id FROM cand)
+        AND b.vec_id IN (SELECT doc_id FROM cand)
+      GROUP BY 1, 2
+    ),
+    ch1 AS MATERIALIZED (
+      SELECT doc_id, 1 AS pick FROM cand ORDER BY r DESC, doc_id LIMIT 1
+    )"""
+    for i in range(2, m + 1):
+        s += f""",
+    s{i} AS MATERIALIZED (
+      SELECT c.doc_id, {i} AS pick
+      FROM cand c JOIN sims ON sims.x = c.doc_id
+      JOIN ch{i - 1} ch ON sims.y = ch.doc_id
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM ch{i - 1})
+      GROUP BY c.doc_id, c.r
+      ORDER BY ROUND(0.7 * c.r - 0.3 * MAX(sims.s), 6) DESC, c.doc_id
+      LIMIT 1
+    ),
+    ch{i} AS MATERIALIZED (
+      SELECT * FROM ch{i - 1} UNION ALL SELECT * FROM s{i}
+    )"""
+    return s + f"""
+    SELECT CAST(pick AS BIGINT) AS pick, doc_id FROM ch{m}"""
+
+
+@query("simsearch_mmr_rerank", oracle=_mmr_oracle(_MMR_M))
+def simsearch_mmr_rerank(spark, sf_dir):
+    """MMR diversity RERANKING (Carbonell & Goldstein 1998 maximal
+    marginal relevance, lambda=0.7): rerank the dense top-20 so each
+    pick maximizes lambda*relevance - (1-lambda)*max-similarity to the
+    already-picked set — the anti-redundancy stage between ANN
+    retrieval and context assembly (RAG context windows, dedup'd search
+    pages). Relevance and the candidate-pair similarity matrix compute
+    distributed and round to 6 dp; the greedy loop is m distributed
+    argmax steps over the 20-candidate frames (production reranks a
+    candidate page, never the corpus — the candidate cut IS the scale
+    control). Tiebreak doc_id at every argmax: the greedy trajectory is
+    cross-engine deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
+    rel = emb.filter("vec_id != 0").crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        F.round(
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+            6,
+        ).alias("r"),
+    )
+    cand = rel.orderBy(F.desc("r"), "doc_id").limit(_MMR_CAND).persist()
+    a = cand.select(F.col("doc_id").alias("x"), F.col("embedding").alias("va"))
+    b = cand.select(F.col("doc_id").alias("y"), F.col("embedding").alias("vb"))
+    sims = (
+        a.join(b, F.col("x") != F.col("y"))
+        .select(
+            "x",
+            "y",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("s"),
+        )
+        .persist()
+    )
+    first = cand.orderBy(F.desc("r"), "doc_id").limit(1).head()
+    chosen = [first["doc_id"]]
+    lam = _MMR_LAMBDA
+    for _ in range(_MMR_M - 1):
+        nxt = (
+            cand.filter(~F.col("doc_id").isin(chosen))
+            .join(
+                sims.filter(F.col("y").isin(chosen)),
+                F.col("doc_id") == F.col("x"),
+            )
+            .groupBy("doc_id", "r")
+            .agg(F.max("s").alias("maxsim"))
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(lam) * F.col("r")
+                    - F.lit(1 - lam) * F.col("maxsim"),
+                    6,
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "doc_id")
+            .limit(1)
+            .head()
+        )
+        chosen.append(nxt["doc_id"])
+    cand.unpersist()
+    sims.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(chosen)], "pick long, doc_id long"
+    )

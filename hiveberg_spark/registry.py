@@ -167,6 +167,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "agg_numeric_histogram",
     "text_bm25_topk",
     "hybrid_rrf_retrieval",
+    "simsearch_mmr_rerank",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
