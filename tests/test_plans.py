@@ -239,3 +239,25 @@ def test_substring_spans_jvm_side_no_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_registry_window_integrity():
+    # the driver hard-checks the FIRST 50 of queries(): every window
+    # name must resolve to a registered query, the window must be
+    # exactly 50, and the deferred rotation must be disjoint + valid —
+    # a retired/renamed query must fail HERE, not in the driver run
+    registry.load_all()
+    assert len(registry.DRIVER_WINDOW) == 50
+    assert len(set(registry.DRIVER_WINDOW)) == 50
+    missing_w = [n for n in registry.DRIVER_WINDOW if n not in registry.QUERIES]
+    assert not missing_w, missing_w
+    missing_d = [
+        n for n in registry.DEFERRED_TO_NEXT_WINDOW if n not in registry.QUERIES
+    ]
+    assert not missing_d, missing_d
+    assert not set(registry.DRIVER_WINDOW) & set(registry.DEFERRED_TO_NEXT_WINDOW)
+    ordered = registry.window_ordered(registry.QUERIES)
+    assert list(ordered)[:50] == registry.DRIVER_WINDOW
+    # every registered query has an oracle (zero rows-only is this
+    # repo's standing contract since round 6)
+    assert set(registry.QUERIES) == set(registry.ORACLES)
