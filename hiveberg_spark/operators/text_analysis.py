@@ -886,3 +886,95 @@ def bm25_scores(spark, sf_dir, terms):
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * F.col("tf") * (k1 + 1) / denom), 6).alias("bm25"))
     )
+
+
+_RM3_ORACLE = """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    stats AS MATERIALIZED (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM dl),
+    tf0 AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      WHERE w IN ('merge', 'shuffle', 'window') GROUP BY doc_id, w
+    ),
+    df0 AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf0 GROUP BY w),
+    base AS (
+      SELECT tf0.doc_id,
+             ROUND(SUM(
+               LN(((SELECT n_docs FROM stats) - df0.df + 0.5)
+                  / (df0.df + 0.5) + 1)
+               * tf0.tf * 2.2
+               / (tf0.tf + 1.2 * (0.25 + 0.75 * dl.len
+                                  / (SELECT avgdl FROM stats)))
+             ), 6) AS s
+      FROM tf0 JOIN df0 USING (w) JOIN dl USING (doc_id)
+      GROUP BY tf0.doc_id
+    ),
+    fb AS MATERIALIZED (
+      SELECT doc_id FROM base ORDER BY s DESC, doc_id LIMIT 10
+    ),
+    exp_terms AS MATERIALIZED (
+      SELECT w FROM toks JOIN fb USING (doc_id)
+      WHERE w NOT IN ('merge', 'shuffle', 'window')
+      GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 5
+    ),
+    terms AS MATERIALIZED (
+      SELECT w FROM exp_terms
+      UNION ALL SELECT UNNEST(['merge', 'shuffle', 'window'])
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      WHERE w IN (SELECT w FROM terms) GROUP BY doc_id, w
+    ),
+    dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    rescored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               LN(((SELECT n_docs FROM stats) - dfq.df + 0.5)
+                  / (dfq.df + 0.5) + 1)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len
+                                 / (SELECT avgdl FROM stats)))
+             ), 6) AS bm25
+      FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25 FROM rescored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@query("text_rm3_expansion", oracle=_RM3_ORACLE)
+def text_rm3_expansion(spark, sf_dir):
+    """PSEUDO-RELEVANCE FEEDBACK query expansion (the RM3 shape,
+    Lavrenko & Croft relevance models as Anserini popularized): run the
+    seed BM25 query, take the top-10 feedback docs, harvest their 5
+    most frequent non-seed terms, and RE-SCORE the corpus with the
+    expanded term set — the recall-recovery stage of a lexical
+    retrieval stack. Both scoring passes are the shared distributed
+    BM25 scorer; the expansion term harvest is one aggregation over
+    the feedback docs' postings (expansion terms collect driver-side —
+    five strings, the query model itself). Determinism: every score
+    rounds before every cut; expansion ties break alphabetically; the
+    final top-20 breaks on (score, doc_id)."""
+    seed = list(_BM25_TERMS)
+    base = bm25_scores(spark, sf_dir, seed)
+    fb = base.orderBy(F.desc("bm25"), "doc_id").limit(10).select("doc_id")
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    exp_rows = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("w").isin(seed))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(5)
+        .collect()
+    )
+    expanded = seed + [r["w"] for r in exp_rows]
+    return (
+        bm25_scores(spark, sf_dir, expanded)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

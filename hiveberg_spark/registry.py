@@ -168,6 +168,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_bm25_topk",
     "hybrid_rrf_retrieval",
     "simsearch_mmr_rerank",
+    "text_rm3_expansion",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
