@@ -764,3 +764,52 @@ def agg_numeric_histogram(spark, sf_dir):
         F.min("pd").cast("double").alias("lo"),
         F.max("pd").cast("double").alias("hi"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sd
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(h.n AS BIGINT) AS n,
+           ROUND((h.n - s.mu) / s.sd, 6) AS z
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE s.sd > 0 AND ABS(ROUND((h.n - s.mu) / s.sd, 6)) > 2
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Volume ANOMALY detection (monitoring's bread and butter): per
+    event type, flag hours whose event count sits more than 2 sample
+    standard deviations from that type's hourly mean. Two cheap
+    aggregations — hourly counts (map-side combinable over the raw
+    stream) and per-type moments over the tiny hourly table — then a
+    broadcast-sized join back; the raw events are touched exactly
+    once. The z-score is ROUNDED before the threshold compare in both
+    engines so a boundary hour can never flip on float-aggregation
+    order."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+    )
+    hourly = e.groupBy("event_type", "h").agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        hourly.join(stats, "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) > 2))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("n").cast("long").alias("n"),
+            z.alias("z"),
+        )
+    )

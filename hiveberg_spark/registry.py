@@ -169,6 +169,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "hybrid_rrf_retrieval",
     "simsearch_mmr_rerank",
     "text_rm3_expansion",
+    "events_anomaly_zscore",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
