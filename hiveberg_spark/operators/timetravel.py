@@ -339,3 +339,23 @@ def timetravel_incremental_read(spark, sf_dir):
     (appendsBetween semantics of the reference's underlying library)."""
     t = _ensure_fixture(spark, sf_dir)
     return t.scan_changes(from_snapshot=1, to_snapshot=2)
+
+
+@query(
+    "timetravel_incremental_by_time",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS BIGINT) AS snapshot__id
+    FROM nation WHERE n_nationkey BETWEEN 8 AND 16
+    """,
+)
+def timetravel_incremental_by_time(spark, sf_dir):
+    """Incremental read by TIMESTAMP range (Iceberg start-timestamp /
+    end-timestamp read options; round 6): both bounds resolve to the
+    latest snapshot current at that instant, then the read is exactly
+    the id-based appends-between scan — here the window
+    (commit-1 time, commit-2 time] captures snapshot 2's rows alone.
+    Commit timestamps are fixture-pinned, so the oracle is exact."""
+    t = _ensure_fixture(spark, sf_dir)
+    return t.scan_changes_between_timestamps(
+        start_ms=_commit_ts(1), end_ms=_commit_ts(2)
+    )

@@ -170,6 +170,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "simsearch_mmr_rerank",
     "text_rm3_expansion",
     "events_anomaly_zscore",
+    "timetravel_incremental_by_time",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",

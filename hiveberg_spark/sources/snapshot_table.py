@@ -4676,6 +4676,30 @@ class SnapshotTable:
                 return None  # uncached: a session may appear later
         return cache[key]
 
+    def scan_changes_between_timestamps(
+        self,
+        start_ms: int,
+        end_ms: int,
+        virtual_column: str | None = DEFAULT_VIRTUAL_COLUMN,
+    ) -> DataFrame:
+        """Incremental read by TIMESTAMP range (Iceberg's
+        `start-timestamp` / `end-timestamp` read options): rows
+        appended by commits that became current AFTER `start_ms` and
+        at-or-before `end_ms` — each bound resolves to the latest
+        snapshot at that instant (`snapshot_id_as_of`) and the read is
+        exactly `scan_changes` between those ids, inheriting its
+        append-only guarantees (a replacing commit in range refuses,
+        never silently diffs)."""
+        if end_ms < start_ms:
+            raise ValueError(
+                f"end timestamp {end_ms} precedes start {start_ms}"
+            )
+        return self.scan_changes(
+            from_snapshot=self.snapshot_id_as_of(start_ms),
+            to_snapshot=self.snapshot_id_as_of(end_ms),
+            virtual_column=virtual_column,
+        )
+
     def snapshot_id_as_of(self, timestamp_ms: int) -> int:
         """Latest snapshot committed at or before `timestamp_ms`
         (Iceberg `asOfTime` / SQL `FOR SYSTEM_TIME AS OF` selection)."""

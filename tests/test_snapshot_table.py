@@ -3464,3 +3464,30 @@ def test_summary_totals_random_ops_invariant(spark, warehouse):
         )
         assert int(entry["summary"]["total-data-files"]) == len(live), op
         assert int(entry["summary"]["total-records"]) == recs, op
+
+
+def test_scan_changes_between_timestamps(spark, warehouse):
+    t = SnapshotTable.create(
+        spark, os.path.join(warehouse, "tschanges"), schema="id long, v string"
+    )
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"),
+             committed_at=1000)
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"),
+             committed_at=2000)
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"),
+             committed_at=3000)
+    got = sorted(
+        r.id for r in t.scan_changes_between_timestamps(1000, 2500).collect()
+    )
+    assert got == [2]
+    got = sorted(
+        r.id for r in t.scan_changes_between_timestamps(1500, 9999).collect()
+    )
+    assert got == [2, 3]
+    # bounds at exactly a commit instant: start exclusive, end inclusive
+    got = sorted(
+        r.id for r in t.scan_changes_between_timestamps(1000, 3000).collect()
+    )
+    assert got == [2, 3]
+    with pytest.raises(ValueError, match="precedes"):
+        t.scan_changes_between_timestamps(3000, 1000)
