@@ -6820,15 +6820,26 @@ class SnapshotTable:
         if not vals:
             scan = self.scan(**base_kwargs)
             return scan.filter(F.lit(False))
+        import datetime as _dt
+
         lits = []
         for v in vals:
-            if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+            if isinstance(v, bool):
                 return self.scan(**base_kwargs)  # unprunable key type
-            lits.append(
-                "'" + v.replace("'", "''") + "'"
-                if isinstance(v, str)
-                else repr(v)
-            )
+            if isinstance(v, str):
+                lits.append("'" + v.replace("'", "''") + "'")
+            elif isinstance(v, _dt.datetime):
+                # temporal keys are THE common runtime-filter shape
+                # (date-partitioned facts driven by a dim's date set)
+                lits.append(
+                    "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+                )
+            elif isinstance(v, _dt.date):
+                lits.append("DATE '" + v.isoformat() + "'")
+            elif isinstance(v, (int, float)):
+                lits.append(repr(v))
+            else:
+                return self.scan(**base_kwargs)  # unprunable key type
         return self.scan_where(
             f"{key_col} IN ({', '.join(lits)})",
             virtual_column=virtual_column,

@@ -3491,3 +3491,31 @@ def test_scan_changes_between_timestamps(spark, warehouse):
     assert got == [2, 3]
     with pytest.raises(ValueError, match="precedes"):
         t.scan_changes_between_timestamps(3000, 1000)
+
+
+def test_scan_runtime_pruned_date_keys(spark, warehouse):
+    # temporal join keys — the most common runtime-filter shape
+    # (date-partitioned facts driven by a dim's date set)
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "rtpdate"),
+        schema="d date, v long",
+        partition_spec=[("identity", "d", None)],
+    )
+    t.append(
+        spark.sql(
+            "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-10')) d, "
+            "CAST(1 AS LONG) v"
+        )
+    )
+    total = len(t.plan_files())
+    assert total >= 10  # one partition dir per day
+    keys = spark.sql(
+        "SELECT explode(array(DATE'2024-01-03', DATE'2024-01-07')) AS d"
+    )
+    got = t.scan_runtime_pruned(keys, "d")
+    assert sorted(str(r.d) for r in got.collect()) == [
+        "2024-01-03", "2024-01-07",
+    ]
+    kept = len(t.plan_files("d IN (DATE '2024-01-03', DATE '2024-01-07')"))
+    assert kept == 2
