@@ -413,6 +413,28 @@ class HivebergReader(DataSourceReader):
         (start_snapshot_id, end_snapshot_id] only — start is exclusive
         like Iceberg's `start-snapshot-id`; end defaults to the current
         head. Mutually exclusive with time travel."""
+        if self.options.get("start_timestamp_ms") is not None:
+            # Iceberg's start-timestamp/end-timestamp: each bound
+            # resolves to the latest snapshot current at that instant,
+            # then the range behaves exactly like the id options
+            if self.options.get("start_snapshot_id") is not None:
+                raise ValueError(
+                    "hiveberg: start_timestamp_ms and start_snapshot_id "
+                    "are mutually exclusive"
+                )
+            tbl = SnapshotTable(None, self.path)
+            self.options["start_snapshot_id"] = tbl.snapshot_id_as_of(
+                int(self.options["start_timestamp_ms"])
+            )
+            if self.options.get("end_timestamp_ms") is not None:
+                self.options["end_snapshot_id"] = tbl.snapshot_id_as_of(
+                    int(self.options["end_timestamp_ms"])
+                )
+        elif self.options.get("end_timestamp_ms") is not None:
+            raise ValueError(
+                "hiveberg: end_timestamp_ms requires start_timestamp_ms "
+                "(incremental read)"
+            )
         if self.options.get("start_snapshot_id") is None:
             if self.options.get("end_snapshot_id") is not None:
                 # Iceberg parity: "Cannot set only end-snapshot-id for

@@ -1602,3 +1602,29 @@ def test_stream_reader_max_snapshots_per_batch(spark, warehouse, tmp_path):
             spark, loc, str(tmp_path / "ck2"), str(tmp_path / "out2"),
             max_snapshots_per_batch="-2",
         )
+
+
+def test_incremental_read_by_timestamp_options(spark, warehouse):
+    loc = os.path.join(warehouse, "incts")
+    t = SnapshotTable.create(spark, loc, schema="id long, data string")
+    t.append(_simple(spark, [(1, "a")]), committed_at=1000)
+    t.append(_simple(spark, [(2, "b")]), committed_at=2000)
+    t.append(_simple(spark, [(3, "c")]), committed_at=3000)
+    got = sorted(
+        r.id
+        for r in _facade(
+            spark, loc, start_timestamp_ms="1000", end_timestamp_ms="2500"
+        ).collect()
+    )
+    assert got == [2]
+    got = sorted(
+        r.id
+        for r in _facade(spark, loc, start_timestamp_ms="1500").collect()
+    )
+    assert got == [2, 3]
+    with pytest.raises(Exception, match="end_timestamp_ms requires"):
+        _facade(spark, loc, end_timestamp_ms="2500").collect()
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _facade(
+            spark, loc, start_timestamp_ms="1000", start_snapshot_id="1"
+        ).collect()
