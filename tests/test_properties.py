@@ -375,3 +375,36 @@ def test_eq_or_in_literals_parse_roundtrip(lits):
     assert col == "k" and got == [lits[0]]
     assert _eq_or_in_literals("k > 3") == (None, [])
     assert _eq_or_in_literals("k IN (a, 2)") == (None, [])  # unparseable member
+
+
+@given(
+    st.lists(
+        st.dates(
+            min_value=__import__("datetime").date(2020, 1, 1),
+            max_value=__import__("datetime").date(2026, 12, 31),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.dates(
+        min_value=__import__("datetime").date(2020, 1, 1),
+        max_value=__import__("datetime").date(2026, 12, 31),
+    ),
+    st.dates(
+        min_value=__import__("datetime").date(2020, 1, 1),
+        max_value=__import__("datetime").date(2026, 12, 31),
+    ),
+)
+def test_in_list_prune_sound_for_date_literals(dates, a, b):
+    """Temporal IN pruning (runtime join filtering with date keys):
+    exclusion of `d IN (DATE '...', ...)` against canonical date-string
+    bounds implies no member lies inside [lo, hi]."""
+    from hiveberg_spark.sources.snapshot_table import _conjunct_excludes_file
+
+    lo, hi = min(a, b).isoformat(), max(a, b).isoformat()
+    expr = "d IN (" + ", ".join(f"DATE '{x.isoformat()}'" for x in dates) + ")"
+    excluded = _conjunct_excludes_file(expr, {"d": [lo, hi]})
+    if excluded:
+        assert not any(lo <= x.isoformat() <= hi for x in dates), (
+            dates, lo, hi,
+        )

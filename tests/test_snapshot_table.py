@@ -3519,3 +3519,41 @@ def test_scan_runtime_pruned_date_keys(spark, warehouse):
     ]
     kept = len(t.plan_files("d IN (DATE '2024-01-03', DATE '2024-01-07')"))
     assert kept == 2
+
+
+def test_hash_distribution_composes_with_partition_evolution(spark, warehouse):
+    # write.distribution.mode=hash must shuffle on the CURRENT spec's
+    # transform values after ADD PARTITION FIELD — old files keep their
+    # old layout, new commits fan out one file per new-spec partition
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(warehouse, "hashevo"),
+        schema="id long, grp string, region string",
+        partition_spec=[("identity", "grp", None)],
+    )
+    t.set_properties({"write.distribution.mode": "hash"})
+    t.append(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", f"r{i % 2}") for i in range(300)],
+            "id long, grp string, region string",
+        ).repartition(8)
+    )
+    assert len(t.plan_files()) == 3  # one per grp value
+    t.update_partition_spec(
+        [("identity", "grp", None), ("identity", "region", None)]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", f"r{i % 2}") for i in range(300, 600)],
+            "id long, grp string, region string",
+        ).repartition(8)
+    )
+    # second commit: 3 grp x 2 region = 6 files under the evolved spec
+    assert len(t.plan_files()) == 3 + 6
+    assert t.scan().count() == 600
+    # pruning on both partition sources still plans correctly
+    assert len(t.plan_files("grp = 'g1'")) == 1 + 2
+    assert (
+        t.scan_where("grp = 'g1' AND region = 'r0'").count()
+        == sum(1 for i in range(600) if i % 3 == 1 and i % 2 == 0)
+    )
