@@ -3542,3 +3542,46 @@ def snapshot_widen_date_ts(spark, sf_dir):
         "o_orderkey",
         F.date_format("d", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
     )
+
+
+@query(
+    "snapshot_show_partitions",
+    oracle="""
+    SELECT '_p_n_regionkey=' || CAST(n_regionkey AS VARCHAR) AS partition,
+           CAST(1 AS BIGINT) AS file_count,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def snapshot_show_partitions(spark, sf_dir):
+    """SHOW PARTITIONS driven end-to-end through execute_sql: the
+    fixture writes nation identity-partitioned by region under
+    write.distribution.mode=hash, so each partition value holds exactly
+    ONE file — making the statement's manifest-only file_count a hard
+    oracle pin, not just a rendering check. record_count per partition
+    must equal the batch GROUP BY; total_bytes is projected away
+    (physical size is engine/codec-dependent)."""
+    import os
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock
+    from hiveberg_spark.sources.snapshot_table import build_once
+    from hiveberg_spark.sources.sql_timetravel import execute_sql
+
+    nation = load_table(spark, sf_dir, "nation")
+    wh = warehouse_dir(sf_dir)
+
+    def builder(table):
+        table.set_properties({"write.distribution.mode": "hash"})
+        table.append(nation.repartition(8))
+
+    with _lock:
+        build_once(
+            spark,
+            os.path.join(wh, "nation_showparts"),
+            builder,
+            partition_spec=[("identity", "n_regionkey", None)],
+        )
+    return execute_sql(
+        spark, wh, "SHOW PARTITIONS nation_showparts"
+    ).select("partition", "file_count", "record_count")

@@ -171,6 +171,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_rm3_expansion",
     "events_anomaly_zscore",
     "timetravel_incremental_by_time",
+    "snapshot_show_partitions",
     "text_perplexity_proxy",
     "q4_order_priority",
     "snapshot_merge_into_clauses",
