@@ -52,88 +52,30 @@ def load_all() -> None:
 
 
 # The grading driver hard-checks the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round. Round 5's window was 50/50
-# green (CORRECTNESS_r05). Round 6's window is EXACTLY 50 names
-# (VERDICT r5 #2: the r5 list held 67, so its claimed re-check groups
-# never ran — overflow now lives in DEFERRED explicitly), composed of:
-# (a) the 27 queries that had never had a driver CORRECTNESS row
-#     (VERDICT r5 #1 — the v3 trio, range-ANN, events analytics, MV
-#     refresh, multimodal real-decode, text analysis extensions);
-# (b) round-6 additions: field-id reuse resolution, keyless-CDC
-#     streaming, the MOR/DV read-path bench;
-# (c) re-checks of every query whose implementation churned this
-#     round: the simhash recall contract + raised ANN bounds, the
-#     seq-preservation/carry changes (MOR, changelog, incremental
-#     read, lifecycle), and the field-id read-path regrouping that
-#     touches every multi-generation scan (widen/drop/avro-rename/
-#     clone/hidden-partitioning/add_files/mixed-formats), plus the r5
-#     deferred churn trio (minmax/orc prune, dml-prune compose,
-#     format dispatch).
+# ``__spark_entry__.queries()`` per round. Round 6's window was 50/50
+# green (CORRECTNESS_r06). Round 7's window (VERDICT r6 #1) is EXACTLY
+# 50 names, composed of:
+# (a) the 42 round-6 additions that landed after the r6 window froze
+#     and have never had a driver CORRECTNESS row — the entire pyds
+#     facade family, merge-into clause variants, retrieval stack
+#     (BM25/RRF/MMR/RM3), events/pipeline extensions, SHOW PARTITIONS —
+#     MINUS the two retired quadratic graph queries (below), PLUS the
+#     three queries that replace them;
+# (b) VERDICT r6 #2: `simsearch_knn_graph` and `graph_pagerank_knn`
+#     registered an all-pairs O(n^2) self-join as the operator data
+#     path; both are RETIRED and replaced by IVF-cell-blocked variants
+#     (`simsearch_knn_graph_blocked`, `graph_pagerank_blocked` — both
+#     full value-hash-checked because the label-centroid quantizer is
+#     SQL-expressible) plus the `simsearch_knn_graph_recall` contract
+#     row that confines the exact all-pairs truth to oracle scope.
+#     `sample_kcenter_coreset` kept its name: the fix (Gonzalez O(n*k))
+#     is output-identical, so it re-checks in place;
+# (c) round-7 churn + rotation re-checks: the DML family displaced
+#     since r5 (delete/update/merge/sql_dml), q1 (oldest driver row),
+#     dedup_simhash (parameter study this round, VERDICT r6 #7), and
+#     q18 (the r6 timing watch item, VERDICT r6 #5).
 DRIVER_WINDOW: list[str] = [
-    # (a) never driver-checked — lead the window (27)
-    "snapshot_row_lineage",
-    "snapshot_deletion_vectors",
-    "snapshot_default_values",
-    "snapshot_position_deletes",
-    "snapshot_bloom_prune",
-    "snapshot_keyless_cdc",
-    "snapshot_cherry_pick",
-    "snapshot_rewrite_manifests",
-    "simsearch_range_search",
-    "simsearch_range_lsh",
-    "simsearch_ivfpq",
-    "multimodal_real_decode",
-    "multimodal_patchify",
-    "multimodal_audio_energy",
-    "text_gopher_rules",
-    "text_template_detect",
-    "text_ngram_novelty",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "events_gapfill_locf",
-    "events_ab_test",
-    "sample_weighted_ares",
-    "pipeline_incremental_dedup",
-    "materialized_rollup_refresh",
-    "materialized_dml_refresh",
-    "stream_mv_pipeline",
-    "stream_rate_limited_source",
-    # (b) round-6 additions (3)
-    "snapshot_field_id_reuse",
-    "stream_keyless_cdc",
-    "snapshot_mor_dv_read_bench",
-    # (c) round-6 churn re-checks (20): new simhash contract + raised
-    # ANN recall bounds
-    "dedup_simhash",
-    "simsearch_lsh_ann",
-    "simsearch_ivf",
-    # seq preservation / always-carry + DV decode tiering
-    "snapshot_mor_delete",
-    "snapshot_mor_upsert_seq",
-    "snapshot_changelog_cdc",
-    # field-id read-path regrouping (every multi-generation scan)
-    "snapshot_widen_evolution",
-    "snapshot_drop_column_evolution",
-    "snapshot_avro_rename_evolution",
-    "snapshot_zero_copy_clone",
-    "snapshot_lifecycle_bench",
-    "snapshot_hidden_partitioning",
-    "snapshot_add_files_hive",
-    "snapshot_mixed_formats",
-    "timetravel_incremental_read",
-    # pruning chokepoint gained the reuse-taint filter
-    "snapshot_minmax_prune",
-    "snapshot_value_index",
-    "snapshot_orc_prune",
-    "snapshot_dml_prune_compose",
-    "snapshot_format_dispatch",
-]
-
-# Positions 51+ — re-checks that cede their round-6 slot (all green in
-# earlier driver rounds AND in local oracle parity at sf0.001+sf0.01
-# this round); they lead round 7's rotation.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    # round-6 additions that landed after the window froze — lead r7
+    # (a) never driver-checked — the facade family leads (new API surface)
     "pyds_facade_scan",
     "pyds_lineage_scan",
     "pyds_facade_write",
@@ -141,7 +83,11 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_pyds_source",
     "stream_pyds_sink",
     "pyds_incremental_read",
+    # DML correctness next
+    "snapshot_merge_into_clauses",
+    "snapshot_merge_nmbs",
     "snapshot_value_index_freshness",
+    # dedup / text / events / pipeline extensions
     "dedup_cluster_components",
     "dedup_semdedup",
     "text_hashed_classifier",
@@ -154,17 +100,16 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "pipeline_observed_metrics",
     "stream_observed_metrics",
     "snapshot_write_distribution",
-    "simsearch_knn_graph",
     "udtf_word_runs",
     "snapshot_runtime_prune",
     "snapshot_summary_totals",
     "snapshot_plan_maintenance",
     "events_top_paths",
     "snapshot_widen_date_ts",
-    "graph_pagerank_knn",
     "sample_kcenter_coreset",
     "events_rolling_actives",
     "agg_numeric_histogram",
+    # retrieval stack
     "text_bm25_topk",
     "hybrid_rrf_retrieval",
     "simsearch_mmr_rerank",
@@ -174,21 +119,28 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "snapshot_show_partitions",
     "text_perplexity_proxy",
     "q4_order_priority",
-    "snapshot_merge_into_clauses",
-    "snapshot_merge_nmbs",
-    # DML re-checks displaced since r5 (pass r4; their churned shared
-    # commit path is re-proven this round by the lifecycle/clone/MOR
-    # window rows)
+    # (b) de-quadratified graph trio replacements (round 7)
+    "simsearch_knn_graph_blocked",
+    "graph_pagerank_blocked",
+    "simsearch_knn_graph_recall",
+    # (c) churn + rotation re-checks
     "snapshot_delete_where",
     "snapshot_update_where",
     "snapshot_merge_upsert",
     "snapshot_sql_dml",
+    "q1_pricing_summary",
+    "dedup_simhash",
+    "q18_large_volume_customer",
+]
+
+# Positions 51+ — re-checks that cede their round-7 slot (all green in
+# earlier driver rounds AND in local oracle parity at sf0.001+sf0.01);
+# they lead round 8's rotation.
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "timetravel_where_shim",
     "timetravel_as_of_1",
     "timetravel_current",
     "snapshots_metadata_table",
-    # oldest driver check (r1) — rotation spot re-checks
-    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
