@@ -45,9 +45,12 @@ HEADLINE = [
     # bucket-pruned COW delete + pruned scan + time travel) — the
     # repo's largest module previously had no bench coverage
     "snapshot_lifecycle_bench",
-    # round 6: the merge-on-read READ path — a scan applying live
-    # position-delete files AND deletion-vector bitmaps (VERDICT r5 #7:
-    # only the COW lifecycle was tracked before)
+    # round 7 (VERDICT r6 #3): the MOR fixture BUILD and the MOR/DV
+    # READ as separate entries — build first (fresh table: append +
+    # position-delete gen + deletion-vector gen), then the read bench
+    # reuses the session-cached fixture so its number is the
+    # position-file + DV anti-join scan alone
+    "snapshot_mor_dv_build_bench",
     "snapshot_mor_dv_read_bench",
     # round 5: the composed training-data pipeline (decontaminate →
     # dedup → quality → split → cap → accounting) as one Catalyst DAG

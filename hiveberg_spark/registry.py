@@ -130,7 +130,10 @@ DRIVER_WINDOW: list[str] = [
     "snapshot_sql_dml",
     "q1_pricing_summary",
     "dedup_simhash",
-    "q18_large_volume_customer",
+    # round-7 addition: the MOR/DV bench split's new build half
+    # (VERDICT r6 #3). q18's VERDICT item is a TIMING watch — bench.py
+    # re-measures it; its correctness row (green r1) needs no slot.
+    "snapshot_mor_dv_build_bench",
 ]
 
 # Positions 51+ — re-checks that cede their round-7 slot (all green in
