@@ -56,7 +56,7 @@ def test_simhash_pairs_symmetric_and_bounded(spark, sf_dir):
     ).collect()
     for r in rows:
         assert r.doc_a < r.doc_b
-        assert 0 <= r.hamming <= 3
+        assert 0 <= r.hamming <= 7  # round-7 tuned radius
 
 
 def test_simhash_contract_row_planted_recall(spark, sf_dir):
@@ -66,6 +66,8 @@ def test_simhash_contract_row_planted_recall(spark, sf_dir):
     assert r.n_planted_pairs == 20
     assert r.n_found == 20
     assert bool(r.found_all) is True
+    assert r.n_edit_pairs == 20
+    assert bool(r.edit_recall_ok) is True
 
 
 def test_multimodal_features_match_pure_python(spark, sf_dir):
