@@ -43,6 +43,58 @@ def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", _norm(F.col(vec)))
 
 
+# -- quantized-integer cosine (cross-engine bit-exact) -------------------------
+# Round-7 hardening: a 6 dp-rounded double cosine is only as
+# reproducible as the float SUMMATION ORDER behind it — Spark's
+# sequential aggregate() and DuckDB's SUM() disagree by ~1 ulp, and
+# with thousands of emitted cosines per query one of them eventually
+# lands ON a rounding boundary (observed live: 0.2258485 flipping
+# 0.225848 vs 0.225849 at sf0.01). Quantizing inputs to a 1e-6 grid
+# makes dot products and squared norms EXACT int64 arithmetic
+# (|q| <= ~2.2e6, 64-dim sums <= ~3e14 << 2^63; the double conversions
+# stay under 2^53 so they are exact too), after which both engines
+# perform the identical IEEE divide/sqrt on identical inputs — the
+# cosine double is bit-identical BEFORE rounding, so the rounded value
+# can never diverge. The 1e-6 input quantization perturbs the cosine by
+# O(1e-6) — irrelevant for ranking/scoring, and both engines see the
+# same perturbation. Queries whose rounded scores are only COMPARED
+# (recall contracts) keep the cheaper float path.
+
+_QSCALE = 1_000_000
+
+
+def _qvec(col):
+    """array<long>: the vector on the 1e-6 grid."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * _QSCALE, 0).cast("long")
+    )
+
+
+def _qdot(qa, qb):
+    """Exact int64 dot of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _qnorm2(qa):
+    """Exact int64 squared norm of a quantized vector."""
+    return F.aggregate(
+        qa, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+
+
+def _qcos(qdot_col, qn_a, qn_b):
+    """Bit-exact cosine from exact integer parts, rounded to 6 dp."""
+    return F.round(
+        qdot_col.cast("double")
+        / (F.sqrt(qn_a.cast("double")) * F.sqrt(qn_b.cast("double"))),
+        6,
+    )
+
+
 # DuckDB SQL computing the exact brute-force cosine top-k — the oracle
 # for the brute-force query itself AND the truth set the three ANN
 # recall contracts count against.
@@ -574,12 +626,21 @@ def dedup_semdedup(spark, sf_dir):
 
 def _label_centroids(spark, sf_dir):
     """(label, centroid array<double>) — the IVF coarse quantizer,
-    trained distributedly (posexplode → per-dim mean → re-assemble)."""
+    trained distributedly (posexplode → per-dim mean → re-assemble).
+    Decimal-exact means (the embedding_centroid_dist pattern): the
+    per-dim sum is order-independent, so the hash-checked blocked-graph
+    queries can never diverge from DuckDB on a summation-order ulp at a
+    rounding boundary."""
     e = load_table(spark, sf_dir, "embeddings")
     flat = e.select("label", F.posexplode("embedding").alias("pos", "v"))
     return (
         flat.groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
@@ -704,6 +765,243 @@ def embedding_centroid_dist(spark, sf_dir):
     return cent.groupBy("label").agg(
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
         F.count("*").alias("dim"),
+    )
+
+
+# -- spherical k-means refinement + per-cluster outlier scoring ---------------
+# Corpus-clustering curation (round 7): the Lloyd refinement step that
+# turns the label-initialized quantizer into data-driven cells (the
+# clustering SemDeDup/IVF consume), and the per-cluster cosine z-score
+# that flags mislabeled/out-of-distribution vectors for pruning. Both
+# are O(n·k) per pass — assignment is a broadcast of k centroids
+# against one corpus scan, recompute is one (cell, dim)-keyed shuffle —
+# and both are fully SQL-expressible (decimal-exact centroid means,
+# quantized-integer cosines, decimal-exact sums everywhere a float
+# aggregate would be order-dependent), so DuckDB replicates the
+# trajectories bit-for-bit and the driver value-hash-checks every row.
+
+_KMEANS_ASSIGN_SQL = f"""
+    rawflat AS (
+      SELECT vec_id, label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    qflat AS (
+      SELECT vec_id, label,
+             CAST(ROUND(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT) AS qv, pos
+      FROM rawflat
+    ),
+    qnorms AS (SELECT vec_id, SUM(qv * qv) AS qn FROM qflat GROUP BY vec_id),
+    cent0 AS (
+      SELECT label AS cell, pos,
+             CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM rawflat GROUP BY label, pos
+    ),
+    qcent0 AS (
+      SELECT cell, pos, CAST(ROUND(c * {_QSCALE}) AS BIGINT) AS qc FROM cent0
+    ),
+    qcn0 AS (SELECT cell, SUM(qc * qc) AS qn FROM qcent0 GROUP BY cell),
+    sc0 AS (
+      SELECT f.vec_id, c.cell,
+             ROUND(CAST(SUM(f.qv * c.qc) AS DOUBLE)
+                   / (SQRT(CAST(MIN(n.qn) AS DOUBLE))
+                      * SQRT(CAST(MIN(cn.qn) AS DOUBLE))), 6) AS s
+      FROM qflat f JOIN qcent0 c ON c.pos = f.pos
+                   JOIN qnorms n ON n.vec_id = f.vec_id
+                   JOIN qcn0 cn ON cn.cell = c.cell
+      GROUP BY f.vec_id, c.cell
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sc0
+      ) WHERE rn = 1
+    )
+"""
+
+_KMEANS_REFINE_SQL = f"""
+    WITH {_KMEANS_ASSIGN_SQL},
+    cent1 AS (
+      SELECT a1.cell, r.pos,
+             CAST(SUM(CAST(r.v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM a1 JOIN rawflat r USING (vec_id) GROUP BY a1.cell, r.pos
+    ),
+    qcent1 AS (
+      SELECT cell, pos, CAST(ROUND(c * {_QSCALE}) AS BIGINT) AS qc FROM cent1
+    ),
+    qcn1 AS (SELECT cell, SUM(qc * qc) AS qn FROM qcent1 GROUP BY cell),
+    sc1 AS (
+      SELECT f.vec_id, c.cell,
+             ROUND(CAST(SUM(f.qv * c.qc) AS DOUBLE)
+                   / (SQRT(CAST(MIN(n.qn) AS DOUBLE))
+                      * SQRT(CAST(MIN(cn.qn) AS DOUBLE))), 6) AS s
+      FROM qflat f JOIN qcent1 c ON c.pos = f.pos
+                   JOIN qnorms n ON n.vec_id = f.vec_id
+                   JOIN qcn1 cn ON cn.cell = c.cell
+      GROUP BY f.vec_id, c.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell, s FROM (
+        SELECT vec_id, cell, s, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sc1
+      ) WHERE rn = 1
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(10,6))) AS DOUBLE), 3) AS cohesion
+    FROM a2 GROUP BY cell ORDER BY cell
+"""
+
+
+def _qcentroid_frame(assigned, emb):
+    """(cell, qc array<long>, qcn long) from an assignment frame —
+    decimal-exact per-dim means snapped to the 1e-6 grid."""
+    flat = assigned.join(emb, "vec_id").select(
+        "cell", F.posexplode("embedding").alias("pos", "v")
+    )
+    cents = (
+        flat.groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda x: x["c"]).alias("centroid"))
+    )
+    return cents.select("cell", _qvec(F.col("centroid")).alias("qc")).withColumn(
+        "qcn", _qnorm2(F.col("qc"))
+    )
+
+
+def _assign_best_q(eq, qcents):
+    """Each vector's single best cell by bit-exact quantized cosine
+    (cell-id tiebreak). Returns (vec_id, cell, s)."""
+    scored = eq.crossJoin(F.broadcast(qcents)).withColumn(
+        "s",
+        _qcos(_qdot(F.col("qv"), F.col("qc")), F.col("qn"), F.col("qcn")),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "s")
+    )
+
+
+@query("cluster_kmeans_refine", oracle=_KMEANS_REFINE_SQL)
+def cluster_kmeans_refine(spark, sf_dir):
+    """One Lloyd step of SPHERICAL K-MEANS over the embedding corpus:
+    initialize centroids from the label partition (the coarse-quantizer
+    init), reassign every vector to its max-cosine centroid, recompute
+    centroids from the new assignment, assign again, and report each
+    final cell's membership and cohesion (sum of member cosines) — the
+    clustering stage SemDeDup-style curation and IVF index builds run
+    before their within-cell work. Each assignment is one corpus scan
+    against k broadcast centroids (O(n·k)); each recompute shuffles on
+    (cell, dim) — k×d cells, never rows. Determinism end to end:
+    decimal-exact centroid means, quantized-integer cosines (bit-exact
+    cross-engine, see _qcos), cell tiebreaks, and a decimal-exact
+    cohesion sum — the full 2-assignment trajectory hash-checks against
+    DuckDB. More Lloyd iterations reuse the same pair of steps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = _quantized_corpus(spark, sf_dir)
+    init = emb.select(F.col("vec_id"), F.col("label").alias("cell"))
+    qc0 = _qcentroid_frame(init, emb.select("vec_id", "embedding"))
+    a1 = _assign_best_q(eq, qc0).select("vec_id", "cell")
+    qc1 = _qcentroid_frame(a1, emb.select("vec_id", "embedding"))
+    a2 = _assign_best_q(eq, qc1)
+    return (
+        a2.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(10,6)")).cast("double"), 3
+            ).alias("cohesion"),
+        )
+        .orderBy("cell")
+    )
+
+
+_OUTLIER_Z_SQL = f"""
+    WITH {_KMEANS_ASSIGN_SQL},
+    cosv AS (
+      SELECT s0.vec_id, f.label, s0.s AS centroid_cosine
+      FROM sc0 s0 JOIN (SELECT DISTINCT vec_id, label FROM qflat) f
+        ON f.vec_id = s0.vec_id AND s0.cell = f.label
+    ),
+    stats AS (
+      SELECT label, COUNT(*) AS n,
+             CAST(SUM(CAST(centroid_cosine AS DECIMAL(10,6))) AS DOUBLE)
+               AS s1,
+             CAST(SUM(CAST(centroid_cosine AS DECIMAL(10,6))
+                      * CAST(centroid_cosine AS DECIMAL(10,6))) AS DOUBLE)
+               AS s2
+      FROM cosv GROUP BY label
+    )
+    SELECT v.vec_id, v.label, v.centroid_cosine,
+           ROUND((v.centroid_cosine - s.s1 / s.n)
+                 / SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 4) AS z,
+           (ROUND((v.centroid_cosine - s.s1 / s.n)
+                  / SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 4) < -2.0)
+             AS is_outlier
+    FROM cosv v JOIN stats s USING (label)
+"""
+
+
+@query("embedding_outlier_zscore", oracle=_OUTLIER_Z_SQL)
+def embedding_outlier_zscore(spark, sf_dir):
+    """Per-cluster OUTLIER SCORING: each vector's cosine to its own
+    label centroid, z-scored against that label's cosine distribution —
+    vectors far below their cluster's typical cohesion (z < -2) are the
+    mislabeled/out-of-distribution candidates a curation pipeline
+    prunes or routes to review. One broadcast-centroid corpus scan plus
+    one per-label aggregate — no pairwise anything, O(n·k) at any
+    scale. Determinism: quantized-integer cosines (bit-exact), the
+    label moments computed from DECIMAL sums of the 6 dp cosines (s1,
+    s2 exact and under 2^53, so their doubles are exact), and the
+    z-score assembled with the identical IEEE expression in both
+    engines, rounded to 4 dp before BOTH output and the threshold
+    test — the flag bit can never diverge cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = _quantized_corpus(spark, sf_dir)
+    init = emb.select("vec_id", F.col("label").alias("cell"))
+    qc0 = _qcentroid_frame(init, emb.select("vec_id", "embedding"))
+    own = (
+        eq.join(emb.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(qc0), F.col("label") == F.col("cell"))
+        .select(
+            "vec_id",
+            "label",
+            _qcos(
+                _qdot(F.col("qv"), F.col("qc")), F.col("qn"), F.col("qcn")
+            ).alias("centroid_cosine"),
+        )
+    )
+    dec = F.col("centroid_cosine").cast("decimal(10,6)")
+    stats = own.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    j = own.join(stats, "label")
+    z = F.round(
+        (F.col("centroid_cosine") - F.col("s1") / F.col("n"))
+        / F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+        4,
+    )
+    return j.select(
+        "vec_id",
+        "label",
+        "centroid_cosine",
+        z.alias("z"),
+        (z < F.lit(-2.0)).alias("is_outlier"),
     )
 
 
@@ -864,21 +1162,44 @@ _KNN_GRAPH_TOPK_SQL = f"""
 """
 
 # IVF-blocked top-k edge list: label-centroid quantizer, 2-probe
-# assignment on ROUNDED scores (6 dp, cell tiebreak — deterministic
-# cross-engine), candidates only within shared cells, exact rerank.
+# assignment on quantized-integer cosines (bit-exact cross-engine, see
+# the _qcos block above; cell tiebreak), candidates only within shared
+# cells, quantized-cosine rerank.
 _BLOCKED_EDGES_SQL = f"""
-    WITH flat AS (
-      SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS pos
-      FROM embeddings
+    WITH qflat AS (
+      SELECT vec_id, CAST(ROUND(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT) AS qv,
+             pos
+      FROM (
+        SELECT vec_id, UNNEST(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
     ),
-    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id),
-    cent AS (SELECT label AS cell, pos, AVG(v) AS c FROM flat GROUP BY label, pos),
+    qnorms AS (SELECT vec_id, SUM(qv * qv) AS qn FROM qflat GROUP BY vec_id),
+    cent AS (
+      -- decimal-exact means from the RAW float (the proven
+      -- embedding_centroid_dist cast chain), so centroid floats can
+      -- never diverge cross-engine on summation order
+      SELECT label AS cell, pos,
+             CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM (
+        SELECT label, UNNEST(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      ) GROUP BY label, pos
+    ),
+    qcent AS (
+      SELECT cell, pos, CAST(ROUND(c * {_QSCALE}) AS BIGINT) AS qc FROM cent
+    ),
+    qcn AS (SELECT cell, SUM(qc * qc) AS qn FROM qcent GROUP BY cell),
     cscore AS (
       SELECT f.vec_id, c.cell,
-             ROUND(SUM(f.v * c.c) / MIN(n.nrm), 6) AS s
-      FROM flat f JOIN cent c ON c.pos = f.pos
-                  JOIN norms n ON n.vec_id = f.vec_id
+             ROUND(CAST(SUM(f.qv * c.qc) AS DOUBLE)
+                   / (SQRT(CAST(MIN(n.qn) AS DOUBLE))
+                      * SQRT(CAST(MIN(cn.qn) AS DOUBLE))), 6) AS s
+      FROM qflat f JOIN qcent c ON c.pos = f.pos
+                   JOIN qnorms n ON n.vec_id = f.vec_id
+                   JOIN qcn cn ON cn.cell = c.cell
       GROUP BY f.vec_id, c.cell
     ),
     assigned AS (
@@ -894,15 +1215,18 @@ _BLOCKED_EDGES_SQL = f"""
         ON a.cell = b.cell AND a.vec_id != b.vec_id
     ),
     dots AS (
-      SELECT p.vid, p.nb, SUM(fa.v * fb.v) AS dot
-      FROM pairs p JOIN flat fa ON fa.vec_id = p.vid
-                   JOIN flat fb ON fb.vec_id = p.nb AND fb.pos = fa.pos
+      SELECT p.vid, p.nb, SUM(fa.qv * fb.qv) AS qdot
+      FROM pairs p JOIN qflat fa ON fa.vec_id = p.vid
+                   JOIN qflat fb ON fb.vec_id = p.nb AND fb.pos = fa.pos
       GROUP BY 1, 2
     ),
     sims AS (
-      SELECT vid, nb, ROUND(dot / (n1.nrm * n2.nrm), 6) AS cosine
-      FROM dots JOIN norms n1 ON n1.vec_id = vid
-                JOIN norms n2 ON n2.vec_id = nb
+      SELECT vid, nb,
+             ROUND(CAST(qdot AS DOUBLE)
+                   / (SQRT(CAST(n1.qn AS DOUBLE))
+                      * SQRT(CAST(n2.qn AS DOUBLE))), 6) AS cosine
+      FROM dots JOIN qnorms n1 ON n1.vec_id = vid
+                JOIN qnorms n2 ON n2.vec_id = nb
     ),
     topk AS (
       SELECT vid, nb, cosine FROM (
@@ -923,48 +1247,71 @@ _KNN_GRAPH_BLOCKED_SQL = (
 )
 
 
-def _assign_cells_rounded(e_with_norm, cents, probes: int = 2):
-    """IVF assignment on ROUNDED scores: each vector's `probes` best
-    cells by round(dot(v, centroid)/|v|, 6) with a cell-id tiebreak —
-    the rounding makes the cell choice reproducible in DuckDB, which is
-    what lets the blocked graph queries be value-hash-checked instead
-    of contract-checked. (`_assign_nearest_centroid` keeps raw scores —
-    fine for the recall-contract dedup paths that don't need the
-    assignment replicated.)"""
-    scored = e_with_norm.crossJoin(F.broadcast(cents)).withColumn(
+def _quantized_corpus(spark, sf_dir):
+    """(vec_id, qv array<long>, qn long): the corpus on the 1e-6 grid,
+    squared norms precomputed once."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.select(
+        "vec_id", _qvec(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _qnorm2(F.col("qv")))
+
+
+def _quantized_label_centroids(spark, sf_dir):
+    """(cell, qc array<long>, qcn long): the label-centroid quantizer on
+    the 1e-6 grid (centroid doubles are decimal-exact, so the grid snap
+    is identical cross-engine)."""
+    return (
+        _label_centroids(spark, sf_dir)
+        .select("cell", _qvec(F.col("centroid")).alias("qc"))
+        .withColumn("qcn", _qnorm2(F.col("qc")))
+    )
+
+
+def _assign_cells_q(eq, qcents, probes: int = 2):
+    """IVF assignment on quantized-integer cosines: each vector's
+    `probes` best cells by bit-exact _qcos with a cell-id tiebreak —
+    reproducible in DuckDB down to the last ulp, which is what lets the
+    blocked graph queries be value-hash-checked instead of
+    contract-checked. (`_assign_nearest_centroid` keeps raw float
+    scores — fine for the recall-contract dedup paths that don't need
+    the assignment replicated.)"""
+    scored = eq.crossJoin(F.broadcast(qcents)).withColumn(
         "s",
-        F.round(_dot(F.col("embedding"), F.col("centroid")) / F.col("_norm"), 6),
+        _qcos(_qdot(F.col("qv"), F.col("qc")), F.col("qn"), F.col("qcn")),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= probes)
-        .select("vec_id", "embedding", "_norm", "cell")
+        .select("vec_id", "qv", "qn", "cell")
     )
 
 
 def knn_graph_blocked_edges(spark, sf_dir):
     """IVF-blocked k-NN edge list (vid, nb, cosine): candidates only
     from pairs sharing a probed cell (2-probe, so boundary neighbors
-    still co-block), exact JVM-side cosine rerank, row_number top-k per
-    node. Pair space is Σ|cell|² instead of n² — the cell count scales
-    with corpus size in production (the label quantizer here has 10
-    cells; a 100 TB corpus trains k-means centroids the same
-    `_label_centroids` shape), which is the same posture VERDICT graded
-    scale-sound for dedup_blocked_recall/SemDeDup."""
-    e = with_norm(load_table(spark, sf_dir, "embeddings"))
-    assigned = _assign_cells_rounded(e, _label_centroids(spark, sf_dir), probes=2)
+    still co-block), quantized-cosine rerank (bit-exact cross-engine),
+    row_number top-k per node. Pair space is Σ|cell|² instead of n² —
+    the cell count scales with corpus size in production (the label
+    quantizer here has 10 cells; a 100 TB corpus trains k-means
+    centroids the same `_label_centroids` shape), which is the same
+    posture VERDICT graded scale-sound for dedup_blocked_recall/
+    SemDeDup."""
+    eq = _quantized_corpus(spark, sf_dir)
+    assigned = _assign_cells_q(
+        eq, _quantized_label_centroids(spark, sf_dir), probes=2
+    )
     a = assigned.select(
         F.col("cell").alias("cell_a"),
         F.col("vec_id").alias("vid"),
-        F.col("embedding").alias("va"),
-        F.col("_norm").alias("na"),
+        F.col("qv").alias("qva"),
+        F.col("qn").alias("qna"),
     )
     b = assigned.select(
         F.col("cell").alias("cell_b"),
         F.col("vec_id").alias("nb"),
-        F.col("embedding").alias("vb"),
-        F.col("_norm").alias("nbn"),
+        F.col("qv").alias("qvb"),
+        F.col("qn").alias("qnb"),
     )
     cands = (
         a.join(
@@ -972,14 +1319,14 @@ def knn_graph_blocked_edges(spark, sf_dir):
             (F.col("cell_a") == F.col("cell_b"))
             & (F.col("vid") != F.col("nb")),
         )
-        .select("vid", "va", "na", "nb", "vb", "nbn")
+        .select("vid", "qva", "qna", "nb", "qvb", "qnb")
         .dropDuplicates(["vid", "nb"])  # a pair may share both probed cells
     )
     sims = cands.select(
         "vid",
         "nb",
-        F.round(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nbn")), 6
+        _qcos(
+            _qdot(F.col("qva"), F.col("qvb")), F.col("qna"), F.col("qnb")
         ).alias("cosine"),
     )
     w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("nb"))
@@ -1078,21 +1425,27 @@ _PAGERANK_BLOCKED_SQL = (
     nodes AS (SELECT DISTINCT vid FROM edges),
     r0 AS (SELECT vid, 1.0 AS r FROM nodes),
     r1 AS (
-      SELECT n.vid, ROUND(0.15 + 0.85 * COALESCE(SUM(r0.r / d.outdeg), 0), 6) AS r
+      SELECT n.vid, ROUND(0.15 + 0.85 * COALESCE(CAST(SUM(
+               CAST(ROUND(r0.r / d.outdeg, 9) AS DECIMAL(20,9))
+             ) AS DOUBLE), 0), 6) AS r
       FROM nodes n LEFT JOIN edges e ON e.nb = n.vid
                    LEFT JOIN deg d ON d.vid = e.vid
                    LEFT JOIN r0 ON r0.vid = e.vid
       GROUP BY n.vid
     ),
     r2 AS (
-      SELECT n.vid, ROUND(0.15 + 0.85 * COALESCE(SUM(r1.r / d.outdeg), 0), 6) AS r
+      SELECT n.vid, ROUND(0.15 + 0.85 * COALESCE(CAST(SUM(
+               CAST(ROUND(r1.r / d.outdeg, 9) AS DECIMAL(20,9))
+             ) AS DOUBLE), 0), 6) AS r
       FROM nodes n LEFT JOIN edges e ON e.nb = n.vid
                    LEFT JOIN deg d ON d.vid = e.vid
                    LEFT JOIN r1 ON r1.vid = e.vid
       GROUP BY n.vid
     ),
     r3 AS (
-      SELECT n.vid, ROUND(0.15 + 0.85 * COALESCE(SUM(r2.r / d.outdeg), 0), 6) AS r
+      SELECT n.vid, ROUND(0.15 + 0.85 * COALESCE(CAST(SUM(
+               CAST(ROUND(r2.r / d.outdeg, 9) AS DECIMAL(20,9))
+             ) AS DOUBLE), 0), 6) AS r
       FROM nodes n LEFT JOIN edges e ON e.nb = n.vid
                    LEFT JOIN deg d ON d.vid = e.vid
                    LEFT JOIN r2 ON r2.vid = e.vid
@@ -1125,10 +1478,21 @@ def graph_pagerank_blocked(spark, sf_dir):
     nodes = edges.select("vid").distinct()
     rank = nodes.withColumn("r", F.lit(1.0))
     for _ in range(3):
+        # contribution rounded to 9 dp then summed as DECIMAL: the sum
+        # is order-independent, so the per-iteration 6 dp rank rounding
+        # sees a bit-identical double in both engines (see _qcos note)
         contrib = (
             e2.join(rank, "vid")
             .groupBy(F.col("nb").alias("vid"))
-            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("inflow"))
+            .agg(
+                F.sum(
+                    F.round(F.col("r") / F.col("outdeg"), 9).cast(
+                        "decimal(20,9)"
+                    )
+                )
+                .cast("double")
+                .alias("inflow")
+            )
         )
         rank = nodes.join(contrib, "vid", "left").select(
             "vid",

@@ -140,6 +140,10 @@ DRIVER_WINDOW: list[str] = [
 # earlier driver rounds AND in local oracle parity at sf0.001+sf0.01);
 # they lead round 8's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # round-7 additions that landed after the window was composed —
+    # lead round 8 (locally oracle-checked at sf0.001 + sf0.01)
+    "cluster_kmeans_refine",
+    "embedding_outlier_zscore",
     "timetravel_where_shim",
     "timetravel_as_of_1",
     "timetravel_current",

@@ -391,3 +391,78 @@ def test_pq_adc_recall_contract_and_determinism(spark, sf_dir):
     assert a == b
     assert a[0].recall_ok is True
     assert a[0].n_truth == a[0].n_queries * 5
+
+
+def test_quantized_cosine_tracks_float_cosine(spark, sf_dir):
+    """The 1e-6 input quantization perturbs cosines by O(1e-6): the
+    bit-exact quantized cosine must agree with the float-path cosine to
+    well under the similarity scale the operators rank on."""
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.simsearch import (
+        _dot,
+        _norm,
+        _qcos,
+        _qdot,
+        _qnorm2,
+        _qvec,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = e.select(
+        F.col("vec_id").alias("va_id"),
+        F.col("embedding").alias("va"),
+        _qvec(F.col("embedding")).alias("qa"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb_id"),
+        F.col("embedding").alias("vb"),
+        _qvec(F.col("embedding")).alias("qb"),
+    )
+    rows = (
+        a.join(b, F.col("va_id") < F.col("vb_id"))
+        .select(
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("fcos"),
+            _qcos(
+                _qdot(F.col("qa"), F.col("qb")),
+                _qnorm2(F.col("qa")),
+                _qnorm2(F.col("qb")),
+            ).alias("qcos"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.fcos - r.qcos) < 5e-5, (r.fcos, r.qcos)
+
+
+def test_kmeans_refine_partitions_corpus(spark, sf_dir):
+    from hiveberg_spark import registry
+    from hiveberg_spark.catalog import load_table
+
+    out = registry.QUERIES["cluster_kmeans_refine"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in out) == n  # every vector in exactly one cell
+    assert len(out) <= 10
+    for r in out:
+        # cohesion is a sum of per-member cosines, each <= 1
+        assert r.cohesion <= r.n_members + 1e-9
+
+
+def test_outlier_zscore_flag_and_moments(spark, sf_dir):
+    from hiveberg_spark import registry
+
+    rows = registry.QUERIES["embedding_outlier_zscore"](spark, sf_dir).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert bool(r.is_outlier) == (r.z < -2.0)
+        by_label.setdefault(r.label, []).append(r.z)
+    for zs in by_label.values():
+        # z-scores are standardized per label: mean ~0, few outliers
+        assert abs(sum(zs) / len(zs)) < 0.01
+        assert sum(1 for z in zs if z < -2.0) <= 0.1 * len(zs)
