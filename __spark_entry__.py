@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's 50-query correctness window; see
-    # registry.DRIVER_WINDOW for the round-6 rotation rationale.
+    # registry.DRIVER_WINDOW for the round-7 rotation rationale.
     return registry.window_ordered(dict(registry.QUERIES))
 
 

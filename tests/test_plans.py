@@ -110,6 +110,7 @@ def test_no_forced_broadcast_on_fact_tables():
     allowed = {
         "n", "nation", "region", "r", "sn", "cn",  # fixed-size dims
         "q", "qe", "cents", "df_", "offsets",        # tiny derived frames
+        "qcents", "qc0",  # quantized centroid frames: k rows (k cells)
         "fb",      # RM3 feedback set: exactly 10 doc ids by construction
         "planes_df",                                 # 1-row literal plane matrix
         "tot",                                       # 1-row totals aggregate (DSIR)
