@@ -1005,6 +1005,204 @@ def embedding_outlier_zscore(spark, sf_dir):
     )
 
 
+# -- PCA top component (distributed Gram + power iteration) --------------------
+
+_PCA_T = 6  # power iterations: ample for a spectral gap on real corpora
+
+
+def _pca_oracle(T: int) -> str:
+    """Programmatically unrolled DuckDB oracle for the power iteration:
+    exact-integer Gram (HUGEINT sums), each iteration renormalized
+    through integer grids so every double both engines see is
+    identical (same discipline as _qcos)."""
+    s = f"""
+    WITH qflat AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(ROUND(CAST(v AS DOUBLE) * {_QSCALE}) AS BIGINT) AS qv, pos
+      FROM (
+        SELECT vec_id, UNNEST(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+    ),
+    nvec AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
+    cq AS MATERIALIZED (
+      SELECT pos,
+             CAST(ROUND(CAST(SUM(qv) AS DOUBLE)
+                        / (SELECT n FROM nvec)) AS BIGINT) AS cq
+      FROM qflat GROUP BY pos
+    ),
+    dq AS MATERIALIZED (
+      SELECT f.vec_id, f.pos, f.qv - c.cq AS dv
+      FROM qflat f JOIN cq c USING (pos)
+    ),
+    gram AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j, SUM(CAST(a.dv AS HUGEINT) * b.dv) AS g
+      FROM dq a JOIN dq b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    x0 AS MATERIALIZED (SELECT pos AS j, CAST({_QSCALE} AS BIGINT) AS qx FROM cq)"""
+    for t in range(1, T + 1):
+        s += f""",
+    y{t} AS MATERIALIZED (
+      SELECT g.i, SUM(g.g * x{t - 1}.qx) AS y
+      FROM gram g JOIN x{t - 1} ON x{t - 1}.j = g.j GROUP BY g.i
+    ),
+    m{t} AS MATERIALIZED (SELECT MAX(ABS(y)) AS mx FROM y{t}),
+    yq{t} AS MATERIALIZED (
+      SELECT i, CAST(ROUND(CAST(y AS DOUBLE)
+                           / CAST((SELECT mx FROM m{t}) AS DOUBLE)
+                           * 1000000000) AS BIGINT) AS yq
+      FROM y{t}
+    ),
+    ns{t} AS MATERIALIZED (SELECT SUM(CAST(yq AS HUGEINT) * yq) AS ns FROM yq{t}),
+    x{t} AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(ROUND(CAST(yq AS DOUBLE)
+                        / SQRT(CAST((SELECT ns FROM ns{t}) AS DOUBLE))
+                        * {_QSCALE}) AS BIGINT) AS qx
+      FROM yq{t}
+    )"""
+    return s + f""",
+    num AS MATERIALIZED (
+      SELECT SUM(g.g * xi.qx * xj.qx) AS num
+      FROM gram g JOIN x{T} xi ON xi.j = g.i JOIN x{T} xj ON xj.j = g.j
+    ),
+    den AS MATERIALIZED (SELECT SUM(CAST(qx AS HUGEINT) * qx) AS den FROM x{T})
+    SELECT x.j AS pos, CAST(x.qx AS DOUBLE) / {_QSCALE} AS loading,
+           ROUND(CAST((SELECT num FROM num) AS DOUBLE)
+                 / CAST((SELECT den FROM den) AS DOUBLE)
+                 / 1000000000000.0 / (SELECT n FROM nvec), 6) AS eigenvalue
+    FROM x{T} x ORDER BY pos
+    """
+
+
+@query("embedding_pca_power", oracle=_pca_oracle(_PCA_T))
+def embedding_pca_power(spark, sf_dir):
+    """PCA TOP COMPONENT of the embedding corpus by distributed Gram +
+    power iteration — the spectral primitive behind embedding
+    whitening, anisotropy diagnosis (Ethayarajh 2019: contextual
+    embeddings concentrate in a narrow cone; the top component IS the
+    cone axis), and ABBA-style spectral outlier pruning. Shape:
+
+      - Centering + Gram are the DISTRIBUTED O(n·d²) work: one
+        (vec_id)-keyed self-join of the centered, 1e-6-quantized
+        coordinates, summed per (i, j) — exact int64, map-side
+        combinable, never materializing more than d² cells. At 100 TB
+        the same Gram accumulates via per-partition partials (d² is
+        executor-memory-sized for any embedding dim in use).
+      - The d×d eigensolve is metadata-sized BY NATURE (like manifest
+        stats): {_PCA_T} power iterations run as tiny DataFrame ops
+        over the persisted d²-row Gram — matvec = one join+groupBy,
+        renormalization through integer grids (y/max|y| on a 1e-9
+        grid, then unit-scale on the 1e-6 grid) so the full iteration
+        trajectory is bit-identical in DuckDB: int sums are exact
+        (Spark DECIMAL(38,0) ≙ DuckDB HUGEINT — both convert to double
+        correctly rounded from scale-0 integers), and every division/
+        sqrt runs on identical doubles.
+
+    Output: the unit top-eigenvector loading per dimension plus the
+    eigenvalue in VARIANCE units (λ(Gram)/(1e12·n) undoes the
+    quantization scale and the missing 1/n), i.e. the variance
+    explained by the top direction. Deterministic sign: the all-ones
+    start vector fixes it. (Overflow audit at this corpus: |qv| ≤
+    6e5 ⇒ |dv| ≤ 1.2e6 ⇒ |g| ≤ n·1.4e12 ≈ 3e15 (int64-safe in Spark's
+    gram sum), |y| ≤ d·g·1e6 ≈ 2e23 and |num| ≤ d²·g·1e12 ≈ 1e31 —
+    both exact in DECIMAL(38,0)/HUGEINT.)"""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_vec = e.count()
+    qflat = e.select(
+        "vec_id", F.posexplode(_qvec(F.col("embedding"))).alias("p0", "qv")
+    ).select("vec_id", (F.col("p0") + 1).alias("pos"), "qv")
+    cq = qflat.groupBy("pos").agg(
+        F.round(F.sum("qv").cast("double") / F.lit(n_vec), 0)
+        .cast("long")
+        .alias("cq")
+    )
+    dq = qflat.join(cq, "pos").select(
+        "vec_id", "pos", (F.col("qv") - F.col("cq")).alias("dv")
+    )
+    a = dq.select("vec_id", F.col("pos").alias("i"), F.col("dv").alias("da"))
+    b = dq.select("vec_id", F.col("pos").alias("j"), F.col("dv").alias("db"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("da") * F.col("db")).alias("g"))
+        .persist()
+    )
+    gdec = F.col("g").cast("decimal(38,0)")
+    x = cq.select(
+        F.col("pos").alias("j"), F.lit(_QSCALE).cast("long").alias("qx")
+    )
+    for _ in range(_PCA_T):
+        y = (
+            gram.join(x, "j")
+            .groupBy("i")
+            .agg(F.sum(gdec * F.col("qx")).alias("y"))
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mx"))
+        yq = y.crossJoin(mx).select(
+            "i",
+            F.round(
+                F.col("y").cast("double") / F.col("mx").cast("double") * 1e9,
+                0,
+            )
+            .cast("long")
+            .alias("yq"),
+        )
+        ns = yq.agg(
+            F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq")).alias("ns")
+        )
+        x = yq.crossJoin(ns).select(
+            F.col("i").alias("j"),
+            F.round(
+                F.col("yq").cast("double")
+                / F.sqrt(F.col("ns").cast("double"))
+                * F.lit(float(_QSCALE)),
+                0,
+            )
+            .cast("long")
+            .alias("qx"),
+        )
+        # d-row frame; eager checkpoint truncates the lineage so the
+        # iteration plan stays linear instead of duplicating the whole
+        # previous-iteration subtree at every reference (the
+        # dedup_cluster_components localCheckpoint pattern)
+        x = x.localCheckpoint()
+    xi = x.select(F.col("j").alias("i"), F.col("qx").alias("qxi"))
+    xj = x.select("j", F.col("qx").alias("qxj"))
+    num = (
+        gram.join(xi, "i")
+        .join(xj, "j")
+        .agg(F.sum(gdec * F.col("qxi") * F.col("qxj")).alias("num"))
+    )
+    den = x.agg(
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx")).alias("den")
+    )
+    out = (
+        x.crossJoin(num)
+        .crossJoin(den)
+        .select(
+            F.col("j").alias("pos"),
+            (F.col("qx").cast("double") / F.lit(float(_QSCALE))).alias(
+                "loading"
+            ),
+            F.round(
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                / F.lit(1e12)
+                / F.lit(float(n_vec)),
+                6,
+            ).alias("eigenvalue"),
+        )
+        .orderBy("pos")
+    )
+    out = out.persist()
+    out.count()
+    gram.unpersist()
+    return out
+
+
 # -- range (radius) search ----------------------------------------------------
 # The OTHER fundamental similarity query beside top-k: every corpus
 # vector within a cosine radius of each query — the retrieval shape of

@@ -144,6 +144,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # lead round 8 (locally oracle-checked at sf0.001 + sf0.01)
     "cluster_kmeans_refine",
     "embedding_outlier_zscore",
+    "embedding_pca_power",
     "timetravel_where_shim",
     "timetravel_as_of_1",
     "timetravel_current",

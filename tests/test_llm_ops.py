@@ -466,3 +466,33 @@ def test_outlier_zscore_flag_and_moments(spark, sf_dir):
         # z-scores are standardized per label: mean ~0, few outliers
         assert abs(sum(zs) / len(zs)) < 0.01
         assert sum(1 for z in zs if z < -2.0) <= 0.1 * len(zs)
+
+
+def test_pca_power_spectral_properties(spark, sf_dir):
+    """Top-eigenvector sanity: unit-norm loadings, eigenvalue at least
+    the largest per-dimension variance (Rayleigh quotient of a PSD
+    matrix dominates every diagonal entry), and deterministic across
+    runs (fixed all-ones start)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+
+    rows = registry.QUERIES["embedding_pca_power"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    nrm = math.sqrt(sum(r.loading**2 for r in rows))
+    assert abs(nrm - 1.0) < 1e-3, nrm
+    lam = rows[0].eigenvalue
+    assert all(r.eigenvalue == lam for r in rows)
+    e = load_table(spark, sf_dir, "embeddings")
+    var_max = (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.var_pop(F.col("v").cast("double")).alias("s2"))
+        .agg(F.max("s2"))
+        .head()[0]
+    )
+    assert lam >= var_max - 1e-6, (lam, var_max)
+    again = registry.QUERIES["embedding_pca_power"](spark, sf_dir).collect()
+    assert rows == again
