@@ -146,6 +146,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "embedding_outlier_zscore",
     "embedding_pca_power",
     "embedding_whiten_abtt",
+    "simsearch_ivf_persisted",
     "timetravel_where_shim",
     "timetravel_as_of_1",
     "timetravel_current",

@@ -510,3 +510,17 @@ def test_whiten_abtt_energy_accounting(spark, sf_dir):
         assert r.resid_norm >= 0.0
     fracs = sorted(r.removed_frac for r in rows)
     assert fracs[-1] > fracs[0]  # the top direction is not uniform
+
+
+def test_ivf_persisted_matches_inmemory_ivf(spark, sf_dir):
+    """The stored-index serve path must reproduce the in-memory IVF
+    pipeline exactly: same quantizer, same lists, so same contract
+    counts — and the stored lists must cover the corpus 1:1."""
+    from hiveberg_spark.catalog import load_table
+
+    row = registry.QUERIES["simsearch_ivf_persisted"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert bool(r.recall_ok) is True
+    assert r.n_indexed == load_table(spark, sf_dir, "embeddings").count()
+    assert r.n_truth == r.n_queries * 5
