@@ -408,3 +408,47 @@ def test_in_list_prune_sound_for_date_literals(dates, a, b):
         assert not any(lo <= x.isoformat() <= hi for x in dates), (
             dates, lo, hi,
         )
+
+
+def _py_qcos(va, vb):
+    """Pure-python reference for the quantized cosine: exact int math,
+    one IEEE divide — the value both engines must produce bit-for-bit."""
+    import math
+
+    qa = [round(x * 1_000_000) for x in va]
+    qb = [round(x * 1_000_000) for x in vb]
+    qdot = sum(x * y for x, y in zip(qa, qb))
+    na = sum(x * x for x in qa)
+    nb = sum(x * x for x in qb)
+    if na == 0 or nb == 0:
+        return None
+    return round(qdot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-0.99, max_value=0.99, allow_nan=False),
+            st.floats(min_value=-0.99, max_value=0.99, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_quantized_cosine_is_exact_integer_math(pairs):
+    """The quantized cosine is pure integer arithmetic + one divide:
+    Cauchy-Schwarz holds EXACTLY (|qdot|² ≤ na·nb in ints, so the
+    cosine is in [-1, 1] with no float-rounding escape), and the
+    result is invariant under input-order permutation — the property
+    float summation lacks and the reason _qcos exists."""
+    va = [p[0] for p in pairs]
+    vb = [p[1] for p in pairs]
+    c = _py_qcos(va, vb)
+    if c is None:
+        return
+    assert -1.0 <= c <= 1.0
+    # order invariance: shuffle the coordinate order consistently
+    perm = list(range(len(va)))[::-1]
+    c2 = _py_qcos([va[i] for i in perm], [vb[i] for i in perm])
+    assert c == c2
