@@ -885,6 +885,108 @@ def simsearch_ivf_persisted(spark, sf_dir):
     )
 
 
+# -- incremental IVF index maintenance -----------------------------------------
+
+_IVF_INC_CONTRACT_SQL = """
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE vec_id % 2 = 0) AS n_initial,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE vec_id % 2 = 1) AS n_incremental,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_total,
+           TRUE AS lists_match_full_rebuild
+    FROM (SELECT 1)
+"""
+
+
+@query("simsearch_ivf_incremental", oracle=_IVF_INC_CONTRACT_SQL)
+def simsearch_ivf_incremental(spark, sf_dir):
+    """INCREMENTAL IVF index maintenance — the refresh path a stored
+    index needs when the corpus keeps growing: the corpus lives in a
+    snapshot table taking two appends (even vec_ids, then odd); the
+    index table is built from the FIRST snapshot (time travel), then
+    refreshed by assigning ONLY the rows `scan_changes` returns for
+    the second commit (file-level incremental read — the refresh cost
+    is O(new rows), never a corpus re-scan; the frozen label quantizer
+    is standard IVF practice). The contract row pins, against DuckDB's
+    even/odd/total counts: the initial index's size at its own first
+    snapshot (index-table time travel), the incremental append's size,
+    and — the real invariant — that the incrementally-maintained lists
+    are SET-EQUAL to a from-scratch rebuild over the full corpus
+    (anti-joins in both directions must both be empty; any drift in
+    the incremental read, the assignment, or the index commits flips
+    the boolean red)."""
+    import os
+
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir)
+
+    def assign(df):
+        return _assign_nearest_centroid(with_norm(df), cents, probes=1).select(
+            F.col("cell").cast("int").alias("cell"), "vec_id"
+        )
+
+    with _lock:
+        wh = warehouse_dir(sf_dir)
+
+        def build_corpus(t):
+            t.append(e.filter(F.col("vec_id") % 2 == 0))
+            t.append(e.filter(F.col("vec_id") % 2 == 1))
+
+        corpus_t = build_once(
+            spark, os.path.join(wh, "ivf_inc_corpus"), build_corpus,
+            schema=e.schema,
+        )
+        s1 = corpus_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+
+        def build_inc(t):
+            # initial build: the corpus AS OF its first commit
+            t.append(assign(
+                corpus_t.scan(snapshot_id=s1, virtual_column=None)
+            ))
+            # refresh: assign ONLY the incremental read's rows
+            t.append(assign(
+                corpus_t.scan_changes(s1, virtual_column=None)
+            ))
+
+        inc_t = build_once(
+            spark, os.path.join(wh, "ivf_inc_lists"), build_inc,
+            schema="cell int, vec_id long",
+        )
+
+        def build_full(t):
+            t.append(assign(corpus_t.scan(virtual_column=None)))
+
+        full_t = build_once(
+            spark, os.path.join(wh, "ivf_inc_full"), build_full,
+            schema="cell int, vec_id long",
+        )
+
+    i1 = inc_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+    initial = inc_t.scan(snapshot_id=i1, virtual_column=None)
+    current = inc_t.scan(virtual_column=None)
+    full = full_t.scan(virtual_column=None)
+    n_initial = initial.agg(F.count("*").cast("long").alias("n_initial"))
+    n_total = current.agg(F.count("*").cast("long").alias("n_total"))
+    missing = full.join(current, ["cell", "vec_id"], "left_anti")
+    extra = current.join(full, ["cell", "vec_id"], "left_anti")
+    match = missing.unionByName(extra).agg(
+        (F.count("*") == 0).alias("lists_match_full_rebuild")
+    )
+    return (
+        n_initial.crossJoin(n_total)
+        .crossJoin(match)
+        .select(
+            "n_initial",
+            (F.col("n_total") - F.col("n_initial")).alias("n_incremental"),
+            "n_total",
+            "lists_match_full_rebuild",
+        )
+    )
+
+
 # -- spherical k-means refinement + per-cluster outlier scoring ---------------
 # Corpus-clustering curation (round 7): the Lloyd refinement step that
 # turns the label-initialized quantizer into data-driven cells (the

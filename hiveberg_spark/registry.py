@@ -147,6 +147,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "embedding_pca_power",
     "embedding_whiten_abtt",
     "simsearch_ivf_persisted",
+    "simsearch_ivf_incremental",
     "timetravel_where_shim",
     "timetravel_as_of_1",
     "timetravel_current",
