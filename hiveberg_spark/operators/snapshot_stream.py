@@ -591,3 +591,116 @@ def stream_observed_metrics(spark, sf_dir):
         [(n_rows, key_sum, len(per_batch) > 1)],
         "n_rows long, key_sum long, multi_batch boolean",
     )
+
+
+@query(
+    "stream_ivf_refresh",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_indexed,
+           TRUE AS multi_batch,
+           TRUE AS lists_match_full_rebuild
+    FROM (SELECT 1)
+    """,
+)
+def stream_ivf_refresh(spark, sf_dir):
+    """STREAMING ANN-index maintenance — the third leg of the IVF
+    lifecycle (batch build: `simsearch_ivf_persisted`; incremental
+    batch refresh: `simsearch_ivf_incremental`): a corpus snapshot
+    table takes three appends (vec_id thirds), and a checkpointed
+    Structured Streaming query (one micro-batch per commit via
+    per-commit tick files + maxFilesPerTrigger=1) tails it, assigning
+    ONLY each batch's `scan_changes` delta against the frozen
+    quantizer and appending the new inverted-list rows to the index
+    table. Per micro-batch cost is O(that commit's rows) — the index
+    never sees a corpus re-scan. The oracle pins: the streamed index
+    covers the corpus exactly (n_indexed), the commits really arrived
+    in separate micro-batches (multi_batch), and the streamed lists
+    are SET-EQUAL to a from-scratch rebuild (both anti-join directions
+    empty) — any drift in the incremental read, assignment, or index
+    commits flips the row red."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.simsearch import (
+        _assign_nearest_centroid,
+        _label_centroids,
+        with_norm,
+    )
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_ivfstream_{tag}")
+    tick_dir = os.path.join(base, "ticks")
+    ckpt = os.path.join(base, "ckpt")
+    cursor_path = os.path.join(base, "cursor.json")
+    os.makedirs(tick_dir)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir)
+
+    def assign(df):
+        return _assign_nearest_centroid(with_norm(df), cents, probes=1).select(
+            F.col("cell").cast("int").alias("cell"), "vec_id"
+        )
+
+    corpus = SnapshotTable.create(spark, os.path.join(base, "corpus"), schema=e.schema)
+    index = SnapshotTable.create(
+        spark, os.path.join(base, "index"), schema="cell int, vec_id long"
+    )
+    sids = [corpus.append(e.filter(F.col("vec_id") % 3 == r)) for r in range(3)]
+
+    for sid in sids:
+        spark.createDataFrame([(sid,)], "sid long").coalesce(1).write.parquet(
+            os.path.join(tick_dir, f"tick_{sid}")
+        )
+
+    with open(cursor_path, "w") as f:
+        json.dump({"cursor": 0, "batches": 0}, f)
+
+    def refresh(batch_df, batch_id):
+        state = json.load(open(cursor_path))
+        hi = batch_df.agg(F.max("sid")).first()[0]
+        if hi <= state["cursor"]:
+            return  # replayed tick after restart: already applied
+        if state["cursor"] == 0:
+            delta = corpus.scan(snapshot_id=hi, virtual_column=None)
+        else:
+            delta = corpus.scan_changes(
+                state["cursor"], hi, virtual_column=None
+            )
+        index.append(assign(delta))
+        with open(cursor_path, "w") as f:
+            json.dump({"cursor": hi, "batches": state["batches"] + 1}, f)
+
+    q = (
+        spark.readStream.schema("sid long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(tick_dir)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi_batch = json.load(open(cursor_path))["batches"] > 1
+
+    streamed = index.scan(virtual_column=None)
+    full = assign(corpus.scan(virtual_column=None))
+    missing = full.join(streamed, ["cell", "vec_id"], "left_anti")
+    extra = streamed.join(full, ["cell", "vec_id"], "left_anti")
+    match = missing.unionByName(extra).agg(
+        (F.count("*") == 0).alias("lists_match_full_rebuild")
+    )
+    out = (
+        streamed.agg(F.count("*").cast("long").alias("n_indexed"))
+        .withColumn("multi_batch", F.lit(bool(multi_batch)))
+        .crossJoin(match)
+        .persist()
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out

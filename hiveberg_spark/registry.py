@@ -148,6 +148,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "embedding_whiten_abtt",
     "simsearch_ivf_persisted",
     "simsearch_ivf_incremental",
+    "stream_ivf_refresh",
     "timetravel_where_shim",
     "timetravel_as_of_1",
     "timetravel_current",
