@@ -3659,3 +3659,86 @@ def snapshot_show_partitions(spark, sf_dir):
     return execute_sql(
         spark, wh, "SHOW PARTITIONS nation_showparts"
     ).select("partition", "file_count", "record_count")
+
+
+@query(
+    "snapshot_metadata_columns",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) - 1 FROM nation) AS BIGINT) AS n_rows,
+           (SELECT CAST(COUNT(DISTINCT CASE WHEN n_nationkey < 12
+                                            THEN 0 ELSE 1 END) AS BIGINT)
+            FROM nation) AS n_files,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS pos_slots,
+           TRUE AS pos_unique_per_file,
+           TRUE AS starts_at_zero
+    FROM (SELECT 1)
+    """,
+)
+def snapshot_metadata_columns(spark, sf_dir):
+    """Iceberg METADATA COLUMNS `_file`/`_pos` end to end (round 7:
+    `scan_with_metadata_columns` — the MetadataColumns.FILE_PATH /
+    ROW_POSITION surface Iceberg's Spark reads expose; the reference's
+    Hive layer never surfaced it, same capability-set extension as
+    scan_changes): a fresh nation table takes two appends (keys < 12,
+    then >= 12 — each a single file since the 25-row source is one
+    partition) and one merge-on-read DELETE of key 3. The contract
+    pins, from DuckDB's view of `nation`:
+
+      - n_rows = 24: the MOR delete applies through the metadata read;
+      - n_files = 2: one distinct `_file` per append;
+      - pos_slots = Σ per file (max(_pos) + 1) = 25: surviving rows
+        keep their ORIGINAL positions, so the deleted row (key 3 sits
+        at position 3 of the first file — the fixture source is
+        key-ordered at every SF) leaves a VISIBLE GAP instead of
+        positions compacting;
+      - per-file position uniqueness and a 0-based start (key 3 is not
+        position 0, so the first slot survives in both files)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def builder(t):
+        t.append(nation.filter("n_nationkey < 12"))
+        t.append(nation.filter("n_nationkey >= 12"))
+        t.delete_where("n_nationkey = 3", mode="merge-on-read")
+
+    with _lock:
+        t = build_once(
+            spark,
+            os.path.join(warehouse_dir(sf_dir), "nation_metacols"),
+            builder,
+            schema=nation.schema,
+        )
+    df = t.scan_with_metadata_columns(virtual_column=None).persist()
+    per_file = df.groupBy("_file").agg(
+        F.count("*").alias("n"),
+        (F.max("_pos") + 1).alias("slots"),
+        F.min("_pos").alias("minpos"),
+    )
+    totals = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("_file").cast("long").alias("n_files"),
+        (
+            F.countDistinct(F.struct("_file", "_pos")) == F.count("*")
+        ).alias("pos_unique_per_file"),
+    )
+    fstats = per_file.agg(
+        F.sum("slots").cast("long").alias("pos_slots"),
+        (F.max("minpos") == 0).alias("starts_at_zero"),
+    )
+    out = totals.crossJoin(fstats).select(
+        "n_rows", "n_files", "pos_slots", "pos_unique_per_file",
+        "starts_at_zero",
+    )
+    out = out.persist()
+    out.count()
+    df.unpersist()
+    return out

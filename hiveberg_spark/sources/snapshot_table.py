@@ -5442,6 +5442,62 @@ class SnapshotTable:
             df = df.withColumn(virtual_column, F.lit(sid).cast("long"))
         return df
 
+    def scan_with_metadata_columns(
+        self,
+        snapshot_id: int | None = None,
+        virtual_column: str | None = DEFAULT_VIRTUAL_COLUMN,
+    ) -> DataFrame:
+        """Read the table with Iceberg's METADATA COLUMNS `_file` and
+        `_pos` (MetadataColumns.FILE_PATH / ROW_POSITION — the columns
+        Iceberg's Spark reads expose for row-level provenance, delete
+        file authoring, and debugging): `_file` is the table-relative
+        data file path, `_pos` the 0-based row position WITHIN that
+        file. Under merge-on-read deletes, surviving rows keep their
+        ORIGINAL file positions (Iceberg semantics) — the deleted
+        row's slot becomes a visible gap. Parquet-only, like every
+        position-dependent read here (`_metadata.row_index`)."""
+        files, sid = self._files_as_of(snapshot_id)
+        non_parquet = [f for f in files if not f.endswith(".parquet")]
+        if non_parquet:
+            raise ValueError(
+                "_pos requires parquet data files (row_index); found: "
+                f"{non_parquet[:5]}"
+            )
+        meta = self._read_meta()
+        renames = meta.get("renames", [])
+        if not files:
+            df = self._empty_df().select(
+                "*",
+                F.lit(None).cast("string").alias("_file"),
+                F.lit(None).cast("long").alias("_pos"),
+            )
+            if virtual_column:
+                df = df.withColumn(virtual_column, F.lit(None).cast("long"))
+            return df
+        deletes = self._raw_deletes_as_of(meta, sid) if sid is not None else []
+        df = self._read_with_defaults(files, meta, None, sid, lineage=True)
+        if deletes:
+            df = self._apply_mor_deletes(
+                df, deletes, self._file_seq_as_of(meta, sid), renames
+            )
+        df = df.withColumn("_file", F.col("__hb_file")).withColumn(
+            "_pos", F.col("__hb_pos")
+        )
+        df = df.drop("__hb_file", "__hb_pos", "__hb_row_id", "__hb_last_seq")
+        declared = (
+            StructType.fromJson(json.loads(meta["schema_json"]))
+            if meta.get("schema_json")
+            else None
+        )
+        if declared is not None:
+            have = set(df.columns)
+            for fld in declared.fields:
+                if fld.name not in have:
+                    df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        if virtual_column:
+            df = df.withColumn(virtual_column, F.lit(sid).cast("long"))
+        return df
+
     def scan_changes(
         self,
         from_snapshot: int,
