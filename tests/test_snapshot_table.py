@@ -3557,3 +3557,50 @@ def test_hash_distribution_composes_with_partition_evolution(spark, warehouse):
         t.scan_where("grp = 'g1' AND region = 'r0'").count()
         == sum(1 for i in range(600) if i % 3 == 1 and i % 2 == 0)
     )
+
+
+def test_metadata_columns_scan(spark, warehouse):
+    """_file/_pos basics: positions are per-file 0-based, survive MOR
+    deletes UNCOMPACTED (the deleted slot is a gap), _file is
+    table-relative, empty tables surface typed NULL columns, and
+    non-parquet tables refuse (_pos needs row_index)."""
+    import os
+
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    t = SnapshotTable.create(spark, os.path.join(warehouse, "mc"))
+    t.append(_simple_df(spark, [(i, f"d{i}") for i in range(6)]).coalesce(1))
+    t.append(_simple_df(spark, [(i, f"d{i}") for i in range(6, 10)]).coalesce(1))
+    rows = t.scan_with_metadata_columns(virtual_column=None).collect()
+    assert len(rows) == 10
+    by_file = {}
+    for r in rows:
+        assert not os.path.isabs(r._file)
+        by_file.setdefault(r._file, []).append(r._pos)
+    assert len(by_file) == 2
+    for poss in by_file.values():
+        assert sorted(poss) == list(range(len(poss)))  # 0-based, dense
+    # MOR delete: position 2 of the first file becomes a gap
+    t.delete_where("id = 2", mode="merge-on-read")
+    rows2 = t.scan_with_metadata_columns(virtual_column=None).collect()
+    assert len(rows2) == 9
+    f1 = sorted(p["_pos"] for p in rows2 if p["id"] < 6)
+    assert f1 == [0, 1, 3, 4, 5]  # original positions, visible gap at 2
+
+    # empty table: typed NULL metadata columns, no error
+    e = SnapshotTable.create(
+        spark, os.path.join(warehouse, "mc_empty"), schema="id long"
+    )
+    edf = e.scan_with_metadata_columns(virtual_column=None)
+    assert edf.count() == 0
+    assert {"_file", "_pos"} <= set(edf.columns)
+
+    # non-parquet refuses with a clear error
+    o = SnapshotTable.create(
+        spark, os.path.join(warehouse, "mc_orc"), file_format="orc"
+    )
+    o.append(_simple_df(spark, [(1, "a")]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parquet"):
+        o.scan_with_metadata_columns()
