@@ -813,3 +813,121 @@ def events_anomaly_zscore(spark, sf_dir):
             z.alias("z"),
         )
     )
+
+
+@query(
+    "events_attribution_touch",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT c.event_id AS conv_id, c.value, e.event_type,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY e.ts DESC, e.event_id DESC)
+               AS rn_last,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY e.ts ASC, e.event_id ASC)
+               AS rn_first
+      FROM conv c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type <> 'purchase'
+       AND (e.ts < c.ts OR (e.ts = c.ts AND e.event_id < c.event_id))
+    ),
+    lastt AS (
+      SELECT conv_id, value, event_type FROM touch WHERE rn_last = 1
+    ),
+    firstt AS (SELECT conv_id, event_type FROM touch WHERE rn_first = 1),
+    unattr AS (
+      SELECT c.event_id AS conv_id, c.value, 'direct' AS event_type
+      FROM conv c LEFT JOIN lastt l ON l.conv_id = c.event_id
+      WHERE l.conv_id IS NULL
+    ),
+    last_all AS (
+      SELECT * FROM lastt UNION ALL SELECT * FROM unattr
+    ),
+    first_all AS (
+      SELECT conv_id, event_type FROM firstt
+      UNION ALL SELECT conv_id, event_type FROM unattr
+    ),
+    lg AS (
+      SELECT event_type AS channel, COUNT(*) AS n_last,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS last_touch_value
+      FROM last_all GROUP BY 1
+    ),
+    fg AS (
+      SELECT event_type AS channel, COUNT(*) AS n_first
+      FROM first_all GROUP BY 1
+    )
+    SELECT lg.channel, CAST(lg.n_last AS BIGINT) AS n_last_touch,
+           CAST(COALESCE(fg.n_first, 0) AS BIGINT) AS n_first_touch,
+           lg.last_touch_value
+    FROM lg LEFT JOIN fg USING (channel)
+    """,
+)
+def events_attribution_touch(spark, sf_dir):
+    """CONVERSION ATTRIBUTION, last-touch and first-touch in one pass —
+    the marketing-analytics primitive the events family lacked: each
+    purchase credits (a) the user's latest prior non-purchase event
+    and (b) their earliest prior one; purchases with no prior activity
+    credit the synthetic 'direct' channel. Determinism: the prior-event
+    ordering ties break on event_id in both engines, and attributed
+    revenue sums as DECIMAL (house money-math rule) before one rounded
+    double. Scale: the conv×history join shuffles on user_id and the
+    per-conversion windows are bounded by per-user history — the
+    standard attribution shape; no global window, no driver loops."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+        "user_id",
+        "value",
+    )
+    hist = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("hid"),
+        F.col("ts").alias("hts"),
+        F.col("event_type").alias("channel"),
+    )
+    from pyspark.sql import Window as W
+
+    touch = conv.join(hist, "user_id").filter(
+        (F.col("hts") < F.col("cts"))
+        | ((F.col("hts") == F.col("cts")) & (F.col("hid") < F.col("conv_id")))
+    )
+    w_last = W.partitionBy("conv_id").orderBy(F.desc("hts"), F.desc("hid"))
+    w_first = W.partitionBy("conv_id").orderBy(F.asc("hts"), F.asc("hid"))
+    ranked = touch.withColumn("rn_last", F.row_number().over(w_last)).withColumn(
+        "rn_first", F.row_number().over(w_first)
+    ).persist()
+    lastt = ranked.filter(F.col("rn_last") == 1).select(
+        "conv_id", "value", "channel"
+    )
+    firstt = ranked.filter(F.col("rn_first") == 1).select("conv_id", "channel")
+    unattr = conv.join(lastt.select("conv_id"), "conv_id", "left_anti").select(
+        "conv_id", "value", F.lit("direct").alias("channel")
+    )
+    last_all = lastt.unionByName(unattr)
+    first_all = firstt.unionByName(unattr.select("conv_id", "channel"))
+    lg = last_all.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_last_touch"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("last_touch_value"),
+    )
+    fg = first_all.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_first")
+    )
+    out = lg.join(fg, "channel", "left").select(
+        "channel",
+        "n_last_touch",
+        F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first_touch"),
+        "last_touch_value",
+    )
+    out = out.persist()
+    out.count()
+    ranked.unpersist()
+    return out

@@ -150,6 +150,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "simsearch_ivf_incremental",
     "stream_ivf_refresh",
     "snapshot_metadata_columns",
+    "events_attribution_touch",
     "timetravel_where_shim",
     "timetravel_as_of_1",
     "timetravel_current",
