@@ -931,3 +931,95 @@ def events_attribution_touch(spark, sf_dir):
     out.count()
     ranked.unpersist()
     return out
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT c.event_id AS conv_id, c.value, e.event_type,
+             COUNT(*) OVER (PARTITION BY c.event_id) AS n_touches
+      FROM conv c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type <> 'purchase'
+       AND (e.ts < c.ts OR (e.ts = c.ts AND e.event_id < c.event_id))
+    ),
+    credit AS (
+      SELECT event_type AS channel,
+             CAST(ROUND(value / n_touches, 6) AS DECIMAL(18,6)) AS cr
+      FROM touch
+      UNION ALL
+      SELECT 'direct', CAST(ROUND(c.value, 6) AS DECIMAL(18,6))
+      FROM conv c LEFT JOIN (SELECT DISTINCT conv_id FROM touch) t
+        ON t.conv_id = c.event_id
+      WHERE t.conv_id IS NULL
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           ROUND(CAST(SUM(cr) AS DOUBLE), 2) AS linear_value
+    FROM credit GROUP BY channel
+    """,
+)
+def events_attribution_linear(spark, sf_dir):
+    """LINEAR (multi-touch) ATTRIBUTION — the companion to
+    `events_attribution_touch`: every prior non-purchase event of a
+    converting user receives an EQUAL share of that purchase's value
+    (value / n_touches), so channels that assist mid-journey get
+    credit single-touch models erase; cold conversions credit
+    'direct' in full. Determinism: the per-touch share is one IEEE
+    division of identical doubles rounded to 6 dp, then summed as
+    DECIMAL — fractional credits can never drift cross-engine. Same
+    user_id-keyed, per-user-history-bounded join shape as the
+    single-touch query."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+        "user_id",
+        "value",
+    )
+    hist = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("hid"),
+        F.col("ts").alias("hts"),
+        F.col("event_type").alias("channel"),
+    )
+    touch = (
+        conv.join(hist, "user_id")
+        .filter(
+            (F.col("hts") < F.col("cts"))
+            | (
+                (F.col("hts") == F.col("cts"))
+                & (F.col("hid") < F.col("conv_id"))
+            )
+        )
+        .withColumn("n_touches", F.count("*").over(W.partitionBy("conv_id")))
+    )
+    credited = touch.select(
+        "channel",
+        F.round(F.col("value") / F.col("n_touches"), 6)
+        .cast("decimal(18,6)")
+        .alias("cr"),
+    )
+    direct = (
+        conv.join(
+            touch.select("conv_id").distinct(), "conv_id", "left_anti"
+        ).select(
+            F.lit("direct").alias("channel"),
+            F.round(F.col("value"), 6).cast("decimal(18,6)").alias("cr"),
+        )
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            F.round(F.sum("cr").cast("double"), 2).alias("linear_value"),
+        )
+    )

@@ -151,6 +151,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_ivf_refresh",
     "snapshot_metadata_columns",
     "events_attribution_touch",
+    "events_attribution_linear",
     "timetravel_where_shim",
     "timetravel_as_of_1",
     "timetravel_current",
