@@ -447,8 +447,13 @@ def dedup_simhash(spark, sf_dir):
     )
     aug = docs.unionByName(plants).unionByName(edits)
     pairs = simhash_pairs(shingled(aug)).select("doc_a", "doc_b").persist()
-    a = aug.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
-    b = aug.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    # Truth universe = docs + plants ONLY, matching the oracle's aug CTE:
+    # the ' zebra' edit copies must not enter the exact-dup truth join, or
+    # a fixture where two doc_id<20 texts collide would create edit-edit
+    # exact pairs counted only Spark-side (ADVICE r7).
+    exact_universe = docs.unionByName(plants)
+    a = exact_universe.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = exact_universe.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
     truth = a.join(
         b, (F.col("ta") == F.col("tb")) & (F.col("doc_a") < F.col("doc_b"))
     ).select("doc_a", "doc_b")

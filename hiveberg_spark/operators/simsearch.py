@@ -1160,6 +1160,9 @@ _OUTLIER_Z_SQL = f"""
                       * CAST(centroid_cosine AS DECIMAL(10,6))) AS DOUBLE)
                AS s2
       FROM cosv GROUP BY label
+    ),
+    viable AS (
+      SELECT * FROM stats WHERE n > 1 AND s2 - s1 * s1 / n > 0
     )
     SELECT v.vec_id, v.label, v.centroid_cosine,
            ROUND((v.centroid_cosine - s.s1 / s.n)
@@ -1167,7 +1170,7 @@ _OUTLIER_Z_SQL = f"""
            (ROUND((v.centroid_cosine - s.s1 / s.n)
                   / SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 4) < -2.0)
              AS is_outlier
-    FROM cosv v JOIN stats s USING (label)
+    FROM cosv v JOIN viable s USING (label)
 """
 
 
@@ -1205,6 +1208,15 @@ def embedding_outlier_zscore(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(dec).cast("double").alias("s1"),
         F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    # degenerate labels (single member or zero variance) would divide by
+    # zero — Spark yields NULL where DuckDB yields inf/NaN (ADVICE r7);
+    # drop them in BOTH engines before computing z. s1/s2 are exact
+    # doubles (DECIMAL sums < 2^53), so the variance predicate evaluates
+    # identically cross-engine.
+    stats = stats.filter(
+        (F.col("n") > 1)
+        & (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n") > 0)
     )
     j = own.join(stats, "label")
     z = F.round(
@@ -1263,6 +1275,12 @@ def _pca_cte_prefix(T: int) -> str:
     ),
     x0 AS MATERIALIZED (SELECT pos AS j, CAST({_QSCALE} AS BIGINT) AS qx FROM cq)"""
     for t in range(1, T + 1):
+        # renormalization grid 1e7 (not 1e9): keeps ns = SUM(yq^2) under
+        # 2^53 so its double conversion is exact, and the y/mx rounding
+        # runs as EXACT integer round-half-away division — |y| reaches
+        # ~2e23 > 2^63, where DuckDB's HUGEINT->DOUBLE composes two
+        # roundings and could diverge 1 ulp from Spark's
+        # DECIMAL(38,0)->double (ADVICE r7); integers never convert.
         s += f""",
     y{t} AS MATERIALIZED (
       SELECT g.i, SUM(g.g * x{t - 1}.qx) AS y
@@ -1270,9 +1288,13 @@ def _pca_cte_prefix(T: int) -> str:
     ),
     m{t} AS MATERIALIZED (SELECT MAX(ABS(y)) AS mx FROM y{t}),
     yq{t} AS MATERIALIZED (
-      SELECT i, CAST(ROUND(CAST(y AS DOUBLE)
-                           / CAST((SELECT mx FROM m{t}) AS DOUBLE)
-                           * 1000000000) AS BIGINT) AS yq
+      SELECT i,
+             CAST(CASE WHEN y >= 0
+                  THEN (2 * y * 10000000 + (SELECT mx FROM m{t}))
+                       // (2 * (SELECT mx FROM m{t}))
+                  ELSE -((2 * (-y) * 10000000 + (SELECT mx FROM m{t}))
+                         // (2 * (SELECT mx FROM m{t})))
+                  END AS BIGINT) AS yq
       FROM y{t}
     ),
     ns{t} AS MATERIALIZED (SELECT SUM(CAST(yq AS HUGEINT) * yq) AS ns FROM yq{t}),
@@ -1296,10 +1318,17 @@ def _pca_oracle(T: int) -> str:
       SELECT SUM(g.g * xi.qx * xj.qx) AS num
       FROM gram g JOIN x{T} xi ON xi.j = g.i JOIN x{T} xj ON xj.j = g.j
     ),
-    den AS MATERIALIZED (SELECT SUM(CAST(qx AS HUGEINT) * qx) AS den FROM x{T})
+    den AS MATERIALIZED (SELECT SUM(CAST(qx AS HUGEINT) * qx) AS den FROM x{T}),
+    rq AS MATERIALIZED (
+      SELECT CAST(CASE WHEN (SELECT num FROM num) >= 0
+             THEN (2 * (SELECT num FROM num) + (SELECT den FROM den))
+                  // (2 * (SELECT den FROM den))
+             ELSE -((2 * (-(SELECT num FROM num)) + (SELECT den FROM den))
+                    // (2 * (SELECT den FROM den)))
+             END AS BIGINT) AS q
+    )
     SELECT x.j AS pos, CAST(x.qx AS DOUBLE) / {_QSCALE} AS loading,
-           ROUND(CAST((SELECT num FROM num) AS DOUBLE)
-                 / CAST((SELECT den FROM den) AS DOUBLE)
+           ROUND(CAST((SELECT q FROM rq) AS DOUBLE)
                  / 1000000000000.0 / (SELECT n FROM nvec), 6) AS eigenvalue
     FROM x{T} x ORDER BY pos
     """
@@ -1343,12 +1372,17 @@ def _pca_state(spark, sf_dir):
             .agg(F.sum(gdec * F.col("qx")).alias("y"))
         )
         mx = y.agg(F.max(F.abs(F.col("y"))).alias("mx"))
+        # exact integer round-half-away of y*1e7/mx: |y| can exceed 2^63
+        # where HUGEINT->double rounding may diverge cross-engine
+        # (ADVICE r7) — so no double ever touches y. `div` truncates
+        # toward zero in BOTH engines; operands are kept non-negative.
         yq = y.crossJoin(mx).select(
             "i",
-            F.round(
-                F.col("y").cast("double") / F.col("mx").cast("double") * 1e9,
-                0,
+            F.when(
+                F.col("y") >= 0,
+                F.expr("(2 * y * 10000000 + mx) div (2 * mx)"),
             )
+            .otherwise(-F.expr("(2 * (-y) * 10000000 + mx) div (2 * mx)"))
             .cast("long")
             .alias("yq"),
         )
@@ -1391,12 +1425,13 @@ def embedding_pca_power(spark, sf_dir):
       - The d×d eigensolve is metadata-sized BY NATURE (like manifest
         stats): power iterations run as tiny DataFrame ops over the
         persisted d²-row Gram — matvec = one join+groupBy,
-        renormalization through integer grids (y/max|y| on a 1e-9
-        grid, then unit-scale on the 1e-6 grid) so the full iteration
-        trajectory is bit-identical in DuckDB: int sums are exact
-        (Spark DECIMAL(38,0) ≙ DuckDB HUGEINT — both convert to double
-        correctly rounded from scale-0 integers), and every division/
-        sqrt runs on identical doubles.
+        renormalization through integer grids (y/max|y| on a 1e-7
+        grid via EXACT integer round-half-away division — no >2^63
+        integer is ever cast to double, closing the HUGEINT
+        composed-rounding hazard; then unit-scale on the 1e-6 grid
+        from sub-2^53 exact doubles) so the full iteration trajectory
+        is bit-identical in DuckDB, and every division/sqrt runs on
+        identical doubles.
 
     Output: the unit top-eigenvector loading per dimension plus the
     eigenvalue in VARIANCE units (λ(Gram)/(1e12·n) undoes the
@@ -1426,9 +1461,16 @@ def embedding_pca_power(spark, sf_dir):
             (F.col("qx").cast("double") / F.lit(float(_QSCALE))).alias(
                 "loading"
             ),
+            # num (~1e31) > 2^63: round num/den exactly in integers
+            # first, then the < 2^63 quotient converts identically in
+            # both engines (ADVICE r7)
             F.round(
-                F.col("num").cast("double")
-                / F.col("den").cast("double")
+                F.when(
+                    F.col("num") >= 0,
+                    F.expr("(2 * num + den) div (2 * den)"),
+                )
+                .otherwise(-F.expr("(2 * (-num) + den) div (2 * den)"))
+                .cast("double")
                 / F.lit(1e12)
                 / F.lit(float(n_vec)),
                 6,
@@ -1450,11 +1492,17 @@ _WHITEN_SQL = (
       FROM dq d JOIN x{_PCA_T} x ON x.j = d.pos GROUP BY d.vec_id
     ),
     corr AS MATERIALIZED (
-      SELECT d.vec_id, d.pos,
-             d.dv - CAST(ROUND(CAST(CAST(p.pd AS HUGEINT) * x.qx AS DOUBLE)
-                               / 1000000000000.0) AS BIGINT) AS c
-      FROM dq d JOIN pd p USING (vec_id)
-                JOIN x{_PCA_T} x ON x.j = d.pos
+      SELECT vec_id, pos,
+             dv - CAST(CASE WHEN v >= 0
+                  THEN (2 * v + 1000000000000) // 2000000000000
+                  ELSE -((2 * (-v) + 1000000000000) // 2000000000000)
+                  END AS BIGINT) AS c
+      FROM (
+        SELECT d.vec_id, d.pos, d.dv,
+               CAST(p.pd AS HUGEINT) * x.qx AS v
+        FROM dq d JOIN pd p USING (vec_id)
+                  JOIN x{_PCA_T} x ON x.j = d.pos
+      )
     ),
     n2 AS MATERIALIZED (SELECT vec_id, SUM(c * c) AS n2 FROM corr GROUP BY vec_id),
     n0 AS MATERIALIZED (SELECT vec_id, SUM(dv * dv) AS n0 FROM dq GROUP BY vec_id)
@@ -1490,21 +1538,31 @@ def embedding_whiten_abtt(spark, sf_dir):
         .groupBy("vec_id")
         .agg(F.sum(F.col("dv") * F.col("qx")).alias("pd"))
     )
+    # |pd*qx| reaches ~8e19 > 2^63: round the projection to the integer
+    # grid with exact integer division, never through a double
+    # conversion of a >2^63 value (ADVICE r7)
     corr = (
         dq.join(pd_, "vec_id")
         .join(x, dq["pos"] == x["j"])
         .select(
             "vec_id",
             "pos",
+            "dv",
+            (F.col("pd").cast("decimal(38,0)") * F.col("qx")).alias("v"),
+        )
+        .select(
+            "vec_id",
+            "pos",
             (
                 F.col("dv")
-                - F.round(
-                    (F.col("pd").cast("decimal(38,0)") * F.col("qx")).cast(
-                        "double"
-                    )
-                    / F.lit(1e12),
-                    0,
-                ).cast("long")
+                - F.when(
+                    F.col("v") >= 0,
+                    F.expr("(2 * v + 1000000000000) div 2000000000000"),
+                )
+                .otherwise(
+                    -F.expr("(2 * (-v) + 1000000000000) div 2000000000000")
+                )
+                .cast("long")
             ).alias("c"),
         )
     )

@@ -109,6 +109,23 @@ def apply_changelog(changes: DataFrame, target, key_cols: list[str]) -> None:
         changes.unpersist()
 
 
+def _write_ticks_ordered(spark, tick_dir: str, sids: list[int]) -> None:
+    """Write one single-row tick parquet per snapshot id with STRICTLY
+    increasing mtimes. FileStreamSource orders candidate files by
+    modification time, so an mtime tie between two ticks can admit the
+    newer one first under maxFilesPerTrigger=1 — the cursor then jumps
+    past the earlier commit and the per-commit micro-batch structure
+    collapses (ADVICE r7). Pinned mtimes make admission order == sid
+    order, deterministically."""
+    for i, sid in enumerate(sids):
+        tick = os.path.join(tick_dir, f"tick_{sid}")
+        spark.createDataFrame([(sid,)], "sid long").coalesce(1).write.parquet(tick)
+        stamp = 1_000_000_000 + i * 10
+        for root, _dirs, files in os.walk(tick):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (stamp, stamp))
+
+
 @query(
     "stream_changelog_source",
     oracle="""
@@ -178,13 +195,10 @@ def stream_changelog_source(spark, sf_dir):
 
     # one tick file per source commit; maxFilesPerTrigger=1 turns the
     # backlog into one micro-batch per commit
-    for sid in sids:
-        spark.createDataFrame([(sid,)], "sid long").coalesce(1).write.parquet(
-            os.path.join(tick_dir, f"tick_{sid}")
-        )
+    _write_ticks_ordered(spark, tick_dir, sids)
 
     with open(cursor_path, "w") as f:
-        json.dump({"cursor": 0, "batches": 0}, f)
+        json.dump({"cursor": 0, "ranges": []}, f)
 
     def advance(batch_df, batch_id):
         state = json.load(open(cursor_path))
@@ -196,7 +210,10 @@ def stream_changelog_source(spark, sf_dir):
         changes = src.scan_changelog(state["cursor"], hi)
         apply_changelog(changes, mirror, key_cols=["n_nationkey"])
         with open(cursor_path, "w") as f:
-            json.dump({"cursor": hi, "batches": state["batches"] + 1}, f)
+            json.dump(
+                {"cursor": hi, "ranges": state["ranges"] + [[state["cursor"], hi]]},
+                f,
+            )
 
     q = (
         spark.readStream.schema("sid long")
@@ -210,7 +227,8 @@ def stream_changelog_source(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    multi_batch = json.load(open(cursor_path))["batches"] > 1
+    # distinct applied snapshot ranges, not a skip-sensitive batch counter
+    multi_batch = len(json.load(open(cursor_path))["ranges"]) > 1
     out = (
         mirror.scan(virtual_column=None)
         .withColumn("multi_batch", F.lit(bool(multi_batch)))
@@ -308,13 +326,10 @@ def stream_keyless_cdc(spark, sf_dir):
         )
     )
 
-    for sid in sids:
-        spark.createDataFrame([(sid,)], "sid long").coalesce(1).write.parquet(
-            os.path.join(tick_dir, f"tick_{sid}")
-        )
+    _write_ticks_ordered(spark, tick_dir, sids)
 
     with open(cursor_path, "w") as f:
-        json.dump({"cursor": 0, "batches": 0}, f)
+        json.dump({"cursor": 0, "ranges": []}, f)
 
     def advance(batch_df, batch_id):
         state = json.load(open(cursor_path))
@@ -328,7 +343,10 @@ def stream_keyless_cdc(spark, sf_dir):
         )
         apply_changelog(changes, mirror, key_cols=["_row_id"])
         with open(cursor_path, "w") as f:
-            json.dump({"cursor": hi, "batches": state["batches"] + 1}, f)
+            json.dump(
+                {"cursor": hi, "ranges": state["ranges"] + [[state["cursor"], hi]]},
+                f,
+            )
 
     q = (
         spark.readStream.schema("sid long")
@@ -342,7 +360,8 @@ def stream_keyless_cdc(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    multi_batch = json.load(open(cursor_path))["batches"] > 1
+    # distinct applied snapshot ranges, not a skip-sensitive batch counter
+    multi_batch = len(json.load(open(cursor_path))["ranges"]) > 1
     out = (
         mirror.scan(virtual_column=None)
         .withColumn("multi_batch", F.lit(bool(multi_batch)))
@@ -651,13 +670,10 @@ def stream_ivf_refresh(spark, sf_dir):
     )
     sids = [corpus.append(e.filter(F.col("vec_id") % 3 == r)) for r in range(3)]
 
-    for sid in sids:
-        spark.createDataFrame([(sid,)], "sid long").coalesce(1).write.parquet(
-            os.path.join(tick_dir, f"tick_{sid}")
-        )
+    _write_ticks_ordered(spark, tick_dir, sids)
 
     with open(cursor_path, "w") as f:
-        json.dump({"cursor": 0, "batches": 0}, f)
+        json.dump({"cursor": 0, "ranges": []}, f)
 
     def refresh(batch_df, batch_id):
         state = json.load(open(cursor_path))
@@ -672,7 +688,10 @@ def stream_ivf_refresh(spark, sf_dir):
             )
         index.append(assign(delta))
         with open(cursor_path, "w") as f:
-            json.dump({"cursor": hi, "batches": state["batches"] + 1}, f)
+            json.dump(
+                {"cursor": hi, "ranges": state["ranges"] + [[state["cursor"], hi]]},
+                f,
+            )
 
     q = (
         spark.readStream.schema("sid long")
@@ -686,7 +705,8 @@ def stream_ivf_refresh(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    multi_batch = json.load(open(cursor_path))["batches"] > 1
+    # distinct applied snapshot ranges, not a skip-sensitive batch counter
+    multi_batch = len(json.load(open(cursor_path))["ranges"]) > 1
 
     streamed = index.scan(virtual_column=None)
     full = assign(corpus.scan(virtual_column=None))

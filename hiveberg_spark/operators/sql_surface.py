@@ -153,6 +153,14 @@ def _mor_dv_fixture(spark, sf_dir: str, fresh: bool = False):
 
     cached = _MOR_DV_FIXTURE.get(sf_dir)
     if cached and not fresh and os.path.isdir(cached):
+        # refresh the fixture's mtime so a CONCURRENT session's
+        # 30-minute cleanup (which only skips its own `cached`) never
+        # sees a live fixture as stale between our isdir check and the
+        # lazy scan (ADVICE r7)
+        try:
+            os.utime(cached)
+        except OSError:
+            pass
         return SnapshotTable.load(spark, cached)
 
     base = os.path.join(
