@@ -1023,3 +1023,120 @@ def events_attribution_linear(spark, sf_dir):
             F.round(F.sum("cr").cast("double"), 2).alias("linear_value"),
         )
     )
+
+
+_DECAY_HL_MICROS = 604800000000  # 7-day half-life, in epoch micros
+_DECAY_K_CAP = 30  # cap the half-life count so 2^k stays in int range
+
+
+@query(
+    "events_attribution_decay",
+    oracle=f"""
+    WITH conv AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT c.event_id AS conv_id, c.value, e.event_type,
+             1.0 / (CAST(1 AS BIGINT) <<
+                    LEAST((epoch_us(c.ts) - epoch_us(e.ts))
+                          // {_DECAY_HL_MICROS}, {_DECAY_K_CAP})) AS w
+      FROM conv c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type <> 'purchase'
+       AND (e.ts < c.ts OR (e.ts = c.ts AND e.event_id < c.event_id))
+    ),
+    shared AS (
+      SELECT event_type, value, w,
+             SUM(w) OVER (PARTITION BY conv_id) AS sw
+      FROM touch
+    ),
+    credit AS (
+      SELECT event_type AS channel,
+             CAST(ROUND(value * w / sw, 6) AS DECIMAL(18,6)) AS cr
+      FROM shared
+      UNION ALL
+      SELECT 'direct', CAST(ROUND(c.value, 6) AS DECIMAL(18,6))
+      FROM conv c LEFT JOIN (SELECT DISTINCT conv_id FROM touch) t
+        ON t.conv_id = c.event_id
+      WHERE t.conv_id IS NULL
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           ROUND(CAST(SUM(cr) AS DOUBLE), 2) AS decay_value
+    FROM credit GROUP BY channel
+    """,
+)
+def events_attribution_decay(spark, sf_dir):
+    """TIME-DECAY multi-touch attribution — completes the attribution
+    family (`events_attribution_touch`, `_linear`): each prior touch's
+    credit halves for every whole half-life (7 days) between it and the
+    conversion, so recent assists out-credit stale ones. Determinism by
+    construction: the decay weight is EXACTLY a power of two (k = whole
+    half-lives from exact integer epoch-micros division, capped at
+    {_DECAY_K_CAP}; w = 1 / (1 << k)), and a per-conversion sum of
+    dyadic rationals in [2^-{_DECAY_K_CAP}, 1] is exact in a double
+    whatever the partition order — so value·w/sw is one IEEE division
+    of identical doubles in both engines, rounded to 6 dp, summed as
+    DECIMAL. Same user-keyed join shape as the other attribution ops:
+    shuffle on user_id, per-user history only, never a global window."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+        "user_id",
+        "value",
+    )
+    hist = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("hid"),
+        F.col("ts").alias("hts"),
+        F.col("event_type").alias("channel"),
+    )
+    touch = (
+        conv.join(hist, "user_id")
+        .filter(
+            (F.col("hts") < F.col("cts"))
+            | (
+                (F.col("hts") == F.col("cts"))
+                & (F.col("hid") < F.col("conv_id"))
+            )
+        )
+        .withColumn(
+            "dmicros",
+            F.unix_micros(F.col("cts").cast("timestamp"))
+            - F.unix_micros(F.col("hts").cast("timestamp")),
+        )
+        .withColumn(
+            "k",
+            F.expr(
+                f"least(dmicros div {_DECAY_HL_MICROS}L, {_DECAY_K_CAP})"
+            ).cast("int"),
+        )
+        .withColumn("w", F.expr("1.0 / shiftleft(1L, k)"))
+        .withColumn("sw", F.sum("w").over(W.partitionBy("conv_id")))
+    )
+    credited = touch.select(
+        "channel",
+        F.round(F.col("value") * F.col("w") / F.col("sw"), 6)
+        .cast("decimal(18,6)")
+        .alias("cr"),
+    )
+    direct = (
+        conv.join(
+            touch.select("conv_id").distinct(), "conv_id", "left_anti"
+        ).select(
+            F.lit("direct").alias("channel"),
+            F.round(F.col("value"), 6).cast("decimal(18,6)").alias("cr"),
+        )
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            F.round(F.sum("cr").cast("double"), 2).alias("decay_value"),
+        )
+    )

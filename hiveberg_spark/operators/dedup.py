@@ -833,3 +833,147 @@ def dedup_substring_spans(spark, sf_dir):
             F.col("dup_tokens") / F.col("n_tokens").cast("double"), 6
         ).alias("dup_frac"),
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+_EXCERPT_WORDS = 15  # prefix length of the planted excerpt copies
+
+_CONTAINMENT_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000,
+             array_to_string(list_slice(string_split(text, ' '),
+                                        1, {_EXCERPT_WORDS}), ' ')
+      FROM documents WHERE doc_id < 20
+    ),
+    docs AS (SELECT doc_id, regexp_split_to_array(text,' ') AS w FROM aug),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS shingles
+      FROM docs
+    ),
+    tok AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT lo AS doc_a, hi AS doc_b, i FROM inter
+      UNION ALL
+      SELECT hi, lo, i FROM inter
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / len(sa.shingles), 6) AS containment
+    FROM directed
+    JOIN sh sa ON sa.doc_id = doc_a
+    WHERE len(sa.shingles) > 0
+      AND i * 1.0 / len(sa.shingles) >= {CONTAINMENT_THRESHOLD}
+    """
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark, sf_dir):
+    """DIRECTIONAL shingle CONTAINMENT dedup: C(A->B) = |A∩B| / |A| over
+    3-gram shingle sets — the asymmetric companion to
+    `dedup_ngram_jaccard` that catches SUBSET duplication (an excerpt,
+    a quoted passage, a truncated crawl of a page) which symmetric
+    Jaccard misses entirely: a 15-word prefix of a 40-word page scores
+    Jaccard ~0.3 but containment 1.0 in the excerpt->original
+    direction. The fixture plants a {_EXCERPT_WORDS}-word prefix
+    excerpt of every doc_id < 20 (id + 3e6); each must surface with
+    containment 1.0 toward its source, and the reverse direction must
+    stay below threshold — both directions of every undirected
+    candidate are scored, from ONE inverted-index intersection pass
+    (same capped index as the Jaccard path: one explode + one
+    equi-join + one groupBy, no all-pairs anything). Weights and
+    intersections are integer-exact; the ratio is one IEEE division
+    rounded to 6 dp in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, _EXCERPT_WORDS), " "
+        ).alias("text"),
+    )
+    sh = shingled(docs.unionByName(excerpts)).persist()
+    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
+    t2 = tok.select(F.col("doc_id").alias("hi"), F.col("s").alias("s2"))
+    inter = (
+        tok.join(t2, (F.col("s") == F.col("s2")) & (F.col("doc_id") < F.col("hi")))
+        .groupBy(F.col("doc_id").alias("lo"), "hi")
+        .agg(F.count("*").alias("i"))
+    )
+    directed = inter.select(
+        F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b"), "i"
+    ).unionByName(
+        inter.select(
+            F.col("hi").alias("doc_a"), F.col("lo").alias("doc_b"), "i"
+        )
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("na"))
+    return (
+        directed.join(sizes, directed["doc_a"] == sizes["doc_id"])
+        .filter(F.col("na") > 0)
+        .filter(F.col("i") / F.col("na") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / F.col("na"), 6).alias("containment"),
+        )
+    )
+
+
+_SOFT_WEIGHTS_ORACLE = """
+    WITH docs AS (SELECT doc_id, regexp_split_to_array(text,' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS shingles
+      FROM docs
+    ),
+    tok AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    dfreq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY s)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(d.df) AS BIGINT) AS sum_df,
+           ROUND(SUM(d.df) * 1.0 / COUNT(*), 6) AS commonness,
+           ROUND(COUNT(*) * 1.0 / SUM(d.df), 6) AS soft_weight
+    FROM tok t JOIN dfreq d USING (s)
+    GROUP BY t.doc_id
+    """
+
+
+@query("dedup_soft_weights", oracle=_SOFT_WEIGHTS_ORACLE)
+def dedup_soft_weights(spark, sf_dir):
+    """SOFT dedup by REWEIGHTING (SoftDeDup, Xue et al. ACL 2024 —
+    arXiv:2401.00968): instead of hard-dropping near-duplicates, score
+    each document's COMMONNESS (mean document-frequency of its 3-gram
+    shingles) and emit a sampling weight 1/commonness — duplicated
+    content trains at reduced weight rather than being deleted, which
+    the paper shows beats hard dedup at equal compute. Cost is the
+    cheap HALF of the dedup stack: one shingle explode, one
+    document-frequency groupBy, one join back — NO pairwise
+    candidate generation at all, so it scales to any corpus a groupBy
+    scales to. Determinism: df and shingle counts are exact integers
+    (< 2^53); both ratios are one IEEE division rounded to 6 dp.
+    Hard-dedup companion queries: `dedup_exact`, `dedup_minhash_lsh`."""
+    sh = shingled(load_table(spark, sf_dir, "documents"))
+    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tok.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("sum_df"),
+            F.round(F.sum("df") / F.count("*"), 6).alias("commonness"),
+            F.round(F.count("*") / F.sum("df"), 6).alias("soft_weight"),
+        )
+    )

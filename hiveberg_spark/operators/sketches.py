@@ -115,3 +115,66 @@ def sketch_hll_partitioned_merge(spark, sf_dir):
             <= F.col("exact") * F.lit(0.05)
         ).alias("within_tol"),
     )
+
+
+_CMS_W = 2048  # buckets per hash row
+_CMS_D = 4  # independent hash rows; estimate = min over rows
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           TRUE AS cms_ge_exact, TRUE AS cms_within_bound
+    FROM events GROUP BY user_id
+    ORDER BY exact_cnt DESC, user_id LIMIT 10
+    """,
+)
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan
+    2005) — the mergeable constant-memory substitute for exact per-key
+    counts in a streaming/sharded pipeline: {_CMS_D} hash rows x
+    {_CMS_W} buckets, point estimate = min over rows of the key's
+    bucket sum. Built the way a 100 TB run would: per-key partial
+    counts first (map-side combinable), then each key's count added
+    into its {_CMS_D} buckets — {_CMS_D} aggregates of {_CMS_W} cells,
+    each a broadcastable d*w matrix, mergeable across shards/windows by
+    cell-wise addition exactly as CMS merges. Contract (house sketch
+    pattern): for the top-10 users by exact count, the CMS estimate is
+    >= exact (structural one-sided error) and within 4N/w of it (the
+    epsilon bound with a 4x safety margin; P[miss] < e^-{_CMS_D} per
+    the standard analysis). xxhash64(seed=row) plays the pairwise-
+    independent family."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    n_total = ev.count()
+    bound = 4.0 * n_total / _CMS_W
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    per_key = per_key.persist()
+    est = None
+    for row in range(_CMS_D):
+        bucket = F.pmod(F.xxhash64(F.lit(row), F.col("user_id")), F.lit(_CMS_W))
+        cells = (
+            per_key.groupBy(bucket.alias("b"))
+            .agg(F.sum("cnt").alias("cell"))
+            .withColumnRenamed("b", f"b{row}")
+            .withColumnRenamed("cell", f"cell{row}")
+        )
+        keyed = per_key.select(
+            "user_id", "cnt", bucket.alias(f"b{row}")
+        ) if est is None else est.withColumn(f"b{row}", bucket)
+        est = keyed.join(F.broadcast(cells), f"b{row}").drop(f"b{row}")
+    est = est.withColumn(
+        "cms", F.least(*[F.col(f"cell{r}") for r in range(_CMS_D)])
+    )
+    return (
+        est.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            F.col("cnt").cast("long").alias("exact_cnt"),
+            (F.col("cms") >= F.col("cnt")).alias("cms_ge_exact"),
+            (F.col("cms") - F.col("cnt") <= F.lit(bound)).alias(
+                "cms_within_bound"
+            ),
+        )
+    )

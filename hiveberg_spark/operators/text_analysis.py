@@ -978,3 +978,97 @@ def text_rm3_expansion(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+_BOILER = "subscribe to our newsletter click here to unsubscribe right now"
+_SEG = 10  # tokens per segment ("line" stand-in: fixture texts have no newlines)
+_BOILER_DF = 3  # segment is boilerplate when seen in >= this many docs
+
+_BOILERPLATE_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' {_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+    segs AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(len(toks) // {_SEG}),
+                    i -> array_to_string(
+                           list_slice(toks, i*{_SEG}+1, i*{_SEG}+{_SEG}), ' ')))
+               AS seg
+      FROM tok
+    ),
+    boiler AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= {_BOILER_DF}
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           ROUND(1.0 - SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)
+                       * 1.0 / COUNT(*), 6) AS kept_frac
+    FROM segs s LEFT JOIN boiler b USING (seg)
+    GROUP BY s.doc_id
+    """
+
+
+@query("text_boilerplate_dedup", oracle=_BOILERPLATE_ORACLE)
+def text_boilerplate_dedup(spark, sf_dir):
+    """LINE-LEVEL boilerplate removal (the CCNet / RefinedWeb pass that
+    strips headers, cookie banners and share buttons): hash every
+    "line", count how many DISTINCT documents each line appears in, and
+    drop lines above a document-frequency threshold. The fixture's
+    texts carry no newlines, so the line unit is a fixed {_SEG}-token
+    segment (documented adaptation; the pipeline shape — segment,
+    global DF groupBy, join back, per-doc filter — is identical), and
+    a known boilerplate segment is PLANTED onto every doc_id % 5 == 0
+    before detection: those docs must report exactly one dropped
+    segment and all others zero (random-vocabulary 10-gram collisions
+    are ~45^-10). Cost: one segment explode, one groupBy, one join —
+    the same one-shuffle shape at 100 TB, where the DF table is the
+    only global state and is itself groupBy-sized."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat("text", F.lit(" " + _BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n_segs = F.floor(F.size("toks") / _SEG).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n_segs >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.array_join(
+                        F.slice("toks", i * _SEG + 1, _SEG), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("seg"),
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("seg", F.lit(1).alias("_hot"))
+    )
+    return (
+        segs.join(F.broadcast(boiler), "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.count("_hot").cast("long").alias("n_boiler"),
+            F.round(1.0 - F.count("_hot") / F.count("*"), 6).alias(
+                "kept_frac"
+            ),
+        )
+    )
