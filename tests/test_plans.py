@@ -125,6 +125,8 @@ def test_no_forced_broadcast_on_fact_tables():
         "sidmap",   # delete-file path -> commit id (position_deletes)
         "map_df",   # file -> (first_row_id, seq) map (row lineage)
         "stats",    # one-row corpus (N, V) scalars (perplexity proxy)
+        "boiler",   # boilerplate segments: DF>=3 vocabulary, bounded
+        "cells",    # CMS bucket sums: exactly _CMS_W rows per hash row
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
