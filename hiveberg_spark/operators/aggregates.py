@@ -1140,3 +1140,217 @@ def events_attribution_decay(spark, sf_dir):
             F.round(F.sum("cr").cast("double"), 2).alias("decay_value"),
         )
     )
+
+
+_MKV_G = 1_000_000_000  # probability grid (1e-9) for the integer chain
+_MKV_T = 12  # propagation steps: geometric tail < (max cycle prob)^12
+_MKV_CHANNELS = ("click", "error", "signup", "view")  # non-conversion states
+
+_MKV_TRANSITIONS_SQL = """
+    ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, MIN(rn) AS pr FROM ranked
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    journey AS (
+      SELECT r.user_id, r.rn,
+             CASE WHEN r.event_type = 'purchase' THEN 'CONV'
+                  ELSE r.event_type END AS state
+      FROM ranked r LEFT JOIN firstp f USING (user_id)
+      WHERE f.pr IS NULL OR r.rn <= f.pr
+    ),
+    steps AS (
+      SELECT user_id,
+             COALESCE(LAG(state) OVER (PARTITION BY user_id ORDER BY rn),
+                      'START') AS fs,
+             state AS ts_
+      FROM journey
+    ),
+    terminal AS (
+      SELECT j.user_id, j.state AS fs, 'NULL' AS ts_
+      FROM journey j
+      JOIN (SELECT user_id, MAX(rn) AS mr FROM journey GROUP BY user_id) m
+        ON m.user_id = j.user_id AND m.mr = j.rn
+      LEFT JOIN firstp f ON f.user_id = j.user_id
+      WHERE f.pr IS NULL
+    ),
+    trans AS (
+      SELECT fs, ts_, COUNT(*) AS cnt
+      FROM (SELECT fs, ts_ FROM steps UNION ALL SELECT fs, ts_ FROM terminal)
+      GROUP BY fs, ts_
+    )
+"""
+
+
+def _mkv_oracle() -> str:
+    """Unrolled DuckDB oracle: quantized transition matrix, then one
+    exact-integer propagation per variant (base + one per removed
+    channel), T steps each — same integer round-half-away discipline as
+    the PCA oracle, so no double ever carries a value either engine
+    could round differently."""
+    g, g2 = _MKV_G, 2 * _MKV_G
+    s = f"""
+    WITH {_MKV_TRANSITIONS_SQL},
+    tot AS (SELECT fs, SUM(cnt) AS tot FROM trans GROUP BY fs),
+    qm_base AS (
+      SELECT t.fs, t.ts_,
+             (2 * t.cnt * {g} + o.tot) // (2 * o.tot) AS qp
+      FROM trans t JOIN tot o USING (fs)
+      UNION ALL SELECT 'CONV', 'CONV', {g}
+      UNION ALL SELECT 'NULL', 'NULL', {g}
+    )"""
+    variants = {"base": None}
+    for c in _MKV_CHANNELS:
+        variants[c] = c
+    for name, removed in variants.items():
+        if removed is not None:
+            # transitions INTO the removed channel are redirected to NULL
+            s += f""",
+    qm_{name} AS (
+      SELECT fs,
+             CASE WHEN ts_ = '{removed}' THEN 'NULL' ELSE ts_ END AS ts_,
+             SUM(qp) AS qp
+      FROM qm_base WHERE fs <> '{removed}' GROUP BY 1, 2
+    )"""
+        s += f""",
+    v_{name}_0 AS (SELECT 'START' AS state, CAST({g} AS BIGINT) AS q)"""
+        for t in range(1, _MKV_T + 1):
+            s += f""",
+    v_{name}_{t} AS MATERIALIZED (
+      SELECT m.ts_ AS state,
+             CAST((2 * SUM(v.q * m.qp) + {g}) // {g2} AS BIGINT) AS q
+      FROM v_{name}_{t - 1} v JOIN qm_{name} m ON m.fs = v.state
+      GROUP BY m.ts_
+    )"""
+        s += f""",
+    pc_{name} AS (
+      SELECT COALESCE((SELECT q FROM v_{name}_{_MKV_T}
+                       WHERE state = 'CONV'), 0) AS q
+    )"""
+    diffs = " + ".join(
+        f"((SELECT q FROM pc_base) - (SELECT q FROM pc_{c}))"
+        for c in _MKV_CHANNELS
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT '{c}' AS channel,
+           ROUND((SELECT q FROM pc_{c}) / {float(g)}, 6) AS removal_pconv,
+           ROUND(((SELECT q FROM pc_base) - (SELECT q FROM pc_{c}))
+                 / CAST((SELECT q FROM pc_base) AS DOUBLE), 6)
+             AS removal_effect,
+           ROUND(((SELECT q FROM pc_base) - (SELECT q FROM pc_{c}))
+                 / CAST(NULLIF({diffs}, 0) AS DOUBLE), 6) AS credit"""
+        for c in _MKV_CHANNELS
+    )
+    return s + "\n    " + rows
+
+
+@query("events_markov_removal", oracle=_mkv_oracle())
+def events_markov_removal(spark, sf_dir):
+    """MARKOV-CHAIN (removal-effect) ATTRIBUTION — the data-driven model
+    that heuristic attribution (`events_attribution_touch/_linear/
+    _decay`) approximates: build the first-order journey chain
+    (START -> channels -> CONV/NULL, one journey per user up to the
+    first purchase), then credit each channel by how much the
+    conversion probability DROPS when that channel is removed
+    (transitions into it redirected to NULL) — Anderl et al. 2016's
+    removal effect. Two-tier execution, the PCA/`embedding_pca_power`
+    pattern: transition COUNTING is the distributed work (two window
+    functions and a groupBy over all events — one shuffle on user_id),
+    while the chain SOLVE runs on the collected <=36-cell quantized
+    matrix — metadata-sized by nature, like a d x d Gram. Determinism:
+    probabilities live on an integer 1e-9 grid (exact round-half-away
+    division), the {_MKV_T}-step absorbing propagation is pure integer
+    arithmetic in BOTH engines (Python ints here, HUGEINT CTEs in the
+    oracle), and the final effect/credit ratios divide integers that
+    are exact in doubles. Credit denominator is the integer sum of
+    removal drops, so no cross-engine float summation order exists."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    firstp = (
+        ranked.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("pr"))
+    )
+    journey = (
+        ranked.join(firstp, "user_id", "left")
+        .filter(F.col("pr").isNull() | (F.col("rn") <= F.col("pr")))
+        .select(
+            "user_id",
+            "rn",
+            "pr",
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    wj = W.partitionBy("user_id").orderBy("rn")
+    steps = journey.select(
+        F.coalesce(F.lag("state").over(wj), F.lit("START")).alias("fs"),
+        F.col("state").alias("ts_"),
+    )
+    last = journey.withColumn(
+        "mr", F.max("rn").over(W.partitionBy("user_id"))
+    ).filter((F.col("rn") == F.col("mr")) & F.col("pr").isNull())
+    terminal = last.select(F.col("state").alias("fs"), F.lit("NULL").alias("ts_"))
+    trans = (
+        steps.unionByName(terminal)
+        .groupBy("fs", "ts_")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # <=36 cells: the chain solve is metadata-sized — collect and run the
+    # identical integer recurrence in Python (house two-tier pattern)
+    cells = [(r["fs"], r["ts_"], r["cnt"]) for r in trans.collect()]
+    tot: dict[str, int] = {}
+    for fs, _ts, cnt in cells:
+        tot[fs] = tot.get(fs, 0) + cnt
+    g = _MKV_G
+    qm: dict[tuple[str, str], int] = {
+        (fs, ts): (2 * cnt * g + tot[fs]) // (2 * tot[fs])
+        for fs, ts, cnt in cells
+    }
+    qm[("CONV", "CONV")] = g
+    qm[("NULL", "NULL")] = g
+
+    def pconv(removed: str | None) -> int:
+        m: dict[tuple[str, str], int] = {}
+        for (fs, ts), qp in qm.items():
+            if fs == removed:
+                continue
+            key = (fs, "NULL" if ts == removed else ts)
+            m[key] = m.get(key, 0) + qp
+        v = {"START": g}
+        for _ in range(_MKV_T):
+            nxt: dict[str, int] = {}
+            for (fs, ts), qp in m.items():
+                if fs in v:
+                    nxt[ts] = nxt.get(ts, 0) + v[fs] * qp
+            v = {s: (2 * q + g) // (2 * g) for s, q in nxt.items()}
+        return v.get("CONV", 0)
+
+    pc = pconv(None)
+    drops = {c: pc - pconv(c) for c in _MKV_CHANNELS}
+    sum_drop = sum(drops.values())
+    rows = [
+        (
+            c,
+            round((pc - drops[c]) / float(g), 6),
+            round(drops[c] / float(pc), 6),
+            round(drops[c] / float(sum_drop), 6) if sum_drop else None,
+        )
+        for c in _MKV_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, removal_pconv double, removal_effect double, "
+        "credit double",
+    )

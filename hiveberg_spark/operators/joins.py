@@ -230,3 +230,66 @@ def join_salted_skew(spark, sf_dir):
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "join_bucketed_colocate",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           TRUE AS colocated_no_exchange
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocate(spark, sf_dir):
+    """BUCKETED CO-LOCATED fact-fact join — the bucketing strategy that
+    makes a repeated 100 TB lineitem-orders join shuffle-FREE: both
+    sides are written `bucketBy(8, orderkey).sortBy(orderkey)`, so the
+    sort-merge join reads bucket i against bucket i directly — no
+    Exchange, no Sort, on either side, ever again for any join on that
+    key. `colocated_no_exchange` is computed FROM THE PHYSICAL PLAN of
+    the join (broadcast disabled, merge hint) and pinned TRUE by the
+    oracle — a regression that reintroduces a shuffle flips the row
+    red. The aggregate after the join shuffles only the group keys, as
+    any engine must. (The same assertion runs as a plan unit test; this
+    row makes it a driver-checked contract.)"""
+    import uuid
+
+    from hiveberg_spark.plans import explain_str
+
+    tag = uuid.uuid4().hex[:10]
+    li_name, o_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable(li_name)
+        o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable(o_name)
+        a, b = spark.table(li_name), spark.table(o_name)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.hint("merge").join(b, a.l_orderkey == b.o_orderkey)
+        no_exchange = "Exchange" not in explain_str(joined, "simple")
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .withColumn("colocated_no_exchange", F.lit(bool(no_exchange)))
+            # eager localCheckpoint severs lineage from the catalog
+            # tables: DROP TABLE below cascades cache invalidation, so a
+            # plain persist would recompute against deleted files
+            .localCheckpoint()
+        )
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {li_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_name}")

@@ -83,6 +83,8 @@ DRIVER_WINDOW: list[str] = [
     "events_attribution_linear",
     # (b) round-8 additions
     "dedup_containment",
+    "join_bucketed_colocate",
+    "events_markov_removal",
     "dedup_soft_weights",
     "text_boilerplate_dedup",
     "events_attribution_decay",
@@ -122,14 +124,14 @@ DRIVER_WINDOW: list[str] = [
     "window_ranking",
     "window_range_frame",
     "limit_topk",
-    "set_except",
-    "distinct_dropdup",
 ]
 
 # Positions 51+ — the remaining round-1-stale re-checks cede their
 # round-8 slot (all green r1 AND in local oracle parity at
 # sf0.001+sf0.01); they lead round 9's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "set_except",
+    "distinct_dropdup",
     "scalar_string_funcs",
     "scalar_date_funcs",
     "agg_count_distinct",
