@@ -293,3 +293,76 @@ def join_bucketed_colocate(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {li_name}")
         spark.sql(f"DROP TABLE IF EXISTS {o_name}")
+
+
+_RANGE_BAND = 1.0  # price band half-width == bucket width
+
+
+@query(
+    "join_range_bucketed",
+    oracle=f"""
+    SELECT a.p_brand AS brand_a, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(CAST(ROUND(ABS(a.p_retailprice - b.p_retailprice), 6)
+                          AS DECIMAL(18,6))) / COUNT(*), 6) AS avg_gap,
+           TRUE AS no_nl_join
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND ABS(a.p_retailprice - b.p_retailprice) <= {_RANGE_BAND}
+    GROUP BY a.p_brand
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """BUCKETED RANGE JOIN — the scale path for interval/band joins
+    that Catalyst would otherwise run as BroadcastNestedLoop (compare
+    `join_theta_range`, which registers the naive plan): each row maps
+    to bucket floor(price/W) with W = the band width, the LEFT side
+    expands to its 3 adjacent buckets (one explode), and the band
+    predicate becomes an EQUI-join on bucket plus an exact residual
+    filter — every true pair shares one of the probed buckets, so the
+    rewrite is lossless (oracle = the plain theta join), while the
+    candidate space drops from |A| x |B| to sum of bucket products —
+    the difference between impossible and routine at 100 TB.
+    `no_nl_join` pins, from the physical plan, that no nested-loop or
+    cartesian operator survived. Gap values are rounded to 6 dp before
+    the DECIMAL sum so the per-brand average is order-free."""
+    from hiveberg_spark.plans import explain_str
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    b = F.floor(F.col("p_retailprice") / _RANGE_BAND).cast("long")
+    left = p.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_retailprice").alias("pa"),
+        F.explode(F.array(b - 1, b, b + 1)).alias("bk"),
+    )
+    right = p.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_retailprice").alias("pb"),
+        b.alias("bk"),
+    )
+    pairs = left.join(right, "bk").filter(
+        (F.col("ka") < F.col("kb"))
+        & (F.abs(F.col("pa") - F.col("pb")) <= _RANGE_BAND)
+    )
+    no_nl = True
+    plan = explain_str(pairs, "simple")
+    if "NestedLoop" in plan or "Cartesian" in plan:
+        no_nl = False
+    return (
+        pairs.groupBy("brand_a")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("pa") - F.col("pb")), 6).cast(
+                        "decimal(18,6)"
+                    )
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_gap"),
+        )
+        .withColumn("no_nl_join", F.lit(bool(no_nl)))
+    )

@@ -86,6 +86,7 @@ DRIVER_WINDOW: list[str] = [
     "join_bucketed_colocate",
     "events_markov_removal",
     "simsearch_opq_rerank",
+    "join_range_bucketed",
     "dedup_soft_weights",
     "text_boilerplate_dedup",
     "events_attribution_decay",
@@ -122,7 +123,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_basic_stats",
     "agg_rollup",
     "agg_cube",
-    "agg_grouping_sets",
     "window_ranking",
 ]
 
@@ -130,6 +130,7 @@ DRIVER_WINDOW: list[str] = [
 # round-8 slot (all green r1 AND in local oracle parity at
 # sf0.001+sf0.01); they lead round 9's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "agg_grouping_sets",
     "window_range_frame",
     "limit_topk",
     "set_except",
