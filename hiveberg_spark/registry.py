@@ -88,6 +88,7 @@ DRIVER_WINDOW: list[str] = [
     "simsearch_opq_rerank",
     "join_range_bucketed",
     "dedup_bbit_minhash",
+    "embedding_procrustes_align",
     "dedup_soft_weights",
     "text_boilerplate_dedup",
     "events_attribution_decay",
@@ -122,7 +123,6 @@ DRIVER_WINDOW: list[str] = [
     "join_theta_range",
     "join_salted_skew",
     "agg_basic_stats",
-    "agg_rollup",
     "window_ranking",
 ]
 
@@ -130,6 +130,7 @@ DRIVER_WINDOW: list[str] = [
 # round-8 slot (all green r1 AND in local oracle parity at
 # sf0.001+sf0.01); they lead round 9's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
     "window_range_frame",
