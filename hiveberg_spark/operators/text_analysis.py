@@ -1072,3 +1072,121 @@ def text_boilerplate_dedup(spark, sf_dir):
             ),
         )
     )
+
+
+_BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, pos, w AS word,
+             LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      )
+    ),
+    uni AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    ctx AS (SELECT prev, COUNT(*) AS ctx_cnt FROM tok
+            WHERE prev IS NOT NULL GROUP BY prev),
+    bi AS (SELECT prev, word, COUNT(*) AS bi_cnt FROM tok
+           WHERE prev IS NOT NULL GROUP BY prev, word),
+    stats AS (SELECT COUNT(*) AS n, COUNT(DISTINCT word) AS v FROM tok),
+    lp AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(LN(
+               CASE WHEN t.prev IS NULL
+                    THEN (u.cnt + 1.0) / (s.n + s.v)
+                    ELSE {_BIGRAM_LAMBDA} * b.bi_cnt / c.ctx_cnt
+                         + {1.0 - _BIGRAM_LAMBDA} * (u.cnt + 1.0) / (s.n + s.v)
+               END) * 1000000) AS BIGINT) AS lp_micro
+      FROM tok t
+      JOIN uni u USING (word)
+      LEFT JOIN ctx c ON c.prev = t.prev
+      LEFT JOIN bi b ON b.prev = t.prev AND b.word = t.word
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro,
+           ROUND(-SUM(lp_micro) * 1.0 / COUNT(*) / 1000000, 6) AS avg_nll,
+           ROUND(EXP(-SUM(lp_micro) * 1.0 / COUNT(*) / 1000000), 4) AS ppl
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark, sf_dir):
+    """INTERPOLATED BIGRAM-LM perplexity — the next rung above
+    `text_perplexity_proxy`'s unigram (the KenLM-shaped score CCNet
+    actually filters with is an interpolated n-gram model of exactly
+    this form): p(w|prev) = lambda * c(prev,w)/c(prev) + (1-lambda) *
+    p_uni(w), first token scored by the smoothed unigram. Trained on
+    the corpus it scores (the CCNet arrangement), so every bigram has
+    count >= 1 and the interpolation never needs an unseen branch.
+    Same determinism discipline as the unigram: every token's log-prob
+    quantizes to FLOOR micro-nats and sums as integers — float order
+    can never move the hash — and per-doc perplexity derives from the
+    exact integer sum. Scale: three count tables (unigram, context,
+    bigram) from one token pass; the bigram join shuffles on the
+    (prev, word) pair — the count tables are data-distributed, nothing
+    is collected."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    tok = (
+        docs.select("doc_id", "w", F.posexplode("w").alias("p0", "word"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            "word",
+            F.element_at("w", F.col("p0")).alias("prev_raw"),
+        )
+        .withColumn(
+            "prev", F.when(F.col("pos") > 1, F.col("prev_raw"))
+        )
+        .drop("prev_raw")
+        .persist()
+    )
+    uni = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    ctx = (
+        tok.filter(F.col("prev").isNotNull())
+        .groupBy("prev")
+        .agg(F.count("*").alias("ctx_cnt"))
+    )
+    bi = (
+        tok.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "word")
+        .agg(F.count("*").alias("bi_cnt"))
+    )
+    stats = tok.agg(
+        F.count("*").alias("n"), F.countDistinct("word").alias("v")
+    )
+    lam = _BIGRAM_LAMBDA
+    p_uni = (F.col("cnt") + 1.0) / (F.col("n") + F.col("v"))
+    p_mix = (
+        F.lit(lam) * F.col("bi_cnt") / F.col("ctx_cnt")
+        + F.lit(1.0 - lam) * p_uni
+    )
+    lp = (
+        tok.join(uni, "word")
+        .join(ctx, "prev", "left")
+        .join(bi, ["prev", "word"], "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.when(F.col("prev").isNull(), p_uni).otherwise(p_mix))
+                * 1000000
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    avg = -F.sum("lp_micro") * 1.0 / F.count("*") / 1000000
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lp_micro").alias("logprob_micro"),
+        F.round(avg, 6).alias("avg_nll"),
+        F.round(F.exp(avg), 4).alias("ppl"),
+    )
