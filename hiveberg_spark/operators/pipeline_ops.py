@@ -1219,3 +1219,49 @@ def sample_kcenter_coreset(spark, sf_dir):
         prev.unpersist()
     cur.unpersist()
     return spark.createDataFrame(chosen, "pick long, vec_id long")
+
+
+@query(
+    "pipeline_data_card",
+    oracle="""
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dup_docs,
+           ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 6)
+             AS avg_tokens
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+)
+def pipeline_data_card(spark, sf_dir):
+    """CORPUS DATA CARD in one pass — the "datasheet for datasets"
+    summary every training-data release ships (per-source, per-
+    (source, lang), and corpus-total doc/token/char counts, exact-
+    duplicate rates, average lengths) computed via GROUPING SETS so
+    the corpus is scanned ONCE and Catalyst expands the grouping
+    combinations map-side. The dup rate per group is docs minus
+    distinct content hashes — the same md5 the exact-dedup operator
+    keys on, so the card agrees with what `dedup_exact` would remove.
+    At 100 TB this is the audit artifact a curation run emits beside
+    its output table (and `pipeline_observed_metrics` collects the
+    streaming-side equivalents on the write pass itself)."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT COALESCE(source, '<all>') AS source,
+               COALESCE(lang, '<all>') AS lang,
+               COUNT(*) AS n_docs,
+               SUM(size(split(text, ' '))) AS total_tokens,
+               SUM(n_chars) AS total_chars,
+               COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dup_docs,
+               ROUND(SUM(size(split(text, ' '))) * 1.0 / COUNT(*), 6)
+                 AS avg_tokens
+        FROM documents
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        """
+    )
