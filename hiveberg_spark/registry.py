@@ -59,8 +59,11 @@ def load_all() -> None:
 #     and have never had a driver CORRECTNESS row (the PCA/whitening
 #     pair, the persisted/incremental/streaming IVF lifecycle,
 #     metadata columns, the attribution pair, k-means refine);
-# (b) the round-8 additions (containment dedup, soft-dedup weights,
-#     boilerplate removal, time-decay attribution, count-min sketch);
+# (b) the thirteen round-8 additions (containment dedup, soft-dedup
+#     weights, boilerplate removal, time-decay + Markov removal-effect
+#     attribution, count-min sketch, bucketed co-located + range
+#     joins, OPQ, b-bit minhash, Procrustes alignment, bigram LM,
+#     data card);
 # (c) re-checks of queries whose CODE changed this round (ADVICE r7
 #     fixes): dedup_simhash (truth-universe alignment), the two
 #     tick-ordered CDC streams, and the MOR/DV read bench (fixture
