@@ -1354,3 +1354,109 @@ def events_markov_removal(spark, sf_dir):
         "channel string, removal_pconv double, removal_effect double, "
         "credit double",
     )
+
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period / experiment-period boundary
+
+
+@query(
+    "events_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 2) AS arm,
+             CAST(ROUND(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                            THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END)
+                        * 100) AS BIGINT) AS xc,
+             CAST(ROUND(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                            THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END)
+                        * 100) AS BIGINT) AS yc
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(xc) AS sx, SUM(yc) AS sy,
+             SUM(xc * xc) AS sxx, SUM(xc * yc) AS sxy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+             CAST(sx AS DOUBLE) / n AS xbar
+      FROM mom
+    )
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(yc) / COUNT(*) / 100.0, 6) AS mean_post,
+           ROUND((SUM(yc) * 1.0 / COUNT(*)
+                  - t.th * (SUM(xc) * 1.0 / COUNT(*) - t.xbar)) / 100.0, 6)
+             AS mean_adjusted,
+           ROUND(t.th, 6) AS theta
+    FROM per_user CROSS JOIN theta t
+    GROUP BY arm, t.th, t.xbar
+    """,
+)
+def events_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al. WSDM
+    2013 — the industry-standard A/B variance cut): each user's
+    EXPERIMENT-period metric is adjusted by their PRE-period metric,
+    y* = y - theta (x - mean x) with theta = cov(x,y)/var(x) pooled, so
+    between-user spend variance that existed before the experiment
+    stops masking the treatment effect. Companion to `events_ab_test`
+    (same md5 arm hashing). Determinism by integer moments: per-user
+    pre/post sums accumulate as DECIMAL (order-free), quantize to
+    integer cents, and every moment (Sx, Sy, Sxx, Sxy) is an exact
+    integer — theta and the adjusted means are IEEE ops on identical
+    sub-2^63 operands in both engines, rounded to 6 dp. One shuffle on
+    user_id, one tiny moments aggregate broadcast back."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    dec = F.col("value").cast("decimal(18,6)")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("arm"),
+        F.round(
+            F.sum(F.when(F.col("ts").cast("timestamp") < split, dec).otherwise(F.lit(0).cast("decimal(18,6)"))) * 100
+        )
+        .cast("long")
+        .alias("xc"),
+        F.round(
+            F.sum(F.when(F.col("ts").cast("timestamp") >= split, dec).otherwise(F.lit(0).cast("decimal(18,6)"))) * 100
+        )
+        .cast("long")
+        .alias("yc"),
+    )
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(mom))
+        .groupBy("arm", "th", "xbar")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.sum("yc") / F.count("*") / 100.0, 6).alias("mean_post"),
+            F.round(
+                (
+                    F.sum("yc") * 1.0 / F.count("*")
+                    - F.first("th") * (F.sum("xc") * 1.0 / F.count("*") - F.first("xbar"))
+                )
+                / 100.0,
+                6,
+            ).alias("mean_adjusted"),
+            F.round(F.first("th"), 6).alias("theta"),
+        )
+        .select("arm", "n_users", "mean_post", "mean_adjusted", "theta")
+    )
