@@ -1190,3 +1190,81 @@ def text_bigram_perplexity(spark, sf_dir):
         F.round(avg, 6).alias("avg_nll"),
         F.round(F.exp(avg), 4).alias("ppl"),
     )
+
+
+@query("text_bm25_persisted", oracle=_BM25_ORACLE)
+def text_bm25_persisted(spark, sf_dir):
+    """BM25 served from a PERSISTED inverted index — the lexical twin
+    of `simsearch_ivf_persisted`'s build/serve separation: the FULL
+    postings table (doc_id, w, tf; bucket-partitioned on the term so a
+    query's terms prune to their buckets at scan time), the doc-length
+    table, and the one-row corpus stats are built ONCE into warehouse
+    snapshot tables; the serve path computes the same Okapi scores as
+    `text_bm25_topk` from the STORED tables only — the documents table
+    is never re-tokenized (never even read). At 100 TB this is how
+    lexical retrieval actually runs: index build is a batch job, index
+    refresh is a table append, and a query touches O(its terms'
+    postings buckets). Same oracle as the fresh computation — a stale
+    or partial index, a bucket-pruning bug, or stats drift flips the
+    row red."""
+    import os
+
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    def build_postings(table):
+        toks = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        table.append(
+            toks.groupBy("doc_id", "w").agg(
+                F.count("*").cast("long").alias("tf")
+            )
+        )
+
+    def build_lengths(table):
+        toks = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        table.append(
+            toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("len"))
+        )
+
+    with _lock:
+        wh = warehouse_dir(sf_dir)
+        post_t = build_once(
+            spark,
+            os.path.join(wh, "bm25_postings"),
+            build_postings,
+            schema="doc_id long, w string, tf long",
+            partition_spec=[("bucket", "w", 8)],
+        )
+        len_t = build_once(
+            spark,
+            os.path.join(wh, "bm25_lengths"),
+            build_lengths,
+            schema="doc_id long, len long",
+        )
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tf = post_t.scan_where(f"w IN ({terms})").select("doc_id", "w", "tf")
+    dl = len_t.scan(virtual_column=None)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("len").alias("avgdl"))
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1
+    )
+    denom = F.col("tf") + k1 * ((1 - b) + b * F.col("len") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * F.col("tf") * (k1 + 1) / denom), 6).alias(
+                "bm25"
+            )
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
