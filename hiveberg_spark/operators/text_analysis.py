@@ -1268,3 +1268,92 @@ def text_bm25_persisted(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+_BM25_INC_ORACLE = _BM25_ORACLE.replace(
+    "SELECT doc_id, ROUND(s, 6) AS bm25 FROM scored",
+    "SELECT doc_id, ROUND(s, 6) AS bm25, TRUE AS incremental FROM scored",
+)
+
+
+@query("text_bm25_incremental", oracle=_BM25_INC_ORACLE)
+def text_bm25_incremental(spark, sf_dir):
+    """INCREMENTAL lexical-index maintenance — the refresh leg of the
+    BM25 lifecycle (build-once: `text_bm25_persisted`), mirroring
+    `simsearch_ivf_incremental` on the dense side: the corpus lives in
+    a snapshot table taking two appends (even doc_ids, then odd); the
+    postings and length tables are built from the FIRST snapshot (time
+    travel), then refreshed by tokenizing ONLY the rows `scan_changes`
+    returns for the second commit — refresh cost is O(new documents),
+    never a corpus re-scan, and term-frequency rows are append-only
+    because tf is per-document. Serving recomputes df/N/avgdl from the
+    maintained tables (they aggregate cheaply at query time, so the
+    incremental append needs no read-modify-write of corpus stats).
+    Oracle = the SAME fresh full-corpus BM25 computation: any drift in
+    the incremental read or the index appends flips the ranking."""
+    import os
+
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources.snapshot_table import build_once
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def tokens(df):
+        return df.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+
+    with _lock:
+        wh = warehouse_dir(sf_dir)
+
+        def build_corpus(t):
+            t.append(docs.filter(F.col("doc_id") % 2 == 0))
+            t.append(docs.filter(F.col("doc_id") % 2 == 1))
+
+        corpus_t = build_once(
+            spark, os.path.join(wh, "bm25_inc_corpus"), build_corpus,
+            schema=docs.schema,
+        )
+        s1 = corpus_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+
+        def build_post(t):
+            base = tokens(corpus_t.scan(snapshot_id=s1, virtual_column=None))
+            t.append(base.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("tf")))
+            delta = tokens(corpus_t.scan_changes(s1, virtual_column=None))
+            t.append(delta.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("tf")))
+
+        def build_len(t):
+            base = tokens(corpus_t.scan(snapshot_id=s1, virtual_column=None))
+            t.append(base.groupBy("doc_id").agg(F.count("*").cast("long").alias("len")))
+            delta = tokens(corpus_t.scan_changes(s1, virtual_column=None))
+            t.append(delta.groupBy("doc_id").agg(F.count("*").cast("long").alias("len")))
+
+        post_t = build_once(
+            spark, os.path.join(wh, "bm25_inc_postings"), build_post,
+            schema="doc_id long, w string, tf long",
+            partition_spec=[("bucket", "w", 8)],
+        )
+        len_t = build_once(
+            spark, os.path.join(wh, "bm25_inc_lengths"), build_len,
+            schema="doc_id long, len long",
+        )
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tf = post_t.scan_where(f"w IN ({terms})").select("doc_id", "w", "tf")
+    dl = len_t.scan(virtual_column=None)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("len").alias("avgdl"))
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1
+    )
+    denom = F.col("tf") + k1 * ((1 - b) + b * F.col("len") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * F.col("tf") * (k1 + 1) / denom), 6).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .withColumn("incremental", F.lit(True))
+    )

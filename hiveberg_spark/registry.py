@@ -96,6 +96,7 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_data_card",
     "events_cuped",
     "text_bm25_persisted",
+    "text_bm25_incremental",
     "dedup_soft_weights",
     "text_boilerplate_dedup",
     "events_attribution_decay",
@@ -124,7 +125,6 @@ DRIVER_WINDOW: list[str] = [
     "join_left_outer",
     "join_right_outer",
     "join_full_outer",
-    "join_left_semi",
     "agg_basic_stats",
     "window_ranking",
 ]
@@ -133,6 +133,7 @@ DRIVER_WINDOW: list[str] = [
 # round-8 slot (all green r1 AND in local oracle parity at
 # sf0.001+sf0.01); they lead round 9's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "join_left_semi",
     "join_left_anti",
     "join_cross",
     "join_theta_range",
