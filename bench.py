@@ -68,6 +68,16 @@ HEADLINE = [
     # pushdown through bucket + min/max pruning; tracks planner cost +
     # the pruned-scan read path round-over-round
     "snapshot_runtime_prune",
+    # round 8: directional containment dedup — the inverted-index
+    # intersection pass scoring BOTH directions of every candidate
+    # (the subset-duplication detector); tracks the shared capped-index
+    # machinery at a second workload shape
+    "dedup_containment",
+    # round 8: BM25 served from the persisted term-bucketed postings
+    # index (first run pays the one-time build into the session
+    # warehouse; subsequent runs are the serve path alone — the number
+    # tracks stored-index query cost round-over-round)
+    "text_bm25_persisted",
 ]
 
 
