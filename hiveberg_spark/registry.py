@@ -59,18 +59,18 @@ def load_all() -> None:
 #     and have never had a driver CORRECTNESS row (the PCA/whitening
 #     pair, the persisted/incremental/streaming IVF lifecycle,
 #     metadata columns, the attribution pair, k-means refine);
-# (b) the thirteen round-8 additions (containment dedup, soft-dedup
+# (b) the sixteen round-8 additions (containment dedup, soft-dedup
 #     weights, boilerplate removal, time-decay + Markov removal-effect
-#     attribution, count-min sketch, bucketed co-located + range
-#     joins, OPQ, b-bit minhash, Procrustes alignment, bigram LM,
-#     data card);
+#     attribution + CUPED, count-min sketch, bucketed co-located +
+#     range joins, OPQ, b-bit minhash, Procrustes alignment, bigram
+#     LM, data card, persisted + incremental BM25 index);
 # (c) re-checks of queries whose CODE changed this round (ADVICE r7
 #     fixes): dedup_simhash (truth-universe alignment), the two
 #     tick-ordered CDC streams, and the MOR/DV read bench (fixture
 #     cache mtime refresh). embedding_pca_power/_whiten_abtt and
 #     embedding_outlier_zscore also changed but are already in (a);
 # (d) rotation: the stalest green rows — queries last driver-checked
-#     in ROUND 1 (45 such; the 31 that fit take the remaining slots,
+#     in ROUND 1 (45 such; the 19 that fit take the remaining slots,
 #     the rest lead DEFERRED for round 9).
 DRIVER_WINDOW: list[str] = [
     # (a) never driver-checked
