@@ -1357,3 +1357,121 @@ def text_bm25_incremental(spark, sf_dir):
         .limit(20)
         .withColumn("incremental", F.lit(True))
     )
+
+
+_BM25_STREAM_ORACLE = _BM25_ORACLE.replace(
+    "SELECT doc_id, ROUND(s, 6) AS bm25 FROM scored",
+    "SELECT doc_id, ROUND(s, 6) AS bm25, TRUE AS multi_batch FROM scored",
+)
+
+
+@query("text_bm25_stream_refresh", oracle=_BM25_STREAM_ORACLE)
+def text_bm25_stream_refresh(spark, sf_dir):
+    """STREAMING lexical-index maintenance — the third leg of the BM25
+    lifecycle (build-once: `text_bm25_persisted`; batch refresh:
+    `text_bm25_incremental`), mirroring `stream_ivf_refresh` on the
+    dense side: the corpus snapshot table takes three appends (doc_id
+    thirds) and a checkpointed Structured Streaming query (one
+    micro-batch per commit via ordered tick files +
+    maxFilesPerTrigger=1) tails it, tokenizing ONLY each batch's
+    `scan_changes` delta and appending the new postings and length
+    rows to the index tables. Per micro-batch cost is O(that commit's
+    documents) — the index never sees a corpus re-scan, and tf/len
+    rows are append-only because both are per-document. The oracle is
+    the fresh full-corpus BM25 ranking plus `multi_batch` pinning that
+    the commits really arrived as separate micro-batches (derived from
+    applied snapshot RANGES, not a skip-sensitive counter)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.operators.snapshot_stream import _write_ticks_ordered
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_bm25stream_{tag}")
+    tick_dir = os.path.join(base, "ticks")
+    ckpt = os.path.join(base, "ckpt")
+    cursor_path = os.path.join(base, "cursor.json")
+    os.makedirs(tick_dir)
+
+    corpus = SnapshotTable.create(spark, os.path.join(base, "corpus"), schema=docs.schema)
+    post_t = SnapshotTable.create(
+        spark, os.path.join(base, "postings"), schema="doc_id long, w string, tf long"
+    )
+    len_t = SnapshotTable.create(
+        spark, os.path.join(base, "lengths"), schema="doc_id long, len long"
+    )
+    sids = [corpus.append(docs.filter(F.col("doc_id") % 3 == r)) for r in range(3)]
+    _write_ticks_ordered(spark, tick_dir, sids)
+
+    with open(cursor_path, "w") as f:
+        _json.dump({"cursor": 0, "ranges": []}, f)
+
+    def refresh(batch_df, batch_id):
+        state = _json.load(open(cursor_path))
+        hi = batch_df.agg(F.max("sid")).first()[0]
+        if hi <= state["cursor"]:
+            return  # replayed tick after restart: already applied
+        if state["cursor"] == 0:
+            delta = corpus.scan(snapshot_id=hi, virtual_column=None)
+        else:
+            delta = corpus.scan_changes(state["cursor"], hi, virtual_column=None)
+        toks = delta.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        post_t.append(
+            toks.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("tf"))
+        )
+        len_t.append(
+            toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("len"))
+        )
+        with open(cursor_path, "w") as f:
+            _json.dump(
+                {"cursor": hi, "ranges": state["ranges"] + [[state["cursor"], hi]]},
+                f,
+            )
+
+    q = (
+        spark.readStream.schema("sid long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(tick_dir)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi_batch = len(_json.load(open(cursor_path))["ranges"]) > 1
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tf = (
+        post_t.scan(virtual_column=None)
+        .filter(F.expr(f"w IN ({terms})"))
+        .select("doc_id", "w", "tf")
+    )
+    dl = len_t.scan(virtual_column=None)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("len").alias("avgdl"))
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1
+    )
+    denom = F.col("tf") + k1 * ((1 - b) + b * F.col("len") / F.col("avgdl"))
+    out = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (k1 + 1) / denom), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .withColumn("multi_batch", F.lit(bool(multi_batch)))
+        .persist()
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out
