@@ -581,3 +581,95 @@ def multimodal_ahash(spark, sf_dir):
     return d.mapInPandas(
         _ahash_batches, schema="doc_id long, ahash long, n_hot long"
     )
+
+
+def _vad_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-level VAD flags over real WAV payloads with a PATTERNED
+    activity mask — frame i of doc d is voiced iff (7*i + d) % 3 != 0,
+    giving every doc several speech islands — so the segment-merge
+    stage downstream has real work, all still closed-form checkable.
+    The WAV is genuinely encoded and decoded (RIFF parse) per doc."""
+    import numpy as np
+
+    FRAME = 160  # 20 ms at 8 kHz
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc = int(doc_id)
+            amp = 500 + doc % 300
+            n_frames = 6 + doc % 5
+            mask = np.array(
+                [(7 * i + doc) % 3 != 0 for i in range(n_frames)], dtype=bool
+            )
+            sig = np.zeros(n_frames * FRAME, dtype=np.int16)
+            tone = np.tile(np.array([amp, -amp], dtype=np.int16), FRAME // 2)
+            for i in range(n_frames):
+                if mask[i]:
+                    sig[i * FRAME : (i + 1) * FRAME] = tone
+            wav = encode_wav(sig, rate=8000)
+            d = decode_media(wav)
+            samples = np.frombuffer(wav[-len(sig) * 2 :], dtype=np.int16)
+            frames = samples.astype(np.float64).reshape(n_frames, FRAME)
+            rms = np.sqrt((frames**2).mean(axis=1))
+            for i in range(n_frames):
+                rows.append((doc, i, bool(rms[i] > 0), int(d["sample_rate"])))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "voiced", "rate"])
+
+
+@query(
+    "multimodal_vad_segments",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             (7 * i + doc_id) % 3 <> 0 AS voiced
+      FROM documents, UNNEST(generate_series(0, 10)) t(i)
+      WHERE doc_id < 50 AND i < 6 + doc_id % 5
+    ),
+    voicedf AS (
+      SELECT doc_id, frame_idx,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS isl
+      FROM frames WHERE voiced
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) * 20 AS BIGINT) AS duration_ms
+    FROM voicedf GROUP BY doc_id, isl
+    """,
+)
+def multimodal_vad_segments(spark, sf_dir):
+    """SPEECH SEGMENTATION — merge frame-level voice-activity flags
+    into contiguous speech segments (the gaps-and-islands pass every
+    ASR data pipeline runs between VAD and transcription, producing
+    the utterance boundaries that become training clips). Frames come
+    from REALLY decoded WAV payloads (`_vad_frames`: encode a
+    patterned square wave, RIFF-parse it back, 20 ms frame RMS >
+    0 = voiced) in partition-parallel mapInPandas; the segment merge
+    itself is pure JVM — row_number islands over voiced frames, one
+    window + one groupBy, the same gaps-and-islands shape
+    `dedup_substring_spans` uses on text. Every segment boundary is
+    closed-form checkable from the activity mask arithmetic."""
+    from pyspark.sql import Window as W
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id")
+    )
+    frames = d.mapInPandas(
+        _vad_frames,
+        schema="doc_id long, frame_idx long, voiced boolean, rate long",
+    )
+    voiced = frames.filter("voiced").withColumn(
+        "isl",
+        F.col("frame_idx")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("frame_idx")),
+    )
+    return voiced.groupBy("doc_id", "isl").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count("*").alias("n_frames"),
+        (F.count("*") * 20).alias("duration_ms"),
+    ).drop("isl")

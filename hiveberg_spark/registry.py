@@ -59,18 +59,19 @@ def load_all() -> None:
 #     and have never had a driver CORRECTNESS row (the PCA/whitening
 #     pair, the persisted/incremental/streaming IVF lifecycle,
 #     metadata columns, the attribution pair, k-means refine);
-# (b) the seventeen round-8 additions (containment dedup, soft-dedup
+# (b) the eighteen round-8 additions (containment dedup, soft-dedup
 #     weights, boilerplate removal, time-decay + Markov removal-effect
 #     attribution + CUPED, count-min sketch, bucketed co-located +
 #     range joins, OPQ, b-bit minhash, Procrustes alignment, bigram
-#     LM, data card, persisted + incremental + streaming BM25 index);
+#     LM, data card, persisted/incremental/streaming BM25 index, VAD
+#     speech segmentation);
 # (c) re-checks of queries whose CODE changed this round (ADVICE r7
 #     fixes): dedup_simhash (truth-universe alignment), the two
 #     tick-ordered CDC streams, and the MOR/DV read bench (fixture
 #     cache mtime refresh). embedding_pca_power/_whiten_abtt and
 #     embedding_outlier_zscore also changed but are already in (a);
 # (d) rotation: the stalest green rows — queries last driver-checked
-#     in ROUND 1 (45 such; the 18 that fit take the remaining slots,
+#     in ROUND 1 (45 such; the 17 that fit take the remaining slots,
 #     the rest lead DEFERRED for round 9).
 DRIVER_WINDOW: list[str] = [
     # (a) never driver-checked
@@ -98,6 +99,7 @@ DRIVER_WINDOW: list[str] = [
     "text_bm25_persisted",
     "text_bm25_incremental",
     "text_bm25_stream_refresh",
+    "multimodal_vad_segments",
     "dedup_soft_weights",
     "text_boilerplate_dedup",
     "events_attribution_decay",
@@ -124,7 +126,6 @@ DRIVER_WINDOW: list[str] = [
     "scan_multifile_union",
     "join_inner_equi",
     "join_left_outer",
-    "join_right_outer",
     "agg_basic_stats",
     "window_ranking",
 ]
@@ -133,6 +134,7 @@ DRIVER_WINDOW: list[str] = [
 # round-8 slot (all green r1 AND in local oracle parity at
 # sf0.001+sf0.01); they lead round 9's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "join_right_outer",
     "join_full_outer",
     "join_left_semi",
     "join_left_anti",
