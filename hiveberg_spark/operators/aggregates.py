@@ -1115,7 +1115,12 @@ def events_attribution_decay(spark, sf_dir):
                 f"least(dmicros div {_DECAY_HL_MICROS}L, {_DECAY_K_CAP})"
             ).cast("int"),
         )
-        .withColumn("w", F.expr("1.0 / shiftleft(1L, k)"))
+        # 1.0 (double) / 2^k (long->double, exact for k<=30) — NOT the
+        # decimal-typed `1.0 / shiftleft(...)` SQL form, whose
+        # DECIMAL(23,22) result can't represent 2^-k for k in 23..30
+        # (ADVICE r8): a double-vs-decimal 6-dp drift vs the DuckDB
+        # oracle's double on long-horizon fixtures.
+        .withColumn("w", F.expr("1.0D / shiftleft(1L, k)"))
         .withColumn("sw", F.sum("w").over(W.partitionBy("conv_id")))
     )
     credited = touch.select(

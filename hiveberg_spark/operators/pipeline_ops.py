@@ -1259,7 +1259,7 @@ def pipeline_data_card(spark, sf_dir):
                SUM(size(split(text, ' '))) AS total_tokens,
                SUM(n_chars) AS total_chars,
                COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dup_docs,
-               ROUND(SUM(size(split(text, ' '))) * 1.0 / COUNT(*), 6)
+               ROUND(CAST(SUM(size(split(text, ' '))) AS DOUBLE) / COUNT(*), 6)
                  AS avg_tokens
         FROM documents
         GROUP BY GROUPING SETS ((source, lang), (source), ())

@@ -279,6 +279,38 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert only_hot == []
 
 
+def test_containment_hot_shingle_cap(spark):
+    """Adversarial skew guard for the CONTAINMENT path (VERDICT r8 #2):
+    same shape as the Jaccard guard — a stop-shingle shared by every
+    document must not quadratically connect the corpus, and a true
+    excerpt (subset) pair must still score its exact (uncapped)
+    containment in both directions after the cap + full-set reverify."""
+    from hiveberg_spark.operators.dedup import containment_pairs, shingled
+
+    hot = "the quick fox"
+    tail = " ".join(f"w{i}" for i in range(30))
+    rows = [(0, f"{hot} {tail}")]  # the full doc
+    # a prefix excerpt: its shingles are a strict subset of doc 0's
+    rows.append((1, f"{hot} " + " ".join(f"w{i}" for i in range(10))))
+    # 50 unrelated docs whose ONLY overlap is the hot shingle
+    for i in range(2, 52):
+        rows.append((i, f"{hot} " + " ".join(f"u{i}_{j}" for j in range(10))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingled(docs).persist()
+
+    capped = containment_pairs(sh, 0.8, df_cap=10)
+    uncapped = containment_pairs(sh, 0.8, df_cap=None)
+    got = {(r.doc_a, r.doc_b): r.containment for r in capped.collect()}
+    want = {(r.doc_a, r.doc_b): r.containment for r in uncapped.collect()}
+    # the excerpt->source direction survives with its exact score 1.0
+    assert got.get((1, 0)) == 1.0
+    assert got == want  # capping changed candidates, never scores
+    # the reverse (source->excerpt) direction is sub-threshold
+    assert (0, 1) not in got
+    # hot-only overlaps never become pairs
+    assert [(a, b) for (a, b) in got if a >= 2 and b >= 2] == []
+
+
 def test_temperature_mixture_upweights_low_resource(spark, sf_dir):
     """The defining property of temperature sampling (α<1): a source's
     kept/total rate must be weakly DECREASING in source size — smaller

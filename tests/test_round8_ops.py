@@ -8,6 +8,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 def test_opq_rotation_is_orthogonal_and_deterministic():
@@ -64,19 +65,62 @@ def test_write_ticks_ordered_mtimes_strictly_increase(spark, tmp_path):
     assert per_tick[0] < per_tick[1] < per_tick[2], per_tick
 
 
-def test_bbit_estimator_exact_for_identical_signatures():
-    # P = 1 (all slots match) must map to resemblance exactly 1.0
-    b = 2
-    c = 1.0 / (1 << b)
-    est = (1.0 - c) / (1.0 - c)
-    assert est == 1.0
+def test_bbit_estimator_on_real_signatures(spark):
+    # Drive the PRODUCTION signature pipeline (shingled ->
+    # minhash_signatures) on constructed docs and apply the operator's
+    # own estimator constants: identical docs must estimate exactly 1.0,
+    # a one-token edit must land within _BBIT_TOL of its exact Jaccard.
+    from hiveberg_spark.operators.dedup import (
+        _BBIT,
+        _BBIT_TOL,
+        _N_PERM,
+        minhash_signatures,
+        shingled,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " zebra")],
+        "doc_id long, text string",
+    )
+    sh = shingled(docs)
+    sigs = {r["doc_id"]: [r[f"s{p}"] for p in range(_N_PERM)]
+            for r in minhash_signatures(sh).collect()}
+    shs = {r["doc_id"]: set(r["shingles"]) for r in sh.collect()}
+    mask = (1 << _BBIT) - 1
+    c = 1.0 / (1 << _BBIT)
+
+    def est(a, b):
+        p = sum(
+            (sigs[a][i] & mask) == (sigs[b][i] & mask) for i in range(_N_PERM)
+        ) / _N_PERM
+        return (p - c) / (1.0 - c)
+
+    assert est(1, 2) == 1.0  # identical shingle sets -> all slots match
+    jac = len(shs[1] & shs[3]) / len(shs[1] | shs[3])
+    assert jac < 1.0
+    assert abs(est(1, 3) - jac) <= _BBIT_TOL, (est(1, 3), jac)
 
 
-def test_cms_bound_is_positive_and_scales_with_corpus():
-    from hiveberg_spark.operators.sketches import _CMS_D, _CMS_W
+def test_cms_estimate_bound_on_constructed_skew(spark, tmp_path):
+    # Run the REGISTERED operator end-to-end on a constructed skewed
+    # events table: one heavy user (600 events) among 300 light ones.
+    # The CMS estimate must be >= exact (one-sided error) and within
+    # the 4N/w bound for every reported heavy hitter.
+    from hiveberg_spark import registry
 
-    assert _CMS_D >= 2 and _CMS_W >= 256
-    # the contract's 4N/w bound at the fixture sizes exceeds the
-    # expected overestimate (N/w) with a 4x margin by construction
-    for n in (10_000, 100_000):
-        assert 4.0 * n / _CMS_W > n / _CMS_W
+    rows = [(i, 1, "click", 1.0) for i in range(600)]
+    rows += [(600 + u, 2 + u, "click", 1.0) for u in range(300)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000)).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r["user_id"]: r
+        for r in registry.QUERIES["sketch_cms_heavy_hitters"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1]["exact_cnt"] == 600
+    assert all(r["cms_ge_exact"] and r["cms_within_bound"] for r in out.values())
