@@ -1131,3 +1131,142 @@ def dedup_bbit_minhash(spark, sf_dir):
             ).alias("bbit_within_tol"),
         )
     )
+
+
+# -- URL / host-level dedup (round 9) ------------------------------------------
+
+
+_URL_DEDUP_ORACLE = """
+    WITH urls AS (
+      SELECT doc_id * 10 + 0 AS url_id,
+             'https://Example.COM/page/' || doc_id AS url
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id * 10 + 1,
+             'https://www.example.com/page/' || doc_id || '/'
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id * 10 + 2,
+             'http://example.com/page/' || doc_id
+               || '?utm_source=feed&utm_medium=rss'
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id * 10 + 3,
+             'https://example.com/page/' || doc_id || '#section-2'
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id * 10 + 9,
+             'https://host' || (doc_id % 7) || '.org/doc/' || doc_id
+      FROM documents
+    ),
+    stripped AS (
+      SELECT url_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(url, '#.*$', ''),
+                 '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+               '^https?://', '') AS u
+      FROM urls
+    ),
+    canon AS (
+      SELECT url_id,
+             regexp_replace(lower(regexp_extract(u, '^([^/]+)', 1)),
+                            '^www\\.', '')
+               || regexp_replace(substr(u, 1 + length(regexp_extract(u, '^([^/]+)', 1))),
+                                 '/$', '') AS canonical_url,
+             regexp_replace(lower(regexp_extract(u, '^([^/]+)', 1)),
+                            '^www\\.', '') AS host
+      FROM stripped
+    )
+    SELECT canonical_url, host,
+           CAST(MIN(url_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM canon
+    GROUP BY canonical_url, host
+    """
+
+
+@query("dedup_url_host", oracle=_URL_DEDUP_ORACLE)
+def dedup_url_host(spark, sf_dir):
+    """URL-LEVEL dedup with canonicalization — the cheapest and
+    first-run dedup stage of every web-crawl pipeline (CCNet, RefinedWeb,
+    FineWeb all key their first pass on the normalized URL): strip
+    fragment, strip utm_* tracking params, strip scheme, lowercase the
+    host, drop a leading `www.`, drop a trailing slash — then exact-dedup
+    on the canonical form, keep-first. The fixture (documents has no URL
+    column) synthesizes a deterministic URL corpus with four planted
+    variants per doc_id < 25 (host-case, www+slash, scheme+tracking
+    params, fragment) that MUST collapse to one canonical each, plus one
+    unique URL per doc as negatives. Everything is JVM-side string/regex
+    work + one groupBy keyed on the canonical URL — the `dedup_exact`
+    shape, shuffle width capped by distinct-URL count; at 100 TB this
+    runs before any content hash is ever computed. The `host` column
+    doubles as the key for host-level rollups (crawl budgeting,
+    robots-denial audits)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    lt = d.filter(F.col("doc_id") < 25)
+    did = F.col("doc_id").cast("string")
+    variants = [
+        lt.select(
+            (F.col("doc_id") * 10 + 0).alias("url_id"),
+            F.concat(F.lit("https://Example.COM/page/"), did).alias("url"),
+        ),
+        lt.select(
+            (F.col("doc_id") * 10 + 1).alias("url_id"),
+            F.concat(
+                F.lit("https://www.example.com/page/"), did, F.lit("/")
+            ).alias("url"),
+        ),
+        lt.select(
+            (F.col("doc_id") * 10 + 2).alias("url_id"),
+            F.concat(
+                F.lit("http://example.com/page/"),
+                did,
+                F.lit("?utm_source=feed&utm_medium=rss"),
+            ).alias("url"),
+        ),
+        lt.select(
+            (F.col("doc_id") * 10 + 3).alias("url_id"),
+            F.concat(
+                F.lit("https://example.com/page/"), did, F.lit("#section-2")
+            ).alias("url"),
+        ),
+        d.select(
+            (F.col("doc_id") * 10 + 9).alias("url_id"),
+            F.concat(
+                F.lit("https://host"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org/doc/"),
+                did,
+            ).alias("url"),
+        ),
+    ]
+    urls = variants[0]
+    for v in variants[1:]:
+        urls = urls.unionByName(v)
+    u = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), "#.*$", ""),
+            r"[?&]utm_[a-z]+=[^&#]*",
+            "",
+        ),
+        "^https?://",
+        "",
+    )
+    stripped = urls.select("url_id", u.alias("u"))
+    raw_host = F.regexp_extract(F.col("u"), "^([^/]+)", 1)
+    host = F.regexp_replace(F.lower(raw_host), r"^www\.", "")
+    path = F.regexp_replace(
+        F.expr("substr(u, 1 + length(regexp_extract(u, '^([^/]+)', 1)))"),
+        "/$",
+        "",
+    )
+    canon = stripped.select(
+        "url_id",
+        F.concat(host, path).alias("canonical_url"),
+        host.alias("host"),
+    )
+    return canon.groupBy("canonical_url", "host").agg(
+        F.min("url_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )

@@ -1265,3 +1265,182 @@ def pipeline_data_card(spark, sf_dir):
         GROUP BY GROUPING SETS ((source, lang), (source), ())
         """
     )
+
+
+# -- per-source contamination report (round 9) ---------------------------------
+
+
+@query(
+    "pipeline_contamination_report",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, source, array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ') AS g
+      FROM words, UNNEST(range(1, GREATEST(len(w) - {DECON_NGRAM - 2}, 1))) AS t(i)
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE source = '{DECON_EVAL_SOURCE}'
+    ), hit AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE source <> '{DECON_EVAL_SOURCE}' AND g IN (SELECT g FROM eval_grams)
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COUNT(h.doc_id) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_rate,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL
+                    THEN len(string_split(d.text, ' ')) ELSE 0 END)
+                AS BIGINT) AS clean_tokens
+    FROM documents d LEFT JOIN hit h USING (doc_id)
+    WHERE d.source <> '{DECON_EVAL_SOURCE}'
+    GROUP BY d.source
+    """,
+)
+def pipeline_contamination_report(spark, sf_dir):
+    """PER-SOURCE CONTAMINATION REPORT — the release-gate artifact a
+    decontamination run emits (VERDICT r8 #8): for every training
+    source, how many documents share a {DECON_NGRAM}-gram with the eval
+    corpus (`{DECON_EVAL_SOURCE}` stands in for the benchmark suite),
+    the contamination rate, and the token budget that survives the
+    scrub. Composes the SAME gram/semi-join machinery as
+    `decontaminate_ngram_overlap` (per-row JVM gram arrays, explode to
+    (doc_id, gram), LEFT SEMI against the distinct eval grams —
+    broadcast-sized in production) and adds only one low-cardinality
+    per-source rollup on top, so the report costs one extra map-side-
+    combinable aggregate over the flag frame a scrub already produces.
+    Counts integer-exact; the rate is one IEEE division, 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = DECON_NGRAM
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    with_grams = docs.select(
+        "doc_id", "source", F.size(w).alias("n_tokens"), grams.alias("grams")
+    )
+    eval_grams = (
+        with_grams.filter(F.col("source") == DECON_EVAL_SOURCE)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train = with_grams.filter(F.col("source") != DECON_EVAL_SOURCE)
+    hit = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(eval_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    flagged = train.join(hit, "doc_id", "left")
+    contaminated = F.col("hit").isNotNull()
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(contaminated.cast("long")).alias("n_contaminated"),
+        F.round(
+            F.sum(contaminated.cast("long")).cast("double") / F.count("*"), 6
+        ).alias("contamination_rate"),
+        F.sum(
+            F.when(contaminated, F.lit(0)).otherwise(F.col("n_tokens"))
+        ).alias("clean_tokens"),
+    )
+
+
+# -- dedup cascade attrition report (round 9) -----------------------------------
+
+
+@query(
+    "pipeline_dedup_cascade_report",
+    oracle=f"""
+    WITH survivors1 AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    docs AS (SELECT doc_id, regexp_split_to_array(text,' ') AS w FROM survivors1),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [] END AS shingles
+      FROM docs
+    ),
+    tok AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    neardup AS (
+      SELECT DISTINCT doc_b AS doc_id FROM inter
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+      WHERE i / (len(sa.shingles) + len(sb.shingles) - i)
+            >= {JACCARD_THRESHOLD}
+    ),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n0,
+             (SELECT COUNT(*) FROM survivors1) AS n1,
+             (SELECT COUNT(*) FROM neardup) AS nd
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'exact' AS name,
+             CAST(n0 AS BIGINT) AS docs_in,
+             CAST(n0 - n1 AS BIGINT) AS docs_removed,
+             CAST(n1 AS BIGINT) AS docs_out,
+             ROUND(CAST(n0 - n1 AS DOUBLE) / n0, 6) AS removal_rate
+      FROM n
+      UNION ALL
+      SELECT 2, 'neardup_jaccard',
+             CAST(n1 AS BIGINT), CAST(nd AS BIGINT),
+             CAST(n1 - nd AS BIGINT),
+             ROUND(CAST(nd AS DOUBLE) / n1, 6)
+      FROM n
+    )
+    """,
+)
+def pipeline_dedup_cascade_report(spark, sf_dir):
+    """DEDUP CASCADE ATTRITION REPORT — the per-stage funnel every
+    curation run logs (how many documents each dedup stage removed, in
+    pipeline order): stage 1 exact content-hash keep-first, stage 2
+    near-dup removal of every doc that is the HIGHER id of an exact-
+    Jaccard >= {JACCARD_THRESHOLD} pair among stage-1 survivors
+    (keep-lowest, pair-based — the deterministic, SQL-expressible
+    policy; the transitive-closure variant is `dedup_cluster_pick`).
+    Composes the registered stages' own machinery: the `dedup_exact_
+    survivors` window and the DF-capped `ngram_jaccard_pairs` index, so
+    the report IS the pipeline, not a re-implementation. Output is two
+    fixed rows — the driver artifact a 100 TB run ships to its
+    dashboard; every count is one distributed aggregate, nothing
+    driver-side."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n0 = docs.count()
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    survivors1 = (
+        docs.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    )
+    n1 = survivors1.count()
+    pairs = ngram_jaccard_pairs(
+        shingled(survivors1).persist(), JACCARD_THRESHOLD, SHINGLE_DF_CAP
+    )
+    nd = pairs.select("doc_b").distinct().count()
+    rows = [
+        (1, "exact", n0, n0 - n1, n1, round((n0 - n1) / n0, 6)),
+        (2, "neardup_jaccard", n1, nd, n1 - nd, round(nd / n1, 6)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage int, name string, docs_in long, docs_removed long, "
+        "docs_out long, removal_rate double",
+    )

@@ -1475,3 +1475,112 @@ def text_bm25_stream_refresh(spark, sf_dir):
     out.count()  # materialize before the temp dirs are removed
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# -- tokenizer fertility / bytes-per-token audit (round 9) --------------------
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source, lang,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS n_bpe,
+             LENGTH(text) AS n_bytes
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+           ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_bpe), 6)
+             AS bytes_per_token
+    FROM per_doc
+    GROUP BY source, lang
+    """,
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """TOKENIZER FERTILITY audit — the per-(source, lang) table every
+    multilingual-corpus report carries: fertility (subword tokens per
+    whitespace word) and bytes-per-token quantify how expensive each
+    slice is to train on under a given tokenizer (high-fertility
+    languages consume budget faster and under-train per byte). Uses the
+    house BPE-ish regex tokenizer (`text_bpe_ish_tokens`) as the
+    subword stand-in. Shape: per-row JVM regex counts (no Python, no
+    explode) then ONE groupBy over a low-cardinality (source, lang)
+    key — map-side combinable, the cheapest audit in the stack at any
+    scale. Ratios are one IEEE division of exact (<2^53) integer sums,
+    rounded to 6 dp; token counts are integer-exact in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+            )
+        ).alias("n_bpe"),
+        F.length("text").alias("n_bytes"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_bpe"), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+@query(
+    "text_ttr_hapax",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT source, w, COUNT(*) AS f FROM tok GROUP BY source, w)
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE f = 1) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(f), 6) AS ttr,
+           ROUND(CAST(COUNT(*) FILTER (WHERE f = 1) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_rate
+    FROM freq
+    GROUP BY source
+    """,
+)
+def text_ttr_hapax(spark, sf_dir):
+    """LEXICAL DIVERSITY audit per source: type-token ratio and hapax-
+    legomenon rate — the classic screens for template/boilerplate farms
+    (TTR collapses when a source stamps the same page out) and for
+    OCR/garbage sources (hapax rate spikes when noise mints new
+    "words"). Shape: explode to (source, word), ONE groupBy to word
+    frequencies (map-side combinable; key space = vocabulary, which
+    grows sub-linearly in corpus size by Heaps' law), ONE low-
+    cardinality per-source rollup — no joins, no windows, the same two
+    shuffles at 100 TB. Counts integer-exact; ratios one IEEE division
+    rounded to 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("f"))
+    )
+    hapax = F.sum((F.col("f") == 1).cast("long"))
+    return freq.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.round(F.count("*").cast("double") / F.sum("f"), 6).alias("ttr"),
+        F.round(hapax.cast("double") / F.count("*"), 6).alias("hapax_rate"),
+    )
