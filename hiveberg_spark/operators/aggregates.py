@@ -1465,3 +1465,102 @@ def events_cuped(spark, sf_dir):
         )
         .select("arm", "n_users", "mean_post", "mean_adjusted", "theta")
     )
+
+
+# -- bot / automated-traffic detection (round 9) --------------------------------
+
+_BOT_RATE_EPH = 100.0  # events-per-hour flag threshold (humans: ~0.1)
+_BOT_N = 500  # planted events per synthetic bot
+_BOT_USERS = 3  # planted bot accounts
+
+
+@query(
+    "events_bot_detection",
+    oracle=f"""
+    WITH bots AS (
+      SELECT 9000 + b AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) SECOND AS ts,
+             'click' AS event_type
+      FROM generate_series(0, {_BOT_USERS - 1}) AS g(b),
+           generate_series(0, {_BOT_N - 1}) AS s(i)
+    ),
+    aug AS (
+      SELECT user_id, ts, event_type FROM events
+      UNION ALL
+      SELECT user_id, ts, event_type FROM bots
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS span_secs,
+             CAST(COUNT(*) FILTER (WHERE hour(ts) BETWEEN 0 AND 5)
+                  AS BIGINT) AS n_night
+      FROM aug GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           CAST(span_secs AS BIGINT) AS span_secs,
+           ROUND(n_events * 3600.0 / GREATEST(span_secs, 1), 6)
+             AS events_per_hour,
+           ROUND(CAST(n_night AS DOUBLE) / n_events, 6) AS night_share,
+           (n_events * 3600.0 / GREATEST(span_secs, 1) > {_BOT_RATE_EPH}
+            OR n_types = 1) AS is_bot
+    FROM per_user
+    """,
+)
+def events_bot_detection(spark, sf_dir):
+    """BOT / AUTOMATED-TRAFFIC detection — the first scrub a web-events
+    corpus runs before any engagement signal is trusted (and the events
+    twin of the documents table's quality filters): per-user request
+    rate, event-type diversity, and night-hour share, flagged on
+    rate > {_BOT_RATE_EPH}/hour or single-type behavior. The fixture has
+    no bots (all users ~0.1 events/hour, all 5 types), so {_BOT_USERS}
+    synthetic bot accounts are planted — {_BOT_N} single-type events at
+    exactly 1-second cadence — which must flag while every organic user
+    stays clean. Shape: ONE groupBy(user_id) over the event stream
+    (map-side combinable; no windows, no joins), the same aggregate a
+    1000-executor run computes per shard and merges. span/counts are
+    exact integers; the two ratios are single IEEE divisions, 6 dp."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    bots = (
+        spark.range(_BOT_USERS)
+        .select(
+            (F.lit(9000) + F.col("id")).alias("user_id"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOT_N - 1))
+            ).alias("i"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(
+                F.unix_micros(base) + F.col("i") * 1000000
+            ).alias("ts"),
+            F.lit("click").alias("event_type"),
+        )
+    )
+    aug = ev.unionByName(bots)
+    span = (
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        / F.lit(1000000)
+    ).cast("long")
+    per_user = aug.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        span.alias("span_secs"),
+        F.sum(F.hour("ts").between(0, 5).cast("long")).alias("n_night"),
+    )
+    eph = F.col("n_events") * 3600.0 / F.greatest(F.col("span_secs"), F.lit(1))
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "span_secs",
+        F.round(eph, 6).alias("events_per_hour"),
+        F.round(F.col("n_night").cast("double") / F.col("n_events"), 6).alias(
+            "night_share"
+        ),
+        ((eph > _BOT_RATE_EPH) | (F.col("n_types") == 1)).alias("is_bot"),
+    )

@@ -1444,3 +1444,102 @@ def pipeline_dedup_cascade_report(spark, sf_dir):
         "stage int, name string, docs_in long, docs_removed long, "
         "docs_out long, removal_rate double",
     )
+
+
+# -- token-budget water-filling across sources (round 9) -------------------------
+
+
+@query(
+    "pipeline_budget_waterfill",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(t) AS BIGINT) AS total,
+             CAST(SUM(t) // 2 AS BIGINT) AS b
+      FROM src
+    ),
+    ordered AS (
+      SELECT source, t,
+             ROW_NUMBER() OVER (ORDER BY t, source) AS rn,
+             SUM(t) OVER (ORDER BY t, source
+                          ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM src
+    ),
+    lvl AS (
+      SELECT COALESCE(MAX(CASE WHEN prefix + t * (k - rn) <= b
+                           THEN rn END), 0) AS mstar,
+             COALESCE(MAX(CASE WHEN prefix + t * (k - rn) <= b
+                           THEN prefix END), 0) AS pstar,
+             MAX(k) AS k, MAX(b) AS b
+      FROM ordered, tot
+    ),
+    c AS (
+      SELECT CASE WHEN k > mstar
+                  THEN CAST(b - pstar AS DOUBLE) / (k - mstar)
+                  ELSE CAST(b AS DOUBLE) END AS level
+      FROM lvl
+    )
+    SELECT o.source, o.t AS tokens,
+           ROUND(LEAST(CAST(o.t AS DOUBLE), c.level), 6) AS allocation,
+           (CAST(o.t AS DOUBLE) > c.level) AS capped
+    FROM ordered o, c
+    """,
+)
+def pipeline_budget_waterfill(spark, sf_dir):
+    """TOKEN-BUDGET WATER-FILLING across sources — the mixture-design
+    allocator behind "cap the big crawls, keep the small curated sets
+    whole": given a training budget B (here half the corpus), every
+    source gets min(tokens, c) where the water level c is chosen so the
+    allocations sum exactly to B. The classic O(k log k) closed form:
+    sort sources by size, find the largest prefix m* that fits fully
+    funded (prefix_m + t_m·(k−m) ≤ B — the fit test is monotone in m,
+    so m* is well-defined), then c = (B − prefix_{m*})/(k − m*).
+    Shape: the corpus-wide scan is ONE map-side-combinable
+    groupBy(source); everything after runs on the k-row source table
+    (k ≈ 20 here, ≤ thousands in production — the global sort window is
+    over that TINY frame, never the corpus). Determinism: counts and
+    prefixes are exact integers, c is one IEEE division both engines
+    compute from identical integers, and allocations are rounded to
+    6 dp after a least() against c."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    )
+    tot = src.agg(
+        F.count("*").alias("k"),
+        F.sum("t").alias("total"),
+        (F.sum("t") / 2).cast("long").alias("b"),
+    )
+    wo = W.orderBy("t", "source")
+    ordered = src.select(
+        "source",
+        "t",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("t").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("prefix"),
+    )
+    fit = F.col("prefix") + F.col("t") * (F.col("k") - F.col("rn")) <= F.col("b")
+    lvl = ordered.crossJoin(F.broadcast(tot)).agg(
+        F.coalesce(F.max(F.when(fit, F.col("rn"))), F.lit(0)).alias("mstar"),
+        F.coalesce(F.max(F.when(fit, F.col("prefix"))), F.lit(0)).alias("pstar"),
+        F.max("k").alias("k"),
+        F.max("b").alias("b"),
+    )
+    level = F.when(
+        F.col("k") > F.col("mstar"),
+        (F.col("b") - F.col("pstar")).cast("double")
+        / (F.col("k") - F.col("mstar")),
+    ).otherwise(F.col("b").cast("double"))
+    c = lvl.select(level.alias("level"))
+    return ordered.crossJoin(F.broadcast(c)).select(
+        "source",
+        F.col("t").alias("tokens"),
+        F.round(F.least(F.col("t").cast("double"), F.col("level")), 6).alias(
+            "allocation"
+        ),
+        (F.col("t").cast("double") > F.col("level")).alias("capped"),
+    )

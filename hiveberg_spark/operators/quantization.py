@@ -591,3 +591,91 @@ def simsearch_opq_rerank(spark, sf_dir):
     return _adc_rerank_contract(
         spark, e, codes, centroids, _OPQ_RECALL_BOUND, sf_dir=sf_dir, R=R
     )
+
+
+# -- 1-bit (binary sign) quantization + Hamming prefilter (round 9) -----------
+
+_BIN_RERANK = 16  # hamming-prefiltered candidates per query = factor x k
+
+# Measured recall@5 of the sign-bit prefilter with the 16xk rerank:
+# 0.92 (sf0.001) / 0.80 (sf0.01, the driver's gate) — 1-bit codes keep
+# less ranking signal than SQ8 but more than enough for a rerank tier.
+# Bound 0.6 sits under both; the quantizer has zero trained state (a
+# sign test), so only a real regression flips the contract row.
+_BIN_RECALL_BOUND = 0.6
+
+
+def _sign_pack(offset: int) -> "F.Column":
+    """Pack 32 sign bits of `embedding` dims [offset, offset+32) into a
+    non-negative BIGINT (two 32-bit halves per 64-dim vector: bit 63 of
+    a single-long pack would need 2^63, overflowing BIGINT in engines
+    that check)."""
+    return F.expr(
+        "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+        f"IF(element_at(embedding, i + {offset + 1}) > 0, "
+        "shiftleft(1L, i), 0L))"
+    )
+
+
+def binary_hamming_topk(spark, sf_dir):
+    """Binary-quantized search with exact rerank: 1 bit per dimension
+    (sign test — embeddings are zero-centered), 8 bytes per vector in
+    two packed 32-bit halves, corpus scanned with XOR+POPCOUNT hamming
+    distance, top RERANK x k per query re-scored with exact float
+    cosine. This is the 32x-compression binary-embeddings serving path
+    (the RAM-resident rescoring tier production vector stores put in
+    front of full-precision disk reads): at 100 TB the hamming pass
+    reads 8 B/vector instead of 256 and costs 2 xor+popcount instead of
+    64 FMA. Output schema matches simsearch_bruteforce_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id",
+        "embedding",
+        _sign_pack(0).alias("b0"),
+        _sign_pack(32).alias("b1"),
+    )
+    q = coded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("b0").alias("q0"),
+        F.col("b1").alias("q1"),
+    )
+    approx = coded.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        "qv",
+        "embedding",
+        F.expr("bit_count(b0 ^ q0) + bit_count(b1 ^ q1)").alias("hamming"),
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    survivors = approx.withColumn("crn", F.row_number().over(wq)).filter(
+        F.col("crn") <= TOP_K * _BIN_RERANK
+    )
+    exact = survivors.select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
+@query("simsearch_binary_hamming", oracle=RECALL_CONTRACT_SQL)
+def simsearch_binary_hamming(spark, sf_dir):
+    """Binary (sign-bit) quantization search as a driver-checked recall
+    contract: the pack -> hamming-scan -> exact-rerank pipeline
+    (binary_hamming_topk) measured against the exact baseline, one
+    pinned row."""
+    return recall_contract(
+        simsearch_bruteforce_topk(spark, sf_dir),
+        binary_hamming_topk(spark, sf_dir),
+        _BIN_RECALL_BOUND,
+    )

@@ -556,3 +556,52 @@ def test_ivf_persisted_matches_inmemory_ivf(spark, sf_dir):
     assert bool(r.recall_ok) is True
     assert r.n_indexed == load_table(spark, sf_dir, "embeddings").count()
     assert r.n_truth == r.n_queries * 5
+
+
+def test_waterfill_allocations_sum_to_budget(spark, sf_dir):
+    """Water-filling's defining invariant: allocations sum to the budget
+    (half the corpus tokens), uncapped sources keep their full count,
+    and capped sources all sit at the common water level."""
+    rows = registry.QUERIES["pipeline_budget_waterfill"](spark, sf_dir).collect()
+    total = sum(r.tokens for r in rows)
+    got = sum(r.allocation for r in rows)
+    assert abs(got - total // 2) < 1e-6 * total
+    levels = {r.allocation for r in rows if r.capped}
+    assert len(levels) <= 1  # every capped source sits at one level
+    for r in rows:
+        if not r.capped:
+            assert r.allocation == float(r.tokens)
+
+
+def test_bot_detection_flags_only_planted_bots(spark, sf_dir):
+    rows = registry.QUERIES["events_bot_detection"](spark, sf_dir).collect()
+    bots = {r.user_id for r in rows if r.is_bot}
+    assert bots == {9000, 9001, 9002}
+    for r in rows:
+        if r.user_id >= 9000:
+            assert r.n_types == 1 and r.events_per_hour > 100
+        else:
+            assert r.events_per_hour < 1.0
+
+
+def test_binary_hamming_identical_vector_distance_zero(spark):
+    """The sign-pack must be a pure function of the vector: identical
+    embeddings pack identically (hamming 0) and a sign-flipped embedding
+    packs to the complement (hamming 64)."""
+    from hiveberg_spark.operators.quantization import _sign_pack
+
+    vec = [(-1.0) ** i * (0.1 + i / 100) for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, vec), (2, vec), (3, [-x for x in vec])],
+        "vec_id long, embedding array<float>",
+    )
+    packed = {
+        r.vec_id: (r.b0, r.b1)
+        for r in df.select(
+            "vec_id", _sign_pack(0).alias("b0"), _sign_pack(32).alias("b1")
+        ).collect()
+    }
+    assert packed[1] == packed[2]
+    mask32 = (1 << 32) - 1
+    assert packed[3][0] == packed[1][0] ^ mask32
+    assert packed[3][1] == packed[1][1] ^ mask32
