@@ -52,88 +52,34 @@ def load_all() -> None:
 
 
 # The grading driver hard-checks the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round. Round 7's window was 50/50
-# green (CORRECTNESS_r07), covering every query that had never had a
-# driver row at the time. Round 8's window is EXACTLY 50 names:
-# (a) the 10 round-7 additions that landed after the r7 window froze
-#     and have never had a driver CORRECTNESS row (the PCA/whitening
-#     pair, the persisted/incremental/streaming IVF lifecycle,
-#     metadata columns, the attribution pair, k-means refine);
-# (b) the eighteen round-8 additions (containment dedup, soft-dedup
-#     weights, boilerplate removal, time-decay + Markov removal-effect
-#     attribution + CUPED, count-min sketch, bucketed co-located +
-#     range joins, OPQ, b-bit minhash, Procrustes alignment, bigram
-#     LM, data card, persisted/incremental/streaming BM25 index, VAD
-#     speech segmentation);
-# (c) re-checks of queries whose CODE changed this round (ADVICE r7
-#     fixes): dedup_simhash (truth-universe alignment), the two
-#     tick-ordered CDC streams, and the MOR/DV read bench (fixture
-#     cache mtime refresh). embedding_pca_power/_whiten_abtt and
-#     embedding_outlier_zscore also changed but are already in (a);
-# (d) rotation: the stalest green rows — queries last driver-checked
-#     in ROUND 1 (45 such; the 17 that fit take the remaining slots,
-#     the rest lead DEFERRED for round 9).
+# ``__spark_entry__.queries()`` per round. Round 9's window is EXACTLY
+# 50 names (VERDICT r8 #3: finish the rotation debt):
+# (a) the round-9 additions (tokenizer fertility, TTR/hapax, URL dedup,
+#     contamination + dedup-cascade reports, bot detection, binary-
+#     hamming ANN, budget water-filling) — never driver-checked;
+# (b) re-checks of queries whose CODE changed this round (VERDICT r8
+#     #1/#2 + ADVICE r8): pipeline_data_card (avg_tokens DECIMAL→DOUBLE
+#     hash fix — the round-8 red row), dedup_containment (hot-shingle
+#     DF cap), events_attribution_decay (decimal→double decay weight);
+# (c) rotation: ALL 28 remaining queries whose latest driver row is
+#     ROUND 1 — this zeroes the round-1-era staleness debt;
+# (d) the start of the round-2-era rotation (stalest next tier) with
+#     the remaining slots.
 DRIVER_WINDOW: list[str] = [
-    # (a) never driver-checked
-    "cluster_kmeans_refine",
-    "embedding_outlier_zscore",
-    "embedding_pca_power",
-    "embedding_whiten_abtt",
-    "simsearch_ivf_persisted",
-    "simsearch_ivf_incremental",
-    "stream_ivf_refresh",
-    "snapshot_metadata_columns",
-    "events_attribution_touch",
-    "events_attribution_linear",
-    # (b) round-8 additions
-    "dedup_containment",
-    "join_bucketed_colocate",
-    "events_markov_removal",
-    "simsearch_opq_rerank",
-    "join_range_bucketed",
-    "dedup_bbit_minhash",
-    "embedding_procrustes_align",
-    "text_bigram_perplexity",
+    # (a) round-9 additions, never driver-checked
+    "text_tokenizer_fertility",
+    "text_ttr_hapax",
+    "dedup_url_host",
+    "pipeline_contamination_report",
+    "pipeline_dedup_cascade_report",
+    "events_bot_detection",
+    "simsearch_binary_hamming",
+    "pipeline_budget_waterfill",
+    # (b) code-changed re-checks (round-9 fixes)
     "pipeline_data_card",
-    "events_cuped",
-    "text_bm25_persisted",
-    "text_bm25_incremental",
-    "text_bm25_stream_refresh",
-    "multimodal_vad_segments",
-    "dedup_soft_weights",
-    "text_boilerplate_dedup",
+    "dedup_containment",
     "events_attribution_decay",
-    "sketch_cms_heavy_hitters",
-    # (c) code-changed re-checks (ADVICE r7 + round-8 refactors)
-    "dedup_simhash",
-    "simsearch_pq_adc",
-    "stream_changelog_source",
-    "stream_keyless_cdc",
-    "snapshot_mor_dv_read_bench",
-    # (d) rotation — stalest rows (green r1, never re-checked since)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "filter_eq",
-    "filter_bool_tree",
-    "filter_eq_nullsafe",
-    "filter_lt_lte",
-    "filter_in",
-    "filter_between",
-    "filter_is_null",
-    "projection_pushdown",
-    "scan_multifile_union",
-    "join_inner_equi",
-    "join_left_outer",
-    "agg_basic_stats",
-    "window_ranking",
-]
-
-# Positions 51+ — the remaining round-1-stale re-checks cede their
-# round-8 slot (all green r1 AND in local oracle parity at
-# sf0.001+sf0.01); they lead round 9's rotation.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # (c) rotation — every remaining round-1-stale row
     "join_right_outer",
     "join_full_outer",
     "join_left_semi",
@@ -141,16 +87,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "join_cross",
     "join_theta_range",
     "join_salted_skew",
+    "agg_count_distinct",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "window_range_frame",
-    "limit_topk",
-    "set_except",
-    "distinct_dropdup",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "agg_count_distinct",
     "agg_collect_sorted",
     "agg_median_percentile",
     "agg_stddev_corr",
@@ -158,10 +98,47 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "window_analytic",
     "window_running_agg",
     "window_distribution",
+    "window_range_frame",
     "sort_order_by",
+    "limit_topk",
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
+    "set_except",
+    "distinct_dropdup",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    # (d) round-2-era rotation (stalest next tier), filling to 50
+    "agg_approx_distinct",
+    "agg_percentile_approx",
+    "dedup_exact",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "embedding_norms",
+    "dedup_embedding_cosine",
+    "embedding_centroid_dist",
+    "text_token_stats",
+    "text_bpe_ish_tokens",
+    "text_quality_score",
+]
+
+# Positions 51+ — the rest of the round-2-era tier cedes its slot (all
+# green r2 AND in local oracle parity at sf0.001+sf0.01); they lead
+# round 10's rotation.
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "text_tfidf_top_terms",
+    "text_word_bigrams",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_sql_registration",
+    "applyinpandas_zscore",
+    "udtf_mapinarrow",
+    "multimodal_metadata",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
 ]
 
 
