@@ -78,6 +78,10 @@ HEADLINE = [
     # warehouse; subsequent runs are the serve path alone — the number
     # tracks stored-index query cost round-over-round)
     "text_bm25_persisted",
+    # round 9: the binary (1-bit sign) quantization serve path —
+    # 8 B/vector hamming scan + exact rerank; the cheap tier of the
+    # quantization ladder the bench already tracks at SQ8/PQ/IVF
+    "simsearch_binary_hamming",
 ]
 
 
@@ -88,10 +92,13 @@ def _bench_fns():
     became a recall CONTRACT in round 5 (it additionally runs the
     brute-force baseline — a correctness harness, not the workload this
     bench has tracked since round 1)."""
+    from hiveberg_spark.operators.quantization import binary_hamming_topk
     from hiveberg_spark.operators.simsearch import ivf_topk
 
     fns = {name: registry.QUERIES[name] for name in HEADLINE}
     fns["simsearch_ivf"] = ivf_topk
+    # same contract-vs-workload split as simsearch_ivf
+    fns["simsearch_binary_hamming"] = binary_hamming_topk
     return fns
 
 

@@ -1270,3 +1270,72 @@ def dedup_url_host(spark, sf_dir):
         F.min("url_id").alias("keep_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+# -- cross-source duplicate overlap matrix (round 9) ---------------------------
+
+
+_XSRC_ORACLE = """
+    WITH aug AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, text, 'mirror_a'
+      FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 6000000, text, 'mirror_b'
+      FROM documents WHERE doc_id < 10
+    ),
+    h AS (SELECT md5(text) AS h, source, doc_id FROM aug)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(DISTINCT a.h) AS BIGINT) AS shared_contents,
+           CAST(COUNT(*) AS BIGINT) AS dup_doc_pairs
+    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """
+
+
+@query("dedup_cross_source_overlap", oracle=_XSRC_ORACLE)
+def dedup_cross_source_overlap(spark, sf_dir):
+    """CROSS-SOURCE duplicate OVERLAP MATRIX — the "which crawls
+    re-collected the same pages" audit a mixture designer reads before
+    weighting sources (two crawls with 40% content overlap are NOT two
+    independent datasets): for every source pair sharing at least one
+    exact-duplicate content, the count of shared distinct contents and
+    of duplicate doc pairs. The fixture has no natural cross-source
+    dupes, so two mirror sources are planted (doc_id < 20 re-sourced as
+    `mirror_a`, doc_id < 10 as `mirror_b`) — every planted content must
+    surface against its original's source, and mirror_a∩mirror_b must
+    report exactly the 10 shared contents. Shape: ONE md5 groupBy-free
+    self-equi-join on the content hash (shuffle keyed on the hash,
+    fan-out bounded by per-content copy counts — the dedup_exact
+    invariant that copies of one content are few), then a groupBy on
+    the tiny (source, source) key space. No all-pairs anything."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            "text",
+            F.lit("mirror_a").alias("source"),
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 6000000).alias("doc_id"),
+            "text",
+            F.lit("mirror_b").alias("source"),
+        )
+    )
+    h = aug.select(F.md5("text").alias("h"), "source", "doc_id")
+    a = h.select(F.col("h"), F.col("source").alias("source_a"))
+    b = h.select(
+        F.col("h").alias("h2"), F.col("source").alias("source_b")
+    )
+    return (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.countDistinct("h").alias("shared_contents"),
+            F.count("*").alias("dup_doc_pairs"),
+        )
+    )

@@ -1543,3 +1543,180 @@ def pipeline_budget_waterfill(spark, sf_dir):
         ),
         (F.col("t").cast("double") > F.col("level")).alias("capped"),
     )
+
+
+# -- per-source PII incidence report (round 9) ----------------------------------
+
+
+@query(
+    "pipeline_pii_report",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             text
+               || CASE WHEN doc_id % 2 = 0
+                  THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                  THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                  ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-0148' ELSE '' END
+               AS t
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             LENGTH(t) - LENGTH(regexp_replace(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
+               AS email_chars,
+             LENGTH(t) - LENGTH(regexp_replace(
+               t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '', 'g')) AS ip_chars,
+             LENGTH(t) - LENGTH(regexp_replace(
+               t, '\\b[0-9]{3}-[0-9]{4}\\b', '', 'g')) AS phone_chars
+      FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE email_chars + ip_chars
+                                       + phone_chars > 0) AS BIGINT)
+             AS docs_with_pii,
+           CAST(SUM(email_chars) AS BIGINT) AS email_chars,
+           CAST(SUM(ip_chars) AS BIGINT) AS ip_chars,
+           CAST(SUM(phone_chars) AS BIGINT) AS phone_chars,
+           ROUND(CAST(COUNT(*) FILTER (WHERE email_chars + ip_chars
+                                             + phone_chars > 0) AS DOUBLE)
+                 / COUNT(*), 6) AS pii_rate
+    FROM per_doc GROUP BY source
+    """,
+)
+def pipeline_pii_report(spark, sf_dir):
+    """PER-SOURCE PII INCIDENCE REPORT — the compliance rollup a scrub
+    pass ships beside its output (`text_pii_scrub` is the per-document
+    redactor; this is the release artifact): per source, how many
+    documents carried any PII class, and the removed-character budget
+    per class. The corpus has no natural PII, so deterministic spans
+    are seeded on modular doc_id classes (emails on even ids, IPs on
+    %3, phones on %5) — giving every source a KNOWN mixed incidence
+    profile instead of 100%. Same Java∩RE2 portable regexes as the
+    scrub op; shape is one text pass + one low-cardinality groupBy —
+    audit-priced at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" tel 555-0148")).otherwise(
+            F.lit("")
+        ),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    phone = r"\b[0-9]{3}-[0-9]{4}\b"
+    per_doc = d.select(
+        "source",
+        (F.length(t) - F.length(F.regexp_replace(t, email, ""))).alias(
+            "email_chars"
+        ),
+        (F.length(t) - F.length(F.regexp_replace(t, ip, ""))).alias(
+            "ip_chars"
+        ),
+        (F.length(t) - F.length(F.regexp_replace(t, phone, ""))).alias(
+            "phone_chars"
+        ),
+    )
+    has_pii = (
+        F.col("email_chars") + F.col("ip_chars") + F.col("phone_chars") > 0
+    ).cast("long")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(has_pii).alias("docs_with_pii"),
+        F.sum("email_chars").alias("email_chars"),
+        F.sum("ip_chars").alias("ip_chars"),
+        F.sum("phone_chars").alias("phone_chars"),
+        F.round(F.sum(has_pii).cast("double") / F.count("*"), 6).alias(
+            "pii_rate"
+        ),
+    )
+
+
+# -- source-concentration audit: Gini + HHI (round 9) ----------------------------
+
+
+@query(
+    "pipeline_token_gini",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY source
+    ),
+    ordered AS (
+      SELECT t, ROW_NUMBER() OVER (ORDER BY t, source) AS i FROM src
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(t) AS BIGINT) AS total,
+             CAST(SUM(i * t) AS BIGINT) AS weighted,
+             CAST(SUM(t * t) AS BIGINT) AS sumsq
+      FROM ordered
+    )
+    SELECT k, total AS total_tokens,
+           ROUND(2.0 * weighted / (k * total) - CAST(k + 1 AS DOUBLE) / k, 6)
+             AS gini,
+           ROUND(CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * total), 6)
+             AS hhi
+    FROM agg
+    """,
+)
+def pipeline_token_gini(spark, sf_dir):
+    """SOURCE-CONCENTRATION audit — Gini coefficient and Herfindahl
+    index of the token distribution across sources, the one-row summary
+    a mixture report leads with ("is this corpus one giant crawl with
+    garnish, or a balanced mixture?"). Gini from the sorted closed form
+    2·Σ(i·tᵢ)/(k·T) − (k+1)/k; HHI = Σtᵢ²/T². Shape: the corpus scan is
+    ONE map-side-combinable groupBy(source); the rank window runs over
+    the k-row source frame only. Determinism: i·tᵢ and tᵢ² sums are
+    exact BIGINTs (tᵢ < 2^31 here; a 100 TB run would widen to DECIMAL),
+    so each output is one or two IEEE ops on identical integers,
+    rounded to 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    )
+    ordered = src.select(
+        "t", F.row_number().over(W.orderBy("t", "source")).alias("i")
+    )
+    agg = ordered.agg(
+        F.count("*").alias("k"),
+        F.sum("t").alias("total"),
+        F.sum(F.col("i") * F.col("t")).alias("weighted"),
+        F.sum(F.col("t") * F.col("t")).alias("sumsq"),
+    )
+    return agg.select(
+        "k",
+        F.col("total").alias("total_tokens"),
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (F.col("k") * F.col("total"))
+            - (F.col("k") + 1).cast("double") / F.col("k"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("sumsq").cast("double")
+            / (F.col("total").cast("double") * F.col("total")),
+            6,
+        ).alias("hhi"),
+    )

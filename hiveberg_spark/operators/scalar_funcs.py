@@ -272,3 +272,54 @@ def scalar_variant_funcs(spark, sf_dir):
         .alias("n_missing"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+@query(
+    "scalar_url_funcs",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+               || '?q=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=abc' AS u
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_extract(u, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(u, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(u, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(u, '\\?([^#]*)', 1) AS query,
+           regexp_extract(u, '[?&]q=([^&#]*)', 1) AS q_param
+    FROM urls
+    """,
+)
+def scalar_url_funcs(spark, sf_dir):
+    """URL scalar-function battery [H] — `parse_url` over PROTOCOL /
+    HOST / PATH / QUERY / per-key query parameter (Hive's parse_url
+    surface, which the reference's HiveSQL-over-Iceberg queries get
+    from the executor; Spark ships the same builtin). The companion
+    primitive to `dedup_url_host`: canonicalization composes these
+    extractors. URLs are synthesized deterministically from doc_id
+    (documents carries no URL column); the oracle recomputes every
+    component with portable regexes, pinning Spark's parse_url
+    semantics against an engine-independent definition. One projection,
+    zero shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    u = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=abc"),
+    )
+    urls = d.select("doc_id", u.alias("u"))
+    return urls.select(
+        "doc_id",
+        F.parse_url("u", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("u", F.lit("HOST")).alias("host"),
+        F.parse_url("u", F.lit("PATH")).alias("path"),
+        F.parse_url("u", F.lit("QUERY")).alias("query"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )

@@ -55,8 +55,9 @@ def load_all() -> None:
 # ``__spark_entry__.queries()`` per round. Round 9's window is EXACTLY
 # 50 names (VERDICT r8 #3: finish the rotation debt):
 # (a) the round-9 additions (tokenizer fertility, TTR/hapax, URL dedup,
-#     contamination + dedup-cascade reports, bot detection, binary-
-#     hamming ANN, budget water-filling) — never driver-checked;
+#     contamination + dedup-cascade + PII reports, bot detection,
+#     binary-hamming ANN, budget water-filling, cross-source overlap,
+#     token Gini/HHI, parse_url battery) — never driver-checked;
 # (b) re-checks of queries whose CODE changed this round (VERDICT r8
 #     #1/#2 + ADVICE r8): pipeline_data_card (avg_tokens DECIMAL→DOUBLE
 #     hash fix — the round-8 red row), dedup_containment (hot-shingle
@@ -75,6 +76,10 @@ DRIVER_WINDOW: list[str] = [
     "events_bot_detection",
     "simsearch_binary_hamming",
     "pipeline_budget_waterfill",
+    "dedup_cross_source_overlap",
+    "pipeline_pii_report",
+    "pipeline_token_gini",
+    "scalar_url_funcs",
     # (b) code-changed re-checks (round-9 fixes)
     "pipeline_data_card",
     "dedup_containment",
@@ -116,16 +121,16 @@ DRIVER_WINDOW: list[str] = [
     "dedup_ngram_jaccard",
     "embedding_norms",
     "dedup_embedding_cosine",
-    "embedding_centroid_dist",
-    "text_token_stats",
-    "text_bpe_ish_tokens",
-    "text_quality_score",
 ]
 
 # Positions 51+ — the rest of the round-2-era tier cedes its slot (all
 # green r2 AND in local oracle parity at sf0.001+sf0.01); they lead
 # round 10's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "embedding_centroid_dist",
+    "text_token_stats",
+    "text_bpe_ish_tokens",
+    "text_quality_score",
     "text_langid_heuristic",
     "text_fingerprint",
     "text_rolling_hash",
