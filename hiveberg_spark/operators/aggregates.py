@@ -1564,3 +1564,69 @@ def events_bot_detection(spark, sf_dir):
         ),
         ((eph > _BOT_RATE_EPH) | (F.col("n_types") == 1)).alias("is_bot"),
     )
+
+
+# -- exact weighted percentiles (round 9) ----------------------------------------
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, v, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY v, l_rowid
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM (SELECT *, ROW_NUMBER() OVER () AS l_rowid FROM base)
+    )
+    SELECT flag,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cw >= 0.5 * tw THEN v END) AS wp50,
+           MIN(CASE WHEN cw >= 0.9 * tw THEN v END) AS wp90
+    FROM cum GROUP BY flag
+    """,
+)
+def agg_weighted_percentile(spark, sf_dir):
+    """EXACT WEIGHTED percentiles [H→N] — the quantile a WEIGHTED corpus
+    needs (soft-dedup weights, mixture weights, row multiplicities):
+    the smallest value whose cumulative weight reaches q·W, here p50/p90
+    of extendedprice weighted by quantity per returnflag. Determinism by
+    construction: weights are exact integers, so the cumulative sums
+    and q·W comparisons are identical cross-engine, and the answer is a
+    VALUE picked from the data (never interpolated arithmetic) — intra-
+    tie ordering cannot change which value first crosses the threshold.
+    Shape: one window sort per group (the inherent cost of an exact
+    quantile) + one groupBy; a 100 TB run swaps in the approx sketch
+    (`agg_percentile_approx`) and keeps this as the auditor."""
+    from pyspark.sql import Window as W
+
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wcum = (
+        W.partitionBy("flag")
+        .orderBy("v", "w")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = base.select(
+        "flag",
+        "v",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(W.partitionBy("flag")).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("tw").alias("total_weight"),
+        F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("v"))).alias(
+            "wp50"
+        ),
+        F.min(F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("v"))).alias(
+            "wp90"
+        ),
+    )

@@ -1584,3 +1584,138 @@ def text_ttr_hapax(spark, sf_dir):
         F.round(F.count("*").cast("double") / F.sum("f"), 6).alias("ttr"),
         F.round(hapax.cast("double") / F.count("*"), 6).alias("hapax_rate"),
     )
+
+
+# -- Kneser-Ney bigram LM (round 9) ---------------------------------------------
+
+_KN_D = 0.75  # absolute-discount mass (the standard KN default)
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, pos, w AS word,
+             LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      )
+    ),
+    uni AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    ctx AS (SELECT prev, COUNT(*) AS ctx_cnt FROM tok
+            WHERE prev IS NOT NULL GROUP BY prev),
+    bi AS (SELECT prev, word, COUNT(*) AS bi_cnt FROM tok
+           WHERE prev IS NOT NULL GROUP BY prev, word),
+    fanout AS (SELECT prev, COUNT(*) AS n1p_fwd FROM bi GROUP BY prev),
+    cont AS (SELECT word, COUNT(*) AS n1p_bwd FROM bi GROUP BY word),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM tok) AS n,
+             (SELECT COUNT(DISTINCT word) FROM tok) AS v,
+             (SELECT COUNT(*) FROM bi) AS t
+    ),
+    lp AS (
+      SELECT tk.doc_id,
+             CAST(FLOOR(LN(
+               CASE WHEN tk.prev IS NULL
+                    THEN (u.cnt + 1.0) / (s.n + s.v)
+                    ELSE (b.bi_cnt - {_KN_D}) / c.ctx_cnt
+                         + {_KN_D} * f.n1p_fwd / c.ctx_cnt
+                           * (co.n1p_bwd * 1.0 / s.t)
+               END) * 1000000) AS BIGINT) AS lp_micro
+      FROM tok tk
+      JOIN uni u USING (word)
+      LEFT JOIN ctx c ON c.prev = tk.prev
+      LEFT JOIN bi b ON b.prev = tk.prev AND b.word = tk.word
+      LEFT JOIN fanout f ON f.prev = tk.prev
+      LEFT JOIN cont co ON co.word = tk.word
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro,
+           ROUND(-SUM(lp_micro) * 1.0 / COUNT(*) / 1000000, 6) AS avg_nll,
+           ROUND(EXP(-SUM(lp_micro) * 1.0 / COUNT(*) / 1000000), 4) AS ppl
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_kneser_ney_bigram(spark, sf_dir):
+    """KNESER-NEY bigram perplexity — the smoothing real n-gram LMs
+    (KenLM, SRILM defaults) actually ship, completing the LM ladder
+    above `text_perplexity_proxy` (unigram) and `text_bigram_perplexity`
+    (interpolated): p(w|prev) = max(c(prev,w)−D, 0)/c(prev) +
+    D·N1+(prev,·)/c(prev) · p_cont(w), with the CONTINUATION probability
+    p_cont(w) = N1+(·,w)/|bigram types| — the "how many contexts does w
+    follow" correction that makes 'Francisco' cheap despite its raw
+    frequency. Trained on the corpus it scores, so c(prev,w) ≥ 1 > D
+    and the max() never truncates; doc-initial tokens score by the
+    add-one unigram (a doc-initial-only word has no continuation mass).
+    Determinism: all five count tables are exact integers; each token's
+    log-prob is a fixed IEEE expression FLOOR-quantized to micro-nats
+    and summed as integers. Scale: the same one-token-pass count tables
+    as the interpolated model plus two cheap distinct-count rollups OF
+    the bigram table — no new corpus scans."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    tok = (
+        docs.select("doc_id", "w", F.posexplode("w").alias("p0", "word"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            "word",
+            F.element_at("w", F.col("p0")).alias("prev_raw"),
+        )
+        .withColumn("prev", F.when(F.col("pos") > 1, F.col("prev_raw")))
+        .drop("prev_raw")
+        .persist()
+    )
+    uni = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    ctx = (
+        tok.filter(F.col("prev").isNotNull())
+        .groupBy("prev")
+        .agg(F.count("*").alias("ctx_cnt"))
+    )
+    bi = (
+        tok.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "word")
+        .agg(F.count("*").alias("bi_cnt"))
+        .persist()
+    )
+    fanout = bi.groupBy("prev").agg(F.count("*").alias("n1p_fwd"))
+    cont = bi.groupBy("word").agg(F.count("*").alias("n1p_bwd"))
+    stats = tok.agg(
+        F.count("*").alias("n"), F.countDistinct("word").alias("v")
+    ).crossJoin(bi.agg(F.count("*").alias("t")))
+    d = _KN_D
+    p_first = (F.col("cnt") + 1.0) / (F.col("n") + F.col("v"))
+    p_kn = (F.col("bi_cnt") - d) / F.col("ctx_cnt") + F.lit(d) * F.col(
+        "n1p_fwd"
+    ) / F.col("ctx_cnt") * (F.col("n1p_bwd") * 1.0 / F.col("t"))
+    lp = (
+        tok.join(uni, "word")
+        .join(ctx, "prev", "left")
+        .join(bi, ["prev", "word"], "left")
+        .join(fanout, "prev", "left")
+        .join(cont.withColumnRenamed("word", "w2"),
+              F.col("word") == F.col("w2"), "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    F.when(F.col("prev").isNull(), p_first).otherwise(p_kn)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    avg = -F.sum("lp_micro") * 1.0 / F.count("*") / 1000000
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lp_micro").alias("logprob_micro"),
+        F.round(avg, 6).alias("avg_nll"),
+        F.round(F.exp(avg), 4).alias("ppl"),
+    )
