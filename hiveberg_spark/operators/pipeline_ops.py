@@ -1534,8 +1534,8 @@ def pipeline_budget_waterfill(spark, sf_dir):
         (F.col("b") - F.col("pstar")).cast("double")
         / (F.col("k") - F.col("mstar")),
     ).otherwise(F.col("b").cast("double"))
-    c = lvl.select(level.alias("level"))
-    return ordered.crossJoin(F.broadcast(c)).select(
+    level_row = lvl.select(level.alias("level"))
+    return ordered.crossJoin(F.broadcast(level_row)).select(
         "source",
         F.col("t").alias("tokens"),
         F.round(F.least(F.col("t").cast("double"), F.col("level")), 6).alias(

@@ -128,6 +128,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "boiler",   # boilerplate segments: DF>=3 vocabulary, bounded
         "cells",    # CMS bucket sums: exactly _CMS_W rows per hash row
         "mom",      # CUPED pooled moments: one-row aggregate
+        "level_row",  # water-filling level: one-row aggregate
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
