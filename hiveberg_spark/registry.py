@@ -80,6 +80,9 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_pii_report",
     "pipeline_token_gini",
     "scalar_url_funcs",
+    "simsearch_filtered_ann",
+    "agg_weighted_percentile",
+    "text_kneser_ney_bigram",
     # (b) code-changed re-checks (round-9 fixes)
     "pipeline_data_card",
     "dedup_containment",
@@ -117,16 +120,16 @@ DRIVER_WINDOW: list[str] = [
     "agg_approx_distinct",
     "agg_percentile_approx",
     "dedup_exact",
-    "dedup_exact_survivors",
     "dedup_ngram_jaccard",
-    "embedding_norms",
-    "dedup_embedding_cosine",
 ]
 
 # Positions 51+ — the rest of the round-2-era tier cedes its slot (all
 # green r2 AND in local oracle parity at sf0.001+sf0.01); they lead
 # round 10's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "dedup_exact_survivors",
+    "embedding_norms",
+    "dedup_embedding_cosine",
     "embedding_centroid_dist",
     "text_token_stats",
     "text_bpe_ish_tokens",
