@@ -1305,11 +1305,14 @@ def dedup_cross_source_overlap(spark, sf_dir):
     dupes, so two mirror sources are planted (doc_id < 20 re-sourced as
     `mirror_a`, doc_id < 10 as `mirror_b`) — every planted content must
     surface against its original's source, and mirror_a∩mirror_b must
-    report exactly the 10 shared contents. Shape: ONE md5 groupBy-free
-    self-equi-join on the content hash (shuffle keyed on the hash,
-    fan-out bounded by per-content copy counts — the dedup_exact
-    invariant that copies of one content are few), then a groupBy on
-    the tiny (source, source) key space. No all-pairs anything."""
+    report exactly the 10 shared contents. Shape: per-(content, source)
+    copy counts FIRST (one map-side-combinable groupBy), THEN the
+    self-join on the content hash over the COUNT frame — a content with
+    f total copies fans out to at most |sources-carrying-it|² count
+    rows, never f² doc pairs (the hot-key discipline the containment
+    fix installed, applied here BEFORE the operator ever meets a skewed
+    corpus); dup_doc_pairs = Σ n_a·n_b is exact from the counts. Final
+    rollup on the tiny (source, source) key space."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
@@ -1326,16 +1329,26 @@ def dedup_cross_source_overlap(spark, sf_dir):
             F.lit("mirror_b").alias("source"),
         )
     )
-    h = aug.select(F.md5("text").alias("h"), "source", "doc_id")
-    a = h.select(F.col("h"), F.col("source").alias("source_a"))
-    b = h.select(
-        F.col("h").alias("h2"), F.col("source").alias("source_b")
+    counts = aug.groupBy(F.md5("text").alias("h"), "source").agg(
+        F.count("*").alias("n")
+    )
+    a = counts.select(
+        "h", F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    b = counts.select(
+        F.col("h").alias("h2"),
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
     )
     return (
-        a.join(b, (F.col("h") == F.col("h2")) & (F.col("source_a") < F.col("source_b")))
+        a.join(
+            b,
+            (F.col("h") == F.col("h2"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
         .groupBy("source_a", "source_b")
         .agg(
             F.countDistinct("h").alias("shared_contents"),
-            F.count("*").alias("dup_doc_pairs"),
+            F.sum(F.col("n_a") * F.col("n_b")).alias("dup_doc_pairs"),
         )
     )
