@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hiveberg_spark.catalog import load_table
-from hiveberg_spark.registry import query
+from hiveberg_spark.registry import QUERIES, query
 
 # tiny per-language stopword lists for the n-gram/stopword-vote heuristic
 _LANG_MARKERS = {
@@ -1718,4 +1718,65 @@ def text_kneser_ney_bigram(spark, sf_dir):
         F.sum("lp_micro").alias("logprob_micro"),
         F.round(avg, 6).alias("avg_nll"),
         F.round(F.exp(avg), 4).alias("ppl"),
+    )
+
+
+# -- language-ID confusion matrix (round 9) ---------------------------------------
+
+
+@query(
+    "text_langid_confusion",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    votes AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, w -> list_contains(['the','a','and','of','to'], w))) AS v_en,
+        len(list_filter(toks, w -> list_contains(['der','die','das','und','zu'], w))) AS v_de,
+        len(list_filter(toks, w -> list_contains(['le','la','et','les','des'], w))) AS v_fr,
+        len(list_filter(toks, w -> list_contains(['el','la','los','y','de'], w))) AS v_es
+      FROM t
+    ),
+    pred AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN GREATEST(v_en, v_de, v_fr, v_es) = 0 THEN 'und'
+                  WHEN v_en >= GREATEST(v_de, v_fr, v_es) THEN 'en'
+                  WHEN v_de >= GREATEST(v_fr, v_es) THEN 'de'
+                  WHEN v_fr >= v_es THEN 'fr'
+                  ELSE 'es' END AS predicted_lang
+      FROM votes
+    ),
+    tot AS (SELECT labeled_lang, COUNT(*) AS n_lang FROM pred GROUP BY 1)
+    SELECT p.labeled_lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_lang), 6) AS rate
+    FROM pred p JOIN tot t USING (labeled_lang)
+    GROUP BY p.labeled_lang, p.predicted_lang
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """LANGUAGE-ID CONFUSION MATRIX — the calibration audit run before
+    trusting a language classifier to route a multilingual corpus
+    (mislabeled language slices poison per-language mixtures): per
+    (labeled, predicted) pair, the doc count and the share of the
+    label's total. Composes the REGISTERED `text_langid_heuristic`
+    pipeline (same stopword votes, same tie priority) with one extra
+    low-cardinality rollup — at 100 TB the matrix costs one groupBy
+    over the per-doc predictions a routing pass already computed.
+    Counts exact; rate is one IEEE division, 6 dp."""
+    pred = QUERIES["text_langid_heuristic"](spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    tot = pred.groupBy("labeled_lang").agg(F.count("*").alias("n_lang"))
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .join(tot, "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_lang"), 6).alias(
+                "rate"
+            ),
+        )
     )

@@ -83,6 +83,7 @@ DRIVER_WINDOW: list[str] = [
     "simsearch_filtered_ann",
     "agg_weighted_percentile",
     "text_kneser_ney_bigram",
+    "text_langid_confusion",
     # (b) code-changed re-checks (round-9 fixes)
     "pipeline_data_card",
     "dedup_containment",
@@ -118,7 +119,6 @@ DRIVER_WINDOW: list[str] = [
     "scalar_date_funcs",
     # (d) round-2-era rotation (stalest next tier), filling to 50
     "agg_approx_distinct",
-    "agg_percentile_approx",
     "dedup_exact",
     "dedup_ngram_jaccard",
 ]
@@ -127,6 +127,7 @@ DRIVER_WINDOW: list[str] = [
 # green r2 AND in local oracle parity at sf0.001+sf0.01); they lead
 # round 10's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "agg_percentile_approx",
     "dedup_exact_survivors",
     "embedding_norms",
     "dedup_embedding_cosine",
