@@ -605,3 +605,53 @@ def test_binary_hamming_identical_vector_distance_zero(spark):
     mask32 = (1 << 32) - 1
     assert packed[3][0] == packed[1][0] ^ mask32
     assert packed[3][1] == packed[1][1] ^ mask32
+
+
+def test_contamination_report_agrees_with_per_doc_flags(spark, sf_dir):
+    """The per-source report must be exactly the rollup of the per-doc
+    decontaminate flags — the report IS the pipeline, not a parallel
+    implementation that can drift."""
+    from pyspark.sql import functions as F
+
+    flags = registry.QUERIES["decontaminate_ngram_overlap"](spark, sf_dir)
+    want = {
+        (r.source): (r.n, r.c)
+        for r in flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("contaminated").cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    got = {
+        r.source: (r.n_docs, r.n_contaminated)
+        for r in registry.QUERIES["pipeline_contamination_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_url_dedup_planted_variants_collapse(spark, sf_dir):
+    rows = registry.QUERIES["dedup_url_host"](spark, sf_dir).collect()
+    quads = [r for r in rows if r.n_copies == 4]
+    # every doc_id < 25 contributes exactly one 4-variant canonical
+    assert len(quads) == 25
+    assert all(r.host == "example.com" for r in quads)
+    # negatives stay unique
+    assert all(r.n_copies in (1, 4) for r in rows)
+
+
+def test_dedup_cascade_report_matches_stage_operators(spark, sf_dir):
+    """Stage-1 numbers must equal dedup_exact_survivors' count; the
+    total input must equal the corpus size."""
+    from hiveberg_spark.catalog import load_table
+
+    rows = {r.name: r for r in registry.QUERIES[
+        "pipeline_dedup_cascade_report"](spark, sf_dir).collect()}
+    n0 = load_table(spark, sf_dir, "documents").count()
+    n1 = registry.QUERIES["dedup_exact_survivors"](spark, sf_dir).count()
+    assert rows["exact"].docs_in == n0
+    assert rows["exact"].docs_out == n1
+    assert rows["neardup_jaccard"].docs_in == n1
+    assert rows["neardup_jaccard"].docs_out == n1 - rows["neardup_jaccard"].docs_removed
