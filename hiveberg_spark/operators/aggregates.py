@@ -1630,3 +1630,113 @@ def agg_weighted_percentile(spark, sf_dir):
             "wp90"
         ),
     )
+
+
+# -- conversion latency (round 9, wave 2) ----------------------------------------
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, ts AS cts, user_id FROM events
+      WHERE event_type = 'purchase'
+    ),
+    first_touch AS (
+      SELECT conv_id, channel, ttc_secs FROM (
+        SELECT c.conv_id, e.event_type AS channel,
+               (epoch_us(c.cts) - epoch_us(e.ts)) // 1000000 AS ttc_secs,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.conv_id
+                 ORDER BY e.ts, e.event_id) AS rn
+        FROM conv c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type <> 'purchase'
+         AND (e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.conv_id))
+      ) WHERE rn = 1
+    ),
+    cum AS (
+      SELECT channel, ttc_secs,
+             SUM(1) OVER (PARTITION BY channel ORDER BY ttc_secs, conv_id
+                          ROWS UNBOUNDED PRECEDING) AS cn,
+             COUNT(*) OVER (PARTITION BY channel) AS n
+      FROM first_touch
+    )
+    SELECT channel,
+           CAST(MAX(n) AS BIGINT) AS n_conversions,
+           CAST(MIN(ttc_secs) AS BIGINT) AS min_secs,
+           CAST(MAX(ttc_secs) AS BIGINT) AS max_secs,
+           ROUND(CAST(SUM(ttc_secs) AS DOUBLE) / MAX(n), 6) AS avg_secs,
+           CAST(MIN(CASE WHEN cn >= 0.5 * n THEN ttc_secs END) AS BIGINT)
+             AS p50_secs
+    FROM cum GROUP BY channel
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """CONVERSION LATENCY by acquiring channel — the funnel-health
+    metric beside the attribution family: for each conversion, the time
+    from its FIRST prior touch (earliest same-user non-purchase event,
+    event_id tiebreak) to purchase, rolled up per first-touch channel
+    as min/max/avg and an EXACT p50 (smallest latency whose cumulative
+    count reaches half — the `agg_weighted_percentile` value-crossing
+    trick, so no interpolation arithmetic can drift cross-engine).
+    Latencies are exact integer seconds from epoch-micros division.
+    Shape: the same user-keyed history join as `events_attribution_*`
+    (shuffle on user_id, per-user history only) + one per-channel
+    window for the exact median — at 100 TB the median swaps to the
+    approx-percentile sketch and this stays the auditor."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+        "user_id",
+    )
+    hist = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("hid"),
+        F.col("ts").alias("hts"),
+        F.col("event_type").alias("channel"),
+    )
+    touches = conv.join(hist, "user_id").filter(
+        (F.col("hts") < F.col("cts"))
+        | ((F.col("hts") == F.col("cts")) & (F.col("hid") < F.col("conv_id")))
+    )
+    wfirst = W.partitionBy("conv_id").orderBy("hts", "hid")
+    first = (
+        touches.withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+        .select(
+            "conv_id",
+            "channel",
+            (
+                (F.unix_micros("cts") - F.unix_micros("hts"))
+                / F.lit(1000000)
+            ).cast("long").alias("ttc_secs"),
+        )
+    )
+    wcum = (
+        W.partitionBy("channel")
+        .orderBy("ttc_secs", "conv_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = first.select(
+        "channel",
+        "ttc_secs",
+        F.count("*").over(wcum).alias("cn"),
+        F.count("*").over(W.partitionBy("channel")).alias("n"),
+    )
+    return cum.groupBy("channel").agg(
+        F.max("n").alias("n_conversions"),
+        F.min("ttc_secs").alias("min_secs"),
+        F.max("ttc_secs").alias("max_secs"),
+        F.round(F.sum("ttc_secs").cast("double") / F.max("n"), 6).alias(
+            "avg_secs"
+        ),
+        F.min(
+            F.when(F.col("cn") >= 0.5 * F.col("n"), F.col("ttc_secs"))
+        ).alias("p50_secs"),
+    )

@@ -754,3 +754,121 @@ def stream_branch_wap(spark, sf_dir):
     out.count()  # materialize before the temp dirs are removed
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# -- streaming bot-rate monitor (round 9) -----------------------------------------
+
+_SBOT_N = 500
+_SBOT_USERS = 3
+_SBOT_HOURLY = 100  # flag threshold: events in any single hour window
+
+
+@query(
+    "stream_bot_rate_monitor",
+    oracle=f"""
+    WITH bots AS (
+      SELECT 9100 + b AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) SECOND AS ts
+      FROM generate_series(0, {_SBOT_USERS - 1}) AS g(b),
+           generate_series(0, {_SBOT_N - 1}) AS s(i)
+    ),
+    aug AS (
+      SELECT user_id, ts FROM events
+      UNION ALL
+      SELECT user_id, ts FROM bots
+    ),
+    hourly AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+             COUNT(*) AS n
+      FROM aug GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS max_hourly,
+           (MAX(n) > {_SBOT_HOURLY}) AS is_bot
+    FROM hourly GROUP BY user_id
+    """,
+)
+def stream_bot_rate_monitor(spark, sf_dir):
+    """STREAMING bot-rate monitoring — the online leg of
+    `events_bot_detection`: a real Structured Streaming pipeline
+    (file source over the event landing directory, 1-hour tumbling
+    windows with a 10-minute watermark bounding state, complete-mode
+    memory sink) maintains per-user hourly counts; a user whose ANY
+    window exceeds {_SBOT_HOURLY} events flags as a bot. The organic
+    fixture peaks far below threshold, so {_SBOT_USERS} bot accounts
+    ({_SBOT_N} events at 1-second cadence — one hot hour each) are
+    staged INTO the stream's landing directory as a second parquet
+    file, exactly how bot traffic arrives in production: interleaved
+    in the same source, not a separate path. Oracle = the equivalent
+    batch SQL over events ∪ bots (the batch-vs-stream parity check
+    every §2.9 query uses). At scale the watermark caps state at
+    O(active users × live windows)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from hiveberg_spark.streaming.events import (
+        _SCHEMA_TS_LTZ,
+        _SCHEMA_TS_NANOS_LONG,
+        _SCHEMA_TS_NTZ,
+        _fixture_ts_kind,
+    )
+
+    kind = _fixture_ts_kind(sf_dir)
+    d = os.path.join(
+        tempfile.gettempdir(), f"hbs_botstream_{_uuid.uuid4().hex[:10]}"
+    )
+    os.makedirs(d)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    bots = (
+        spark.range(_SBOT_USERS)
+        .select(
+            (F.lit(9100) + F.col("id")).alias("user_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(_SBOT_N - 1))).alias("i"),
+        )
+        .select(
+            (F.lit(8000000) + F.col("user_id") * 1000 + F.col("i")).alias(
+                "event_id"
+            ),
+            F.timestamp_micros(
+                F.unix_micros(base) + F.col("i") * 1000000
+            ).alias("ts"),
+            "user_id",
+            F.lit("click").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    if kind == "nanos":
+        bots = bots.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    elif kind == "ntz":
+        bots = bots.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    bots.coalesce(1).write.parquet(os.path.join(d, "bots.parquet"))
+    schema = {
+        "nanos": _SCHEMA_TS_NANOS_LONG,
+        "ntz": _SCHEMA_TS_NTZ,
+        "ltz": _SCHEMA_TS_LTZ,
+    }[kind]
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(d)
+    )
+    if kind == "nanos":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif kind == "ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(hourly, output_mode="complete", name=None)
+    return out.groupBy("user_id").agg(
+        F.max("n").alias("max_hourly"),
+        (F.max("n") > _SBOT_HOURLY).alias("is_bot"),
+    )

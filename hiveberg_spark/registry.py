@@ -84,6 +84,8 @@ DRIVER_WINDOW: list[str] = [
     "agg_weighted_percentile",
     "text_kneser_ney_bigram",
     "text_langid_confusion",
+    "events_time_to_convert",
+    "stream_bot_rate_monitor",
     # (b) code-changed re-checks (round-9 fixes)
     "pipeline_data_card",
     "dedup_containment",
@@ -118,8 +120,6 @@ DRIVER_WINDOW: list[str] = [
     "scalar_string_funcs",
     "scalar_date_funcs",
     # (d) round-2-era rotation (stalest next tier), filling to 50
-    "agg_approx_distinct",
-    "dedup_exact",
     "dedup_ngram_jaccard",
 ]
 
@@ -127,6 +127,8 @@ DRIVER_WINDOW: list[str] = [
 # green r2 AND in local oracle parity at sf0.001+sf0.01); they lead
 # round 10's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "agg_approx_distinct",
+    "dedup_exact",
     "agg_percentile_approx",
     "dedup_exact_survivors",
     "embedding_norms",
