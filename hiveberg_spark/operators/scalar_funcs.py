@@ -323,3 +323,39 @@ def scalar_url_funcs(spark, sf_dir):
         F.parse_url("u", F.lit("QUERY")).alias("query"),
         F.parse_url("u", F.lit("QUERY"), F.lit("q")).alias("q_param"),
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, 21845) AS BIGINT) AS toggled,
+           CAST(o_orderkey << 2 AS BIGINT) AS shifted_up,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shifted_down,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+           CAST(~o_orderkey AS BIGINT) AS complement
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_bitwise_funcs(spark, sf_dir):
+    """Bitwise scalar battery [H] — AND/OR/XOR/NOT, shifts, popcount
+    (HiveSQL's bit operators, which the reference's query surface gets
+    from the executor; Spark ships the same semantics on BIGINT).
+    These are the primitives the engine's own hash/banding operators
+    compose (`simsearch_binary_hamming`'s xor+bit_count scan, b-bit
+    minhash's masks), registered here as the user-facing surface.
+    Exact integer outputs; one projection, zero shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).cast("long").alias("toggled"),
+        F.expr("o_orderkey << 2").cast("long").alias("shifted_up"),
+        F.expr("o_orderkey >> 3").cast("long").alias("shifted_down"),
+        F.bit_count(k).cast("long").alias("popcount"),
+        F.expr("~o_orderkey").cast("long").alias("complement"),
+    )

@@ -63,9 +63,8 @@ def load_all() -> None:
 #     hash fix — the round-8 red row), dedup_containment (hot-shingle
 #     DF cap), events_attribution_decay (decimal→double decay weight);
 # (c) rotation: ALL 28 remaining queries whose latest driver row is
-#     ROUND 1 — this zeroes the round-1-era staleness debt;
-# (d) the start of the round-2-era rotation (stalest next tier) with
-#     the remaining slots.
+#     ROUND 1 — this zeroes the round-1-era staleness debt. The
+#     round-2-era tier (stalest next) leads DEFERRED for round 10.
 DRIVER_WINDOW: list[str] = [
     # (a) round-9 additions, never driver-checked
     "text_tokenizer_fertility",
@@ -86,6 +85,7 @@ DRIVER_WINDOW: list[str] = [
     "text_langid_confusion",
     "events_time_to_convert",
     "stream_bot_rate_monitor",
+    "scalar_bitwise_funcs",
     # (b) code-changed re-checks (round-9 fixes)
     "pipeline_data_card",
     "dedup_containment",
@@ -119,14 +119,13 @@ DRIVER_WINDOW: list[str] = [
     "distinct_dropdup",
     "scalar_string_funcs",
     "scalar_date_funcs",
-    # (d) round-2-era rotation (stalest next tier), filling to 50
-    "dedup_ngram_jaccard",
 ]
 
 # Positions 51+ — the rest of the round-2-era tier cedes its slot (all
 # green r2 AND in local oracle parity at sf0.001+sf0.01); they lead
 # round 10's rotation.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "dedup_ngram_jaccard",
     "agg_approx_distinct",
     "dedup_exact",
     "agg_percentile_approx",
