@@ -1352,3 +1352,59 @@ def dedup_cross_source_overlap(spark, sf_dir):
             F.sum(F.col("n_a") * F.col("n_b")).alias("dup_doc_pairs"),
         )
     )
+
+
+# -- character-level edit-distance verification (round 9) ------------------------
+
+
+_EDIT_SUFFIX = " zebra"  # 6-char planted edit (the b-bit/simhash plant class)
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.doc_id AS doc_a, a.doc_id + 2000000 AS doc_b,
+             a.text AS ta, a.text || '{_EDIT_SUFFIX}' AS tb
+      FROM documents a WHERE a.doc_id < 20
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance,
+           ROUND(1.0 - levenshtein(ta, tb) * 1.0 /
+                 GREATEST(LENGTH(ta), LENGTH(tb)), 6) AS similarity,
+           (levenshtein(ta, tb) = {len(_EDIT_SUFFIX)}) AS is_suffix_edit
+    FROM pairs
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """CHARACTER-LEVEL edit-distance verification — the last tier of
+    the near-dup ladder (shingle Jaccard and minhash see token sets;
+    Levenshtein sees the characters, catching intra-word edits and
+    quantifying HOW different a candidate pair is before a keep/drop
+    decision). Scored over the same planted one-token-edit pairs the
+    b-bit/simhash contracts use: each ' zebra'-suffixed copy must
+    measure exactly {len(_EDIT_SUFFIX)} edits, pinning both engines'
+    DP implementations against each other on real corpus text.
+    Scale shape: edit distance is O(|a|·|b|) per PAIR — it only ever
+    runs on CANDIDATES another stage generated (here the planted
+    pairs; in production the LSH/containment survivors), never as a
+    corpus-level join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 2000000).alias("doc_b"),
+        F.col("text").alias("ta"),
+        F.concat("text", F.lit(_EDIT_SUFFIX)).alias("tb"),
+    )
+    d = F.levenshtein("ta", "tb")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        d.cast("long").alias("edit_distance"),
+        F.round(
+            F.lit(1.0)
+            - d * F.lit(1.0) / F.greatest(F.length("ta"), F.length("tb")),
+            6,
+        ).alias("similarity"),
+        (d == len(_EDIT_SUFFIX)).alias("is_suffix_edit"),
+    )

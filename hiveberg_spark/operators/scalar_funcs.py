@@ -359,3 +359,44 @@ def scalar_bitwise_funcs(spark, sf_dir):
         F.bit_count(k).cast("long").alias("popcount"),
         F.expr("~o_orderkey").cast("long").alias("complement"),
     )
+
+
+@query(
+    "scalar_struct_funcs",
+    oracle="""
+    WITH built AS (
+      SELECT c_custkey,
+             struct_pack(k := c_nationkey, bal := round(c_acctbal, 2)) AS s
+      FROM customer WHERE c_custkey < 300
+    )
+    SELECT c_custkey,
+           CAST(s.k AS BIGINT) AS nation_field,
+           s.bal AS bal_field,
+           (s.k = 7) AS is_nation7,
+           CAST(LENGTH(CAST(s.k AS VARCHAR)) AS INTEGER) AS key_digits
+    FROM built
+    """,
+)
+def scalar_struct_funcs(spark, sf_dir):
+    """STRUCT scalar battery [H] — build (named_struct), field access
+    (dot path), predicates on fields, and casting a field through a
+    string function: the nested-type surface the reference's type
+    system maps through ObjectInspectors (IcebergSchemaToTypeInfo.java:
+    83-84 struct recursion; exercised in TestIcebergSerDe.java:99-137)
+    and Spark expresses natively as StructType columns. Output columns
+    are flattened scalars so the cross-engine hash compares leaf
+    values, not engine-specific struct renderings. One projection,
+    zero shuffle."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    s = F.named_struct(
+        F.lit("k"), F.col("c_nationkey"),
+        F.lit("bal"), F.round("c_acctbal", 2),
+    )
+    built = c.select("c_custkey", s.alias("s"))
+    return built.select(
+        "c_custkey",
+        F.col("s.k").cast("long").alias("nation_field"),
+        F.col("s.bal").alias("bal_field"),
+        (F.col("s.k") == 7).alias("is_nation7"),
+        F.length(F.col("s.k").cast("string")).cast("int").alias("key_digits"),
+    )

@@ -667,9 +667,10 @@ def _assign_nearest_centroid(e_with_norm, cents, probes: int = 1):
     )
 
 
-def ivf_topk(spark, sf_dir):
+def ivf_topk(spark, sf_dir, probes: int = 3):
     """IVF-style ANN: coarse-quantize the corpus into label-centroid
-    cells; each query probes its 3 nearest cells and reranks exactly.
+    cells; each query probes its `probes` (default 3) nearest cells and
+    reranks exactly.
     Scale: corpus scan once for assignment (materialized in production),
     per-query work = |probed cells| / |cells| of the corpus. Registered
     to the driver as the `simsearch_ivf` recall contract."""
@@ -683,9 +684,9 @@ def ivf_topk(spark, sf_dir):
         "score", _dot(F.col("embedding"), F.col("centroid")) / F.col("_norm")
     )
     wq = W.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
-    probes = (
+    probed = (
         qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= probes)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
@@ -693,7 +694,7 @@ def ivf_topk(spark, sf_dir):
             "cell",
         )
     )
-    cands = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("qid"))
+    cands = probed.join(assigned, "cell").filter(F.col("vec_id") != F.col("qid"))
     sims = cands.select(
         "qid",
         "vec_id",
@@ -2579,4 +2580,47 @@ def simsearch_filtered_ann(spark, sf_dir):
         filtered_bruteforce_topk(spark, sf_dir),
         filtered_ivf_topk(spark, sf_dir),
         _FILTERED_RECALL_BOUND,
+    )
+
+
+# -- IVF probe-count sweep contract (round 9) -----------------------------------
+
+_SWEEP_PROBES = [1, 2, 3, 4]
+
+_SWEEP_CONTRACT_SQL = f"""
+    SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS monotone_ok,
+           TRUE AS max_probe_recall_ok
+    FROM ({BRUTE_TOPK_SQL})
+"""
+
+
+@query("simsearch_probe_sweep", oracle=_SWEEP_CONTRACT_SQL)
+def simsearch_probe_sweep(spark, sf_dir):
+    """IVF PROBE-COUNT SWEEP — the tuning measurement every IVF
+    deployment runs before fixing nprobe (recall vs probe count IS the
+    latency/recall dial): run the registered IVF pipeline at probes =
+    {_SWEEP_PROBES} against the exact truth and pin the two properties
+    a correct implementation must show — recall is NON-DECREASING in
+    the probe count (more cells can only add candidates; a violation
+    means probe selection or dedup is broken) and the widest sweep
+    clears the production bound. One pinned row; DuckDB recomputes the
+    truth counts. Cost: |sweep| passes over the assignment frame —
+    a tuning job, not a serving path."""
+    truth = simsearch_bruteforce_topk(spark, sf_dir).select("qid", "vec_id")
+    truth = truth.persist()
+    n_truth = truth.count()
+    hits = []
+    for p in _SWEEP_PROBES:
+        ann = ivf_topk(spark, sf_dir, probes=p).select("qid", "vec_id")
+        hits.append(truth.join(ann, ["qid", "vec_id"], "left_semi").count())
+    monotone = all(hits[i] <= hits[i + 1] for i in range(len(hits) - 1))
+    return truth.agg(
+        F.countDistinct("qid").alias("n_queries"),
+        F.count("*").alias("n_truth"),
+        F.lit(bool(monotone)).alias("monotone_ok"),
+        (
+            F.lit(hits[-1]) >= F.lit(_IVF_RECALL_BOUND) * F.count("*")
+        ).alias("max_probe_recall_ok"),
     )

@@ -124,7 +124,13 @@ DRIVER_WINDOW: list[str] = [
 # Positions 51+ — the rest of the round-2-era tier cedes its slot (all
 # green r2 AND in local oracle parity at sf0.001+sf0.01); they lead
 # round 10's rotation.
+# The three wave-4 round-9 additions lead round 10's window (landed
+# after the 50 slots filled; each verified at sf0.001+sf0.01 locally),
+# then the round-2-era tier.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "scalar_struct_funcs",
+    "dedup_edit_distance",
+    "simsearch_probe_sweep",
     "dedup_ngram_jaccard",
     "agg_approx_distinct",
     "dedup_exact",
