@@ -1720,3 +1720,149 @@ def pipeline_token_gini(spark, sf_dir):
             6,
         ).alias("hhi"),
     )
+
+
+# -- quality-gate funnel report (round 9, wave 5) ---------------------------------
+
+
+@query(
+    "pipeline_quality_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    gopher AS (
+      SELECT doc_id,
+             (len(toks) BETWEEN 50 AND 100000
+              AND list_sum(list_transform(toks, x -> LENGTH(x))) * 1.0
+                  / len(toks) BETWEEN 3.0 AND 10.0
+              AND len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                  * 1.0 / len(toks) >= 0.8
+              AND len(list_filter(['the','a','and','of','to','in','is','it'],
+                                  s -> list_contains(toks, s))) >= 2) AS keep
+      FROM t
+    ),
+    rep AS (
+      SELECT doc_id,
+             (CASE WHEN len(g) = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE)
+              END > 0.5) AS is_repetitive
+      FROM (
+        SELECT doc_id,
+               [array_to_string(w[i:i+1], ' ')
+                FOR i IN range(1, GREATEST(len(w), 1))] AS g
+        FROM t
+      )
+    ),
+    lid AS (
+      SELECT doc_id, lang,
+             CASE WHEN GREATEST(v_en, v_de, v_fr, v_es) = 0 THEN 'und'
+                  WHEN v_en >= GREATEST(v_de, v_fr, v_es) THEN 'en'
+                  WHEN v_de >= GREATEST(v_fr, v_es) THEN 'de'
+                  WHEN v_fr >= v_es THEN 'fr'
+                  ELSE 'es' END AS pred
+      FROM (
+        SELECT doc_id, lang,
+          len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) AS v_en,
+          len(list_filter(toks, x -> list_contains(['der','die','das','und','zu'], x))) AS v_de,
+          len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS v_fr,
+          len(list_filter(toks, x -> list_contains(['el','la','los','y','de'], x))) AS v_es
+        FROM t
+      )
+    ),
+    flags AS (
+      SELECT g.doc_id, g.keep, r.is_repetitive, (l.pred = l.lang) AS lang_ok
+      FROM gopher g JOIN rep r USING (doc_id) JOIN lid l USING (doc_id)
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS r1,
+             CAST(COUNT(*) FILTER (WHERE keep AND is_repetitive)
+                  AS BIGINT) AS r2,
+             CAST(COUNT(*) FILTER (WHERE keep AND NOT is_repetitive
+                                   AND NOT lang_ok) AS BIGINT) AS r3
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'gopher_rules' AS name, n AS docs_in,
+             r1 AS docs_rejected, n - r1 AS docs_out,
+             ROUND(CAST(r1 AS DOUBLE) / n, 6) AS reject_rate
+      FROM agg
+      UNION ALL
+      SELECT 2, 'repetition', n - r1, r2, n - r1 - r2,
+             ROUND(CAST(r2 AS DOUBLE) / (n - r1), 6) FROM agg
+      UNION ALL
+      SELECT 3, 'langid_match', n - r1 - r2, r3, n - r1 - r2 - r3,
+             ROUND(CAST(r3 AS DOUBLE) / (n - r1 - r2), 6) FROM agg
+    )
+    """,
+)
+def pipeline_quality_funnel(spark, sf_dir):
+    """QUALITY-GATE FUNNEL — the per-rule rejection dashboard every
+    curation report leads with (FineWeb/Dolma publish exactly this
+    table): the registered quality gates applied in pipeline order —
+    Gopher rule battery, then intra-doc repetition, then language-ID
+    agreement — each stage reporting docs in / rejected / out and its
+    conditional rejection rate. Composes the REGISTERED operators'
+    own flag frames (`text_gopher_rules`.keep,
+    `text_repetition_filter`.is_repetitive, `text_langid_confusion`'s
+    prediction), so the funnel IS the pipeline; all counts come from
+    ONE conditional aggregate over the joined flags (a single
+    distributed pass — the three output rows are projections of a
+    one-row agg, nothing driver-side)."""
+    from hiveberg_spark.registry import QUERIES
+
+    gopher = QUERIES["text_gopher_rules"](spark, sf_dir).select(
+        "doc_id", "keep"
+    )
+    rep = QUERIES["text_repetition_filter"](spark, sf_dir).select(
+        "doc_id", "is_repetitive"
+    )
+    lid = QUERIES["text_langid_heuristic"](spark, sf_dir).select(
+        "doc_id",
+        (F.col("predicted_lang") == F.col("labeled_lang")).alias("lang_ok"),
+    )
+    flags = gopher.join(rep, "doc_id").join(lid, "doc_id")
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        F.sum((~F.col("keep")).cast("long")).alias("r1"),
+        F.sum((F.col("keep") & F.col("is_repetitive")).cast("long")).alias(
+            "r2"
+        ),
+        F.sum(
+            (
+                F.col("keep")
+                & ~F.col("is_repetitive")
+                & ~F.col("lang_ok")
+            ).cast("long")
+        ).alias("r3"),
+    )
+    n, r1, r2, r3 = F.col("n"), F.col("r1"), F.col("r2"), F.col("r3")
+    s1 = agg.select(
+        F.lit(1).alias("stage"),
+        F.lit("gopher_rules").alias("name"),
+        n.alias("docs_in"),
+        r1.alias("docs_rejected"),
+        (n - r1).alias("docs_out"),
+        F.round(r1.cast("double") / n, 6).alias("reject_rate"),
+    )
+    s2 = agg.select(
+        F.lit(2).alias("stage"),
+        F.lit("repetition").alias("name"),
+        (n - r1).alias("docs_in"),
+        r2.alias("docs_rejected"),
+        (n - r1 - r2).alias("docs_out"),
+        F.round(r2.cast("double") / (n - r1), 6).alias("reject_rate"),
+    )
+    s3 = agg.select(
+        F.lit(3).alias("stage"),
+        F.lit("langid_match").alias("name"),
+        (n - r1 - r2).alias("docs_in"),
+        r3.alias("docs_rejected"),
+        (n - r1 - r2 - r3).alias("docs_out"),
+        F.round(r3.cast("double") / (n - r1 - r2), 6).alias("reject_rate"),
+    )
+    return s1.unionByName(s2).unionByName(s3)

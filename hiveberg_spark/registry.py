@@ -128,6 +128,7 @@ DRIVER_WINDOW: list[str] = [
 # after the 50 slots filled; each verified at sf0.001+sf0.01 locally),
 # then the round-2-era tier.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "pipeline_quality_funnel",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",
