@@ -1740,3 +1740,101 @@ def events_time_to_convert(spark, sf_dir):
             F.when(F.col("cn") >= 0.5 * F.col("n"), F.col("ttc_secs"))
         ).alias("p50_secs"),
     )
+
+
+# -- churn-model feature table (round 9, wave 6) -----------------------------------
+
+
+@query(
+    "events_churn_features",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS lo,
+             epoch_us(MIN(ts))
+               + CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) * 0.8
+                      AS BIGINT) AS cutoff
+      FROM events
+    ),
+    feat AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                  AS BIGINT) AS n_purchases,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2)
+               AS total_value,
+             CAST((MAX(b.cutoff) - epoch_us(MAX(ts))) // 86400000000
+                  AS BIGINT) AS days_inactive
+      FROM events e, bounds b
+      WHERE epoch_us(e.ts) < b.cutoff
+      GROUP BY user_id
+    ),
+    future AS (
+      SELECT DISTINCT user_id FROM events e, bounds b
+      WHERE epoch_us(e.ts) >= b.cutoff
+    )
+    SELECT f.user_id, f.n_events, f.n_purchases, f.n_types,
+           f.total_value, f.days_inactive,
+           (fu.user_id IS NULL) AS churned
+    FROM feat f LEFT JOIN future fu USING (user_id)
+    """,
+)
+def events_churn_features(spark, sf_dir):
+    """CHURN-MODEL FEATURE TABLE — the feature-engineering op a
+    training-data pipeline materializes from an event stream, built
+    with the one discipline that matters: features come ONLY from
+    before the temporal cutoff (80% of the corpus time range) and the
+    label ONLY from after it, so the table is leakage-free by
+    construction. Per-user: activity counts, purchase counts, type
+    diversity, DECIMAL-exact spend, whole-days-inactive at cutoff;
+    label = no post-cutoff events. Everything derives from exact
+    integer epoch-micros arithmetic (the cutoff itself is an integer
+    expression both engines compute identically); spend rounds after
+    an exact DECIMAL sum. Shape: one bounds aggregate (one-row
+    broadcast), one pre-cutoff groupBy, one post-cutoff semi-side —
+    two corpus passes at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    bounds = ev.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                * 0.8
+            ).cast("long")
+        ).alias("cutoff")
+    )
+    w = ev.crossJoin(F.broadcast(bounds))
+    pre = w.filter(F.unix_micros("ts") < F.col("cutoff"))
+    feat = pre.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchases"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 2
+        ).alias("total_value"),
+        F.expr("(max(cutoff) - unix_micros(max(ts))) div 86400000000").alias(
+            "days_inactive"
+        ),
+    )
+    future = (
+        w.filter(F.unix_micros("ts") >= F.col("cutoff"))
+        .select("user_id")
+        .distinct()
+        .withColumn("_active", F.lit(1))
+    )
+    return feat.join(future, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "n_types",
+        "total_value",
+        "days_inactive",
+        F.col("_active").isNull().alias("churned"),
+    )

@@ -1866,3 +1866,59 @@ def pipeline_quality_funnel(spark, sf_dir):
         F.round(r3.cast("double") / (n - r1 - r2), 6).alias("reject_rate"),
     )
     return s1.unionByName(s2).unionByName(s3)
+
+
+# -- training shard manifest (round 9, wave 6) -------------------------------------
+
+_N_SHARDS = 16
+
+
+@query(
+    "pipeline_shard_manifest",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) AS shard_id
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY shard_id
+    """,
+)
+def pipeline_shard_manifest(spark, sf_dir):
+    """TRAINING SHARD MANIFEST — the sizing table a dataloader build
+    (WebDataset/Mosaic-style shards) emits before writing: every doc
+    assigned to one of {_N_SHARDS} shards by a hash that is a pure
+    function of doc_id (md5 prefix → uniform buckets, the
+    `sample_stratified_split` determinism discipline — stable across
+    runs, machines, and engines), with per-shard doc counts, byte
+    budgets, and id ranges. The shard key is deliberately NOT
+    monotone-in-id so every shard samples the whole corpus (no
+    time/source skew inside a shard). One projection + one
+    {_N_SHARDS}-key groupBy; the assignment column is the same
+    zero-cost expression the actual partitioned write would use via
+    `.repartition(shard_id)`."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.md5(F.col("doc_id").cast("string"))
+    # hex-digit position lookup: exactly uniform over the 16 shards and
+    # identical in both engines (ascii-arithmetic mod 16 degenerates:
+    # 256 is divisible by 16, and hex chars cover only 10 residues)
+    shard = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(m, 1, 1)) - 1
+    ).cast("long")
+    return (
+        d.select(shard.alias("shard_id"), "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

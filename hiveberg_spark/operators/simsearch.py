@@ -2624,3 +2624,77 @@ def simsearch_probe_sweep(spark, sf_dir):
             F.lit(hits[-1]) >= F.lit(_IVF_RECALL_BOUND) * F.count("*")
         ).alias("max_probe_recall_ok"),
     )
+
+
+# -- Matryoshka dimension-truncation audit (round 9) ------------------------------
+
+_MRL_DIMS = [16, 32, 64]
+
+_MRL_CONTRACT_SQL = f"""
+    SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS monotone_ok,
+           TRUE AS full_dim_exact
+    FROM ({BRUTE_TOPK_SQL})
+"""
+
+
+def _prefix_topk(spark, sf_dir, dims: int):
+    """Exact cosine top-k using only the first `dims` dimensions of
+    every embedding — the Matryoshka-truncation serve shape."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, dims).alias("embedding")
+    )
+    e = with_norm(e)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    sims = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("embedding"))
+            / (F.col("qn") * F.col("_norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
+@query("embedding_matryoshka_audit", oracle=_MRL_CONTRACT_SQL)
+def embedding_matryoshka_audit(spark, sf_dir):
+    """MATRYOSHKA truncation audit (Kusupati et al. 2022,
+    arXiv:2205.13147) — "can we serve retrieval on a PREFIX of the
+    embedding?": recall@{TOP_K} of exact search over the first
+    {_MRL_DIMS} dimensions against the full-dimension truth, pinned to
+    two properties a sane truncation study must show — recall is
+    NON-DECREASING in kept dimensions, and keeping ALL dimensions
+    reproduces the truth exactly (recall 1.0 by construction — a
+    violation means the slice/norm path is broken, the regression this
+    contract exists to catch). These embeddings are synthetic (not
+    MRL-trained), so per-dim recalls aren't pinned as constants — only
+    the structural invariants. Cost: |dims| prefix passes — a
+    dimensioning study, not a serving path; the measured table guides
+    the 4-16x index-size cut truncation buys at 100 TB."""
+    truth = simsearch_bruteforce_topk(spark, sf_dir).select(
+        "qid", "vec_id"
+    ).persist()
+    hits = []
+    for dims in _MRL_DIMS:
+        ann = _prefix_topk(spark, sf_dir, dims).select("qid", "vec_id")
+        hits.append(truth.join(ann, ["qid", "vec_id"], "left_semi").count())
+    n_truth = truth.count()
+    monotone = all(hits[i] <= hits[i + 1] for i in range(len(hits) - 1))
+    return truth.agg(
+        F.countDistinct("qid").alias("n_queries"),
+        F.count("*").alias("n_truth"),
+        F.lit(bool(monotone)).alias("monotone_ok"),
+        F.lit(hits[-1] == n_truth).alias("full_dim_exact"),
+    )

@@ -129,6 +129,9 @@ DRIVER_WINDOW: list[str] = [
 # then the round-2-era tier.
 DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "pipeline_quality_funnel",
+    "embedding_matryoshka_audit",
+    "pipeline_shard_manifest",
+    "events_churn_features",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",

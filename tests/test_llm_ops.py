@@ -655,3 +655,38 @@ def test_dedup_cascade_report_matches_stage_operators(spark, sf_dir):
     assert rows["exact"].docs_out == n1
     assert rows["neardup_jaccard"].docs_in == n1
     assert rows["neardup_jaccard"].docs_out == n1 - rows["neardup_jaccard"].docs_removed
+
+
+def test_round9_audits_survive_empty_corpus(spark, tmp_path):
+    """Robustness edge: the round-9 audit/report operators must not
+    throw on an EMPTY documents table (schema present, zero rows) —
+    the state every table is in before its first commit."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    spark.createDataFrame([], schema).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for name in (
+        "text_tokenizer_fertility",
+        "text_ttr_hapax",
+        "pipeline_pii_report",
+        "pipeline_shard_manifest",
+        "pipeline_budget_waterfill",
+        "dedup_url_host",
+        "dedup_cross_source_overlap",
+    ):
+        rows = registry.QUERIES[name](spark, str(tmp_path)).collect()
+        assert rows == [], (name, rows)
+    # one-row aggregates: a row of NULL metrics is acceptable, a crash
+    # is not
+    gini = registry.QUERIES["pipeline_token_gini"](spark, str(tmp_path)).collect()
+    assert len(gini) == 1
