@@ -178,3 +178,91 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
             ),
         )
     )
+
+
+# -- HLL set-intersection estimation (round 9) -------------------------------------
+
+_HLL_INTER_TOL = 0.15  # relative tolerance + the sketch's small-range floor
+
+
+@query(
+    "sketch_hll_intersection",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           CAST((SELECT COUNT(*) FROM
+                  (SELECT DISTINCT user_id FROM events WHERE event_type = p.type_a)
+                  ua JOIN
+                  (SELECT DISTINCT user_id FROM events WHERE event_type = p.type_b)
+                  ub USING (user_id)) AS BIGINT) AS exact_overlap,
+           TRUE AS within_tol
+    FROM pairs p
+    """,
+)
+def sketch_hll_intersection(spark, sf_dir):
+    """HLL SET-INTERSECTION estimation — audience overlap from sketches
+    alone, the query a 100 TB system answers WITHOUT re-scanning raw
+    data: |A∩B| ≈ est(A) + est(B) − est(A∪B), where each per-segment
+    HLL is built once (mergeable, 16 KB) and the union comes from
+    `hll_union_agg` — the same sketch algebra
+    `sketch_hll_partitioned_merge` pins for unions, extended by
+    inclusion-exclusion. Contract: for every event-type pair, the
+    estimate lands within {_HLL_INTER_TOL:.0%} + the standard-error
+    floor of the exact overlap (both engines recompute the exact side;
+    the tolerance absorbs the inclusion-exclusion error compounding).
+    Shape: one sketch per segment (map-side combined), pair math on
+    broadcast-sized sketch rows — raw data scanned exactly once."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        (
+            F.expr("hll_sketch_estimate(sk_a)")
+            + F.expr("hll_sketch_estimate(sk_b)")
+            - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+        ).alias("est_inter"),
+    )
+    ua = ev.distinct().select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    ub = ev.distinct().select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("uid_b")
+    )
+    exact = (
+        ua.join(
+            ub,
+            (F.col("type_a") < F.col("type_b"))
+            & (F.col("user_id") == F.col("uid_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    tol = F.col("exact_overlap") * _HLL_INTER_TOL + F.lit(64.0)
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        F.col("exact_overlap").cast("long").alias("exact_overlap"),
+        (F.abs(F.col("est_inter") - F.col("exact_overlap")) <= tol).alias(
+            "within_tol"
+        ),
+    )

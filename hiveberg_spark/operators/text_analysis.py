@@ -1780,3 +1780,106 @@ def text_langid_confusion(spark, sf_dir):
             ),
         )
     )
+
+
+# -- winnowing fingerprints (round 9, wave 7) --------------------------------------
+
+_WINNOW_K = 3  # tokens per k-gram
+_WINNOW_W = 4  # k-gram hashes per winnowing window
+
+
+@query(
+    "text_winnowing",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i AS p,
+             md5(array_to_string(w[i:i+{_WINNOW_K - 1}], ' ')) AS m,
+             len(w) - {_WINNOW_K - 1} AS n_kgrams
+      FROM docs, UNNEST(range(1, GREATEST(len(w) - {_WINNOW_K - 2}, 1))) AS t(i)
+      WHERE len(w) >= {_WINNOW_K}
+    ),
+    hashed AS (
+      SELECT doc_id, p, n_kgrams,
+             (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 1048576
+             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 65536
+             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1) AS h
+      FROM kg
+    ),
+    mins AS (
+      SELECT doc_id, p, n_kgrams,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+      FROM hashed
+    )
+    SELECT doc_id,
+           CAST(MAX(n_kgrams) AS BIGINT) AS n_kgrams,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+           ROUND(CAST(COUNT(DISTINCT wmin) AS DOUBLE) / COUNT(*), 6)
+             AS density
+    FROM mins
+    WHERE p <= n_kgrams - {_WINNOW_W - 1}
+    GROUP BY doc_id
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every {_WINNOW_K}-gram,
+    slide a window of {_WINNOW_W} consecutive hashes, and keep each
+    window's MINIMUM — the classic guarantee that any shared substring
+    of length k+w-1 tokens contributes at least one shared fingerprint,
+    at expected density 2/(w+1) of the k-gram count. Emitted per doc:
+    k-gram/window/fingerprint counts and the selection density (the
+    storage-budget dial). The hash is a cross-engine pure function —
+    six md5 hex digits position-decoded to a 24-bit integer — so the
+    fingerprint SETS (not just counts) agree between engines and the
+    distinct-min count is exact. Shape: one posexplode + one
+    running-min window per doc + one groupBy; the window partitions by
+    doc_id, so parallelism is per-document at any corpus size."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= _WINNOW_K)
+    k = _WINNOW_K
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (k - 1)),
+        lambda i: F.array_join(F.slice("w", i, k), " "),
+    )
+    kg = d.select(
+        "doc_id",
+        (F.size("w") - (k - 1)).alias("n_kgrams"),
+        F.posexplode(grams).alias("p0", "g"),
+    ).select(
+        "doc_id", "n_kgrams", (F.col("p0") + 1).alias("p"), F.md5("g").alias("m")
+    )
+    hexes = "0123456789abcdef"
+    h = sum(
+        (F.instr(F.lit(hexes), F.substring("m", i + 1, 1)) - 1)
+        * (16 ** (5 - i))
+        for i in range(6)
+    )
+    hashed = kg.select("doc_id", "p", "n_kgrams", h.alias("h"))
+    wfr = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    mins = hashed.select(
+        "doc_id", "p", "n_kgrams", F.min("h").over(wfr).alias("wmin")
+    ).filter(F.col("p") <= F.col("n_kgrams") - (_WINNOW_W - 1))
+    return mins.groupBy("doc_id").agg(
+        F.max("n_kgrams").alias("n_kgrams"),
+        F.count("*").alias("n_windows"),
+        F.countDistinct("wmin").alias("n_fingerprints"),
+        F.round(
+            F.countDistinct("wmin").cast("double") / F.count("*"), 6
+        ).alias("density"),
+    )

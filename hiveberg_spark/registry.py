@@ -132,6 +132,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "embedding_matryoshka_audit",
     "pipeline_shard_manifest",
     "events_churn_features",
+    "text_winnowing",
+    "sketch_hll_intersection",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",
