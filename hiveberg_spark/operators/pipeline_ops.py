@@ -1507,9 +1507,13 @@ def pipeline_budget_waterfill(spark, sf_dir):
     compute from identical integers, and allocations are rounded to
     6 dp after a least() against c."""
     docs = load_table(spark, sf_dir, "documents")
+    # persist the k-row aggregate: three consumers (totals, ranking,
+    # final projection) would otherwise each re-derive it from the
+    # corpus scan — 3 scans at 100 TB instead of 1 (caught by the
+    # round-9 plan audit)
     src = docs.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).alias("t")
-    )
+    ).persist()
     tot = src.agg(
         F.count("*").alias("k"),
         F.sum("t").alias("total"),
