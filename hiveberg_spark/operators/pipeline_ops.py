@@ -1427,9 +1427,12 @@ def pipeline_dedup_cascade_report(spark, sf_dir):
     rn = F.row_number().over(
         Window.partitionBy(F.md5("text")).orderBy("doc_id")
     )
+    # persisted: consumed twice (the stage-1 count and the stage-2
+    # shingling) — without the cache each consumer re-runs the window
+    # over a fresh corpus scan
     survivors1 = (
         docs.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
-    )
+    ).persist()
     n1 = survivors1.count()
     pairs = ngram_jaccard_pairs(
         shingled(survivors1).persist(), JACCARD_THRESHOLD, SHINGLE_DF_CAP
