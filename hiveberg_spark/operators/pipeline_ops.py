@@ -1817,9 +1817,11 @@ def pipeline_quality_funnel(spark, sf_dir):
     own flag frames (`text_gopher_rules`.keep,
     `text_repetition_filter`.is_repetitive, `text_langid_confusion`'s
     prediction), so the funnel IS the pipeline; all counts come from
-    ONE conditional aggregate over the joined flags (a single
-    distributed pass — the three output rows are projections of a
-    one-row agg, nothing driver-side)."""
+    ONE conditional aggregate over the joined flags (the three output
+    rows are projections of a one-row agg, nothing driver-side). Each
+    gate loads the corpus through its own registered operator — in a
+    production run those per-doc flag frames are already materialized
+    by the gates themselves, and the funnel only joins them."""
     from hiveberg_spark.registry import QUERIES
 
     gopher = QUERIES["text_gopher_rules"](spark, sf_dir).select(
