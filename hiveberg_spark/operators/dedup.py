@@ -1329,9 +1329,11 @@ def dedup_cross_source_overlap(spark, sf_dir):
             F.lit("mirror_b").alias("source"),
         )
     )
+    # persisted: both sides of the self-join consume this frame (one
+    # corpus scan + hash aggregation instead of two)
     counts = aug.groupBy(F.md5("text").alias("h"), "source").agg(
         F.count("*").alias("n")
-    )
+    ).persist()
     a = counts.select(
         "h", F.col("source").alias("source_a"), F.col("n").alias("n_a")
     )

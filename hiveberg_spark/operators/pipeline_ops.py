@@ -1320,9 +1320,11 @@ def pipeline_contamination_report(spark, sf_dir):
             lambda i: F.array_join(F.slice(w, i, n), " "),
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
+    # persisted: the eval-gram and train sides both consume this frame
+    # (one corpus scan + gram build instead of two)
     with_grams = docs.select(
         "doc_id", "source", F.size(w).alias("n_tokens"), grams.alias("grams")
-    )
+    ).persist()
     eval_grams = (
         with_grams.filter(F.col("source") == DECON_EVAL_SOURCE)
         .select(F.explode("grams").alias("g"))
