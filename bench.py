@@ -82,6 +82,13 @@ HEADLINE = [
     # 8 B/vector hamming scan + exact rerank; the cheap tier of the
     # quantization ladder the bench already tracks at SQ8/PQ/IVF
     "simsearch_binary_hamming",
+    # round 9: winnowing fingerprints — per-position running-min window
+    # over exploded k-gram hashes, the windowed-text shape no other
+    # headline entry exercises
+    "text_winnowing",
+    # round 9: Kneser-Ney bigram LM — five count tables from one token
+    # pass joined back per token; the heaviest text-LM join shape
+    "text_kneser_ney_bigram",
 ]
 
 
