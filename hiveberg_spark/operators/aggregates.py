@@ -1838,3 +1838,118 @@ def events_churn_features(spark, sf_dir):
         "days_inactive",
         F.col("_active").isNull().alias("churned"),
     )
+
+
+# -- sample-ratio-mismatch check (round 9, wave 8) ----------------------------------
+
+_SRM_CRIT = 3.841459  # chi-square 95% critical value, df=1
+
+
+@query(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH arms AS (
+      SELECT user_id,
+             (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 2) AS arm
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           ROUND((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                 / ((n_a + n_b) / 2.0)
+                 + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+                 / ((n_a + n_b) / 2.0), 6) AS chi2,
+           ((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+            / ((n_a + n_b) / 2.0)
+            + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+            / ((n_a + n_b) / 2.0)) > {_SRM_CRIT} AS srm_detected
+    FROM agg
+    """,
+)
+def events_ab_srm_check(spark, sf_dir):
+    """SAMPLE-RATIO-MISMATCH check — the guardrail every experimentation
+    platform runs BEFORE reading a scorecard (a biased assignment makes
+    `events_ab_test`'s z-test meaningless): chi-square of the observed
+    arm sizes against the designed 50/50 split, flagged past the 95%
+    critical value (df=1, {_SRM_CRIT}). Uses the SAME md5 arm hash as
+    the A/B scorecard, so this row certifies that assignment. All
+    inputs are exact integer counts; the statistic is a fixed IEEE
+    expression on them, rounded to 6 dp. One groupBy + a one-row
+    aggregate — free at any scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    arms = e.groupBy("user_id").agg(F.count("*").alias("_n")).withColumn(
+        "arm",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ),
+    )
+    agg = arms.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+    )
+    e_half = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (F.col("n_a") - e_half) * (F.col("n_a") - e_half) / e_half + (
+        F.col("n_b") - e_half
+    ) * (F.col("n_b") - e_half) / e_half
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > _SRM_CRIT).alias("srm_detected"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT flag, q AS mode_quantity, CAST(c AS BIGINT) AS mode_count
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY flag
+                                   ORDER BY c DESC, q) AS rn
+      FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """DETERMINISTIC MODE [H] — the most-frequent value per group with
+    an explicit tie policy (highest count, then smallest value). SQL
+    `mode()` leaves ties implementation-defined in both engines, so the
+    portable formulation is count + rank — which is also the SCALABLE
+    one: the count table is map-side combinable and the rank window
+    runs over (group, distinct-value) pairs, never rows. Completes the
+    §2.4 aggregate battery beside percentile/stddev/collect."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.partitionBy("flag").orderBy(F.desc("c"), F.asc("q"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.col("q").alias("mode_quantity"),
+            F.col("c").alias("mode_count"),
+        )
+    )

@@ -134,6 +134,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_churn_features",
     "text_winnowing",
     "sketch_hll_intersection",
+    "events_ab_srm_check",
+    "agg_mode_deterministic",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",
