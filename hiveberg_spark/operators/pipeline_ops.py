@@ -1933,3 +1933,103 @@ def pipeline_shard_manifest(spark, sf_dir):
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# -- length-bucketed batching efficiency (round 9, wave 9) ---------------------------
+
+_LB_BATCH = 8  # docs per training batch
+
+
+@query(
+    "pipeline_length_bucketed_batches",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n,
+             (ROW_NUMBER() OVER (ORDER BY n, doc_id) - 1)
+               // {_LB_BATCH} AS batch_id
+      FROM toks
+    ),
+    naive AS (
+      SELECT doc_id, n,
+             (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)
+               // {_LB_BATCH} AS batch_id
+      FROM toks
+    ),
+    b AS (
+      SELECT CAST(SUM(mx * cnt - s) AS BIGINT) AS pad FROM (
+        SELECT MAX(n) AS mx, COUNT(*) AS cnt, SUM(n) AS s
+        FROM ordered GROUP BY batch_id)
+    ),
+    nv AS (
+      SELECT CAST(SUM(mx * cnt - s) AS BIGINT) AS pad FROM (
+        SELECT MAX(n) AS mx, COUNT(*) AS cnt, SUM(n) AS s
+        FROM naive GROUP BY batch_id)
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS real_tokens FROM toks)
+    SELECT tot.real_tokens, b.pad AS bucketed_pad_tokens,
+           nv.pad AS naive_pad_tokens,
+           ROUND(CAST(b.pad AS DOUBLE) / (tot.real_tokens + b.pad), 6)
+             AS bucketed_pad_frac,
+           ROUND(CAST(nv.pad AS DOUBLE) / (tot.real_tokens + nv.pad), 6)
+             AS naive_pad_frac,
+           (b.pad <= nv.pad) AS bucketing_helps
+    FROM b, nv, tot
+    """,
+)
+def pipeline_length_bucketed_batches(spark, sf_dir):
+    """LENGTH-BUCKETED BATCHING efficiency — the padding audit behind
+    dynamic batching (group similar-length documents into batches of
+    {_LB_BATCH} so each batch pads to ITS max length, not the corpus
+    max): total padded tokens under length-sorted batching vs naive
+    id-order batching, as one summary row with the structural pin that
+    sorting can never pad MORE (batch maxima are minimized by sorted
+    assignment). All counts exact integers. The global sort windows
+    are the MEASUREMENT convenience at fixture scale; a production run
+    range-partitions by length and buckets within partitions — same
+    arithmetic, no global window (`token_budget_packing` demonstrates
+    that two-phase distributed form)."""
+    from pyspark.sql import Window as W
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    ).persist()
+
+    def pad(ordered_by):
+        bid = F.floor(
+            (F.row_number().over(W.orderBy(*ordered_by)) - 1) / _LB_BATCH
+        )
+        per_batch = toks.withColumn("batch_id", bid).groupBy("batch_id").agg(
+            (F.max("n") * F.count("*") - F.sum("n")).alias("p")
+        )
+        return per_batch.agg(F.sum("p").alias("pad"))
+
+    b = pad([F.asc("n"), F.asc("doc_id")]).withColumnRenamed(
+        "pad", "bucketed_pad_tokens"
+    )
+    nv = pad([F.asc("doc_id")]).withColumnRenamed("pad", "naive_pad_tokens")
+    tot = toks.agg(F.sum("n").alias("real_tokens"))
+    return (
+        tot.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "real_tokens",
+            "bucketed_pad_tokens",
+            "naive_pad_tokens",
+            F.round(
+                F.col("bucketed_pad_tokens").cast("double")
+                / (F.col("real_tokens") + F.col("bucketed_pad_tokens")),
+                6,
+            ).alias("bucketed_pad_frac"),
+            F.round(
+                F.col("naive_pad_tokens").cast("double")
+                / (F.col("real_tokens") + F.col("naive_pad_tokens")),
+                6,
+            ).alias("naive_pad_frac"),
+            (
+                F.col("bucketed_pad_tokens") <= F.col("naive_pad_tokens")
+            ).alias("bucketing_helps"),
+        )
+    )

@@ -1883,3 +1883,93 @@ def text_winnowing(spark, sf_dir):
             F.countDistinct("wmin").cast("double") / F.count("*"), 6
         ).alias("density"),
     )
+
+
+# -- per-source distinctive terms (round 9, wave 9) ---------------------------------
+
+_LIFT_TOP_K = 3
+_LIFT_MIN_COUNT = 5  # ignore terms too rare to characterize anything
+
+
+@query(
+    "text_source_distinctive_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_src AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    src_tot AS (SELECT source, SUM(c) AS st FROM per_src GROUP BY source),
+    term_tot AS (SELECT w, SUM(c) AS tt FROM per_src GROUP BY w),
+    corpus AS (SELECT SUM(c) AS n FROM per_src),
+    lift AS (
+      SELECT p.source, p.w, p.c,
+             CAST(FLOOR(LN((p.c * 1.0 / s.st) / (t.tt * 1.0 / co.n))
+                        * 1000000) AS BIGINT) AS lift_micro
+      FROM per_src p
+      JOIN src_tot s USING (source)
+      JOIN term_tot t USING (w)
+      CROSS JOIN corpus co
+      WHERE p.c >= {_LIFT_MIN_COUNT}
+    )
+    SELECT source, w AS term, CAST(c AS BIGINT) AS term_count,
+           lift_micro, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY lift_micro DESC, w) AS rn
+      FROM lift
+    ) WHERE rn <= {_LIFT_TOP_K}
+    """,
+)
+def text_source_distinctive_terms(spark, sf_dir):
+    """PER-SOURCE DISTINCTIVE TERMS — "what characterizes each slice"
+    by log-lift ln(p(term|source)/p(term)), the corpus-exploration
+    audit run before weighting or filtering a source (a source whose
+    top-lift terms are spam vocabulary gets gated; `text_tfidf_top_terms`
+    is the per-DOCUMENT analog). Terms below {_LIFT_MIN_COUNT}
+    occurrences are ignored; top {_LIFT_TOP_K} per source with
+    deterministic ties (lift, then term). Determinism: counts are exact
+    integers, the lift is FLOOR-quantized to integer micro-nats before
+    ranking (the house LM discipline — float ordering can never flip a
+    rank). Shape: one token explode + three count tables + a rank
+    window over (source, qualifying-term) pairs."""
+    from pyspark.sql import Window as W
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    per_src = tok.groupBy("source", "w").agg(F.count("*").alias("c")).persist()
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("st"))
+    term_tot = per_src.groupBy("w").agg(F.sum("c").alias("tt"))
+    corpus = per_src.agg(F.sum("c").alias("n"))
+    lift = (
+        per_src.filter(F.col("c") >= _LIFT_MIN_COUNT)
+        .join(src_tot, "source")
+        .join(term_tot, "w")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "w",
+            "c",
+            F.floor(
+                F.log(
+                    (F.col("c") * 1.0 / F.col("st"))
+                    / (F.col("tt") * 1.0 / F.col("n"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.desc("lift_micro"), F.asc("w"))
+    return (
+        lift.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LIFT_TOP_K)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("c").alias("term_count"),
+            "lift_micro",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )

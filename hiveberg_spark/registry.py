@@ -136,6 +136,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "sketch_hll_intersection",
     "events_ab_srm_check",
     "agg_mode_deterministic",
+    "text_source_distinctive_terms",
+    "pipeline_length_bucketed_batches",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",
