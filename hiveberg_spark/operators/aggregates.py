@@ -1953,3 +1953,68 @@ def agg_mode_deterministic(spark, sf_dir):
             F.col("c").alias("mode_count"),
         )
     )
+
+
+# -- seasonal-baseline anomaly flags (round 9, wave 10) ------------------------------
+
+_SEASONAL_FACTOR = 2.0  # flag cells at > 2x their hour-of-day baseline
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    baseline AS (
+      SELECT event_type, hod,
+             CAST(SUM(n) AS BIGINT) AS total_n,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT c.event_type, strftime(c.day, '%Y-%m-%d') AS day,
+           CAST(c.hod AS BIGINT) AS hod,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(b.total_n AS DOUBLE) / b.n_days, 6) AS baseline,
+           (c.n * b.n_days > {_SEASONAL_FACTOR} * b.total_n) AS is_anomaly
+    FROM cells c JOIN baseline b USING (event_type, hod)
+    WHERE c.n * b.n_days > {_SEASONAL_FACTOR} * b.total_n
+    """,
+)
+def events_seasonal_anomaly(spark, sf_dir):
+    """SEASONAL-BASELINE anomaly flags — the deviation detector that
+    respects daily rhythm (a 2 AM traffic level normal at 2 PM IS an
+    anomaly; the plain z-score `events_anomaly_zscore` can't see that):
+    each (event_type, day, hour) cell compares against its OWN
+    hour-of-day baseline (mean count over all days at that hour), and
+    cells above {_SEASONAL_FACTOR}× baseline surface. The comparison is
+    cross-multiplied into pure integer arithmetic (n·n_days >
+    {_SEASONAL_FACTOR}·total_n — no float threshold edge can diverge
+    cross-engine); the reported baseline is one rounded division.
+    Shape: one (type, day, hour) groupBy + one (type, hour) rollup +
+    one equi-join — all map-side-combinable, calendar-bounded keys."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    cells = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("n")).persist()
+    baseline = cells.groupBy("event_type", "hod").agg(
+        F.sum("n").alias("total_n"), F.count("*").alias("n_days")
+    )
+    j = cells.join(baseline, ["event_type", "hod"])
+    anom = F.col("n") * F.col("n_days") > _SEASONAL_FACTOR * F.col("total_n")
+    return j.filter(anom).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("hod").cast("long").alias("hod"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("total_n").cast("double") / F.col("n_days"), 6).alias(
+            "baseline"
+        ),
+        anom.alias("is_anomaly"),
+    )

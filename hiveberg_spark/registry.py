@@ -138,6 +138,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "agg_mode_deterministic",
     "text_source_distinctive_terms",
     "pipeline_length_bucketed_batches",
+    "events_seasonal_anomaly",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",
