@@ -129,6 +129,9 @@ def test_no_forced_broadcast_on_fact_tables():
         "cells",    # CMS bucket sums: exactly _CMS_W rows per hash row
         "mom",      # CUPED pooled moments: one-row aggregate
         "level_row",  # water-filling level: one-row aggregate
+        "bounds",   # churn temporal cutoff: one-row aggregate
+        "b", "nv",  # length-bucketed vs naive pad totals: one-row aggs
+        "corpus",   # distinctive-terms corpus token total: one-row agg
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
