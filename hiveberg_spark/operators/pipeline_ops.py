@@ -2006,14 +2006,16 @@ def pipeline_length_bucketed_batches(spark, sf_dir):
         )
         return per_batch.agg(F.sum("p").alias("pad"))
 
-    b = pad([F.asc("n"), F.asc("doc_id")]).withColumnRenamed(
+    pad_sorted = pad([F.asc("n"), F.asc("doc_id")]).withColumnRenamed(
         "pad", "bucketed_pad_tokens"
     )
-    nv = pad([F.asc("doc_id")]).withColumnRenamed("pad", "naive_pad_tokens")
+    pad_naive = pad([F.asc("doc_id")]).withColumnRenamed(
+        "pad", "naive_pad_tokens"
+    )
     tot = toks.agg(F.sum("n").alias("real_tokens"))
     return (
-        tot.crossJoin(F.broadcast(b))
-        .crossJoin(F.broadcast(nv))
+        tot.crossJoin(F.broadcast(pad_sorted))
+        .crossJoin(F.broadcast(pad_naive))
         .select(
             "real_tokens",
             "bucketed_pad_tokens",

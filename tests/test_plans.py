@@ -130,7 +130,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "mom",      # CUPED pooled moments: one-row aggregate
         "level_row",  # water-filling level: one-row aggregate
         "bounds",   # churn temporal cutoff: one-row aggregate
-        "b", "nv",  # length-bucketed vs naive pad totals: one-row aggs
+        "pad_sorted", "pad_naive",  # batching pad totals: one-row aggs
         "corpus",   # distinctive-terms corpus token total: one-row agg
     }
     ops_dir = os.path.join(
