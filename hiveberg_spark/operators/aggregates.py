@@ -2018,3 +2018,163 @@ def events_seasonal_anomaly(spark, sf_dir):
         ),
         anom.alias("is_anomaly"),
     )
+
+
+# -- LTV cohort revenue curves (round 9, wave 11) ------------------------------------
+
+
+@query(
+    "events_ltv_cohort_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort_day,
+             (CAST(e.ts AS DATE) - f.cohort_day) // 7 AS age_week,
+             SUM(CAST(e.value AS DECIMAL(30,6))) AS wk_rev
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    sized AS (SELECT cohort_day, COUNT(*) AS cohort_n FROM firsts GROUP BY 1)
+    SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(r.age_week AS BIGINT) AS age_week,
+           CAST(s.cohort_n AS BIGINT) AS cohort_n,
+           ROUND(CAST(SUM(r.wk_rev) OVER (
+                   PARTITION BY r.cohort_day ORDER BY r.age_week
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS cum_revenue,
+           ROUND(CAST(SUM(r.wk_rev) OVER (
+                   PARTITION BY r.cohort_day ORDER BY r.age_week
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / s.cohort_n, 6)
+             AS ltv_per_user
+    FROM rev r JOIN sized s USING (cohort_day)
+    """,
+)
+def events_ltv_cohort_curve(spark, sf_dir):
+    """LTV COHORT CURVES — cumulative revenue per signup cohort by age
+    week, the companion to `events_cohort_retention` every growth
+    dashboard pairs it with: users cohorted by first-seen day, purchase
+    revenue bucketed into whole age-weeks, cumulated along each
+    cohort's timeline, normalized per cohort member. Determinism:
+    ages are exact integer day arithmetic; revenue sums as DECIMAL
+    (order-free) and converts to double once per output cell, ROUND
+    2/6. Shape: one first-seen groupBy, one (cohort, age) rollup, one
+    window over the tiny (cohort-day × age-week) calendar grid — the
+    window never touches raw events."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    sized = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_n"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7
+            ).alias("age_week"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(30,6)")).alias("wk_rev"))
+    )
+    wcum = (
+        W.partitionBy("cohort_day")
+        .orderBy("age_week")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = F.sum("wk_rev").over(wcum).cast("double")
+    return rev.join(sized, "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("age_week").cast("long").alias("age_week"),
+        "cohort_n",
+        F.round(cum, 2).alias("cum_revenue"),
+        F.round(cum / F.col("cohort_n"), 6).alias("ltv_per_user"),
+    )
+
+
+# -- exact higher moments (round 9, wave 11) -----------------------------------------
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(v * v) AS BIGINT) AS s2,
+             CAST(SUM(v * v * v) AS BIGINT) AS s3,
+             CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+      FROM q GROUP BY flag
+    )
+    SELECT flag, n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+           ROUND((CAST(s3 AS DOUBLE) / n
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / POW(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       1.5), 6) AS skewness,
+           ROUND((CAST(s4 AS DOUBLE) / n
+                  - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+                  - 3.0 * POW(CAST(s1 AS DOUBLE) / n, 4))
+                 / POW(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       2) - 3.0, 6) AS excess_kurtosis
+    FROM sums
+    """,
+)
+def agg_higher_moments(spark, sf_dir):
+    """EXACT higher moments [H] — per-group skewness and excess
+    kurtosis from explicit integer POWER SUMS (Σv, Σv², Σv³, Σv⁴ over
+    the integer-valued quantity column), assembled with one fixed IEEE
+    expression per output: built-in skewness()/kurtosis() differ
+    between engines on bias correction (sample vs population), so the
+    portable formulation IS the population-moment formula both engines
+    evaluate on identical exact integers. The power sums are the
+    map-side-combinable sufficient statistics a 100 TB profile pass
+    ships per shard and merges by addition — the same mergeability
+    argument as the CMS/HLL sketches, exact instead of approximate."""
+    q = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    v = F.col("v")
+    sums = q.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    m4 = F.col("s4").cast("double") / F.col("n")
+    var = m2 - m1 * m1
+    skew = (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * F.pow(m1, 4)) / F.pow(
+        var, 2
+    ) - 3.0
+    return sums.select(
+        "flag",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )

@@ -400,3 +400,44 @@ def scalar_struct_funcs(spark, sf_dir):
         (F.col("s.k") == 7).alias("is_nation7"),
         F.length(F.col("s.k").cast("string")).cast("int").alias("key_digits"),
     )
+
+
+@query(
+    "scalar_regex_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+             AS n_numbers,
+           regexp_matches(text, 'data') AS mentions_data,
+           LENGTH(regexp_replace(text, '[aeiou]', '', 'g'))
+             AS len_no_vowels,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, 'a', '', 'g'))
+                AS INTEGER) AS n_a
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def scalar_regex_funcs(spark, sf_dir):
+    """REGEX scalar battery [H] — extract / extract-all count / match
+    predicate / global replace / occurrence count, the HiveSQL regexp
+    surface concentrated into one pinned battery (individual operators
+    use these everywhere — PII scrub, boilerplate, langid — but the
+    user-facing functions deserve their own parity row). Patterns stay
+    in the Java∩RE2 portable subset: character classes, groups,
+    literals — no lookaround, no backreferences (those genuinely
+    diverge between engines and are documented out of the portable
+    surface). One projection, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, "([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), F.lit(0)))
+        .cast("int")
+        .alias("n_numbers"),
+        t.rlike("data").alias("mentions_data"),
+        F.length(F.regexp_replace(t, "[aeiou]", "")).alias("len_no_vowels"),
+        (F.length(t) - F.length(F.regexp_replace(t, "a", "")))
+        .cast("int")
+        .alias("n_a"),
+    )

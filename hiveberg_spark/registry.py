@@ -139,6 +139,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_source_distinctive_terms",
     "pipeline_length_bucketed_batches",
     "events_seasonal_anomaly",
+    "events_ltv_cohort_curve",
+    "agg_higher_moments",
+    "scalar_regex_funcs",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",
