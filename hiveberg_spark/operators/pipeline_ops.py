@@ -2035,3 +2035,99 @@ def pipeline_length_bucketed_batches(spark, sf_dir):
             ).alias("bucketing_helps"),
         )
     )
+
+
+# -- curriculum phase assignment (round 9, wave 12) ----------------------------------
+
+
+@query(
+    "pipeline_curriculum_phases",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')), 6) AS score
+      FROM documents
+    ),
+    cum AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ),
+    th AS (
+      SELECT MIN(CASE WHEN rn >= n / 3.0 THEN score END) AS t1,
+             MIN(CASE WHEN rn >= 2 * n / 3.0 THEN score END) AS t2
+      FROM cum
+    ),
+    phased AS (
+      SELECT s.*,
+             CASE WHEN s.score <= th.t1 THEN 1
+                  WHEN s.score <= th.t2 THEN 2
+                  ELSE 3 END AS phase
+      FROM scored s, th
+    )
+    SELECT CAST(phase AS INTEGER) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score
+    FROM phased GROUP BY phase
+    """,
+)
+def pipeline_curriculum_phases(spark, sf_dir):
+    """CURRICULUM PHASE assignment — order the corpus by a difficulty
+    proxy (type-token ratio: repetitive/templated text is "easy",
+    lexically dense text is "hard") and split it into three training
+    phases at the exact tercile boundaries, reporting each phase's doc
+    and token budget. The thresholds use the VALUE-CROSSING rule
+    (`agg_weighted_percentile`'s trick — the smallest score whose rank
+    reaches n/3): two scalar thresholds broadcast back, so the
+    PER-DOCUMENT assignment is a stateless comparison — at 100 TB the
+    rank pass runs once on (score, id) pairs and every epoch's phase
+    filter is a free predicate. Scores are 6-dp-rounded doubles both
+    engines produce identically; phase means divide exact DECIMAL sums."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "score"
+        ),
+    ).persist()
+    cum = scored.select(
+        "score",
+        F.row_number().over(W.orderBy("score", "doc_id")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    th = cum.agg(
+        F.min(
+            F.when(F.col("rn") >= F.col("n") / 3.0, F.col("score"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("rn") >= 2 * F.col("n") / 3.0, F.col("score"))
+        ).alias("t2"),
+    )
+    phase = (
+        F.when(F.col("score") <= F.col("t1"), 1)
+        .when(F.col("score") <= F.col("t2"), 2)
+        .otherwise(3)
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn("phase", phase)
+        .groupBy("phase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(20,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_score"),
+        )
+    )

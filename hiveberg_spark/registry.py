@@ -142,6 +142,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_ltv_cohort_curve",
     "agg_higher_moments",
     "scalar_regex_funcs",
+    "pipeline_curriculum_phases",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",
