@@ -2117,8 +2117,9 @@ def pipeline_curriculum_phases(spark, sf_dir):
         .when(F.col("score") <= F.col("t2"), 2)
         .otherwise(3)
     )
+    thresholds = th  # one-row tercile boundaries
     return (
-        scored.crossJoin(F.broadcast(th))
+        scored.crossJoin(F.broadcast(thresholds))
         .withColumn("phase", phase)
         .groupBy("phase")
         .agg(

@@ -131,6 +131,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "level_row",  # water-filling level: one-row aggregate
         "bounds",   # churn temporal cutoff: one-row aggregate
         "pad_sorted", "pad_naive",  # batching pad totals: one-row aggs
+        "thresholds",  # curriculum tercile boundaries: one-row aggregate
         "corpus",   # distinctive-terms corpus token total: one-row agg
     }
     ops_dir = os.path.join(
