@@ -2178,3 +2178,96 @@ def agg_higher_moments(spark, sf_dir):
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+# -- time-constrained funnel (round 9, wave 13) --------------------------------------
+
+_FUNNEL_STEP1_MICROS = 86400000000  # click within 1 day of first view
+_FUNNEL_STEP2_MICROS = 604800000000  # purchase within 7 days of that click
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+       AND e.ts > v.t
+       AND epoch_us(e.ts) - epoch_us(v.t) <= {_FUNNEL_STEP1_MICROS}
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.ts > c.t
+       AND epoch_us(e.ts) - epoch_us(c.t) <= {_FUNNEL_STEP2_MICROS}
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_1d,
+           (SELECT COUNT(*) FROM p) AS n_purchase_7d,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM v), 6) AS windowed_conversion
+    """,
+)
+def events_funnel_windowed(spark, sf_dir):
+    """TIME-CONSTRAINED funnel — the MATCH_RECOGNIZE-shaped sequence
+    query (`events_funnel_conversion` is the unbounded form): a click
+    counts only within 1 DAY of the user's first view, a purchase only
+    within 7 DAYS of that qualifying click — the attribution-window
+    semantics every marketing funnel actually uses, where an unbounded
+    funnel silently over-credits. Deltas are exact integer epoch-micros
+    comparisons. Shape: the same user-keyed stepwise min-joins as the
+    unbounded funnel (shuffle on user_id, per-user history only) plus
+    one integer conjunct per step — at 100 TB the time bound also
+    PRUNES the join (a range condition AQE can exploit), making the
+    windowed form cheaper than the unbounded one, not dearer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("vt")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("vt"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("vt")
+                <= _FUNNEL_STEP1_MICROS
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ct"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("ct")
+                <= _FUNNEL_STEP2_MICROS
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    clicks_row = c.agg(F.count("*").alias("n_click_1d"))
+    purch_row = p.agg(F.count("*").alias("n_purchase_7d"))
+    return (
+        nv.crossJoin(F.broadcast(clicks_row))
+        .crossJoin(F.broadcast(purch_row))
+        .select(
+            "n_view",
+            "n_click_1d",
+            "n_purchase_7d",
+            F.round(
+                F.col("n_purchase_7d") * 1.0 / F.col("n_view"), 6
+            ).alias("windowed_conversion"),
+        )
+    )

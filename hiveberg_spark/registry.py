@@ -143,6 +143,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "agg_higher_moments",
     "scalar_regex_funcs",
     "pipeline_curriculum_phases",
+    "events_funnel_windowed",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",

@@ -132,6 +132,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "bounds",   # churn temporal cutoff: one-row aggregate
         "pad_sorted", "pad_naive",  # batching pad totals: one-row aggs
         "thresholds",  # curriculum tercile boundaries: one-row aggregate
+        "clicks_row", "purch_row",  # windowed-funnel counts: one-row aggs
         "corpus",   # distinctive-terms corpus token total: one-row agg
     }
     ops_dir = os.path.join(
