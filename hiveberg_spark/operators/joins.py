@@ -366,3 +366,78 @@ def join_range_bucketed(spark, sf_dir):
         )
         .withColumn("no_nl_join", F.lit(bool(no_nl)))
     )
+
+
+# -- as-of join with staleness tolerance (round 9) -----------------------------------
+
+_ASOF_TOL_DAYS = 9900  # max staleness: reference time minus this many days
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH orders_ts AS (
+      SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+      WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey,
+           epoch_us((SELECT MAX(e.ts) FROM events e
+             WHERE e.user_id = o_custkey % 50
+               AND e.ts <= o_orderdate + INTERVAL 10000 DAYS
+               AND e.ts > o_orderdate + INTERVAL 10000 DAYS
+                          - INTERVAL {_ASOF_TOL_DAYS} DAYS
+           )) AS last_event_us,
+           ((SELECT MAX(e.ts) FROM events e
+             WHERE e.user_id = o_custkey % 50
+               AND e.ts <= o_orderdate + INTERVAL 10000 DAYS
+               AND e.ts > o_orderdate + INTERVAL 10000 DAYS
+                          - INTERVAL {_ASOF_TOL_DAYS} DAYS) IS NULL)
+             AS stale_miss
+    FROM orders_ts
+    ORDER BY o_orderkey
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """AS-OF join with STALENESS TOLERANCE [N] — the form sensor-fusion
+    and feature-serving pipelines actually need: `asof_join_events`
+    takes the latest match however old, but a feature older than the
+    tolerance window is a data-quality miss, not a match, so rows whose
+    only candidates are older than {_ASOF_TOL_DAYS} days surface as
+    explicit NULL + `stale_miss` instead of silently joining ancient
+    state. Same scalable composition as the base op (equi-join on the
+    entity key + max-over-time, shuffle on user_id only) — the
+    tolerance is one extra pushed-down range conjunct that PRUNES the
+    join input at scale rather than widening it."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50).alias("user_key"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 10000 DAYS")).alias(
+                "cutoff"
+            ),
+        )
+        .withColumn(
+            "floor_ts",
+            F.col("cutoff") - F.expr(f"INTERVAL {_ASOF_TOL_DAYS} DAYS"),
+        )
+    )
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    joined = o.join(
+        e,
+        (o.user_key == e.user_id)
+        & (e.ts <= o.cutoff)
+        & (e.ts > o.floor_ts),
+        "left",
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.unix_micros(F.max("ts").cast("timestamp")).alias(
+                "last_event_us"
+            ),
+            F.max("ts").isNull().alias("stale_miss"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -144,6 +144,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "scalar_regex_funcs",
     "pipeline_curriculum_phases",
     "events_funnel_windowed",
+    "asof_join_tolerance",
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",
