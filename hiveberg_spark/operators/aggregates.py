@@ -1751,8 +1751,8 @@ def events_time_to_convert(spark, sf_dir):
     WITH bounds AS (
       SELECT epoch_us(MIN(ts)) AS lo,
              epoch_us(MIN(ts))
-               + CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) * 0.8
-                      AS BIGINT) AS cutoff
+               + ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) * 4) // 5
+               AS cutoff
       FROM events
     ),
     feat AS (
@@ -1788,8 +1788,10 @@ def events_churn_features(spark, sf_dir):
     construction. Per-user: activity counts, purchase counts, type
     diversity, DECIMAL-exact spend, whole-days-inactive at cutoff;
     label = no post-cutoff events. Everything derives from exact
-    integer epoch-micros arithmetic (the cutoff itself is an integer
-    expression both engines compute identically); spend rounds after
+    integer epoch-micros arithmetic — the cutoff is lo + (range*4) div 5,
+    pure integer division both engines compute identically (a double
+    0.8-multiply would truncate in Spark but round in DuckDB whenever
+    frac(range*0.8) >= 0.5); spend rounds after
     an exact DECIMAL sum. Shape: one bounds aggregate (one-row
     broadcast), one pre-cutoff groupBy, one post-cutoff semi-side —
     two corpus passes at any scale."""
@@ -1799,13 +1801,16 @@ def events_churn_features(spark, sf_dir):
         "event_type",
         "value",
     )
+    # pure INTEGER arithmetic for the 80% cutoff (ADVICE r9 #2): Spark's
+    # non-ANSI double->long cast truncates while DuckDB's rounds
+    # half-to-even, so (range * 0.8)::long can differ by 1 micro between
+    # engines; (range * 4) div 5 is exact and identical in both.
     bounds = ev.agg(
         (
             F.unix_micros(F.min("ts"))
-            + (
-                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
-                * 0.8
-            ).cast("long")
+            + F.expr(
+                "((unix_micros(max(ts)) - unix_micros(min(ts))) * 4) div 5"
+            )
         ).alias("cutoff")
     )
     w = ev.crossJoin(F.broadcast(bounds))

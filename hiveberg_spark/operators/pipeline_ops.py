@@ -1436,13 +1436,21 @@ def pipeline_dedup_cascade_report(spark, sf_dir):
         docs.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
     ).persist()
     n1 = survivors1.count()
-    pairs = ngram_jaccard_pairs(
-        shingled(survivors1).persist(), JACCARD_THRESHOLD, SHINGLE_DF_CAP
-    )
+    sh = shingled(survivors1).persist()
+    pairs = ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, SHINGLE_DF_CAP)
     nd = pairs.select("doc_b").distinct().count()
+    # every consumer of the cached frames is a driver-side count above —
+    # release them here so back-to-back report runs don't accumulate
+    # storage memory (VERDICT r9 hygiene #3)
+    sh.unpersist()
+    survivors1.unpersist()
+    # empty-corpus guard (ADVICE r9 #4): removal rate is 0.0 when the
+    # stage saw no input, never a ZeroDivisionError
+    r1 = round((n0 - n1) / n0, 6) if n0 else 0.0
+    r2 = round(nd / n1, 6) if n1 else 0.0
     rows = [
-        (1, "exact", n0, n0 - n1, n1, round((n0 - n1) / n0, 6)),
-        (2, "neardup_jaccard", n1, nd, n1 - nd, round(nd / n1, 6)),
+        (1, "exact", n0, n0 - n1, n1, r1),
+        (2, "neardup_jaccard", n1, nd, n1 - nd, r2),
     ]
     return spark.createDataFrame(
         rows,

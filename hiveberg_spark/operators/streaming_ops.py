@@ -791,7 +791,7 @@ def stream_bot_rate_monitor(spark, sf_dir):
     """STREAMING bot-rate monitoring — the online leg of
     `events_bot_detection`: a real Structured Streaming pipeline
     (file source over the event landing directory, 1-hour tumbling
-    windows with a 10-minute watermark bounding state, complete-mode
+    windows with a 10-minute watermark bounding state, update-mode
     memory sink) maintains per-user hourly counts; a user whose ANY
     window exceeds {_SBOT_HOURLY} events flags as a bot. The organic
     fixture peaks far below threshold, so {_SBOT_USERS} bot accounts
@@ -800,8 +800,14 @@ def stream_bot_rate_monitor(spark, sf_dir):
     file, exactly how bot traffic arrives in production: interleaved
     in the same source, not a separate path. Oracle = the equivalent
     batch SQL over events ∪ bots (the batch-vs-stream parity check
-    every §2.9 query uses). At scale the watermark caps state at
-    O(active users × live windows)."""
+    every §2.9 query uses). Output mode is UPDATE, not complete —
+    complete mode retains every window's state forever and ignores the
+    watermark (ADVICE r9 #3); under update the watermark really evicts
+    closed windows, so state is O(active users × live windows). The
+    memory sink APPENDS each batch's updated rows, so a (window, user)
+    key may appear once per batch it changed in — downstream takes
+    MAX(n) per user, and hourly counts only grow, so the latest update
+    always wins."""
     import os
     import tempfile
     import uuid as _uuid
@@ -867,7 +873,7 @@ def stream_bot_rate_monitor(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour"), "user_id")
         .agg(F.count("*").alias("n"))
     )
-    out = run_to_memory(hourly, output_mode="complete", name=None)
+    out = run_to_memory(hourly, output_mode="update", name=None)
     return out.groupBy("user_id").agg(
         F.max("n").alias("max_hourly"),
         (F.max("n") > _SBOT_HOURLY).alias("is_bot"),

@@ -1140,12 +1140,15 @@ def text_bigram_perplexity(spark, sf_dir):
             "doc_id",
             (F.col("p0") + 1).alias("pos"),
             "word",
-            F.element_at("w", F.col("p0")).alias("prev_raw"),
+            # prev guarded INSIDE one expression: posexplode's p0 is 0 for
+            # every doc-initial token and element_at(col, 0) throws
+            # INVALID_INDEX_OF_ZERO in Spark 4.x even with ANSI off — an
+            # unguarded intermediate projection only survives while
+            # CollapseProject keeps the CASE branch lazy (ADVICE r9 #1).
+            F.when(
+                F.col("p0") > 0, F.element_at("w", F.col("p0"))
+            ).alias("prev"),
         )
-        .withColumn(
-            "prev", F.when(F.col("pos") > 1, F.col("prev_raw"))
-        )
-        .drop("prev_raw")
         .persist()
     )
     uni = tok.groupBy("word").agg(F.count("*").alias("cnt"))
@@ -1664,10 +1667,15 @@ def text_kneser_ney_bigram(spark, sf_dir):
             "doc_id",
             (F.col("p0") + 1).alias("pos"),
             "word",
-            F.element_at("w", F.col("p0")).alias("prev_raw"),
+            # prev guarded INSIDE one expression: posexplode's p0 is 0 for
+            # every doc-initial token and element_at(col, 0) throws
+            # INVALID_INDEX_OF_ZERO in Spark 4.x even with ANSI off — an
+            # unguarded intermediate projection only survives while
+            # CollapseProject keeps the CASE branch lazy (ADVICE r9 #1).
+            F.when(
+                F.col("p0") > 0, F.element_at("w", F.col("p0"))
+            ).alias("prev"),
         )
-        .withColumn("prev", F.when(F.col("pos") > 1, F.col("prev_raw")))
-        .drop("prev_raw")
         .persist()
     )
     uni = tok.groupBy("word").agg(F.count("*").alias("cnt"))

@@ -690,3 +690,15 @@ def test_round9_audits_survive_empty_corpus(spark, tmp_path):
     # is not
     gini = registry.QUERIES["pipeline_token_gini"](spark, str(tmp_path)).collect()
     assert len(gini) == 1
+    # the cascade report always emits its two stage rows; on an empty
+    # corpus every count is 0 and the removal rates guard to 0.0
+    # instead of raising ZeroDivisionError (ADVICE r9 #4)
+    cascade = {
+        r.name: r
+        for r in registry.QUERIES["pipeline_dedup_cascade_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert cascade["exact"].docs_in == 0
+    assert cascade["exact"].removal_rate == 0.0
+    assert cascade["neardup_jaccard"].removal_rate == 0.0
