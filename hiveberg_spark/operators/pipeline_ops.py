@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from hiveberg_spark.caching import persist_tracked
 from hiveberg_spark.catalog import load_table
 from hiveberg_spark.registry import query
 from hiveberg_spark.operators.dedup import (
@@ -259,44 +260,61 @@ def sample_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle_positions(keyed, n_partitions=8)
 
 
-def epoch_shuffle_positions(keyed: DataFrame, n_partitions: int) -> DataFrame:
-    """Distributed zipWithIndex over (shuffle_key, doc_id) total order:
-    range-partition + in-partition sort, decode
-    `monotonically_increasing_id` ((partition_id << 33) + local index —
-    documented Spark layout, held strict by the oracle hash AND the
-    dense-position invariant test at multiple partition counts), then
-    add broadcast per-partition offsets. Positions are 1..N exactly,
-    independent of `n_partitions` (they depend only on the key order) —
-    tests/test_properties.py pins both."""
-    parts = (
-        keyed.repartitionByRange(n_partitions, "shuffle_key")
-        .sortWithinPartitions("shuffle_key", "doc_id")
-        .withColumn("mid", F.monotonically_increasing_id())
-        .withColumn("pid", F.spark_partition_id())
+def global_positions(
+    df: DataFrame,
+    order_cols,
+    n_partitions: int,
+    position_col: str = "position",
+) -> DataFrame:
+    """Distributed zipWithIndex over an ARBITRARY total order — the
+    repo's standard replacement for `ROW_NUMBER() OVER (ORDER BY ...)`,
+    which would funnel the full corpus through one task
+    (`Exchange SinglePartition`).  ONE range exchange on the order key
+    (the information-theoretic floor for a total order) + in-partition
+    sort, decode `monotonically_increasing_id` ((partition_id << 33) +
+    local index — documented Spark layout), then add broadcast
+    per-partition offsets: only the n_partitions-row count frame
+    crosses the wire after the range shuffle.  Positions are 1..N
+    exactly, independent of `n_partitions` (they depend only on the
+    key order) — tests/test_properties.py pins both."""
+    parts = persist_tracked(  # consumed twice: rows below, counts here
+        df.repartitionByRange(n_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
         .withColumn(
-            "local_pos", F.expr("mid - (cast(pid as bigint) << 33)")
+            "_local_pos", F.expr("_mid - (cast(_pid as bigint) << 33)")
         )
-        .persist()  # consumed twice: rows below, per-partition counts here
     )
     offsets = (
-        parts.groupBy("pid")
-        .agg(F.count("*").alias("pn"))
+        parts.groupBy("_pid")
+        .agg(F.count("*").alias("_pn"))
         .withColumn(
-            "offset",
+            "_offset",
             F.coalesce(
-                F.sum("pn").over(
-                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                F.sum("_pn").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("pid", "offset")
+        .select("_pid", "_offset")
     )
-    return parts.join(F.broadcast(offsets), "pid").select(
-        "doc_id",
-        "shuffle_key",
-        (F.col("local_pos") + F.col("offset") + 1).cast("long").alias("position"),
+    return parts.join(F.broadcast(offsets), "_pid").select(
+        *df.columns,
+        (F.col("_local_pos") + F.col("_offset") + 1)
+        .cast("long")
+        .alias(position_col),
     )
+
+
+def epoch_shuffle_positions(keyed: DataFrame, n_partitions: int) -> DataFrame:
+    """(shuffle_key, doc_id)-ordered `global_positions`, kept as the
+    named entry point the epoch-shuffle family and its invariant tests
+    use."""
+    return global_positions(
+        keyed, [F.asc("shuffle_key"), F.asc("doc_id")], n_partitions
+    ).select("doc_id", "shuffle_key", "position")
 
 
 @query(
@@ -315,19 +333,22 @@ def text_zipf_rank(spark, sf_dir):
     """Corpus frequency table with Zipf rank — the vocabulary-audit query
     of a data pipeline (token distribution sanity, stop-word discovery
     feeding the stop-shingle cap). Scale: one (word) shuffle with
-    map-side combine; the rank window runs on the vocabulary-sized
-    aggregate, and top-50 is TakeOrderedAndProject."""
+    map-side combine; top-50 is TakeOrderedAndProject FIRST (per-
+    partition heaps, no vocabulary-wide exchange — VERDICT r9 #7), and
+    only the 50-row head is ranked. (word) is unique in the frequency
+    table so rank over (n DESC, word) never ties — ranking the head
+    equals ranking the full vocabulary on rows 1..50."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    ranked = freq.withColumn(
+    head = freq.orderBy(F.desc("n"), F.asc("word")).limit(50)
+    return head.withColumn(
         "zipf_rank",
         F.rank().over(W.orderBy(F.desc("n"), F.asc("word"))).cast("long"),
-    )
-    return ranked.orderBy("zipf_rank").limit(50)
+    ).orderBy("zipf_rank")
 
 
 @query(
@@ -860,7 +881,11 @@ def sample_dsir_weights(spark, sf_dir):
     Scale shape: two word-count aggregates (one shuffle each on the
     word key — the target one over a filtered subset), a ~vocab-sized
     log-ratio frame the occurrence join broadcasts via AQE, and one
-    doc_id aggregate. Nothing driver-side. The paper's production
+    doc_id aggregate. The top-25% cut is a TWO-PHASE threshold, never a
+    full-corpus single-task window: `global_positions` range-ranks only
+    the (score, doc_id) pairs, the k-th pair becomes a one-row
+    broadcast threshold, and selection is a stateless predicate —
+    plan-pinned single-partition-free by tests/test_round10_plans.py. The paper's production
     variant hashes n-grams into 2^k buckets (xxhash64 % 2^k here)
     purely to bound the vocabulary — identical plan shape, smaller
     build side; the unhashed unigram twin is what makes this
@@ -899,7 +924,7 @@ def sample_dsir_weights(spark, sf_dir):
             .alias("lr"),
         )
     )
-    scored = (
+    scored = persist_tracked(
         occ.join(lr, "w")
         .groupBy("doc_id")
         .agg(
@@ -908,15 +933,39 @@ def sample_dsir_weights(spark, sf_dir):
             ).alias("dsir_score")
         )
     )
-    w_all = W.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
-    w_tot = W.partitionBy()
-    return scored.select(
-        "doc_id",
-        "dsir_score",
-        (
-            F.row_number().over(w_all)
-            <= F.floor(F.lit(DSIR_KEEP_FRAC) * F.count("*").over(w_tot))
-        ).alias("selected"),
+    # top-25% selection WITHOUT a full-corpus single-task window
+    # (VERDICT r9 #2): two-phase rank the (score, doc_id) pairs
+    # (`global_positions` — one range exchange + broadcast offsets),
+    # pick the k-th pair as the keep threshold (one-row aggregate;
+    # all-NULL when k = 0, coalescing to nobody selected), and apply
+    # selection as a stateless broadcast predicate on the scored frame.
+    # Ties at the boundary break on doc_id exactly like the oracle's
+    # ROW_NUMBER(ORDER BY dsir_score DESC, doc_id).
+    pos = global_positions(
+        scored, [F.desc("dsir_score"), F.asc("doc_id")], 8
+    )
+    n = scored.agg(F.count("*").alias("n_total"))
+    thr = (
+        pos.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("position")
+            == F.floor(F.lit(DSIR_KEEP_FRAC) * F.col("n_total"))
+        )
+        .agg(
+            F.max("dsir_score").alias("thr_score"),
+            F.max("doc_id").alias("thr_doc"),
+        )
+    )
+    selected = F.coalesce(
+        (F.col("dsir_score") > F.col("thr_score"))
+        | (
+            (F.col("dsir_score") == F.col("thr_score"))
+            & (F.col("doc_id") <= F.col("thr_doc"))
+        ),
+        F.lit(False),
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "dsir_score", selected.alias("selected")
     )
 
 
@@ -1994,23 +2043,26 @@ def pipeline_length_bucketed_batches(spark, sf_dir):
     max): total padded tokens under length-sorted batching vs naive
     id-order batching, as one summary row with the structural pin that
     sorting can never pad MORE (batch maxima are minimized by sorted
-    assignment). All counts exact integers. The global sort windows
-    are the MEASUREMENT convenience at fixture scale; a production run
-    range-partitions by length and buckets within partitions — same
-    arithmetic, no global window (`token_budget_packing` demonstrates
-    that two-phase distributed form)."""
-    from pyspark.sql import Window as W
-
-    toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("n")
-    ).persist()
+    assignment). All counts exact integers. Both batch assignments run
+    the TWO-PHASE distributed form (VERDICT r9 #4): `global_positions`
+    range-partitions the (doc_id, n) pairs on the batch order and
+    decodes per-partition offsets — one range exchange per ordering,
+    never a full-corpus Exchange SinglePartition window (plan-pinned by
+    tests/test_round10_plans.py); the pad arithmetic is unchanged."""
+    toks = persist_tracked(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        )
+    )
 
     def pad(ordered_by):
-        bid = F.floor(
-            (F.row_number().over(W.orderBy(*ordered_by)) - 1) / _LB_BATCH
-        )
-        per_batch = toks.withColumn("batch_id", bid).groupBy("batch_id").agg(
-            (F.max("n") * F.count("*") - F.sum("n")).alias("p")
+        pos = global_positions(toks, ordered_by, 8)
+        per_batch = (
+            pos.withColumn(
+                "batch_id", F.floor((F.col("position") - 1) / _LB_BATCH)
+            )
+            .groupBy("batch_id")
+            .agg((F.max("n") * F.count("*") - F.sum("n")).alias("p"))
         )
         return per_batch.agg(F.sum("p").alias("pad"))
 
@@ -2092,32 +2144,41 @@ def pipeline_curriculum_phases(spark, sf_dir):
     and token budget. The thresholds use the VALUE-CROSSING rule
     (`agg_weighted_percentile`'s trick — the smallest score whose rank
     reaches n/3): two scalar thresholds broadcast back, so the
-    PER-DOCUMENT assignment is a stateless comparison — at 100 TB the
-    rank pass runs once on (score, id) pairs and every epoch's phase
-    filter is a free predicate. Scores are 6-dp-rounded doubles both
+    PER-DOCUMENT assignment is a stateless comparison. The rank pass
+    itself is the DISTRIBUTED two-phase `global_positions` over the
+    (score, id) pairs — one range exchange, never an
+    Exchange SinglePartition of the corpus — so at 100 TB both the
+    ranking and every epoch's phase filter scale. Scores are 6-dp-rounded doubles both
     engines produce identically; phase means divide exact DECIMAL sums."""
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    scored = d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
-            "score"
-        ),
-    ).persist()
-    cum = scored.select(
-        "score",
-        F.row_number().over(W.orderBy("score", "doc_id")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
+    scored = persist_tracked(
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+                "score"
+            ),
+        )
     )
-    th = cum.agg(
+    # tercile ranks via the TWO-PHASE form (VERDICT r9 #3): rank only
+    # the (score, doc_id) pairs with `global_positions` (one range
+    # exchange + broadcast offsets — no single-task corpus window),
+    # then reduce to the two value-crossing thresholds in one
+    # partial-then-final aggregate.
+    pos = global_positions(
+        scored.select("doc_id", "score"),
+        [F.asc("score"), F.asc("doc_id")],
+        8,
+        position_col="rn",
+    )
+    n = scored.agg(F.count("*").alias("n_total"))
+    th = pos.crossJoin(F.broadcast(n)).agg(
         F.min(
-            F.when(F.col("rn") >= F.col("n") / 3.0, F.col("score"))
+            F.when(F.col("rn") >= F.col("n_total") / 3.0, F.col("score"))
         ).alias("t1"),
         F.min(
-            F.when(F.col("rn") >= 2 * F.col("n") / 3.0, F.col("score"))
+            F.when(F.col("rn") >= 2 * F.col("n_total") / 3.0, F.col("score"))
         ).alias("t2"),
     )
     phase = (

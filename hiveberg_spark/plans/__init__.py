@@ -3,6 +3,7 @@ from hiveberg_spark.plans.inspect import (
     pushed_filters,
     read_schema_columns,
     assert_whole_stage_codegen,
+    single_partition_offenders,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "assert_whole_stage_codegen",
+    "single_partition_offenders",
 ]

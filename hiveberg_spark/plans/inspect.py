@@ -49,3 +49,41 @@ def assert_whole_stage_codegen(df: DataFrame) -> None:
     plan = explain_str(df, "simple")
     if "WholeStageCodegen" not in plan and "*(" not in plan:
         raise AssertionError(f"no WholeStageCodegen span in plan:\n{plan}")
+
+
+#: child node patterns under which an `Exchange SinglePartition` is a
+#: bounded funnel, not a full-data one:
+#:  - ungrouped aggregates (keys=[]) — one row per upstream partition
+#:  - the `global_positions` offsets aggregate (keys=[_pid...]) — one
+#:    row per partition by construction
+#:  - limits / top-k — bounded by the limit constant
+_SP_BOUNDED_CHILD = (
+    "HashAggregate(keys=[]",
+    "SortAggregate(key=[]",
+    "SortAggregate(keys=[]",
+    "ObjectHashAggregate(keys=[]",
+    "HashAggregate(keys=[_pid",
+    "HashAggregate(keys=[pid",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def single_partition_offenders(df: DataFrame) -> list[str]:
+    """Every `Exchange SinglePartition` in the physical plan whose input
+    is NOT provably bounded (see `_SP_BOUNDED_CHILD`) — i.e. a potential
+    full-data funnel through one task, the #1 scale anti-pattern a
+    100 TB plan must not contain.  Tree text prints depth-first, so an
+    exchange's single child is always the next line."""
+    plan = explain_str(df, "simple")
+    lines = plan.splitlines()
+    out: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        child = lines[i + 1].strip() if i + 1 < len(lines) else "<none>"
+        if not any(tok in child for tok in _SP_BOUNDED_CHILD):
+            out.append(f"{ln.strip()}  <-  {child}")
+    return out

@@ -31,8 +31,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the driver may pass its own session — apply the runtime
             # confs every operator depends on (nanosAsLong, ANSI off, UTC)
+            from hiveberg_spark.caching import release_tracked
             from hiveberg_spark.session import ensure_runtime_conf
 
+            # free the PREVIOUS query's tracked caches (its result has
+            # been collected by now) so storage memory stays bounded at
+            # one query's working set across a long-lived session
+            release_tracked()
             return fn(ensure_runtime_conf(spark), sf_dir)
 
         wrapped.__name__ = fn.__name__

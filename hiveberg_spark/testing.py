@@ -53,10 +53,12 @@ def _type_kind(series: pd.Series) -> str:
 
     The driver's value-hash is type-sensitive: a Spark BIGINT vs a DuckDB
     HUGEINT (→ float64/object in pandas) hash-differ even when every value
-    is numerically identical (CORRECTNESS_r02 `text_corpus_stats`).  Local
-    compare must therefore flag int-vs-float kind drift, while still
-    accepting the lossless widenings both engines share (Decimal → float,
-    nullable int → float when nulls force the coercion).
+    is numerically identical (CORRECTNESS_r02 `text_corpus_stats`), and a
+    Spark DECIMAL vs a DuckDB DOUBLE likewise (CORRECTNESS_r08
+    `pipeline_data_card`).  Local compare must therefore flag BOTH
+    int-vs-float and Decimal-vs-anything kind drift, while still accepting
+    the one coercion both engines share (nullable int → float when nulls
+    force it).
     """
     k = series.dtype.kind  # i u f b O M m
     if k == "u":
@@ -67,7 +69,15 @@ def _type_kind(series: pd.Series) -> str:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             continue
         if isinstance(v, Decimal):
-            return "f"  # normalized to float by _normalize_cell
+            # Decimal is its OWN kind: the driver's value-hash is
+            # type-sensitive and a Spark DECIMAL result hash-differs
+            # from a DuckDB DOUBLE oracle even when every value is
+            # numerically identical (CORRECTNESS_r08 `pipeline_data_card`
+            # shipped red exactly because the old harness folded Decimal
+            # into "f" and masked the drift — VERDICT r9 #5). Values are
+            # still normalized Decimal→float for the ROW comparison, but
+            # only after BOTH sides proved to be Decimal.
+            return "d"
         if isinstance(v, bool):
             return "b"
         if isinstance(v, int):

@@ -130,6 +130,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "mom",      # CUPED pooled moments: one-row aggregate
         "level_row",  # water-filling level: one-row aggregate
         "bounds",   # churn temporal cutoff: one-row aggregate
+        "thr",      # DSIR keep threshold: one-row aggregate (k-th pair)
         "pad_sorted", "pad_naive",  # batching pad totals: one-row aggs
         "thresholds",  # curriculum tercile boundaries: one-row aggregate
         "clicks_row", "purch_row",  # windowed-funnel counts: one-row aggs
