@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hiveberg_spark.caching import persist_tracked
 from hiveberg_spark.catalog import load_table
 from hiveberg_spark.registry import query
 
@@ -927,7 +928,7 @@ def events_attribution_touch(spark, sf_dir):
         F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first_touch"),
         "last_touch_value",
     )
-    out = out.persist()
+    out = persist_tracked(out)
     out.count()
     ranked.unpersist()
     return out
@@ -2003,11 +2004,11 @@ def events_seasonal_anomaly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("timestamp").alias("ts"), "event_type"
     )
-    cells = ev.groupBy(
+    cells = persist_tracked(ev.groupBy(
         "event_type",
         F.to_date("ts").alias("day"),
         F.hour("ts").alias("hod"),
-    ).agg(F.count("*").alias("n")).persist()
+    ).agg(F.count("*").alias("n")))
     baseline = cells.groupBy("event_type", "hod").agg(
         F.sum("n").alias("total_n"), F.count("*").alias("n_days")
     )
@@ -2275,4 +2276,119 @@ def events_funnel_windowed(spark, sf_dir):
                 F.col("n_purchase_7d") * 1.0 / F.col("n_view"), 6
             ).alias("windowed_conversion"),
         )
+    )
+
+
+# -- arg-max/arg-min battery (round 10) ---------------------------------------------
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+    SELECT source,
+           arg_max(doc_id, n_chars * 100000000 + doc_id) AS longest_doc,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           arg_min(doc_id, n_chars * 100000000 + doc_id) AS shortest_doc,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars
+    FROM documents GROUP BY source
+    """,
+)
+def agg_argminmax(spark, sf_dir):
+    """ARG-MAX / ARG-MIN aggregates (`max_by` / `min_by`) — the
+    "which row holds the extreme" aggregate every data audit needs
+    (longest/shortest document per source here). Determinism: raw
+    max_by/min_by are tie-UNSTABLE in both engines, so the ordering
+    key is the exact integer n_chars * 1e8 + doc_id — unique per row,
+    identical arithmetic in Spark and DuckDB (`arg_max`/`arg_min`).
+    Scale: one source-keyed hash aggregate with map-side partials;
+    max_by partials carry one (value, key) pair per group per task."""
+    d = load_table(spark, sf_dir, "documents")
+    ordk = F.col("n_chars") * F.lit(100000000) + F.col("doc_id")
+    return d.groupBy("source").agg(
+        F.max_by("doc_id", ordk).alias("longest_doc"),
+        F.max("n_chars").alias("max_chars"),
+        F.min_by("doc_id", ordk).alias("shortest_doc"),
+        F.min("n_chars").alias("min_chars"),
+    )
+
+
+# -- exact-moment OLS regression (round 10) -----------------------------------------
+
+
+@query(
+    "agg_ols_regression",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+             CAST(value AS DECIMAL(30,6)) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(x * x) AS sxx,
+             SUM(y) AS sy,
+             SUM(x * y) AS sxy,
+             SUM(y * y) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+             AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+    """,
+)
+def agg_ols_regression(spark, sf_dir):
+    """OLS REGRESSION from exact moments — slope/intercept/R² of event
+    value vs hour-of-day per event type, the regression-aggregate
+    surface (`regr_slope`-family) built the deterministic way: the five
+    sufficient moments Σx, Σx², Σy, Σxy, Σy² are EXACT (x integer, y
+    summed as DECIMAL(30,6) — addition order can't drift them), and the
+    float math happens once per GROUP on those exact scalars, so both
+    engines compute bit-identical results where native regr_* (float
+    accumulation in data order) would not. Scale: one event_type-keyed
+    aggregate with map-side partials — the moments are the classic
+    one-pass distributed-regression shape."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.col("value").cast("decimal(30,6)").alias("y"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / den_x
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"),
+            6,
+        ).alias("intercept"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from hiveberg_spark.caching import persist_tracked
 from hiveberg_spark.catalog import load_table
 from hiveberg_spark.registry import query
 
@@ -157,7 +158,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     only if ALL its shared shingles are hot — the standard stop-shingle
     tradeoff, asserted in tests."""
     return ngram_jaccard_pairs(
-        shingled(load_table(spark, sf_dir, "documents")).persist(),
+        persist_tracked(shingled(load_table(spark, sf_dir, "documents"))),
         JACCARD_THRESHOLD,
         SHINGLE_DF_CAP,
     )
@@ -261,7 +262,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # persist: the shingle stage is the expensive per-row compute and is
     # consumed three times (signatures + both sides of the verify join);
     # at 100 TB this is a materialized signatures table
-    sh = shingled(load_table(spark, sf_dir, "documents")).persist()
+    sh = persist_tracked(shingled(load_table(spark, sf_dir, "documents")))
     sigs = minhash_signatures(sh)
     band_hashes = F.array(
         *[
@@ -271,9 +272,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
     # persist: the self-join consumes bands twice; without this the
     # whole shingle→signature pipeline executes once per side
-    bands = sigs.select(
+    bands = persist_tracked(sigs.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
-    ).persist()
+    ))
     other = bands.select(
         F.col("doc_id").alias("doc_b"),
         F.col("band").alias("band2"),
@@ -446,7 +447,7 @@ def dedup_simhash(spark, sf_dir):
         F.concat("text", F.lit(" zebra")).alias("text"),
     )
     aug = docs.unionByName(plants).unionByName(edits)
-    pairs = simhash_pairs(shingled(aug)).select("doc_a", "doc_b").persist()
+    pairs = persist_tracked(simhash_pairs(shingled(aug)).select("doc_a", "doc_b"))
     # Truth universe = docs + plants ONLY, matching the oracle's aug CTE:
     # the ' zebra' edit copies must not enter the exact-dup truth join, or
     # a fixture where two doc_id<20 texts collide would create edit-edit
@@ -538,7 +539,7 @@ def decontaminate_minhash_lsh(spark, sf_dir):
     the dedup oracle). At 100 TB the eval side is a fixed-size suite:
     its bands broadcast, and the train side is touched once."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingled(docs).persist()
+    sh = persist_tracked(shingled(docs))
     sigs = minhash_signatures(sh)
     band_hashes = F.array(
         *[
@@ -546,9 +547,9 @@ def decontaminate_minhash_lsh(spark, sf_dir):
             for b in range(_BANDS)
         ]
     )
-    bands = sigs.select(
+    bands = persist_tracked(sigs.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
-    ).persist()
+    ))
     is_eval = (F.col("doc_id") % _DECON_SLICE) == _DECON_RESIDUE
     train_bands = bands.filter(~is_eval)
     eval_bands = bands.filter(is_eval).select(
@@ -900,7 +901,7 @@ def dedup_containment(spark, sf_dir):
             F.slice(F.split("text", " "), 1, _EXCERPT_WORDS), " "
         ).alias("text"),
     )
-    sh = shingled(docs.unionByName(excerpts)).persist()
+    sh = persist_tracked(shingled(docs.unionByName(excerpts)))
     return containment_pairs(sh, CONTAINMENT_THRESHOLD, SHINGLE_DF_CAP)
 
 
@@ -1082,7 +1083,7 @@ def dedup_bbit_minhash(spark, sf_dir):
         F.concat("text", F.lit(" zebra")).alias("text"),
     )
     aug = docs.unionByName(plants).unionByName(edits)
-    sh = shingled(aug).persist()
+    sh = persist_tracked(shingled(aug))
     sigs = minhash_signatures(sh)
     base = docs.filter(F.col("doc_id") < 20).select("doc_id")
     prs = base.select(
@@ -1331,9 +1332,9 @@ def dedup_cross_source_overlap(spark, sf_dir):
     )
     # persisted: both sides of the self-join consume this frame (one
     # corpus scan + hash aggregation instead of two)
-    counts = aug.groupBy(F.md5("text").alias("h"), "source").agg(
+    counts = persist_tracked(aug.groupBy(F.md5("text").alias("h"), "source").agg(
         F.count("*").alias("n")
-    ).persist()
+    ))
     a = counts.select(
         "h", F.col("source").alias("source_a"), F.col("n").alias("n_a")
     )

@@ -302,8 +302,9 @@ _RANGE_BAND = 1.0  # price band half-width == bucket width
     "join_range_bucketed",
     oracle=f"""
     SELECT a.p_brand AS brand_a, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(SUM(CAST(ROUND(ABS(a.p_retailprice - b.p_retailprice), 6)
-                          AS DECIMAL(18,6))) / COUNT(*), 6) AS avg_gap,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(a.p_retailprice - b.p_retailprice), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_gap,
            TRUE AS no_nl_join
     FROM part a JOIN part b
       ON a.p_partkey < b.p_partkey
@@ -354,12 +355,16 @@ def join_range_bucketed(spark, sf_dir):
         pairs.groupBy("brand_a")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
+            # exact DECIMAL sum, then ONE double division+round — the
+            # final type is DOUBLE on both sides (a DECIMAL result here
+            # vs DuckDB's DOUBLE division is the r8 data_card hash
+            # class; the round-10 Decimal-strict harness flagged it)
             F.round(
                 F.sum(
                     F.round(F.abs(F.col("pa") - F.col("pb")), 6).cast(
                         "decimal(18,6)"
                     )
-                )
+                ).cast("double")
                 / F.count("*"),
                 6,
             ).alias("avg_gap"),
@@ -440,4 +445,85 @@ def asof_join_tolerance(spark, sf_dir):
             F.max("ts").isNull().alias("stale_miss"),
         )
         .orderBy("o_orderkey")
+    )
+
+
+#: nearest-join symmetric tolerance (days either side of the anchor)
+_NEAREST_TOL_DAYS = 9900
+
+
+@query(
+    "asof_join_nearest",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey % 50 AS user_key,
+             o_orderdate + INTERVAL 10000 DAY AS anchor
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    cand AS (
+      SELECT o.o_orderkey,
+             epoch_us(e.ts) AS ts_us,
+             ABS(epoch_us(e.ts) - epoch_us(o.anchor)) AS gap_us,
+             CASE WHEN epoch_us(e.ts) > epoch_us(o.anchor)
+                  THEN 1 ELSE 0 END AS is_after
+      FROM o LEFT JOIN events e
+        ON o.user_key = e.user_id
+       AND e.ts >= o.anchor - INTERVAL {_NEAREST_TOL_DAYS} DAY
+       AND e.ts <= o.anchor + INTERVAL {_NEAREST_TOL_DAYS} DAY
+    )
+    SELECT o_orderkey,
+           arg_min(ts_us, gap_us * 2 + is_after) AS nearest_event_us,
+           CAST(MIN(gap_us) AS BIGINT) AS gap_us
+    FROM cand GROUP BY o_orderkey
+    """,
+
+)
+def asof_join_nearest(spark, sf_dir):
+    """NEAREST-event as-of join [N] — completes the as-of family
+    (backward = `asof_join_events`, backward-with-staleness =
+    `asof_join_tolerance`): match each anchor to its user's CLOSEST
+    event in EITHER direction, bounded by a symmetric tolerance that
+    keeps the join input pruned. Tie between an earlier and a later
+    event at the same distance breaks toward the EARLIER one via the
+    encoded ordering key gap*2 + is_after (exact integer arithmetic,
+    identical both engines). Scale: equi-join on the entity key with
+    two pushed range conjuncts + one keyed min_by aggregate — the same
+    shape as the rest of the family, no window."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50).alias("user_key"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 10000 DAYS")).alias(
+                "anchor"
+            ),
+        )
+    )
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    lo = F.col("anchor") - F.expr(f"INTERVAL {_NEAREST_TOL_DAYS} DAYS")
+    hi = F.col("anchor") + F.expr(f"INTERVAL {_NEAREST_TOL_DAYS} DAYS")
+    j = o.join(
+        e,
+        (o.user_key == e.user_id) & (e.ts >= lo) & (e.ts <= hi),
+        "left",
+    ).select(
+        "o_orderkey",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("anchor").cast("timestamp")).alias("anchor_us"),
+    )
+    gap = F.abs(F.col("ts_us") - F.col("anchor_us"))
+    is_after = (F.col("ts_us") > F.col("anchor_us")).cast("long")
+    return (
+        j.select(
+            "o_orderkey",
+            "ts_us",
+            gap.alias("gap_us"),
+            (gap * 2 + is_after).alias("ordk"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.min_by("ts_us", "ordk").alias("nearest_event_us"),
+            F.min("gap_us").alias("gap_us"),
+        )
     )

@@ -30,9 +30,9 @@ def label_components(pairs):
     the driver only checks the converged flag). `pairs` must have
     columns (doc_a, doc_b); returns (v, label) with label = the min
     vertex id of v's component."""
-    edges = pairs.union(
+    edges = persist_tracked(pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ))
     labels = (
         edges.select(F.col("doc_a").alias("v"))
         .distinct()
@@ -44,13 +44,12 @@ def label_components(pairs):
             .groupBy(F.col("doc_a").alias("nv"))
             .agg(F.min("label").alias("nlabel"))
         )
-        updated = (
+        updated = persist_tracked(
             labels.join(neighbor_min, labels.v == neighbor_min.nv, "left")
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .persist()
         )
         changed = (
             updated.alias("u")
@@ -105,7 +104,7 @@ def dedup_cluster_pick(spark, sf_dir):
     Output: every doc in the pair graph with its cluster representative
     and whether it survives. Oracle: DuckDB recursive transitive
     closure."""
-    sh = shingled(load_table(spark, sf_dir, "documents")).persist()
+    sh = persist_tracked(shingled(load_table(spark, sf_dir, "documents")))
     pairs = ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, SHINGLE_DF_CAP).select(
         "doc_a", "doc_b"
     )
@@ -1371,9 +1370,9 @@ def pipeline_contamination_report(spark, sf_dir):
     ).otherwise(F.expr("array()").cast("array<string>"))
     # persisted: the eval-gram and train sides both consume this frame
     # (one corpus scan + gram build instead of two)
-    with_grams = docs.select(
+    with_grams = persist_tracked(docs.select(
         "doc_id", "source", F.size(w).alias("n_tokens"), grams.alias("grams")
-    ).persist()
+    ))
     eval_grams = (
         with_grams.filter(F.col("source") == DECON_EVAL_SOURCE)
         .select(F.explode("grams").alias("g"))
@@ -1485,7 +1484,7 @@ def pipeline_dedup_cascade_report(spark, sf_dir):
         docs.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
     ).persist()
     n1 = survivors1.count()
-    sh = shingled(survivors1).persist()
+    sh = persist_tracked(shingled(survivors1))
     pairs = ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, SHINGLE_DF_CAP)
     nd = pairs.select("doc_b").distinct().count()
     # every consumer of the cached frames is a driver-side count above —
@@ -1573,9 +1572,9 @@ def pipeline_budget_waterfill(spark, sf_dir):
     # final projection) would otherwise each re-derive it from the
     # corpus scan — 3 scans at 100 TB instead of 1 (caught by the
     # round-9 plan audit)
-    src = docs.groupBy("source").agg(
+    src = persist_tracked(docs.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).alias("t")
-    ).persist()
+    ))
     tot = src.agg(
         F.count("*").alias("k"),
         F.sum("t").alias("total"),
@@ -2200,4 +2199,132 @@ def pipeline_curriculum_phases(spark, sf_dir):
                 6,
             ).alias("mean_score"),
         )
+    )
+
+
+# -- quality-tiered upsampling schedule (round 10) ----------------------------------
+
+#: epochs per quality tier, low → high (the "repeat good data" knob)
+_UPSAMPLE_EPOCHS = (1, 2, 4)
+
+
+@query(
+    "pipeline_quality_upsampling",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')), 6) AS score
+      FROM documents
+    ),
+    cum AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ),
+    th AS (
+      SELECT MIN(CASE WHEN rn >= n / 3.0 THEN score END) AS t1,
+             MIN(CASE WHEN rn >= 2 * n / 3.0 THEN score END) AS t2
+      FROM cum
+    ),
+    tiered AS (
+      SELECT s.n_tokens,
+             CASE WHEN s.score <= th.t1 THEN 1
+                  WHEN s.score <= th.t2 THEN 2
+                  ELSE 3 END AS tier
+      FROM scored s, th
+    ),
+    agg AS (
+      SELECT tier,
+             CASE tier WHEN 1 THEN {_UPSAMPLE_EPOCHS[0]}
+                       WHEN 2 THEN {_UPSAMPLE_EPOCHS[1]}
+                       ELSE {_UPSAMPLE_EPOCHS[2]} END AS epochs,
+             COUNT(*) AS n_docs,
+             SUM(n_tokens) AS raw_tokens
+      FROM tiered GROUP BY tier
+    )
+    SELECT CAST(tier AS INTEGER) AS tier,
+           CAST(epochs AS INTEGER) AS epochs,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(raw_tokens AS BIGINT) AS raw_tokens,
+           CAST(epochs * raw_tokens AS BIGINT) AS effective_tokens,
+           ROUND(epochs * raw_tokens * 1.0
+                 / SUM(epochs * raw_tokens) OVER (), 6)
+             AS effective_share
+    FROM agg
+    """,
+)
+def pipeline_quality_upsampling(spark, sf_dir):
+    """QUALITY-TIERED UPSAMPLING schedule — the "repeat the best data"
+    epoch plan (the move behind doing >1 epoch on curated slices while
+    web-crawl sees the data once): split the corpus into quality
+    terciles on type-token ratio (the `pipeline_curriculum_phases`
+    score) and assign {_UPSAMPLE_EPOCHS} epochs low→high, reporting
+    each tier's raw vs EFFECTIVE token budget and its share of the
+    training mix after repetition. Thresholds come from the same
+    distributed two-phase rank (`global_positions` over (score, id)
+    pairs — no single-task corpus window); the final share divides
+    exact integer token sums over the 3-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = persist_tracked(
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+                "score"
+            ),
+        )
+    )
+    pos = global_positions(
+        scored.select("doc_id", "score"),
+        [F.asc("score"), F.asc("doc_id")],
+        8,
+        position_col="rn",
+    )
+    n = scored.agg(F.count("*").alias("n_total"))
+    th = pos.crossJoin(F.broadcast(n)).agg(
+        F.min(
+            F.when(F.col("rn") >= F.col("n_total") / 3.0, F.col("score"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("rn") >= 2 * F.col("n_total") / 3.0, F.col("score"))
+        ).alias("t2"),
+    )
+    tier = (
+        F.when(F.col("score") <= F.col("t1"), 1)
+        .when(F.col("score") <= F.col("t2"), 2)
+        .otherwise(3)
+    )
+    epochs = (
+        F.when(F.col("tier") == 1, _UPSAMPLE_EPOCHS[0])
+        .when(F.col("tier") == 2, _UPSAMPLE_EPOCHS[1])
+        .otherwise(_UPSAMPLE_EPOCHS[2])
+        .cast("int")
+    )
+    agg = (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("raw_tokens"),
+        )
+        .withColumn("epochs", epochs)
+        .withColumn(
+            "effective_tokens", F.col("epochs") * F.col("raw_tokens")
+        )
+    )
+    tot = agg.agg(F.sum("effective_tokens").alias("tot_eff"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "tier",
+        "epochs",
+        "n_docs",
+        "raw_tokens",
+        "effective_tokens",
+        F.round(
+            F.col("effective_tokens") * 1.0 / F.col("tot_eff"), 6
+        ).alias("effective_share"),
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hiveberg_spark.caching import persist_tracked
 from hiveberg_spark.catalog import load_table
 from hiveberg_spark.registry import query
 
@@ -149,7 +150,7 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
     n_total = ev.count()
     bound = 4.0 * n_total / _CMS_W
     per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    per_key = per_key.persist()
+    per_key = persist_tracked(per_key)
     est = None
     for row in range(_CMS_D):
         bucket = F.pmod(F.xxhash64(F.lit(row), F.col("user_id")), F.lit(_CMS_W))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hiveberg_spark.caching import persist_tracked
 from hiveberg_spark.catalog import load_table
 from hiveberg_spark.registry import QUERIES, query
 
@@ -378,7 +379,7 @@ def text_template_detect(spark, sf_dir):
             F.count("is_t").alias("n_template_docs"),
         )
     )
-    out = out.persist()
+    out = persist_tracked(out)
     out.count()
     doc_grams.unpersist()
     return out
@@ -572,7 +573,7 @@ def text_perplexity_proxy(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    tok = docs.select("doc_id", F.explode("w").alias("word")).persist()
+    tok = persist_tracked(docs.select("doc_id", F.explode("w").alias("word")))
     counts = tok.groupBy("word").agg(F.count("*").alias("cnt"))
     stats = tok.agg(
         F.count("*").alias("n"), F.countDistinct("word").alias("v")
@@ -1134,7 +1135,7 @@ def text_bigram_perplexity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    tok = (
+    tok = persist_tracked(
         docs.select("doc_id", "w", F.posexplode("w").alias("p0", "word"))
         .select(
             "doc_id",
@@ -1149,7 +1150,6 @@ def text_bigram_perplexity(spark, sf_dir):
                 F.col("p0") > 0, F.element_at("w", F.col("p0"))
             ).alias("prev"),
         )
-        .persist()
     )
     uni = tok.groupBy("word").agg(F.count("*").alias("cnt"))
     ctx = (
@@ -1661,7 +1661,7 @@ def text_kneser_ney_bigram(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    tok = (
+    tok = persist_tracked(
         docs.select("doc_id", "w", F.posexplode("w").alias("p0", "word"))
         .select(
             "doc_id",
@@ -1676,7 +1676,6 @@ def text_kneser_ney_bigram(spark, sf_dir):
                 F.col("p0") > 0, F.element_at("w", F.col("p0"))
             ).alias("prev"),
         )
-        .persist()
     )
     uni = tok.groupBy("word").agg(F.count("*").alias("cnt"))
     ctx = (
@@ -1684,11 +1683,10 @@ def text_kneser_ney_bigram(spark, sf_dir):
         .groupBy("prev")
         .agg(F.count("*").alias("ctx_cnt"))
     )
-    bi = (
+    bi = persist_tracked(
         tok.filter(F.col("prev").isNotNull())
         .groupBy("prev", "word")
         .agg(F.count("*").alias("bi_cnt"))
-        .persist()
     )
     fanout = bi.groupBy("prev").agg(F.count("*").alias("n1p_fwd"))
     cont = bi.groupBy("word").agg(F.count("*").alias("n1p_bwd"))
@@ -1945,7 +1943,7 @@ def text_source_distinctive_terms(spark, sf_dir):
     tok = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(F.split("text", " ")).alias("w")
     )
-    per_src = tok.groupBy("source", "w").agg(F.count("*").alias("c")).persist()
+    per_src = persist_tracked(tok.groupBy("source", "w").agg(F.count("*").alias("c")))
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("st"))
     term_tot = per_src.groupBy("w").agg(F.sum("c").alias("tt"))
     corpus = per_src.agg(F.sum("c").alias("n"))
@@ -1979,5 +1977,76 @@ def text_source_distinctive_terms(spark, sf_dir):
             F.col("c").alias("term_count"),
             "lift_micro",
             F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+# -- tokenizer-vocabulary OOV audit (round 10) --------------------------------------
+
+#: audit vocabulary size (top-K corpus words)
+_OOV_VOCAB_K = 200
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    tk AS (SELECT source, w FROM tok WHERE w <> ''),
+    freq AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY w),
+    vocab AS (
+      SELECT w FROM freq ORDER BY c DESC, w LIMIT {_OOV_VOCAB_K}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_rate
+    FROM tk LEFT JOIN vocab v USING (w)
+    GROUP BY source
+    """,
+)
+def text_oov_rate(spark, sf_dir):
+    """OUT-OF-VOCABULARY rate per source — the tokenizer-coverage audit
+    a training pipeline runs before committing to a vocabulary: build
+    the top-{_OOV_VOCAB_K} word vocabulary from the corpus itself
+    (ties at the cutoff break on the word, so the vocab set is
+    deterministic), then measure what fraction of each source's tokens
+    fall outside it. High OOV flags a source the tokenizer will
+    shatter into bytes (cost amplification — `text_tokenizer_fertility`
+    is the per-token twin of this per-source view). Scale: one word
+    shuffle with map-side combine for the frequency table, TakeOrdered
+    for the bounded vocab head, then a BROADCAST join of the
+    {_OOV_VOCAB_K}-row vocab against the token stream + one source-
+    keyed aggregate — the token stream itself is never reshuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = (
+        tk.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tk.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
         )
     )

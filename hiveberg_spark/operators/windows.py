@@ -190,3 +190,30 @@ def window_ignore_nulls(spark, sf_dir):
             F.last("purchase_value", ignorenulls=True).over(w), 6
         ).alias("last_purchase_value"),
     )
+
+
+@query(
+    "window_ntile_buckets",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(NTILE(4) OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) AS INTEGER)
+             AS length_quartile
+    FROM documents
+    """,
+)
+def window_ntile_buckets(spark, sf_dir):
+    """NTILE bucketing — equal-count quartiles of document length
+    within each source, the remaining §2.5 window function after
+    ranking/analytic/distribution. Ties broken by doc_id so bucket
+    edges are deterministic. Scale: source-keyed window (hash shuffle
+    on source) — fine while groups fit a task; for corpus-sized groups
+    the two-phase threshold pattern (`pipeline_curriculum_phases`)
+    replaces the window, trading exact equal-count edges for
+    value-crossing ones."""
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.ntile(4).over(w).alias("length_quartile"),
+    )

@@ -83,6 +83,10 @@ def single_partition_offenders(df: DataFrame) -> list[str]:
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
+        if "ReusedExchange" in ln:
+            # a reuse POINTER to an exchange audited at its definition
+            # site — the reused node's own line names the original
+            continue
         child = lines[i + 1].strip() if i + 1 < len(lines) else "<none>"
         if not any(tok in child for tok in _SP_BOUNDED_CHILD):
             out.append(f"{ln.strip()}  <-  {child}")

@@ -57,82 +57,27 @@ def load_all() -> None:
 
 
 # The grading driver hard-checks the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round. Round 9's window is EXACTLY
-# 50 names (VERDICT r8 #3: finish the rotation debt):
-# (a) the round-9 additions (tokenizer fertility, TTR/hapax, URL dedup,
-#     contamination + dedup-cascade + PII reports, bot detection,
-#     binary-hamming ANN, budget water-filling, cross-source overlap,
-#     token Gini/HHI, parse_url battery) — never driver-checked;
-# (b) re-checks of queries whose CODE changed this round (VERDICT r8
-#     #1/#2 + ADVICE r8): pipeline_data_card (avg_tokens DECIMAL→DOUBLE
-#     hash fix — the round-8 red row), dedup_containment (hot-shingle
-#     DF cap), events_attribution_decay (decimal→double decay weight);
-# (c) rotation: ALL 28 remaining queries whose latest driver row is
-#     ROUND 1 — this zeroes the round-1-era staleness debt. The
-#     round-2-era tier (stalest next) leads DEFERRED for round 10.
+# ``__spark_entry__.queries()`` per round. Round 10's window is EXACTLY
+# 50 names (VERDICT r9 #1: zero the never-driver-checked debt):
+# (a) ALL 20 round-9 additions that landed after round 9's window
+#     filled and have NEVER had a driver CORRECTNESS row — local
+#     oracle-parity green at sf0.001 + sf0.01 only;
+# (b) re-checks of queries whose CODE changed this round: the three
+#     two-phase rank rewrites are in (a) already
+#     (pipeline_curriculum_phases, pipeline_length_bucketed_batches) or
+#     here (sample_dsir_weights — VERDICT r9 #2), plus text_zipf_rank
+#     (TakeOrdered head, #7), the two bigram LMs (guarded prev
+#     expression, ADVICE #1), stream_bot_rate_monitor (update output
+#     mode, ADVICE #3), pipeline_dedup_cascade_report (empty-corpus
+#     guards + unpersist, ADVICE #4), sample_epoch_shuffle (now
+#     delegating to global_positions), and join_range_bucketed (avg_gap
+#     DECIMAL→DOUBLE — the latent r8-data_card-class drift the new
+#     Decimal-strict harness caught);
+#     events_churn_features (integer cutoff, ADVICE #2) is in (a);
+# (c) rotation: the round-2-era tier (stalest remaining rows) fills
+#     the last 23 slots.
 DRIVER_WINDOW: list[str] = [
     # (a) round-9 additions, never driver-checked
-    "text_tokenizer_fertility",
-    "text_ttr_hapax",
-    "dedup_url_host",
-    "pipeline_contamination_report",
-    "pipeline_dedup_cascade_report",
-    "events_bot_detection",
-    "simsearch_binary_hamming",
-    "pipeline_budget_waterfill",
-    "dedup_cross_source_overlap",
-    "pipeline_pii_report",
-    "pipeline_token_gini",
-    "scalar_url_funcs",
-    "simsearch_filtered_ann",
-    "agg_weighted_percentile",
-    "text_kneser_ney_bigram",
-    "text_langid_confusion",
-    "events_time_to_convert",
-    "stream_bot_rate_monitor",
-    "scalar_bitwise_funcs",
-    # (b) code-changed re-checks (round-9 fixes)
-    "pipeline_data_card",
-    "dedup_containment",
-    "events_attribution_decay",
-    # (c) rotation — every remaining round-1-stale row
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_salted_skew",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_collect_sorted",
-    "agg_median_percentile",
-    "agg_stddev_corr",
-    "agg_pivot",
-    "window_analytic",
-    "window_running_agg",
-    "window_distribution",
-    "window_range_frame",
-    "sort_order_by",
-    "limit_topk",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "distinct_dropdup",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-]
-
-# Positions 51+ — the rest of the round-2-era tier cedes its slot (all
-# green r2 AND in local oracle parity at sf0.001+sf0.01); they lead
-# round 10's rotation.
-# The three wave-4 round-9 additions lead round 10's window (landed
-# after the 50 slots filled; each verified at sf0.001+sf0.01 locally),
-# then the round-2-era tier.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "pipeline_quality_funnel",
     "embedding_matryoshka_audit",
     "pipeline_shard_manifest",
@@ -153,6 +98,16 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "scalar_struct_funcs",
     "dedup_edit_distance",
     "simsearch_probe_sweep",
+    # (b) code-changed re-checks (round-10 fixes)
+    "sample_dsir_weights",
+    "text_zipf_rank",
+    "text_kneser_ney_bigram",
+    "text_bigram_perplexity",
+    "stream_bot_rate_monitor",
+    "pipeline_dedup_cascade_report",
+    "sample_epoch_shuffle",
+    "join_range_bucketed",
+    # (c) rotation — the round-2-era tier (stalest driver rows)
     "dedup_ngram_jaccard",
     "agg_approx_distinct",
     "dedup_exact",
@@ -175,6 +130,21 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "applyinpandas_zscore",
     "udtf_mapinarrow",
     "multimodal_metadata",
+]
+
+# Positions 51+: new round-10 operators lead round 11's window (never
+# driver-checked; each lands here as it is added, verified locally at
+# sf0.001 + sf0.01), then the remaining round-2-era rotation.
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # round-10 additions (never driver-checked; sf0.001 + sf0.01 local
+    # parity green) — these lead round 11's window
+    "agg_argminmax",
+    "agg_ols_regression",
+    "window_ntile_buckets",
+    "asof_join_nearest",
+    "text_oov_rate",
+    "pipeline_quality_upsampling",
+    # remaining round-2-era rotation
     "multimodal_feature_extract",
     "multimodal_frame_sample",
 ]

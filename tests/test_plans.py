@@ -131,6 +131,8 @@ def test_no_forced_broadcast_on_fact_tables():
         "level_row",  # water-filling level: one-row aggregate
         "bounds",   # churn temporal cutoff: one-row aggregate
         "thr",      # DSIR keep threshold: one-row aggregate (k-th pair)
+        "th",       # tercile thresholds: one-row aggregate (upsampling)
+        "vocab",    # OOV audit vocabulary: top-K rows, K=200 constant
         "pad_sorted", "pad_naive",  # batching pad totals: one-row aggs
         "thresholds",  # curriculum tercile boundaries: one-row aggregate
         "clicks_row", "purch_row",  # windowed-funnel counts: one-row aggs
