@@ -780,21 +780,60 @@ def sample_perplexity_split(spark, sf_dir):
     Ordering is the exact integer-micro-nat sum divided by the exact
     token count (identical IEEE division both engines), ties broken by
     doc_id, so the tercile boundaries can never drift cross-engine.
-    Scale: the scoring pass's shuffles plus one lang-keyed window —
-    the window state is per-language doc ranks, the standard
-    quantile-split shape."""
-    from pyspark.sql import Window
+    Scale (round-10 upgrade): the naive form is a lang-PARTITIONED
+    NTILE window — with a handful of languages over a 100 TB corpus
+    that is a handful of corpus-sized tasks (keyed skew, the same
+    bottleneck class as an unpartitioned window). Instead the rank is
+    DISTRIBUTED: `global_positions` over the total order
+    (lang, score, doc_id) — one range exchange — minus a broadcast
+    per-language offset gives each doc's 1-based rank WITHIN its
+    language, and NTILE(3)'s bucket is then a pure integer expression
+    of (rank, n_lang): with q = n div 3, m = n mod 3, bucket =
+    ceil(r/(q+1)) for the first m*(q+1) rows else m + ceil((r -
+    m*(q+1))/q) — exactly SQL NTILE's fat-buckets-first contract, so
+    the unchanged NTILE oracle pins the rewrite."""
+    from pyspark.sql import Window as W
+
+    from hiveberg_spark.operators.pipeline_ops import global_positions
 
     scored = text_perplexity_proxy(spark, sf_dir).select(
         "doc_id", "n_tokens", F.col("logprob_micro").alias("lpm")
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(
-        (-F.col("lpm") * 1.0 / F.col("n_tokens")).asc(), F.col("doc_id").asc()
+    keyed = scored.join(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        (-F.col("lpm") * 1.0 / F.col("n_tokens")).alias("score"),
+    )
+    pos = global_positions(
+        keyed, [F.asc("lang"), F.asc("score"), F.asc("doc_id")], 8
+    )
+    lang_sizes = (
+        keyed.groupBy("lang")
+        .agg(F.count("*").alias("n_lang"))
+        .withColumn(
+            "lang_offset",
+            F.coalesce(
+                F.sum("n_lang").over(
+                    W.orderBy("lang").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    r = F.col("position") - F.col("lang_offset")
+    q = F.floor(F.col("n_lang") / 3).cast("long")
+    m = (F.col("n_lang") % 3).cast("long")
+    bucket = (
+        F.when(
+            r <= m * (q + 1), F.floor((r - 1) / (q + 1)) + 1
+        )
+        .otherwise(m + F.floor((r - m * (q + 1) - 1) / q) + 1)
+        .cast("int")
     )
     return (
-        scored.join(docs, "doc_id")
-        .withColumn("bucket", F.ntile(3).over(w))
+        pos.join(F.broadcast(lang_sizes), "lang")
+        .withColumn("bucket", bucket)
         .groupBy("lang", "bucket")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

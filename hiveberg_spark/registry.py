@@ -72,7 +72,8 @@ def load_all() -> None:
 #     guards + unpersist, ADVICE #4), sample_epoch_shuffle (now
 #     delegating to global_positions), and join_range_bucketed (avg_gap
 #     DECIMAL→DOUBLE — the latent r8-data_card-class drift the new
-#     Decimal-strict harness caught);
+#     Decimal-strict harness caught) and sample_perplexity_split (per-
+#     lang NTILE window -> distributed global_positions rank);
 #     events_churn_features (integer cutoff, ADVICE #2) is in (a);
 # (c) rotation: the round-2-era tier (stalest remaining rows) fills
 #     the last 23 slots.
@@ -107,6 +108,7 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_dedup_cascade_report",
     "sample_epoch_shuffle",
     "join_range_bucketed",
+    "sample_perplexity_split",
     # (c) rotation — the round-2-era tier (stalest driver rows)
     "dedup_ngram_jaccard",
     "agg_approx_distinct",
@@ -129,7 +131,6 @@ DRIVER_WINDOW: list[str] = [
     "udf_sql_registration",
     "applyinpandas_zscore",
     "udtf_mapinarrow",
-    "multimodal_metadata",
 ]
 
 # Positions 51+: new round-10 operators lead round 11's window (never
@@ -145,6 +146,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_oov_rate",
     "pipeline_quality_upsampling",
     # remaining round-2-era rotation
+    "multimodal_metadata",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
 ]

@@ -133,6 +133,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "thr",      # DSIR keep threshold: one-row aggregate (k-th pair)
         "th",       # tercile thresholds: one-row aggregate (upsampling)
         "vocab",    # OOV audit vocabulary: top-K rows, K=200 constant
+        "lang_sizes",  # per-language counts + offsets: #languages rows
         "pad_sorted", "pad_naive",  # batching pad totals: one-row aggs
         "thresholds",  # curriculum tercile boundaries: one-row aggregate
         "clicks_row", "purch_row",  # windowed-funnel counts: one-row aggs

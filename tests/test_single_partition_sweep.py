@@ -37,6 +37,9 @@ ALLOWED: dict[str, str] = {
     # input pre-filtered to p_partkey <= 100 before the window: the
     # exchanged frame is ≤100 rows at any SF.
     "window_range_frame": "window input filter-bounded to ≤100 rows",
+    # the per-language offset cumsum runs on the lang-keyed COUNT
+    # aggregate — #languages rows, a catalog-sized frame
+    "sample_perplexity_split": "per-language offsets: #languages rows",
 }
 
 _ALL = sorted(registry.QUERIES)
