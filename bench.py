@@ -89,6 +89,11 @@ HEADLINE = [
     # round 9: Kneser-Ney bigram LM — five count tables from one token
     # pass joined back per token; the heaviest text-LM join shape
     "text_kneser_ney_bigram",
+    # round 10: DSIR importance weighting + the two-phase distributed
+    # rank/threshold selection (global_positions) that replaced the
+    # full-corpus single-task window — tracks the repo's standard
+    # ROW_NUMBER replacement at bench scale
+    "sample_dsir_weights",
 ]
 
 
