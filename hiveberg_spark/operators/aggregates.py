@@ -2392,3 +2392,107 @@ def agg_ols_regression(spark, sf_dir):
         ).alias("intercept"),
         F.round(num * num / (den_x * den_y), 6).alias("r2"),
     )
+
+
+# -- experiment power / minimum-detectable-effect (round 10) ------------------------
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles (fixed literals
+#: so both engines compute from identical constants)
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+
+
+@query(
+    "events_ab_power_mde",
+    oracle=f"""
+    WITH arms AS (
+      SELECT user_id,
+             (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 2) AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM arms
+    ), m AS (
+      SELECT *,
+             (conv_a + conv_b) * 1.0 / (n_a + n_b) AS p,
+             ({_Z_ALPHA} + {_Z_BETA})
+               * SQRT((conv_a + conv_b) * 1.0 / (n_a + n_b)
+                      * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) AS mde
+      FROM agg
+    )
+    SELECT n_a, n_b,
+           ROUND(p, 6) AS pooled_rate,
+           ROUND(mde, 6) AS mde_abs,
+           ROUND(mde / p, 6) AS mde_rel,
+           (ABS(conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) > mde)
+             AS observed_exceeds_mde
+    FROM m
+    """,
+)
+def events_ab_power_mde(spark, sf_dir):
+    """EXPERIMENT POWER / MDE readout — the question every experiment
+    review asks before trusting a flat result: what's the smallest
+    conversion lift this sample could have detected at α=0.05 /
+    power=0.80? MDE = (z_α/2 + z_β) · sqrt(p(1-p)(1/n_a + 1/n_b)) on
+    the same md5 arm split as `events_ab_test`/`events_ab_srm_check`
+    (completing the A/B battery: effect, sample-ratio sanity, CUPED
+    variance cut, and now sensitivity). The normal quantiles are fixed
+    literals; every other input is an exact integer count, so the float
+    math runs once on identical operands in both engines. Scale: one
+    user-keyed aggregate then a four-number reduction — O(1) state."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    arms = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "arm",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            ),
+        )
+    )
+    agg = arms.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)
+        ).alias("conv_b"),
+    )
+    p = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    mde = F.lit(_Z_ALPHA + _Z_BETA) * F.sqrt(
+        p * (1 - p) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    diff = F.abs(
+        F.col("conv_a") / F.col("n_a") - F.col("conv_b") / F.col("n_b")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(p, 6).alias("pooled_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+        (diff > mde).alias("observed_exceeds_mde"),
+    )

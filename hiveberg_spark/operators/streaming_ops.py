@@ -878,3 +878,152 @@ def stream_bot_rate_monitor(spark, sf_dir):
         F.max("n").alias("max_hourly"),
         (F.max("n") > _SBOT_HOURLY).alias("is_bot"),
     )
+
+
+# -- watermark late-data policy audit (round 10) ------------------------------------
+
+_LATE_FRESH = 40  # staged rows inside the watermark: must be counted
+_LATE_STALE = 60  # staged rows behind a CLOSED window: must be dropped
+
+
+@query(
+    "stream_late_data_policy",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(ts) AS m, date_trunc('hour', MAX(ts)) AS mh FROM events
+    ),
+    counted AS (
+      SELECT date_trunc('hour', ts) AS w FROM events
+      UNION ALL
+      SELECT date_trunc('hour', m - INTERVAL 5 MINUTE) AS w
+      FROM mx, generate_series(1, {_LATE_FRESH})
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS counted_events,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_windows,
+           CAST({_LATE_STALE} AS BIGINT) AS dropped_late
+    FROM counted
+    """,
+)
+def stream_late_data_policy(spark, sf_dir):
+    """WATERMARK LATE-DATA POLICY audit [N §2.9] — pins the semantics
+    Structured Streaming ACTUALLY gives late rows, with a genuinely
+    multi-batch stream (`maxFilesPerTrigger=1`): batch 1 processes the
+    event history (watermark still epoch-0, everything admitted and the
+    watermark advances to max(ts) − 10 min); batch 2 delivers
+    {_LATE_FRESH} rows 5 minutes behind the head — inside the
+    watermark, counted — and, being the first batch that RUNS with the
+    advanced watermark, evicts every closed window's state at its end;
+    batch 3 delivers {_LATE_STALE} rows into a window that closed hours
+    before the watermark — state gone, rows DROPPED. (Measured, not
+    assumed: a too-late row arriving in the same batch where the
+    watermark first passed its window is still aggregated — eviction is
+    end-of-batch — which is why the stale file must land one batch
+    later; Spark's guarantee is one-sided.) The batch oracle encodes
+    the policy: counted = history + fresh, dropped = stale. The
+    update-mode memory sink may emit a window once per batch it changed
+    in; counts only grow, so MAX per window is the final value. At
+    scale this audit tells an ingest owner what their lateness SLO
+    actually loses."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.streaming.events import (
+        _SCHEMA_TS_LTZ,
+        _SCHEMA_TS_NANOS_LONG,
+        _SCHEMA_TS_NTZ,
+        _fixture_ts_kind,
+    )
+
+    import time as _time
+
+    kind = _fixture_ts_kind(sf_dir)
+    d = os.path.join(
+        tempfile.gettempdir(), f"hbs_latestream_{_uuid.uuid4().hex[:10]}"
+    )
+    os.makedirs(d)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "00_events.parquet"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    mx = ev.agg(
+        F.max("ts").alias("m"),
+        F.date_trunc("hour", F.max("ts")).alias("mh"),
+    )
+    n_history = ev.count()
+    fresh = (
+        spark.range(_LATE_FRESH)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.lit(8900000) + F.col("id")).alias("event_id"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("m")) - F.lit(300_000_000)
+            ).alias("ts"),
+            (F.lit(9500) + F.col("id")).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    stale = (
+        spark.range(_LATE_STALE)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.lit(8910000) + F.col("id")).alias("event_id"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("mh"))
+                - F.lit(7_200_000_000)
+                + F.lit(600_000_000)
+            ).alias("ts"),
+            (F.lit(9600) + F.col("id")).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    def _stage(df, name):
+        if kind == "nanos":
+            df = df.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+        elif kind == "ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df.coalesce(1).write.parquet(os.path.join(d, name))
+
+    # distinct mtimes + ordered names pin the batch order: history,
+    # then fresh (advances/evicts), then stale (post-eviction → drop)
+    _stage(fresh, "01_fresh.parquet")
+    _time.sleep(1.1)
+    _stage(stale, "02_stale.parquet")
+    schema = {
+        "nanos": _SCHEMA_TS_NANOS_LONG,
+        "ntz": _SCHEMA_TS_NTZ,
+        "ltz": _SCHEMA_TS_LTZ,
+    }[kind]
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(d)
+    )
+    if kind == "nanos":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif kind == "ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(hourly, output_mode="update", name=None)
+    final = out.groupBy("window").agg(F.max("n").alias("n"))
+    return final.agg(
+        F.sum("n").alias("counted_events"),
+        F.count("*").alias("n_windows"),
+        (
+            F.lit(n_history + _LATE_FRESH + _LATE_STALE) - F.sum("n")
+        ).alias("dropped_late"),
+    )

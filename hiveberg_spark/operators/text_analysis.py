@@ -2089,3 +2089,205 @@ def text_oov_rate(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+# -- top-k vocabulary coverage curve (round 10) -------------------------------------
+
+_COVERAGE_KS = (10, 100, 1000)
+
+
+@query(
+    "text_topk_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    tk AS (SELECT w FROM tok WHERE w <> ''),
+    freq AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY w),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM freq
+    ),
+    tot AS (SELECT SUM(c) AS total_tokens FROM freq)
+    SELECT k,
+           CAST((SELECT SUM(c) FROM ranked WHERE rn <= k) AS BIGINT)
+             AS covered_tokens,
+           CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+           ROUND((SELECT SUM(c) FROM ranked WHERE rn <= k) * 1.0
+                 / tot.total_tokens, 6) AS coverage
+    FROM (VALUES {", ".join(f"({k})" for k in _COVERAGE_KS)}) AS ks(k),
+         tot
+    """,
+)
+def text_topk_coverage(spark, sf_dir):
+    """TOP-K VOCABULARY COVERAGE curve — what fraction of all corpus
+    tokens the k most frequent words account for, at k = {_COVERAGE_KS}
+    (the Zipf-concentration audit behind vocabulary sizing and
+    stop-word policy: a corpus where 10 words cover half the tokens
+    needs different dedup shingling and tokenizer choices than a flat
+    one). Ties at each cutoff break on the word, so the cover set is
+    deterministic. Scale: ONE word-keyed count aggregate (map-side
+    combine) feeds a TakeOrdered head of max(k) = {max(_COVERAGE_KS)}
+    rows; the coverage sums run on that bounded head crossed with the
+    one-row corpus total — the token stream is never re-shuffled and
+    no vocabulary-wide window exists."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = freq.agg(F.sum("c").alias("total_tokens"))
+    head = (
+        freq.orderBy(F.desc("c"), F.asc("w"))
+        .limit(max(_COVERAGE_KS))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("c"), F.asc("w"))),
+        )
+    )
+    ks = F.array(*[F.lit(k) for k in _COVERAGE_KS])
+    per_k = (
+        head.select(F.explode(ks).alias("k"), "c", "rn")
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("c").alias("covered_tokens"))
+    )
+    return per_k.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens") * 1.0 / F.col("total_tokens"), 6
+        ).alias("coverage"),
+    )
+
+
+# -- per-source KL drift vs corpus (round 10) ---------------------------------------
+
+
+@query(
+    "text_source_kl_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, w FROM (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    cw AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    stats AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cw),
+    lc AS (
+      SELECT w, c,
+             CAST(FLOOR(LN((c + 1.0) / (stats.n + stats.v))
+                        * 1000000000) AS BIGINT) AS l
+      FROM cw, stats
+    ),
+    lall AS (SELECT SUM(l) AS l_all FROM lc),
+    sw AS (SELECT source, w, COUNT(*) AS cs FROM tok GROUP BY source, w),
+    ss AS (
+      SELECT source, SUM(cs) AS n_s, COUNT(*) AS v_s
+      FROM sw GROUP BY source
+    ),
+    pres AS (
+      SELECT sw.source,
+             SUM(CAST(FLOOR(
+               ((sw.cs + 1.0) / (ss.n_s + stats.v))
+               * (LN((sw.cs + 1.0) / (ss.n_s + stats.v))
+                  - LN((lc.c + 1.0) / (stats.n + stats.v)))
+               * 1000000000) AS BIGINT)) AS a_s,
+             SUM(lc.l) AS l_pres
+      FROM sw JOIN lc USING (w) JOIN ss ON sw.source = ss.source, stats
+      GROUP BY sw.source
+    )
+    SELECT ss.source,
+           CAST(ss.n_s AS BIGINT) AS n_tokens,
+           CAST(ss.v_s AS BIGINT) AS vocab_present,
+           ROUND((pres.a_s
+                  + (stats.v - ss.v_s)
+                    * CAST(FLOOR((1.0 / (ss.n_s + stats.v))
+                                 * LN(1.0 / (ss.n_s + stats.v))
+                                 * 1000000000) AS BIGINT)
+                  - (1.0 / (ss.n_s + stats.v))
+                    * (lall.l_all - pres.l_pres)
+                 ) / 1000000000, 6) AS kl_nats
+    FROM ss JOIN pres USING (source), stats, lall
+    """,
+)
+def text_source_kl_drift(spark, sf_dir):
+    """PER-SOURCE KL DIVERGENCE vs the corpus — the information-
+    theoretic drift audit (which source's unigram distribution departs
+    most from the mix: the scalar summary over `text_source_
+    distinctive_terms`' per-word view): KL(P_s || P_corpus) over the
+    FULL shared vocabulary with add-one smoothing on both sides.
+
+    The absent-word mass is handled in CLOSED FORM, never materialized:
+    sum over words missing from a source of q·(ln q − ln p_c(w)) =
+    (V − V_s)·q·ln q − q·(Σ_vocab ln p_c − Σ_present ln p_c), so the
+    only per-(source, word) work is on PRESENT pairs — no vocab ×
+    sources grid at any scale. Determinism: every summed term is
+    FLOOR-quantized to integer nano-nats before aggregation (float
+    order can't drift the result — the `text_perplexity_proxy`
+    discipline); the two closing scalar ops per source run once on
+    exact integers. Scale: two word-keyed count aggregates, one
+    bounded-vocab log table joined back to the per-source counts, and
+    #sources-row reductions."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    cw = tok.groupBy("w").agg(F.count("*").alias("c"))
+    stats = cw.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    lc = cw.crossJoin(F.broadcast(stats)).select(
+        "w",
+        "c",
+        F.floor(
+            F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+            * F.lit(1000000000)
+        )
+        .cast("long")
+        .alias("l"),
+    )
+    lall = lc.agg(F.sum("l").alias("l_all"))
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("cs"))
+    ss = sw.groupBy("source").agg(
+        F.sum("cs").alias("n_s"), F.count("*").alias("v_s")
+    )
+    ps = (F.col("cs") + 1.0) / (F.col("n_s") + F.col("v"))
+    pc = (F.col("c") + 1.0) / (F.col("n") + F.col("v"))
+    pres = (
+        sw.join(lc, "w")
+        .join(ss, "source")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "source",
+            F.floor(ps * (F.log(ps) - F.log(pc)) * F.lit(1000000000))
+            .cast("long")
+            .alias("a_term"),
+            "l",
+        )
+        .groupBy("source")
+        .agg(F.sum("a_term").alias("a_s"), F.sum("l").alias("l_pres"))
+    )
+    q = 1.0 / (F.col("n_s") + F.col("v"))
+    fq = F.floor(q * F.log(q) * F.lit(1000000000)).cast("long")
+    return (
+        ss.join(pres, "source")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(lall))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("v_s").alias("vocab_present"),
+            F.round(
+                (
+                    F.col("a_s")
+                    + (F.col("v") - F.col("v_s")) * fq
+                    - q * (F.col("l_all") - F.col("l_pres"))
+                )
+                / F.lit(1000000000),
+                6,
+            ).alias("kl_nats"),
+        )
+    )

@@ -145,6 +145,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "asof_join_nearest",
     "text_oov_rate",
     "pipeline_quality_upsampling",
+    "events_ab_power_mde",
+    "text_topk_coverage",
+    "text_source_kl_drift",
+    "stream_late_data_policy",
     # remaining round-2-era rotation
     "multimodal_metadata",
     "multimodal_feature_extract",
