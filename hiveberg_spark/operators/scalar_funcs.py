@@ -441,3 +441,40 @@ def scalar_regex_funcs(spark, sf_dir):
         .cast("int")
         .alias("n_a"),
     )
+
+
+@query(
+    "scalar_date_parts_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           STRFTIME(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+                    '%Y-%m-%d') AS plus3mo
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def scalar_date_parts_funcs(spark, sf_dir):
+    """Calendar-part scalar battery [§2.8 completion]: quarter, ISO
+    week, day-of-week, day-of-year, month-end, month arithmetic.
+    Cross-engine trivia pinned by the oracle: Spark's dayofweek is
+    1=Sunday while DuckDB's is 0=Sunday (offset in the oracle), both
+    engines' weekofyear is ISO-8601, and both clamp month addition to
+    the target month's last day (Jan 31 + 1 month = Feb 29 in a leap
+    year) — so `add_months` maps to `+ INTERVAL n MONTH` exactly.
+    Pure projection: whole-stage codegen, no exchange."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
+    )

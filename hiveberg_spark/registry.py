@@ -149,6 +149,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_topk_coverage",
     "text_source_kl_drift",
     "stream_late_data_policy",
+    "scalar_date_parts_funcs",
+    "events_ewma_daily",
+    "events_uplift_deciles",
     # remaining round-2-era rotation
     "multimodal_metadata",
     "multimodal_feature_extract",
