@@ -452,3 +452,48 @@ def test_quantized_cosine_is_exact_integer_math(pairs):
     perm = list(range(len(va)))[::-1]
     c2 = _py_qcos([va[i] for i in perm], [vb[i] for i in perm])
     assert c == c2
+
+
+def test_global_positions_with_heavy_ties_matches_row_number(spark):
+    """`global_positions` is the repo's standard ROW_NUMBER replacement
+    (round-10: DSIR selection, curriculum/upsampling terciles, batching,
+    per-language NTILE, uplift deciles all ride on it). Contract: over
+    an order whose leading key is HEAVILY TIED (range-partition
+    boundaries land inside tie runs) but whose full tuple is unique,
+    positions must equal the sequential ROW_NUMBER at every partition
+    count — including descending keys and partitions > rows."""
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.operators.pipeline_ops import global_positions
+
+    n = 503
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("grp"),  # 7 values → ~72-row tie runs
+    )
+    rows = [(i, i % 7) for i in range(n)]
+    expect_asc = {
+        doc: pos + 1
+        for pos, (doc, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    expect_desc = {
+        doc: pos + 1
+        for pos, (doc, _) in enumerate(
+            sorted(rows, key=lambda r: (-r[1], r[0]))
+        )
+    }
+    for n_parts in (3, 16, 1024):
+        got = {
+            r.doc_id: r.position
+            for r in global_positions(
+                df, [F.asc("grp"), F.asc("doc_id")], n_parts
+            ).collect()
+        }
+        assert got == expect_asc, n_parts
+        got_d = {
+            r.doc_id: r.position
+            for r in global_positions(
+                df, [F.desc("grp"), F.asc("doc_id")], n_parts
+            ).collect()
+        }
+        assert got_d == expect_desc, n_parts
