@@ -2328,3 +2328,78 @@ def pipeline_quality_upsampling(spark, sf_dir):
             F.col("effective_tokens") * 1.0 / F.col("tot_eff"), 6
         ).alias("effective_share"),
     )
+
+
+# -- quality-based cluster survivorship (round 10) ----------------------------------
+
+
+@query(
+    "dedup_cluster_best_quality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY v),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(len(list_distinct(string_split(text, ' '))) * 1000000.0
+                        / len(string_split(text, ' '))) AS BIGINT) AS s6
+      FROM documents
+    )
+    SELECT comp.doc_id, comp.cluster_rep,
+           (comp.doc_id = arg_max(comp.doc_id,
+                 scored.s6 * 10000000000 + (9999999999 - comp.doc_id))
+              OVER (PARTITION BY comp.cluster_rep)) AS is_kept
+    FROM comp JOIN scored USING (doc_id)
+    """,
+)
+def dedup_cluster_best_quality(spark, sf_dir):
+    """QUALITY-BASED cluster survivorship — `dedup_cluster_pick` keeps
+    the MIN-ID doc per near-dup cluster; real pipelines keep the BEST
+    doc (highest quality score, e.g. the untruncated original instead
+    of the mangled mirror). Survivor = arg-max of (type-token-ratio
+    score, then lower doc_id) per connected component of the LSH pair
+    graph, via one exact integer ordering key: score·1e6 (already a
+    6-dp integer grid) · 1e10 + (1e10−1−doc_id) — identical arithmetic
+    both engines, tie-stable. Scale: the same label-propagation CC as
+    cluster_pick plus ONE cluster-keyed max_by aggregate broadcast back
+    — survivorship policy changes never touch the pair machinery."""
+    docs = persist_tracked(load_table(spark, sf_dir, "documents"))
+    sh = persist_tracked(shingled(docs))
+    pairs = ngram_jaccard_pairs(sh, JACCARD_THRESHOLD, SHINGLE_DF_CAP).select(
+        "doc_a", "doc_b"
+    )
+    labels = label_components(pairs)
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks)) * F.lit(1000000.0) / F.size(toks)
+        )
+        .cast("long")
+        .alias("s6"),
+    )
+    comp = labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_rep")
+    ).join(scored, "doc_id")
+    ordk = F.col("s6") * F.lit(10000000000) + (
+        F.lit(9999999999) - F.col("doc_id")
+    )
+    best = comp.groupBy("cluster_rep").agg(
+        F.max_by("doc_id", ordk).alias("best_doc")
+    )
+    # plain keyed join (AQE broadcasts when it fits): `best` is one row
+    # per CLUSTER — corpus-scaling, so no forced broadcast hint
+    return comp.join(best, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        (F.col("doc_id") == F.col("best_doc")).alias("is_kept"),
+    )

@@ -127,3 +127,38 @@ def set_except(spark, sf_dir):
 def distinct_dropdup(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "reshape_unpivot_melt",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source
+    )
+    SELECT source, metric, value
+    FROM (UNPIVOT s ON n_docs, total_chars, n_langs
+          INTO NAME metric VALUE value)
+    """,
+)
+def reshape_unpivot_melt(spark, sf_dir):
+    """UNPIVOT / MELT — wide-to-long reshape (Spark 3.4's `unpivot`,
+    SQL UNPIVOT): a per-source metrics row fans out to (source, metric,
+    value) tuples, the shape metric stores and plotting layers want.
+    Completes the reshape pair with `agg_pivot` (long-to-wide). Scale:
+    unpivot is a stateless per-row expansion (Expand node) — no shuffle
+    beyond the feeding aggregate."""
+    from hiveberg_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return s.unpivot(
+        ["source"], ["n_docs", "total_chars", "n_langs"], "metric", "value"
+    )

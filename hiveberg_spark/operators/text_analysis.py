@@ -2291,3 +2291,51 @@ def text_source_kl_drift(spark, sf_dir):
             ).alias("kl_nats"),
         )
     )
+
+
+# -- character-entropy quality proxy (round 10) -------------------------------------
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+    ),
+    cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+    dl AS (SELECT doc_id, SUM(k) AS n FROM cc GROUP BY doc_id),
+    terms AS (
+      SELECT cc.doc_id,
+             CAST(FLOOR((cc.k * 1.0 / dl.n)
+                        * LN(cc.k * 1.0 / dl.n)
+                        * 1000000000) AS BIGINT) AS t
+      FROM cc JOIN dl USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(-SUM(t) / 1000000000.0, 6) AS entropy_nats
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """CHARACTER-LEVEL SHANNON ENTROPY per document — the compression-
+    ratio quality proxy (machine-generated/templated text compresses
+    well = low char entropy; encrypted/binary junk pasted into a crawl
+    spikes it), the cheap sibling of the token-level perplexity ladder.
+    Each term p·ln p is FLOOR-quantized to integer nano-nats before the
+    per-doc sum (the repo's standard order-free float discipline).
+    Scale: chars collapse to (doc, char) counts in one keyed aggregate
+    (alphabet-bounded per doc); everything after runs on that frame."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    dl = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") * 1.0 / F.col("n")
+    terms = cc.join(dl, "doc_id").select(
+        "doc_id",
+        F.floor(p * F.log(p) * F.lit(1000000000)).cast("long").alias("t"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_chars"),
+        F.round(-F.sum("t") / F.lit(1000000000.0), 6).alias("entropy_nats"),
+    )

@@ -152,6 +152,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "scalar_date_parts_funcs",
     "events_ewma_daily",
     "events_uplift_deciles",
+    "text_char_entropy",
+    "dedup_cluster_best_quality",
+    "reshape_unpivot_melt",
     # remaining round-2-era rotation
     "multimodal_metadata",
     "multimodal_feature_extract",

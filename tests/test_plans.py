@@ -134,6 +134,9 @@ def test_no_forced_broadcast_on_fact_tables():
         "th",       # tercile thresholds: one-row aggregate (upsampling)
         "vocab",    # OOV audit vocabulary: top-K rows, K=200 constant
         "lang_sizes",  # per-language counts + offsets: #languages rows
+        "nu",       # user-count scalar: one-row aggregate (uplift deciles)
+        "lall",     # corpus log-mass scalar: one-row aggregate (KL drift)
+        "mx",       # stream fixture anchor (max ts): one-row aggregate
         "pad_sorted", "pad_naive",  # batching pad totals: one-row aggs
         "thresholds",  # curriculum tercile boundaries: one-row aggregate
         "clicks_row", "purch_row",  # windowed-funnel counts: one-row aggs
