@@ -2403,3 +2403,116 @@ def dedup_cluster_best_quality(spark, sf_dir):
         "cluster_rep",
         (F.col("doc_id") == F.col("best_doc")).alias("is_kept"),
     )
+
+
+# -- top-mass (nucleus) selection (round 10) ----------------------------------------
+
+_NUCLEUS_P = 0.5  # keep the highest-scoring docs holding this score mass
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    n_partitions: int,
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """Distributed RUNNING SUM over an arbitrary total order — the
+    SUM-analog of `global_positions` (same two-phase shape as
+    `token_budget_packing`): range-partition on the order key,
+    per-partition running sums (parallel windows), then add each
+    partition's offset from the broadcast cumsum of the n_partitions
+    per-partition totals. Never a single-task corpus window. The order
+    must end in a unique tiebreaker column (see `global_positions`)."""
+    parts = persist_tracked(
+        df.repartitionByRange(n_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = parts.withColumn(
+        "_local_prefix",
+        F.sum(value_col).over(
+            W.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_ptotal"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_ptotal").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        *df.columns,
+        (F.col("_local_prefix") + F.col("_offset")).alias(prefix_col),
+    )
+
+
+@query(
+    "sample_nucleus_topmass",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(ROUND(len(list_distinct(string_split(text, ' '))) * 1000000.0
+                        / len(string_split(text, ' '))) AS BIGINT) AS s6
+      FROM documents
+    ),
+    tot AS (SELECT SUM(s6) AS total FROM scored),
+    run AS (
+      SELECT doc_id, s6,
+             SUM(s6) OVER (ORDER BY s6 DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, s6 AS score_micro,
+           (cum <= CAST(FLOOR({_NUCLEUS_P} * tot.total) AS BIGINT)) AS kept
+    FROM run, tot
+    """,
+)
+def sample_nucleus_topmass(spark, sf_dir):
+    """TOP-MASS ("nucleus") corpus selection — keep the highest-quality
+    documents that together hold the top {_NUCLEUS_P:.0%} of total
+    quality mass (the cumulative-mass cousin of DSIR's top-k-by-rank:
+    budget by MASS, not count, so a few excellent docs can satisfy the
+    budget early). Scores live on an exact integer micro-grid
+    (round(TTR·1e6)) so the running sum is INTEGER arithmetic — no
+    float-order drift at any scale. The running sum is the DISTRIBUTED
+    two-phase prefix sum (`global_prefix_sums`, the
+    `token_budget_packing` machinery generalized): one range exchange,
+    parallel per-partition windows, broadcast 8-row offsets — never a
+    full-corpus Exchange SinglePartition window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = persist_tracked(
+        d.select(
+            "doc_id",
+            F.round(
+                F.size(F.array_distinct(toks))
+                * F.lit(1000000.0)
+                / F.size(toks)
+            )
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    run = global_prefix_sums(
+        scored, [F.desc("s6"), F.asc("doc_id")], "s6", 8, prefix_col="cum"
+    )
+    tot = scored.agg(F.sum("s6").alias("total"))
+    return run.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("s6").alias("score_micro"),
+        (
+            F.col("cum")
+            <= F.floor(F.lit(_NUCLEUS_P) * F.col("total")).cast("long")
+        ).alias("kept"),
+    )

@@ -155,6 +155,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_char_entropy",
     "dedup_cluster_best_quality",
     "reshape_unpivot_melt",
+    "sample_nucleus_topmass",
     # remaining round-2-era rotation
     "multimodal_metadata",
     "multimodal_feature_extract",
