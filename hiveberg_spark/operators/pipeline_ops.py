@@ -445,13 +445,26 @@ def sample_per_stratum_cap(spark, sf_dir):
     pseudo-random order reproducible across engines and runs (unlike
     rand(), whose stream is engine- and partitioning-specific) — and
     keep the first N. The per-source/per-language cap every corpus
-    pipeline applies before training. Scale: one shuffle on the stratum
-    key; the window never sees more than a stratum."""
-    d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    pipeline applies before training. Scale (round-10 hardening): a
+    plain lang-keyed window puts a whole language in ONE task — the
+    keyed-skew bottleneck — so the top-100 runs TWO-PHASE: each input
+    shard ranks its own (shard, lang) slice in parallel and keeps its
+    local top-100 (only those ~100·shards candidate rows per language
+    survive), then the final rank runs on that bounded candidate frame.
+    The union of per-shard top-100s provably contains the global
+    top-100, so the selection is identical to the single-window form."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_shard", F.spark_partition_id()
     )
-    sampled = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 100)
+    key = [F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")]
+    local_w = W.partitionBy("_shard", "lang").orderBy(*key)
+    cand = (
+        d.withColumn("_lrn", F.row_number().over(local_w))
+        .filter(F.col("_lrn") <= 100)
+        .drop("_lrn", "_shard")
+    )
+    w = W.partitionBy("lang").orderBy(*key)
+    sampled = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 100)
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_sampled"),
         F.min("doc_id").alias("min_doc"),
@@ -716,16 +729,40 @@ def sample_temperature_mixture(spark, sf_dir):
             .alias("quota"),
         )
     )
-    ranked = docs.select(
+    # per-source rank WITHOUT a source-keyed window (round-10 hardening:
+    # a handful of sources over a 100 TB corpus = a handful of
+    # corpus-sized window tasks): one GLOBAL two-phase rank over
+    # (source, md5, doc_id) via global_positions, minus broadcast
+    # per-source offsets — the sample_perplexity_split pattern. Unlike
+    # the per-stratum cap, the quota here is a corpus-scale FRACTION,
+    # so a local-top-k candidate pass cannot bound the work; the global
+    # rank is the right primitive.
+    keyed = docs.select(
         "doc_id",
         "source",
-        F.row_number()
-        .over(
-            W.partitionBy("source").orderBy(
-                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-            )
+        F.md5(F.col("doc_id").cast("string")).alias("_mk"),
+    )
+    pos = global_positions(
+        keyed, [F.asc("source"), F.asc("_mk"), F.asc("doc_id")], 8
+    )
+    src_sizes = (
+        keyed.groupBy("source")
+        .agg(F.count("*").alias("_sn"))
+        .withColumn(
+            "_soffset",
+            F.coalesce(
+                F.sum("_sn").over(
+                    W.orderBy("source").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
         )
-        .alias("rk"),
+        .select("source", "_soffset")
+    )
+    ranked = pos.join(F.broadcast(src_sizes), "source").select(
+        "doc_id",
+        "source",
+        (F.col("position") - F.col("_soffset")).alias("rk"),
     )
     return ranked.join(quotas, "source").select(
         "doc_id", "source", (F.col("rk") <= F.col("quota")).alias("kept")

@@ -156,6 +156,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_cluster_best_quality",
     "reshape_unpivot_melt",
     "sample_nucleus_topmass",
+    # round-10 scale re-writes of non-window queries (keyed-skew windows
+    # replaced with two-phase forms; code changed → re-check)
+    "sample_per_stratum_cap",
+    "sample_temperature_mixture",
     # remaining round-2-era rotation
     "multimodal_metadata",
     "multimodal_feature_extract",

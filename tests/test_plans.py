@@ -137,6 +137,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "nu",       # user-count scalar: one-row aggregate (uplift deciles)
         "lall",     # corpus log-mass scalar: one-row aggregate (KL drift)
         "mx",       # stream fixture anchor (max ts): one-row aggregate
+        "src_sizes",  # per-source counts + offsets: #sources rows
         "pad_sorted", "pad_naive",  # batching pad totals: one-row aggs
         "thresholds",  # curriculum tercile boundaries: one-row aggregate
         "clicks_row", "purch_row",  # windowed-funnel counts: one-row aggs

@@ -40,6 +40,7 @@ ALLOWED: dict[str, str] = {
     # the per-language offset cumsum runs on the lang-keyed COUNT
     # aggregate — #languages rows, a catalog-sized frame
     "sample_perplexity_split": "per-language offsets: #languages rows",
+    "sample_temperature_mixture": "per-source offsets: #sources rows",
 }
 
 _ALL = sorted(registry.QUERIES)
