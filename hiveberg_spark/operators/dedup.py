@@ -1411,3 +1411,48 @@ def dedup_edit_distance(spark, sf_dir):
         ).alias("similarity"),
         (d == len(_EDIT_SUFFIX)).alias("is_suffix_edit"),
     )
+
+
+# -- token-sort fingerprint dedup (round 10) -----------------------------------------
+
+
+@query(
+    "dedup_token_sort_key",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS key_hash
+      FROM documents
+    )
+    SELECT key_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS survivor_id
+    FROM k GROUP BY key_hash HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_token_sort_key(spark, sf_dir):
+    """TOKEN-SORT fingerprint dedup (fuzzywuzzy's token_sort_ratio at
+    exact-match strength): the key is the md5 of the document's sorted
+    DISTINCT token set, so word-order permutations and repetition-count
+    differences collapse to one group — a strictly coarser key than
+    dedup_exact's content hash, one notch before Jaccard similarity.
+    Sits in the cascade between exact dedup and MinHash: it catches the
+    shuffled-boilerplate duplicates LSH spends candidate pairs on, for
+    one map-side key computation. Scale: pure JVM expressions
+    (split/array_distinct/array_sort/md5) and ONE hash-key groupBy —
+    identical posture to dedup_exact, no pair space at all."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split("text", " "))), " "
+            )
+        ).alias("key_hash"),
+    )
+    return (
+        k.groupBy("key_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("survivor_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

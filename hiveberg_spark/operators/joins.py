@@ -527,3 +527,97 @@ def asof_join_nearest(spark, sf_dir):
             F.min("gap_us").alias("gap_us"),
         )
     )
+
+
+# -- bucketed interval-overlap join (round 10) ---------------------------------------
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_custkey, l.l_orderkey AS okey,
+             MIN(CAST(l.l_shipdate AS DATE)) AS s,
+             MAX(CAST(l.l_shipdate AS DATE)) AS e
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT a.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(date_diff('day', greatest(a.s, b.s),
+                              least(a.e, b.e)) + 1) AS BIGINT)
+             AS max_overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.okey < b.okey
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """INTERVAL-OVERLAP self-join, bucket-blocked: per customer, pairs
+    of their orders whose ship windows [min shipdate, max shipdate]
+    overlap — the temporal-conflict primitive (double-bookings,
+    concurrent sessions, overlapping leases). The naive form is a
+    theta-join on s1<=e2 AND s2<=e1, which Spark can only execute as a
+    nested loop. Here each interval EXPLODES to the epoch-weeks it
+    covers and pairs equi-join on (custkey, week) — candidates are only
+    week-co-resident intervals (BroadcastHash/SortMerge-able, AQE-
+    skew-splittable), the overlap predicate verifies exactly, and
+    dropDuplicates absorbs multi-week double-matches. Expansion factor
+    = interval length in weeks (bounded by order cycle); candidate
+    space is sum-of-bucket-squares, never all-pairs — the same blocking
+    posture as dedup's LSH families."""
+    from hiveberg_spark.caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("timestamp").cast("date").alias("sd")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    iv = persist_tracked(
+        li.groupBy("l_orderkey")
+        .agg(F.min("sd").alias("s"), F.max("sd").alias("e"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", F.col("l_orderkey").alias("okey"), "s", "e")
+    )  # consumed by both sides of the pair join
+    epoch = F.to_date(F.lit("1970-01-01"))
+    exp = iv.withColumn(
+        "wk",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff("s", epoch) / 7),
+                F.floor(F.datediff("e", epoch) / 7),
+            )
+        ),
+    )
+    a = exp.select(
+        "o_custkey",
+        F.col("okey").alias("k1"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+        "wk",
+    )
+    b = exp.select(
+        F.col("o_custkey").alias("ck_b"),
+        F.col("okey").alias("k2"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+        F.col("wk").alias("wk_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("ck_b"))
+            & (F.col("wk") == F.col("wk_b"))
+            & (F.col("k1") < F.col("k2")),
+        )
+        .filter((F.col("s1") <= F.col("e2")) & (F.col("s2") <= F.col("e1")))
+        .dropDuplicates(["k1", "k2"])
+    )
+    overlap = (
+        F.datediff(F.least("e1", "e2"), F.greatest("s1", "s2")) + 1
+    ).cast("long")
+    return pairs.groupBy("o_custkey").agg(
+        F.count("*").alias("n_pairs"),
+        F.max(overlap).alias("max_overlap_days"),
+    )

@@ -2698,3 +2698,43 @@ def embedding_matryoshka_audit(spark, sf_dir):
         F.lit(bool(monotone)).alias("monotone_ok"),
         F.lit(hits[-1] == n_truth).alias("full_dim_exact"),
     )
+
+
+# -- hubness audit over the blocked k-NN graph (round 10) ----------------------------
+
+_HUBNESS_SQL = (
+    _BLOCKED_EDGES_SQL
+    + """
+    , indeg AS (SELECT nb, COUNT(*) AS deg FROM topk GROUP BY nb)
+    SELECT CAST(COALESCE(i.deg, 0) AS BIGINT) AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM embeddings v LEFT JOIN indeg i ON v.vec_id = i.nb
+    GROUP BY 1
+"""
+)
+
+
+@query("embedding_hubness_audit", oracle=_HUBNESS_SQL)
+def embedding_hubness_audit(spark, sf_dir):
+    """HUBNESS audit of the embedding space: the in-degree distribution
+    of the blocked k-NN graph (how many other vectors list each vector
+    among their top-k). High-dimensional corpora develop HUBS — points
+    that appear in everyone's neighbor list — which poison SemDeDup-
+    style curation (one hub absorbs unrelated documents) and ANN recall
+    (hubs crowd out true neighbors); the skew of this histogram is the
+    standard early-warning. Reuses knn_graph_blocked_edges verbatim
+    (IVF-blocked candidates, bit-exact quantized cosine — so DuckDB
+    replicates the exact graph and the in-degree histogram value-hashes)
+    plus one edge-list aggregation and one left join against the
+    vec_id spine: the added work is O(n·k) edges, nothing pairwise."""
+    edges = knn_graph_blocked_edges(spark, sf_dir)
+    indeg = edges.groupBy(F.col("nb").alias("vec_id")).agg(
+        F.count("*").alias("deg")
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        nodes.join(indeg, "vec_id", "left")
+        .select(F.coalesce("deg", F.lit(0)).alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )

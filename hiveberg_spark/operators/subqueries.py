@@ -295,3 +295,39 @@ def batch_sessionize(spark, sf_dir):
     return sessions.groupBy("user_id").agg(
         F.countDistinct("session_no").alias("n_sessions")
     )
+
+
+# -- LATERAL correlated subquery (round 10) ------------------------------------------
+
+
+@query(
+    "subquery_lateral_topn",
+    oracle="""
+    SELECT s.c_mktsegment, t.c_custkey, t.c_acctbal
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_mktsegment = s.c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """,
+)
+def subquery_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery with ORDER BY + LIMIT — per-segment
+    top-2 customers by account balance, written the way an analyst
+    coming from DuckDB/Postgres writes it. Spark 3.4+ decorrelates
+    LATERAL subqueries (DecorrelateInnerQuery); the correlated LIMIT
+    lowers to a per-group top-k, the same physical work as the
+    window-rank formulation in window_ranking — this entry pins the SQL
+    SURFACE parity, not a new operator. Deterministic: the (acctbal
+    DESC, custkey) tiebreak makes the top-2 unique."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat"
+    )
+    return spark.sql(
+        """
+        SELECT s.c_mktsegment, t.c_custkey, t.c_acctbal
+        FROM (SELECT DISTINCT c_mktsegment FROM customer_lat) s,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat c
+                 WHERE c.c_mktsegment = s.c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """
+    )

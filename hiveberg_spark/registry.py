@@ -156,6 +156,14 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_cluster_best_quality",
     "reshape_unpivot_melt",
     "sample_nucleus_topmass",
+    "events_rfm_segmentation",
+    "events_survival_km",
+    "events_dau_stickiness",
+    "events_inter_arrival_stats",
+    "join_interval_overlap",
+    "dedup_token_sort_key",
+    "subquery_lateral_topn",
+    "embedding_hubness_audit",
     # round-10 scale re-writes of non-window queries (keyed-skew windows
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",

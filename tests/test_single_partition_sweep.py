@@ -41,6 +41,9 @@ ALLOWED: dict[str, str] = {
     # aggregate — #languages rows, a catalog-sized frame
     "sample_perplexity_split": "per-language offsets: #languages rows",
     "sample_temperature_mixture": "per-source offsets: #sources rows",
+    # KM suffix/prefix windows run on the per-lifetime-day count frame —
+    # calendar-bounded rows (days of history), never raw events
+    "events_survival_km": "distinct-lifetime-days frame: calendar-bounded",
 }
 
 _ALL = sorted(registry.QUERIES)
