@@ -116,3 +116,165 @@ def test_ewma_tracks_counts_within_range(spark, sf_dir):
         for r in rs:
             # a convex-weight average can never leave the observed range
             assert lo - 1e-6 <= r.ewma <= hi + 1e-6, (t, r)
+
+
+# -- wave-5 invariants ----------------------------------------------------------------
+
+
+def test_rfm_scores_partition_users_evenly(spark, sf_dir):
+    rows = registry.QUERIES["events_rfm_segmentation"](spark, sf_dir).collect()
+    n = sum(r.n_users for r in rows)
+    assert n > 0
+    for axis in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            k = getattr(r, axis)
+            assert 1 <= k <= 5
+            sizes[k] = sizes.get(k, 0) + r.n_users
+        # ceil(rank*5/n) quintiles differ in size by at most 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sum(sizes.values()) == n
+
+
+def test_km_survival_is_monotone_nonincreasing(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["events_survival_km"](spark, sf_dir).collect(),
+        key=lambda r: r.lifetime_days,
+    )
+    assert rows, "fixture must contain observed churn episodes"
+    prev_s, prev_risk = 1.0, None
+    for r in rows:
+        assert 0.0 <= r.survival <= prev_s + 1e-9
+        assert r.n_deaths >= 1
+        assert r.n_deaths <= r.n_risk
+        if prev_risk is not None:
+            assert r.n_risk < prev_risk  # at-risk set strictly shrinks
+        prev_s, prev_risk = r.survival, r.n_risk
+
+
+def test_stickiness_bounds_and_wau_geq_dau(spark, sf_dir):
+    rows = registry.QUERIES["events_dau_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau7
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_interval_overlap_matches_naive_theta_join(spark, sf_dir):
+    """The bucketed join must equal the naive theta-join it replaces."""
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+
+    got = {
+        r.o_custkey: (r.n_pairs, r.max_overlap_days)
+        for r in registry.QUERIES["join_interval_overlap"](
+            spark, sf_dir
+        ).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("timestamp").cast("date").alias("sd"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    iv = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("sd").alias("s"), F.max("sd").alias("e"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", F.col("l_orderkey").alias("okey"), "s", "e")
+        .collect()
+    )
+    by_cust = {}
+    for r in iv:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    want = {}
+    for ck, ivs in by_cust.items():
+        pairs = [
+            (a, b)
+            for i, a in enumerate(ivs)
+            for b in ivs[i + 1 :]
+            if a.s <= b.e and b.s <= a.e
+        ]
+        if pairs:
+            want[ck] = (
+                len(pairs),
+                max(
+                    (min(a.e, b.e) - max(a.s, b.s)).days + 1
+                    for a, b in pairs
+                ),
+            )
+    assert got == want
+
+
+def test_token_sort_key_groups_are_permutation_closed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+
+    rows = registry.QUERIES["dedup_token_sort_key"](spark, sf_dir).collect()
+    assert rows, "fixture contains token-set collisions"
+    assert sum(r.n_docs for r in rows) >= 2 * len(rows)
+    # ground-truth the key: every member of the largest group must have
+    # the SAME sorted distinct token set (recomputed in plain Python)
+    big = max(rows, key=lambda r: r.n_docs)
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "k",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split("text", " "))), " "
+            )
+        ),
+    )
+    members = keyed.filter(F.col("k") == big.key_hash).collect()
+    assert len(members) == big.n_docs
+    assert min(m.doc_id for m in members) == big.survivor_id
+    sets = {tuple(sorted(set(m.text.split(" ")))) for m in members}
+    assert len(sets) == 1
+
+
+def test_lateral_topn_matches_window_rank(spark, sf_dir):
+    from pyspark.sql import Window as W, functions as F
+
+    from hiveberg_spark.catalog import load_table
+
+    got = {
+        (r.c_mktsegment, r.c_custkey)
+        for r in registry.QUERIES["subquery_lateral_topn"](
+            spark, sf_dir
+        ).collect()
+    }
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    want = {
+        (r.c_mktsegment, r.c_custkey)
+        for r in c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == want
+
+
+def test_hubness_histogram_accounts_for_every_vector_and_edge(spark, sf_dir):
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.simsearch import knn_graph_blocked_edges
+
+    rows = registry.QUERIES["embedding_hubness_audit"](spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_nodes for r in rows) == n_vecs
+    n_edges = knn_graph_blocked_edges(spark, sf_dir).count()
+    assert sum(r.in_degree * r.n_nodes for r in rows) == n_edges
+
+
+def test_inter_arrival_gaps_positive_and_p90_geq_median(spark, sf_dir):
+    rows = registry.QUERIES["events_inter_arrival_stats"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 <= r.med_gap_us <= r.p90_gap_us
