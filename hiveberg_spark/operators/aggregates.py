@@ -3010,3 +3010,164 @@ def events_inter_arrival_stats(spark, sf_dir):
         F.percentile("gap_us", F.lit(0.5)).alias("med_gap_us"),
         F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
     )
+
+
+# -- Pareto concentration of activity (round 10, wave 6) -----------------------------
+
+
+@query(
+    "events_pareto_share",
+    oracle="""
+    WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn,
+                 COUNT(*) OVER () AS nu, SUM(n) OVER () AS tot FROM u),
+    g AS (SELECT (rn*10 + nu - 1) // nu AS decile, COUNT(*) AS n_users,
+                 SUM(n) AS n_events, MAX(tot) AS tot FROM r GROUP BY 1)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(n_events) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / tot, 6) AS cum_share
+    FROM g
+    """,
+)
+def events_pareto_share(spark, sf_dir):
+    """PARETO / concentration curve of user activity — the 80/20 audit:
+    users decile by event count (1 = most active), each decile reporting
+    its user count, event count, and the CUMULATIVE share of all events
+    produced by deciles 1..d. Reads directly as "the top 10% of users
+    produce X% of traffic" — the skew number that sizes salting keys and
+    per-user rate limits. Scale: user-cardinality aggregate, distributed
+    `global_positions` rank (one range exchange, never a single-task
+    window), integer decile rule ceil(rank·10/n); the only unpartitioned
+    window is the cumulative sum over the DECILE frame — exactly ≤10
+    rows, allowlisted by that justification in the sweep."""
+    from pyspark.sql import Window as W
+
+    from hiveberg_spark.operators.pipeline_ops import global_positions
+
+    u = persist_tracked(
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )  # consumed by the rank pass and the totals row
+    pos = global_positions(
+        u, [F.desc("n"), F.asc("user_id")], 8, position_col="rn"
+    )
+    nu = u.agg(F.count("*").alias("nu"), F.sum("n").alias("tot"))
+    g = (
+        pos.crossJoin(F.broadcast(nu))
+        .withColumn("decile", F.expr("cast((rn * 10 + nu - 1) div nu as int)"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return g.select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.round(
+            F.sum("n_events").over(w).cast("double") / F.col("tot"), 6
+        ).alias("cum_share"),
+    )
+
+
+# -- robust anomaly detection via MAD (round 10, wave 6) -----------------------------
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+                   FROM events GROUP BY 1, 2),
+    med AS (SELECT event_type, CAST(quantile_cont(n, 0.5) AS DOUBLE) AS med
+            FROM daily GROUP BY 1),
+    dev AS (SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS ad
+            FROM daily d JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, CAST(quantile_cont(ad, 0.5) AS DOUBLE) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.event_type, STRFTIME(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n AS BIGINT) AS n,
+           ROUND((d.n - d.med) / NULLIF(1.4826 * m.mad, 0), 6) AS robust_z,
+           (ABS(d.n - d.med) > 3 * 1.4826 * m.mad) AS is_anomaly
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """ROBUST anomaly detection on daily volumes: per event type, each
+    day's count scores as a MEDIAN/MAD z-score — (n - median) /
+    (1.4826·MAD) — instead of mean/stddev, so one traffic spike can't
+    inflate the baseline and mask itself (the events_anomaly_zscore
+    failure mode this op exists to complement). Exact interpolated
+    medians on integer day-counts are identical cross-engine (the
+    agg_median_percentile contract); the MAD=0 degenerate case NULLs the
+    score in both engines. Scale: the corpus collapses to a
+    (type × day) frame in one keyed aggregate; both median passes are
+    type-keyed aggregations on that calendar-bounded frame — no windows,
+    no single-partition funnels."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+    )
+    daily = persist_tracked(
+        ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    )  # consumed by the median pass and the deviation join
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = persist_tracked(
+        daily.join(med, "event_type").withColumn(
+            "ad", F.abs(F.col("n") - F.col("med"))
+        )
+    )  # consumed by the MAD pass and the final score join
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") - F.col("med"))
+            / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)),
+            6,
+        ).alias("robust_z"),
+        (
+            F.abs(F.col("n") - F.col("med"))
+            > F.lit(3) * F.lit(1.4826) * F.col("mad")
+        ).alias("is_anomaly"),
+    )
+
+
+# -- boolean aggregate battery (round 10, wave 6) ------------------------------------
+
+
+@query(
+    "agg_boolean_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
+           bool_and(l_quantity > 0) AS all_pos_qty,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           bool_and(l_extendedprice > 100) AS all_price_gt100
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_boolean_funcs(spark, sf_dir):
+    """Boolean aggregate battery (SURVEY §2.4 surface): count_if,
+    bool_and (EVERY), bool_or (ANY/SOME) — the predicates-as-aggregates
+    analysts reach for before writing CASE pyramids. All JVM built-ins
+    with map-side partial aggregation: each partition reduces to one
+    (count, and, or) triple per group before the shuffle, so the
+    exchange carries O(groups), not O(rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bool_and(F.col("l_extendedprice") > 100).alias("all_price_gt100"),
+    )

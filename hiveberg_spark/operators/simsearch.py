@@ -2738,3 +2738,56 @@ def embedding_hubness_audit(spark, sf_dir):
         .groupBy("in_degree")
         .agg(F.count("*").alias("n_nodes"))
     )
+
+
+# -- per-dimension embedding statistics (round 10, wave 6) ---------------------------
+
+
+@query(
+    "embedding_dim_stats_audit",
+    oracle="""
+    WITH flat AS (
+      SELECT UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_val,
+           ROUND(STDDEV_SAMP(CAST(v AS DOUBLE)), 6) AS std_val,
+           MIN(CAST(v AS DOUBLE)) AS min_val,
+           MAX(CAST(v AS DOUBLE)) AS max_val,
+           (MIN(v) = MAX(v)) AS dead_dim
+    FROM flat GROUP BY dim
+    """,
+)
+def embedding_dim_stats_audit(spark, sf_dir):
+    """PER-DIMENSION embedding statistics — the model-QA audit run
+    before any ANN index is built: mean (should hover near 0 for a
+    centered encoder), spread, range, and a DEAD-DIMENSION flag
+    (min = max ⇒ the dimension carries no information and inflates
+    every distance computation for free). Means are decimal-exact (the
+    embedding_centroid_dist cast chain — float summation order can't
+    move them); stddev rounds to 6 decimals under the agg_stddev_corr
+    contract; min/max compare exact widened doubles. Scale: posexplode
+    then ONE dim-keyed aggregate — the shuffle carries dim-cardinality
+    partials (map-side combined), never raw vectors."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("pos", "v")
+    )
+    vd = F.col("v").cast("double")
+    return (
+        e.select((F.col("pos") + 1).cast("int").alias("dim"), "v", vd.alias("vd"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_val"),
+            F.round(F.stddev_samp("vd"), 6).alias("std_val"),
+            F.min("vd").alias("min_val"),
+            F.max("vd").alias("max_val"),
+            (F.min("v") == F.max("v")).alias("dead_dim"),
+        )
+    )

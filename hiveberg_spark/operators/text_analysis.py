@@ -2339,3 +2339,78 @@ def text_char_entropy(spark, sf_dir):
         F.count("*").alias("n_distinct_chars"),
         F.round(-F.sum("t") / F.lit(1000000000.0), 6).alias("entropy_nats"),
     )
+
+
+# -- conditional bigram entropy rate (round 10, wave 6) ------------------------------
+
+
+@query(
+    "text_bigram_entropy_rate",
+    oracle="""
+    WITH docs AS (
+      SELECT source, regexp_split_to_array(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT source, w[i] AS w1, w[i+1] AS w2
+      FROM docs, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+    ),
+    c12 AS (SELECT source, w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+    c1 AS (SELECT source, w1, SUM(c12) AS c1 FROM c12 GROUP BY 1, 2),
+    t AS (SELECT source, SUM(c12) AS tot FROM c12 GROUP BY 1)
+    SELECT c.source, CAST(MAX(t.tot) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(c.c12 * CAST(FLOOR(LN(c1.c1 * 1.0 / c.c12) * 1000000)
+                               AS BIGINT)) * 1.0
+                 / (MAX(t.tot) * 1000000.0), 6) AS cond_entropy_nats
+    FROM c12 c JOIN c1 ON c1.source = c.source AND c1.w1 = c.w1
+               JOIN t ON t.source = c.source
+    GROUP BY c.source
+    """,
+)
+def text_bigram_entropy_rate(spark, sf_dir):
+    """CONDITIONAL bigram entropy rate per source — H(w2|w1) =
+    Σ p(w1,w2)·ln(c(w1)/c(w1,w2)) in nats: the information-theoretic
+    repetitiveness audit (template farms and boilerplate-heavy sources
+    score LOW because the next word is predictable; organic text scores
+    near the corpus ceiling). Complements text_char_entropy (character-
+    level, per doc) and the KN/unigram perplexity family (model fit, not
+    source structure). Determinism: each ln term quantizes to integer
+    micro-nats (FLOOR(ln·1e6), the established trick) and weights by the
+    integer bigram count, so the per-source sum is exact integer
+    arithmetic; one double division closes each source. Scale: bigram →
+    count-table keyed aggregations and two keyed joins on (source, w1) /
+    (source) — the text_kneser_ney_bigram posture, nothing pairwise, no
+    windows."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.struct(
+            F.element_at(w, i + 1).alias("w1"),
+            F.element_at(w, i + 2).alias("w2"),
+        ),
+    )
+    bg = (
+        d.select("source", F.split("text", " ").alias("w"))
+        .filter(F.size(w) >= 2)
+        .select("source", F.explode(pairs).alias("p"))
+        .select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = persist_tracked(
+        bg.groupBy("source", "w1", "w2").agg(F.count("*").alias("c12"))
+    )  # consumed by c1, t, and the scoring join
+    c1 = c12.groupBy("source", "w1").agg(F.sum("c12").alias("c1"))
+    t = c12.groupBy("source").agg(F.sum("c12").alias("tot"))
+    term = F.col("c12") * F.floor(
+        F.log(F.col("c1") * 1.0 / F.col("c12")) * 1000000
+    ).cast("long")
+    return (
+        c12.join(c1, ["source", "w1"])
+        .join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.max("tot").alias("n_bigrams"),
+            F.round(
+                F.sum(term) * 1.0 / (F.max("tot") * 1000000.0), 6
+            ).alias("cond_entropy_nats"),
+        )
+    )

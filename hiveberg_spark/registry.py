@@ -164,6 +164,11 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_token_sort_key",
     "subquery_lateral_topn",
     "embedding_hubness_audit",
+    "events_pareto_share",
+    "events_anomaly_mad",
+    "agg_boolean_funcs",
+    "text_bigram_entropy_rate",
+    "embedding_dim_stats_audit",
     # round-10 scale re-writes of non-window queries (keyed-skew windows
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",

@@ -278,3 +278,93 @@ def test_inter_arrival_gaps_positive_and_p90_geq_median(spark, sf_dir):
     for r in rows:
         assert r.n_gaps > 0
         assert 0 <= r.med_gap_us <= r.p90_gap_us
+
+
+# -- wave-6 invariants ----------------------------------------------------------------
+
+
+def test_pareto_share_monotone_to_one(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["events_pareto_share"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == sorted({r.decile for r in rows})
+    assert rows[0].decile >= 1 and rows[-1].decile <= 10
+    prev = 0.0
+    for r in rows:
+        assert r.cum_share >= prev - 1e-9
+        prev = r.cum_share
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6
+    sizes = [r.n_users for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_mad_anomaly_flag_consistent_with_z(spark, sf_dir):
+    rows = registry.QUERIES["events_anomaly_mad"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.robust_z is not None:
+            assert r.is_anomaly == (abs(r.robust_z) > 3.0) or (
+                abs(abs(r.robust_z) - 3.0) < 1e-6
+            )
+
+
+def test_boolean_funcs_match_case_recomputation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+
+    got = {
+        r.l_returnflag: (r.n_disc, r.all_pos_qty, r.any_high_tax)
+        for r in registry.QUERIES["agg_boolean_funcs"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    want = {
+        r.l_returnflag: (r.nd, r.ap, r.ah)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("nd"),
+            (F.min(F.when(F.col("l_quantity") > 0, 1).otherwise(0)) == 1).alias("ap"),
+            (F.max(F.when(F.col("l_tax") > 0.07, 1).otherwise(0)) == 1).alias("ah"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_bigram_entropy_bounded_by_vocab(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+
+    rows = registry.QUERIES["text_bigram_entropy_rate"](spark, sf_dir).collect()
+    assert rows
+    vocab = {
+        r.source: r.v
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source")
+        .agg(F.count_distinct("w").alias("v"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.cond_entropy_nats <= math.log(vocab[r.source]) + 1e-6
+        assert r.n_bigrams > 0
+
+
+def test_dim_stats_cover_all_dims_consistently(spark, sf_dir):
+    from hiveberg_spark.catalog import load_table
+
+    rows = sorted(
+        registry.QUERIES["embedding_dim_stats_audit"](spark, sf_dir).collect(),
+        key=lambda r: r.dim,
+    )
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert [r.dim for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.n == n_vecs
+        assert r.min_val <= r.mean_val <= r.max_val
+        assert r.dead_dim == (r.min_val == r.max_val)
+        assert r.std_val >= 0

@@ -44,6 +44,8 @@ ALLOWED: dict[str, str] = {
     # KM suffix/prefix windows run on the per-lifetime-day count frame —
     # calendar-bounded rows (days of history), never raw events
     "events_survival_km": "distinct-lifetime-days frame: calendar-bounded",
+    # the cumulative-share window runs on the decile frame: ≤10 rows
+    "events_pareto_share": "decile frame: exactly <=10 rows",
 }
 
 _ALL = sorted(registry.QUERIES)
