@@ -1456,3 +1456,71 @@ def dedup_token_sort_key(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("survivor_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# -- shingle-size sensitivity audit (round 10, wave 7) -------------------------------
+
+
+@query(
+    "pipeline_shingle_sensitivity",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ks AS (SELECT UNNEST([3, 5, 8]) AS k),
+    grams AS (
+      SELECT DISTINCT k, doc_id,
+             array_to_string(list_slice(w, i, i + k - 1), ' ') AS g
+      FROM docs, ks, UNNEST(generate_series(1, len(w) - k + 1)) AS t(i)
+      WHERE len(w) >= k
+    ),
+    df AS (SELECT k, g, COUNT(*) AS df FROM grams GROUP BY 1, 2)
+    SELECT CAST(k AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(count_if(df > 50) AS BIGINT) AS n_hot,
+           CAST(SUM(CASE WHEN df <= 50 THEN df*(df-1)//2 ELSE 0 END)
+                AS BIGINT) AS candidate_pairs
+    FROM df GROUP BY k
+    """,
+)
+def pipeline_shingle_sensitivity(spark, sf_dir):
+    """SHINGLE-SIZE sensitivity audit for the near-dup cascade: for
+    k ∈ {3,5,8}-gram shingles, the distinct shingle count, the HOT
+    shingles an inverted index must cap (df > 50, the dedup family's
+    stop-shingle rule), and the candidate-pair workload Σ df·(df−1)/2
+    the capped index would generate. This is the measurement that picks
+    k before running dedup_ngram_jaccard at corpus scale — small k
+    floods the index with generic shingles, large k misses short
+    overlaps. Crucially the pair count comes from the DOC-FREQUENCY
+    table alone (sum of df-choose-2), so the audit NEVER materializes a
+    candidate pair: shingle-keyed aggregations only."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    # unrolled element_at k-gram (the bigram idiom). NB: pyspark
+    # higher-order-function lambdas are ARITY-inspected — a default arg
+    # (lambda i, kk=k) binds kk to the element index, so close over k
+    # through a factory instead
+    def _kgram(kk):
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j + 1) for j in range(kk)]
+        )
+
+    frames = []
+    for k in (3, 5, 8):
+        grams = F.transform(F.sequence(F.lit(0), F.size(w) - k), _kgram(k))
+        frames.append(
+            d.filter(F.size(w) >= k)
+            .select(
+                F.lit(k).alias("k"), "doc_id", F.explode(grams).alias("g")
+            )
+            .distinct()
+        )
+    all_grams = frames[0].unionAll(frames[1]).unionAll(frames[2])
+    df = all_grams.groupBy("k", "g").agg(F.count("*").alias("df"))
+    pairs = F.when(
+        F.col("df") <= 50, F.expr("df * (df - 1) div 2")
+    ).otherwise(F.lit(0))
+    return df.groupBy("k").agg(
+        F.count("*").alias("n_shingles"),
+        F.count_if(F.col("df") > 50).alias("n_hot"),
+        F.sum(pairs).alias("candidate_pairs"),
+    )

@@ -2791,3 +2791,92 @@ def embedding_dim_stats_audit(spark, sf_dir):
             (F.min("v") == F.max("v")).alias("dead_dim"),
         )
     )
+
+
+# -- triangle count / clustering on the kNN graph (round 10, wave 7) -----------------
+
+_TRIANGLE_SQL = (
+    _BLOCKED_EDGES_SQL
+    + """
+    , und AS (
+      SELECT DISTINCT t.vid AS a, t.nb AS b
+      FROM topk t JOIN topk r ON r.vid = t.nb AND r.nb = t.vid
+      WHERE t.vid < t.nb
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM und e1 JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d*(d-1)//2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           ROUND(3.0 * n_triangles
+                 / NULLIF((SELECT SUM(d*(d-1)//2) FROM deg), 0), 6)
+             AS global_clustering
+    FROM tri
+"""
+)
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_SQL)
+def graph_triangle_count(spark, sf_dir):
+    """TRIANGLE COUNT + global clustering coefficient of the MUTUAL
+    k-NN graph — the standard distributed graph-analytics kernel (the
+    canonical-ordering a<b<c two-join formulation every Pregel/GraphX
+    tutorial reduces to) over the corpus-curation substrate: a high
+    clustering coefficient means SemDeDup-style cluster pruning will
+    find dense semantic groups; near-zero means the neighbor graph is
+    noise. Mutual edges canonicalize to a<b so each triangle counts
+    exactly once via e1(a,b)⋈e2(b,c)⋈e3(a,c); wedges come from the
+    degree table, closing 3·Δ/wedges. Scale: the edge list is n·k rows
+    (never pairwise); both joins are equi-joins on node keys — the
+    triangle join is the textbook case for AQE skew splitting on hub
+    nodes, and the hub guard is embedding_hubness_audit one entry up."""
+    from hiveberg_spark.caching import persist_tracked
+
+    edges = knn_graph_blocked_edges(spark, sf_dir)
+    rev = edges.select(F.col("nb").alias("vid"), F.col("vid").alias("nb"))
+    und = persist_tracked(
+        edges.join(rev, ["vid", "nb"])
+        .filter(F.col("vid") < F.col("nb"))
+        .select(F.col("vid").alias("a"), F.col("nb").alias("b"))
+        .distinct()
+    )  # consumed by the degree table and all three triangle legs
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges_row = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    edges_row = und.agg(F.count("*").alias("n_edges"))
+    e1 = und.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri_row = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        edges_row.crossJoin(F.broadcast(wedges_row))
+        .crossJoin(F.broadcast(tri_row))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges"), F.lit(0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

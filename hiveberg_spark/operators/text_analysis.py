@@ -2414,3 +2414,113 @@ def text_bigram_entropy_rate(spark, sf_dir):
             ).alias("cond_entropy_nats"),
         )
     )
+
+
+# -- Good-Turing unseen mass (round 10, wave 7) --------------------------------------
+
+
+@query(
+    "text_good_turing_mass",
+    oracle="""
+    WITH docs AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT source, w[i] || ' ' || w[i+1] AS b
+           FROM docs, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+    c AS (SELECT source, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+    SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(count_if(cnt = 1) AS BIGINT) AS n_singletons,
+           ROUND(count_if(cnt = 1) * 1.0 / SUM(cnt), 6) AS unseen_mass
+    FROM c GROUP BY source
+    """,
+)
+def text_good_turing_mass(spark, sf_dir):
+    """GOOD-TURING unseen-probability mass per source: P(next bigram is
+    NOVEL) ≈ N1/N, the singleton share of the bigram token count — the
+    classical estimate behind every smoothed LM (it is literally the
+    mass Kneser-Ney's discount redistributes) and the coverage audit
+    that says how much of a source's distribution a trained model has
+    never seen. Bigram types (not the tiny fixture unigram vocab) make
+    the statistic non-degenerate. Exact integer counts; one double
+    division per source row. Scale: two keyed aggregations over the
+    bigram count table — the text_bigram_entropy_rate posture."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    bg = (
+        d.select("source", F.split("text", " ").alias("w"))
+        .filter(F.size(w) >= 2)
+        .select("source", F.explode(bigrams).alias("b"))
+    )
+    c = bg.groupBy("source", "b").agg(F.count("*").alias("cnt"))
+    return c.groupBy("source").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.count("*").alias("n_types"),
+        F.count_if(F.col("cnt") == 1).alias("n_singletons"),
+        F.round(
+            F.count_if(F.col("cnt") == 1) * 1.0 / F.sum("cnt"), 6
+        ).alias("unseen_mass"),
+    )
+
+
+# -- hashing-trick collision audit (round 10, wave 7) --------------------------------
+
+
+@query(
+    "text_hashing_trick_collisions",
+    oracle="""
+    WITH docs AS (SELECT string_split(text, ' ') AS w FROM documents),
+    v AS (SELECT DISTINCT w[i] || ' ' || w[i+1] AS b
+          FROM docs, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+    h AS (SELECT b, CAST('0x' || substr(md5(b), 1, 8) AS BIGINT) % 4096
+                 AS bucket FROM v),
+    loads AS (SELECT bucket, COUNT(*) AS load FROM h GROUP BY bucket)
+    SELECT CAST(SUM(load) AS BIGINT) AS n_features,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(load), 6) AS collision_rate,
+           CAST(MAX(load) AS BIGINT) AS max_bucket_load
+    FROM loads
+    """,
+)
+def text_hashing_trick_collisions(spark, sf_dir):
+    """HASHING-TRICK collision audit: the distinct bigram feature space
+    hashed into 4096 buckets (the same md5-prefix hash family as the
+    engine's A/B arm split and shard manifest), reporting how many
+    features collide and the worst bucket load — the dimensioning study
+    run before committing to a hashed feature width for
+    text_hashed_classifier. Exact integer bucket arithmetic both
+    engines. Scale: one distinct over the bigram vocabulary (types, not
+    tokens) and one bucket-keyed count — vocabulary-sized work."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    v = (
+        d.select(F.split("text", " ").alias("w"))
+        .filter(F.size(w) >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .distinct()
+    )
+    h = v.select(
+        F.pmod(
+            F.conv(F.substring(F.md5("b"), 1, 8), 16, 10).cast("long"),
+            F.lit(4096),
+        ).alias("bucket")
+    )
+    loads = h.groupBy("bucket").agg(F.count("*").alias("load"))
+    return loads.agg(
+        F.sum("load").alias("n_features"),
+        F.count("*").alias("n_buckets_used"),
+        F.round(1.0 - F.count("*") * 1.0 / F.sum("load"), 6).alias(
+            "collision_rate"
+        ),
+        F.max("load").alias("max_bucket_load"),
+    )

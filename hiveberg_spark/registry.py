@@ -169,6 +169,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "agg_boolean_funcs",
     "text_bigram_entropy_rate",
     "embedding_dim_stats_audit",
+    "text_good_turing_mass",
+    "text_hashing_trick_collisions",
+    "pipeline_shingle_sensitivity",
+    "graph_triangle_count",
     # round-10 scale re-writes of non-window queries (keyed-skew windows
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",

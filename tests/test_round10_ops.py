@@ -368,3 +368,77 @@ def test_dim_stats_cover_all_dims_consistently(spark, sf_dir):
         assert r.min_val <= r.mean_val <= r.max_val
         assert r.dead_dim == (r.min_val == r.max_val)
         assert r.std_val >= 0
+
+
+# -- wave-7 invariants ----------------------------------------------------------------
+
+
+def test_good_turing_mass_bounds(spark, sf_dir):
+    rows = registry.QUERIES["text_good_turing_mass"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.unseen_mass <= 1.0
+        assert r.n_singletons <= r.n_types <= r.n_bigrams
+
+
+def test_hashing_collisions_consistent(spark, sf_dir):
+    r = registry.QUERIES["text_hashing_trick_collisions"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r.n_buckets_used <= min(4096, r.n_features)
+    assert r.max_bucket_load >= -(-r.n_features // 4096)  # >= ceil(avg)
+    assert abs(r.collision_rate - (1 - r.n_buckets_used / r.n_features)) < 1e-6
+
+
+def test_shingle_sensitivity_matches_python_ground_truth(spark, sf_dir):
+    from hiveberg_spark.catalog import load_table
+
+    got = {
+        r.k: (r.n_shingles, r.n_hot, r.candidate_pairs)
+        for r in registry.QUERIES["pipeline_shingle_sensitivity"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == {3, 5, 8}
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    for k in (3, 5, 8):
+        df: dict[str, int] = {}
+        for t in texts:
+            w = t.split(" ")
+            for g in {
+                " ".join(w[i : i + k]) for i in range(len(w) - k + 1)
+            }:
+                df[g] = df.get(g, 0) + 1
+        n_hot = sum(1 for v in df.values() if v > 50)
+        pairs = sum(v * (v - 1) // 2 for v in df.values() if v <= 50)
+        assert got[k] == (len(df), n_hot, pairs)
+
+
+def test_triangle_count_matches_python_ground_truth(spark, sf_dir):
+    from hiveberg_spark.operators.simsearch import knn_graph_blocked_edges
+
+    r = registry.QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+    edges = {
+        (e.vid, e.nb) for e in knn_graph_blocked_edges(spark, sf_dir).collect()
+    }
+    und = {(a, b) for (a, b) in edges if (b, a) in edges and a < b}
+    assert r.n_edges == len(und)
+    adj: dict[int, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    assert r.n_wedges == wedges
+    tri = 0
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                tri += 1
+    assert r.n_triangles == tri
+    if wedges:
+        assert abs(r.global_clustering - 3 * tri / wedges) < 1e-5
