@@ -3171,3 +3171,156 @@ def agg_boolean_funcs(spark, sf_dir):
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
         F.bool_and(F.col("l_extendedprice") > 100).alias("all_price_gt100"),
     )
+
+
+# -- new vs returning users (round 10, wave 8) ---------------------------------------
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY user_id),
+    du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT STRFTIME(du.day, '%Y-%m-%d') AS day,
+           CAST(count_if(du.day = fs.first_day) AS BIGINT) AS new_users,
+           CAST(count_if(du.day > fs.first_day) AS BIGINT) AS returning_users,
+           ROUND(count_if(du.day = fs.first_day) * 1.0 / COUNT(*), 6)
+             AS new_share
+    FROM du JOIN fs USING (user_id) GROUP BY du.day
+    """,
+)
+def events_new_vs_returning(spark, sf_dir):
+    """NEW vs RETURNING daily split — the growth-accounting companion to
+    events_dau_stickiness: each active (day, user) classifies as NEW
+    (the user's first-ever active day) or RETURNING, giving the daily
+    acquisition/retention mix every growth dashboard leads with. Scale:
+    a user-keyed first-seen aggregate joined back to the distinct
+    (day, user) activity frame — two keyed shuffles on frames already
+    orders of magnitude below the event log; exact date equality, one
+    double division per day row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").cast("date").alias("day"), "user_id"
+    )
+    du = persist_tracked(ev.distinct())  # consumed by first-seen AND join
+    fs = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        du.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(is_new).alias("new_users"),
+            F.sum(1 - is_new).alias("returning_users"),
+            F.round(F.sum(is_new) * 1.0 / F.count("*"), 6).alias("new_share"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "returning_users",
+            "new_share",
+        )
+    )
+
+
+# -- linear-interpolation gap fill (round 10, wave 8) --------------------------------
+
+
+@query(
+    "events_gapfill_linear",
+    oracle="""
+    WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                           COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+          FROM hourly GROUP BY 1),
+    spine AS (SELECT event_type,
+                     UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+              FROM b),
+    j AS (SELECT s.event_type, s.hr, d.n
+          FROM spine s LEFT JOIN hourly d USING (event_type, hr)),
+    anch AS (
+      SELECT *,
+        LAST_VALUE(n IGNORE NULLS) OVER w_prev AS prev_n,
+        LAST_VALUE(CASE WHEN n IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER w_prev AS prev_hr,
+        FIRST_VALUE(n IGNORE NULLS) OVER w_next AS next_n,
+        FIRST_VALUE(CASE WHEN n IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER w_next AS next_hr
+      FROM j
+      WINDOW w_prev AS (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, STRFTIME(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+           (n IS NULL) AS was_missing,
+           ROUND(CASE WHEN n IS NOT NULL THEN n * 1.0
+                      ELSE prev_n + (next_n - prev_n)
+                           * (date_diff('hour', prev_hr, hr) * 1.0
+                              / date_diff('hour', prev_hr, next_hr)) END, 6)
+             AS n_filled
+    FROM anch
+    """,
+)
+def events_gapfill_linear(spark, sf_dir):
+    """LINEAR-INTERPOLATION gap fill on the hourly series — the
+    time-series repair that events_gapfill_locf (step-function
+    carry-forward) can't do: each missing (type, hour) cell fills with
+    the straight line between its nearest observed neighbors, the
+    standard prep before seasonal decomposition or rate-of-change
+    alerts. The spine is bounded by each type's own observed [min, max]
+    hour so no leading/trailing NULL legs exist. Determinism: anchors
+    are exact integer counts and hour timestamps; the interpolation is
+    integer-hour ratios in one double expression both engines evaluate
+    identically, rounded at 6. Scale: the corpus collapses to a
+    (type × hour) frame; the two IGNORE-NULLS windows are TYPE-KEYED
+    over calendar-bounded partitions — never a global sort."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr")
+    )
+    hourly = persist_tracked(
+        ev.groupBy("event_type", "hr").agg(F.count("*").alias("n"))
+    )  # consumed by the bounds aggregate and the spine join
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+    w_prev = W.partitionBy("event_type").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_next = W.partitionBy("event_type").orderBy("hr").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_hr = F.when(F.col("n").isNotNull(), F.col("hr"))
+    anch = j.select(
+        "event_type",
+        "hr",
+        "n",
+        F.last("n", ignorenulls=True).over(w_prev).alias("prev_n"),
+        F.last(obs_hr, ignorenulls=True).over(w_prev).alias("prev_hr"),
+        F.first("n", ignorenulls=True).over(w_next).alias("next_n"),
+        F.first(obs_hr, ignorenulls=True).over(w_next).alias("next_hr"),
+    )
+    hours = lambda a, b: (  # noqa: E731 — exact integer hour difference
+        (F.unix_micros(b) - F.unix_micros(a)) / F.lit(3600000000)
+    ).cast("long")
+    interp = F.col("prev_n") + (F.col("next_n") - F.col("prev_n")) * (
+        hours(F.col("prev_hr"), F.col("hr")) * 1.0
+        / hours(F.col("prev_hr"), F.col("next_hr"))
+    )
+    return anch.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        F.col("n").isNull().alias("was_missing"),
+        F.round(
+            F.when(F.col("n").isNotNull(), F.col("n") * 1.0).otherwise(interp),
+            6,
+        ).alias("n_filled"),
+    )

@@ -173,6 +173,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_hashing_trick_collisions",
     "pipeline_shingle_sensitivity",
     "graph_triangle_count",
+    "events_new_vs_returning",
+    "events_gapfill_linear",
     # round-10 scale re-writes of non-window queries (keyed-skew windows
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",

@@ -442,3 +442,52 @@ def test_triangle_count_matches_python_ground_truth(spark, sf_dir):
     assert r.n_triangles == tri
     if wedges:
         assert abs(r.global_clustering - 3 * tri / wedges) < 1e-5
+
+
+# -- wave-8 invariants ----------------------------------------------------------------
+
+
+def test_new_vs_returning_accounting(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["events_new_vs_returning"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    # day 1: everyone is new; total new users across days = user count
+    assert rows[0].returning_users == 0 and rows[0].new_share == 1.0
+    from hiveberg_spark.catalog import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.new_users for r in rows) == n_users
+    for r in rows:
+        assert 0.0 <= r.new_share <= 1.0
+
+
+def test_gapfill_linear_between_anchors(spark, sf_dir):
+    rows = registry.QUERIES["events_gapfill_linear"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert any(r.was_missing for r in rows), "fixture must contain gaps"
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.hr)
+        # spine edges are observed (bounded by min/max observed hour)
+        assert not rs[0].was_missing and not rs[-1].was_missing
+        obs = [r.n_filled for r in rs if not r.was_missing]
+        lo, hi = min(obs), max(obs)
+        for i, r in enumerate(rs):
+            if r.was_missing:
+                # interpolation stays within the neighboring anchors
+                prev_obs = next(
+                    x.n_filled for x in reversed(rs[:i]) if not x.was_missing
+                )
+                next_obs = next(
+                    x.n_filled for x in rs[i + 1 :] if not x.was_missing
+                )
+                assert (
+                    min(prev_obs, next_obs) - 1e-6
+                    <= r.n_filled
+                    <= max(prev_obs, next_obs) + 1e-6
+                )
