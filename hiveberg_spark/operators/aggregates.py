@@ -3324,3 +3324,75 @@ def events_gapfill_linear(spark, sf_dir):
             6,
         ).alias("n_filled"),
     )
+
+
+# -- CUSUM changepoint detection (round 10, wave 9) ----------------------------------
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+                   FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type,
+                  (SUM(n) * 1000000) // COUNT(*) AS mean_micro
+           FROM daily GROUP BY 1),
+    dev AS (SELECT d.event_type, d.day, d.n,
+                   d.n * 1000000 - s.mean_micro - s.mean_micro // 10 AS dmicro,
+                   s.mean_micro
+            FROM daily d JOIN st s USING (event_type)),
+    pfx AS (SELECT *, SUM(dmicro) OVER w AS p
+            FROM dev
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    pfx2 AS (SELECT *, MIN(p) OVER w AS runmin
+             FROM pfx
+             WINDOW w AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+           ROUND((p - LEAST(runmin, 0)) / 1000000.0, 6) AS cusum,
+           (p - LEAST(runmin, 0) > mean_micro) AS is_changepoint
+    FROM pfx2
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on daily volumes — the sequential
+    upward-shift detector (Page 1954) that accumulates excess over
+    baseline+slack and alarms when the sum escapes, catching SUSTAINED
+    level shifts the per-day z-score/MAD detectors treat as noise. The
+    textbook recursion S_t = max(0, S_{t-1} + d_t) is not window-
+    expressible, but its closed form IS: S_t = P_t − min(0, min_{j≤t}
+    P_j) over the deviation prefix sums — two type-keyed cumulative
+    windows. Determinism: baseline and slack (10% of mean) are INTEGER
+    micro-units via integer division, so every prefix sum is exact
+    integer arithmetic; one double division renders the output. Scale:
+    corpus → (type × day) keyed aggregate; windows partition by type
+    over calendar-bounded frames."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+    )
+    daily = persist_tracked(
+        ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    )  # consumed by the baseline aggregate and the deviation join
+    st = daily.groupBy("event_type").agg(
+        F.expr("(sum(n) * 1000000) div count(*)").alias("mean_micro")
+    )
+    dev = daily.join(st, "event_type").withColumn(
+        "dmicro",
+        F.expr("n * 1000000 - mean_micro - mean_micro div 10"),
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    pfx = dev.withColumn("p", F.sum("dmicro").over(w))
+    pfx2 = pfx.withColumn("runmin", F.min("p").over(w))
+    s = F.col("p") - F.least(F.col("runmin"), F.lit(0))
+    return pfx2.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round(s / 1000000.0, 6).alias("cusum"),
+        (s > F.col("mean_micro")).alias("is_changepoint"),
+    )

@@ -331,3 +331,74 @@ def subquery_lateral_topn(spark, sf_dir):
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         """
     )
+
+
+# -- session duration distribution (round 10, wave 9) --------------------------------
+
+
+@query(
+    "events_session_duration_stats",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM marked),
+    per AS (SELECT user_id, session_no,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(quantile_cont(duration_us, 0.5) AS DOUBLE) AS med_duration_us,
+           CAST(quantile_cont(duration_us, 0.9) AS DOUBLE) AS p90_duration_us,
+           ROUND(SUM(n_events) * 1.0 / COUNT(*), 6) AS avg_events
+    FROM per
+    """,
+)
+def events_session_duration_stats(spark, sf_dir):
+    """SESSION DURATION distribution — the measurement layer on top of
+    batch_sessionize's gaps-and-islands assignment (same 30-minute gap
+    rule, same user-keyed lag → cumulative-flag windows): per-session
+    wall time and event count, summarized as exact interpolated
+    median/p90 duration and mean session depth. Tie-safety: rows with
+    equal ts have gap 0, so session ASSIGNMENT is order-independent and
+    min/max per session don't depend on the window's tie order.
+    Scale: user-keyed windows + a (user, session) keyed aggregate; the
+    final ungrouped percentile runs on map-side-combined partials (the
+    agg_median_percentile contract — percentile_approx at 100 TB)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "ts_us",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    per = (
+        marked.withColumn("session_no", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_no")
+        .agg(
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.percentile("duration_us", F.lit(0.5)).alias("med_duration_us"),
+        F.percentile("duration_us", F.lit(0.9)).alias("p90_duration_us"),
+        F.round(F.sum("n_events") * 1.0 / F.count("*"), 6).alias("avg_events"),
+    )

@@ -175,6 +175,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "graph_triangle_count",
     "events_new_vs_returning",
     "events_gapfill_linear",
+    "events_cusum_changepoint",
+    "events_session_duration_stats",
     # round-10 scale re-writes of non-window queries (keyed-skew windows
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",

@@ -491,3 +491,42 @@ def test_gapfill_linear_between_anchors(spark, sf_dir):
                     <= r.n_filled
                     <= max(prev_obs, next_obs) + 1e-6
                 )
+
+
+# -- wave-9 invariants ----------------------------------------------------------------
+
+
+def test_cusum_matches_textbook_recursion(spark, sf_dir):
+    """The prefix-sum closed form must equal S_t = max(0, S_{t-1}+d_t)."""
+    rows = registry.QUERIES["events_cusum_changepoint"](
+        spark, sf_dir
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        counts = [r.n for r in rs]
+        total, days = sum(counts), len(counts)
+        mean_micro = (total * 1000000) // days
+        slack = mean_micro // 10
+        s = 0
+        for r, n in zip(rs, counts):
+            s = max(0, s + n * 1000000 - mean_micro - slack)
+            assert abs(r.cusum - s / 1e6) < 1e-5, (t, r.day)
+            assert r.is_changepoint == (s > mean_micro)
+
+
+def test_session_duration_stats_consistent(spark, sf_dir):
+    r = registry.QUERIES["events_session_duration_stats"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r.n_sessions > 0
+    assert 0 <= r.med_duration_us <= r.p90_duration_us
+    assert r.avg_events >= 1.0
+    # session count can never exceed event count, and must cover all users
+    from hiveberg_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert r.n_sessions <= ev.count()
+    assert r.n_sessions >= ev.select("user_id").distinct().count()
