@@ -3396,3 +3396,192 @@ def events_cusum_changepoint(spark, sf_dir):
         F.round(s / 1000000.0, 6).alias("cusum"),
         (s > F.col("mean_micro")).alias("is_changepoint"),
     )
+
+
+# -- session basket affinity (round 10, wave 10) -------------------------------------
+
+
+@query(
+    "events_basket_affinity",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (SELECT user_id, event_type,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM marked),
+    st AS (SELECT DISTINCT user_id, session_no, event_type FROM s),
+    tot AS (SELECT COUNT(DISTINCT (user_id, session_no)) AS n_sessions FROM st),
+    ind AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY 1),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+      FROM st a JOIN st b ON a.user_id = b.user_id
+                         AND a.session_no = b.session_no
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(n_ab * 1.0 * t.n_sessions / (ia.n * ib.n), 6) AS lift
+    FROM pair JOIN ind ia ON ia.event_type = type_a
+              JOIN ind ib ON ib.event_type = type_b
+              CROSS JOIN tot t
+    """,
+)
+def events_basket_affinity(spark, sf_dir):
+    """MARKET-BASKET affinity between event types: within each 30-minute
+    session (the batch_sessionize assignment), which type PAIRS co-occur
+    more than independence predicts — lift = P(a,b)/(P(a)·P(b)) over
+    sessions. The co-occurrence complement to events_transition_matrix
+    (which is strictly sequential): lift > 1 flags bundled behaviors
+    regardless of order. Scale: sessions collapse to a DISTINCT
+    (user, session, type) frame; the pair join is keyed on the session
+    id and the pair space is |types|² (catalog-sized), with one-row
+    session totals broadcast. Exact integer counts; one double division
+    per pair."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    st = persist_tracked(
+        marked.withColumn("session_no", F.sum("new_session").over(cum))
+        .select("user_id", "session_no", "event_type")
+        .distinct()
+    )  # consumed by totals, per-type counts, and both pair-join sides
+    tot = st.agg(
+        F.count_distinct("user_id", "session_no").alias("n_sessions")
+    )
+    ind = st.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = st.select("user_id", "session_no", F.col("event_type").alias("type_a"))
+    b = st.select(
+        F.col("user_id").alias("u_b"),
+        F.col("session_no").alias("s_b"),
+        F.col("event_type").alias("type_b"),
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u_b"))
+            & (F.col("session_no") == F.col("s_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ia = ind.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    ib = ind.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pair.join(ia, "type_a")
+        .join(ib, "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_sessions")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# -- daily-count autocorrelation (round 10, wave 10) ---------------------------------
+
+
+@query(
+    "events_lag_autocorr",
+    oracle="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+                   FROM events GROUP BY 1, 2),
+    lagd AS (SELECT UNNEST([1, 2, 7]) AS lag),
+    pairs AS (
+      SELECT t.event_type, l.lag, t.n AS x, j.n AS y
+      FROM daily t JOIN lagd l ON TRUE
+           JOIN daily j ON j.event_type = t.event_type
+                       AND j.day = t.day - CAST(l.lag AS INTEGER)
+    ),
+    m AS (SELECT event_type, lag, COUNT(*) AS k,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                 SUM(x*x) AS sxx, SUM(y*y) AS syy
+          FROM pairs GROUP BY 1, 2)
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           CAST(k AS BIGINT) AS n_pairs,
+           ROUND((k*sxy - sx*sy)
+                 / NULLIF(SQRT(CAST((k*sxx - sx*sx) AS DOUBLE))
+                          * SQRT(CAST((k*syy - sy*sy) AS DOUBLE)), 0), 6)
+             AS autocorr
+    FROM m
+    """,
+)
+def events_lag_autocorr(spark, sf_dir):
+    """AUTOCORRELATION of daily volumes at lags 1, 2, and 7 — the
+    seasonality fingerprint (a weekly-rhythmed metric shows an
+    autocorrelation spike at lag 7) read before trusting any
+    day-over-day alert threshold. Pearson r from the five exact INTEGER
+    power sums per (type, lag) — the agg_higher_moments discipline: the
+    float expression runs ONCE per 15-row output group on identical
+    operands, so cross-engine hashes can't drift on summation order.
+    Scale: corpus → (type × day) keyed aggregate; the lag join is a
+    self-equi-join of that calendar-bounded frame on (type, day−lag)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+    )
+    daily = persist_tracked(
+        ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    )  # consumed by both sides of the lag join
+    lagd = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(7))).alias("lag")
+    )
+    t = daily.crossJoin(lagd).select(
+        "event_type", "lag", F.col("n").alias("x"), "day"
+    )
+    j = daily.select(
+        F.col("event_type").alias("et_j"),
+        F.col("day").alias("day_j"),
+        F.col("n").alias("y"),
+    )
+    pairs = t.join(
+        j,
+        (F.col("event_type") == F.col("et_j"))
+        & (F.col("day_j") == F.expr("date_sub(day, lag)")),
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("k").cast("long").alias("n_pairs"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("autocorr"),
+    )

@@ -2524,3 +2524,80 @@ def text_hashing_trick_collisions(spark, sf_dir):
         ),
         F.max("load").alias("max_bucket_load"),
     )
+
+
+# -- source-similarity Jaccard matrix (round 10, wave 10) ----------------------------
+
+
+@query(
+    "text_source_jaccard_matrix",
+    oracle="""
+    WITH docs AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    v AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] AS b
+          FROM docs, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+    sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM v a JOIN v b ON a.b = b.b AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.source = src_a
+               JOIN sz sb ON sb.source = src_b
+    """,
+)
+def text_source_jaccard_matrix(spark, sf_dir):
+    """SOURCE-SIMILARITY matrix: pairwise Jaccard of the sources' BIGRAM
+    vocabularies — the corpus-composition audit that finds mirror/scrape
+    pairs BEFORE document-level dedup spends candidate pairs on them
+    (two sources at Jaccard ≈ 1 are the same crawl twice; route one to
+    dedup_cross_source_overlap for the row-level verdict). Bigram (not
+    unigram) vocabularies keep the statistic non-degenerate on the
+    fixture and sharper in production. Scale: the intersect join is
+    keyed on the BIGRAM TERM over the distinct (source, bigram) frame —
+    vocabulary-sized, with per-term fan-out bounded by #sources (a
+    catalog constant), never a doc-pair space; the output is the
+    #sources² matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    v = persist_tracked(
+        d.select("source", F.split("text", " ").alias("w"))
+        .filter(F.size(w) >= 2)
+        .select("source", F.explode(bigrams).alias("b"))
+        .distinct()
+    )  # consumed by sizes and both intersect sides
+    sz = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "b")
+    b = v.select(F.col("source").alias("src_b"), F.col("b").alias("b_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("b") == F.col("b_b")) & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -177,6 +177,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_gapfill_linear",
     "events_cusum_changepoint",
     "events_session_duration_stats",
+    "events_basket_affinity",
+    "events_lag_autocorr",
+    "text_source_jaccard_matrix",
     # round-10 scale re-writes of non-window queries (keyed-skew windows
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",

@@ -530,3 +530,112 @@ def test_session_duration_stats_consistent(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert r.n_sessions <= ev.count()
     assert r.n_sessions >= ev.select("user_id").distinct().count()
+
+
+# -- wave-10 invariants ---------------------------------------------------------------
+
+
+def test_basket_affinity_matches_python_sessions(spark, sf_dir):
+    from hiveberg_spark.catalog import load_table
+
+    got = {
+        (r.type_a, r.type_b): (r.n_ab, r.lift)
+        for r in registry.QUERIES["events_basket_affinity"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS us",
+                    "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.us),
+    )
+    sessions: dict[tuple, set] = {}
+    last_us, sno = {}, {}
+    for r in ev:
+        u = r.user_id
+        if u not in last_us or r.us - last_us[u] > 1800 * 1_000_000:
+            sno[u] = sno.get(u, 0) + 1
+        last_us[u] = r.us
+        sessions.setdefault((u, sno[u]), set()).add(r.event_type)
+    n_sessions = len(sessions)
+    ind: dict[str, int] = {}
+    pair: dict[tuple, int] = {}
+    for types in sessions.values():
+        ts = sorted(types)
+        for t in ts:
+            ind[t] = ind.get(t, 0) + 1
+        for i, a in enumerate(ts):
+            for b in ts[i + 1 :]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    assert set(got) == set(pair)
+    for k, n_ab in pair.items():
+        assert got[k][0] == n_ab
+        want_lift = round(n_ab * 1.0 * n_sessions / (ind[k[0]] * ind[k[1]]), 6)
+        assert abs(got[k][1] - want_lift) < 1e-6
+
+
+def test_autocorr_matches_python_pearson(spark, sf_dir):
+    from hiveberg_spark.catalog import load_table
+
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.autocorr)
+        for r in registry.QUERIES["events_lag_autocorr"](
+            spark, sf_dir
+        ).collect()
+    }
+    daily: dict[str, dict] = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "cast(cast(ts as timestamp) as date) AS day")
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, {})[r.day] = r["count"]
+    from datetime import timedelta
+
+    for (t, lag), (n_pairs, r_got) in got.items():
+        xs, ys = [], []
+        for day, x in daily[t].items():
+            prev = daily[t].get(day - timedelta(days=lag))
+            if prev is not None:
+                xs.append(x)
+                ys.append(prev)
+        assert n_pairs == len(xs)
+        k = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+        den = ((k * sxx - sx * sx) ** 0.5) * ((k * syy - sy * sy) ** 0.5)
+        if den:
+            assert abs(r_got - (k * sxy - sx * sy) / den) < 1e-5
+        assert r_got is None or -1.0 - 1e-9 <= r_got <= 1.0 + 1e-9
+
+
+def test_source_jaccard_matches_python_sets(spark, sf_dir):
+    from hiveberg_spark.catalog import load_table
+
+    got = {
+        (r.src_a, r.src_b): (r.n_common, r.jaccard)
+        for r in registry.QUERIES["text_source_jaccard_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    vocab: dict[str, set] = {}
+    for r in load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect():
+        w = r.text.split(" ")
+        vocab.setdefault(r.source, set()).update(
+            f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)
+        )
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                jac = round(inter / len(vocab[a] | vocab[b]), 6)
+                assert got[(a, b)][0] == inter
+                assert abs(got[(a, b)][1] - jac) < 1e-6
