@@ -3585,3 +3585,87 @@ def events_lag_autocorr(spark, sf_dir):
         F.col("k").cast("long").alias("n_pairs"),
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("autocorr"),
     )
+
+
+# -- attribution window sweep (round 10, wave 11) ------------------------------------
+
+
+@query(
+    "events_attribution_window_sweep",
+    oracle="""
+    WITH p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, epoch_us(ts) AS cus FROM events
+          WHERE event_type = 'click'),
+    ws AS (SELECT UNNEST([1, 3, 7]) AS w),
+    attr AS (
+      SELECT ws.w, p.user_id, p.pus,
+             MAX(CASE WHEN c.cus IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM p CROSS JOIN ws
+      LEFT JOIN c ON c.user_id = p.user_id
+                 AND c.cus <= p.pus
+                 AND c.cus >= p.pus - ws.w * 86400000000
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(w AS INTEGER) AS window_days,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(hit) AS BIGINT) AS n_attributed,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 6) AS attribution_rate
+    FROM attr GROUP BY w
+    """,
+)
+def events_attribution_window_sweep(spark, sf_dir):
+    """ATTRIBUTION-WINDOW sensitivity sweep: what share of purchases
+    have a preceding click within 1, 3, and 7 days — the measurement
+    that PICKS the window the attribution family (touch/linear/decay)
+    then takes as given, and the first thing an analyst disputes when
+    two dashboards disagree. Scale: purchases × 3 literal windows
+    left-join clicks on the USER key with the time bound as a pushed
+    residual (the asof_join_tolerance shape — the conjunct prunes,
+    never expands); exact integer epoch-micros bounds; one double
+    division per output row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("pus")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u_c"), F.col("us").alias("cus")
+    )
+    ws = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(3), F.lit(7))).alias("w")
+    )
+    attr = (
+        p.crossJoin(ws)
+        .join(
+            c,
+            (F.col("user_id") == F.col("u_c"))
+            & (F.col("cus") <= F.col("pus"))
+            & (
+                F.col("cus")
+                >= F.col("pus") - F.col("w") * F.lit(86400000000)
+            ),
+            "left",
+        )
+        .groupBy("w", "user_id", "pus")
+        .agg(
+            F.max(
+                F.when(F.col("cus").isNotNull(), 1).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    return attr.groupBy("w").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("hit").alias("n_attributed"),
+        F.round(F.sum("hit") * 1.0 / F.count("*"), 6).alias(
+            "attribution_rate"
+        ),
+    ).select(
+        F.col("w").cast("int").alias("window_days"),
+        "n_purchases",
+        "n_attributed",
+        "attribution_rate",
+    )

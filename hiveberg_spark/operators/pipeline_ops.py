@@ -2553,3 +2553,99 @@ def sample_nucleus_topmass(spark, sf_dir):
             <= F.floor(F.lit(_NUCLEUS_P) * F.col("total")).cast("long")
         ).alias("kept"),
     )
+
+
+# -- Neyman allocation (round 10, wave 11) -------------------------------------------
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2
+      FROM documents GROUP BY source
+    ),
+    sd AS (
+      SELECT source, n_docs,
+             SQRT(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) AS s_chars
+      FROM s
+    ),
+    wgt AS (SELECT *, n_docs * s_chars AS wh FROM sd),
+    tot AS (SELECT SUM(wh) AS wt FROM wgt),
+    share AS (
+      SELECT source, n_docs, s_chars, wh * 1000.0 / t.wt AS share
+      FROM wgt CROSS JOIN tot t
+    ),
+    base AS (
+      SELECT *, CAST(FLOOR(share) AS BIGINT) AS b,
+             share - FLOOR(share) AS rem,
+             SUM(CAST(FLOOR(share) AS BIGINT)) OVER () AS btot,
+             ROW_NUMBER() OVER (ORDER BY share - FLOOR(share) DESC, source)
+               AS rr
+      FROM share
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(s_chars, 6) AS s_chars,
+           CAST(b + CASE WHEN rr <= 1000 - btot THEN 1 ELSE 0 END AS BIGINT)
+             AS n_alloc
+    FROM base
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """NEYMAN-OPTIMAL stratified sampling allocation: a 1000-document
+    eval-sample budget split across sources proportionally to
+    N_h·S_h (stratum size × within-stratum length stddev) — the
+    textbook minimum-variance design, vs the proportional-allocation
+    baseline sample_stratified_split uses. Integerization is the
+    LARGEST-REMAINDER method so allocations sum to exactly the budget.
+    Determinism: stddev comes from exact INTEGER power sums (one sqrt
+    per source row), shares divide once, and the remainder rank breaks
+    ties on source. Scale: one source-keyed aggregate; every window
+    runs on the #sources frame (a catalog constant, allowlisted) — the
+    corpus is touched exactly once."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    sd = s.select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            (F.col("n_docs") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (F.col("n_docs").cast("double") * (F.col("n_docs") - 1))
+        ).alias("s_chars"),
+    )
+    wgt = persist_tracked(
+        sd.withColumn("wh", F.col("n_docs") * F.col("s_chars"))
+    )  # consumed by the total row and the share projection
+    tot = wgt.agg(F.sum("wh").alias("wt"))
+    share = wgt.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("wh") * 1000.0 / F.col("wt")
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    base = (
+        share.withColumn("b", F.floor("share").cast("long"))
+        .withColumn("rem", F.col("share") - F.floor("share"))
+        .withColumn("btot", F.sum("b").over(w_all))
+        .withColumn(
+            "rr",
+            F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source"))),
+        )
+    )
+    return base.select(
+        "source",
+        "n_docs",
+        F.round("s_chars", 6).alias("s_chars"),
+        (
+            F.col("b")
+            + F.when(F.col("rr") <= 1000 - F.col("btot"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )

@@ -2601,3 +2601,94 @@ def text_source_jaccard_matrix(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# -- PMI collocations (round 10, wave 11) --------------------------------------------
+
+
+@query(
+    "text_collocation_pmi",
+    oracle="""
+    WITH docs AS (SELECT string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT UNNEST(w) AS t FROM docs),
+    uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tt AS (SELECT COUNT(*) AS t_total FROM tok),
+    bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+           FROM docs, UNNEST(generate_series(1, len(w)-1)) AS t(i)),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    bt AS (SELECT COUNT(*) AS b_total FROM bg),
+    scored AS (
+      SELECT w1 || ' ' || w2 AS bigram, c12,
+             CAST(FLOOR(LN((c12 * 1.0 * t.t_total * t.t_total)
+                           / (b.b_total * 1.0 * u1.c * u2.c)) * 1000000)
+                  AS BIGINT) AS pmi_micro
+      FROM c12 JOIN uni u1 ON u1.t = w1 JOIN uni u2 ON u2.t = w2
+               CROSS JOIN tt t CROSS JOIN bt b
+      WHERE c12 >= 5
+    )
+    SELECT bigram, CAST(c12 AS BIGINT) AS n, pmi_micro,
+           ROUND(pmi_micro / 1000000.0, 6) AS pmi_nats
+    FROM scored ORDER BY pmi_micro DESC, bigram LIMIT 25
+    """,
+)
+def text_collocation_pmi(spark, sf_dir):
+    """COLLOCATION extraction by pointwise mutual information: the top
+    adjacent word pairs whose co-occurrence beats independence —
+    PMI = ln(p(w1,w2)/(p(w1)p(w2))) with a min-count-5 support floor
+    (raw PMI without it just surfaces hapax noise). The phrase-mining
+    primitive behind tokenizer merge rules and multi-word stopword
+    lists. Determinism: PMI quantizes to integer micro-nats in ONE
+    double expression on exact integer counts, and the top-25 orders by
+    (pmi_micro, bigram) — no float ordering anywhere. Scale: unigram
+    and bigram count tables (term-keyed joins), two one-row totals
+    broadcast, TakeOrdered top-k — never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    docs = persist_tracked(
+        d.select(F.split("text", " ").alias("w"))
+    )  # consumed by the unigram and bigram legs
+    tok = docs.select(F.explode(w).alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tt_row = tok.agg(F.count("*").alias("t_total"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.struct(
+            F.element_at(w, i + 1).alias("w1"),
+            F.element_at(w, i + 2).alias("w2"),
+        ),
+    )
+    bg = (
+        docs.filter(F.size(w) >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bt_row = bg.agg(F.count("*").alias("b_total"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        c12.filter(F.col("c12") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tt_row))
+        .crossJoin(F.broadcast(bt_row))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c12").alias("n"),
+            F.floor(
+                F.log(
+                    (F.col("c12") * 1.0 * F.col("t_total") * F.col("t_total"))
+                    / (F.col("b_total") * 1.0 * F.col("c1") * F.col("c2"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micro"), F.asc("bigram")).limit(25).select(
+        "bigram",
+        "n",
+        "pmi_micro",
+        F.round(F.col("pmi_micro") / 1000000.0, 6).alias("pmi_nats"),
+    )

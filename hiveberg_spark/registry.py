@@ -180,6 +180,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_basket_affinity",
     "events_lag_autocorr",
     "text_source_jaccard_matrix",
+    "text_collocation_pmi",
+    "events_attribution_window_sweep",
+    "sample_neyman_allocation",
     # round-10 scale re-writes of non-window queries (keyed-skew windows
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",

@@ -639,3 +639,47 @@ def test_source_jaccard_matches_python_sets(spark, sf_dir):
                 jac = round(inter / len(vocab[a] | vocab[b]), 6)
                 assert got[(a, b)][0] == inter
                 assert abs(got[(a, b)][1] - jac) < 1e-6
+
+
+# -- wave-11 invariants ---------------------------------------------------------------
+
+
+def test_pmi_support_floor_and_order(spark, sf_dir):
+    rows = registry.QUERIES["text_collocation_pmi"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    micros = [(r.pmi_micro, r.bigram) for r in rows]
+    assert micros == sorted(micros, key=lambda x: (-x[0], x[1]))
+    for r in rows:
+        assert r.n >= 5
+        assert abs(r.pmi_nats - r.pmi_micro / 1e6) < 1e-9
+
+
+def test_attribution_rate_monotone_in_window(spark, sf_dir):
+    rows = {
+        r.window_days: r
+        for r in registry.QUERIES["events_attribution_window_sweep"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {1, 3, 7}
+    n = {r.n_purchases for r in rows.values()}
+    assert len(n) == 1  # same purchase population at every window
+    assert (
+        rows[1].n_attributed <= rows[3].n_attributed <= rows[7].n_attributed
+    )
+    for r in rows.values():
+        assert 0.0 <= r.attribution_rate <= 1.0
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    rows = registry.QUERIES["sample_neyman_allocation"](
+        spark, sf_dir
+    ).collect()
+    assert sum(r.n_alloc for r in rows) == 1000
+    assert all(r.n_alloc >= 0 for r in rows)
+    # allocation ordering follows the N_h * S_h weights (strictly
+    # monotone up to the +-1 largest-remainder step)
+    by_w = sorted(rows, key=lambda r: r.n_docs * r.s_chars)
+    allocs = [r.n_alloc for r in by_w]
+    for a, b in zip(allocs, allocs[1:]):
+        assert b >= a - 1

@@ -46,6 +46,9 @@ ALLOWED: dict[str, str] = {
     "events_survival_km": "distinct-lifetime-days frame: calendar-bounded",
     # the cumulative-share window runs on the decile frame: ≤10 rows
     "events_pareto_share": "decile frame: exactly <=10 rows",
+    # largest-remainder windows run on the per-source frame — #sources
+    # rows, a catalog constant
+    "sample_neyman_allocation": "per-source frame: #sources rows",
 }
 
 _ALL = sorted(registry.QUERIES)
