@@ -3669,3 +3669,120 @@ def events_attribution_window_sweep(spark, sf_dir):
         "n_attributed",
         "attribution_rate",
     )
+
+
+# -- chi-square independence: type x day-of-week (round 10, wave 12) -----------------
+
+
+@query(
+    "events_chisq_type_dow",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rc AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+    cc AS (SELECT dow, SUM(o) AS c FROM cells GROUP BY 1),
+    tt AS (SELECT SUM(o) AS t FROM cells),
+    terms AS (
+      SELECT cells.event_type, cells.dow,
+             CAST(FLOOR((cells.o * t.t - rc.r * cc.c)
+                        * (cells.o * t.t - rc.r * cc.c) * 1000000.0
+                        / (t.t * rc.r * cc.c)) AS BIGINT) AS term_micro
+      FROM cells JOIN rc USING (event_type) JOIN cc USING (dow)
+                 CROSS JOIN tt t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           ROUND(SUM(term_micro) / 1000000.0, 6) AS chi2
+    FROM terms
+    """,
+)
+def events_chisq_type_dow(spark, sf_dir):
+    """CHI-SQUARE independence test on the (event type × day-of-week)
+    contingency table — "does traffic mix depend on the weekday?", the
+    2-D generalization of events_ab_srm_check's 1-D goodness-of-fit.
+    Each cell's term uses the algebraic identity (o−e)²/e =
+    (oT − rc)²/(T·r·c), so it's ONE double expression on exact integer
+    marginals, FLOOR-quantized to micro-units — the distributed sum is
+    integer-exact, immune to float ordering. The dow offset pins the
+    scalar_date_parts_funcs convention (Spark dayofweek is 1=Sunday;
+    DuckDB 0=Sunday). Scale: corpus → 35-cell keyed aggregate; marginals
+    are keyed re-aggregations of the cells, one-row total broadcast.
+    (oT−rc)² stays inside int64-exact doubles through ~1e8-count cells;
+    beyond that, lift the term to DECIMAL.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("timestamp").cast("date")) - 1).alias(
+            "dow"
+        ),
+    )
+    cells = persist_tracked(
+        ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    )  # consumed by both marginals, the total, and the term join
+    rc = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cc = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("t"))
+    x = F.col("o") * F.col("t") - F.col("r") * F.col("c")
+    terms = (
+        cells.join(rc, "event_type")
+        .join(cc, "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            F.floor(
+                x * x * F.lit(1000000.0)
+                / (F.col("t") * F.col("r") * F.col("c"))
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    return terms.agg(
+        F.count("*").alias("n_cells"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        ).alias("dof"),
+        F.round(F.sum("term_micro") / 1000000.0, 6).alias("chi2"),
+    )
+
+
+# -- hourly value bands (round 10, wave 12) ------------------------------------------
+
+
+@query(
+    "events_value_bands_by_hour",
+    oracle="""
+    WITH h AS (SELECT event_type, hour(ts) AS hod, value FROM events)
+    SELECT event_type, CAST(hod AS INTEGER) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_cont(value, 0.1) AS DOUBLE) AS p10,
+           CAST(quantile_cont(value, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(value, 0.9) AS DOUBLE) AS p90
+    FROM h GROUP BY 1, 2
+    """,
+)
+def events_value_bands_by_hour(spark, sf_dir):
+    """HOUR-OF-DAY percentile bands of event values — the envelope an
+    anomaly monitor draws before alerting on a single reading: per
+    (type, hour-of-day), exact interpolated p10/p50/p90 of the value
+    distribution. Complements events_seasonal_anomaly (which bands
+    COUNTS, not values). Exact percentiles under the
+    agg_median_percentile contract (identical raw doubles, identical
+    interpolation); percentile_approx replaces them at 100 TB. Scale:
+    one (type × 24-hour) keyed aggregate with map-side partials —
+    bounded output, no windows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hod"),
+        "value",
+    )
+    return ev.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.percentile("value", F.lit(0.1)).alias("p10"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    )

@@ -183,6 +183,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_collocation_pmi",
     "events_attribution_window_sweep",
     "sample_neyman_allocation",
+    "events_chisq_type_dow",
+    "events_value_bands_by_hour",
     # round-10 scale re-writes of non-window queries (keyed-skew windows
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",

@@ -683,3 +683,54 @@ def test_neyman_allocation_sums_to_budget(spark, sf_dir):
     allocs = [r.n_alloc for r in by_w]
     for a, b in zip(allocs, allocs[1:]):
         assert b >= a - 1
+
+
+# -- wave-12 invariants ---------------------------------------------------------------
+
+
+def test_chisq_matches_python_recomputation(spark, sf_dir):
+    import math
+
+    from hiveberg_spark.catalog import load_table
+
+    r = registry.QUERIES["events_chisq_type_dow"](spark, sf_dir).collect()[0]
+    cells: dict[tuple, int] = {}
+    for row in (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "dayofweek(cast(cast(ts as timestamp) as date)) - 1 AS dow",
+        )
+        .groupBy("event_type", "dow")
+        .count()
+        .collect()
+    ):
+        cells[(row.event_type, row.dow)] = row["count"]
+    rows = {}
+    cols = {}
+    for (t, d), o in cells.items():
+        rows[t] = rows.get(t, 0) + o
+        cols[d] = cols.get(d, 0) + o
+    total = sum(cells.values())
+    chi2_micro = sum(
+        math.floor(
+            (o * total - rows[t] * cols[d]) ** 2
+            * 1000000.0
+            / (total * rows[t] * cols[d])
+        )
+        for (t, d), o in cells.items()
+    )
+    assert r.n_cells == len(cells)
+    assert r.dof == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(r.chi2 - chi2_micro / 1e6) < 1e-6
+
+
+def test_value_bands_ordered_and_complete(spark, sf_dir):
+    rows = registry.QUERIES["events_value_bands_by_hour"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hod <= 23
+        assert r.p10 <= r.p50 <= r.p90
+        assert r.n >= 1
