@@ -3552,7 +3552,7 @@ def events_lag_autocorr(spark, sf_dir):
     lagd = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(7))).alias("lag")
     )
-    t = daily.crossJoin(lagd).select(
+    t = daily.crossJoin(F.broadcast(lagd)).select(
         "event_type", "lag", F.col("n").alias("x"), "day"
     )
     j = daily.select(
@@ -3639,7 +3639,7 @@ def events_attribution_window_sweep(spark, sf_dir):
         F.explode(F.array(F.lit(1), F.lit(3), F.lit(7))).alias("w")
     )
     attr = (
-        p.crossJoin(ws)
+        p.crossJoin(F.broadcast(ws))
         .join(
             c,
             (F.col("user_id") == F.col("u_c"))

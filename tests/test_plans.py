@@ -145,6 +145,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "mxday",    # corpus max-day anchor: one-row aggregate (RFM, KM)
         "wedges_row", "tri_row",  # triangle-count scalars: one-row aggs
         "tt_row", "bt_row",  # PMI token/bigram totals: one-row aggs
+        "ws", "lagd",  # 3-row literal sweep frames (windows/lags)
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
