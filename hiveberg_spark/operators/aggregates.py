@@ -3786,3 +3786,71 @@ def events_value_bands_by_hour(spark, sf_dir):
         F.percentile("value", F.lit(0.5)).alias("p50"),
         F.percentile("value", F.lit(0.9)).alias("p90"),
     )
+
+
+# -- Hill power-law tail estimator (round 10, wave 13) -------------------------------
+
+
+@query(
+    "events_power_law_hill",
+    oracle="""
+    WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn FROM u),
+    head AS (SELECT rn, n FROM r WHERE rn <= 11),
+    xk AS (SELECT n AS xk FROM head WHERE rn = 11),
+    terms AS (
+      SELECT CAST(FLOOR(LN(h.n * 1.0 / x.xk) * 1000000) AS BIGINT) AS lnq
+      FROM head h CROSS JOIN xk x WHERE h.rn <= 10
+    )
+    SELECT CAST(10 AS INTEGER) AS k,
+           (SELECT CAST(xk AS BIGINT) FROM xk) AS x_tail,
+           ROUND(10.0 * 1000000 / NULLIF(SUM(lnq), 0), 6) AS hill_alpha
+    FROM terms
+    """,
+)
+def events_power_law_hill(spark, sf_dir):
+    """HILL ESTIMATOR of the power-law tail index on user activity —
+    α = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the k=10 most active users: the
+    quantitative companion to events_pareto_share (Pareto SHOWS the
+    skew; Hill MEASURES its exponent, which decides whether per-key
+    salting is a nicety or a necessity — α ≤ 2 means unbounded
+    variance). Scale: the user frame reduces via TakeOrderedAndProject
+    to an 11-row head (per-partition heaps, the text_zipf_rank
+    pattern); ranking, the tail anchor, and the micro-nat-quantized ln
+    terms all live on that head. Exact integer counts in, one double
+    division out."""
+    from pyspark.sql import Window as W
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    head = persist_tracked(
+        u.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(11)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("n"), F.asc("user_id"))),
+        )
+    )  # 11 rows: consumed by the tail anchor and the ln terms
+    xk_row = head.filter(F.col("rn") == 11).select(
+        F.col("n").alias("xk")
+    )
+    terms = (
+        head.filter(F.col("rn") <= 10)
+        .crossJoin(F.broadcast(xk_row))
+        .select(
+            F.floor(F.log(F.col("n") * 1.0 / F.col("xk")) * 1000000)
+            .cast("long")
+            .alias("lnq"),
+            "xk",
+        )
+    )
+    return terms.agg(
+        F.lit(10).cast("int").alias("k"),
+        F.max("xk").cast("long").alias("x_tail"),
+        F.round(
+            F.lit(10.0) * 1000000 / F.nullif(F.sum("lnq"), F.lit(0)), 6
+        ).alias("hill_alpha"),
+    )

@@ -1524,3 +1524,46 @@ def pipeline_shingle_sensitivity(spark, sf_dir):
         F.count_if(F.col("df") > 50).alias("n_hot"),
         F.sum(pairs).alias("candidate_pairs"),
     )
+
+
+# -- duplicate-cluster size histogram (round 10, wave 13) ----------------------------
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH k AS (
+      SELECT md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents
+    ),
+    g AS (SELECT h, COUNT(*) AS sz FROM k GROUP BY h)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM g GROUP BY sz
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """DUPLICATE-CLUSTER size distribution under the token-sort key —
+    the multiplicity histogram that sizes a dedup run before it starts:
+    how many singletons pass untouched, how many small clusters need a
+    survivor pick, and whether a mega-cluster (boilerplate bomb) exists
+    that deserves its own code path. Also the denominator audit for
+    dedup rates: Σ(size·clusters) must equal the corpus. Scale: the
+    same one-key groupBy as dedup_token_sort_key plus a size-keyed
+    re-aggregation — two keyed shuffles, the second over cluster-count
+    cardinality."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split("text", " "))), " "
+            )
+        ).alias("h")
+    )
+    g = k.groupBy("h").agg(F.count("*").alias("sz"))
+    return g.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )

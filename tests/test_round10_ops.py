@@ -734,3 +734,47 @@ def test_value_bands_ordered_and_complete(spark, sf_dir):
         assert 0 <= r.hod <= 23
         assert r.p10 <= r.p50 <= r.p90
         assert r.n >= 1
+
+
+# -- wave-13 invariants ---------------------------------------------------------------
+
+
+def test_hill_alpha_matches_python(spark, sf_dir):
+    import math
+
+    from hiveberg_spark.catalog import load_table
+
+    r = registry.QUERIES["events_power_law_hill"](spark, sf_dir).collect()[0]
+    counts = sorted(
+        (
+            row["count"]
+            for row in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .count()
+            .collect()
+        ),
+        reverse=True,
+    )
+    xk = counts[10]
+    s = sum(math.floor(math.log(c / xk) * 1000000) for c in counts[:10])
+    assert r.k == 10 and r.x_tail == xk
+    if s:
+        assert abs(r.hill_alpha - 10.0 * 1000000 / s) < 1e-5
+    assert r.hill_alpha is None or r.hill_alpha > 0
+
+
+def test_cluster_histogram_accounts_for_corpus(spark, sf_dir):
+    from hiveberg_spark.catalog import load_table
+
+    rows = registry.QUERIES["dedup_cluster_size_histogram"](
+        spark, sf_dir
+    ).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    # consistency with dedup_token_sort_key: same groups above size 1
+    dup_groups = registry.QUERIES["dedup_token_sort_key"](
+        spark, sf_dir
+    ).count()
+    assert sum(r.n_clusters for r in rows if r.cluster_size >= 2) == dup_groups
