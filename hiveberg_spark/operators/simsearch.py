@@ -1930,7 +1930,11 @@ def simsearch_knn_graph_blocked(spark, sf_dir):
     reversed pair (edge list is n×k — tiny relative to the corpus).
     Graph-level recall vs the exact all-pairs graph is the separate
     `simsearch_knn_graph_recall` contract row."""
-    topk = knn_graph_blocked_edges(spark, sf_dir)
+    from hiveberg_spark.caching import persist_tracked
+
+    topk = persist_tracked(
+        knn_graph_blocked_edges(spark, sf_dir)
+    )  # consumed by BOTH sides of the mutual-bit join (round 10)
     rev = topk.select(
         F.col("nb").alias("vid"), F.col("vid").alias("nb")
     ).withColumn("_m", F.lit(1))
@@ -2840,7 +2844,9 @@ def graph_triangle_count(spark, sf_dir):
     nodes, and the hub guard is embedding_hubness_audit one entry up."""
     from hiveberg_spark.caching import persist_tracked
 
-    edges = knn_graph_blocked_edges(spark, sf_dir)
+    edges = persist_tracked(
+        knn_graph_blocked_edges(spark, sf_dir)
+    )  # consumed by BOTH sides of the mutual join — one IVF pipeline run
     rev = edges.select(F.col("nb").alias("vid"), F.col("vid").alias("nb"))
     und = persist_tracked(
         edges.join(rev, ["vid", "nb"])

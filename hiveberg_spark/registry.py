@@ -191,6 +191,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",
     "sample_temperature_mixture",
+    # round-10 late fix: mutual-bit self-join now persists its edge list
+    # (one IVF pipeline run instead of two); code changed → re-check
+    "simsearch_knn_graph_blocked",
     # remaining round-2-era rotation
     "multimodal_metadata",
     "multimodal_feature_extract",
