@@ -1567,3 +1567,37 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         F.count("*").alias("n_clusters"),
         F.sum("sz").cast("long").alias("n_docs"),
     )
+
+
+# -- prefix-key dedup (round 10, wave 14) --------------------------------------------
+
+
+@query(
+    "dedup_prefix_key",
+    oracle="""
+    WITH k AS (SELECT doc_id, md5(substr(text, 1, 256)) AS h FROM documents)
+    SELECT h AS prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS survivor_id
+    FROM k GROUP BY h HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_prefix_key(spark, sf_dir):
+    """PREFIX-KEY dedup: md5 of the first 256 characters — the CCNet/
+    RefinedWeb trick that catches TRUNCATION duplicates (same page
+    fetched to different depths, feeds cut mid-article) which full-hash
+    dedup misses by construction and near-dup only finds at quadratic
+    candidate cost. Slots into the cascade right after dedup_exact:
+    same one-key groupBy posture, one substring + hash per document,
+    zero pair space. Groups report survivor = min(doc_id), matching the
+    cascade's survivor convention."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id", F.md5(F.substring("text", 1, 256)).alias("h")
+    )
+    return (
+        k.groupBy(F.col("h").alias("prefix_hash"))
+        .agg(
+            F.count("*").alias("n_docs"), F.min("doc_id").alias("survivor_id")
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -778,3 +778,24 @@ def test_cluster_histogram_accounts_for_corpus(spark, sf_dir):
         spark, sf_dir
     ).count()
     assert sum(r.n_clusters for r in rows if r.cluster_size >= 2) == dup_groups
+
+
+# -- wave-14 invariants ---------------------------------------------------------------
+
+
+def test_prefix_key_groups_share_prefix(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+
+    rows = registry.QUERIES["dedup_prefix_key"](spark, sf_dir).collect()
+    assert rows, "fixture contains truncation-style prefix collisions"
+    big = max(rows, key=lambda r: r.n_docs)
+    docs = load_table(spark, sf_dir, "documents")
+    members = docs.filter(
+        F.md5(F.substring("text", 1, 256)) == big.prefix_hash
+    ).collect()
+    assert len(members) == big.n_docs
+    assert min(m.doc_id for m in members) == big.survivor_id
+    prefixes = {m.text[:256] for m in members}
+    assert len(prefixes) == 1
