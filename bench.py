@@ -94,6 +94,14 @@ HEADLINE = [
     # full-corpus single-task window — tracks the repo's standard
     # ROW_NUMBER replacement at bench scale
     "sample_dsir_weights",
+    # round 10 (second session): RFM quintiles — THREE global_positions
+    # range-rank passes over the user frame plus two user-keyed joins;
+    # tracks the distributed total-order machinery under composition
+    "events_rfm_segmentation",
+    # round 10 (second session): mutual-kNN triangle kernel — the
+    # heaviest new graph path (IVF-blocked edges, persisted once, two
+    # node-keyed equi-joins)
+    "graph_triangle_count",
 ]
 
 
