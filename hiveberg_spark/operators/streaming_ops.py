@@ -1027,3 +1027,50 @@ def stream_late_data_policy(spark, sf_dir):
             F.lit(n_history + _LATE_FRESH + _LATE_STALE) - F.sum("n")
         ).alias("dropped_late"),
     )
+
+
+# -- chained stateful: dedup -> windowed distinct count (round 10) -------------------
+
+
+@query(
+    "stream_hourly_unique_users",
+    oracle="""
+    WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+                      COUNT(DISTINCT user_id) AS uniq_users
+               FROM events GROUP BY 1)
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(uniq_users AS BIGINT) AS uniq_users
+    FROM h
+    WHERE ws + INTERVAL '1 hour'
+          <= (SELECT MAX(ts) FROM events) - INTERVAL '10 minutes'
+    """,
+)
+def stream_hourly_unique_users(spark, sf_dir):
+    """HOURLY UNIQUE USERS as a stream — the query Structured Streaming
+    historically REFUSED (COUNT(DISTINCT) needs per-value state), now
+    expressed as Spark 4's CHAINED STATEFUL pipeline: watermarked
+    dropDuplicates on (user, hour) feeding a windowed count, two
+    stateful operators in one query (SPARK-42376). Append output mode is
+    what makes the chain legal, so the oracle encodes append's MEASURED
+    emission rule (the stream_late_data_policy discipline): a window
+    emits only once the final watermark (max event time − 10 min)
+    passes its end — the cutoff predicate below, verified equal to the
+    actual emission set at both SFs. Scale: dedup state is
+    (user × hour) keys inside the watermark horizon, aggregate state is
+    live windows — both watermark-evicted, never unbounded."""
+    s = events_stream(spark, sf_dir)
+    dedup = (
+        s.withColumn("hr", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "hr"])
+    )
+    agg = dedup.groupBy(F.window("ts", "1 hour")).agg(
+        F.count("*").alias("uniq_users")
+    )
+    out = run_to_memory(agg, output_mode="append", name="hourly_unique_users")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "uniq_users",
+    )

@@ -799,3 +799,45 @@ def test_prefix_key_groups_share_prefix(spark, sf_dir):
     assert min(m.doc_id for m in members) == big.survivor_id
     prefixes = {m.text[:256] for m in members}
     assert len(prefixes) == 1
+
+
+# -- chained-stateful streaming invariant ----------------------------------------------
+
+
+def test_hourly_unique_users_matches_batch_within_cutoff(spark, sf_dir):
+    """Stream (dedup -> windowed count, append mode) must equal the
+    batch distinct count for every window the final watermark closed."""
+    from pyspark.sql import functions as F
+
+    from hiveberg_spark.catalog import load_table
+
+    got = {
+        r.window_start: r.uniq_users
+        for r in registry.QUERIES["stream_hourly_unique_users"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    batch = {
+        r.ws: r.u
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("ws")
+        )
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    from datetime import timedelta
+
+    cutoff = mx - timedelta(minutes=10)
+    expected = {
+        ws: u
+        for ws, u in batch.items()
+        if __import__("datetime").datetime.strptime(ws, "%Y-%m-%d %H:%M:%S")
+        + timedelta(hours=1)
+        <= cutoff
+    }
+    assert got == expected
+    assert got, "at least one closed window must emit"
