@@ -2649,3 +2649,74 @@ def sample_neyman_allocation(spark, sf_dir):
         .cast("long")
         .alias("n_alloc"),
     )
+
+
+# -- quality/token tradeoff frontier (round 10, wave 15) -----------------------------
+
+
+@query(
+    "pipeline_quality_token_tradeoff",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sc AS (SELECT doc_id, len(toks) AS n_toks,
+                  (len(list_distinct(toks)) * 1000000) // len(toks)
+                    AS score_micro FROM t),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+                      AS rn,
+                 COUNT(*) OVER () AS n, SUM(n_toks) OVER () AS tot FROM sc),
+    fr AS (SELECT UNNEST([25, 50, 75, 100]) AS pct),
+    kept AS (
+      SELECT fr.pct, r.* FROM r, fr WHERE r.rn <= (r.n * fr.pct + 99) // 100
+    )
+    SELECT CAST(pct AS INTEGER) AS pct, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_kept,
+           ROUND(SUM(n_toks) * 1.0 / MAX(tot), 6) AS token_share,
+           ROUND(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*) / 1000000, 6)
+             AS mean_score
+    FROM kept GROUP BY pct
+    """,
+)
+def pipeline_quality_token_tradeoff(spark, sf_dir):
+    """QUALITY-vs-TOKEN-BUDGET frontier — the curve every curation
+    decision reads: keeping the top 25/50/75/100% of documents by
+    quality (integer-micro TTR, exact integer division both engines),
+    how many TOKENS survive and at what mean quality. On the fixture
+    the top quality quartile holds only ~10% of tokens — exactly the
+    high-TTR-means-short-docs tension this op exists to expose before
+    anyone commits to a threshold. Scale: ONE distributed
+    `global_positions` rank over (score, doc_id), one-row totals
+    broadcast, a 4-row literal fraction frame; membership at each
+    fraction is a stateless rank predicate — no per-fraction rescans,
+    no single-task windows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sc = d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.expr(
+            "(size(array_distinct(split(text, ' '))) * 1000000)"
+            " div size(split(text, ' '))"
+        ).alias("score_micro"),
+    )
+    pos = global_positions(
+        sc, [F.desc("score_micro"), F.asc("doc_id")], 8, position_col="rn"
+    )
+    nu = sc.agg(F.count("*").alias("n"), F.sum("n_toks").alias("tot"))
+    fr = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(100))
+        ).alias("pct")
+    )
+    kept = (
+        pos.crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(fr))
+        .filter(F.col("rn") <= F.expr("(n * pct + 99) div 100"))
+    )
+    return kept.groupBy(F.col("pct").cast("int").alias("pct")).agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_toks").alias("tokens_kept"),
+        F.round(F.sum("n_toks") * 1.0 / F.max("tot"), 6).alias("token_share"),
+        F.round(
+            F.sum("score_micro").cast("double") / F.count("*") / 1000000, 6
+        ).alias("mean_score"),
+    )

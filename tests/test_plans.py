@@ -147,6 +147,7 @@ def test_no_forced_broadcast_on_fact_tables():
         "tt_row", "bt_row",  # PMI token/bigram totals: one-row aggs
         "ws", "lagd",  # 3-row literal sweep frames (windows/lags)
         "xk_row",  # Hill tail anchor: one row from an 11-row head
+        "fr",  # 4-row literal keep-fraction frame (tradeoff curve)
     }
     ops_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -841,3 +841,27 @@ def test_hourly_unique_users_matches_batch_within_cutoff(spark, sf_dir):
     }
     assert got == expected
     assert got, "at least one closed window must emit"
+
+
+# -- wave-15 invariant ------------------------------------------------------------------
+
+
+def test_quality_tradeoff_frontier_monotone(spark, sf_dir):
+    rows = {
+        r.pct: r
+        for r in registry.QUERIES["pipeline_quality_token_tradeoff"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {25, 50, 75, 100}
+    # docs kept and tokens kept grow with the fraction; mean quality falls
+    for lo, hi in [(25, 50), (50, 75), (75, 100)]:
+        assert rows[lo].n_docs_kept <= rows[hi].n_docs_kept
+        assert rows[lo].tokens_kept <= rows[hi].tokens_kept
+        assert rows[lo].mean_score >= rows[hi].mean_score - 1e-9
+    assert abs(rows[100].token_share - 1.0) < 1e-9
+    from hiveberg_spark.catalog import load_table
+
+    n = load_table(spark, sf_dir, "documents").count()
+    assert rows[100].n_docs_kept == n
+    assert rows[25].n_docs_kept == -(-n * 25 // 100)  # ceil
