@@ -1601,3 +1601,80 @@ def dedup_prefix_key(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# -- MinHash band-count sweep (round 10, wave 16) ------------------------------------
+
+#: (bands, rows) configs tiling the 64-perm signature, narrow → wide.
+#: Theory at the j=0.8 threshold: P(collide) = 1-(1-j^r)^b ≈ 0.77 /
+#: 0.9998 / 1-6e-15 — recall must be non-decreasing left to right.
+_BAND_SWEEP = [(8, 8), (16, 4), (32, 2)]
+
+_BAND_SWEEP_CONTRACT_SQL = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS monotone_ok,
+           TRUE AS widest_exact
+    FROM ({_NGRAM_JACCARD_ORACLE})
+"""
+
+
+@query("dedup_minhash_band_sweep", oracle=_BAND_SWEEP_CONTRACT_SQL)
+def dedup_minhash_band_sweep(spark, sf_dir):
+    """MINHASH BANDING SWEEP — the third leg of the tuning-audit triad
+    (IVF probe sweep / shingle-size sensitivity / THIS): rerun the LSH
+    candidate stage at (bands, rows) = {(8,8), (16,4), (32,2)} over ONE
+    shared signature table and measure exact-verified recall against
+    the exact-Jaccard truth. Pins the two properties a correct banding
+    must show: recall NON-DECREASING as bands widen (the s-curve only
+    steepens — a violation means band hashing or dedup is broken) and
+    the widest config EXACT (miss probability (1-0.8²)³² ≈ 6e-15).
+    The per-config candidate counts aren't SQL-expressible (xxhash64
+    banding), so the contract booleans are the checkable surface — the
+    sketches discipline. Cost: |sweep| passes over the persisted
+    signature frame — a tuning job, not a serving path."""
+    truth = persist_tracked(
+        dedup_ngram_jaccard.__wrapped__(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+    )
+    n_truth = truth.count()
+    sh = persist_tracked(shingled(load_table(spark, sf_dir, "documents")))
+    sigs = persist_tracked(minhash_signatures(sh))
+    hits = []
+    for n_bands, n_rows in _BAND_SWEEP:
+        band_hashes = F.array(
+            *[
+                F.xxhash64(
+                    *[F.col(f"s{b * n_rows + r}") for r in range(n_rows)]
+                )
+                for b in range(n_bands)
+            ]
+        )
+        bands = sigs.select(
+            "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+        )
+        other = bands.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("band").alias("band2"),
+            F.col("band_hash").alias("band_hash2"),
+        )
+        cands = (
+            bands.join(
+                other,
+                (bands.band == other.band2)
+                & (bands.band_hash == other.band_hash2)
+                & (bands.doc_id < other.doc_b),
+            )
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+            .distinct()
+        )
+        verified = _verified_pairs(cands, sh, JACCARD_THRESHOLD)
+        hits.append(
+            truth.join(verified, ["doc_a", "doc_b"], "left_semi").count()
+        )
+    monotone = all(hits[i] <= hits[i + 1] for i in range(len(hits) - 1))
+    return truth.agg(
+        F.count("*").alias("n_truth"),
+        F.lit(bool(monotone)).alias("monotone_ok"),
+        F.lit(bool(hits[-1] == n_truth)).alias("widest_exact"),
+    )

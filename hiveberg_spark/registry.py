@@ -190,6 +190,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_prefix_key",
     "stream_hourly_unique_users",
     "pipeline_quality_token_tradeoff",
+    "dedup_minhash_band_sweep",
     # round-10 scale re-writes of non-window queries (keyed-skew windows
     # replaced with two-phase forms; code changed → re-check)
     "sample_per_stratum_cap",

@@ -865,3 +865,14 @@ def test_quality_tradeoff_frontier_monotone(spark, sf_dir):
     n = load_table(spark, sf_dir, "documents").count()
     assert rows[100].n_docs_kept == n
     assert rows[25].n_docs_kept == -(-n * 25 // 100)  # ceil
+
+
+# -- wave-16 invariant ------------------------------------------------------------------
+
+
+def test_band_sweep_contract_holds(spark, sf_dir):
+    r = registry.QUERIES["dedup_minhash_band_sweep"](spark, sf_dir).collect()[0]
+    assert r.monotone_ok and r.widest_exact
+    # truth must equal the registered exact pair count
+    exact = registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).count()
+    assert r.n_truth == exact
