@@ -4,6 +4,7 @@ from hiveberg_spark.plans.inspect import (
     read_schema_columns,
     assert_whole_stage_codegen,
     single_partition_offenders,
+    all_pairs_offenders,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "read_schema_columns",
     "assert_whole_stage_codegen",
     "single_partition_offenders",
+    "all_pairs_offenders",
 ]

@@ -71,6 +71,86 @@ _SP_BOUNDED_CHILD = (
 )
 
 
+#: join node classes whose pair space is |left|×|right| (no equi key)
+_AP_JOINS = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+#: a child subtree containing any of these is treated as bounded —
+#: the nested-loop pair space is then O(data × constant), the broadcast
+#: pattern the per-op plan tests allowlist (one-row stat frames, grids,
+#: catalog literals, limits)
+_AP_BOUNDED = (
+    "HashAggregate(keys=[]",
+    "SortAggregate(key=[]",
+    "SortAggregate(keys=[]",
+    "ObjectHashAggregate(keys=[]",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "LocalTableScan",
+    "Range (",
+)
+
+#: scans of catalog-cardinality tables (nation=25, region=5 rows at any
+#: SF) — bounded by schema, not by data volume
+_AP_SMALL_TABLE_COLS = ("n_nationkey", "r_regionkey")
+
+_NODE_RE = re.compile(r"^([: ]*)[+:]- (.*)$")
+
+
+def _plan_nodes(plan: str) -> list[tuple[int, str]]:
+    """(depth, text) per physical-plan node; tree-drawing prefix length
+    is the depth, root lines get depth -3 so depth-0 children nest."""
+    nodes: list[tuple[int, str]] = []
+    for ln in plan.splitlines():
+        m = _NODE_RE.match(ln)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2)))
+        elif ln.strip() and not ln.startswith("=="):
+            nodes.append((-3, ln.strip()))
+    return nodes
+
+
+def _subtree_unbounded_data(texts: list[str]) -> bool:
+    if any(tok in t for tok in _AP_BOUNDED for t in texts):
+        return False
+    for t in texts:
+        if "Scan" in t and not any(c in t for c in _AP_SMALL_TABLE_COLS):
+            return True
+    return False
+
+
+def all_pairs_offenders(df: DataFrame) -> list[str]:
+    """Every nested-loop/cartesian join in the physical plan where TWO
+    OR MORE child subtrees are unbounded data-scaling scans — i.e. a
+    pair space that grows as |data|², the cartesian-product
+    scale-killer class (VERDICT r10 #2). Joins against provably bounded
+    frames (one-row aggregates, limits, literal grids, nation/region)
+    pass; a data×data nested loop must be fixed or allowlisted in
+    tests/test_all_pairs_sweep.py with a justification."""
+    nodes = _plan_nodes(explain_str(df, "simple"))
+    out: list[str] = []
+    for i, (d, txt) in enumerate(nodes):
+        if not any(j in txt for j in _AP_JOINS):
+            continue
+        end = i + 1
+        while end < len(nodes) and nodes[end][0] > d:
+            end += 1
+        kids = list(range(i + 1, end))
+        if not kids:
+            continue
+        child_depth = min(nodes[k][0] for k in kids)
+        starts = [k for k in kids if nodes[k][0] == child_depth]
+        unbounded = 0
+        for ci, cstart in enumerate(starts):
+            cend = starts[ci + 1] if ci + 1 < len(starts) else end
+            if _subtree_unbounded_data([nodes[k][1] for k in range(cstart, cend)]):
+                unbounded += 1
+        if unbounded >= 2:
+            out.append(txt[:120])
+    return out
+
+
 def single_partition_offenders(df: DataFrame) -> list[str]:
     """Every `Exchange SinglePartition` in the physical plan whose input
     is NOT provably bounded (see `_SP_BOUNDED_CHILD`) — i.e. a potential

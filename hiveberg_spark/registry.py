@@ -57,88 +57,18 @@ def load_all() -> None:
 
 
 # The grading driver hard-checks the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round. Round 10's window is EXACTLY
-# 50 names (VERDICT r9 #1: zero the never-driver-checked debt):
-# (a) ALL 20 round-9 additions that landed after round 9's window
-#     filled and have NEVER had a driver CORRECTNESS row — local
-#     oracle-parity green at sf0.001 + sf0.01 only;
-# (b) re-checks of queries whose CODE changed this round: the three
-#     two-phase rank rewrites are in (a) already
-#     (pipeline_curriculum_phases, pipeline_length_bucketed_batches) or
-#     here (sample_dsir_weights — VERDICT r9 #2), plus text_zipf_rank
-#     (TakeOrdered head, #7), the two bigram LMs (guarded prev
-#     expression, ADVICE #1), stream_bot_rate_monitor (update output
-#     mode, ADVICE #3), pipeline_dedup_cascade_report (empty-corpus
-#     guards + unpersist, ADVICE #4), sample_epoch_shuffle (now
-#     delegating to global_positions), and join_range_bucketed (avg_gap
-#     DECIMAL→DOUBLE — the latent r8-data_card-class drift the new
-#     Decimal-strict harness caught) and sample_perplexity_split (per-
-#     lang NTILE window -> distributed global_positions rank);
-#     events_churn_features (integer cutoff, ADVICE #2) is in (a);
-# (c) rotation: the round-2-era tier (stalest remaining rows) fills
-#     the last 23 slots.
+# ``__spark_entry__.queries()`` per round. Round 11's window is EXACTLY
+# the first 50 names of round 10's DEFERRED_TO_NEXT_WINDOW queue
+# (VERDICT r10 #1: drain the 52-query never-driver-checked debt; the
+# queue was already ordered never-checked-first). Three of these also
+# carry round-11 ADVICE fixes, so the driver checks the FIXED code:
+# events_chisq_type_dow (decimal overflow guard), stream_hourly_unique_
+# users (watermark-evicted dedup key), events_attribution_window_sweep
+# (per-purchase-event counting via event_id).
 DRIVER_WINDOW: list[str] = [
-    # (a) round-9 additions, never driver-checked
-    "pipeline_quality_funnel",
-    "embedding_matryoshka_audit",
-    "pipeline_shard_manifest",
-    "events_churn_features",
-    "text_winnowing",
-    "sketch_hll_intersection",
-    "events_ab_srm_check",
-    "agg_mode_deterministic",
-    "text_source_distinctive_terms",
-    "pipeline_length_bucketed_batches",
-    "events_seasonal_anomaly",
-    "events_ltv_cohort_curve",
-    "agg_higher_moments",
-    "scalar_regex_funcs",
-    "pipeline_curriculum_phases",
-    "events_funnel_windowed",
-    "asof_join_tolerance",
-    "scalar_struct_funcs",
-    "dedup_edit_distance",
-    "simsearch_probe_sweep",
-    # (b) code-changed re-checks (round-10 fixes)
-    "sample_dsir_weights",
-    "text_zipf_rank",
-    "text_kneser_ney_bigram",
-    "text_bigram_perplexity",
-    "stream_bot_rate_monitor",
-    "pipeline_dedup_cascade_report",
-    "sample_epoch_shuffle",
-    "join_range_bucketed",
-    "sample_perplexity_split",
-    # (c) rotation — the round-2-era tier (stalest driver rows)
-    "dedup_ngram_jaccard",
-    "agg_approx_distinct",
-    "dedup_exact",
-    "agg_percentile_approx",
-    "dedup_exact_survivors",
-    "embedding_norms",
-    "dedup_embedding_cosine",
-    "embedding_centroid_dist",
-    "text_token_stats",
-    "text_bpe_ish_tokens",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "text_tfidf_top_terms",
-    "text_word_bigrams",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udf_sql_registration",
-    "applyinpandas_zscore",
-    "udtf_mapinarrow",
-]
-
-# Positions 51+: new round-10 operators lead round 11's window (never
-# driver-checked; each lands here as it is added, verified locally at
-# sf0.001 + sf0.01), then the remaining round-2-era rotation.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    # round-10 additions (never driver-checked; sf0.001 + sf0.01 local
-    # parity green) — these lead round 11's window
+    # round-10 additions, never driver-checked (sf0.001 + sf0.01 local
+    # parity green; 10 of them independently re-verified by the judge
+    # at sf0.01 in the r10 session)
     "agg_argminmax",
     "agg_ols_regression",
     "window_ntile_buckets",
@@ -189,19 +119,31 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_cluster_size_histogram",
     "dedup_prefix_key",
     "stream_hourly_unique_users",
+]
+
+# Positions 51+: the 8 spillover names from round 10's queue lead round
+# 12's window (VERDICT r10 #1), then round-11 code-changed re-checks,
+# then any round-11 additions.
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # round-10 spillover (never driver-checked / code-changed re-checks
+    # that did not fit round 11's 50-slot window) — these MUST lead
+    # round 12's window
     "pipeline_quality_token_tradeoff",
-    "dedup_minhash_band_sweep",
-    # round-10 scale re-writes of non-window queries (keyed-skew windows
-    # replaced with two-phase forms; code changed → re-check)
+    "dedup_minhash_band_sweep",  # also r11 code change: recall counts
+    # are now emitted as data columns (VERDICT r10 #3)
     "sample_per_stratum_cap",
     "sample_temperature_mixture",
-    # round-10 late fix: mutual-bit self-join now persists its edge list
-    # (one IVF pipeline run instead of two); code changed → re-check
     "simsearch_knn_graph_blocked",
-    # remaining round-2-era rotation
+    # round-2-era rotation (stalest driver rows in the registry —
+    # VERDICT r10 #5 wants these rotated through r11/r12)
     "multimodal_metadata",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
+    # round-11 code-changed re-check: the registered entry swapped from
+    # the O(n²) all-pairs self-join to the IVF-blocked variant under a
+    # containment + planted-recall oracle (VERDICT r10 #2); the r10
+    # driver row covers the OLD all-pairs form only
+    "dedup_embedding_cosine",
 ]
 
 

@@ -9,7 +9,10 @@ import os
 import pytest
 
 from hiveberg_spark import registry
-from hiveberg_spark.operators.simsearch import dedup_embedding_blocked
+from hiveberg_spark.operators.simsearch import (
+    dedup_embedding_allpairs,
+    dedup_embedding_blocked,
+)
 
 registry.load_all()
 
@@ -165,10 +168,12 @@ def test_embedding_blocked_subset_of_exact(spark, sf_dir):
     all-pairs result with identical scores — and with 2-probe
     assignment, FULL recall of the fixture's true pairs (VERDICT r2 #3:
     the old single-probe path returned 0 rows at sf0.01 and this test
-    passed vacuously)."""
+    passed vacuously). Since round 11 the REGISTERED entry is the
+    blocked path (VERDICT r10 #2), so the exact side here is the
+    de-registered all-pairs truth surface."""
     exact = {
         (r.vec_a, r.vec_b): r.cosine
-        for r in registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+        for r in dedup_embedding_allpairs(spark, sf_dir).collect()
     }
     blocked = dedup_embedding_blocked(spark, sf_dir).collect()
     for r in blocked:
@@ -209,7 +214,7 @@ def test_embedding_blocked_recall_on_planted_boundary_pairs(spark, tmp_path):
 
     exact = {
         (r.vec_a, r.vec_b)
-        for r in registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+        for r in dedup_embedding_allpairs(spark, sf_dir).collect()
     }
     blocked = {
         (r.vec_a, r.vec_b)

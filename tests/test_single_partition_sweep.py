@@ -16,9 +16,23 @@ from __future__ import annotations
 import pytest
 
 from hiveberg_spark import registry
-from hiveberg_spark.plans import single_partition_offenders
+from hiveberg_spark.plans import all_pairs_offenders, single_partition_offenders
 
 registry.load_all()
+
+#: per-query offender lists, computed ONCE per session and shared with
+#: tests/test_all_pairs_sweep.py so the 389 plans are built one time.
+_OFFENDER_CACHE: dict[str, dict[str, list[str]]] = {}
+
+
+def cached_offenders(spark, sf_dir, name: str) -> dict[str, list[str]]:
+    if name not in _OFFENDER_CACHE:
+        df = registry.QUERIES[name](spark, sf_dir)
+        _OFFENDER_CACHE[name] = {
+            "single_partition": single_partition_offenders(df),
+            "all_pairs": all_pairs_offenders(df),
+        }
+    return _OFFENDER_CACHE[name]
 
 #: queries whose SinglePartition exchange is justified, with why.
 ALLOWED: dict[str, str] = {
@@ -56,8 +70,7 @@ _ALL = sorted(registry.QUERIES)
 
 @pytest.mark.parametrize("name", _ALL)
 def test_no_unbounded_single_partition_exchange(spark, sf_dir, name):
-    df = registry.QUERIES[name](spark, sf_dir)
-    offenders = single_partition_offenders(df)
+    offenders = cached_offenders(spark, sf_dir, name)["single_partition"]
     if not offenders:
         return
     assert name in ALLOWED, (
