@@ -3593,19 +3593,19 @@ def events_lag_autocorr(spark, sf_dir):
 @query(
     "events_attribution_window_sweep",
     oracle="""
-    WITH p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus FROM events
                WHERE event_type = 'purchase'),
     c AS (SELECT user_id, epoch_us(ts) AS cus FROM events
           WHERE event_type = 'click'),
     ws AS (SELECT UNNEST([1, 3, 7]) AS w),
     attr AS (
-      SELECT ws.w, p.user_id, p.pus,
+      SELECT ws.w, p.event_id,
              MAX(CASE WHEN c.cus IS NOT NULL THEN 1 ELSE 0 END) AS hit
       FROM p CROSS JOIN ws
       LEFT JOIN c ON c.user_id = p.user_id
                  AND c.cus <= p.pus
                  AND c.cus >= p.pus - ws.w * 86400000000
-      GROUP BY 1, 2, 3
+      GROUP BY 1, 2
     )
     SELECT CAST(w AS INTEGER) AS window_days,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
@@ -3619,18 +3619,21 @@ def events_attribution_window_sweep(spark, sf_dir):
     have a preceding click within 1, 3, and 7 days — the measurement
     that PICKS the window the attribution family (touch/linear/decay)
     then takes as given, and the first thing an analyst disputes when
-    two dashboards disagree. Scale: purchases × 3 literal windows
-    left-join clicks on the USER key with the time bound as a pushed
-    residual (the asof_join_tolerance shape — the conjunct prunes,
-    never expands); exact integer epoch-micros bounds; one double
-    division per output row."""
+    two dashboards disagree. Purchases are keyed by event_id (round-11
+    ADVICE fix: grouping by (user, ts) collapsed same-timestamp
+    purchases by one user, silently undercounting n_purchases). Scale:
+    purchases × 3 literal windows left-join clicks on the USER key with
+    the time bound as a pushed residual (the asof_join_tolerance shape
+    — the conjunct prunes, never expands); exact integer epoch-micros
+    bounds; one double division per output row."""
     ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("us").alias("pus")
+        "event_id", "user_id", F.col("us").alias("pus")
     )
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("u_c"), F.col("us").alias("cus")
@@ -3650,7 +3653,7 @@ def events_attribution_window_sweep(spark, sf_dir):
             ),
             "left",
         )
-        .groupBy("w", "user_id", "pus")
+        .groupBy("w", "event_id")
         .agg(
             F.max(
                 F.when(F.col("cus").isNotNull(), 1).otherwise(0)
@@ -3710,8 +3713,14 @@ def events_chisq_type_dow(spark, sf_dir):
     scalar_date_parts_funcs convention (Spark dayofweek is 1=Sunday;
     DuckDB 0=Sunday). Scale: corpus → 35-cell keyed aggregate; marginals
     are keyed re-aggregations of the cells, one-row total broadcast.
-    (oT−rc)² stays inside int64-exact doubles through ~1e8-count cells;
-    beyond that, lift the term to DECIMAL.)"""
+
+    Overflow posture (round-11 ADVICE fix): the products run in
+    DECIMAL(38,0), exact wherever DuckDB's HUGEINT is, so Spark's
+    non-ANSI int64 wraparound can never silently corrupt chi2; past the
+    decimal-38 envelope (|oT−rc| > 9.2e18, a ~1e9-count residual) the
+    term RAISES instead of drifting. Within the envelope the
+    decimal→double conversions are round-to-nearest of the same exact
+    integers both engines hold, so parity is bit-stable."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         (F.dayofweek(F.col("ts").cast("timestamp").cast("date")) - 1).alias(
@@ -3724,7 +3733,15 @@ def events_chisq_type_dow(spark, sf_dir):
     rc = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     cc = cells.groupBy("dow").agg(F.sum("o").alias("c"))
     tot = cells.agg(F.sum("o").alias("t"))
-    x = F.col("o") * F.col("t") - F.col("r") * F.col("c")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    x = dec("o") * dec("t") - dec("r") * dec("c")
+    trc = dec("t") * dec("r") * dec("c")
+    # |x| <= 9.9e18 keeps x*x inside decimal(38,0) exactly; beyond it,
+    # fail LOUDLY (the old int64 path wrapped silently there)
+    x_ok = F.abs(x) <= F.lit(9200000000000000000).cast("decimal(38,0)")
+    term = F.floor(
+        (x * x).cast("double") * F.lit(1000000.0) / trc.cast("double")
+    ).cast("long")
     terms = (
         cells.join(rc, "event_type")
         .join(cc, "dow")
@@ -3732,11 +3749,16 @@ def events_chisq_type_dow(spark, sf_dir):
         .select(
             "event_type",
             "dow",
-            F.floor(
-                x * x * F.lit(1000000.0)
-                / (F.col("t") * F.col("r") * F.col("c"))
+            F.when(x_ok, term)
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "events_chisq_type_dow: |oT-rc| exceeds the "
+                        "decimal(38,0)-exact envelope; re-derive the term "
+                        "before trusting chi2 at this scale"
+                    )
+                ).cast("long")
             )
-            .cast("long")
             .alias("term_micro"),
         )
     )

@@ -1055,18 +1055,24 @@ def stream_hourly_unique_users(spark, sf_dir):
     emission rule (the stream_late_data_policy discipline): a window
     emits only once the final watermark (max event time − 10 min)
     passes its end — the cutoff predicate below, verified equal to the
-    actual emission set at both SFs. Scale: dedup state is
-    (user × hour) keys inside the watermark horizon, aggregate state is
-    live windows — both watermark-evicted, never unbounded."""
+    actual emission set at both SFs.
+
+    The dedup key is (user_id, window(ts)) — NOT a date_trunc'd hour
+    (round-11 ADVICE fix): event-time watermark metadata does not
+    propagate through date_trunc, so that formulation's dedup state was
+    never evicted in a continuous run; the time-window column carries
+    the metadata, so each (user × hour) key is dropped exactly when the
+    watermark passes its window end — the same instant the downstream
+    aggregate finalizes the window, after which any further duplicate
+    is late for BOTH operators. Dedup and aggregate state are therefore
+    both watermark-evicted, never unbounded."""
     s = events_stream(spark, sf_dir)
     dedup = (
-        s.withColumn("hr", F.date_trunc("hour", F.col("ts")))
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicates(["user_id", "hr"])
+        s.withWatermark("ts", "10 minutes")
+        .withColumn("window", F.window("ts", "1 hour"))
+        .dropDuplicates(["user_id", "window"])
     )
-    agg = dedup.groupBy(F.window("ts", "1 hour")).agg(
-        F.count("*").alias("uniq_users")
-    )
+    agg = dedup.groupBy("window").agg(F.count("*").alias("uniq_users"))
     out = run_to_memory(agg, output_mode="append", name="hourly_unique_users")
     return out.select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(

@@ -870,9 +870,112 @@ def test_quality_tradeoff_frontier_monotone(spark, sf_dir):
 # -- wave-16 invariant ------------------------------------------------------------------
 
 
+def _py_band_sweep_ground_truth(docs, sweep, n=3, threshold=0.8):
+    """Pure-Python replica of the shingle → 64-perm minhash → banding →
+    exact-verify pipeline (VERDICT r10 #3: pin the per-config hit counts
+    against an independent ground truth, not just monotonicity). Uses
+    the repo's spec-implemented XXH64 so the hash family matches Spark's
+    xxhash64 exactly (seed 42, chained for multi-column band hashes)."""
+    from hiveberg_spark.sources.xxh64 import (
+        _to_signed,
+        hash_bytes,
+        xxhash64_chain,
+    )
+
+    M = (1 << 64) - 1
+
+    def i64(x):
+        x &= M
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    sh = {}
+    for doc_id, text in docs:
+        w = text.split(" ")
+        sh[doc_id] = (
+            {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            if len(w) >= n
+            else set()
+        )
+    # truth: exact all-pairs jaccard >= threshold (round-6, the oracle's
+    # semantics)
+    ids = sorted(sh)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and round(inter / union, 6) >= threshold:
+                truth.add((a, b))
+    # signatures: affine 64-bit wraparound family over one xxhash64 base
+    shingle_hash = {}
+    for s in set().union(*sh.values()) if sh else set():
+        shingle_hash[s] = _to_signed(hash_bytes(s.encode("utf-8"), 42))
+    consts = [i64((p + 1) * -7046029254386353131) for p in range(64)]
+    sig = {}
+    for d, shingles in sh.items():
+        if not shingles:
+            continue  # no exploded rows -> no signature row in Spark
+        hs = [shingle_hash[s] for s in shingles]
+        sig[d] = [
+            min(i64(h * (2 * p + 1) + consts[p]) for h in hs)
+            for p in range(64)
+        ]
+    hits = {}
+    for n_bands, n_rows in sweep:
+        buckets = {}
+        for d, s in sig.items():
+            for b in range(n_bands):
+                key = (
+                    b,
+                    xxhash64_chain(
+                        [(s[b * n_rows + r], "bigint") for r in range(n_rows)]
+                    ),
+                )
+                buckets.setdefault(key, []).append(d)
+        cands = set()
+        for members in buckets.values():
+            members.sort()
+            for i, a in enumerate(members):
+                for b in members[i + 1 :]:
+                    cands.add((a, b))
+        # verified-hit count: candidates whose exact jaccard >= threshold
+        # that are also truth pairs (== candidates ∩ truth by definition)
+        hits[(n_bands, n_rows)] = len(cands & truth)
+    return truth, hits
+
+
 def test_band_sweep_contract_holds(spark, sf_dir):
-    r = registry.QUERIES["dedup_minhash_band_sweep"](spark, sf_dir).collect()[0]
+    q = registry.QUERIES["dedup_minhash_band_sweep"]
+    r = q(spark, sf_dir).collect()[0]
     assert r.monotone_ok and r.widest_exact
     # truth must equal the registered exact pair count
     exact = registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).count()
     assert r.n_truth == exact
+    assert r.hits_widest == r.n_truth  # the widest config is exact
+
+
+def test_band_sweep_counts_match_python_ground_truth(spark, sf_dir):
+    """VERDICT r10 #3: the per-config verified-hit counts (including the
+    two narrow configs that can't appear in the driver row) must equal
+    an independent pure-Python MinHash pipeline bit-for-bit."""
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.dedup import (
+        _BAND_SWEEP,
+        dedup_minhash_band_sweep,
+    )
+
+    r = registry.QUERIES["dedup_minhash_band_sweep"](spark, sf_dir).collect()[0]
+    spark_hits = dedup_minhash_band_sweep.last_hits
+    docs = [
+        (row.doc_id, row.text)
+        for row in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    truth, py_hits = _py_band_sweep_ground_truth(docs, _BAND_SWEEP)
+    assert len(truth) == r.n_truth
+    assert spark_hits == py_hits, f"spark {spark_hits} != python {py_hits}"
+    assert r.hits_widest == py_hits[_BAND_SWEEP[-1]]
