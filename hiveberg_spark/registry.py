@@ -144,6 +144,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # containment + planted-recall oracle (VERDICT r10 #2); the r10
     # driver row covers the OLD all-pairs form only
     "dedup_embedding_cosine",
+    # round-11 additions (VERDICT r10 #8's named candidates; sf0.001 +
+    # sf0.01 local parity green)
+    "dedup_incremental_snapshot",
+    "pipeline_embedding_backfill",
 ]
 
 

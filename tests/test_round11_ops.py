@@ -1,0 +1,117 @@
+"""Round-11 operator invariants: cross-run incremental dedup and the
+documents -> embeddings backfill (VERDICT r10 #8), tested on PLANTED
+corpora with known answers so the semantics are pinned independently of
+the driver fixtures (which the oracle-parity suite covers)."""
+
+from __future__ import annotations
+
+import os
+
+from hiveberg_spark import registry
+
+registry.load_all()
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+
+def test_incremental_dedup_fcfs_semantics_on_planted_corpus(spark, tmp_path):
+    """Planted duplicates straddling the batch boundary (evens = batch 1,
+    odds = the incremental batch):
+
+      ids 0,2      unique batch-1 docs
+      ids 4,1      EXACT duplicates across batches -> 1 is an FCFS dup
+      ids 3,5      EXACT duplicates within the new batch -> 5 is a dup
+                   (3 survives: smallest new id for a fresh hash)
+      ids 6,7      NEAR duplicates (one word changed in a long doc) ->
+                   one verified near pair with a new member
+      id  9        unique new doc
+    """
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (4, "same content across the batch boundary here"),
+        (1, "same content across the batch boundary here"),
+        (3, "duplicated inside the new batch of documents"),
+        (5, "duplicated inside the new batch of documents"),
+        (6, base),
+        (7, base.replace("w39", "CHANGED")),
+        (9, "a genuinely novel document with fresh words"),
+    ]
+    sf_dir = str(tmp_path / "planted_inc")
+    _write_docs(spark, sf_dir, rows)
+    r = registry.QUERIES["dedup_incremental_snapshot"](spark, sf_dir).collect()[0]
+    assert r.n_initial_docs == 4  # ids 0,2,4,6
+    assert r.n_new_docs == 5  # ids 1,3,5,7,9
+    assert r.n_exact_dups_new == 2  # id 1 (seen in batch 1), id 5 (id 3 won)
+    # (6,7) near pair + the two exact pairs (1,4),(3,5) — identical text
+    # means identical shingles, so exact dups are jaccard-1.0 near pairs
+    assert r.n_near_pairs_new == 3
+    assert r.hash_state_matches and r.band_state_matches
+
+
+def test_incremental_dedup_state_tables_reused_across_calls(spark, tmp_path):
+    """build_once must make the second invocation serve from the stored
+    state (same result, no duplicate appends)."""
+    rows = [(0, "aa bb cc dd"), (1, "aa bb cc dd"), (2, "ee ff gg hh")]
+    sf_dir = str(tmp_path / "planted_inc2")
+    _write_docs(spark, sf_dir, rows)
+    q = registry.QUERIES["dedup_incremental_snapshot"]
+    first = q(spark, sf_dir).collect()[0]
+    second = q(spark, sf_dir).collect()[0]
+    assert first == second
+    assert first.n_exact_dups_new == 1  # id 1 duplicates batch-1 id 0
+
+
+def test_embedding_backfill_fills_exactly_the_withheld_tier(spark, tmp_path):
+    sf_dir = str(tmp_path / "planted_bf")
+    docs = [(i, f"document number {i} with some text body") for i in range(30)]
+    _write_docs(spark, sf_dir, docs)
+    embs = [
+        (i, i % 3, [float(i), 1.0, 0.5, 0.25]) for i in range(30)
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, label long, embedding array<float>"
+    ).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    r = registry.QUERIES["pipeline_embedding_backfill"](spark, sf_dir).collect()[0]
+    withheld = [i for i in range(30) if i % 7 == 0]  # 0,7,14,21,28
+    assert r.n_docs == 30
+    assert r.n_preexisting == 30 - len(withheld)
+    assert r.n_missing == len(withheld)
+    assert r.n_backfilled == len(withheld)
+    assert r.backfilled_chars_sum == sum(
+        len(t) for i, t in docs if i % 7 == 0
+    )
+    assert r.coverage_ok and r.norm_ok
+
+
+def test_embedding_backfill_vectors_are_unit_normalized(spark, tmp_path):
+    """The stored backfilled vectors themselves (not just the audit
+    boolean) are unit-normalized and keyed by the withheld doc ids."""
+    import math
+
+    from hiveberg_spark.operators.timetravel import warehouse_dir
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    sf_dir = str(tmp_path / "planted_bf2")
+    docs = [(i, f"text body {i} " + "x" * (i % 5)) for i in range(14)]
+    _write_docs(spark, sf_dir, docs)
+    spark.createDataFrame(
+        [(i, 0, [1.0, 0.0]) for i in range(14)],
+        "vec_id long, label long, embedding array<float>",
+    ).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    registry.QUERIES["pipeline_embedding_backfill"](spark, sf_dir).collect()
+    store = SnapshotTable.load(
+        spark, os.path.join(warehouse_dir(sf_dir), "emb_backfill_store")
+    )
+    rows = store.scan(virtual_column=None).filter("label = -1").collect()
+    assert sorted(r.vec_id for r in rows) == [0, 7]
+    for r in rows:
+        assert abs(math.sqrt(sum(x * x for x in r.embedding)) - 1.0) < 1e-4
+        assert len(r.embedding) == 8
