@@ -102,6 +102,14 @@ HEADLINE = [
     # heaviest new graph path (IVF-blocked edges, persisted once, two
     # node-keyed equi-joins)
     "graph_triangle_count",
+    # round 11: cross-run incremental dedup — corpus/hash/band snapshot
+    # tables built once (first run), then the scan_changes refresh +
+    # candidate join + set-equality audits; tracks the dedup state
+    # lifecycle the way text_bm25_persisted tracks the BM25 index
+    "dedup_incremental_snapshot",
+    # round 11: documents→embeddings backfill — anti-join coverage gap,
+    # featurize O(missing), snapshot append + audit
+    "pipeline_embedding_backfill",
 ]
 
 

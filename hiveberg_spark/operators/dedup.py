@@ -1712,11 +1712,11 @@ _DEDUP_INC_ORACLE = f"""
 """
 
 
-def _band_rows(df: DataFrame) -> DataFrame:
-    """(band, band_hash, doc_id) LSH postings for a document frame —
-    the persisted form of the MinHash band index (b=16, r=4, the
-    production banding)."""
-    sigs = minhash_signatures(shingled(df))
+def _band_rows_from_shingled(sh: DataFrame) -> DataFrame:
+    """(band, band_hash, doc_id) LSH postings for an already-shingled
+    frame — the persisted form of the MinHash band index (b=16, r=4,
+    the production banding)."""
+    sigs = minhash_signatures(sh)
     band_hashes = F.array(
         *[
             F.xxhash64(*[F.col(f"s{b * _ROWS + r}") for r in range(_ROWS)])
@@ -1726,6 +1726,10 @@ def _band_rows(df: DataFrame) -> DataFrame:
     return sigs.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
     ).select(F.col("band").cast("int").alias("band"), "band_hash", "doc_id")
+
+
+def _band_rows(df: DataFrame) -> DataFrame:
+    return _band_rows_from_shingled(shingled(df))
 
 
 @query("dedup_incremental_snapshot", oracle=_DEDUP_INC_ORACLE)
@@ -1850,6 +1854,8 @@ def dedup_incremental_snapshot(spark, sf_dir):
         )
         .distinct()
     )
+    # ONE persisted shingle pass feeds both the pair verification and
+    # the full-rebuild band audit below
     sh_full = persist_tracked(shingled(d))
     near = _verified_pairs(cands, sh_full, JACCARD_THRESHOLD).agg(
         F.count("*").cast("long").alias("n_near_pairs_new")
@@ -1863,7 +1869,7 @@ def dedup_incremental_snapshot(spark, sf_dir):
         .unionByName(state_keys.join(full_keys, "content_hash", "left_anti"))
         .agg((F.count("*") == 0).alias("hash_state_matches"))
     )
-    full_bands = _band_rows(d)
+    full_bands = _band_rows_from_shingled(sh_full)
     band_cols = ["band", "band_hash", "doc_id"]
     band_match = (
         full_bands.join(all_bands, band_cols, "left_anti")

@@ -112,16 +112,30 @@ def subquery_in_notin(spark, sf_dir):
 def q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18 shape: join + GROUP BY + HAVING + top-k. The HAVING
     filter runs post-aggregation (decimal-exact, so the threshold
-    comparison can't flip between engines)."""
+    comparison can't flip between engines).
+
+    Plan (round 11, VERDICT r10 #7's watch item): the aggregate is
+    pushed BELOW the joins — o_orderkey functionally determines the
+    customer, so grouping lineitem by l_orderkey alone is equivalent to
+    the textbook (c_custkey, o_orderkey) grouping, and the HAVING then
+    prunes the corpus to the handful of large orders BEFORE any join.
+    The classic agg-below-join rewrite Catalyst doesn't apply itself:
+    one lineitem shuffle on the order key, then the filtered aggregate
+    (tiny at any SF — large-volume orders are the distribution's tail)
+    broadcasts into orders and customer instead of dragging 4 columns
+    of lineitem through two wide joins."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "o_orderkey")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("qdec"))
         .filter(F.col("qdec") > 150)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "o_orderkey", F.col("qdec").cast("double").alias("total_qty")
         )
