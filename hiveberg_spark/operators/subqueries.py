@@ -120,10 +120,11 @@ def q18_large_volume_customer(spark, sf_dir):
     the textbook (c_custkey, o_orderkey) grouping, and the HAVING then
     prunes the corpus to the handful of large orders BEFORE any join.
     The classic agg-below-join rewrite Catalyst doesn't apply itself:
-    one lineitem shuffle on the order key, then the filtered aggregate
-    (tiny at any SF — large-volume orders are the distribution's tail)
-    broadcasts into orders and customer instead of dragging 4 columns
-    of lineitem through two wide joins."""
+    one lineitem shuffle on the order key, then the joins run on the
+    filtered aggregate (~20% of orders at this threshold) instead of
+    dragging 4 columns of lineitem through two wide joins. No forced
+    broadcast — the filtered side is data-scaling, so AQE picks the
+    strategy (it broadcasts at bench SFs, shuffles at cluster scale)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -133,8 +134,7 @@ def q18_large_volume_customer(spark, sf_dir):
         .filter(F.col("qdec") > 150)
     )
     return (
-        F.broadcast(big)
-        .join(o, big.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "o_orderkey", F.col("qdec").cast("double").alias("total_qty")
