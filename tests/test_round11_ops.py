@@ -115,3 +115,63 @@ def test_embedding_backfill_vectors_are_unit_normalized(spark, tmp_path):
     for r in rows:
         assert abs(math.sqrt(sum(x * x for x in r.embedding)) - 1.0) < 1e-4
         assert len(r.embedding) == 8
+
+
+def test_incremental_dedup_empty_new_batch(spark, tmp_path):
+    """Even-only corpus: the incremental batch is EMPTY — every count
+    legal, state equals the batch-1 build, no crash on empty appends."""
+    rows = [(0, "aa bb cc dd ee"), (2, "ff gg hh ii jj"), (4, "aa bb cc dd ee")]
+    sf_dir = str(tmp_path / "planted_empty")
+    _write_docs(spark, sf_dir, rows)
+    r = registry.QUERIES["dedup_incremental_snapshot"](spark, sf_dir).collect()[0]
+    assert r.n_initial_docs == 3
+    assert r.n_new_docs == 0
+    assert r.n_exact_dups_new == 0
+    assert r.n_near_pairs_new == 0
+    assert r.hash_state_matches and r.band_state_matches
+
+
+def test_incremental_dedup_all_identical_corpus(spark, tmp_path):
+    """Degenerate hot-key corpus: every document identical. One hash
+    key, every new doc an FCFS dup, near pairs = all (old,new)+(new,new)
+    combinations (jaccard 1.0)."""
+    rows = [(i, "the same exact document text repeated") for i in range(6)]
+    sf_dir = str(tmp_path / "planted_same")
+    _write_docs(spark, sf_dir, rows)
+    r = registry.QUERIES["dedup_incremental_snapshot"](spark, sf_dir).collect()[0]
+    assert r.n_initial_docs == 3 and r.n_new_docs == 3
+    assert r.n_exact_dups_new == 3  # every odd doc is a dup
+    # pairs with >=1 odd member out of C(6,2)=15 total: 15 - C(3,2)=3
+    # even-even pairs = 12
+    assert r.n_near_pairs_new == 12
+    assert r.hash_state_matches and r.band_state_matches
+
+
+def test_incremental_dedup_short_docs_exact_tier_only(spark, tmp_path):
+    """Documents under the shingle width (<3 words) never enter the
+    band index (no signature rows) but MUST still dedup exactly."""
+    rows = [(0, "hi"), (1, "hi"), (2, "yo there"), (3, "yo there"), (5, "bye")]
+    sf_dir = str(tmp_path / "planted_short")
+    _write_docs(spark, sf_dir, rows)
+    r = registry.QUERIES["dedup_incremental_snapshot"](spark, sf_dir).collect()[0]
+    assert r.n_exact_dups_new == 2  # ids 1 and 3 duplicate batch-1 texts
+    assert r.n_near_pairs_new == 0  # nothing shingles
+    assert r.hash_state_matches and r.band_state_matches
+
+
+def test_embedding_backfill_no_gap_is_a_noop_append(spark, tmp_path):
+    """Corpus whose ids avoid the withheld tier entirely (no doc_id
+    divisible by 7 and full embedding coverage): zero missing, zero
+    backfilled, coverage still ok."""
+    ids = [i for i in range(1, 20) if i % 7 != 0]
+    sf_dir = str(tmp_path / "planted_nogap")
+    _write_docs(spark, sf_dir, [(i, f"doc {i} text") for i in ids])
+    spark.createDataFrame(
+        [(i, 0, [1.0, 2.0]) for i in ids],
+        "vec_id long, label long, embedding array<float>",
+    ).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    r = registry.QUERIES["pipeline_embedding_backfill"](spark, sf_dir).collect()[0]
+    assert r.n_missing == 0 and r.n_backfilled == 0
+    assert r.coverage_ok
+    # norm audit over ZERO backfilled rows must not fail the row
+    assert r.norm_ok is None or r.norm_ok in (True, False)
