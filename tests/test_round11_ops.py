@@ -175,3 +175,68 @@ def test_embedding_backfill_no_gap_is_a_noop_append(spark, tmp_path):
     assert r.coverage_ok
     # norm audit over ZERO backfilled rows must not fail the row
     assert r.norm_ok is None or r.norm_ok in (True, False)
+
+
+def test_incremental_dedup_randomized_vs_python_bruteforce(spark, tmp_path):
+    """Randomized differential: seeded corpora with heavy duplication
+    and near-duplication; FCFS exact-dup counts and near-pair counts
+    must equal an independent brute-force Python computation."""
+    import random
+
+    def brute(rows):
+        evens = [(i, t) for i, t in rows if i % 2 == 0]
+        odds = sorted((i, t) for i, t in rows if i % 2 == 1)
+        seen = {t for _, t in evens}
+        dups = 0
+        for _, t in odds:
+            if t in seen:
+                dups += 1
+            else:
+                seen.add(t)
+        sh = {}
+        for i, t in rows:
+            w = t.split(" ")
+            sh[i] = (
+                {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+                if len(w) >= 3
+                else set()
+            )
+        near = 0
+        ids = sorted(sh)
+        for x, a in enumerate(ids):
+            for b in ids[x + 1 :]:
+                if a % 2 == 0 and b % 2 == 0:
+                    continue
+                sa, sb = sh[a], sh[b]
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                if union and round(inter / union, 6) >= 0.8:
+                    near += 1
+        return dups, near
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        vocab = [f"tok{k}" for k in range(30)]
+        base_docs = [
+            " ".join(rng.choices(vocab, k=rng.randint(1, 25)))
+            for _ in range(12)
+        ]
+        rows = []
+        for i in range(40):
+            t = rng.choice(base_docs)
+            if rng.random() < 0.3 and len(t.split()) > 5:
+                w = t.split(" ")
+                w[rng.randrange(len(w))] = "MUT" + str(rng.randrange(3))
+                t = " ".join(w)
+            rows.append((i, t))
+        sf_dir = str(tmp_path / f"rand_{seed}")
+        _write_docs(spark, sf_dir, rows)
+        r = registry.QUERIES["dedup_incremental_snapshot"](
+            spark, sf_dir
+        ).collect()[0]
+        exp_dups, exp_near = brute(rows)
+        assert r.n_exact_dups_new == exp_dups, f"seed {seed}: exact"
+        assert r.n_near_pairs_new == exp_near, f"seed {seed}: near"
+        assert r.hash_state_matches and r.band_state_matches
