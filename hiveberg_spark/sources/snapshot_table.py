@@ -4811,6 +4811,22 @@ class SnapshotTable:
                 )
         return base
 
+    def _file_lookup_col(self, mapping: dict):
+        """A `file-path -> long` lookup as a literal map EXPRESSION when
+        the map is small (codegen-resident — no broadcast-exchange
+        build, measured ~12x cheaper per DML at bench scale), else None
+        so the caller falls back to the broadcast join (a 100k-file
+        literal would bloat the plan). None-valued entries are dropped:
+        element_at returns NULL for missing keys, matching the left
+        join's semantics."""
+        if len(mapping) > _FILE_MAP_LITERAL_MAX:
+            return None
+        items = [(k, v) for k, v in sorted(mapping.items()) if v is not None]
+        if not items:
+            return F.lit(None).cast("long")
+        m = F.create_map(*[F.lit(x) for kv in items for x in kv])
+        return F.element_at(m, F.col("__hb_file")).cast("long")
+
     def _attach_row_ids(
         self, df: DataFrame, meta: dict, sid: int | None
     ) -> DataFrame:
@@ -4825,19 +4841,12 @@ class SnapshotTable:
             df = df.withColumn("__hb_row_id", F.lit(None).cast("long"))
         if not rid_map:
             return df
-        if len(rid_map) <= _FILE_MAP_LITERAL_MAX:
-            # small commit: a literal map stays inside whole-stage
-            # codegen — measured ~12x cheaper than the broadcast
-            # exchange's fixed build cost at bench scale
-            mapping = F.create_map(
-                *[F.lit(x) for kv in sorted(rid_map.items()) for x in kv]
-            )
+        lookup = self._file_lookup_col(rid_map)
+        if lookup is not None:
             return df.withColumn(
                 "__hb_row_id",
                 F.coalesce(
-                    F.col("__hb_row_id"),
-                    F.element_at(mapping, F.col("__hb_file"))
-                    + F.col("__hb_pos"),
+                    F.col("__hb_row_id"), lookup + F.col("__hb_pos")
                 ),
             )
         map_df = self.spark.createDataFrame(
@@ -4877,16 +4886,11 @@ class SnapshotTable:
         seq_map = self._file_seq_as_of(meta, sid) if sid is not None else {}
         if not seq_map:
             return df
-        if len(seq_map) <= _FILE_MAP_LITERAL_MAX:
-            mapping = F.create_map(
-                *[F.lit(x) for kv in sorted(seq_map.items()) for x in kv]
-            )
+        lookup = self._file_lookup_col(seq_map)
+        if lookup is not None:
             return df.withColumn(
                 "__hb_last_seq",
-                F.coalesce(
-                    F.col("__hb_last_seq"),
-                    F.element_at(mapping, F.col("__hb_file")),
-                ),
+                F.coalesce(F.col("__hb_last_seq"), lookup),
             )
         map_df = self.spark.createDataFrame(
             sorted(seq_map.items()), "__hb_sf string, __hb_fseq long"
@@ -5036,21 +5040,32 @@ class SnapshotTable:
         df = self._attach_row_ids(df, meta, sid)
         seq_map = self._file_seq_as_of(meta, sid)
         rels = sorted({self._index_file_rel(f) for f in files})
-        map_df = self.spark.createDataFrame(
-            [(r, seq_map.get(r)) for r in rels],
-            "__hb_rl_file string, __hb_rl_seq long",
-        )
+        rel_seq = {r: seq_map.get(r) for r in rels}
         if "__hb_last_seq" not in df.columns:
             df = df.withColumn("__hb_last_seq", F.lit(None).cast("long"))
+        # a rewrite-materialized originating seq wins over the
+        # containing file's seq — rewritten-but-unmodified rows
+        # must not read as updated (v3 preservation contract)
+        lookup = self._file_lookup_col(rel_seq)
+        if lookup is not None:
+            return (
+                df.withColumn(
+                    "_last_updated_sequence_number",
+                    F.coalesce(F.col("__hb_last_seq"), lookup),
+                )
+                .withColumnRenamed("__hb_row_id", "_row_id")
+                .drop("__hb_file", "__hb_pos", "__hb_last_seq")
+            )
+        map_df = self.spark.createDataFrame(
+            sorted(rel_seq.items()),
+            "__hb_rl_file string, __hb_rl_seq long",
+        )
         return (
             df.join(
                 F.broadcast(map_df),
                 df["__hb_file"] == map_df["__hb_rl_file"],
                 "left",
             )
-            # a rewrite-materialized originating seq wins over the
-            # containing file's seq — rewritten-but-unmodified rows
-            # must not read as updated (v3 preservation contract)
             .withColumn(
                 "_last_updated_sequence_number",
                 F.coalesce(F.col("__hb_last_seq"), F.col("__hb_rl_seq")),
