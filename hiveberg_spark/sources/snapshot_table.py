@@ -5416,14 +5416,19 @@ class SnapshotTable:
                 )
         eq = [d for d in deletes if d["type"] == "equality"]
         if eq:
-            seq_df = self.spark.createDataFrame(
-                list(file_seq.items()), "__hb_sq_file string, __hb_seq long"
-            )
-            df = df.join(
-                F.broadcast(seq_df),
-                df["__hb_file"] == seq_df["__hb_sq_file"],
-                "left",
-            ).drop("__hb_sq_file")
+            lookup = self._file_lookup_col(file_seq)
+            if lookup is not None:
+                df = df.withColumn("__hb_seq", lookup)
+            else:
+                seq_df = self.spark.createDataFrame(
+                    list(file_seq.items()),
+                    "__hb_sq_file string, __hb_seq long",
+                )
+                df = df.join(
+                    F.broadcast(seq_df),
+                    df["__hb_file"] == seq_df["__hb_sq_file"],
+                    "left",
+                ).drop("__hb_sq_file")
             by_cols: dict[tuple, list[dict]] = {}
             for d in eq:
                 # key columns recorded at delete time resolve through
