@@ -102,11 +102,16 @@ HEADLINE = [
     # heaviest new graph path (IVF-blocked edges, persisted once, two
     # node-keyed equi-joins)
     "graph_triangle_count",
-    # round 11: cross-run incremental dedup — corpus/hash/band snapshot
-    # tables built once (first run), then the scan_changes refresh +
-    # candidate join + set-equality audits; tracks the dedup state
-    # lifecycle the way text_bm25_persisted tracks the BM25 index
-    "dedup_incremental_snapshot",
+    # round 12 (VERDICT r11 #8): the round-11 dedup_incremental_snapshot
+    # entry split into BUILD and SERVE trackers, mirroring
+    # snapshot_mor_dv_{build,read}_bench — the build writes the three
+    # state tables fresh (commit-protocol + state-write cost), then the
+    # serve entry times the steady-state incremental path (scan_changes
+    # refresh + candidate join + set-equality audits) against the warm
+    # fixture the build just wrote, so a serve regression can't hide
+    # under fixture-build variance
+    "dedup_incremental_build_bench",
+    "dedup_incremental_serve_bench",
     # round 11: documents→embeddings backfill — anti-join coverage gap,
     # featurize O(missing), snapshot append + audit
     "pipeline_embedding_backfill",
@@ -123,10 +128,16 @@ def _bench_fns():
     from hiveberg_spark.operators.quantization import binary_hamming_topk
     from hiveberg_spark.operators.simsearch import ivf_topk
 
+    from hiveberg_spark.operators.dedup import inc_dedup_serve_workload
+
     fns = {name: registry.QUERIES[name] for name in HEADLINE}
     fns["simsearch_ivf"] = ivf_topk
     # same contract-vs-workload split as simsearch_ivf
     fns["simsearch_binary_hamming"] = binary_hamming_topk
+    # serve path WITHOUT the full-corpus rebuild audits (those are the
+    # registered contract's correctness harness, not the O(new)
+    # steady-state workload this tracker exists to watch)
+    fns["dedup_incremental_serve_bench"] = inc_dedup_serve_workload
     return fns
 
 

@@ -3736,9 +3736,14 @@ def events_chisq_type_dow(spark, sf_dir):
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     x = dec("o") * dec("t") - dec("r") * dec("c")
     trc = dec("t") * dec("r") * dec("c")
-    # |x| <= 9.9e18 keeps x*x inside decimal(38,0) exactly; beyond it,
-    # fail LOUDLY (the old int64 path wrapped silently there)
-    x_ok = F.abs(x) <= F.lit(9200000000000000000).cast("decimal(38,0)")
+    # |x| <= 9.2e18 keeps x*x inside decimal(38,0) exactly; the
+    # denominator t*r*c can ALSO exceed decimal(38,0) (it NULLs under
+    # the session's non-ANSI config), so both legs gate the raise —
+    # beyond either envelope, fail LOUDLY (the old int64 path wrapped
+    # silently there; round-12 ADVICE closed the denominator leg)
+    x_ok = (
+        F.abs(x) <= F.lit(9200000000000000000).cast("decimal(38,0)")
+    ) & trc.isNotNull()
     term = F.floor(
         (x * x).cast("double") * F.lit(1000000.0) / trc.cast("double")
     ).cast("long")

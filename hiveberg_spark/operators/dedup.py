@@ -1732,6 +1732,104 @@ def _band_rows(df: DataFrame) -> DataFrame:
     return _band_rows_from_shingled(shingled(df))
 
 
+# serve benches reuse the tables the build bench just wrote (the
+# `_mor_dv_fixture` pattern in sql_surface.py) — keyed by sf_dir,
+# values are the three table locations (corpus, hashes, bands)
+_INC_DEDUP_FIXTURE: dict[str, tuple[str, str, str]] = {}
+
+
+def _inc_dedup_tables(spark, sf_dir, fresh: bool = False):
+    """Build (or reuse) the three persisted dedup-state snapshot tables
+    — corpus (two appends: even then odd doc_ids), exact-hash FCFS
+    state (content_hash, keep_id), MinHash band postings (band,
+    band_hash, doc_id) — returning SnapshotTable handles.
+
+    fresh=True always writes brand-new tables under unique paths (the
+    BUILD bench: isolates commit-protocol + state-write cost from the
+    serve path) and records them in the module cache so a SERVE call
+    in the same session reuses them warm. fresh=False prefers the
+    cache, else `build_once` under the shared warehouse paths."""
+    import os
+    import uuid as _uuid
+
+    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
+    from hiveberg_spark.sources.snapshot_table import (
+        SnapshotTable,
+        build_once,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def hash_state(df):
+        return df.groupBy(F.md5("text").alias("content_hash")).agg(
+            F.min("doc_id").alias("keep_id")
+        )
+
+    with _lock:
+        if not fresh and sf_dir in _INC_DEDUP_FIXTURE:
+            return tuple(
+                SnapshotTable.load(spark, loc)
+                for loc in _INC_DEDUP_FIXTURE[sf_dir]
+            )
+        wh = warehouse_dir(sf_dir)
+        token = _uuid.uuid4().hex[:8]
+
+        def make(name, builder, schema):
+            if fresh:
+                loc = os.path.join(wh, f"{name}_{token}")
+                t = SnapshotTable.create(spark, loc, schema=schema)
+                builder(t)
+                return t
+            return build_once(
+                spark, os.path.join(wh, name), builder, schema=schema
+            )
+
+        def build_corpus(t):
+            t.append(d.filter(F.col("doc_id") % 2 == 0))
+            t.append(d.filter(F.col("doc_id") % 2 == 1))
+
+        corpus_t = make(
+            "dedup_inc_corpus", build_corpus, "doc_id long, text string"
+        )
+        s1 = corpus_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+        batch1 = corpus_t.scan(snapshot_id=s1, virtual_column=None)
+        new = corpus_t.scan_changes(s1, virtual_column=None)
+
+        def build_hash_state(t):
+            state1 = hash_state(batch1)
+            t.append(state1)
+            hashed = new.select("doc_id", F.md5("text").alias("content_hash"))
+            # FCFS: drop hashes the stored state already owns, then
+            # keep-first within the new batch
+            t.append(
+                hashed.join(state1, "content_hash", "left_anti")
+                .groupBy("content_hash")
+                .agg(F.min("doc_id").alias("keep_id"))
+            )
+
+        hash_t = make(
+            "dedup_inc_hashes",
+            build_hash_state,
+            "content_hash string, keep_id long",
+        )
+
+        def build_band_state(t):
+            t.append(_band_rows(batch1))
+            t.append(_band_rows(new))  # refresh = O(new rows)
+
+        band_t = make(
+            "dedup_inc_bands",
+            build_band_state,
+            "band int, band_hash long, doc_id long",
+        )
+        _INC_DEDUP_FIXTURE[sf_dir] = (
+            corpus_t.location,
+            hash_t.location,
+            band_t.location,
+        )
+    return corpus_t, hash_t, band_t
+
+
 @query("dedup_incremental_snapshot", oracle=_DEDUP_INC_ORACLE)
 def dedup_incremental_snapshot(spark, sf_dir):
     """CROSS-RUN INCREMENTAL DEDUP (VERDICT r10 #8) — the lifecycle the
@@ -1762,65 +1860,29 @@ def dedup_incremental_snapshot(spark, sf_dir):
     the hashing, or the state commits flips them red). Scale: state
     refresh is a keyed append; candidate generation shuffles only
     colliding band postings."""
-    import os
+    corpus_t, hash_t, band_t = _inc_dedup_tables(spark, sf_dir)
+    return _inc_dedup_report(spark, sf_dir, corpus_t, hash_t, band_t)
 
-    from hiveberg_spark.operators.timetravel import _lock, warehouse_dir
-    from hiveberg_spark.sources.snapshot_table import build_once
 
+def _inc_dedup_report(
+    spark, sf_dir, corpus_t, hash_t, band_t, audits: bool = True
+) -> DataFrame:
+    """The SERVE/audit path over already-built dedup state: incremental
+    read of the new batch, FCFS exact-dup count from state growth,
+    band-collision candidate pairs with >=1 new member exact-verified,
+    and (audits=True) the two set-equality invariants vs a from-scratch
+    rebuild. Factored out of `dedup_incremental_snapshot` so the serve
+    bench can time it warm, without the one-time fixture build.
+
+    audits=False is the steady-state WORKLOAD shape: the rebuild audits
+    re-shingle the FULL corpus (deliberately — they are the correctness
+    harness), while the serve path proper only shingles docs that
+    appear in a band-collision candidate pair (a semi-join — O(new +
+    colliding) rows, the 100 TB contract)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def hash_state(df):
-        return df.groupBy(F.md5("text").alias("content_hash")).agg(
-            F.min("doc_id").alias("keep_id")
-        )
-
-    with _lock:
-        wh = warehouse_dir(sf_dir)
-
-        def build_corpus(t):
-            t.append(d.filter(F.col("doc_id") % 2 == 0))
-            t.append(d.filter(F.col("doc_id") % 2 == 1))
-
-        corpus_t = build_once(
-            spark,
-            os.path.join(wh, "dedup_inc_corpus"),
-            build_corpus,
-            schema="doc_id long, text string",
-        )
-        s1 = corpus_t.snapshots().agg(F.min("snapshot_id")).head()[0]
-        batch1 = corpus_t.scan(snapshot_id=s1, virtual_column=None)
-        new = corpus_t.scan_changes(s1, virtual_column=None)
-
-        def build_hash_state(t):
-            state1 = hash_state(batch1)
-            t.append(state1)
-            hashed = new.select("doc_id", F.md5("text").alias("content_hash"))
-            # FCFS: drop hashes the stored state already owns, then
-            # keep-first within the new batch
-            t.append(
-                hashed.join(state1, "content_hash", "left_anti")
-                .groupBy("content_hash")
-                .agg(F.min("doc_id").alias("keep_id"))
-            )
-
-        hash_t = build_once(
-            spark,
-            os.path.join(wh, "dedup_inc_hashes"),
-            build_hash_state,
-            schema="content_hash string, keep_id long",
-        )
-
-        def build_band_state(t):
-            t.append(_band_rows(batch1))
-            t.append(_band_rows(new))  # refresh = O(new rows)
-
-        band_t = build_once(
-            spark,
-            os.path.join(wh, "dedup_inc_bands"),
-            build_band_state,
-            schema="band int, band_hash long, doc_id long",
-        )
-
+    s1 = corpus_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+    batch1 = corpus_t.scan(snapshot_id=s1, virtual_column=None)
+    new = corpus_t.scan_changes(s1, virtual_column=None)
     h1 = hash_t.snapshots().agg(F.min("snapshot_id")).head()[0]
     b1 = band_t.snapshots().agg(F.min("snapshot_id")).head()[0]
 
@@ -1854,6 +1916,29 @@ def dedup_incremental_snapshot(spark, sf_dir):
         )
         .distinct()
     )
+    if not audits:
+        # workload shape: shingle ONLY candidate-involved docs
+        cand_ids = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh_cand = shingled(d.join(cand_ids, "doc_id", "left_semi"))
+        near = _verified_pairs(cands, sh_cand, JACCARD_THRESHOLD).agg(
+            F.count("*").cast("long").alias("n_near_pairs_new")
+        )
+        return (
+            n_initial.crossJoin(n_new)
+            .crossJoin(exact_dups)
+            .crossJoin(near)
+            .select(
+                "n_initial_docs",
+                "n_new_docs",
+                "n_exact_dups_new",
+                "n_near_pairs_new",
+            )
+        )
+
     # ONE persisted shingle pass feeds both the pair verification and
     # the full-rebuild band audit below
     sh_full = persist_tracked(shingled(d))
@@ -1862,6 +1947,11 @@ def dedup_incremental_snapshot(spark, sf_dir):
     )
 
     # set-equality invariants vs a from-scratch rebuild
+    def hash_state(df):
+        return df.groupBy(F.md5("text").alias("content_hash")).agg(
+            F.min("doc_id").alias("keep_id")
+        )
+
     state_keys = hash_t.scan(virtual_column=None).select("content_hash")
     full_keys = hash_state(d).select("content_hash")
     hash_match = (
@@ -1890,4 +1980,69 @@ def dedup_incremental_snapshot(spark, sf_dir):
             "hash_state_matches",
             "band_state_matches",
         )
+    )
+
+
+@query(
+    "dedup_incremental_build_bench",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_corpus_rows,
+      CAST(COUNT(DISTINCT text) AS BIGINT) AS n_hash_keys,
+      CAST(16 * COUNT(*) AS BIGINT) AS n_band_postings
+    FROM documents
+    """,
+)
+def dedup_incremental_build_bench(spark, sf_dir):
+    """The dedup-state BUILD as its own bench entry (VERDICT r11 #8,
+    the `snapshot_mor_dv_build_bench` pattern): write the three state
+    tables FRESH every run — corpus (two appends), exact-hash FCFS
+    state, MinHash band postings — so the number isolates state-write +
+    commit-protocol cost from the serve path that
+    `dedup_incremental_serve_bench` times warm right after. The audit
+    row counts each finished table; DuckDB recomputes all three from
+    documents alone (corpus = every doc exactly once across the two
+    appends; hash keys = distinct content FCFS-collapsed; postings =
+    16 bands per doc), pinning that the build wrote exactly the state
+    it should. Scale: each build is keyed appends — O(corpus) once,
+    never pairwise."""
+    corpus_t, hash_t, band_t = _inc_dedup_tables(spark, sf_dir, fresh=True)
+    return (
+        corpus_t.scan(virtual_column=None)
+        .agg(F.count("*").cast("long").alias("n_corpus_rows"))
+        .crossJoin(
+            hash_t.scan(virtual_column=None).agg(
+                F.count("*").cast("long").alias("n_hash_keys")
+            )
+        )
+        .crossJoin(
+            band_t.scan(virtual_column=None).agg(
+                F.count("*").cast("long").alias("n_band_postings")
+            )
+        )
+    )
+
+
+@query("dedup_incremental_serve_bench", oracle=_DEDUP_INC_ORACLE)
+def dedup_incremental_serve_bench(spark, sf_dir):
+    """The dedup-state SERVE path as its own bench entry (VERDICT r11
+    #8): identical output contract to `dedup_incremental_snapshot`
+    (same oracle), but the state tables come from the session fixture
+    cache — in bench order the BUILD entry above has just written
+    them — so this number tracks the steady-state incremental path
+    alone (scan_changes + candidate join + audits) and a serve-path
+    regression can no longer hide under one-time fixture-build
+    variance."""
+    corpus_t, hash_t, band_t = _inc_dedup_tables(spark, sf_dir)
+    return _inc_dedup_report(spark, sf_dir, corpus_t, hash_t, band_t)
+
+def inc_dedup_serve_workload(spark, sf_dir) -> DataFrame:
+    """Bench-pinned serve WORKLOAD (the simsearch_ivf contract-vs-
+    workload split): the steady-state incremental path alone —
+    scan_changes, FCFS exact tier, band-collision candidates,
+    verify over candidate-involved docs only — without the full-corpus
+    rebuild audits the registered contract additionally runs."""
+    corpus_t, hash_t, band_t = _inc_dedup_tables(spark, sf_dir)
+    return _inc_dedup_report(
+        spark, sf_dir, corpus_t, hash_t, band_t, audits=False
     )

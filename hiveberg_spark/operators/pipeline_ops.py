@@ -2845,8 +2845,14 @@ def pipeline_embedding_backfill(spark, sf_dir):
             lambda a, x: a + x.cast("double") * x.cast("double"),
         )
     )
+    # coalesce: a fixture with FULL embedding coverage backfills zero
+    # rows, making max-over-empty NULL; the audit is vacuously true
+    # there (nothing was written out-of-norm), matching the oracle's
+    # unconditional TRUE (round-12 ADVICE)
     norm_ok = backfilled.agg(
-        (F.max(F.abs(nrm - 1.0)) < 1e-4).alias("norm_ok")
+        F.coalesce(F.max(F.abs(nrm - 1.0)) < 1e-4, F.lit(True)).alias(
+            "norm_ok"
+        )
     )
     return (
         n_docs.crossJoin(n_pre)

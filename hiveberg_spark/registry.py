@@ -57,101 +57,126 @@ def load_all() -> None:
 
 
 # The grading driver hard-checks the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round. Round 11's window is EXACTLY
-# the first 50 names of round 10's DEFERRED_TO_NEXT_WINDOW queue
-# (VERDICT r10 #1: drain the 52-query never-driver-checked debt; the
-# queue was already ordered never-checked-first). Three of these also
-# carry round-11 ADVICE fixes, so the driver checks the FIXED code:
-# events_chisq_type_dow (decimal overflow guard), stream_hourly_unique_
-# users (watermark-evicted dedup key), events_attribution_window_sweep
-# (per-purchase-event counting via event_id).
+# ``__spark_entry__.queries()`` per round. Round 12's window is exactly
+# what VERDICT r11 #1-#2 prescribed: ALL 12 DEFERRED_TO_NEXT_WINDOW
+# names lead (the last 4 never-driver-checked queries + the code-changed
+# re-checks: dedup_embedding_cosine's IVF-blocked registered form,
+# q18's agg-below-join rewrite, the band sweep's data-column recall
+# counts — plus pipeline_embedding_backfill whose empty-batch norm
+# audit carries this round's ADVICE coalesce fix), then the 33 stale
+# round-3 driver rows (the reference's core HiveSQL surface: TPC-H
+# pipelines, subqueries, scalar batteries — untouched since round 3),
+# then the 5 highest-value round-4 rows to start that tier's rotation.
 DRIVER_WINDOW: list[str] = [
-    # round-10 additions, never driver-checked (sf0.001 + sf0.01 local
-    # parity green; 10 of them independently re-verified by the judge
-    # at sf0.01 in the r10 session)
-    "agg_argminmax",
-    "agg_ols_regression",
-    "window_ntile_buckets",
-    "asof_join_nearest",
-    "text_oov_rate",
-    "pipeline_quality_upsampling",
-    "events_ab_power_mde",
-    "text_topk_coverage",
-    "text_source_kl_drift",
-    "stream_late_data_policy",
-    "scalar_date_parts_funcs",
-    "events_ewma_daily",
-    "events_uplift_deciles",
-    "text_char_entropy",
-    "dedup_cluster_best_quality",
-    "reshape_unpivot_melt",
-    "sample_nucleus_topmass",
-    "events_rfm_segmentation",
-    "events_survival_km",
-    "events_dau_stickiness",
-    "events_inter_arrival_stats",
-    "join_interval_overlap",
-    "dedup_token_sort_key",
-    "subquery_lateral_topn",
-    "embedding_hubness_audit",
-    "events_pareto_share",
-    "events_anomaly_mad",
-    "agg_boolean_funcs",
-    "text_bigram_entropy_rate",
-    "embedding_dim_stats_audit",
-    "text_good_turing_mass",
-    "text_hashing_trick_collisions",
-    "pipeline_shingle_sensitivity",
-    "graph_triangle_count",
-    "events_new_vs_returning",
-    "events_gapfill_linear",
-    "events_cusum_changepoint",
-    "events_session_duration_stats",
-    "events_basket_affinity",
-    "events_lag_autocorr",
-    "text_source_jaccard_matrix",
-    "text_collocation_pmi",
-    "events_attribution_window_sweep",
-    "sample_neyman_allocation",
-    "events_chisq_type_dow",
-    "events_value_bands_by_hour",
-    "events_power_law_hill",
-    "dedup_cluster_size_histogram",
-    "dedup_prefix_key",
-    "stream_hourly_unique_users",
-]
-
-# Positions 51+: the 8 spillover names from round 10's queue lead round
-# 12's window (VERDICT r10 #1), then round-11 code-changed re-checks,
-# then any round-11 additions.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    # round-10 spillover (never driver-checked / code-changed re-checks
-    # that did not fit round 11's 50-slot window) — these MUST lead
-    # round 12's window
+    # --- the 12 DEFERRED_TO_NEXT_WINDOW names from round 11, in queue
+    # order (VERDICT r11 #1): r10 spillover, round-2 multimodal
+    # rotations, code-changed re-checks, r11 additions
     "pipeline_quality_token_tradeoff",
-    "dedup_minhash_band_sweep",  # also r11 code change: recall counts
-    # are now emitted as data columns (VERDICT r10 #3)
+    "dedup_minhash_band_sweep",
     "sample_per_stratum_cap",
     "sample_temperature_mixture",
     "simsearch_knn_graph_blocked",
-    # round-2-era rotation (stalest driver rows in the registry —
-    # VERDICT r10 #5 wants these rotated through r11/r12)
     "multimodal_metadata",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
-    # round-11 code-changed re-check: the registered entry swapped from
-    # the O(n²) all-pairs self-join to the IVF-blocked variant under a
-    # containment + planted-recall oracle (VERDICT r10 #2); the r10
-    # driver row covers the OLD all-pairs form only
     "dedup_embedding_cosine",
-    # round-11 additions (VERDICT r10 #8's named candidates; sf0.001 +
-    # sf0.01 local parity green)
     "dedup_incremental_snapshot",
     "pipeline_embedding_backfill",
-    # round-11 code-changed re-check: agg-below-join rewrite (VERDICT
-    # r10 #7's q18 watch item — 1.74s -> ~1.0s warm at sf0.1); green at
-    # both SFs locally after the rewrite
     "q18_large_volume_customer",
+    # --- round-3 stale tier (33 names; latest driver rows all date to
+    # round 3 — VERDICT r11 #2): TPC-H pipelines first
+    "q2_min_cost_per_brand",
+    "q7_volume_by_nation_pair",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_delay_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_cnt_excl",
+    "q17_small_quantity_revenue",
+    "q19_or_of_ands",
+    "q20_nested_in_chain",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # subquery family
+    "subquery_scalar",
+    "subquery_correlated_exists",
+    "subquery_in_notin",
+    # scalar function batteries
+    "scalar_math_funcs",
+    "scalar_conditional",
+    "scalar_array_funcs",
+    "scalar_map_funcs",
+    "scalar_json_funcs",
+    "explode_posexplode",
+    "window_ignore_nulls",
+    # formats + pipeline ops still on round-3 rows
+    "format_csv_roundtrip",
+    "format_json_roundtrip",
+    "batch_sessionize",
+    "token_budget_packing",
+    "sketch_hll_partitioned_merge",
+    "storage_zorder_locality",
+    "decontaminate_ngram_overlap",
+    "text_repetition_filter",
+    # --- start of the round-4 tier rotation (5 highest-value rows:
+    # core as-of join, MinHash LSH, schema evolution, stream-stream
+    # join, SQL time-travel surface)
+    "asof_join_events",
+    "dedup_minhash_lsh",
+    "snapshot_schema_evolution",
+    "stream_stream_join",
+    "timetravel_sql_surface",
+]
+
+# Positions 51+: round-13's window leads with these — the round-12
+# code-changed re-check first, then the remaining 26 round-4-era rows
+# (the stalest tier after this window lands), then round-12 operator
+# additions appended as they are built (the operator-freeze discipline:
+# new ops NEVER enter the live window mid-round).
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # round-12 code-changed re-check: the chi-square overflow guard now
+    # also gates the decimal(38,0) denominator t*r*c (ADVICE r11); the
+    # r11 driver row predates the tightened guard
+    "events_chisq_type_dow",
+    # round-4 tier remainder (stalest driver rows once the r12 window
+    # lands), registration-order
+    "dedup_cluster_pick",
+    # (dedup_embedding_blocked's round-4 registration was subsumed into
+    # dedup_embedding_cosine in r11 — no longer a registry name)
+    "doc_chunking",
+    "empty_table_scan",
+    "events_hourly_rollup",
+    "format_orc_roundtrip",
+    "partitioned_write_prune",
+    "sample_stratified_split",
+    "snapshot_rename_evolution",
+    "snapshot_type_battery",
+    "snapshot_write_append",
+    "snapshots_metadata_table",
+    "stream_dedup",
+    "stream_session_windows",
+    "stream_sink_snapshot_table",
+    "stream_sliding_windows",
+    "stream_snapshot_table_source",
+    "stream_stateful_user_stats",
+    "stream_tumbling_counts",
+    "text_corpus_stats",
+    "text_redact_numbers",
+    "timetravel_as_of_1",
+    "timetravel_current",
+    "timetravel_isolation",
+    "timetravel_where_shim",
+    "virtual_column_rename",
+    # --- round-12 additions (operator freeze: appended here, never
+    # into the live window mid-round) ---
+    # VERDICT r11 #8: the incremental-dedup bench split into BUILD
+    # (fresh state tables every run) and SERVE (warm fixture) trackers,
+    # each oracle-backed
+    "dedup_incremental_build_bench",
+    "dedup_incremental_serve_bench",
 ]
 
 

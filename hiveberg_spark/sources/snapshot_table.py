@@ -4817,15 +4817,18 @@ class SnapshotTable:
         build, measured ~12x cheaper per DML at bench scale), else None
         so the caller falls back to the broadcast join (a 100k-file
         literal would bloat the plan). None-valued entries are dropped:
-        element_at returns NULL for missing keys, matching the left
-        join's semantics."""
+        try_element_at returns NULL for missing keys REGARDLESS of
+        spark.sql.ansi.enabled (plain element_at would raise
+        MAP_KEY_DOES_NOT_EXIST under ANSI mode — round-12 ADVICE), so
+        the literal fast path matches the left join's semantics even
+        from a non-framework session."""
         if len(mapping) > _FILE_MAP_LITERAL_MAX:
             return None
         items = [(k, v) for k, v in sorted(mapping.items()) if v is not None]
         if not items:
             return F.lit(None).cast("long")
         m = F.create_map(*[F.lit(x) for kv in items for x in kv])
-        return F.element_at(m, F.col("__hb_file")).cast("long")
+        return F.try_element_at(m, F.col("__hb_file")).cast("long")
 
     def _attach_row_ids(
         self, df: DataFrame, meta: dict, sid: int | None

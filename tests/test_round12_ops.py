@@ -1,0 +1,130 @@
+"""Round-12 tests: ADVICE-fix pins.
+
+Three low-severity round-11 ADVICE findings were fixed this round;
+each gets a test that pins the FIXED behavior (and the Spark semantics
+the fix relies on) so it cannot silently regress:
+
+1. `events_chisq_type_dow` — the decimal(38,0) overflow guard now also
+   covers the denominator t*r*c (which NULLs on overflow under the
+   session's non-ANSI config); the guard must treat a NULL denominator
+   as out-of-envelope, taking the raise_error branch instead of
+   emitting a silently-NULL term.
+2. `SnapshotTable._file_lookup_col` — the literal map fast path now
+   uses `try_element_at`, whose NULL-for-missing-key semantics hold
+   regardless of `spark.sql.ansi.enabled` (plain `element_at` raises
+   MAP_KEY_DOES_NOT_EXIST under ANSI).
+3. `pipeline_embedding_backfill` — the norm audit over an EMPTY
+   backfill batch is vacuously True (pinned in test_round11_ops.py's
+   no-gap test, tightened this round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_decimal38_product_overflow_nulls_and_guard_rejects(spark):
+    """Semantics pin for the chisq denominator guard: a decimal(38,0)
+    product that exceeds 38 digits evaluates to NULL under the
+    session's non-ANSI config, `isNotNull()` on it is False (not NULL),
+    and a `when(guard, value).otherwise(sentinel)` therefore takes the
+    `otherwise` branch — the exact shape `events_chisq_type_dow` uses
+    to route denominator overflow into raise_error."""
+    big = "9" * 20  # 1e20-ish; cubed -> ~1e60 >> decimal(38,0)
+    df = spark.range(1).select(
+        F.lit(big).cast("decimal(38,0)").alias("t"),
+        F.lit(big).cast("decimal(38,0)").alias("r"),
+        F.lit(big).cast("decimal(38,0)").alias("c"),
+        F.lit(0).cast("decimal(38,0)").alias("x"),
+    )
+    trc = F.col("t") * F.col("r") * F.col("c")
+    x_ok = (
+        F.abs(F.col("x")) <= F.lit(9200000000000000000).cast("decimal(38,0)")
+    ) & trc.isNotNull()
+    row = df.select(
+        trc.isNull().alias("overflowed"),
+        F.when(x_ok, F.lit("term")).otherwise(F.lit("raise")).alias("branch"),
+    ).collect()[0]
+    assert row.overflowed is True
+    assert row.branch == "raise"
+
+
+def test_chisq_query_still_matches_inside_envelope(spark, sf_dir):
+    """The tightened guard must not perturb in-envelope results: the
+    registered query still returns a single finite chi2 row at test SF
+    (value parity vs Python is pinned in test_round10_ops.py)."""
+    from hiveberg_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["events_chisq_type_dow"](spark, sf_dir).collect()
+    assert len(r) == 1
+    assert r[0].chi2 is not None and r[0].chi2 >= 0.0
+
+
+def test_file_lookup_literal_is_ansi_safe(spark):
+    """_file_lookup_col's literal map expression returns NULL for a
+    missing file key even under spark.sql.ansi.enabled=true — parity
+    with the broadcast left-join fallback from ANY session config
+    (round-12 ADVICE: element_at would raise MAP_KEY_DOES_NOT_EXIST)."""
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    lookup = SnapshotTable._file_lookup_col(
+        None, {"a.parquet": 10, "b.parquet": 20, "dropped.parquet": None}
+    )
+    df = spark.createDataFrame(
+        [("a.parquet",), ("missing.parquet",), ("dropped.parquet",)],
+        "__hb_file string",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        got = {
+            r["__hb_file"]: r.v
+            for r in df.select(
+                F.col("__hb_file"), lookup.alias("v")
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got == {
+        "a.parquet": 10,
+        "missing.parquet": None,
+        "dropped.parquet": None,
+    }
+
+
+def test_inc_dedup_serve_workload_matches_contract(spark, sf_dir):
+    """The bench-pinned serve workload (audits=False, candidate-only
+    shingling) must produce EXACTLY the contract's incremental counts —
+    the semi-join optimization may never change the answer."""
+    from hiveberg_spark import registry
+    from hiveberg_spark.operators.dedup import inc_dedup_serve_workload
+
+    registry.load_all()
+    w = inc_dedup_serve_workload(spark, sf_dir).collect()[0]
+    c = registry.QUERIES["dedup_incremental_snapshot"](spark, sf_dir).collect()[0]
+    assert w.n_initial_docs == c.n_initial_docs
+    assert w.n_new_docs == c.n_new_docs
+    assert w.n_exact_dups_new == c.n_exact_dups_new
+    assert w.n_near_pairs_new == c.n_near_pairs_new
+
+
+def test_inc_dedup_build_bench_is_fresh_each_run(spark, sf_dir):
+    """fresh=True must write NEW tables each call (the build tracker
+    measures a real build, never a cached no-op) and refresh the serve
+    fixture cache to the latest build."""
+    from hiveberg_spark.operators.dedup import (
+        _INC_DEDUP_FIXTURE,
+        _inc_dedup_tables,
+    )
+
+    t1 = _inc_dedup_tables(spark, sf_dir, fresh=True)
+    locs1 = tuple(t.location for t in t1)
+    t2 = _inc_dedup_tables(spark, sf_dir, fresh=True)
+    locs2 = tuple(t.location for t in t2)
+    assert locs1 != locs2
+    assert _INC_DEDUP_FIXTURE[sf_dir] == locs2
+    served = tuple(
+        t.location for t in _inc_dedup_tables(spark, sf_dir, fresh=False)
+    )
+    assert served == locs2
