@@ -2036,6 +2036,7 @@ def dedup_incremental_serve_bench(spark, sf_dir):
     corpus_t, hash_t, band_t = _inc_dedup_tables(spark, sf_dir)
     return _inc_dedup_report(spark, sf_dir, corpus_t, hash_t, band_t)
 
+
 def inc_dedup_serve_workload(spark, sf_dir) -> DataFrame:
     """Bench-pinned serve WORKLOAD (the simsearch_ivf contract-vs-
     workload split): the steady-state incremental path alone —

@@ -724,3 +724,207 @@ def stream_ivf_refresh(spark, sf_dir):
     out.count()  # materialize before the temp dirs are removed
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+def _stream_inc_dedup_oracle() -> str:
+    from hiveberg_spark.operators.dedup import _NGRAM_JACCARD_ORACLE
+
+    return f"""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs_streamed,
+      (SELECT CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT)
+       FROM documents) AS n_exact_dups_streamed,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_NGRAM_JACCARD_ORACLE}))
+        AS n_near_pairs_streamed,
+      TRUE AS multi_batch,
+      TRUE AS hash_state_matches,
+      TRUE AS band_state_matches
+    FROM (SELECT 1)
+    """
+
+
+@query("stream_incremental_dedup", oracle=_stream_inc_dedup_oracle())
+def stream_incremental_dedup(spark, sf_dir):
+    """STREAMING leg of the cross-run incremental dedup (VERDICT r11
+    #4) — completes the batch/incremental/streaming triad for the
+    dedup family the way `stream_ivf_refresh` and
+    `text_bm25_stream_refresh` do for ANN and BM25: a corpus snapshot
+    table takes three appends (doc_id thirds), and a checkpointed
+    Structured Streaming query (one micro-batch per commit via
+    per-commit tick files + maxFilesPerTrigger=1) tails it, running
+    `dedup_incremental_snapshot`'s exact + near tiers over ONLY each
+    batch's `scan_changes` delta:
+
+      exact tier — hash the delta, anti-join the STORED hash state
+                   (FCFS survivor semantics), append new keys;
+      near tier  — band the delta's MinHash signatures, append the
+                   postings, join the delta's postings against the
+                   refreshed band table (old x new via stored state,
+                   new x new via self-collision), exact-verify Jaccard
+                   over candidate-involved docs only (semi-join).
+
+    Every pair is detected exactly once — in the micro-batch of its
+    later-arriving member — so the per-batch counts SUM to the full
+    corpus answer, which is what the oracle pins: total docs, FCFS
+    exact-dup total (n - distinct texts, order-independent), the
+    verified near-pair total (banding finds every j>=0.8 pair on this
+    corpus — the certified dedup_minhash_lsh property), multi-batch
+    structure, and two set-equality invariants vs a from-scratch
+    rebuild of both state tables. Per micro-batch cost is O(delta +
+    colliding postings) — the steady state never re-scans the corpus."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.caching import persist_tracked
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _band_rows,
+        _band_rows_from_shingled,
+        _verified_pairs,
+        shingled,
+    )
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_dedupstream_{tag}")
+    tick_dir = os.path.join(base, "ticks")
+    ckpt = os.path.join(base, "ckpt")
+    cursor_path = os.path.join(base, "cursor.json")
+    os.makedirs(tick_dir)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = SnapshotTable.create(
+        spark, os.path.join(base, "corpus"), schema="doc_id long, text string"
+    )
+    hash_t = SnapshotTable.create(
+        spark,
+        os.path.join(base, "hashes"),
+        schema="content_hash string, keep_id long",
+    )
+    band_t = SnapshotTable.create(
+        spark,
+        os.path.join(base, "bands"),
+        schema="band int, band_hash long, doc_id long",
+    )
+    sids = [corpus.append(d.filter(F.col("doc_id") % 3 == r)) for r in range(3)]
+    _write_ticks_ordered(spark, tick_dir, sids)
+
+    with open(cursor_path, "w") as f:
+        json.dump({"cursor": 0, "ranges": [], "near": 0}, f)
+
+    def refresh(batch_df, batch_id):
+        state = json.load(open(cursor_path))
+        hi = batch_df.agg(F.max("sid")).first()[0]
+        if hi <= state["cursor"]:
+            return  # replayed tick after restart: already applied
+        if state["cursor"] == 0:
+            delta = corpus.scan(snapshot_id=hi, virtual_column=None)
+        else:
+            delta = corpus.scan_changes(
+                state["cursor"], hi, virtual_column=None
+            )
+        # exact tier: FCFS against the STORED hash state
+        stored = hash_t.scan(virtual_column=None).select("content_hash")
+        hashed = delta.select("doc_id", F.md5("text").alias("content_hash"))
+        hash_t.append(
+            hashed.join(stored, "content_hash", "left_anti")
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keep_id"))
+        )
+        # near tier: refresh postings, then candidates with >=1 delta
+        # member (the delta-side join bounds the pair space)
+        bands_new = _band_rows(delta)
+        band_t.append(bands_new)
+        cands = (
+            bands_new.select(
+                "band", "band_hash", F.col("doc_id").alias("doc_n")
+            )
+            .join(band_t.scan(virtual_column=None), ["band", "band_hash"])
+            .filter(F.col("doc_id") != F.col("doc_n"))
+            .select(
+                F.least("doc_id", "doc_n").alias("doc_a"),
+                F.greatest("doc_id", "doc_n").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand_ids = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        seen = corpus.scan(snapshot_id=hi, virtual_column=None)
+        sh = shingled(seen.join(cand_ids, "doc_id", "left_semi"))
+        n_near = _verified_pairs(cands, sh, JACCARD_THRESHOLD).count()
+        with open(cursor_path, "w") as f:
+            json.dump(
+                {
+                    "cursor": hi,
+                    "ranges": state["ranges"] + [[state["cursor"], hi]],
+                    "near": state["near"] + n_near,
+                },
+                f,
+            )
+
+    q = (
+        spark.readStream.schema("sid long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(tick_dir)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = json.load(open(cursor_path))
+    multi_batch = len(state["ranges"]) > 1
+
+    full = corpus.scan(virtual_column=None)
+    n_docs = full.agg(F.count("*").cast("long").alias("n_docs_streamed"))
+    # FCFS exact-dup total = docs that did NOT create a state key
+    exact = n_docs.crossJoin(
+        hash_t.scan(virtual_column=None).agg(F.count("*").alias("_n_keys"))
+    ).select(
+        (F.col("n_docs_streamed") - F.col("_n_keys"))
+        .cast("long")
+        .alias("n_exact_dups_streamed")
+    )
+    # set-equality invariants vs a from-scratch rebuild of both tables
+    state_keys = hash_t.scan(virtual_column=None).select("content_hash")
+    full_keys = full.select(F.md5("text").alias("content_hash")).distinct()
+    hash_match = (
+        full_keys.join(state_keys, "content_hash", "left_anti")
+        .unionByName(state_keys.join(full_keys, "content_hash", "left_anti"))
+        .agg((F.count("*") == 0).alias("hash_state_matches"))
+    )
+    all_bands = band_t.scan(virtual_column=None)
+    full_bands = _band_rows_from_shingled(shingled(full))
+    band_cols = ["band", "band_hash", "doc_id"]
+    band_match = (
+        full_bands.join(all_bands, band_cols, "left_anti")
+        .unionByName(all_bands.join(full_bands, band_cols, "left_anti"))
+        .agg((F.count("*") == 0).alias("band_state_matches"))
+    )
+    out = persist_tracked(
+        n_docs.crossJoin(exact)
+        .withColumn(
+            "n_near_pairs_streamed", F.lit(int(state["near"])).cast("long")
+        )
+        .withColumn("multi_batch", F.lit(bool(multi_batch)))
+        .crossJoin(hash_match)
+        .crossJoin(band_match)
+        .select(
+            "n_docs_streamed",
+            "n_exact_dups_streamed",
+            "n_near_pairs_streamed",
+            "multi_batch",
+            "hash_state_matches",
+            "band_state_matches",
+        )
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -177,6 +177,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # each oracle-backed
     "dedup_incremental_build_bench",
     "dedup_incremental_serve_bench",
+    # VERDICT r11 #4: the streaming leg of the incremental-dedup triad
+    # (checkpointed foreachBatch tail over the corpus table, exact +
+    # near tiers per micro-batch, set-equality vs batch rebuild)
+    "stream_incremental_dedup",
 ]
 
 

@@ -128,3 +128,51 @@ def test_inc_dedup_build_bench_is_fresh_each_run(spark, sf_dir):
         t.location for t in _inc_dedup_tables(spark, sf_dir, fresh=False)
     )
     assert served == locs2
+
+
+def _write_docs(spark, path, rows):
+    import os
+
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+
+def test_stream_incremental_dedup_planted_corpus(spark, tmp_path):
+    """The streaming dedup leg on a planted corpus spanning the three
+    doc_id%3 micro-batches:
+
+      ids 0,1     EXACT duplicates across batches 0 and 1 -> one FCFS
+                  dup counted when id 1's batch arrives
+      ids 2,5     EXACT duplicates across batches 2 and 2... (both %3=2)
+                  -> within-batch dup
+      ids 3,7     NEAR duplicates (one word changed in a long doc),
+                  batches 0 and 1 -> detected in id 7's batch
+      ids 4,6,8   unique
+    """
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, "same content across the batch boundary here"),
+        (1, "same content across the batch boundary here"),
+        (2, "duplicated within one micro batch of documents"),
+        (5, "duplicated within one micro batch of documents"),
+        (3, base + " tail_a"),
+        (7, base + " tail_b"),
+        (4, "alpha beta gamma delta epsilon zeta"),
+        (6, "one two three four five six seven"),
+        (8, "eight nine ten eleven twelve thirteen"),
+    ]
+    sf_dir = str(tmp_path / "planted_stream_dedup")
+    _write_docs(spark, sf_dir, rows)
+    from hiveberg_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["stream_incremental_dedup"](spark, sf_dir).collect()[0]
+    assert r.n_docs_streamed == 9
+    assert r.n_exact_dups_streamed == 2  # ids 1 and 5
+    # exact duplicates are jaccard-1.0 pairs too, so the near tier sees
+    # (0,1), (2,5) and the genuinely-near (3,7) — same convention as
+    # the n-gram Jaccard oracle
+    assert r.n_near_pairs_streamed == 3
+    assert r.multi_batch
+    assert r.hash_state_matches and r.band_state_matches
