@@ -181,6 +181,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # (checkpointed foreachBatch tail over the corpus table, exact +
     # near tiers per micro-batch, set-equality vs batch rebuild)
     "stream_incremental_dedup",
+    # VERDICT r11 #5: image near-dup pipeline — real-decode ahash,
+    # hamming-banded blocking, exact verify, keep-min cluster pick,
+    # under a closed-form planted-duplicate oracle
+    "dedup_image_ahash",
 ]
 
 

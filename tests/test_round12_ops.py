@@ -176,3 +176,48 @@ def test_stream_incremental_dedup_planted_corpus(spark, tmp_path):
     assert r.n_near_pairs_streamed == 3
     assert r.multi_batch
     assert r.hash_state_matches and r.band_state_matches
+
+
+def test_image_ahash_planted_separations(spark):
+    """The closed-form hamming separations the dedup_image_ahash oracle
+    rests on, recomputed in Python over the actual mapInPandas hashes:
+    in-group pairwise hamming <= 2, cross-group >= 12."""
+    import itertools
+
+    import pandas as pd
+
+    from hiveberg_spark.operators.multimodal import _group_ahash_batches
+
+    out = pd.concat(
+        list(_group_ahash_batches(iter([pd.DataFrame({"doc_id": range(64)})])))
+    )
+    h = dict(zip(out["doc_id"], out["ahash"]))
+    assert len(h) == 64
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for a, b in itertools.combinations(range(64), 2):
+        d = ham(h[a], h[b])
+        if a // 8 == b // 8:
+            assert d <= 2, (a, b, d)
+        else:
+            assert d >= 12, (a, b, d)
+
+
+def test_image_ahash_partial_fixture_singletons(spark, tmp_path):
+    """A corpus holding only scattered members (one per group) yields
+    zero pairs, all-singleton clusters, zero removed — the degenerate
+    case the keep-min representative logic must not trip on."""
+    from hiveberg_spark import registry
+
+    registry.load_all()
+    sf_dir = str(tmp_path / "img_singletons")
+    ids = [0, 9, 18, 27]  # groups 0,1,2,3 — one member each
+    _write_docs(spark, sf_dir, [(i, f"doc {i}") for i in ids])
+    r = registry.QUERIES["dedup_image_ahash"](spark, sf_dir).collect()[0]
+    assert r.n_images == 4
+    assert r.n_dup_pairs == 0
+    assert r.n_clusters == 4
+    assert r.keeper_id_sum == sum(ids)
+    assert r.n_removed == 0
