@@ -26,10 +26,15 @@ JACCARD_THRESHOLD = 0.8
 # -- shared building blocks -------------------------------------------------
 
 
-def shingled(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingled(docs: DataFrame, n: int = 3, repartition: bool = True) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct word n-gram shingles.
 
     Guarded for docs shorter than n words (empty shingle set).
+
+    repartition=False skips the parallelism shuffle — right when the
+    input is already a SMALL candidate-bounded frame (the incremental
+    serve paths semi-join to candidate-involved docs first; a 32-task
+    shuffle of a few hundred rows costs more than it buys).
 
     The input is repartitioned first: the fixture is a single parquet
     file (= 1 partition), and shingling/minhashing is the CPU-heavy
@@ -41,7 +46,10 @@ def shingled(docs: DataFrame, n: int = 3) -> DataFrame:
     an inlined split() expression is re-evaluated for every element_at
     reference inside the lambda (~3·n_words splits per document —
     measured ~10× slower)."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    if repartition:
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
     with_words = docs.select("doc_id", F.split("text", " ").alias("words"))
     words = F.col("words")
     idx = F.sequence(F.lit(0), F.size(words) - n)
@@ -1791,7 +1799,7 @@ def _inc_dedup_tables(spark, sf_dir, fresh: bool = False):
         corpus_t = make(
             "dedup_inc_corpus", build_corpus, "doc_id long, text string"
         )
-        s1 = corpus_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+        s1 = corpus_t.first_snapshot_id()
         batch1 = corpus_t.scan(snapshot_id=s1, virtual_column=None)
         new = corpus_t.scan_changes(s1, virtual_column=None)
 
@@ -1880,11 +1888,11 @@ def _inc_dedup_report(
     appear in a band-collision candidate pair (a semi-join — O(new +
     colliding) rows, the 100 TB contract)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    s1 = corpus_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+    s1 = corpus_t.first_snapshot_id()
     batch1 = corpus_t.scan(snapshot_id=s1, virtual_column=None)
     new = corpus_t.scan_changes(s1, virtual_column=None)
-    h1 = hash_t.snapshots().agg(F.min("snapshot_id")).head()[0]
-    b1 = band_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+    h1 = hash_t.first_snapshot_id()
+    b1 = band_t.first_snapshot_id()
 
     n_initial = batch1.agg(F.count("*").cast("long").alias("n_initial_docs"))
     n_new = new.agg(F.count("*").cast("long").alias("n_new_docs"))
@@ -1917,13 +1925,18 @@ def _inc_dedup_report(
         .distinct()
     )
     if not audits:
-        # workload shape: shingle ONLY candidate-involved docs
+        # workload shape: shingle ONLY candidate-involved docs; the
+        # candidate frame feeds both the id semi-join and the verify
+        # join, so persist it (one band-join pass, not two)
+        cands = persist_tracked(cands)
         cand_ids = (
             cands.select(F.col("doc_a").alias("doc_id"))
             .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh_cand = shingled(d.join(cand_ids, "doc_id", "left_semi"))
+        sh_cand = shingled(
+            d.join(cand_ids, "doc_id", "left_semi"), repartition=False
+        )
         near = _verified_pairs(cands, sh_cand, JACCARD_THRESHOLD).agg(
             F.count("*").cast("long").alias("n_near_pairs_new")
         )

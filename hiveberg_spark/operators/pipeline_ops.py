@@ -2817,7 +2817,7 @@ def pipeline_embedding_backfill(spark, sf_dir):
             schema="vec_id long, label long, embedding array<float>",
         )
 
-    s1 = store_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+    s1 = store_t.first_snapshot_id()
     store0 = store_t.scan(snapshot_id=s1, virtual_column=None)
     store = store_t.scan(virtual_column=None)
     backfilled = store_t.scan_changes(s1, virtual_column=None)

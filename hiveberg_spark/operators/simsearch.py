@@ -956,7 +956,7 @@ def simsearch_ivf_incremental(spark, sf_dir):
             spark, os.path.join(wh, "ivf_inc_corpus"), build_corpus,
             schema=e.schema,
         )
-        s1 = corpus_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+        s1 = corpus_t.first_snapshot_id()
 
         def build_inc(t):
             # initial build: the corpus AS OF its first commit
@@ -981,7 +981,7 @@ def simsearch_ivf_incremental(spark, sf_dir):
             schema="cell int, vec_id long",
         )
 
-    i1 = inc_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+    i1 = inc_t.first_snapshot_id()
     initial = inc_t.scan(snapshot_id=i1, virtual_column=None)
     current = inc_t.scan(virtual_column=None)
     full = full_t.scan(virtual_column=None)

@@ -855,7 +855,9 @@ def stream_incremental_dedup(spark, sf_dir):
             .distinct()
         )
         seen = corpus.scan(snapshot_id=hi, virtual_column=None)
-        sh = shingled(seen.join(cand_ids, "doc_id", "left_semi"))
+        sh = shingled(
+            seen.join(cand_ids, "doc_id", "left_semi"), repartition=False
+        )
         n_near = _verified_pairs(cands, sh, JACCARD_THRESHOLD).count()
         with open(cursor_path, "w") as f:
             json.dump(

@@ -1354,7 +1354,7 @@ def text_bm25_incremental(spark, sf_dir):
             spark, os.path.join(wh, "bm25_inc_corpus"), build_corpus,
             schema=docs.schema,
         )
-        s1 = corpus_t.snapshots().agg(F.min("snapshot_id")).head()[0]
+        s1 = corpus_t.first_snapshot_id()
 
         def build_post(t):
             base = tokens(corpus_t.scan(snapshot_id=s1, virtual_column=None))

@@ -6075,6 +6075,15 @@ class SnapshotTable:
             self._snapshots_rows(self._read_meta()), _SNAPSHOT_SCHEMA
         )
 
+    def first_snapshot_id(self) -> int | None:
+        """The oldest snapshot id, straight from the driver-resident
+        metadata JSON — the `snapshots().agg(min(...)).head()` shape
+        costs a full Spark job (~0.4s each on local[32]) for a value
+        the metadata file already holds; serve paths that anchor
+        incremental reads at the first commit use this instead."""
+        snaps = self._read_meta().get("snapshots", [])
+        return min((s["snapshot_id"] for s in snaps), default=None)
+
     def _snapshots_rows(self, meta: dict) -> list[tuple]:
         return [
             (
