@@ -617,34 +617,27 @@ _CLUSTER_ORACLE = f"""
 """
 
 
-@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
-def dedup_cluster_components(spark, sf_dir):
-    """Near-dup CLUSTERING: connected components over the MinHash-LSH
-    pair graph, each document labeled with its component's minimum
-    doc_id — the canonical-representative step a dedup pipeline runs
-    AFTER pair generation ("keep one doc per duplicate cluster", which
-    pairwise output alone cannot express when duplicates chain
-    A~B~C without A~C).
+def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components over an undirected pair graph via
+    hash-to-min label propagation: labels start as own doc_id; each
+    round every node takes min(own, neighbors' labels); fixpoint =
+    components labeled by their min id (unique, hence deterministic).
 
-    Algorithm: hash-to-min label propagation — labels start as own
-    doc_id; each round every node takes min(own, neighbors' labels);
-    fixpoint = components labeled by their min id (unique, hence
-    deterministic). Rounds are bounded by graph diameter; near-dup
-    clusters are shallow (duplicates of one source), so convergence is
-    2-3 rounds here and O(log n) with the alternating small-star/
-    large-star contraction this would switch to for adversarial chain
-    graphs at 100 TB. Each round is one shuffle on the node id; the
-    per-round driver work is a single converged-count scalar, and
-    `localCheckpoint` truncates the iterative lineage (the standard
-    Spark iterative-algorithm pattern — without it the plan doubles
-    per round).
+    `pairs` has columns (doc_a, doc_b); returns (doc_id, component)
+    for every node that appears in at least one pair — callers
+    coalesce singletons back to their own id. Rounds are bounded by
+    graph diameter (near-dup clusters are shallow: duplicates of one
+    source converge in 2-3 rounds; O(log n) with small-star/large-star
+    contraction for adversarial chains at 100 TB). Each round is one
+    shuffle on the node id; the per-round driver work is a single
+    converged-count scalar, and `localCheckpoint` truncates the
+    iterative lineage (without it the plan doubles per round).
 
-    Oracle: DuckDB recursive CTE computing min-reachable-id over the
-    exact-Jaccard pair graph (== the LSH graph on this fixture, the
-    same equivalence dedup_minhash_lsh's oracle rests on)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    Shared by the text (`dedup_cluster_components`), image
+    (`dedup_image_ahash`), audio (`dedup_audio_fp`), and video
+    (`dedup_video_framehash`) clustering tiers."""
     edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
+        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
         .toDF("src", "dst")
         .persist()
     )
@@ -654,7 +647,7 @@ def dedup_cluster_components(spark, sf_dir):
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(50):  # diameter bound; near-dup graphs are shallow
+    for _ in range(max_rounds):
         nb = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -683,6 +676,38 @@ def dedup_cluster_components(spark, sf_dir):
     else:
         raise RuntimeError("component labeling did not converge")
     edges.unpersist()
+    return labels
+
+
+@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH
+    pair graph, each document labeled with its component's minimum
+    doc_id — the canonical-representative step a dedup pipeline runs
+    AFTER pair generation ("keep one doc per duplicate cluster", which
+    pairwise output alone cannot express when duplicates chain
+    A~B~C without A~C).
+
+    Algorithm: hash-to-min label propagation — labels start as own
+    doc_id; each round every node takes min(own, neighbors' labels);
+    fixpoint = components labeled by their min id (unique, hence
+    deterministic). Rounds are bounded by graph diameter; near-dup
+    clusters are shallow (duplicates of one source), so convergence is
+    2-3 rounds here and O(log n) with the alternating small-star/
+    large-star contraction this would switch to for adversarial chain
+    graphs at 100 TB. Each round is one shuffle on the node id; the
+    per-round driver work is a single converged-count scalar, and
+    `localCheckpoint` truncates the iterative lineage (the standard
+    Spark iterative-algorithm pattern — without it the plan doubles
+    per round).
+
+    Oracle: DuckDB recursive CTE computing min-reachable-id over the
+    exact-Jaccard pair graph (== the LSH graph on this fixture, the
+    same equivalence dedup_minhash_lsh's oracle rests on). The label
+    propagation itself lives in `min_label_components` (shared with
+    the image/audio/video near-dup tiers)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs)
     sizes = labels.groupBy("component").agg(
         F.count("*").alias("cluster_size")
     )

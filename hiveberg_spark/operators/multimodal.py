@@ -781,10 +781,28 @@ def dedup_image_ahash(spark, sf_dir):
     hashes = persist_tracked(
         d.mapInPandas(_group_ahash_batches, schema="doc_id long, ahash long")
     )
+    verified = _banded_hamming_verified(hashes, _IMG_BANDS, _IMG_HAM_RADIUS)
+    return _media_dedup_summary(hashes.select("doc_id"), verified, "n_images")
+
+
+def _banded_hamming_verified(
+    hashes, n_bands: int, radius: int
+):
+    """Hamming-banded candidate generation + exact verify over a 64-bit
+    perceptual-hash frame (doc_id, ahash): split the hash into
+    `n_bands` equal bit-bands, equi-join on (band, band_val) — never
+    all-pairs — then keep pairs with bit_count(a XOR b) <= radius.
+    Collision is GUARANTEED whenever radius < n_bands (pigeonhole: the
+    flipped bits cannot touch every band). Shared by the image and
+    audio near-dup tiers."""
+    from hiveberg_spark.caching import persist_tracked
+
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     band_arr = F.array(
         *[
-            F.shiftrightunsigned("ahash", 16 * b).bitwiseAND(F.lit(0xFFFF))
-            for b in range(_IMG_BANDS)
+            F.shiftrightunsigned("ahash", width * b).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
         ]
     )
     bands = hashes.select(
@@ -802,59 +820,30 @@ def dedup_image_ahash(spark, sf_dir):
         "band",
         "band_val",
     )
-    verified = persist_tracked(
+    return persist_tracked(
         left.join(right, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "ah_a", "ah_b")
         .distinct()
         .filter(
-            F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b")))
-            <= _IMG_HAM_RADIUS
+            F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b"))) <= radius
         )
         .select("doc_a", "doc_b")
     )
-    # min-label propagation (the dedup_cluster_components kernel; the
-    # planted clusters are cliques, so this converges in 1-2 rounds)
-    edges = verified.union(
-        verified.select("doc_b", "doc_a")
-    ).toDF("src", "dst")
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(10):
-        nb = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nb_min"))
-        )
-        new_labels = (
-            labels.join(nb, labels.doc_id == nb.src, "left")
-            .select(
-                labels.doc_id,
-                F.least(
-                    labels.component,
-                    F.coalesce(F.col("nb_min"), labels.component),
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("image component labeling did not converge")
-    # every image belongs to a cluster; singletons represent themselves
+
+
+def _media_dedup_summary(items, verified, n_label: str):
+    """Cluster the verified near-dup pairs (min-label connected
+    components — the `dedup_cluster_components` kernel, shared via
+    `min_label_components`), pick the min-id keeper per cluster, and
+    assemble the five-column dedup report: item count (`n_label`),
+    verified pair count, cluster count (singletons represent
+    themselves), keeper id sum, and removed count."""
+    from hiveberg_spark.operators.dedup import min_label_components
+
+    labels = min_label_components(verified, max_rounds=10)
     reps = (
-        hashes.select("doc_id")
+        items.select("doc_id")
         .join(labels, "doc_id", "left")
         .select(F.coalesce("component", "doc_id").alias("rep"))
     )
@@ -863,18 +852,307 @@ def dedup_image_ahash(spark, sf_dir):
         F.sum("rep").cast("long").alias("keeper_id_sum"),
     )
     return (
-        hashes.agg(F.count("*").cast("long").alias("n_images"))
+        items.agg(F.count("*").cast("long").alias(n_label))
         .crossJoin(
             verified.agg(F.count("*").cast("long").alias("n_dup_pairs"))
         )
         .crossJoin(keepers)
         .select(
-            "n_images",
+            n_label,
             "n_dup_pairs",
             "n_clusters",
             "keeper_id_sum",
-            (F.col("n_images") - F.col("n_clusters"))
+            (F.col(n_label) - F.col("n_clusters"))
             .cast("long")
             .alias("n_removed"),
         )
     )
+
+
+# -- audio near-dup dedup (energy-envelope fingerprint -> hamming verify) ------
+
+_AUD_DEDUP_CAP = 60  # planted fixture: 6 groups x 10 members
+_AUD_HAM_RADIUS = 3  # verify threshold; in-group <= 2, cross-group >= 14
+_AUD_BANDS = 4  # 4 x 16-bit bands: radius < bands -> collision GUARANTEED
+
+
+def _group_audiofp_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """64-bit energy-envelope fingerprint over really-encoded-and-
+    decoded WAV clips planted in duplicate GROUPS (the Haitsma-Kalker
+    robust-audio-fingerprint shape reduced to its envelope tier: frame
+    the clip, per-frame RMS, threshold at the clip mean, bit-pack —
+    the audio twin of the image average-hash). Clip d (group
+    g = d//10, member m = d%10) plays a LOUD square wave (amp 200) in
+    frame i iff bit i of the group's 8-bit-window pattern is set, else
+    a QUIET one (amp 50); members m>0 additionally toggle ONE frame
+    outside the group window. Square-wave RMS is exactly the
+    amplitude, and 7-9 loud frames of 64 put the clip mean at ~66-71,
+    strictly between 50 and 200 — so the fingerprint equals the
+    planted bit pattern EXACTLY: in-group hamming <= 2 (clique),
+    cross-group >= 14 (disjoint 8-bit group windows at offsets 10*g).
+    The WAV bytes are genuinely encoded and RIFF-parsed back
+    (`decode_media`) per clip, pinning encode -> decode -> frame ->
+    RMS -> threshold -> pack end to end."""
+    import numpy as np
+
+    FRAME = 160  # 20 ms at 8 kHz
+    N_FRAMES = 64
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            g, m = d // 10, d % 10
+            bits = np.zeros(N_FRAMES, dtype=bool)
+            bits[10 * g : 10 * g + 8] = True  # group window
+            if m:
+                bits[(10 * g + 8 + (m - 1)) % N_FRAMES] ^= True
+            sig = np.empty(N_FRAMES * FRAME, dtype=np.int16)
+            for i in range(N_FRAMES):
+                amp = 200 if bits[i] else 50
+                sig[i * FRAME : (i + 1) * FRAME] = np.tile(
+                    np.array([amp, -amp], dtype=np.int16), FRAME // 2
+                )
+            wav = encode_wav(sig, rate=8000)
+            dec = decode_media(wav)
+            samples = np.frombuffer(
+                wav[-sig.size * 2 :], dtype=np.int16
+            ).astype(np.float64)
+            assert int(dec["sample_rate"]) == 8000
+            rms = np.sqrt(
+                (samples.reshape(N_FRAMES, FRAME) ** 2).mean(axis=1)
+            )
+            hb = rms > rms.mean()
+            h = int(sum(1 << int(i) for i in np.flatnonzero(hb)))
+            if h >= 1 << 63:  # pack as signed two's-complement long
+                h -= 1 << 64
+            rows.append((d, h))
+        yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+
+_AUDIO_FP_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id, doc_id // 10 AS grp FROM documents
+      WHERE doc_id < {_AUD_DEDUP_CAP}
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS c, MIN(doc_id) AS keep_id FROM m GROUP BY grp
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_clips,
+      CAST((SELECT COALESCE(SUM(c * (c - 1) / 2), 0) FROM g) AS BIGINT)
+        AS n_dup_pairs,
+      CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_clusters,
+      CAST((SELECT COALESCE(SUM(keep_id), 0) FROM g) AS BIGINT)
+        AS keeper_id_sum,
+      CAST((SELECT COUNT(*) FROM m) - (SELECT COUNT(*) FROM g) AS BIGINT)
+        AS n_removed
+    FROM (SELECT 1)
+    """
+
+
+@query("dedup_audio_fp", oracle=_AUDIO_FP_ORACLE)
+def dedup_audio_fp(spark, sf_dir):
+    """AUDIO NEAR-DUP PIPELINE — the audio leg of the multimodal dedup
+    tier (image leg: `dedup_image_ahash`): really-decoded PCM ->
+    64-frame energy-envelope fingerprint (`_group_audiofp_batches`,
+    mapInPandas, partition-parallel) -> hamming-banded blocking ->
+    exact hamming verify (bit_count(a XOR b) <= {_AUD_HAM_RADIUS}) ->
+    min-label connected components -> keep-min representative. The
+    blocking/verify and cluster/summary kernels are the SAME shared
+    helpers the image tier uses (`_banded_hamming_verified`,
+    `_media_dedup_summary`) — one code path, two modalities, which is
+    exactly how a production corpus pipeline runs re-encoded/clipped
+    audio dedup next to image dedup.
+
+    Planted-duplicate contract: 6 groups x 10 members; in-group
+    fingerprints sit within hamming 2 (one toggled frame per member),
+    cross-group >= 14 (disjoint group windows), so the verified pair
+    set is EXACTLY the in-group cliques and the oracle derives every
+    output in closed form from doc_id arithmetic — an encode, decode,
+    framing, RMS, threshold, banding, or clustering regression flips
+    the row red. Scale: candidate generation is a band-value equi-join
+    (never all-pairs); a production corpus raises the band count to
+    bound sparse-envelope collisions, the same knob as the image and
+    text SimHash tiers."""
+    from hiveberg_spark.caching import persist_tracked
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AUD_DEDUP_CAP)
+        .select("doc_id")
+    )
+    hashes = persist_tracked(
+        d.mapInPandas(
+            _group_audiofp_batches, schema="doc_id long, ahash long"
+        )
+    )
+    verified = _banded_hamming_verified(hashes, _AUD_BANDS, _AUD_HAM_RADIUS)
+    return _media_dedup_summary(hashes.select("doc_id"), verified, "n_clips")
+
+
+# -- video near-dup dedup (frame-hash voting over sampled frames) --------------
+
+_VID_DEDUP_CAP = 48  # planted fixture: 8 groups x 6 members
+_VID_FRAMES = 12  # sampled frames per video
+_VID_MIN_SHARED = 8  # pair verify: videos sharing >= 8 frame hashes
+_VID_FHASH_DF_CAP = 16  # drop boilerplate frames seen in > 16 videos
+_VID_MIX = 0x9E3779B97F4A7C15  # odd multiplier -> injective content->pattern
+
+
+def _video_framehash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-sampled-frame 64-bit average-hash over really-decoded 32x32
+    P5 frames of planted near-duplicate VIDEOS. Video d (group
+    g = d//6, member m = d%6) samples {_VID_FRAMES} frames; frame i's
+    CONTENT id is the group's base content (1000*g + i) for
+    i < 12 - m, and a member-unique replacement (1000*g + 100*m + i)
+    for the trailing m frames — the clipped/re-encoded-tail structure
+    real near-duplicate videos have. Content c paints patch p bright
+    iff bit p of ((c+1) * odd-multiplier mod 2^64) is set; with
+    0 < popcount < 64 (pinned by a unit test over the full fixture)
+    the decoded average-hash equals that pattern EXACTLY, so frame
+    hashes match iff contents match. Each frame is genuinely encoded
+    as PPM bytes and re-decoded (`decode_media`)."""
+    import numpy as np
+
+    W = H = 32
+    P = 4
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            g, m = d // 6, d % 6
+            for i in range(_VID_FRAMES):
+                c = (
+                    1000 * g + i
+                    if i < _VID_FRAMES - m
+                    else 1000 * g + 100 * m + i
+                )
+                pat = ((c + 1) * _VID_MIX) % (1 << 64)
+                bits = np.array(
+                    [(pat >> p) & 1 for p in range(64)], dtype=bool
+                )
+                patch_vals = (
+                    np.where(bits, 200, 50).astype(np.uint8).reshape(8, 8)
+                )
+                pix = np.repeat(np.repeat(patch_vals, P, axis=0), P, axis=1)
+                ppm = b"P5\n%d %d\n255\n" % (W, H) + pix.tobytes()
+                dec = decode_media(ppm)
+                pp = (
+                    dec["pixels"]
+                    .reshape(H // P, P, W // P, P, 1)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(H // P, W // P, -1)
+                )
+                means = pp.astype(np.float64).mean(axis=2)
+                hb = (means > means.mean()).reshape(-1)
+                h = int(sum(1 << int(b) for b in np.flatnonzero(hb)))
+                if h >= 1 << 63:  # pack as signed two's-complement long
+                    h -= 1 << 64
+                rows.append((d, i, h))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "fhash"])
+
+
+_VIDEO_FRAMEHASH_ORACLE = f"""
+    WITH v AS (
+      SELECT doc_id, doc_id // 6 AS grp, doc_id % 6 AS mem FROM documents
+      WHERE doc_id < {_VID_DEDUP_CAP}
+    ),
+    -- members a,b share {_VID_FRAMES} - GREATEST(a.mem, b.mem) base
+    -- frames (replacement frames are member-unique), so the verified
+    -- pair set is exactly the in-group pairs with both members <=
+    -- {_VID_FRAMES} - {_VID_MIN_SHARED}
+    core AS (
+      SELECT * FROM v WHERE mem <= {_VID_FRAMES} - {_VID_MIN_SHARED}
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS c, MIN(doc_id) AS keep_id
+      FROM core GROUP BY grp
+    ),
+    sing AS (
+      SELECT doc_id FROM v WHERE mem > {_VID_FRAMES} - {_VID_MIN_SHARED}
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_videos,
+      CAST((SELECT COALESCE(SUM(c * (c - 1) / 2), 0) FROM g) AS BIGINT)
+        AS n_dup_pairs,
+      CAST((SELECT COUNT(*) FROM g) + (SELECT COUNT(*) FROM sing)
+           AS BIGINT) AS n_clusters,
+      CAST((SELECT COALESCE(SUM(keep_id), 0) FROM g)
+           + (SELECT COALESCE(SUM(doc_id), 0) FROM sing) AS BIGINT)
+        AS keeper_id_sum,
+      CAST((SELECT COUNT(*) FROM v)
+           - ((SELECT COUNT(*) FROM g) + (SELECT COUNT(*) FROM sing))
+           AS BIGINT) AS n_removed
+    FROM (SELECT 1)
+    """
+
+
+@query("dedup_video_framehash", oracle=_VIDEO_FRAMEHASH_ORACLE)
+def dedup_video_framehash(spark, sf_dir):
+    """VIDEO NEAR-DUP PIPELINE — the video leg of the multimodal dedup
+    tier (image: `dedup_image_ahash`, audio: `dedup_audio_fp`):
+    frame-sample each video, perceptual-hash every really-decoded
+    frame (`_video_framehash_batches`, mapInPandas), then FRAME-HASH
+    VOTING — the standard clipped/re-encoded-video detector: an
+    equi-join on the frame hash generates candidate pairs, a per-pair
+    vote counts shared frames, and pairs sharing >= {_VID_MIN_SHARED}
+    of {_VID_FRAMES} sampled frames are verified duplicates, then
+    min-label components + keep-min representative (the shared
+    `_media_dedup_summary` kernel).
+
+    Unlike the image/audio tiers this candidate kernel is NOT a
+    single-hash hamming block: matching is per-frame-exact but the
+    PAIR decision is a threshold vote, so trailing-clip members drop
+    out exactly at the overlap boundary — members 5 of every planted
+    group share only 7 < {_VID_MIN_SHARED} base frames and must come
+    out as singletons, making the threshold itself load-bearing in
+    the oracle (mem <= {_VID_FRAMES} - {_VID_MIN_SHARED} cliques +
+    mem-5 singletons, all closed-form from doc_id arithmetic).
+
+    Scale: candidates come from the frame-hash equi-join (never
+    all-pairs), and ubiquitous boilerplate frames (intros/logos — the
+    hot keys of this join at 100 TB) are dropped by a document-
+    frequency cap BEFORE the join (> {_VID_FHASH_DF_CAP} videos),
+    the same df-cap the text inverted-index tiers apply; the planted
+    fixture never trips it (max frame multiplicity = group size 6)."""
+    from hiveberg_spark.caching import persist_tracked
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _VID_DEDUP_CAP)
+        .select("doc_id")
+    )
+    frames = persist_tracked(
+        d.mapInPandas(
+            _video_framehash_batches,
+            schema="doc_id long, frame_idx long, fhash long",
+        )
+    )
+    # boilerplate-frame guard: document frequency per hash, cap hot keys
+    df_ok = (
+        frames.groupBy("fhash")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _VID_FHASH_DF_CAP)
+        .select("fhash")
+    )
+    postings = frames.join(df_ok, "fhash").select("doc_id", "fhash")
+    votes = (
+        postings.select(F.col("doc_id").alias("doc_a"), "fhash")
+        .join(
+            postings.select(F.col("doc_id").alias("doc_b"), "fhash"),
+            "fhash",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    verified = persist_tracked(
+        votes.filter(F.col("shared") >= _VID_MIN_SHARED).select(
+            "doc_a", "doc_b"
+        )
+    )
+    return _media_dedup_summary(d, verified, "n_videos")

@@ -185,6 +185,15 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # hamming-banded blocking, exact verify, keep-min cluster pick,
     # under a closed-form planted-duplicate oracle
     "dedup_image_ahash",
+    # round-12 (second session): the audio and video legs completing
+    # the multimodal dedup tier — audio via energy-envelope
+    # fingerprint through the SAME shared banding/verify/cluster
+    # kernels as the image leg; video via frame-hash voting (df-capped
+    # equi-join + shared-frame threshold), where the trailing-clip
+    # members drop out exactly at the vote boundary so the threshold
+    # itself is oracle-load-bearing
+    "dedup_audio_fp",
+    "dedup_video_framehash",
 ]
 
 

@@ -221,3 +221,118 @@ def test_image_ahash_partial_fixture_singletons(spark, tmp_path):
     assert r.n_clusters == 4
     assert r.keeper_id_sum == sum(ids)
     assert r.n_removed == 0
+
+
+# -- round-12 second session: audio + video near-dup tiers ---------------------
+
+
+def _collect_batches(fn, doc_ids):
+    """Run a mapInPandas batch function locally over given doc ids."""
+    import pandas as pd
+
+    out = list(fn(iter([pd.DataFrame({"doc_id": doc_ids})])))
+    return pd.concat(out, ignore_index=True)
+
+
+def test_audio_fingerprint_equals_planted_bits():
+    """The energy-envelope fingerprint must equal the planted bit
+    pattern EXACTLY for every clip in the fixture (encode -> RIFF
+    decode -> frame RMS -> mean threshold -> signed pack), recomputed
+    here in pure Python with no Spark or numpy framing involved."""
+    from hiveberg_spark.operators.multimodal import (
+        _AUD_DEDUP_CAP,
+        _group_audiofp_batches,
+    )
+
+    got = _collect_batches(_group_audiofp_batches, list(range(_AUD_DEDUP_CAP)))
+    for doc_id, ahash in zip(got["doc_id"], got["ahash"]):
+        g, m = int(doc_id) // 10, int(doc_id) % 10
+        bits = set(range(10 * g, 10 * g + 8))
+        if m:
+            bits ^= {(10 * g + 8 + (m - 1)) % 64}
+        expect = sum(1 << b for b in bits)
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert int(ahash) == expect, f"doc {doc_id}"
+
+
+def test_audio_fingerprint_hamming_separations():
+    """Planted contract the verify radius rests on: in-group hamming
+    <= 2, cross-group >= 14 (strictly above the radius 3)."""
+    from hiveberg_spark.operators.multimodal import (
+        _AUD_DEDUP_CAP,
+        _AUD_HAM_RADIUS,
+        _group_audiofp_batches,
+    )
+
+    got = _collect_batches(_group_audiofp_batches, list(range(_AUD_DEDUP_CAP)))
+    fp = {int(d): int(h) & ((1 << 64) - 1) for d, h in zip(got["doc_id"], got["ahash"])}
+    for a in range(_AUD_DEDUP_CAP):
+        for b in range(a + 1, _AUD_DEDUP_CAP):
+            ham = bin(fp[a] ^ fp[b]).count("1")
+            if a // 10 == b // 10:
+                assert ham <= _AUD_HAM_RADIUS, (a, b, ham)
+            else:
+                assert ham >= 14, (a, b, ham)
+
+
+def test_video_framehash_injective_and_nondegenerate():
+    """Frame matching is exactly content matching: over the full
+    planted fixture the content->fhash map must be injective, and no
+    pattern may be degenerate (popcount 0 or 64 would collapse the
+    decoded average-hash to 0, aliasing distinct contents)."""
+    from hiveberg_spark.operators.multimodal import (
+        _VID_DEDUP_CAP,
+        _VID_FRAMES,
+        _video_framehash_batches,
+    )
+
+    got = _collect_batches(
+        _video_framehash_batches, list(range(_VID_DEDUP_CAP))
+    )
+    content = {}
+    for doc_id, i, h in zip(got["doc_id"], got["frame_idx"], got["fhash"]):
+        d, i = int(doc_id), int(i)
+        g, m = d // 6, d % 6
+        c = 1000 * g + i if i < _VID_FRAMES - m else 1000 * g + 100 * m + i
+        content.setdefault(c, set()).add(int(h))
+    # every content decodes to ONE hash, distinct contents to distinct
+    assert all(len(v) == 1 for v in content.values())
+    hashes = [next(iter(v)) for v in content.values()]
+    assert len(set(hashes)) == len(hashes)
+    for h in hashes:
+        pc = bin(h & ((1 << 64) - 1)).count("1")
+        assert 0 < pc < 64
+
+
+def test_video_vote_threshold_is_load_bearing(spark, sf_dir):
+    """The shared-frame vote must drop the trailing-clip members
+    exactly at the boundary: members 0-4 of a group share >= 8 of 12
+    frames pairwise (verified), member 5 shares only 7 with member 0
+    (not verified) — so n_clusters counts 8 cliques + 8 singletons."""
+    from hiveberg_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["dedup_video_framehash"](spark, sf_dir).collect()[0]
+    assert row.n_videos == 48
+    assert row.n_dup_pairs == 8 * 10  # C(5,2) per group
+    assert row.n_clusters == 16  # 8 cliques + 8 mem-5 singletons
+    assert row.keeper_id_sum == sum(6 * g for g in range(8)) + sum(
+        6 * g + 5 for g in range(8)
+    )
+    assert row.n_removed == 32
+
+
+def test_min_label_components_chain_graph(spark):
+    """The shared component kernel on a chain A-B-C plus an isolated
+    pair D-E: labels converge to the min id of each component."""
+    from hiveberg_spark.operators.dedup import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.component
+        for r in min_label_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
