@@ -1898,32 +1898,45 @@ def knn_graph_blocked_edges(spark, sf_dir):
         eq, _quantized_label_centroids(spark, sf_dir), probes=2
     )
     a = assigned.select(
-        F.col("cell").alias("cell_a"),
-        F.col("vec_id").alias("vid"),
-        F.col("qv").alias("qva"),
-        F.col("qn").alias("qna"),
+        F.col("cell").alias("cell_a"), F.col("vec_id").alias("vid")
     )
     b = assigned.select(
-        F.col("cell").alias("cell_b"),
-        F.col("vec_id").alias("nb"),
-        F.col("qv").alias("qvb"),
-        F.col("qn").alias("qnb"),
+        F.col("cell").alias("cell_b"), F.col("vec_id").alias("nb")
     )
-    cands = (
+    # candidate pairs stay NARROW (ids only) through the join + dedup
+    # exchange — the 64-long quantized arrays re-attach AFTER the
+    # distinct via joins against the corpus frame, so neither the
+    # dedup shuffle carries ~1 KB rows nor does any pair get scored
+    # twice (pairs sharing both probed cells dedup before the dot)
+    pairs = (
         a.join(
             b,
             (F.col("cell_a") == F.col("cell_b"))
             & (F.col("vid") != F.col("nb")),
         )
-        .select("vid", "qva", "qna", "nb", "qvb", "qnb")
-        .dropDuplicates(["vid", "nb"])  # a pair may share both probed cells
+        .select("vid", "nb")
+        .dropDuplicates(["vid", "nb"])
     )
-    sims = cands.select(
-        "vid",
-        "nb",
-        _qcos(
-            _qdot(F.col("qva"), F.col("qvb")), F.col("qna"), F.col("qnb")
-        ).alias("cosine"),
+    va = eq.select(
+        F.col("vec_id").alias("vid"),
+        F.col("qv").alias("qva"),
+        F.col("qn").alias("qna"),
+    )
+    vb = eq.select(
+        F.col("vec_id").alias("nb"),
+        F.col("qv").alias("qvb"),
+        F.col("qn").alias("qnb"),
+    )
+    sims = (
+        pairs.join(va, "vid")
+        .join(vb, "nb")
+        .select(
+            "vid",
+            "nb",
+            _qcos(
+                _qdot(F.col("qva"), F.col("qvb")), F.col("qna"), F.col("qnb")
+            ).alias("cosine"),
+        )
     )
     w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("nb"))
     return (
@@ -2002,7 +2015,14 @@ def simsearch_knn_graph_recall(spark, sf_dir):
         .filter(F.col("rn") <= TOP_K)
         .select("vid", "nb")
     )
-    blocked = knn_graph_blocked_edges(spark, sf_dir).select("vid", "nb")
+    from hiveberg_spark.caching import persist_tracked
+
+    # persisted for the same reason as embedding_hubness_audit: a
+    # single inline consumption under the truth join replans worse
+    # than materialize-then-join (round 12, PERF.md)
+    blocked = persist_tracked(
+        knn_graph_blocked_edges(spark, sf_dir).select("vid", "nb")
+    )
     j = truth.join(
         blocked.withColumn("_hit", F.lit(1)), ["vid", "nb"], "left"
     )
@@ -2746,8 +2766,17 @@ def embedding_hubness_audit(spark, sf_dir):
     (IVF-blocked candidates, bit-exact quantized cosine — so DuckDB
     replicates the exact graph and the in-degree histogram value-hashes)
     plus one edge-list aggregation and one left join against the
-    vec_id spine: the added work is O(n·k) edges, nothing pairwise."""
-    edges = knn_graph_blocked_edges(spark, sf_dir)
+    vec_id spine: the added work is O(n·k) edges, nothing pairwise.
+
+    The edge frame is persisted even though this plan consumes it once:
+    measured at sf0.1 (round 12, PERF.md), materializing the n·k edges
+    into cache and aggregating from there runs 2.5x faster than leaving
+    the IVF pipeline inline under the left join (16.4s -> 6.5s) — AQE
+    replans the joined stages less favorably than the standalone
+    pipeline; `release_tracked` frees it on the next query."""
+    from hiveberg_spark.caching import persist_tracked
+
+    edges = persist_tracked(knn_graph_blocked_edges(spark, sf_dir))
     indeg = edges.groupBy(F.col("nb").alias("vec_id")).agg(
         F.count("*").alias("deg")
     )
