@@ -336,3 +336,74 @@ def test_min_label_components_chain_graph(spark):
         for r in min_label_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_knn_dedup_exchange_stays_narrow(spark):
+    """Perf property pin (PERF.md round-12 second session): the blocked
+    kNN candidate distinct must exchange ID rows only — the quantized
+    64-long arrays re-attach AFTER the dedup. If someone reorders the
+    pipeline so the pair-keyed Exchange carries qva/qvb again, this
+    fails."""
+    import re
+
+    from hiveberg_spark.operators.simsearch import knn_graph_blocked_edges
+    from hiveberg_spark.plans.inspect import explain_str
+
+    df = knn_graph_blocked_edges(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "formatted")
+    # formatted mode lists each node as "(n) NodeName" followed by
+    # detail lines (Arguments, Output); examine every Exchange that
+    # partitions on the candidate-pair key
+    saw_pair_exchange = False
+    for node in re.split(r"\n\(\d+\) ", plan):
+        head = node.split("\n", 1)[0]
+        if "Exchange" not in head:
+            continue
+        m = re.search(r"hashpartitioning\(([^)]*)\)", node)
+        keys = m.group(1) if m else ""
+        if "vid" in keys and "nb" in keys:
+            saw_pair_exchange = True
+            assert "qva" not in node and "qvb" not in node, node
+    assert saw_pair_exchange, plan
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_min_label_components_matches_union_find(spark, pairs):
+    """Property: on any random pair graph, the shared min-label kernel
+    agrees with a pure-Python union-find labeling each component by its
+    minimum node id."""
+    from hiveberg_spark.operators.dedup import min_label_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.component for r in min_label_components(df).collect()
+    }
+    assert got == expect
