@@ -930,3 +930,187 @@ def stream_incremental_dedup(spark, sf_dir):
     out.count()  # materialize before the temp dirs are removed
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# -- streaming media ingest: decode-on-ingest feature extraction ----------------
+
+_MEDIA_INGEST_CAP = 300
+
+
+def _media_features_batches(batches):
+    """Really decode one WAV clip per doc (the `multimodal_audio_energy`
+    square-wave fixture: amp = 500 + doc%300, 4 + doc%4 20 ms frames,
+    first half active) and emit the catalog features a media feature
+    store keeps per asset: peak amplitude, sample count, duration.
+    Every value is exact integer arithmetic the oracle replicates —
+    peak == amp (the active half is non-empty), duration_ms ==
+    n_samples / 8 at 8 kHz."""
+    import numpy as np
+    import pandas as pd
+
+    from hiveberg_spark.operators.multimodal import decode_media, encode_wav
+
+    FRAME = 160  # 20 ms at 8 kHz
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc = int(doc_id)
+            amp = 500 + doc % 300
+            n_frames = 4 + doc % 4
+            half = n_frames // 2
+            sig = np.zeros(n_frames * FRAME, dtype=np.int16)
+            sig[: half * FRAME] = np.tile(
+                np.array([amp, -amp], dtype=np.int16), half * FRAME // 2
+            )
+            wav = encode_wav(sig, rate=8000)
+            d = decode_media(wav)
+            rows.append(
+                (
+                    doc,
+                    int(d["peak"]),
+                    int(d["n_frames"]),
+                    int(d["n_frames"]) // 8,
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "peak", "n_samples", "duration_ms"]
+        )
+
+
+@query(
+    "stream_media_ingest",
+    oracle=f"""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       WHERE doc_id < {_MEDIA_INGEST_CAP}) AS n_media,
+      (SELECT CAST(SUM(500 + doc_id % 300) AS BIGINT) FROM documents
+       WHERE doc_id < {_MEDIA_INGEST_CAP}) AS peak_sum,
+      (SELECT CAST(SUM((4 + doc_id % 4) * 20) AS BIGINT) FROM documents
+       WHERE doc_id < {_MEDIA_INGEST_CAP}) AS duration_ms_sum,
+      TRUE AS multi_batch,
+      TRUE AS features_match_full_rebuild
+    FROM (SELECT 1)
+    """,
+)
+def stream_media_ingest(spark, sf_dir):
+    """STREAMING MEDIA INGEST — decode-on-ingest feature extraction,
+    the streaming leg of the multimodal tier (batch decode:
+    `multimodal_real_decode`/`multimodal_audio_energy`): a media corpus
+    snapshot table takes three appends, and a checkpointed streaming
+    query (per-commit tick files + maxFilesPerTrigger=1, the
+    `stream_ivf_refresh` skeleton) tails it; each micro-batch REALLY
+    decodes ONLY that commit's clips (`scan_changes` -> mapInPandas
+    RIFF parse, partition-parallel) and appends their catalog features
+    (peak, sample count, duration) to a features snapshot table —
+    O(new media) per trigger, the shape a feature store keeps in step
+    with a 100 TB media lake without ever re-decoding the corpus.
+
+    Oracle pins: feature-table coverage and two exact checksums
+    (peak_sum, duration_ms_sum — closed-form doc_id arithmetic through
+    the genuine WAV encode -> RIFF decode path), that the commits
+    arrived in separate micro-batches (multi_batch), and that the
+    streamed features are SET-EQUAL to a from-scratch featurize of the
+    full corpus (anti-joins both directions) — drift in the
+    incremental read, the decoder, or the feature commits flips the
+    row red."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_mediastream_{tag}")
+    tick_dir = os.path.join(base, "ticks")
+    ckpt = os.path.join(base, "ckpt")
+    cursor_path = os.path.join(base, "cursor.json")
+    os.makedirs(tick_dir)
+
+    FEAT_SCHEMA = "doc_id long, peak long, n_samples long, duration_ms long"
+
+    def featurize(df):
+        return df.select("doc_id").mapInPandas(
+            _media_features_batches, schema=FEAT_SCHEMA
+        )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MEDIA_INGEST_CAP)
+        .select("doc_id")
+    )
+    corpus = SnapshotTable.create(
+        spark, os.path.join(base, "corpus"), schema="doc_id long"
+    )
+    feats = SnapshotTable.create(
+        spark, os.path.join(base, "features"), schema=FEAT_SCHEMA
+    )
+    sids = [corpus.append(d.filter(F.col("doc_id") % 3 == r)) for r in range(3)]
+    _write_ticks_ordered(spark, tick_dir, sids)
+
+    with open(cursor_path, "w") as f:
+        json.dump({"cursor": 0, "ranges": []}, f)
+
+    def ingest(batch_df, batch_id):
+        state = json.load(open(cursor_path))
+        hi = batch_df.agg(F.max("sid")).first()[0]
+        if hi <= state["cursor"]:
+            return  # replayed tick after restart: already applied
+        if state["cursor"] == 0:
+            delta = corpus.scan(snapshot_id=hi, virtual_column=None)
+        else:
+            delta = corpus.scan_changes(
+                state["cursor"], hi, virtual_column=None
+            )
+        feats.append(featurize(delta))
+        with open(cursor_path, "w") as f:
+            json.dump(
+                {
+                    "cursor": hi,
+                    "ranges": state["ranges"] + [[state["cursor"], hi]],
+                },
+                f,
+            )
+
+    q = (
+        spark.readStream.schema("sid long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(tick_dir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi_batch = len(json.load(open(cursor_path))["ranges"]) > 1
+
+    streamed = feats.scan(virtual_column=None)
+    full = featurize(corpus.scan(virtual_column=None))
+    cols = ["doc_id", "peak", "n_samples", "duration_ms"]
+    missing = full.join(streamed, cols, "left_anti")
+    extra = streamed.join(full, cols, "left_anti")
+    match = missing.unionByName(extra).agg(
+        (F.count("*") == 0).alias("features_match_full_rebuild")
+    )
+    out = (
+        streamed.agg(
+            F.count("*").cast("long").alias("n_media"),
+            F.sum("peak").cast("long").alias("peak_sum"),
+            F.sum("duration_ms").cast("long").alias("duration_ms_sum"),
+        )
+        .withColumn("multi_batch", F.lit(bool(multi_batch)))
+        .crossJoin(match)
+        .select(
+            "n_media",
+            "peak_sum",
+            "duration_ms_sum",
+            "multi_batch",
+            "features_match_full_rebuild",
+        )
+        .persist()
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out

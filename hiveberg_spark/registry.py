@@ -194,6 +194,11 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # itself is oracle-load-bearing
     "dedup_audio_fp",
     "dedup_video_framehash",
+    # round-12 (second session): streaming leg of the multimodal tier —
+    # decode-on-ingest feature extraction (per-commit micro-batches
+    # really RIFF-decode only that commit's clips and append features
+    # O(new); set-equality audit vs a from-scratch featurize)
+    "stream_media_ingest",
 ]
 
 
