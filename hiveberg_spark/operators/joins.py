@@ -558,14 +558,21 @@ def join_interval_overlap(spark, sf_dir):
     overlap — the temporal-conflict primitive (double-bookings,
     concurrent sessions, overlapping leases). The naive form is a
     theta-join on s1<=e2 AND s2<=e1, which Spark can only execute as a
-    nested loop. Here each interval EXPLODES to the epoch-weeks it
-    covers and pairs equi-join on (custkey, week) — candidates are only
-    week-co-resident intervals (BroadcastHash/SortMerge-able, AQE-
-    skew-splittable), the overlap predicate verifies exactly, and
-    dropDuplicates absorbs multi-week double-matches. Expansion factor
-    = interval length in weeks (bounded by order cycle); candidate
-    space is sum-of-bucket-squares, never all-pairs — the same blocking
-    posture as dedup's LSH families."""
+    nested loop. Here each interval EXPLODES to the fixed-width time
+    BUCKETS it covers and pairs equi-join on (custkey, bucket) —
+    candidates are only bucket-co-resident intervals (BroadcastHash/
+    SortMerge-able, AQE-skew-splittable), the overlap predicate
+    verifies exactly, and dropDuplicates absorbs multi-bucket
+    double-matches. Correct at ANY width: an overlapping pair always
+    co-resides in the bucket containing the LATER start, so no width
+    can lose a pair — width only trades explosion factor against cell
+    size. The width must track the INTERVAL scale (the classic
+    interval-join banding rule): this fixture's ship windows span a
+    median ~210 weeks, so week-granularity buckets exploded 147k
+    intervals into 28.4M rows and 40s of join; 128-week buckets hold
+    the explosion at ~2.7x (sub-second, measured round 12, PERF.md).
+    Candidate space is sum-of-bucket-squares, never all-pairs — the
+    same blocking posture as dedup's LSH families."""
     from hiveberg_spark.caching import persist_tracked
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -581,12 +588,13 @@ def join_interval_overlap(spark, sf_dir):
         .select("o_custkey", F.col("l_orderkey").alias("okey"), "s", "e")
     )  # consumed by both sides of the pair join
     epoch = F.to_date(F.lit("1970-01-01"))
+    bucket_days = 7 * 128  # bucket width ~ interval scale (docstring)
     exp = iv.withColumn(
         "wk",
         F.explode(
             F.sequence(
-                F.floor(F.datediff("s", epoch) / 7),
-                F.floor(F.datediff("e", epoch) / 7),
+                F.floor(F.datediff("s", epoch) / bucket_days),
+                F.floor(F.datediff("e", epoch) / bucket_days),
             )
         ),
     )
