@@ -1114,3 +1114,139 @@ def stream_media_ingest(spark, sf_dir):
     out.count()  # materialize before the temp dirs are removed
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# -- streaming weighted reservoir sample (A-Res over micro-batches) -------------
+
+
+@query(
+    "stream_reservoir_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             ROUND(-LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) + 1) / 4294967296.0)
+                   / n_chars, 9) AS race_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, race_key, TRUE AS multi_batch FROM keyed
+    ORDER BY race_key, doc_id LIMIT 100
+    """,
+)
+def stream_reservoir_sample(spark, sf_dir):
+    """STREAMING WEIGHTED RESERVOIR — the streaming leg of
+    `sample_weighted_ares` (Efraimidis-Spirakis A-Res): because each
+    document's race key -ln(u)/w is a deterministic function of the
+    document alone, "K smallest keys" is an ASSOCIATIVE fold — the
+    reservoir after any prefix of micro-batches is top-K over that
+    prefix, so per batch the maintenance is: key ONLY the commit's new
+    docs (`scan_changes`), union the stored K-row reservoir, keep the K
+    smallest (TakeOrdered — K rows to the driver-side merge, no global
+    sort), and OVERWRITE the reservoir table. Per-trigger cost is
+    O(batch + K); the corpus is never rescanned — the weighted-sample
+    maintenance loop of a continuously-fed 100 TB training corpus.
+
+    The final reservoir must equal the BATCH A-Res over everything
+    ingested — the oracle IS `sample_weighted_ares`'s top-100 SQL, so
+    any drift in the incremental read, the key arithmetic, or the
+    merge flips the row red (membership pinned row-for-row, not just
+    counts). `multi_batch` rides every row, pinning that the commits
+    really arrived in separate micro-batches."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    K = 100
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_aresstream_{tag}")
+    tick_dir = os.path.join(base, "ticks")
+    ckpt = os.path.join(base, "ckpt")
+    cursor_path = os.path.join(base, "cursor.json")
+    os.makedirs(tick_dir)
+
+    def keyed(df):
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ) / F.lit(4294967296.0)
+        return df.filter(F.col("n_chars") > 0).select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(-F.log(u) / F.col("n_chars"), 9).alias("race_key"),
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    corpus = SnapshotTable.create(
+        spark, os.path.join(base, "corpus"), schema="doc_id long, n_chars int"
+    )
+    reservoir = SnapshotTable.create(
+        spark,
+        os.path.join(base, "reservoir"),
+        schema="doc_id long, weight int, race_key double",
+    )
+    sids = [
+        corpus.append(d.filter(F.col("doc_id") % 3 == r)) for r in range(3)
+    ]
+    _write_ticks_ordered(spark, tick_dir, sids)
+
+    with open(cursor_path, "w") as f:
+        json.dump({"cursor": 0, "ranges": []}, f)
+
+    def maintain(batch_df, batch_id):
+        state = json.load(open(cursor_path))
+        hi = batch_df.agg(F.max("sid")).first()[0]
+        if hi <= state["cursor"]:
+            return  # replayed tick after restart: already applied
+        if state["cursor"] == 0:
+            delta = corpus.scan(snapshot_id=hi, virtual_column=None)
+        else:
+            delta = corpus.scan_changes(
+                state["cursor"], hi, virtual_column=None
+            )
+        merged = (
+            reservoir.scan(virtual_column=None)
+            .unionByName(keyed(delta))
+            .orderBy(F.asc("race_key"), F.asc("doc_id"))
+            .limit(K)
+        )
+        # limit() materializes K rows; overwrite commits the new state
+        reservoir.overwrite(merged.localCheckpoint())
+        with open(cursor_path, "w") as f:
+            json.dump(
+                {
+                    "cursor": hi,
+                    "ranges": state["ranges"] + [[state["cursor"], hi]],
+                },
+                f,
+            )
+
+    q = (
+        spark.readStream.schema("sid long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(tick_dir)
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi_batch = len(json.load(open(cursor_path))["ranges"]) > 1
+
+    out = (
+        reservoir.scan(virtual_column=None)
+        .withColumn("multi_batch", F.lit(bool(multi_batch)))
+        .orderBy(F.asc("race_key"), F.asc("doc_id"))
+        .persist()
+    )
+    out.count()  # materialize before the temp dirs are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out

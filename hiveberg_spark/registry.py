@@ -199,6 +199,12 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # really RIFF-decode only that commit's clips and append features
     # O(new); set-equality audit vs a from-scratch featurize)
     "stream_media_ingest",
+    # round-12 (second session): streaming leg of the weighted-sampling
+    # tier — A-Res race keys are per-doc deterministic, so top-K is an
+    # associative fold: per commit, key only scan_changes rows, merge
+    # with the stored K-row reservoir, overwrite; final state pinned
+    # row-for-row against the batch A-Res SQL
+    "stream_reservoir_sample",
 ]
 
 
