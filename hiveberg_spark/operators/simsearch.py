@@ -2931,3 +2931,119 @@ def graph_triangle_count(spark, sf_dir):
             ).alias("global_clustering"),
         )
     )
+
+
+# -- semantic decontamination (round 12, second session) ------------------------
+
+_DECON_SEM_TAU = 0.5
+_DECON_SEM_BENCH = 50  # vec_id < 50 stands in for the benchmark/eval set
+
+_DECON_SEM_SQL = f"""
+    WITH bench AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id < {_DECON_SEM_BENCH}
+    ),
+    train AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id >= {_DECON_SEM_BENCH}
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+      FROM embeddings WHERE vec_id < 20
+    ),
+    bflat AS (
+      SELECT vec_id, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM bench
+    ),
+    tflat AS (
+      SELECT vec_id, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM train
+    ),
+    bnorms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM bflat GROUP BY vec_id),
+    tnorms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM tflat GROUP BY vec_id),
+    dots AS (
+      SELECT b.vec_id AS bench_id, t.vec_id AS vec_id, SUM(b.v * t.v) AS dot
+      FROM bflat b JOIN tflat t ON b.pos = t.pos
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT dots.vec_id AS vec_id, ROUND(dot / (nb.nrm * nt.nrm), 6) AS cosine
+      FROM dots JOIN bnorms nb ON nb.vec_id = bench_id
+                JOIN tnorms nt ON nt.vec_id = dots.vec_id
+      WHERE ROUND(dot / (nb.nrm * nt.nrm), 6) >= {_DECON_SEM_TAU}
+    )
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+           MAX(cosine) AS max_cosine
+    FROM hits GROUP BY vec_id
+    """
+
+
+@query("decontaminate_semantic", oracle=_DECON_SEM_SQL)
+def decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC DECONTAMINATION — flag training documents whose
+    embedding sits above cosine {_DECON_SEM_TAU} of ANY benchmark/eval
+    embedding (the embedding-level sibling of
+    `decontaminate_ngram_overlap`: paraphrased or reformatted eval
+    leakage that shares no n-gram still lands next to its source in
+    embedding space). Runs as a BLOCKED cross-side join on the
+    certified IVF kernels (`_label_centroids` +
+    `_assign_nearest_centroid`, 2-probe): candidates only where a
+    bench and a train vector share a probed cell — never a train×bench
+    nested loop — then exact-cosine verify, pair-dedup, and a per-train
+    aggregate (how many bench docs it contaminates, at what max
+    cosine).
+
+    Oracle: the EXACT all-pairs cross-side SQL — valid because blocked
+    ⊆ exact by construction and multi-probe recall is 1.0 at this
+    threshold on this corpus (`dedup_blocked_recall`'s certified
+    contract; plants inherit their source's cells, so co-blocking
+    carries over). Non-vacuous by construction: 20 PLANTED contaminated
+    train docs (1.001-scaled copies of bench vectors — scaling
+    preserves cosine, the `dedup_blocked_recall` recipe) must each
+    surface with max_cosine 1.0, so a blocking, verify, or aggregation
+    regression flips the row red."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") < _DECON_SEM_BENCH)
+    planted = bench.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.001).alias(
+            "embedding"
+        ),
+    )
+    train = (
+        e.filter(F.col("vec_id") >= _DECON_SEM_BENCH)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .unionByName(planted)
+    )
+    cents = _label_centroids(spark, sf_dir)
+    ab = _assign_nearest_centroid(with_norm(bench), cents, probes=2).select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("eb"),
+        F.col("_norm").alias("nb"),
+    )
+    at = _assign_nearest_centroid(with_norm(train), cents, probes=2).select(
+        F.col("cell").alias("cell_t"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("et"),
+        F.col("_norm").alias("nt"),
+    )
+    cos = _dot(F.col("eb"), F.col("et")) / (F.col("nb") * F.col("nt"))
+    hits = (
+        ab.join(at, F.col("cell_b") == F.col("cell_t"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= _DECON_SEM_TAU)
+        .select("bench_id", "vec_id", "cosine")
+        .dropDuplicates(["bench_id", "vec_id"])  # multi-probe double-block
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_bench_hits"),
+        F.max("cosine").alias("max_cosine"),
+    )

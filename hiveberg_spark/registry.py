@@ -205,6 +205,11 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # with the stored K-row reservoir, overwrite; final state pinned
     # row-for-row against the batch A-Res SQL
     "stream_reservoir_sample",
+    # round-12 (second session): embedding-level benchmark
+    # decontamination — blocked cross-side join on the certified IVF
+    # kernels, exact all-pairs oracle, 20 planted 1.001-scaled
+    # contaminated train docs keep the contract non-vacuous
+    "decontaminate_semantic",
 ]
 
 

@@ -50,6 +50,10 @@ ALLOWED: dict[str, str] = {
         _CENTROIDS + "; the near-dup pair space itself is the "
         "cell-key equi-join (round-11 swap, VERDICT r10 #2)"
     ),
+    "decontaminate_semantic": (
+        _CENTROIDS + " (both sides); the bench × train pair space "
+        "itself is the cell-key equi-join"
+    ),
     "dedup_semdedup": _CENTROIDS + " (re-planned per component round)",
     "embedding_hubness_audit": _CENTROIDS,
     "embedding_matryoshka_audit": _QUERY_SAMPLE,
