@@ -679,6 +679,112 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     return labels
 
 
+def star_components(
+    pairs: DataFrame,
+    max_alternations: int = 60,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond", arXiv:1203.5387 lineage) — the O(log n)-
+    round algorithm `min_label_components`' docstring defers to for
+    adversarial CHAIN graphs, where plain label propagation needs
+    diameter rounds (a 1M-link chain at 100 TB = 1M shuffles vs ~40).
+
+    large-star: every node's larger neighbors re-attach to the minimum
+    of its closed neighborhood; small-star: every node and its smaller
+    neighbors re-attach to their minimum. Both preserve connectivity
+    and the component minimum; alternating them contracts every
+    component to a star centered at its min id, at which point labels
+    read off as min(closed neighborhood). Each operation is one
+    node-keyed aggregate + one join — shuffle-bounded, no driver data.
+
+    `pairs` has columns (doc_a, doc_b); returns (doc_id, component)
+    for every node appearing in a pair. `stats["alternations"]` gets
+    the round count when a dict is passed (tests pin the log bound)."""
+    edges = (
+        pairs.select(
+            F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
+            F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(e):
+        return e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+
+    def _canon(directed):
+        return (
+            directed.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _large_star(e):
+        sym = _sym(e)
+        m = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = m.select("src", F.least("src", "mn").alias("m"))
+        out = (
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        return _canon(out).localCheckpoint()
+
+    def _small_star(e):
+        smaller = _sym(e).filter(F.col("dst") < F.col("src"))
+        mins = smaller.groupBy("src").agg(F.min("dst").alias("m"))
+        re_leaves = (
+            smaller.join(mins, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        re_centers = mins.select(
+            F.col("src"), F.col("m").alias("dst")
+        )
+        return _canon(re_leaves.union(re_centers)).localCheckpoint()
+
+    def _changed(old, new):
+        if old.count() != new.count():
+            return True
+        return new.exceptAll(old).limit(1).count() > 0
+
+    rounds = 0
+    if edges.limit(1).count() > 0:
+        for _ in range(max_alternations):
+            rounds += 1
+            after_large = _large_star(edges)
+            after_small = _small_star(after_large)
+            if not _changed(edges, after_large) and not _changed(
+                after_large, after_small
+            ):
+                edges = after_small
+                break
+            edges = after_small
+        else:
+            raise RuntimeError("star contraction did not converge")
+    if stats is not None:
+        stats["alternations"] = rounds
+    # at the star fixpoint every component is a star centered at its
+    # min id: label = min of the closed neighborhood
+    return (
+        _sym(edges)
+        .groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "mn").alias("component"),
+        )
+    )
+
+
 @query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
 def dedup_cluster_components(spark, sf_dir):
     """Near-dup CLUSTERING: connected components over the MinHash-LSH
@@ -708,6 +814,32 @@ def dedup_cluster_components(spark, sf_dir):
     the image/audio/video near-dup tiers)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels = min_label_components(pairs)
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "component")
+        .select("doc_id", "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_cluster_star", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_star(spark, sf_dir):
+    """Near-dup clustering via STAR CONTRACTION — the same component
+    labeling as `dedup_cluster_components` computed by the O(log n)-
+    round large-star/small-star algorithm (`star_components`) instead
+    of diameter-round label propagation. Registered as its own row so
+    the driver value-hashes BOTH kernels against the one recursive-CTE
+    truth: identical output by construction (components labeled by
+    min id), different distributed algorithm — the one a 100 TB corpus
+    with adversarial duplicate CHAINS (A~B~C~... from iterative
+    scraping) actually needs, since propagation rounds there equal the
+    chain length while contraction stays logarithmic. The log bound
+    and union-find equivalence are additionally pinned in
+    test_round12_ops.py on a 300-node path graph."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = star_components(pairs)
     sizes = labels.groupBy("component").agg(
         F.count("*").alias("cluster_size")
     )

@@ -210,6 +210,11 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # kernels, exact all-pairs oracle, 20 planted 1.001-scaled
     # contaminated train docs keep the contract non-vacuous
     "decontaminate_semantic",
+    # round-12 (second session): star-contraction components — the
+    # O(log n)-round large-star/small-star algorithm as a second
+    # driver-hashed kernel against the same recursive-CTE truth as
+    # dedup_cluster_components (chain graphs: log rounds vs diameter)
+    "dedup_cluster_star",
 ]
 
 

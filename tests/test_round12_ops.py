@@ -407,3 +407,62 @@ def test_min_label_components_matches_union_find(spark, pairs):
         r.doc_id: r.component for r in min_label_components(df).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_star_components_matches_union_find(spark, pairs):
+    """Property: star contraction agrees with union-find min labeling
+    on any random pair graph (same contract as min_label_components)."""
+    from hiveberg_spark.operators.dedup import star_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component for r in star_components(df).collect()}
+    assert got == expect
+
+
+def test_star_components_chain_converges_in_log_rounds(spark):
+    """The reason star contraction exists: a 300-node PATH graph (the
+    adversarial chain case) must converge in O(log n) alternations —
+    label propagation needs ~300 rounds here. Also pins correctness:
+    every node labels to component 0."""
+    import math
+
+    from hiveberg_spark.operators.dedup import star_components
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    stats = {}
+    got = {
+        r.doc_id: r.component
+        for r in star_components(pairs, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    bound = 2 * math.ceil(math.log2(n)) + 4
+    assert stats["alternations"] <= bound, stats
