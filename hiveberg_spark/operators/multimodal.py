@@ -1132,11 +1132,24 @@ def dedup_video_framehash(spark, sf_dir):
             schema="doc_id long, frame_idx long, fhash long",
         )
     )
-    # boilerplate-frame guard: document frequency per hash, cap hot keys
+    verified = persist_tracked(
+        _framehash_vote_pairs(frames, _VID_MIN_SHARED, _VID_FHASH_DF_CAP)
+    )
+    return _media_dedup_summary(d, verified, "n_videos")
+
+
+def _framehash_vote_pairs(frames, min_shared: int, df_cap: int):
+    """The frame-hash VOTING kernel: drop boilerplate hashes seen in
+    more than `df_cap` videos (the hot keys of the self-join at
+    100 TB — intro/logo frames), equi-join the postings on the hash,
+    and keep pairs sharing >= `min_shared` frames. `frames` has
+    columns (doc_id, frame_idx, fhash); returns (doc_a, doc_b) with
+    doc_a < doc_b. Property-tested against a pure-Python brute force
+    in test_round12_ops.py."""
     df_ok = (
         frames.groupBy("fhash")
         .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") <= _VID_FHASH_DF_CAP)
+        .filter(F.col("df") <= df_cap)
         .select("fhash")
     )
     postings = frames.join(df_ok, "fhash").select("doc_id", "fhash")
@@ -1150,9 +1163,6 @@ def dedup_video_framehash(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
-    verified = persist_tracked(
-        votes.filter(F.col("shared") >= _VID_MIN_SHARED).select(
-            "doc_a", "doc_b"
-        )
+    return votes.filter(F.col("shared") >= min_shared).select(
+        "doc_a", "doc_b"
     )
-    return _media_dedup_summary(d, verified, "n_videos")

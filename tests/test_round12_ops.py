@@ -466,3 +466,81 @@ def test_star_components_chain_converges_in_log_rounds(spark):
     assert got == {i: 0 for i in range(n)}
     bound = 2 * math.ceil(math.log2(n)) + 4
     assert stats["alternations"] <= bound, stats
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # per-doc hash values on a small alphabet so bands collide
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_banded_hamming_verified_matches_bruteforce(spark, hashes, radius):
+    """Property: on ANY hash list, the banded candidate+verify kernel
+    returns exactly the brute-force pairs within `radius` — banding may
+    never lose a pair at radius < n_bands (pigeonhole) and verify may
+    never keep one outside the radius."""
+    from hiveberg_spark.operators.multimodal import _banded_hamming_verified
+
+    signed = [h - (1 << 64) if h >= 1 << 63 else h for h in hashes]
+    df = spark.createDataFrame(
+        list(enumerate(signed)), "doc_id long, ahash long"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _banded_hamming_verified(df, 4, radius).collect()
+    }
+    expect = set()
+    for a in range(len(hashes)):
+        for b in range(a + 1, len(hashes)):
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            # candidates require a shared 16-bit band; verify requires
+            # hamming <= radius. radius < 4 bands => a within-radius
+            # pair ALWAYS shares a band, so candidates never lose one.
+            if ham <= radius:
+                expect.add((a, b))
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # per-video frame-content sets on a tiny alphabet
+        st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=6),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=8),
+)
+def test_framehash_vote_pairs_matches_bruteforce(
+    spark, videos, min_shared, df_cap
+):
+    """Property: the voting kernel equals the brute force — pairs whose
+    DF-SURVIVING shared-frame count meets the threshold (hashes seen in
+    more than df_cap videos are dropped BEFORE voting, in both)."""
+    from hiveberg_spark.operators.multimodal import _framehash_vote_pairs
+
+    rows = [
+        (vid, i, int(h))
+        for vid, frames in enumerate(videos)
+        for i, h in enumerate(sorted(frames))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, frame_idx long, fhash long")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _framehash_vote_pairs(df, min_shared, df_cap).collect()
+    }
+    n_with = {}
+    for frames in videos:
+        for h in frames:
+            n_with[h] = n_with.get(h, 0) + 1
+    surviving = {h for h, n in n_with.items() if n <= df_cap}
+    expect = set()
+    for a in range(len(videos)):
+        for b in range(a + 1, len(videos)):
+            shared = len(videos[a] & videos[b] & surviving)
+            if shared >= min_shared:
+                expect.add((a, b))
+    assert got == expect
