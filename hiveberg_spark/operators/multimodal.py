@@ -919,7 +919,10 @@ def _group_audiofp_batches(
             samples = np.frombuffer(
                 wav[-sig.size * 2 :], dtype=np.int16
             ).astype(np.float64)
-            assert int(dec["sample_rate"]) == 8000
+            if int(dec["sample_rate"]) != 8000:  # real error: survives -O
+                raise ValueError(
+                    f"WAV round-trip drifted: rate {dec['sample_rate']}"
+                )
             rms = np.sqrt(
                 (samples.reshape(N_FRAMES, FRAME) ** 2).mean(axis=1)
             )
