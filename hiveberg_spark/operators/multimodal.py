@@ -1169,3 +1169,97 @@ def _framehash_vote_pairs(frames, min_shared: int, df_cap: int):
     return votes.filter(F.col("shared") >= min_shared).select(
         "doc_a", "doc_b"
     )
+
+
+# -- binaryFile-source ingestion (SURVEY §2.11's named media-read primitive) ----
+
+_BINFILE_CAP = 40
+
+
+@query(
+    "multimodal_binary_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 396
+                ELSE 44 + 320 * (4 + doc_id % 4) END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8000 END AS BIGINT)
+             AS dim_or_rate
+    FROM documents WHERE doc_id < {_BINFILE_CAP}
+    """,
+)
+def multimodal_binary_ingest(spark, sf_dir):
+    """MEDIA-LAKE INGESTION through Spark's `binaryFile` source — the
+    §2.11 primitive for reading raw media files as (path, length,
+    content) rows: REAL files land on disk (even doc_ids a P6 PPM
+    image, odd a RIFF/WAVE PCM clip — the format-dispatch case a mixed
+    media drop always is), `spark.read.format("binaryFile")` lists and
+    reads them, and decode runs partition-parallel in mapInPandas over
+    the binary column (`decode_media`'s magic-byte dispatch). The
+    oracle pins byte sizes AND a decoded field per modality (image
+    width / audio sample rate) in closed form from doc_id arithmetic,
+    so a listing, read, dispatch, or decode regression flips the row
+    red. Scale: binaryFile partitions by file, decode is executor-side
+    Arrow batches — the same shape as a 100 TB object-store media
+    crawl (with maxPartitionBytes/pathGlobFilter as the knobs)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import numpy as np
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"hbs_binfiles_{uuid.uuid4().hex[:10]}"
+    )
+    os.makedirs(base)
+    W, H = 16, 8
+    FRAME = 160
+    for doc in range(_BINFILE_CAP):
+        if doc % 2 == 0:
+            basev = (
+                np.arange(W, dtype=np.uint8)
+                if doc % 4 == 0
+                else np.arange(W - 1, -1, -1, dtype=np.uint8)
+            )
+            pix = np.repeat(np.tile(basev, (H, 1))[:, :, None], 3, axis=2)
+            payload = b"P6\n%d %d\n255\n" % (W, H) + pix.tobytes()
+            name = f"{doc:05d}.ppm"
+        else:
+            amp = 500 + doc % 300
+            n_frames = 4 + doc % 4
+            sig = np.tile(
+                np.array([amp, -amp], dtype=np.int16), n_frames * FRAME // 2
+            )
+            payload = encode_wav(sig, rate=8000)
+            name = f"{doc:05d}.wav"
+        with open(os.path.join(base, name), "wb") as f:
+            f.write(payload)
+
+    raw = spark.read.format("binaryFile").load(base)
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, length, content in zip(
+                pdf["path"], pdf["length"], pdf["content"]
+            ):
+                doc = int(os.path.basename(path).split(".")[0])
+                d = decode_media(bytes(content))
+                dim_or_rate = (
+                    int(d["width"])
+                    if d["kind"] == "image"
+                    else int(d["sample_rate"])
+                )
+                rows.append((doc, d["kind"], int(length), dim_or_rate))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "n_bytes", "dim_or_rate"]
+            )
+
+    out = raw.select("path", "length", "content").mapInPandas(
+        _decode,
+        schema="doc_id long, kind string, n_bytes long, dim_or_rate long",
+    ).persist()
+    out.count()  # materialize before the temp dir is removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -215,6 +215,12 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # driver-hashed kernel against the same recursive-CTE truth as
     # dedup_cluster_components (chain graphs: log rounds vs diameter)
     "dedup_cluster_star",
+    # round-12 (second session): SURVEY §2.11's named media-read
+    # primitive exercised for real — spark.read.format("binaryFile")
+    # over actually-written mixed PPM/WAV files, magic-byte dispatch +
+    # decode in mapInPandas, byte sizes and a decoded field per
+    # modality oracle-pinned
+    "multimodal_binary_ingest",
 ]
 
 
