@@ -1997,18 +1997,28 @@ def simsearch_knn_graph_recall(spark, sf_dir):
     truth computation lives ONLY here and in the oracle — the
     registered graph operators themselves never run it. DuckDB
     recomputes the truth-edge counts and pins recall_ok TRUE."""
+    from hiveberg_spark.caching import persist_tracked
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
-    sims = a.join(b, F.col("vid") != F.col("nb")).select(
-        "vid",
-        "nb",
-        F.round(
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb"))),
-            6,
-        ).alias("cosine"),
+    # cosine is exactly symmetric here (identical elementwise products
+    # and fold order), so the truth scores HALF the ordered pairs and
+    # mirrors — the persisted half frame keeps the union's second
+    # branch a cache read, not a recompute (round-12 lesson: an
+    # un-persisted union defeats exchange reuse)
+    half = persist_tracked(
+        a.join(b, F.col("vid") < F.col("nb")).select(
+            "vid",
+            "nb",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
     )
+    sims = half.union(half.select("nb", "vid", "cosine"))
     w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("nb"))
     truth = (
         sims.withColumn("rn", F.row_number().over(w))
