@@ -2962,27 +2962,34 @@ _DECON_SEM_SQL = f"""
       FROM embeddings WHERE vec_id < 20
     ),
     bflat AS (
-      SELECT vec_id, UNNEST(embedding) AS v,
+      SELECT vec_id,
+             CAST(ROUND(UNNEST(embedding) * {_QSCALE}) AS BIGINT) AS qv,
              generate_subscripts(embedding, 1) AS pos
       FROM bench
     ),
     tflat AS (
-      SELECT vec_id, UNNEST(embedding) AS v,
+      SELECT vec_id,
+             CAST(ROUND(UNNEST(embedding) * {_QSCALE}) AS BIGINT) AS qv,
              generate_subscripts(embedding, 1) AS pos
       FROM train
     ),
-    bnorms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM bflat GROUP BY vec_id),
-    tnorms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM tflat GROUP BY vec_id),
+    bnorms AS (SELECT vec_id, SUM(qv * qv) AS qn FROM bflat GROUP BY vec_id),
+    tnorms AS (SELECT vec_id, SUM(qv * qv) AS qn FROM tflat GROUP BY vec_id),
     dots AS (
-      SELECT b.vec_id AS bench_id, t.vec_id AS vec_id, SUM(b.v * t.v) AS dot
+      SELECT b.vec_id AS bench_id, t.vec_id AS vec_id, SUM(b.qv * t.qv) AS qdot
       FROM bflat b JOIN tflat t ON b.pos = t.pos
       GROUP BY 1, 2
     ),
     hits AS (
-      SELECT dots.vec_id AS vec_id, ROUND(dot / (nb.nrm * nt.nrm), 6) AS cosine
+      SELECT dots.vec_id AS vec_id,
+             ROUND(CAST(qdot AS DOUBLE)
+                   / (SQRT(CAST(nb.qn AS DOUBLE))
+                      * SQRT(CAST(nt.qn AS DOUBLE))), 6) AS cosine
       FROM dots JOIN bnorms nb ON nb.vec_id = bench_id
                 JOIN tnorms nt ON nt.vec_id = dots.vec_id
-      WHERE ROUND(dot / (nb.nrm * nt.nrm), 6) >= {_DECON_SEM_TAU}
+      WHERE ROUND(CAST(qdot AS DOUBLE)
+                  / (SQRT(CAST(nb.qn AS DOUBLE))
+                     * SQRT(CAST(nt.qn AS DOUBLE))), 6) >= {_DECON_SEM_TAU}
     )
     SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
            MAX(cosine) AS max_cosine
@@ -3013,7 +3020,13 @@ def decontaminate_semantic(spark, sf_dir):
     train docs (1.001-scaled copies of bench vectors — scaling
     preserves cosine, the `dedup_blocked_recall` recipe) must each
     surface with max_cosine 1.0, so a blocking, verify, or aggregation
-    regression flips the row red."""
+    regression flips the row red.
+
+    Round 13 (ADVICE r12): the verify cosine is the QUANTIZED
+    bit-exact kernel (_qdot/_qcos) on both sides — the emitted
+    max_cosine and the >= tau threshold were raw order-dependent
+    double sums before, the exact 1-ulp-flips-a-6dp-boundary failure
+    the round-7 note above documents."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bench = e.filter(F.col("vec_id") < _DECON_SEM_BENCH)
     planted = bench.filter(F.col("vec_id") < 20).select(
@@ -3033,22 +3046,30 @@ def decontaminate_semantic(spark, sf_dir):
         .unionByName(planted)
     )
     cents = _label_centroids(spark, sf_dir)
-    ab = _assign_nearest_centroid(with_norm(bench), cents, probes=2).select(
-        F.col("cell").alias("cell_b"),
-        F.col("vec_id").alias("bench_id"),
-        F.col("embedding").alias("eb"),
-        F.col("_norm").alias("nb"),
+    ab = (
+        _assign_nearest_centroid(with_norm(bench), cents, probes=2)
+        .select(
+            F.col("cell").alias("cell_b"),
+            F.col("vec_id").alias("bench_id"),
+            _qvec(F.col("embedding")).alias("qb"),
+        )
+        .withColumn("qbn", _qnorm2(F.col("qb")))
     )
-    at = _assign_nearest_centroid(with_norm(train), cents, probes=2).select(
-        F.col("cell").alias("cell_t"),
-        F.col("vec_id").alias("vec_id"),
-        F.col("embedding").alias("et"),
-        F.col("_norm").alias("nt"),
+    at = (
+        _assign_nearest_centroid(with_norm(train), cents, probes=2)
+        .select(
+            F.col("cell").alias("cell_t"),
+            F.col("vec_id").alias("vec_id"),
+            _qvec(F.col("embedding")).alias("qt"),
+        )
+        .withColumn("qtn", _qnorm2(F.col("qt")))
     )
-    cos = _dot(F.col("eb"), F.col("et")) / (F.col("nb") * F.col("nt"))
     hits = (
         ab.join(at, F.col("cell_b") == F.col("cell_t"))
-        .withColumn("cosine", F.round(cos, 6))
+        .withColumn(
+            "cosine",
+            _qcos(_qdot(F.col("qb"), F.col("qt")), F.col("qbn"), F.col("qtn")),
+        )
         .filter(F.col("cosine") >= _DECON_SEM_TAU)
         .select("bench_id", "vec_id", "cosine")
         .dropDuplicates(["bench_id", "vec_id"])  # multi-probe double-block

@@ -232,9 +232,8 @@ def stream_changelog_source(spark, sf_dir):
     out = (
         mirror.scan(virtual_column=None)
         .withColumn("multi_batch", F.lit(bool(multi_batch)))
-        .persist()
     )
-    out.count()  # materialize before the temp dirs are removed
+    out = out.localCheckpoint()  # materialize + CUT LINEAGE pre-rmtree (ADVICE r12)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -368,9 +367,8 @@ def stream_keyless_cdc(spark, sf_dir):
         .select(
             "_row_id", "n_nationkey", "n_name", "n_regionkey", "multi_batch"
         )
-        .persist()
     )
-    out.count()  # materialize before the temp dirs are removed
+    out = out.localCheckpoint()  # materialize + CUT LINEAGE pre-rmtree (ADVICE r12)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -468,9 +466,8 @@ def stream_rate_limited_source(spark, sf_dir):
         )
         .withColumn("multi_batch", F.lit(bool(batches > 1)))
         .withColumn("start_excluded", F.lit(bool(min_key >= 8)))
-        .persist()
     )
-    out.count()  # materialize before the temp dirs are removed
+    out = out.localCheckpoint()  # materialize + CUT LINEAGE pre-rmtree (ADVICE r12)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -548,9 +545,8 @@ def stream_mv_pipeline(spark, sf_dir):
             F.col("key_max").cast("long").alias("key_max"),
             F.lit(bool(n_batches[0] > 1)).alias("multi_batch"),
         )
-        .persist()
     )
-    out.count()  # materialize before the temp dirs are removed
+    out = out.localCheckpoint()  # materialize + CUT LINEAGE pre-rmtree (ADVICE r12)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -719,9 +715,8 @@ def stream_ivf_refresh(spark, sf_dir):
         streamed.agg(F.count("*").cast("long").alias("n_indexed"))
         .withColumn("multi_batch", F.lit(bool(multi_batch)))
         .crossJoin(match)
-        .persist()
     )
-    out.count()  # materialize before the temp dirs are removed
+    out = out.localCheckpoint()  # materialize + CUT LINEAGE pre-rmtree (ADVICE r12)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -927,7 +922,7 @@ def stream_incremental_dedup(spark, sf_dir):
             "band_state_matches",
         )
     )
-    out.count()  # materialize before the temp dirs are removed
+    out = out.localCheckpoint()  # materialize + CUT LINEAGE pre-rmtree (ADVICE r12)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -1109,9 +1104,8 @@ def stream_media_ingest(spark, sf_dir):
             "multi_batch",
             "features_match_full_rebuild",
         )
-        .persist()
     )
-    out.count()  # materialize before the temp dirs are removed
+    out = out.localCheckpoint()  # materialize + CUT LINEAGE pre-rmtree (ADVICE r12)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -1245,8 +1239,7 @@ def stream_reservoir_sample(spark, sf_dir):
         reservoir.scan(virtual_column=None)
         .withColumn("multi_batch", F.lit(bool(multi_batch)))
         .orderBy(F.asc("race_key"), F.asc("doc_id"))
-        .persist()
     )
-    out.count()  # materialize before the temp dirs are removed
+    out = out.localCheckpoint()  # materialize + CUT LINEAGE pre-rmtree (ADVICE r12)
     shutil.rmtree(base, ignore_errors=True)
     return out

@@ -338,7 +338,7 @@ def test_min_label_components_chain_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_knn_dedup_exchange_stays_narrow(spark):
+def test_knn_dedup_exchange_stays_narrow(spark, sf_dir):
     """Perf property pin (PERF.md round-12 second session): the blocked
     kNN candidate distinct must exchange ID rows only — the quantized
     64-long arrays re-attach AFTER the dedup. If someone reorders the
@@ -349,7 +349,7 @@ def test_knn_dedup_exchange_stays_narrow(spark):
     from hiveberg_spark.operators.simsearch import knn_graph_blocked_edges
     from hiveberg_spark.plans.inspect import explain_str
 
-    df = knn_graph_blocked_edges(spark, "/root/testdata/sf0.001")
+    df = knn_graph_blocked_edges(spark, sf_dir)
     plan = explain_str(df, "formatted")
     # formatted mode lists each node as "(n) NodeName" followed by
     # detail lines (Arguments, Output); examine every Exchange that
