@@ -456,9 +456,12 @@ def dedup_embedding_blocked(spark, sf_dir):
     )
 
 
+_RECALL_SEEDS = 200  # seeded truth subset: O(seeds·n), never O(n²)
+
+
 @query(
     "dedup_blocked_recall",
-    oracle="""
+    oracle=f"""
     WITH aug AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
       FROM embeddings
@@ -473,14 +476,15 @@ def dedup_embedding_blocked(spark, sf_dir):
     ),
     norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id),
     dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
-      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id != b.vec_id
+      WHERE a.vec_id < {_RECALL_SEEDS} OR a.vec_id >= 1000000
       GROUP BY 1, 2
     ),
     pairs AS (
-      SELECT vec_a, vec_b
-      FROM dots JOIN norms na ON na.vec_id = vec_a
-                JOIN norms nb ON nb.vec_id = vec_b
+      SELECT DISTINCT LEAST(va, vb) AS vec_a, GREATEST(va, vb) AS vec_b
+      FROM dots JOIN norms na ON na.vec_id = va
+                JOIN norms nb ON nb.vec_id = vb
       WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.5
     )
     SELECT COUNT(*) AS n_exact_pairs, COUNT(*) AS n_blocked_found,
@@ -491,15 +495,22 @@ def dedup_embedding_blocked(spark, sf_dir):
 def dedup_blocked_recall(spark, sf_dir):
     """The blocked dedup path's RECALL CONTRACT as a driver-checked row
     (round-4; VERDICT r3 #8): at the production threshold (0.5), the
-    multi-probe blocked path must find EVERY pair the exact all-pairs
-    baseline finds — the oracle hard-codes recall 1.0, so any silent
-    blocking miss turns this row red. Because the synthetic corpus has
-    almost no >=0.5 pairs, the corpus is augmented with 20 planted
-    duplicates (each a 1.001-scaled copy of an existing vector — scaling
-    preserves cosine exactly, so each plant forms a cosine-1.0 pair with
-    its original and inherits all its original's near-dup relations);
-    the augmentation is pure SQL on both engines, vectors kept in
-    double end-to-end so no float re-rounding can diverge."""
+    multi-probe blocked path must find EVERY pair the exact baseline
+    finds — the oracle hard-codes recall 1.0, so any silent blocking
+    miss turns this row red. Because the synthetic corpus has almost
+    no >=0.5 pairs, the corpus is augmented with 20 planted duplicates
+    (each a 1.001-scaled copy of an existing vector — scaling preserves
+    cosine exactly, so each plant forms a cosine-1.0 pair with its
+    original and inherits all its original's near-dup relations); the
+    augmentation is pure SQL on both engines, vectors kept in double
+    end-to-end so no float re-rounding can diverge.
+
+    Round 13 (VERDICT r12 #4): the truth side is SEEDED — exact pairs
+    incident to a fixed {_RECALL_SEEDS}-node query subset (plus every
+    plant), a broadcastable O(seeds·n) join instead of the repo's last
+    all-pairs O(n²) scan. The recall statistic keeps its power (every
+    planted pair is seed-incident, and the seeds sample the organic
+    >=0.5 pairs), and the truth leg itself now survives a 100x corpus."""
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -536,21 +547,28 @@ def dedup_blocked_recall(spark, sf_dir):
         .select("vec_a", "vec_b")
         .dropDuplicates()
     )
-    ea_side = aug.select(
-        F.col("vec_id").alias("vec_a"),
+    ea_side = aug.filter(
+        (F.col("vec_id") < _RECALL_SEEDS) | (F.col("vec_id") >= 1000000)
+    ).select(
+        F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
         F.col("_norm").alias("na"),
     )
     eb_side = aug.select(
-        F.col("vec_id").alias("vec_b"),
+        F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
         F.col("_norm").alias("nb"),
     )
     cos_exact = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     exact = (
-        ea_side.join(eb_side, F.col("vec_a") < F.col("vec_b"))
+        F.broadcast(ea_side)  # seeds + plants: fixed-size, broadcastable
+        .join(eb_side, F.col("va") != F.col("vb"))
         .filter(F.round(cos_exact, 6) >= 0.5)
-        .select("vec_a", "vec_b")
+        .select(
+            F.least("va", "vb").alias("vec_a"),
+            F.greatest("va", "vb").alias("vec_b"),
+        )
+        .dropDuplicates()
     )
     j = exact.join(
         blocked.withColumn("_hit", F.lit(1)), ["vec_a", "vec_b"], "left"
@@ -1987,46 +2005,46 @@ _KNN_GRAPH_RECALL_SQL = f"""
            CAST(COUNT(*) AS BIGINT) AS n_truth,
            TRUE AS recall_ok
     FROM ({_KNN_GRAPH_TOPK_SQL})
+    WHERE vid < {_RECALL_SEEDS}
 """
 
 
 @query("simsearch_knn_graph_recall", oracle=_KNN_GRAPH_RECALL_SQL)
 def simsearch_knn_graph_recall(spark, sf_dir):
     """Recall contract of the blocked k-NN graph against the exact
-    all-pairs graph (house pattern: dedup_blocked_recall). The O(n²)
-    truth computation lives ONLY here and in the oracle — the
-    registered graph operators themselves never run it. DuckDB
-    recomputes the truth-edge counts and pins recall_ok TRUE."""
+    graph (house pattern: dedup_blocked_recall). Round 13 (VERDICT r12
+    #4): the truth side is SEEDED — the exact top-k is computed for a
+    fixed {_RECALL_SEEDS}-node query subset against the FULL corpus
+    (neighbors still range over every vector), a broadcast-seed
+    O(seeds·n) join instead of the former all-pairs O(n²) scan that
+    cost 89s at sf0.1 and would never finish at 100x. The recall
+    statistic keeps its power: {_RECALL_SEEDS} nodes × top-{TOP_K}
+    edges is a 1000-edge sample of the same distribution, and the
+    0.55 bound sits far under the measured ~0.62 (1-probe breaks to
+    ~0.4, broken assignment to ~0.2). DuckDB recomputes the seeded
+    truth-edge counts and pins recall_ok TRUE."""
     from hiveberg_spark.caching import persist_tracked
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
-    # cosine is exactly symmetric here (identical elementwise products
-    # and fold order), so the truth scores HALF the ordered pairs and
-    # mirrors — the persisted half frame keeps the union's second
-    # branch a cache read, not a recompute (round-12 lesson: an
-    # un-persisted union defeats exchange reuse)
-    half = persist_tracked(
-        a.join(b, F.col("vid") < F.col("nb")).select(
-            "vid",
-            "nb",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
-                6,
-            ).alias("cosine"),
-        )
+    a = emb.filter(F.col("vec_id") < _RECALL_SEEDS).select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("va")
     )
-    sims = half.union(half.select("nb", "vid", "cosine"))
+    b = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
+    sims = F.broadcast(a).join(b, F.col("vid") != F.col("nb")).select(
+        "vid",
+        "nb",
+        F.round(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        ).alias("cosine"),
+    )
     w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("nb"))
     truth = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("vid", "nb")
     )
-    from hiveberg_spark.caching import persist_tracked
-
     # persisted for the same reason as embedding_hubness_audit: a
     # single inline consumption under the truth join replans worse
     # than materialize-then-join (round 12, PERF.md)
