@@ -23,13 +23,15 @@ from hiveberg_spark.registry import query
 
 @query(
     "filter_eq",
-    oracle="SELECT n_nationkey, n_name FROM nation WHERE n_name = 'CHINA'",
+    oracle="SELECT n_nationkey, n_name FROM nation WHERE n_name = 'NATION_7'",
 )
 def filter_eq(spark, sf_dir):
-    """= leaf (IcebergFilterFactory.java:138-139)."""
+    """= leaf (IcebergFilterFactory.java:138-139). Literal is a fixture
+    nation name (round 13 — 'CHINA' matched nothing, so the driver row
+    passed vacuously at 0=0)."""
     return (
         load_table(spark, sf_dir, "nation")
-        .filter(F.col("n_name") == "CHINA")
+        .filter(F.col("n_name") == "NATION_7")
         .select("n_nationkey", "n_name")
     )
 

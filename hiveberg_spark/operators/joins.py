@@ -106,13 +106,20 @@ def join_left_semi(spark, sf_dir):
     "join_left_anti",
     oracle="""
     SELECT c_custkey FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
     """,
 )
 def join_left_anti(spark, sf_dir):
-    """NOT EXISTS rewrite."""
+    """NOT EXISTS rewrite. The anti side filters to >450k orders
+    (round 13): every fixture customer has SOME order, so the
+    unfiltered anti-join returned 0 rows and the driver row certified
+    only schema — now ~1/3 of customers survive at every SF and both
+    legs are load-bearing."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 

@@ -1333,3 +1333,128 @@ def multimodal_binary_ingest(spark, sf_dir):
     out = out.localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+# -- partition-pruned binaryFile ingest (round 13, VERDICT r12 #8) --------------
+
+_BINPART_CAP = 48
+
+
+@query(
+    "multimodal_partitioned_ingest",
+    oracle=f"""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 396
+                    ELSE 44 + 320 * (4 + doc_id % 4) END) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8000 END) AS BIGINT)
+             AS dim_or_rate_sum
+    FROM documents WHERE doc_id < {_BINPART_CAP}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def multimodal_partitioned_ingest(spark, sf_dir):
+    """PARTITION-PRUNED media-lake ingestion (VERDICT r12 #8 — the
+    catalog-realism step past `multimodal_binary_ingest`'s flat dir):
+    media files land in a NESTED hive-layout tree
+    (`modality=image/`, `modality=audio/`, `modality=corrupt/`, with a
+    stray `README.txt` inside a media dir), `spark.read.format
+    ("binaryFile")` discovers `modality` as a partition column, and
+    the query filters `modality IN (image, audio)` + reads through
+    `pathGlobFilter=[0-9]*`.
+
+    Pruning is proven AT RUNTIME, not just by plan shape: every file
+    outside the predicate is POISON — the corrupt partition holds
+    payloads `decode_media` RAISES on, and so does the README — so if
+    partition pruning or the glob filter ever silently stopped
+    excluding them, decode would throw and the row would go red (the
+    plan-level PartitionFilters assertion lives in
+    tests/test_round13_ops.py). The oracle pins per-modality file
+    counts, byte totals, and a decoded field (image width / audio
+    sample rate) in closed form from doc_id arithmetic. Scale: on an
+    object store this is the difference between listing two prefixes
+    and listing the whole media lake — partition pruning happens at
+    FILE LISTING time, before a single byte of media is read."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import numpy as np
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"hbs_binpart_{uuid.uuid4().hex[:10]}"
+    )
+    img_dir = os.path.join(base, "modality=image")
+    aud_dir = os.path.join(base, "modality=audio")
+    bad_dir = os.path.join(base, "modality=corrupt")
+    for p in (img_dir, aud_dir, bad_dir):
+        os.makedirs(p)
+    W, H = 16, 8
+    FRAME = 160
+    for doc in range(_BINPART_CAP):
+        if doc % 2 == 0:
+            basev = (
+                np.arange(W, dtype=np.uint8)
+                if doc % 4 == 0
+                else np.arange(W - 1, -1, -1, dtype=np.uint8)
+            )
+            pix = np.repeat(np.tile(basev, (H, 1))[:, :, None], 3, axis=2)
+            payload = b"P6\n%d %d\n255\n" % (W, H) + pix.tobytes()
+            path = os.path.join(img_dir, f"{doc:05d}.ppm")
+        else:
+            amp = 500 + doc % 300
+            n_frames = 4 + doc % 4
+            sig = np.tile(
+                np.array([amp, -amp], dtype=np.int16), n_frames * FRAME // 2
+            )
+            payload = encode_wav(sig, rate=8000)
+            path = os.path.join(aud_dir, f"{doc:05d}.wav")
+        with open(path, "wb") as f:
+            f.write(payload)
+    # poison: anything outside the predicate would make decode raise
+    for i in range(4):
+        with open(os.path.join(bad_dir, f"{i:05d}.bin"), "wb") as f:
+            f.write(b"NOT-A-MEDIA-PAYLOAD-%d" % i)
+    with open(os.path.join(img_dir, "README.txt"), "wb") as f:
+        f.write(b"media drop folder - do not decode")
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "[0-9]*")
+        .load(base)
+        .filter(F.col("modality").isin("image", "audio"))
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for length, content in zip(pdf["length"], pdf["content"]):
+                d = decode_media(bytes(content))
+                dim_or_rate = (
+                    int(d["width"])
+                    if d["kind"] == "image"
+                    else int(d["sample_rate"])
+                )
+                rows.append((d["kind"], int(length), dim_or_rate))
+            yield pd.DataFrame(
+                rows, columns=["modality", "n_bytes", "dim_or_rate"]
+            )
+
+    out = (
+        raw.select("length", "content")
+        .mapInPandas(
+            _decode, schema="modality string, n_bytes long, dim_or_rate long"
+        )
+        .groupBy("modality")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("dim_or_rate").cast("long").alias("dim_or_rate_sum"),
+        )
+        .orderBy("modality")
+    )
+    # localCheckpoint: materialize + cut lineage BEFORE the tree is
+    # removed (the ADVICE r12 discipline all temp-dir ops follow)
+    out = out.localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -104,15 +104,21 @@ def set_intersect(spark, sf_dir):
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_suppkey < 8
     """,
 )
 def set_except(spark, sf_dir):
+    """EXCEPT (distinct). The supplier side restricts to the first 8
+    suppliers (round 13): the fixture's suppliers cover every nation,
+    so the unrestricted EXCEPT was empty and the driver row passed
+    vacuously — 17 nations now survive at every SF."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 8)
+        .select(F.col("s_nationkey").alias("nationkey"))
     )
     # subtract == SQL EXCEPT (distinct); exceptAll is bag semantics
     return c.subtract(s)

@@ -57,95 +57,20 @@ def load_all() -> None:
 
 
 # The grading driver hard-checks the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round. Round 12's window is exactly
-# what VERDICT r11 #1-#2 prescribed: ALL 12 DEFERRED_TO_NEXT_WINDOW
-# names lead (the last 4 never-driver-checked queries + the code-changed
-# re-checks: dedup_embedding_cosine's IVF-blocked registered form,
-# q18's agg-below-join rewrite, the band sweep's data-column recall
-# counts — plus pipeline_embedding_backfill whose empty-batch norm
-# audit carries this round's ADVICE coalesce fix), then the 33 stale
-# round-3 driver rows (the reference's core HiveSQL surface: TPC-H
-# pipelines, subqueries, scalar batteries — untouched since round 3),
-# then the 5 highest-value round-4 rows to start that tier's rotation.
+# ``__spark_entry__.queries()`` per round. Round 13's window executes
+# VERDICT r12 #1 plus this round's code-changed re-checks: the full
+# round-12 DEFERRED queue leads (the chi-square re-check, the 26
+# round-4-era stale rows, the 11 round-12 operators the driver has
+# never certified), then every query whose code changed in round 13
+# (the three de-vacuized rows, the two seeded recall truth legs, the
+# five stream queries that moved to localCheckpoint-before-rmtree, the
+# incremental-dedup consumer of the single-pass build), then one
+# round-5 stale rotation to fill the 50th slot.
 DRIVER_WINDOW: list[str] = [
-    # --- the 12 DEFERRED_TO_NEXT_WINDOW names from round 11, in queue
-    # order (VERDICT r11 #1): r10 spillover, round-2 multimodal
-    # rotations, code-changed re-checks, r11 additions
-    "pipeline_quality_token_tradeoff",
-    "dedup_minhash_band_sweep",
-    "sample_per_stratum_cap",
-    "sample_temperature_mixture",
-    "simsearch_knn_graph_blocked",
-    "multimodal_metadata",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "dedup_embedding_cosine",
-    "dedup_incremental_snapshot",
-    "pipeline_embedding_backfill",
-    "q18_large_volume_customer",
-    # --- round-3 stale tier (33 names; latest driver rows all date to
-    # round 3 — VERDICT r11 #2): TPC-H pipelines first
-    "q2_min_cost_per_brand",
-    "q7_volume_by_nation_pair",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_delay_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_cnt_excl",
-    "q17_small_quantity_revenue",
-    "q19_or_of_ands",
-    "q20_nested_in_chain",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # subquery family
-    "subquery_scalar",
-    "subquery_correlated_exists",
-    "subquery_in_notin",
-    # scalar function batteries
-    "scalar_math_funcs",
-    "scalar_conditional",
-    "scalar_array_funcs",
-    "scalar_map_funcs",
-    "scalar_json_funcs",
-    "explode_posexplode",
-    "window_ignore_nulls",
-    # formats + pipeline ops still on round-3 rows
-    "format_csv_roundtrip",
-    "format_json_roundtrip",
-    "batch_sessionize",
-    "token_budget_packing",
-    "sketch_hll_partitioned_merge",
-    "storage_zorder_locality",
-    "decontaminate_ngram_overlap",
-    "text_repetition_filter",
-    # --- start of the round-4 tier rotation (5 highest-value rows:
-    # core as-of join, MinHash LSH, schema evolution, stream-stream
-    # join, SQL time-travel surface)
-    "asof_join_events",
-    "dedup_minhash_lsh",
-    "snapshot_schema_evolution",
-    "stream_stream_join",
-    "timetravel_sql_surface",
-]
-
-# Positions 51+: round-13's window leads with these — the round-12
-# code-changed re-check first, then the remaining 26 round-4-era rows
-# (the stalest tier after this window lands), then round-12 operator
-# additions appended as they are built (the operator-freeze discipline:
-# new ops NEVER enter the live window mid-round).
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    # round-12 code-changed re-check: the chi-square overflow guard now
-    # also gates the decimal(38,0) denominator t*r*c (ADVICE r11); the
-    # r11 driver row predates the tightened guard
+    # --- round-12 code-changed re-check (denominator guard)
     "events_chisq_type_dow",
-    # round-4 tier remainder (stalest driver rows once the r12 window
-    # lands), registration-order
+    # --- round-4 tier remainder (stalest certified rows)
     "dedup_cluster_pick",
-    # (dedup_embedding_blocked's round-4 registration was subsumed into
-    # dedup_embedding_cosine in r11 — no longer a registry name)
     "doc_chunking",
     "empty_table_scan",
     "events_hourly_rollup",
@@ -169,58 +94,88 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "timetravel_current",
     "timetravel_isolation",
     "timetravel_where_shim",
-    "virtual_column_rename",
-    # --- round-12 additions (operator freeze: appended here, never
-    # into the live window mid-round) ---
-    # VERDICT r11 #8: the incremental-dedup bench split into BUILD
-    # (fresh state tables every run) and SERVE (warm fixture) trackers,
-    # each oracle-backed
+    # --- the 11 round-12 operators, never driver-certified
     "dedup_incremental_build_bench",
     "dedup_incremental_serve_bench",
-    # VERDICT r11 #4: the streaming leg of the incremental-dedup triad
-    # (checkpointed foreachBatch tail over the corpus table, exact +
-    # near tiers per micro-batch, set-equality vs batch rebuild)
     "stream_incremental_dedup",
-    # VERDICT r11 #5: image near-dup pipeline — real-decode ahash,
-    # hamming-banded blocking, exact verify, keep-min cluster pick,
-    # under a closed-form planted-duplicate oracle
     "dedup_image_ahash",
-    # round-12 (second session): the audio and video legs completing
-    # the multimodal dedup tier — audio via energy-envelope
-    # fingerprint through the SAME shared banding/verify/cluster
-    # kernels as the image leg; video via frame-hash voting (df-capped
-    # equi-join + shared-frame threshold), where the trailing-clip
-    # members drop out exactly at the vote boundary so the threshold
-    # itself is oracle-load-bearing
     "dedup_audio_fp",
     "dedup_video_framehash",
-    # round-12 (second session): streaming leg of the multimodal tier —
-    # decode-on-ingest feature extraction (per-commit micro-batches
-    # really RIFF-decode only that commit's clips and append features
-    # O(new); set-equality audit vs a from-scratch featurize)
     "stream_media_ingest",
-    # round-12 (second session): streaming leg of the weighted-sampling
-    # tier — A-Res race keys are per-doc deterministic, so top-K is an
-    # associative fold: per commit, key only scan_changes rows, merge
-    # with the stored K-row reservoir, overwrite; final state pinned
-    # row-for-row against the batch A-Res SQL
     "stream_reservoir_sample",
-    # round-12 (second session): embedding-level benchmark
-    # decontamination — blocked cross-side join on the certified IVF
-    # kernels, exact all-pairs oracle, 20 planted 1.001-scaled
-    # contaminated train docs keep the contract non-vacuous
     "decontaminate_semantic",
-    # round-12 (second session): star-contraction components — the
-    # O(log n)-round large-star/small-star algorithm as a second
-    # driver-hashed kernel against the same recursive-CTE truth as
-    # dedup_cluster_components (chain graphs: log rounds vs diameter)
     "dedup_cluster_star",
-    # round-12 (second session): SURVEY §2.11's named media-read
-    # primitive exercised for real — spark.read.format("binaryFile")
-    # over actually-written mixed PPM/WAV files, magic-byte dispatch +
-    # decode in mapInPandas, byte sizes and a decoded field per
-    # modality oracle-pinned
     "multimodal_binary_ingest",
+    # --- round-13 code-changed re-checks: de-vacuized rows (fixture
+    # literals retuned so 0=0 passes become value-bearing — the three
+    # VERDICT r12 #2 named plus the three other 0-row passes a sweep of
+    # every round's CORRECTNESS found)...
+    "q7_volume_by_nation_pair",
+    "subquery_scalar",
+    "subquery_in_notin",
+    "filter_eq",
+    "join_left_anti",
+    "set_except",
+    # ...the seeded recall truth legs (VERDICT r12 #4)...
+    "dedup_blocked_recall",
+    "simsearch_knn_graph_recall",
+    # ...the localCheckpoint-before-rmtree stream queries (ADVICE r12)...
+    "stream_changelog_source",
+    "stream_keyless_cdc",
+    "stream_rate_limited_source",
+    "stream_mv_pipeline",
+    "stream_ivf_refresh",
+    # ...and the consumer of the single-pass state build (VERDICT r12 #5)
+    "dedup_incremental_snapshot",
+]
+
+# Positions 51+: round-14's window leads with these — the remaining
+# round-5-era stale rows (the stalest tier once the r13 window lands),
+# then round-13 operator additions appended as they are built (the
+# operator-freeze discipline: new ops NEVER enter the live window
+# mid-round).
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    # the round-4 row bumped from the r13 window to make room for the
+    # third de-vacuized re-check, and the round-5 tier (latest driver
+    # rows all date to round 5; dedup_blocked_recall rotated into the
+    # r13 window as a code-changed re-check), staleness order
+    "virtual_column_rename",
+    "timetravel_as_of_timestamp",
+    "simsearch_bruteforce_topk",
+    "timetravel_sql_version_as_of",
+    "snapshot_maintenance_ops",
+    "snapshot_rollback",
+    "format_avro_roundtrip",
+    "simsearch_sq8_rerank",
+    "snapshot_avro_prune",
+    "snapshot_format_migration",
+    "stream_static_join",
+    "snapshot_expire_history",
+    "snapshot_tags",
+    "snapshot_history_table",
+    "snapshot_branch_wap",
+    "snapshot_branch_dml_wap",
+    "snapshot_entries_table",
+    "snapshot_time_transforms",
+    "stream_branch_wap",
+    "snapshot_partition_evolution",
+    "snapshot_partitions_table",
+    "stream_upsert_sink",
+    "snapshot_table_properties",
+    "decontaminate_minhash_lsh",
+    "pipeline_corpus_build",
+    "snapshot_metadata_log",
+    "snapshot_zorder_table",
+    "stream_scd_enrichment",
+    "snapshot_refs_and_views",
+    "snapshot_add_files",
+    "snapshot_table_stats",
+    # --- round-13 additions (operator freeze: appended here, never
+    # into the live window mid-round) ---
+    # VERDICT r12 #8: partition-pruned binaryFile media-lake ingest —
+    # hive-layout modality dirs, PartitionFilters-level pruning proven
+    # at runtime by poison files in the pruned partitions
+    "multimodal_partitioned_ingest",
 ]
 
 

@@ -120,3 +120,30 @@ def test_media_summary_survives_deep_chain(spark):
     assert row.n_clusters == 1
     assert row.keeper_id_sum == 0
     assert row.n_removed == n - 1
+
+
+def test_binaryfile_partition_pruning_in_plan(spark, tmp_path):
+    """The binaryFile source must prune hive-layout partitions at plan
+    time: the modality predicate lands in PartitionFilters (file
+    listing skips the pruned prefix entirely), not as a post-scan
+    Filter over already-read bytes."""
+    from hiveberg_spark.plans.inspect import explain_str
+
+    for mod in ("image", "audio", "corrupt"):
+        d = tmp_path / f"modality={mod}"
+        d.mkdir()
+        (d / "00001.bin").write_bytes(b"x" * 8)
+    df = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .filter(F.col("modality").isin("image", "audio"))
+        .select("path", "length")
+    )
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "modality" in seg, seg
+    # and the pruned listing really excludes the corrupt prefix
+    paths = [r.path for r in df.collect()]
+    assert len(paths) == 2
+    assert not any("corrupt" in p for p in paths)
