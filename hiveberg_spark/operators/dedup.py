@@ -215,6 +215,66 @@ def ngram_jaccard_pairs(
     return _verified_pairs(cands.select("doc_a", "doc_b"), sh, threshold)
 
 
+# -- prefix filtering (second exact-Jaccard kernel, round 13) -----------------
+
+
+@query("dedup_jaccard_prefix_filter", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_jaccard_prefix_filter(spark, sf_dir):
+    """PREFIX-FILTERING near-dup pairs — the SSJoin/PPJoin candidate
+    scheme (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08, both public)
+    as a SECOND independent kernel certified against the SAME oracle
+    as `dedup_ngram_jaccard` (the house second-algorithm discipline:
+    two different candidate generators must converge on the identical
+    exact-Jaccard pair set, so a regression in either blocking scheme
+    flips one row red while the other stays green).
+
+    Scheme: order each doc's shingles by ascending GLOBAL document
+    frequency (rarest first; ties on the shingle string so the order
+    is total and deterministic), index only the first
+    |S| - ceil(t·|S|) + 1 of them, and generate candidates from
+    prefix-token collisions alone — any pair with Jaccard >= t shares
+    a prefix token (the prefix-filter theorem), then exact-verify.
+
+    Scale: structurally complementary to the DF-capped inverted index —
+    prefixes hold each doc's RAREST shingles, so hot stop-shingles
+    almost never enter the index at all (no cap needed, no recall
+    bound to reason about), and candidate space is Σ df(prefix-token)²
+    over rare tokens. One extra shuffle vs the DF-cap path (the global
+    DF join + per-doc rank window) buys that skew-immunity."""
+    return jaccard_prefix_filter_pairs(
+        persist_tracked(shingled(load_table(spark, sf_dir, "documents"))),
+        JACCARD_THRESHOLD,
+    )
+
+
+def jaccard_prefix_filter_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs via prefix-filtered candidate generation."""
+    from pyspark.sql import Window as W
+
+    tok = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = (
+        tok.join(dfreq, "s")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "s")
+    )
+    cands = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verified_pairs(cands, sh, threshold)
+
+
 # -- MinHash + LSH (the scale path) -------------------------------------------
 
 _N_PERM = 64

@@ -176,6 +176,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # hive-layout modality dirs, PartitionFilters-level pruning proven
     # at runtime by poison files in the pruned partitions
     "multimodal_partitioned_ingest",
+    # round 13: prefix-filtering (SSJoin/PPJoin) as a SECOND exact-
+    # Jaccard candidate kernel against dedup_ngram_jaccard's oracle;
+    # skew-immune (prefixes index only each doc's rarest shingles)
+    "dedup_jaccard_prefix_filter",
 ]
 
 

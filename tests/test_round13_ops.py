@@ -147,3 +147,42 @@ def test_binaryfile_partition_pruning_in_plan(spark, tmp_path):
     paths = [r.path for r in df.collect()]
     assert len(paths) == 2
     assert not any("corrupt" in p for p in paths)
+
+
+def test_prefix_filter_matches_inverted_index(spark):
+    """Property: prefix filtering and the DF-capped inverted index are
+    two candidate schemes for the SAME exact-Jaccard pair set — on any
+    shingle-set corpus they must return identical pairs (both verify
+    exactly, so only a candidate-generation miss could diverge)."""
+    import random
+
+    from hiveberg_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for doc in range(60):
+        if doc % 3 == 0 and doc > 0:
+            # near-copy of a previous doc: drop/add one shingle
+            base = list(rows[doc - 1][1])
+            if len(base) > 4:
+                base.pop(rng.randrange(len(base)))
+            rows.append((doc, sorted(set(base))))
+        else:
+            k = rng.randint(3, 12)
+            rows.append((doc, sorted(set(rng.sample(vocab, k)))))
+    sh = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    for t in (0.5, 0.8):
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in jaccard_prefix_filter_pairs(sh, t).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(sh, t).collect()
+        }
+        assert got == want, (t, got ^ want)
+        assert want, f"vacuous at t={t}"  # fixture must produce pairs
