@@ -115,6 +115,11 @@ HEADLINE = [
     # round 11: documents→embeddings backfill — anti-join coverage gap,
     # featurize O(missing), snapshot append + audit
     "pipeline_embedding_backfill",
+    # round 13: prefix-filtering exact-Jaccard (the second candidate
+    # kernel vs dedup_ngram_jaccard's inverted index — same verified
+    # output, different blocking; tracking both keeps the cheaper
+    # scheme honest about its candidate volume round-over-round)
+    "dedup_jaccard_prefix_filter",
 ]
 
 
