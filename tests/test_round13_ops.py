@@ -186,3 +186,41 @@ def test_prefix_filter_matches_inverted_index(spark):
         }
         assert got == want, (t, got ^ want)
         assert want, f"vacuous at t={t}"  # fixture must produce pairs
+
+
+def test_prefix_filter_theorem_bruteforce(spark):
+    """Property (hypothesis): on ANY family of shingle sets and any
+    threshold, the prefix-filtered pairs equal the brute-force exact-
+    Jaccard pairs — the prefix-filter theorem (a >=t pair always shares
+    a token in BOTH prefixes under one global order) may never lose a
+    pair, and verify may never keep one below threshold."""
+    from hypothesis import given, settings, strategies as st
+
+    from hiveberg_spark.operators.dedup import jaccard_prefix_filter_pairs
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.sets(st.sampled_from([f"t{i}" for i in range(12)]),
+                    min_size=1, max_size=8),
+            min_size=2, max_size=10,
+        ),
+        st.sampled_from([0.3, 0.5, 0.8, 0.9]),
+    )
+    def _inner(sets, t):
+        rows = [(i, sorted(s)) for i, s in enumerate(sets)]
+        sh = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_prefix_filter_pairs(sh, t).collect()
+        }
+        expect = set()
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                inter = len(sets[i] & sets[j])
+                jac = round(inter / (len(sets[i] | sets[j])), 6)
+                if jac >= t:
+                    expect.add((i, j))
+        assert got == expect, (t, sets, got ^ expect)
+
+    _inner()
