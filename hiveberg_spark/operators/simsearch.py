@@ -547,7 +547,7 @@ def dedup_blocked_recall(spark, sf_dir):
         .select("vec_a", "vec_b")
         .dropDuplicates()
     )
-    ea_side = aug.filter(
+    seeds = aug.filter(
         (F.col("vec_id") < _RECALL_SEEDS) | (F.col("vec_id") >= 1000000)
     ).select(
         F.col("vec_id").alias("va"),
@@ -561,7 +561,7 @@ def dedup_blocked_recall(spark, sf_dir):
     )
     cos_exact = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     exact = (
-        F.broadcast(ea_side)  # seeds + plants: fixed-size, broadcastable
+        F.broadcast(seeds)  # 200 seeds + 20 plants: fixed size at ANY SF
         .join(eb_side, F.col("va") != F.col("vb"))
         .filter(F.round(cos_exact, 6) >= 0.5)
         .select(
@@ -2026,11 +2026,11 @@ def simsearch_knn_graph_recall(spark, sf_dir):
     from hiveberg_spark.caching import persist_tracked
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.filter(F.col("vec_id") < _RECALL_SEEDS).select(
+    seeds = emb.filter(F.col("vec_id") < _RECALL_SEEDS).select(
         F.col("vec_id").alias("vid"), F.col("embedding").alias("va")
     )
     b = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
-    sims = F.broadcast(a).join(b, F.col("vid") != F.col("nb")).select(
+    sims = F.broadcast(seeds).join(b, F.col("vid") != F.col("nb")).select(
         "vid",
         "nb",
         F.round(

@@ -126,6 +126,9 @@ def test_no_forced_broadcast_on_fact_tables():
         "map_df",   # file -> (first_row_id, seq) map (row lineage)
         "stats",    # one-row corpus (N, V) scalars (perplexity proxy)
         "boiler",   # boilerplate segments: DF>=3 vocabulary, bounded
+        # recall-contract truth query sets: _RECALL_SEEDS (200) rows +
+        # the 20 plants — fixed cardinality at ANY SF by construction
+        "seeds",
         "cells",    # CMS bucket sums: exactly _CMS_W rows per hash row
         "mom",      # CUPED pooled moments: one-row aggregate
         "level_row",  # water-filling level: one-row aggregate
