@@ -259,7 +259,10 @@ def jaccard_prefix_filter_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
     )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    prefix = (
+    # persisted: BOTH sides of the candidate self-join consume this
+    # frame — without the persist the whole DF-join + rank-window
+    # pipeline plans (and runs) twice (the round-12 self-join lesson)
+    prefix = persist_tracked(
         tok.join(dfreq, "s")
         .withColumn("rk", rk)
         .filter(F.col("rk") <= prefix_len)
