@@ -247,8 +247,16 @@ def dedup_jaccard_prefix_filter(spark, sf_dir):
     )
 
 
-def jaccard_prefix_filter_pairs(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard pairs via prefix-filtered candidate generation."""
+def jaccard_prefix_filter_pairs(
+    sh: DataFrame, threshold: float, stats: dict | None = None
+) -> DataFrame:
+    """Exact Jaccard pairs via prefix-filtered candidate generation.
+
+    `stats` (tests) receives n_prefix_postings / n_candidates — the
+    measurable form of the skew-immunity claim: a stop-shingle shared
+    by every doc enters a doc's prefix only when it is among that
+    doc's |S|-ceil(t|S|)+1 RAREST shingles, so hot tokens drive
+    candidate volume only for near-empty docs."""
     from pyspark.sql import Window as W
 
     tok = sh.select(
@@ -275,6 +283,10 @@ def jaccard_prefix_filter_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if stats is not None:
+        stats["n_prefix_postings"] = prefix.count()
+        cands = persist_tracked(cands)
+        stats["n_candidates"] = cands.count()
     return _verified_pairs(cands, sh, threshold)
 
 

@@ -224,3 +224,34 @@ def test_prefix_filter_theorem_bruteforce(spark):
         assert got == expect, (t, sets, got ^ expect)
 
     _inner()
+
+
+def test_prefix_filter_skew_immunity(spark):
+    """The scale claim, measured: 1000 docs all share one HOT shingle
+    (an inverted index would put 1000 postings in that bucket —
+    ~500k candidate pairs); the prefix kernel indexes each doc's single
+    RAREST shingle at t=0.8 (prefix_len = 4 - ceil(3.2) + 1 = 1), so
+    the hot token never enters the index and candidates collapse to
+    the planted duplicate pairs only."""
+    from hiveberg_spark.operators.dedup import jaccard_prefix_filter_pairs
+
+    rows = []
+    for d in range(1000):
+        # 4 shingles: the global HOT one + 3 unique-to-doc ones ...
+        sh = ["HOT", f"a{d}", f"b{d}", f"c{d}"]
+        if d % 100 == 1:
+            # ... except every 100th doc duplicates its predecessor
+            # exactly (jaccard 1.0 >= 0.8)
+            sh = ["HOT", f"a{d-1}", f"b{d-1}", f"c{d-1}"]
+        rows.append((d, sorted(set(sh))))
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    stats: dict = {}
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_filter_pairs(df, 0.8, stats=stats).collect()
+    }
+    assert pairs == {(100 * k, 100 * k + 1) for k in range(10)}
+    # one prefix posting per doc, and candidates = exactly the 10
+    # duplicate pairs — the hot bucket contributed NOTHING
+    assert stats["n_prefix_postings"] == 1000, stats
+    assert stats["n_candidates"] == 10, stats
