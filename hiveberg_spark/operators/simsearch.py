@@ -427,31 +427,46 @@ def dedup_embedding_blocked(spark, sf_dir):
     nearest cells, so a near-dup pair straddling a cell boundary is
     still co-blocked when either vector's second choice is the other's
     cell — the standard IVF cure for silent boundary misses, at 2×
-    candidate cost. Duplicated candidates (pairs sharing both cells)
-    collapse via dropDuplicates on the pair key. Containment in the
-    exact result + recall are asserted in tests."""
-    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    candidate cost. Containment in the exact result + recall are
+    asserted in tests.
+
+    Round 13: candidate pairs stay NARROW (ids only) through the cell
+    join + dropDuplicates — the 64-float arrays re-attach AFTER the
+    dedup, so the pair exchange carries id rows instead of ~1 KB ones
+    and a double-blocked pair (sharing both probed cells) scores its
+    cosine ONCE, not twice (the knn_graph_blocked_edges lesson,
+    PERF.md round 12)."""
+    from hiveberg_spark.caching import persist_tracked
+
+    e = persist_tracked(with_norm(load_table(spark, sf_dir, "embeddings")))
     cents = _label_centroids(spark, sf_dir)
-    assigned = _assign_nearest_centroid(e, cents, probes=2)
-    a = assigned.select(
-        F.col("cell").alias("cell_a"),
+    assigned = persist_tracked(
+        _assign_nearest_centroid(e, cents, probes=2).select("cell", "vec_id")
+    )  # consumed by BOTH sides of the candidate self-join
+    pairs = (
+        assigned.select("cell", F.col("vec_id").alias("vec_a"))
+        .join(assigned.select("cell", F.col("vec_id").alias("vec_b")), "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
+    )
+    va = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("_norm").alias("na"),
     )
-    b = assigned.select(
-        F.col("cell").alias("cell_b"),
+    vb = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("_norm").alias("nb"),
     )
     cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= 0.5)
         .select("vec_a", "vec_b", "cosine")
-        .dropDuplicates(["vec_a", "vec_b"])
         .orderBy("vec_a", "vec_b")
     )
 
