@@ -635,32 +635,37 @@ def dedup_semdedup(spark, sf_dir):
             "embedding"
         ),
     )
-    aug = with_norm(base.unionByName(dups))
-    assigned = _assign_nearest_centroid(
-        aug, _label_centroids(spark, sf_dir), probes=2
+    from hiveberg_spark.caching import persist_tracked
+
+    aug = persist_tracked(with_norm(base.unionByName(dups)))
+    assigned = persist_tracked(
+        _assign_nearest_centroid(
+            aug, _label_centroids(spark, sf_dir), probes=2
+        ).select("cell", "vec_id")
+    )  # both sides of the candidate self-join (round-13 narrow-pair rule)
+    cand = (
+        assigned.select("cell", F.col("vec_id").alias("doc_a"))
+        .join(assigned.select("cell", F.col("vec_id").alias("doc_b")), "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
     )
-    a = assigned.select(
-        F.col("cell").alias("cell_a"),
+    va = aug.select(
         F.col("vec_id").alias("doc_a"),
         F.col("embedding").alias("ea"),
         F.col("_norm").alias("na"),
     )
-    b = assigned.select(
-        F.col("cell").alias("cell_b"),
+    vb = aug.select(
         F.col("vec_id").alias("doc_b"),
         F.col("embedding").alias("eb"),
         F.col("_norm").alias("nb"),
     )
     cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(
-            b,
-            (F.col("cell_a") == F.col("cell_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
         .filter(F.round(cos, 6) >= 0.95)
         .select("doc_a", "doc_b")
-        .dropDuplicates()
     )
     labels = label_components(pairs)
     return (

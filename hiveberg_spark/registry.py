@@ -139,6 +139,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # was already set when the narrow-pair rewrite landed): re-check
     # dedup_embedding_cosine first in r14
     "dedup_embedding_cosine",
+    "dedup_semdedup",
     # the round-4 row bumped from the r13 window to make room for the
     # third de-vacuized re-check, and the round-5 tier (latest driver
     # rows all date to round 5; dedup_blocked_recall rotated into the
