@@ -536,31 +536,36 @@ def dedup_blocked_recall(spark, sf_dir):
             "embedding"
         ),
     )
-    aug = with_norm(base.unionByName(dups))
+    from hiveberg_spark.caching import persist_tracked
+
+    aug = persist_tracked(with_norm(base.unionByName(dups)))
     cents = _label_centroids(spark, sf_dir)
-    assigned = _assign_nearest_centroid(aug, cents, probes=2)
-    a = assigned.select(
-        F.col("cell").alias("cell_a"),
+    assigned = persist_tracked(
+        _assign_nearest_centroid(aug, cents, probes=2).select("cell", "vec_id")
+    )  # both sides of the candidate self-join (round-13 narrow-pair rule)
+    cand = (
+        assigned.select("cell", F.col("vec_id").alias("vec_a"))
+        .join(assigned.select("cell", F.col("vec_id").alias("vec_b")), "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
+    )
+    ca = aug.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("_norm").alias("na"),
     )
-    b = assigned.select(
-        F.col("cell").alias("cell_b"),
+    cb = aug.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("_norm").alias("nb"),
     )
     cos_blocked = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     blocked = (
-        a.join(
-            b,
-            (F.col("cell_a") == F.col("cell_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        cand.join(ca, "vec_a")
+        .join(cb, "vec_b")
         .filter(F.round(cos_blocked, 6) >= 0.5)
         .select("vec_a", "vec_b")
-        .dropDuplicates()
     )
     seeds = aug.filter(
         (F.col("vec_id") < _RECALL_SEEDS) | (F.col("vec_id") >= 1000000)
@@ -3083,34 +3088,48 @@ def decontaminate_semantic(spark, sf_dir):
         )
         .unionByName(planted)
     )
+    from hiveberg_spark.caching import persist_tracked
+
     cents = _label_centroids(spark, sf_dir)
-    ab = (
-        _assign_nearest_centroid(with_norm(bench), cents, probes=2)
-        .select(
-            F.col("cell").alias("cell_b"),
-            F.col("vec_id").alias("bench_id"),
-            _qvec(F.col("embedding")).alias("qb"),
+    trainq = persist_tracked(
+        with_norm(train).withColumn("qt", _qvec(F.col("embedding"))).withColumn(
+            "qtn", _qnorm2(F.col("qt"))
         )
-        .withColumn("qbn", _qnorm2(F.col("qb")))
+    )  # assignment + quantized re-attach both read this
+    benchq = with_norm(bench).withColumn(
+        "qb", _qvec(F.col("embedding"))
+    ).withColumn("qbn", _qnorm2(F.col("qb")))
+    ab = _assign_nearest_centroid(benchq, cents, probes=2).select(
+        F.col("cell").alias("cell_b"), F.col("vec_id").alias("bench_id")
     )
-    at = (
-        _assign_nearest_centroid(with_norm(train), cents, probes=2)
-        .select(
-            F.col("cell").alias("cell_t"),
-            F.col("vec_id").alias("vec_id"),
-            _qvec(F.col("embedding")).alias("qt"),
-        )
-        .withColumn("qtn", _qnorm2(F.col("qt")))
+    at = _assign_nearest_centroid(trainq, cents, probes=2).select(
+        F.col("cell").alias("cell_t"), F.col("vec_id").alias("vec_id")
+    )
+    # candidate (bench, train) ids dedup NARROW before scoring — the
+    # round-13 narrow-pair rule: a multi-probe double-blocked pair
+    # scores once, and the quantized arrays re-attach per surviving
+    # pair (bench side is the fixed-size eval set → broadcast)
+    cand = (
+        ab.join(at, F.col("cell_b") == F.col("cell_t"))
+        .select("bench_id", "vec_id")
+        .dropDuplicates()
     )
     hits = (
-        ab.join(at, F.col("cell_b") == F.col("cell_t"))
+        cand.join(trainq.select("vec_id", "qt", "qtn"), "vec_id")
+        .join(
+            F.broadcast(
+                benchq.select(
+                    F.col("vec_id").alias("bench_id"), "qb", "qbn"
+                )
+            ),
+            "bench_id",
+        )
         .withColumn(
             "cosine",
             _qcos(_qdot(F.col("qb"), F.col("qt")), F.col("qbn"), F.col("qtn")),
         )
         .filter(F.col("cosine") >= _DECON_SEM_TAU)
         .select("bench_id", "vec_id", "cosine")
-        .dropDuplicates(["bench_id", "vec_id"])  # multi-probe double-block
     )
     return hits.groupBy("vec_id").agg(
         F.count("*").cast("long").alias("n_bench_hits"),
