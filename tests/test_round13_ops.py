@@ -255,3 +255,28 @@ def test_prefix_filter_skew_immunity(spark):
     # duplicate pairs — the hot bucket contributed NOTHING
     assert stats["n_prefix_postings"] == 1000, stats
     assert stats["n_candidates"] == 10, stats
+
+
+def test_blocked_cosine_exchange_stays_narrow(spark, sf_dir):
+    """Perf plan contract (round-13 narrow-pair sweep): the blocked
+    embedding dedup's pair-keyed Exchange must carry bare ids — the
+    64-float arrays re-attach AFTER dropDuplicates. If the pipeline is
+    reordered so the dedup shuffle carries embeddings again, this
+    fails."""
+    import re
+
+    from hiveberg_spark.operators.simsearch import dedup_embedding_blocked
+    from hiveberg_spark.plans.inspect import explain_str
+
+    plan = explain_str(dedup_embedding_blocked(spark, sf_dir), "formatted")
+    saw_pair_exchange = False
+    for node in re.split(r"\n\(\d+\) ", plan):
+        head = node.split("\n", 1)[0]
+        if "Exchange" not in head:
+            continue
+        m = re.search(r"hashpartitioning\(([^)]*)\)", node)
+        keys = m.group(1) if m else ""
+        if "vec_a" in keys and "vec_b" in keys:
+            saw_pair_exchange = True
+            assert "embedding" not in node and " ea" not in node, node
+    assert saw_pair_exchange, plan
