@@ -280,3 +280,19 @@ def test_blocked_cosine_exchange_stays_narrow(spark, sf_dir):
             saw_pair_exchange = True
             assert "embedding" not in node and " ea" not in node, node
     assert saw_pair_exchange, plan
+
+
+def test_partitioned_ingest_poison_is_live():
+    """The runtime-pruning proof in multimodal_partitioned_ingest rests
+    on the pruned partitions holding payloads decode_media RAISES on —
+    verify the poison is live (if these ever became decodable, the
+    'files outside the predicate never decoded' guarantee would be
+    vacuously green)."""
+    import pytest
+
+    from hiveberg_spark.operators.multimodal import decode_media
+
+    for payload in (b"NOT-A-MEDIA-PAYLOAD-0",
+                    b"media drop folder - do not decode"):
+        with pytest.raises(NotImplementedError):
+            decode_media(payload)
