@@ -1243,3 +1243,190 @@ def stream_reservoir_sample(spark, sf_dir):
     out = out.localCheckpoint()  # materialize + CUT LINEAGE pre-rmtree (ADVICE r12)
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# -- streaming benchmark decontamination (round 13) -----------------------------
+
+
+@query(
+    "stream_decontaminate",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, source, array_to_string(w[i:i+4], ' ') AS g
+      FROM words, UNNEST(range(1, GREATEST(len(w) - 3, 1))) AS t(i)
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE source = 'src19'
+    ), hit AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE source <> 'src19' AND g IN (SELECT g FROM eval_grams)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(COALESCE(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_contaminated,
+           TRUE AS multi_batch,
+           TRUE AS flags_match_batch
+    FROM documents d LEFT JOIN hit h USING (doc_id)
+    WHERE d.source <> 'src19'
+    """,
+)
+def stream_decontaminate(spark, sf_dir):
+    """STREAMING leg of benchmark decontamination (round 13) — the
+    continuous-ingestion twin of `decontaminate_ngram_overlap`, built
+    on the `stream_incremental_dedup` skeleton: the eval/benchmark
+    gram set is STATIC state (built once — in production the benchmark
+    suite is a fixed MB-scale artifact), the train corpus snapshot
+    table takes three appends (doc_id thirds), and a checkpointed
+    stream (per-commit ticks + maxFilesPerTrigger=1) tails it, n-gram
+    screening ONLY each micro-batch's `scan_changes` delta against the
+    eval grams and appending per-doc contamination flags O(delta) —
+    the steady state never re-screens the corpus, which is the whole
+    point at 100 TB ingest rates.
+
+    The driver row pins: train-doc and contaminated totals (DuckDB
+    recomputes both from the same 5-gram overlap SQL as the batch
+    op), multi-batch structure, and a SET-EQUALITY audit of the
+    streamed flag table against a from-scratch batch decontamination
+    of the full corpus (anti-joins both directions over all three
+    columns) — a dropped batch, double-applied delta, or screening
+    drift flips it red."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hiveberg_spark.caching import persist_tracked
+    from hiveberg_spark.catalog import load_table
+    from hiveberg_spark.operators.pipeline_ops import (
+        DECON_EVAL_SOURCE,
+        DECON_NGRAM,
+    )
+    from hiveberg_spark.sources.snapshot_table import SnapshotTable
+
+    tag = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"hbs_deconstream_{tag}")
+    tick_dir = os.path.join(base, "ticks")
+    ckpt = os.path.join(base, "ckpt")
+    cursor_path = os.path.join(base, "cursor.json")
+    os.makedirs(tick_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    w = F.split(F.col("text"), " ")
+    n = DECON_NGRAM
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+    # static benchmark state: built once, reused by every micro-batch
+    eval_grams = persist_tracked(
+        docs.filter(F.col("source") == DECON_EVAL_SOURCE)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    eval_grams.count()  # materialize before the stream starts
+
+    train = docs.filter(F.col("source") != DECON_EVAL_SOURCE)
+    corpus = SnapshotTable.create(
+        spark,
+        os.path.join(base, "corpus"),
+        schema="doc_id long, source string, text string",
+    )
+    flags_t = SnapshotTable.create(
+        spark,
+        os.path.join(base, "flags"),
+        schema="doc_id long, source string, contaminated boolean",
+    )
+    sids = [
+        corpus.append(train.filter(F.col("doc_id") % 3 == r)) for r in range(3)
+    ]
+    _write_ticks_ordered(spark, tick_dir, sids)
+
+    with open(cursor_path, "w") as f:
+        json.dump({"cursor": 0, "ranges": []}, f)
+
+    def refresh(batch_df, batch_id):
+        state = json.load(open(cursor_path))
+        hi = batch_df.agg(F.max("sid")).first()[0]
+        if hi <= state["cursor"]:
+            return  # replayed tick after restart: already applied
+        if state["cursor"] == 0:
+            delta = corpus.scan(snapshot_id=hi, virtual_column=None)
+        else:
+            delta = corpus.scan_changes(
+                state["cursor"], hi, virtual_column=None
+            )
+        dg = delta.select("doc_id", "source", F.explode(grams).alias("g"))
+        hit = (
+            dg.join(eval_grams, "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit", F.lit(True))
+        )
+        flags_t.append(
+            delta.join(hit, "doc_id", "left").select(
+                "doc_id",
+                "source",
+                F.coalesce("hit", F.lit(False)).alias("contaminated"),
+            )
+        )
+        with open(cursor_path, "w") as f:
+            json.dump(
+                {
+                    "cursor": hi,
+                    "ranges": state["ranges"] + [[state["cursor"], hi]],
+                },
+                f,
+            )
+
+    q = (
+        spark.readStream.schema("sid long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(tick_dir)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi_batch = len(json.load(open(cursor_path))["ranges"]) > 1
+
+    flags = persist_tracked(flags_t.scan(virtual_column=None))
+    totals = flags.agg(
+        F.count("*").cast("long").alias("n_train_docs"),
+        F.sum(F.col("contaminated").cast("long"))
+        .cast("long")
+        .alias("n_contaminated"),
+    )
+    # set-equality audit vs a from-scratch batch decontamination
+    from hiveberg_spark.operators.pipeline_ops import (
+        decontaminate_ngram_overlap,
+    )
+
+    batch = decontaminate_ngram_overlap.__wrapped__(spark, sf_dir).select(
+        "doc_id", "source", "contaminated"
+    )
+    cols = ["doc_id", "source", "contaminated"]
+    match = (
+        batch.join(flags, cols, "left_anti")
+        .unionByName(flags.join(batch, cols, "left_anti"))
+        .agg((F.count("*") == 0).alias("flags_match_batch"))
+    )
+    out = (
+        totals.withColumn("multi_batch", F.lit(bool(multi_batch)))
+        .crossJoin(match)
+        .select(
+            "n_train_docs", "n_contaminated", "multi_batch",
+            "flags_match_batch",
+        )
+    )
+    out = out.localCheckpoint()  # materialize + cut lineage pre-rmtree
+    shutil.rmtree(base, ignore_errors=True)
+    return out

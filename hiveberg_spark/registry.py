@@ -185,6 +185,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # Jaccard candidate kernel against dedup_ngram_jaccard's oracle;
     # skew-immune (prefixes index only each doc's rarest shingles)
     "dedup_jaccard_prefix_filter",
+    # round 13: streaming leg of benchmark decontamination — static
+    # eval-gram state, O(delta) per-commit screening, flag table
+    # set-equality-audited vs the batch op
+    "stream_decontaminate",
 ]
 
 
