@@ -296,3 +296,23 @@ def test_partitioned_ingest_poison_is_live():
                     b"media drop folder - do not decode"):
         with pytest.raises(NotImplementedError):
             decode_media(payload)
+
+
+def test_driver_window_names_resolve():
+    """Rotation guard: every DRIVER_WINDOW and DEFERRED_TO_NEXT_WINDOW
+    name must be a registered query (a typo in a rotation edit would
+    silently shrink the driver's 50-row gate), the window must hold
+    exactly 50 unique names, the two lists must not overlap, and every
+    window name must carry an oracle (the driver's hash gate)."""
+    from hiveberg_spark import registry
+
+    registry.load_all()
+    w, d = registry.DRIVER_WINDOW, registry.DEFERRED_TO_NEXT_WINDOW
+    assert len(w) == 50 and len(set(w)) == 50
+    assert not set(w) & set(d)
+    missing = [n for n in w + d if n not in registry.QUERIES]
+    assert not missing, missing
+    no_oracle = [n for n in w if n not in registry.ORACLES]
+    assert not no_oracle, no_oracle
+    ordered = list(registry.window_ordered(registry.QUERIES))
+    assert ordered[:50] == w
