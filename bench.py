@@ -6,6 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion (count or collect of a bounded
 result) — never a driver-side materialization of raw data.
+
+Since round 14 each query's recorded second is the MEDIAN of
+$SPARK_GRAFT_BENCH_RUNS (default 3) back-to-back runs, with every raw
+sample kept in the `samples` field — the wobble-resistance fix VERDICT
+r13 asked for (single-shot numbers spread ±10-30% on identical trees).
 """
 
 from __future__ import annotations
@@ -203,14 +208,29 @@ def main() -> None:
     prev_rows = _previous_rows(sf_val)
 
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     drift: dict[str, str] = {}
+    # Round 14 (VERDICT r13 wrong-#2 / next-#2): one-shot timings in this
+    # environment wobble ±10-30% run-to-run (PERF.md documents three calm
+    # same-tree runs spreading 1.03-1.31x with a DIFFERENT worst query
+    # each time), so a single sample invites false regression flags. Each
+    # query now runs N_RUNS times and the recorded number is the MEDIAN;
+    # every raw sample is kept in the `samples` side field so the old
+    # single-shot methodology remains reconstructable (its run-1 value is
+    # samples[name][0]).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         fn = fns[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        walls = []
+        n = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            walls.append(round(time.perf_counter() - t0, 3))
+        times[name] = sorted(walls)[len(walls) // 2]  # median
+        samples[name] = walls
         rows[name] = n
         d = _row_drift(prev_rows, name, n)
         note = ""
@@ -220,7 +240,11 @@ def main() -> None:
                 f"  *** ROW-COUNT DRIFT vs previous round: "
                 f"{d} — INVESTIGATE ***"
             )
-        print(f"# {name}: {times[name]:.3f}s ({n} rows){note}", file=sys.stderr)
+        print(
+            f"# {name}: median {times[name]:.3f}s of {walls} "
+            f"({n} rows){note}",
+            file=sys.stderr,
+        )
 
     if drift:
         print(
@@ -235,6 +259,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "samples": samples,
                 "rows": rows,
                 "row_drift_vs_prev": drift,
                 "sf": sf_val,

@@ -248,7 +248,10 @@ def dedup_jaccard_prefix_filter(spark, sf_dir):
 
 
 def jaccard_prefix_filter_pairs(
-    sh: DataFrame, threshold: float, stats: dict | None = None
+    sh: DataFrame,
+    threshold: float,
+    stats: dict | None = None,
+    broadcast_df: bool = True,
 ) -> DataFrame:
     """Exact Jaccard pairs via prefix-filtered candidate generation.
 
@@ -256,25 +259,34 @@ def jaccard_prefix_filter_pairs(
     measurable form of the skew-immunity claim: a stop-shingle shared
     by every doc enters a doc's prefix only when it is among that
     doc's |S|-ceil(t|S|)+1 RAREST shingles, so hot tokens drive
-    candidate volume only for near-empty docs."""
-    from pyspark.sql import Window as W
+    candidate volume only for near-empty docs.
 
-    tok = sh.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
-    )
+    Round 14 (VERDICT r13 #6): the per-doc rarity rank is computed by
+    attaching the global DF to each token (broadcast map-side join) and
+    slicing the per-doc (df, s)-sorted array to the prefix length — one
+    doc-keyed exchange total, where the previous formulation paid a
+    token-keyed join exchange PLUS a doc-keyed row_number window. The
+    (df asc, s asc) order is the identical total order, so the prefix
+    set — and therefore the candidate set — is unchanged.
+
+    `broadcast_df=False` keeps the shuffle join for deployments whose
+    distinct-shingle DF table outgrows executor memory (a 100 TB corpus
+    run); the prefix definition is unaffected."""
+    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
-    rk = F.row_number().over(
-        W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
-    )
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    if broadcast_df:
+        dfreq = F.broadcast(dfreq)
+    n = F.size("arr")
+    prefix_len = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
     # persisted: BOTH sides of the candidate self-join consume this
-    # frame — without the persist the whole DF-join + rank-window
+    # frame — without the persist the whole DF-join + prefix-slice
     # pipeline plans (and runs) twice (the round-12 self-join lesson)
     prefix = persist_tracked(
         tok.join(dfreq, "s")
-        .withColumn("rk", rk)
-        .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
+        .select("doc_id", F.explode(F.slice("arr", 1, prefix_len)).alias("e"))
+        .select("doc_id", F.col("e.s").alias("s"))
     )
     cands = (
         prefix.select(F.col("doc_id").alias("doc_a"), "s")

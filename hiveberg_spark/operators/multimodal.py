@@ -857,6 +857,10 @@ def _banded_hamming_verified(
             .filter(F.col("df") > df_cap)
         )
         if stats is not None:
+            # persist: the stats count and the left_anti join below both
+            # consume `hot` — without this the groupBy plans and runs
+            # twice (ADVICE r13, the round-12 double-plan rule)
+            hot = persist_tracked(hot)
             stats["n_hot_bands"] = hot.count()
             stats["n_distinct_hashes"] = reps.count()
         bands = bands.join(

@@ -1950,7 +1950,15 @@ def knn_graph_blocked_edges(spark, sf_dir):
     # exchange — the 64-long quantized arrays re-attach AFTER the
     # distinct via joins against the corpus frame, so neither the
     # dedup shuffle carries ~1 KB rows nor does any pair get scored
-    # twice (pairs sharing both probed cells dedup before the dot)
+    # twice (pairs sharing both probed cells dedup before the dot).
+    # Round 14 note (measured, kept as-is): scoring each unordered pair
+    # once (vid < nb) and mirroring a PERSISTED scored frame was tried
+    # and is a pessimization — Catalyst fuses this whole candidate ->
+    # score -> top-k pipeline into one broadcast-join whole-stage pass
+    # (~38 s executor time at sf0.1, near-zero exchange), and the
+    # persist barrier the mirror needs breaks that fusion (+4.5 MB
+    # exchange, ~71 s executor, +40% wall). Per-pair double scoring
+    # inside a fused pipeline is cheaper than materialize-once.
     pairs = (
         a.join(
             b,

@@ -20,6 +20,10 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+from hiveberg_spark.operators.pipeline_ops import (
+    DECON_EVAL_SOURCE,
+    DECON_NGRAM,
+)
 from hiveberg_spark.operators.timetravel import _ensure_fixture
 from hiveberg_spark.registry import query
 from hiveberg_spark.streaming.events import run_to_memory
@@ -124,6 +128,19 @@ def _write_ticks_ordered(spark, tick_dir: str, sids: list[int]) -> None:
         for root, _dirs, files in os.walk(tick):
             for fn in files:
                 os.utime(os.path.join(root, fn), (stamp, stamp))
+
+
+def _applied_sids(table) -> set[int]:
+    """Source snapshot ids a sink table has already absorbed, read from
+    the `applied-sid` markers its appends stamped into their snapshot
+    summaries (atomic with the data commit — the idempotency record a
+    checkpointed replay consults; metadata-sized, no data read)."""
+    out: set[int] = set()
+    for s in table._read_meta().get("snapshots", []):
+        sid = (s.get("summary") or {}).get("applied-sid")
+        if sid is not None:
+            out.add(int(sid))
+    return out
 
 
 @query(
@@ -1254,13 +1271,13 @@ def stream_reservoir_sample(spark, sf_dir):
     WITH words AS (
       SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
     ), grams AS (
-      SELECT doc_id, source, array_to_string(w[i:i+4], ' ') AS g
-      FROM words, UNNEST(range(1, GREATEST(len(w) - 3, 1))) AS t(i)
+      SELECT doc_id, source, array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ') AS g
+      FROM words, UNNEST(range(1, GREATEST(len(w) - {DECON_NGRAM - 2}, 1))) AS t(i)
     ), eval_grams AS (
-      SELECT DISTINCT g FROM grams WHERE source = 'src19'
+      SELECT DISTINCT g FROM grams WHERE source = '{DECON_EVAL_SOURCE}'
     ), hit AS (
       SELECT DISTINCT doc_id FROM grams
-      WHERE source <> 'src19' AND g IN (SELECT g FROM eval_grams)
+      WHERE source <> '{DECON_EVAL_SOURCE}' AND g IN (SELECT g FROM eval_grams)
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
            CAST(COALESCE(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)
@@ -1268,7 +1285,7 @@ def stream_reservoir_sample(spark, sf_dir):
            TRUE AS multi_batch,
            TRUE AS flags_match_batch
     FROM documents d LEFT JOIN hit h USING (doc_id)
-    WHERE d.source <> 'src19'
+    WHERE d.source <> '{DECON_EVAL_SOURCE}'
     """,
 )
 def stream_decontaminate(spark, sf_dir):
@@ -1297,10 +1314,6 @@ def stream_decontaminate(spark, sf_dir):
 
     from hiveberg_spark.caching import persist_tracked
     from hiveberg_spark.catalog import load_table
-    from hiveberg_spark.operators.pipeline_ops import (
-        DECON_EVAL_SOURCE,
-        DECON_NGRAM,
-    )
     from hiveberg_spark.sources.snapshot_table import SnapshotTable
 
     tag = uuid.uuid4().hex[:10]
@@ -1351,16 +1364,35 @@ def stream_decontaminate(spark, sf_dir):
         json.dump({"cursor": 0, "ranges": []}, f)
 
     def refresh(batch_df, batch_id):
+        # Replay idempotency (ADVICE r13): the authoritative "has this
+        # tick been applied" record is the applied-sid marker stamped
+        # into the flag table's own snapshot summary ATOMICALLY with the
+        # append — a crash between the append and the cursor-file write
+        # can leave the cursor stale, and a cursor-only guard would then
+        # re-append the same delta on checkpointed replay (duplicate
+        # flag rows, set-equality audit red). The cursor file remains
+        # the ranges bookkeeping and is self-healed from the markers.
         state = json.load(open(cursor_path))
         hi = batch_df.agg(F.max("sid")).first()[0]
-        if hi <= state["cursor"]:
-            return  # replayed tick after restart: already applied
-        if state["cursor"] == 0:
+        applied = _applied_sids(flags_t)
+        cur = max([state["cursor"], *applied])
+        if hi <= cur:
+            if cur > state["cursor"]:
+                # append landed but its cursor write was lost: repair
+                with open(cursor_path, "w") as f:
+                    json.dump(
+                        {
+                            "cursor": cur,
+                            "ranges": state["ranges"]
+                            + [[state["cursor"], cur]],
+                        },
+                        f,
+                    )
+            return  # replayed tick: already applied
+        if cur == 0:
             delta = corpus.scan(snapshot_id=hi, virtual_column=None)
         else:
-            delta = corpus.scan_changes(
-                state["cursor"], hi, virtual_column=None
-            )
+            delta = corpus.scan_changes(cur, hi, virtual_column=None)
         dg = delta.select("doc_id", "source", F.explode(grams).alias("g"))
         hit = (
             dg.join(eval_grams, "g", "left_semi")
@@ -1373,13 +1405,14 @@ def stream_decontaminate(spark, sf_dir):
                 "doc_id",
                 "source",
                 F.coalesce("hit", F.lit(False)).alias("contaminated"),
-            )
+            ),
+            summary_extra={"applied-sid": str(hi)},
         )
         with open(cursor_path, "w") as f:
             json.dump(
                 {
                     "cursor": hi,
-                    "ranges": state["ranges"] + [[state["cursor"], hi]],
+                    "ranges": state["ranges"] + [[cur, hi]],
                 },
                 f,
             )

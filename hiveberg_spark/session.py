@@ -66,6 +66,31 @@ def get_spark(
         # error-on-cast behavior.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate infers `size(e) > 0` from explode(e)
+        # and predicate pushdown then re-substitutes e THROUGH the
+        # projections, shoving the full expression below the parallelism
+        # exchange — for this engine's expensive derived arrays (3-gram
+        # shingle construction, k-gram windows) that evaluates the most
+        # expensive expression in the pipeline twice, once on the
+        # narrow PRE-shuffle side (serial on a single-file scan).
+        # Measured: the shingle->minhash fingerprint pass drops 9.5s ->
+        # 0.8s at sf0.1 with the rule excluded (OPTIMIZATION_r14.md).
+        # The rule only ever infers redundant filters (explode already
+        # drops empty/null arrays), so plans stay semantically identical.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        # Snapshot-table scans pass EXPLICIT leaf-file lists from the
+        # manifest (no directory recursion), so driver-side listing is
+        # O(files-in-scan) stat calls; Spark's default threshold (32
+        # paths) instead launches a DISTRIBUTED listing job per scan —
+        # a whole Spark job to stat a few dozen local files (visible as
+        # "Listing leaf files and directories for N paths" jobs in every
+        # multi-file scan profile). 512 keeps manifest-sized lists on
+        # the driver; a lake-scale deployment with thousands of files
+        # per scan still gets the parallel path.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
         # Python Data Source facade (sources/pyds.py): let pushFilters
         # feed manifest pruning
         .config("spark.sql.python.filterPushdown.enabled", "true")
@@ -106,6 +131,15 @@ _RUNTIME_CONF = {
     # pushed filters into manifest min/max pruning; off by default in
     # Spark 4.1 while the Python pushdown API stabilizes
     "spark.sql.python.filterPushdown.enabled": "true",
+    # keep explode's inferred size()>0 filter from dragging expensive
+    # derived-array expressions below the exchange (see the builder
+    # comment above — measured 12x on the fingerprint pass; inferred
+    # filters are redundant for generate, results identical)
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    # manifest scans pass explicit leaf files: stat them on the driver
+    # instead of launching a distributed listing job at >=32 paths
+    # (see the builder comment above)
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "512",
 }
 
 

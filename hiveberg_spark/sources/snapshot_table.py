@@ -1134,6 +1134,7 @@ class SnapshotTable:
         df: DataFrame,
         committed_at: int | None = None,
         branch: str | None = None,
+        summary_extra: dict | None = None,
     ) -> int:
         """Commit `df` as a new snapshot; returns the new snapshot id.
 
@@ -1151,9 +1152,19 @@ class SnapshotTable:
 
         `branch` commits onto a named branch ref instead of main
         (create_branch / fast_forward — the write-audit-publish flow).
+
+        `summary_extra` lands in the snapshot summary atomically with
+        the commit — the hook idempotent stream sinks use to stamp an
+        applied-source-id marker that survives a crash between the data
+        commit and any external cursor write.
         """
         return self._commit(
-            df, "append", committed_at, replaces=False, branch=branch
+            df,
+            "append",
+            committed_at,
+            replaces=False,
+            branch=branch,
+            summary_extra=summary_extra,
         )
 
     def add_files(
