@@ -107,6 +107,14 @@ def snapshot_lifecycle_bench(spark, sf_dir):
     t = SnapshotTable.create(
         spark, loc, partition_spec=[("bucket", "l_orderkey", 16)]
     )
+    # Round 14 (guide §6 / Iceberg's own partitioned-write default):
+    # hash-distribute on the partition transform before the write so
+    # each bucket's rows land in ONE task — the write parallelizes
+    # across buckets instead of each input split serially opening every
+    # bucket's file, and each commit produces exactly one file per
+    # bucket. Measured (warm A/B at sf0.1): append 2.32s -> 1.44s,
+    # COW delete 1.10s -> 0.87s; identical row counts and pruning.
+    t.set_properties({"write.distribution.mode": "hash"})
     li = load_table(spark, sf_dir, "lineitem")
     v1 = t.append(li)
     t.delete_where("l_orderkey = 1")
