@@ -195,7 +195,11 @@ def ngram_jaccard_pairs(
     tok = tok_all
     if df_cap is not None:
         dfreq = tok_all.groupBy("s").agg(F.count("*").alias("df"))
-        hot = dfreq.filter(F.col("df") > df_cap)
+        # persist: `hot` is consumed again by the anti-join below (on BOTH
+        # sides of the self-join), which would otherwise re-plan the full
+        # explode+groupBy once per consumer (guide §5 caching; the r12
+        # double-plan rule). Tiny frame — hot shingles only.
+        hot = persist_tracked(dfreq.filter(F.col("df") > df_cap))
         n_hot = hot.count()  # scalar plan constant (tiny agg job)
         if n_hot:
             tok = tok_all.join(hot.select("s"), "s", "left_anti")
@@ -327,13 +331,37 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         x &= (1 << 64) - 1
         return x - (1 << 64) if x >= (1 << 63) else x
 
+    # Built via F.expr, not the Column API: the 64-term loop costs ~6
+    # py4j round-trips per operator through the Column API (~0.5 s of
+    # DRIVER time per construction, measured r14 — a serial tax on
+    # every minhash pipeline), vs one parse call per permutation here.
+    # Identical Catalyst expressions (ANSI off: bigint mul/add wrap the
+    # same way), so signatures are bit-identical.
     perms = [
-        F.min(
-            F.col("h") * F.lit(2 * p + 1) + F.lit(i64((p + 1) * -7046029254386353131))
-        ).alias(f"s{p}")
+        F.expr(
+            f"min(h * {2 * p + 1}L"
+            f" + {i64((p + 1) * -7046029254386353131)}L) AS s{p}"
+        )
         for p in range(_N_PERM)
     ]
     return tok.groupBy("doc_id").agg(*perms)
+
+
+def _band_hash_expr(n_bands: int, n_rows: int):
+    """array(xxhash64(s0..s{r-1}), ...) banding column over signature
+    columns s0..s{b*r-1} — built as ONE parsed SQL expression instead
+    of ~100 Column-API py4j round-trips (the r14 driver-construction
+    fix; identical Catalyst expression either way)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64("
+            + ", ".join(f"s{b * n_rows + r}" for r in range(n_rows))
+            + ")"
+            for b in range(n_bands)
+        )
+        + ")"
+    )
 
 
 @query("dedup_minhash_lsh", oracle=_NGRAM_JACCARD_ORACLE)
@@ -359,12 +387,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # at 100 TB this is a materialized signatures table
     sh = persist_tracked(shingled(load_table(spark, sf_dir, "documents")))
     sigs = minhash_signatures(sh)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"s{b * _ROWS + r}") for r in range(_ROWS)])
-            for b in range(_BANDS)
-        ]
-    )
+    band_hashes = _band_hash_expr(_BANDS, _ROWS)
     # persist: the self-join consumes bands twice; without this the
     # whole shingle→signature pipeline executes once per side
     bands = persist_tracked(sigs.select(
@@ -636,12 +659,7 @@ def decontaminate_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = persist_tracked(shingled(docs))
     sigs = minhash_signatures(sh)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"s{b * _ROWS + r}") for r in range(_ROWS)])
-            for b in range(_BANDS)
-        ]
-    )
+    band_hashes = _band_hash_expr(_BANDS, _ROWS)
     bands = persist_tracked(sigs.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
     ))
@@ -1179,7 +1197,10 @@ def containment_pairs(
     tok = tok_all
     if df_cap is not None:
         dfreq = tok_all.groupBy("s").agg(F.count("*").alias("df"))
-        hot = dfreq.filter(F.col("df") > df_cap)
+        # persist before count: same double-plan guard as the Jaccard
+        # kernel above — the anti-join re-consumes `hot` on both sides
+        # of the self-join when n_hot > 0.
+        hot = persist_tracked(dfreq.filter(F.col("df") > df_cap))
         n_hot = hot.count()  # scalar plan constant (tiny agg job)
         if n_hot:
             tok = tok_all.join(hot.select("s"), "s", "left_anti")
@@ -1347,21 +1368,23 @@ def dedup_bbit_minhash(spark, sf_dir):
             (F.col("doc_id") + 2000000).alias("doc_b"),
         )
     )
+    # expr-built (r14): the 64-column alias lists and the 64-term match
+    # sum cost ~1300 Column-API py4j round-trips of driver time;
+    # parsed SQL builds the identical expressions in a handful.
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"s{p}").alias(f"a{p}") for p in range(_N_PERM)],
+        *[F.expr(f"s{p} AS a{p}") for p in range(_N_PERM)],
     )
     sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"s{p}").alias(f"b{p}") for p in range(_N_PERM)],
+        *[F.expr(f"s{p} AS b{p}") for p in range(_N_PERM)],
     )
     mask = (1 << _BBIT) - 1
-    matches = sum(
-        (
-            F.col(f"a{p}").bitwiseAND(F.lit(mask))
-            == F.col(f"b{p}").bitwiseAND(F.lit(mask))
-        ).cast("int")
-        for p in range(_N_PERM)
+    matches = F.lit(0) + F.expr(
+        " + ".join(
+            f"CAST(((a{p} & {mask}) = (b{p} & {mask})) AS INT)"
+            for p in range(_N_PERM)
+        )
     )
     c = 1.0 / (1 << _BBIT)
     est = (matches / F.lit(float(_N_PERM)) - F.lit(c)) / F.lit(1.0 - c)
@@ -1901,14 +1924,7 @@ def dedup_minhash_band_sweep(spark, sf_dir):
     sigs = persist_tracked(minhash_signatures(sh))
     hits = []
     for n_bands, n_rows in _BAND_SWEEP:
-        band_hashes = F.array(
-            *[
-                F.xxhash64(
-                    *[F.col(f"s{b * n_rows + r}") for r in range(n_rows)]
-                )
-                for b in range(n_bands)
-            ]
-        )
+        band_hashes = _band_hash_expr(n_bands, n_rows)
         bands = sigs.select(
             "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
         )
@@ -1969,12 +1985,7 @@ def _band_rows_from_shingled(sh: DataFrame) -> DataFrame:
     frame — the persisted form of the MinHash band index (b=16, r=4,
     the production banding)."""
     sigs = minhash_signatures(sh)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"s{b * _ROWS + r}") for r in range(_ROWS)])
-            for b in range(_BANDS)
-        ]
-    )
+    band_hashes = _band_hash_expr(_BANDS, _ROWS)
     return sigs.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
     ).select(F.col("band").cast("int").alias("band"), "band_hash", "doc_id")
