@@ -11,6 +11,7 @@ convention (`<name>__snapshots`).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +49,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from hiveberg_spark.session import ensure_runtime_conf
 
     ensure_runtime_conf(spark)  # safe under externally-built sessions
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is not None:
+        return df
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, NOT float division: epoch-nanos exceed 2^53, so a
@@ -55,7 +61,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    per_session[key] = df
     return df
+
+
+# Lazy-PLAN reuse, not result caching (guide §6 file-listing guidance):
+# every `spark.read.parquet` call relists the path and runs a
+# schema-inference footer job — ~0.15 s of driver time per call, paid
+# up to 6x per query for IMMUTABLE fixture tables. The cached object is
+# an unexecuted scan plan; every action on it still reads the parquet
+# inputs (nothing is persisted/materialized, so bench and oracle runs
+# compute from storage every time). Keyed weakly on the session so a
+# stopped session's plans are never reused and tests that rebuild
+# sessions get fresh listings.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -63,15 +63,39 @@ def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
 _QSCALE = 1_000_000
 
 
+# The quantized-arithmetic helpers accept a column NAME string
+# (preferred: the expression is built with ONE F.expr parse — the
+# lambda Column API costs 20-36 ms of driver py4j time PER CALL on
+# this host, compounding to ~0.7 s per blocked-graph construction,
+# measured r14) or a Column (back-compat, original construction).
+# Both paths produce identical Catalyst trees modulo lambda-variable
+# names, so results are bit-identical.
+
+
 def _qvec(col):
     """array<long>: the vector on the 1e-6 grid."""
+    if isinstance(col, str):
+        return F.expr(
+            f"transform({col}, x ->"
+            f" CAST(round(CAST(x AS DOUBLE) * {_QSCALE}, 0) AS BIGINT))"
+        )
     return F.transform(
         col, lambda x: F.round(x.cast("double") * _QSCALE, 0).cast("long")
     )
 
 
+def _qdot_sql(qa: str, qb: str) -> str:
+    """SQL fragment: exact int64 dot of two quantized vector columns."""
+    return (
+        f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def _qdot(qa, qb):
     """Exact int64 dot of two quantized vectors."""
+    if isinstance(qa, str) and isinstance(qb, str):
+        return F.expr(_qdot_sql(qa, qb))
     return F.aggregate(
         F.zip_with(qa, qb, lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -81,6 +105,10 @@ def _qdot(qa, qb):
 
 def _qnorm2(qa):
     """Exact int64 squared norm of a quantized vector."""
+    if isinstance(qa, str):
+        return F.expr(
+            f"aggregate({qa}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        )
     return F.aggregate(
         qa, F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
@@ -92,6 +120,15 @@ def _qcos(qdot_col, qn_a, qn_b):
         qdot_col.cast("double")
         / (F.sqrt(qn_a.cast("double")) * F.sqrt(qn_b.cast("double"))),
         6,
+    )
+
+
+def _qcos_dot(qa: str, qb: str, qn_a: str, qn_b: str):
+    """_qcos(_qdot(qa, qb), qn_a, qn_b) as ONE parsed expression —
+    the composed form every production call site uses."""
+    return F.expr(
+        f"round(CAST({_qdot_sql(qa, qb)} AS DOUBLE) /"
+        f" (sqrt(CAST({qn_a} AS DOUBLE)) * sqrt(CAST({qn_b} AS DOUBLE))), 6)"
     )
 
 
@@ -1151,8 +1188,8 @@ def _qcentroid_frame(assigned, emb):
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("cell", F.transform("pc", lambda x: x["c"]).alias("centroid"))
     )
-    return cents.select("cell", _qvec(F.col("centroid")).alias("qc")).withColumn(
-        "qcn", _qnorm2(F.col("qc"))
+    return cents.select("cell", _qvec("centroid").alias("qc")).withColumn(
+        "qcn", _qnorm2("qc")
     )
 
 
@@ -1161,7 +1198,7 @@ def _assign_best_q(eq, qcents):
     (cell-id tiebreak). Returns (vec_id, cell, s)."""
     scored = eq.crossJoin(F.broadcast(qcents)).withColumn(
         "s",
-        _qcos(_qdot(F.col("qv"), F.col("qc")), F.col("qn"), F.col("qcn")),
+        _qcos_dot("qv", "qc", "qn", "qcn"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
     return (
@@ -1258,9 +1295,7 @@ def embedding_outlier_zscore(spark, sf_dir):
         .select(
             "vec_id",
             "label",
-            _qcos(
-                _qdot(F.col("qv"), F.col("qc")), F.col("qn"), F.col("qcn")
-            ).alias("centroid_cosine"),
+            _qcos_dot("qv", "qc", "qn", "qcn").alias("centroid_cosine"),
         )
     )
     dec = F.col("centroid_cosine").cast("decimal(10,6)")
@@ -1403,7 +1438,7 @@ def _pca_state(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_vec = e.count()
     qflat = e.select(
-        "vec_id", F.posexplode(_qvec(F.col("embedding"))).alias("p0", "qv")
+        "vec_id", F.posexplode(_qvec("embedding")).alias("p0", "qv")
     ).select("vec_id", (F.col("p0") + 1).alias("pos"), "qv")
     cq = qflat.groupBy("pos").agg(
         F.round(F.sum("qv").cast("double") / F.lit(n_vec), 0)
@@ -1891,8 +1926,8 @@ def _quantized_corpus(spark, sf_dir):
     squared norms precomputed once."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.select(
-        "vec_id", _qvec(F.col("embedding")).alias("qv")
-    ).withColumn("qn", _qnorm2(F.col("qv")))
+        "vec_id", _qvec("embedding").alias("qv")
+    ).withColumn("qn", _qnorm2("qv"))
 
 
 def _quantized_label_centroids(spark, sf_dir):
@@ -1901,8 +1936,8 @@ def _quantized_label_centroids(spark, sf_dir):
     is identical cross-engine)."""
     return (
         _label_centroids(spark, sf_dir)
-        .select("cell", _qvec(F.col("centroid")).alias("qc"))
-        .withColumn("qcn", _qnorm2(F.col("qc")))
+        .select("cell", _qvec("centroid").alias("qc"))
+        .withColumn("qcn", _qnorm2("qc"))
     )
 
 
@@ -1916,7 +1951,7 @@ def _assign_cells_q(eq, qcents, probes: int = 2):
     the assignment replicated.)"""
     scored = eq.crossJoin(F.broadcast(qcents)).withColumn(
         "s",
-        _qcos(_qdot(F.col("qv"), F.col("qc")), F.col("qn"), F.col("qcn")),
+        _qcos_dot("qv", "qc", "qn", "qcn"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
     return (
@@ -1984,9 +2019,7 @@ def knn_graph_blocked_edges(spark, sf_dir):
         .select(
             "vid",
             "nb",
-            _qcos(
-                _qdot(F.col("qva"), F.col("qvb")), F.col("qna"), F.col("qnb")
-            ).alias("cosine"),
+            _qcos_dot("qva", "qvb", "qna", "qnb").alias("cosine"),
         )
     )
     w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("nb"))
@@ -3100,13 +3133,13 @@ def decontaminate_semantic(spark, sf_dir):
 
     cents = _label_centroids(spark, sf_dir)
     trainq = persist_tracked(
-        with_norm(train).withColumn("qt", _qvec(F.col("embedding"))).withColumn(
-            "qtn", _qnorm2(F.col("qt"))
+        with_norm(train).withColumn("qt", _qvec("embedding")).withColumn(
+            "qtn", _qnorm2("qt")
         )
     )  # assignment + quantized re-attach both read this
     benchq = with_norm(bench).withColumn(
-        "qb", _qvec(F.col("embedding"))
-    ).withColumn("qbn", _qnorm2(F.col("qb")))
+        "qb", _qvec("embedding")
+    ).withColumn("qbn", _qnorm2("qb"))
     ab = _assign_nearest_centroid(benchq, cents, probes=2).select(
         F.col("cell").alias("cell_b"), F.col("vec_id").alias("bench_id")
     )
@@ -3134,7 +3167,7 @@ def decontaminate_semantic(spark, sf_dir):
         )
         .withColumn(
             "cosine",
-            _qcos(_qdot(F.col("qb"), F.col("qt")), F.col("qbn"), F.col("qtn")),
+            _qcos_dot("qb", "qt", "qbn", "qtn"),
         )
         .filter(F.col("cosine") >= _DECON_SEM_TAU)
         .select("bench_id", "vec_id", "cosine")
