@@ -255,7 +255,6 @@ def jaccard_prefix_filter_pairs(
     sh: DataFrame,
     threshold: float,
     stats: dict | None = None,
-    broadcast_df: bool = True,
 ) -> DataFrame:
     """Exact Jaccard pairs via prefix-filtered candidate generation.
 
@@ -266,20 +265,20 @@ def jaccard_prefix_filter_pairs(
     candidate volume only for near-empty docs.
 
     Round 14 (VERDICT r13 #6): the per-doc rarity rank is computed by
-    attaching the global DF to each token (broadcast map-side join) and
+    attaching the global DF to each token (AQE picks a broadcast join
+    when the aggregated DF table fits, which it does at bench SFs) and
     slicing the per-doc (df, s)-sorted array to the prefix length — one
     doc-keyed exchange total, where the previous formulation paid a
     token-keyed join exchange PLUS a doc-keyed row_number window. The
     (df asc, s asc) order is the identical total order, so the prefix
     set — and therefore the candidate set — is unchanged.
 
-    `broadcast_df=False` keeps the shuffle join for deployments whose
-    distinct-shingle DF table outgrows executor memory (a 100 TB corpus
-    run); the prefix definition is unaffected."""
+    No forced broadcast hint: the distinct-shingle DF table scales with
+    the corpus, so a hint would bypass AQE's size check and OOM
+    executors on a 100 TB run (the repo-wide no-forced-broadcast rule);
+    AQE's runtime-size rewrite already broadcasts it wherever it fits."""
     tok = sh.select("doc_id", F.explode("shingles").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
-    if broadcast_df:
-        dfreq = F.broadcast(dfreq)
     n = F.size("arr")
     prefix_len = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
     # persisted: BOTH sides of the candidate self-join consume this
