@@ -927,28 +927,36 @@ def sample_dsir_weights(spark, sf_dir):
     build side; the unhashed unigram twin is what makes this
     exact-oracle-checkable."""
     docs = load_table(spark, sf_dir, "documents")
+    # Round 14 (guide §2.3/§2.4): the raw and target word counts used to
+    # be TWO explode passes + two word-key shuffles (the target one
+    # behind a corpus-sized doc_id join to the lang='en' id list). But
+    # `lang` is a column of documents — carried through the explode, ONE
+    # pass and ONE word-key exchange computes both counts as conditional
+    # aggregates, and the en-id join disappears entirely. Values are
+    # unchanged: tc was NULL-coalesced to 0 for words absent from the en
+    # slice, exactly what the conditional count returns; t_total sums
+    # the same tc over the same words (zeros add nothing).
     occ = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        "doc_id",
+        (F.col("lang") == "en").alias("_en"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
     ).filter(F.col("w") != "")
-    raw = occ.groupBy("w").agg(F.count("*").alias("rc"))
-    tgt = (
-        occ.join(docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
-        .groupBy("w")
-        .agg(F.count("*").alias("tc"))
+    wc = occ.groupBy("w").agg(
+        F.count("*").alias("rc"),
+        F.count(F.when(F.col("_en"), 1)).alias("tc"),
     )
-    tot = raw.agg(
-        F.sum("rc").alias("r_total"), F.count("*").alias("v")
-    ).crossJoin(
-        tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_total"))
+    tot = wc.agg(
+        F.sum("rc").alias("r_total"),
+        F.count("*").alias("v"),
+        F.sum("tc").alias("t_total"),
     )
     lr = (
-        raw.join(tgt, "w", "left")
-        .crossJoin(F.broadcast(tot))
+        wc.crossJoin(F.broadcast(tot))
         .select(
             "w",
             F.round(
                 F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                    (F.col("tc") + F.lit(1.0))
                     / (F.col("t_total") + F.col("v"))
                 )
                 - F.log(
