@@ -2868,25 +2868,28 @@ class SnapshotTable:
     ) -> list[dict]:
         """Per-file DV delete entries from a (file_path, pos) frame,
         MERGED with each file's prior DV as of `head` (one DV per file,
-        v3 invariant). The per-file position lists collect to the
-        driver — MOR deletes are small by construction, the same
-        contract as the tiny-delete-file write they replace."""
-        rows = (
-            hits.groupBy("file_path")
-            .agg(F.collect_list("pos").alias("ps"))
-            .collect()
-        )
-        if not rows:
+        v3 invariant). The per-file position lists come back to the
+        driver via toArrow() — columnar buffers, not pickled Rows (the
+        read-side _local_pos_df lesson applied to the write side; a
+        collect() of collect_list rows paid O(deleted rows) of driver
+        deserialization). MOR deletes are small by construction, the
+        same contract as the tiny-delete-file write they replace."""
+        tbl = hits.groupBy("file_path").agg(
+            F.collect_list("pos").alias("ps")
+        ).toArrow()
+        if tbl.num_rows == 0:
             return []
         prior = _dv_last_per_file(self._raw_deletes_as_of(meta, head))
         entries = []
-        for r in rows:
-            ps = set(int(p) for p in r["ps"])
-            if r["file_path"] in prior:
-                ps |= set(_dv_decode(prior[r["file_path"]]["bits"]))
+        files_col = tbl.column("file_path").to_pylist()
+        ps_col = tbl.column("ps")
+        for i, fp in enumerate(files_col):
+            ps = set(int(p) for p in ps_col[i].values.to_numpy())
+            if fp in prior:
+                ps |= set(_dv_decode(prior[fp]["bits"]))
             b64, n = _dv_encode(ps)
             entries.append(
-                {"type": "dv", "file": r["file_path"], "bits": b64, "count": n}
+                {"type": "dv", "file": fp, "bits": b64, "count": n}
             )
         return entries
 
@@ -2912,7 +2915,7 @@ class SnapshotTable:
             else:
                 entries = self._write_delete_files(hits, "position")
         return self._commit(
-            self._empty_df(),
+            None,  # metadata-only: delete entries, no data files
             "delete",
             committed_at,
             replaces=False,
@@ -3057,7 +3060,7 @@ class SnapshotTable:
             keys.distinct(), "equality", cols=list(keys.columns)
         )
         return self._commit(
-            self._empty_df(),
+            None,  # metadata-only: delete entries, no data files
             "delete",
             committed_at,
             replaces=False,
@@ -3194,7 +3197,7 @@ class SnapshotTable:
                 else:
                     entries = self._write_delete_files(rows, "position")
         return self._commit(
-            self._empty_df(),
+            None,  # metadata-only: delete entries, no data files
             "replace",
             committed_at,
             replaces=True,
@@ -3296,7 +3299,7 @@ class SnapshotTable:
 
     def _commit(
         self,
-        df: DataFrame,
+        df: DataFrame | None,
         operation: str,
         committed_at: int | None,
         replaces: bool,
@@ -3321,6 +3324,38 @@ class SnapshotTable:
         CommitConflictError instead of silently dropping the
         intervening snapshot's files from the new full manifest
         (ADVICE r2: lost-update race)."""
+        if df is None:
+            # METADATA-ONLY commit (MOR delete-entry commits): no data
+            # files are added, so skip the distributed empty-frame write
+            # + listing round-trip entirely — the old path launched a
+            # real Spark write job (~0.15 s idle, worse busy) whose
+            # 0-row parts _list_data_files dropped anyway, netting the
+            # exact same manifest (files=[], n_records=0) this branch
+            # registers directly. user_schema mirrors what _empty_df
+            # carried: the declared schema.
+            schema = self.schema()
+            if schema is None:
+                schema = StructType.fromDDL("id long")
+            return self._commit_register(
+                operation=operation,
+                committed_at=committed_at,
+                replaces=replaces,
+                carry=carry,
+                expected_parent=expected_parent,
+                summary_extra=summary_extra,
+                branch=branch,
+                delete_entries=delete_entries,
+                carry_deletes=carry_deletes,
+                carry_seq=carry_seq,
+                carry_row_ids=carry_row_ids,
+                carry_name_maps=carry_name_maps,
+                files=[],
+                stats={},
+                partitions={},
+                file_info={},
+                n_records=0,
+                user_schema=schema,
+            )
         pre_meta = self._read_meta()
         if pre_meta.get("defaults") and pre_meta.get("schema_json"):
             # WRITE DEFAULTS (Iceberg v3): a commit whose DataFrame
