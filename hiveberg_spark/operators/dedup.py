@@ -2047,10 +2047,6 @@ def _inc_dedup_tables(spark, sf_dir, fresh: bool = False):
             t.append(d.filter(even))
             t.append(d.filter(~even))
 
-        corpus_t = make(
-            "dedup_inc_corpus", build_corpus, "doc_id long, text string"
-        )
-
         # Round 13 (VERDICT r12 #5): hash/band state derives from the
         # SAME in-memory halves the corpus appends wrote (bit-identical
         # rows) instead of re-scanning the fresh table, and each heavy
@@ -2080,23 +2076,38 @@ def _inc_dedup_tables(spark, sf_dir, fresh: bool = False):
                 .agg(F.min("doc_id").alias("keep_id"))
             )
 
-        hash_t = make(
-            "dedup_inc_hashes",
-            build_hash_state,
-            "content_hash string, keep_id long",
-        )
-
         bands_all = persist_tracked(_band_rows(d))
 
         def build_band_state(t):
             t.append(bands_all.filter(even))
             t.append(bands_all.filter(~even))  # refresh = O(new rows)
 
-        band_t = make(
-            "dedup_inc_bands",
-            build_band_state,
-            "band int, band_hash long, doc_id long",
-        )
+        # The three state tables are mutually independent (corpus from
+        # `d`, hash state from `hashed`, bands from `bands_all`; each
+        # commits to its OWN location/lock), so build them from a small
+        # thread pool — guide §2.6: the six sequential commits left the
+        # executors idle in every commit-protocol gap, and overlapping
+        # the jobs lets one table's write back-fill another's gap.
+        # Results are unaffected: per-table snapshot ids and contents
+        # never depend on cross-table ordering.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_corpus = pool.submit(
+                make, "dedup_inc_corpus", build_corpus,
+                "doc_id long, text string",
+            )
+            f_hash = pool.submit(
+                make, "dedup_inc_hashes", build_hash_state,
+                "content_hash string, keep_id long",
+            )
+            f_band = pool.submit(
+                make, "dedup_inc_bands", build_band_state,
+                "band int, band_hash long, doc_id long",
+            )
+        corpus_t = f_corpus.result()
+        hash_t = f_hash.result()
+        band_t = f_band.result()
         _INC_DEDUP_FIXTURE[sf_dir] = (
             corpus_t.location,
             hash_t.location,
