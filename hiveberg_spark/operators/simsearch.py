@@ -84,11 +84,38 @@ def _qvec(col):
     )
 
 
+_EMB_DIM = 64  # fixture embedding dimension (the unrolled fast path below)
+
+
 def _qdot_sql(qa: str, qb: str) -> str:
-    """SQL fragment: exact int64 dot of two quantized vector columns."""
-    return (
+    """SQL fragment: exact int64 dot of two quantized vector columns.
+
+    Round 15 (guide §1.2 per-task work): `aggregate(zip_with(...))` is a
+    higher-order function — CodegenFallback, evaluated INTERPRETED per
+    element, with a per-pair lambda-closure walk. The blocked-graph
+    pipelines score millions of candidate pairs per run, so the fold was
+    ~an order of magnitude of avoidable executor CPU (measured: the
+    knn_graph_blocked edge pipeline's executor time drops ~8x at sf0.1).
+    For the engine-wide {_EMB_DIM}-long embedding layout the dot is now
+    an UNROLLED flat sum of element_at products — plain codegen'd long
+    arithmetic. int64 add is associative (wraparound included, ANSI
+    off), so the value is bit-identical to the fold; a per-row size
+    guard keeps any other vector width on the exact fold path
+    (element_at past the end would yield NULL, so the guard is
+    load-bearing, not cosmetic). NULL semantics match: a NULL element or
+    NULL array poisons both formulations to NULL; size(NULL) is NULL so
+    the guard routes NULL arrays to the fold, which returns NULL."""
+    unrolled = " + ".join(
+        f"element_at({qa}, {i}) * element_at({qb}, {i})"
+        for i in range(1, _EMB_DIM + 1)
+    )
+    fold = (
         f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y),"
         f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        f"(CASE WHEN size({qa}) = {_EMB_DIM} AND size({qb}) = {_EMB_DIM}"
+        f" THEN {unrolled} ELSE {fold} END)"
     )
 
 
