@@ -189,8 +189,20 @@ def ngram_jaccard_pairs(
     (every realistic small-SF corpus) the bound IS the exact Jaccard and
     no verify pass runs; when H > 0 the surviving candidates (bounded by
     cap·|tokens|, not Σ freq²) are re-verified from the full shingle
-    sets."""
-    tok_all = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sets.
+
+    Round 15 (guide §2.3/§2.4): each doc's set size rides along the
+    exploded token rows (one int) and survives the candidate aggregation
+    as min(na)/min(nb), so the two post-aggregation doc-keyed size joins
+    are GONE — two fewer joins over the candidate frame (two fewer
+    corpus-keyed exchanges once the size table stops broadcasting at
+    scale) for 4 bytes per token row. Same ints, same Jaccard, same
+    pairs."""
+    tok_all = sh.select(
+        "doc_id",
+        F.size("shingles").alias("na"),
+        F.explode("shingles").alias("s"),
+    )
     n_hot = 0
     tok = tok_all
     if df_cap is not None:
@@ -203,16 +215,22 @@ def ngram_jaccard_pairs(
         n_hot = hot.count()  # scalar plan constant (tiny agg job)
         if n_hot:
             tok = tok_all.join(hot.select("s"), "s", "left_anti")
-    t2 = tok.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    t2 = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("na").alias("nb"),
+        F.col("s").alias("s2"),
+    )
     inter = (
         tok.join(t2, (tok.s == t2.s2) & (tok.doc_id < t2.doc_b))
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-        .agg(F.count("*").alias("i"))
+        .agg(
+            F.count("*").alias("i"),
+            F.min("na").alias("na"),  # constant per doc_a — min IS the value
+            F.min("nb").alias("nb"),
+        )
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.size("shingles").alias("na"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.size("shingles").alias("nb"))
     bound = (F.col("i") + n_hot) / (F.col("na") + F.col("nb") - F.col("i") - n_hot)
-    cands = inter.join(sa, "doc_a").join(sb, "doc_b").filter(bound >= threshold)
+    cands = inter.filter(bound >= threshold)
     if n_hot == 0:
         jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
         return cands.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
@@ -1190,8 +1208,19 @@ def containment_pairs(
     verify pass runs; when H > 0 survivors are re-scored from the full
     shingle sets (candidate count bounded by cap·|tokens|, not Σ f²).
     A pair is missed only if ALL its shared shingles are hot — the
-    same stop-shingle tradeoff the Jaccard path documents."""
-    tok_all = sh.select("doc_id", F.explode("shingles").alias("s"))
+    same stop-shingle tradeoff the Jaccard path documents.
+
+    Round 15 (guide §2.3/§2.4, the Jaccard kernel's sizes-carry applied
+    here): both docs' set sizes ride the exploded token rows and survive
+    the candidate aggregation as min(), so the post-union doc-keyed size
+    join is gone; the directed union just picks its own side's size.
+    Same ints, same containment, same pairs (the old `na > 0` filter was
+    vacuous — a doc reaches `inter` only by exploding ≥1 shingle)."""
+    tok_all = sh.select(
+        "doc_id",
+        F.size("shingles").alias("na"),
+        F.explode("shingles").alias("s"),
+    )
     n_hot = 0
     tok = tok_all
     if df_cap is not None:
@@ -1203,24 +1232,35 @@ def containment_pairs(
         n_hot = hot.count()  # scalar plan constant (tiny agg job)
         if n_hot:
             tok = tok_all.join(hot.select("s"), "s", "left_anti")
-    t2 = tok.select(F.col("doc_id").alias("hi"), F.col("s").alias("s2"))
+    t2 = tok.select(
+        F.col("doc_id").alias("hi"),
+        F.col("na").alias("n_hi"),
+        F.col("s").alias("s2"),
+    )
     inter = (
         tok.join(t2, (F.col("s") == F.col("s2")) & (F.col("doc_id") < F.col("hi")))
         .groupBy(F.col("doc_id").alias("lo"), "hi")
-        .agg(F.count("*").alias("i"))
-    )
-    directed = inter.select(
-        F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b"), "i"
-    ).unionByName(
-        inter.select(
-            F.col("hi").alias("doc_a"), F.col("lo").alias("doc_b"), "i"
+        .agg(
+            F.count("*").alias("i"),
+            F.min("na").alias("n_lo"),  # constant per lo — min IS the value
+            F.min("n_hi").alias("n_hi"),
         )
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("na"))
-    cands = (
-        directed.join(sizes, directed["doc_a"] == sizes["doc_id"])
-        .filter(F.col("na") > 0)
-        .filter((F.col("i") + n_hot) / F.col("na") >= threshold)
+    directed = inter.select(
+        F.col("lo").alias("doc_a"),
+        F.col("hi").alias("doc_b"),
+        "i",
+        F.col("n_lo").alias("na"),
+    ).unionByName(
+        inter.select(
+            F.col("hi").alias("doc_a"),
+            F.col("lo").alias("doc_b"),
+            "i",
+            F.col("n_hi").alias("na"),
+        )
+    )
+    cands = directed.filter(
+        (F.col("i") + n_hot) / F.col("na") >= threshold
     )
     if n_hot == 0:
         return cands.select(

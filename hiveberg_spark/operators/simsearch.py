@@ -3026,10 +3026,16 @@ def graph_triangle_count(spark, sf_dir):
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
-    wedges_row = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    # Round 15 (guide §2.4): n_edges comes from the SAME degree pass as
+    # n_wedges — Σd = 2·|E| exactly (each undirected edge contributes 1
+    # to both endpoints' degrees; `div 2` is exact by the handshake
+    # lemma) — so the separate count(*) scan of `und` and its crossJoin
+    # stage are gone. Both values stay BIGINT, bit-identical.
+    stats_row = deg.agg(
+        # coalesce: count(*) returned 0 (not NULL) on an empty edge set
+        F.expr("coalesce(sum(d) div 2, 0L)").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
     )
-    edges_row = und.agg(F.count("*").alias("n_edges"))
     e1 = und.select(F.col("a").alias("a"), F.col("b").alias("b"))
     e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
@@ -3039,8 +3045,7 @@ def graph_triangle_count(spark, sf_dir):
         .agg(F.count("*").alias("n_triangles"))
     )
     return (
-        edges_row.crossJoin(F.broadcast(wedges_row))
-        .crossJoin(F.broadcast(tri_row))
+        stats_row.crossJoin(F.broadcast(tri_row))
         .select(
             "n_edges",
             "n_wedges",

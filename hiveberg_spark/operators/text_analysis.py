@@ -1729,6 +1729,17 @@ def text_kneser_ney_bigram(spark, sf_dir):
     )
     fanout = bi.groupBy("prev").agg(F.count("*").alias("n1p_fwd"))
     cont = bi.groupBy("word").agg(F.count("*").alias("n1p_bwd"))
+    # Round 15 (guide §2.4): uni+cont share the `word` key and
+    # ctx+fanout share the `prev` key, so the count tables pre-merge
+    # into one table per key (two vocab-sized joins) and the CORPUS
+    # frame is joined 3 times instead of 5 — two fewer passes over the
+    # token frame at any scale. Left-join semantics are preserved:
+    # uni stays the inner gate exactly as before (every token's word is
+    # in uni), cont may miss doc-initial-only words (left), and ctx/
+    # fanout are built from the same observed-prev key set (left ≡
+    # inner between them; both left onto tok as before).
+    wtab = uni.join(cont, "word", "left")
+    ptab = ctx.join(fanout, "prev", "left")
     stats = tok.agg(
         F.count("*").alias("n"), F.countDistinct("word").alias("v")
     ).crossJoin(bi.agg(F.count("*").alias("t")))
@@ -1738,12 +1749,9 @@ def text_kneser_ney_bigram(spark, sf_dir):
         "n1p_fwd"
     ) / F.col("ctx_cnt") * (F.col("n1p_bwd") * 1.0 / F.col("t"))
     lp = (
-        tok.join(uni, "word")
-        .join(ctx, "prev", "left")
+        tok.join(wtab, "word")
+        .join(ptab, "prev", "left")
         .join(bi, ["prev", "word"], "left")
-        .join(fanout, "prev", "left")
-        .join(cont.withColumnRenamed("word", "w2"),
-              F.col("word") == F.col("w2"), "left")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
