@@ -67,6 +67,32 @@ def shingled(docs: DataFrame, n: int = 3, repartition: bool = True) -> DataFrame
     return with_words.select("doc_id", shingles.alias("shingles"))
 
 
+def set_equality_match(
+    a: DataFrame, b: DataFrame, cols: list, out_name: str
+) -> DataFrame:
+    """One-row boolean frame: TRUE iff `a` and `b` agree as key sets on
+    `cols`.
+
+    Round 15 (guide §2.4/§7.2): the audit legs used to union the two
+    anti-join directions — and Catalyst duplicates each side's whole
+    subtree under the union branches, so an expensive rebuild side (a
+    corpus md5 pass, a shingle→minhash banding pipeline, a batch
+    decontamination run) executed TWICE per audit. One full-outer join
+    with per-side presence markers computes the identical boolean from
+    a single evaluation of each side: a key set differs iff some joined
+    row is missing either marker. (Duplicate keys matched by the other
+    side carry both markers, exactly as they never appeared in either
+    anti-join.)"""
+    am = a.withColumn("_a", F.lit(True))
+    bm = b.withColumn("_b", F.lit(True))
+    mismatch = F.count(
+        F.when(F.col("_a").isNull() | F.col("_b").isNull(), 1)
+    )
+    return am.join(bm, cols, "full_outer").agg(
+        (mismatch == 0).alias(out_name)
+    )
+
+
 def _verified_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Join candidate (doc_a, doc_b) pairs back to shingle sets and keep
     pairs with exact Jaccard >= threshold."""
@@ -1246,19 +1272,32 @@ def containment_pairs(
             F.min("n_hi").alias("n_hi"),
         )
     )
+    # Round 15 (guide §2.4/§7.2): the directed view used to be a UNION
+    # of two selects over `inter` — and Catalyst duplicates the whole
+    # inverted-index self-join + aggregation subtree under each union
+    # branch (the committed before-plan shows two full HashAggregate/
+    # BroadcastHashJoin chains), so the expensive Σdf² candidate pass
+    # ran TWICE. One inline explode emits both directions from a single
+    # pass — no union, no persist barrier (the r14 substring lesson:
+    # materialization would cost more than this stays fused).
     directed = inter.select(
-        F.col("lo").alias("doc_a"),
-        F.col("hi").alias("doc_b"),
-        "i",
-        F.col("n_lo").alias("na"),
-    ).unionByName(
-        inter.select(
-            F.col("hi").alias("doc_a"),
-            F.col("lo").alias("doc_b"),
-            "i",
-            F.col("n_hi").alias("na"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("doc_a"),
+                    F.col("hi").alias("doc_b"),
+                    F.col("i").alias("i"),
+                    F.col("n_lo").alias("na"),
+                ),
+                F.struct(
+                    F.col("hi").alias("doc_a"),
+                    F.col("lo").alias("doc_b"),
+                    F.col("i").alias("i"),
+                    F.col("n_hi").alias("na"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_a", "e.doc_b", "e.i", "e.na")
     cands = directed.filter(
         (F.col("i") + n_hot) / F.col("na") >= threshold
     )
@@ -2285,17 +2324,17 @@ def _inc_dedup_report(
 
     state_keys = hash_t.scan(virtual_column=None).select("content_hash")
     full_keys = hash_state(d).select("content_hash")
-    hash_match = (
-        full_keys.join(state_keys, "content_hash", "left_anti")
-        .unionByName(state_keys.join(full_keys, "content_hash", "left_anti"))
-        .agg((F.count("*") == 0).alias("hash_state_matches"))
+    # full-outer set audits (round 15): each side evaluates ONCE — the
+    # old anti-join union ran the corpus md5 pass and the banding
+    # pipeline twice each (see set_equality_match)
+    hash_match = set_equality_match(
+        full_keys, state_keys, ["content_hash"], "hash_state_matches"
     )
     full_bands = _band_rows_from_shingled(sh_full)
     band_cols = ["band", "band_hash", "doc_id"]
-    band_match = (
-        full_bands.join(all_bands, band_cols, "left_anti")
-        .unionByName(all_bands.join(full_bands, band_cols, "left_anti"))
-        .agg((F.count("*") == 0).alias("band_state_matches"))
+    band_match = set_equality_match(
+        full_bands, all_bands.select(band_cols), band_cols,
+        "band_state_matches",
     )
     return (
         n_initial.crossJoin(n_new)

@@ -1953,31 +1953,35 @@ def pipeline_quality_funnel(spark, sf_dir):
         ).alias("r3"),
     )
     n, r1, r2, r3 = F.col("n"), F.col("r1"), F.col("r2"), F.col("r3")
-    s1 = agg.select(
-        F.lit(1).alias("stage"),
-        F.lit("gopher_rules").alias("name"),
-        n.alias("docs_in"),
-        r1.alias("docs_rejected"),
-        (n - r1).alias("docs_out"),
-        F.round(r1.cast("double") / n, 6).alias("reject_rate"),
-    )
-    s2 = agg.select(
-        F.lit(2).alias("stage"),
-        F.lit("repetition").alias("name"),
-        (n - r1).alias("docs_in"),
-        r2.alias("docs_rejected"),
-        (n - r1 - r2).alias("docs_out"),
-        F.round(r2.cast("double") / (n - r1), 6).alias("reject_rate"),
-    )
-    s3 = agg.select(
-        F.lit(3).alias("stage"),
-        F.lit("langid_match").alias("name"),
-        (n - r1 - r2).alias("docs_in"),
-        r3.alias("docs_rejected"),
-        (n - r1 - r2 - r3).alias("docs_out"),
-        F.round(r3.cast("double") / (n - r1 - r2), 6).alias("reject_rate"),
-    )
-    return s1.unionByName(s2).unionByName(s3)
+
+    # Round 15 (guide §2.4/§7.2): the three stage rows used to be a
+    # UNION of three selects over `agg` — and Catalyst duplicates the
+    # whole flags-join + aggregate subtree under each branch (captured
+    # plan: 18 parquet scans, zero ReusedExchange — the corpus ran
+    # through all three gates three times). One inline explode emits
+    # the three projections of the single one-row aggregate.
+    def stage_struct(stage, name, docs_in, rejected, docs_out, denom):
+        return F.struct(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("name"),
+            docs_in.alias("docs_in"),
+            rejected.alias("docs_rejected"),
+            docs_out.alias("docs_out"),
+            F.round(rejected.cast("double") / denom, 6).alias("reject_rate"),
+        )
+
+    return agg.select(
+        F.explode(
+            F.array(
+                stage_struct(1, "gopher_rules", n, r1, n - r1, n),
+                stage_struct(2, "repetition", n - r1, r2, n - r1 - r2, n - r1),
+                stage_struct(
+                    3, "langid_match", n - r1 - r2, r3,
+                    n - r1 - r2 - r3, n - r1 - r2,
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
 
 
 # -- training shard manifest (round 9, wave 6) -------------------------------------

@@ -721,12 +721,14 @@ def stream_ivf_refresh(spark, sf_dir):
     # distinct applied snapshot ranges, not a skip-sensitive batch counter
     multi_batch = len(json.load(open(cursor_path))["ranges"]) > 1
 
+    from hiveberg_spark.operators.dedup import set_equality_match
+
     streamed = index.scan(virtual_column=None)
     full = assign(corpus.scan(virtual_column=None))
-    missing = full.join(streamed, ["cell", "vec_id"], "left_anti")
-    extra = streamed.join(full, ["cell", "vec_id"], "left_anti")
-    match = missing.unionByName(extra).agg(
-        (F.count("*") == 0).alias("lists_match_full_rebuild")
+    # full-outer set audit (round 15): the full-corpus assignment
+    # evaluates ONCE — the old anti-join union ran it twice
+    match = set_equality_match(
+        full, streamed, ["cell", "vec_id"], "lists_match_full_rebuild"
     )
     out = (
         streamed.agg(F.count("*").cast("long").alias("n_indexed"))
@@ -795,6 +797,7 @@ def stream_incremental_dedup(spark, sf_dir):
         _band_rows,
         _band_rows_from_shingled,
         _verified_pairs,
+        set_equality_match,
         shingled,
     )
     from hiveberg_spark.sources.snapshot_table import SnapshotTable
@@ -909,18 +912,18 @@ def stream_incremental_dedup(spark, sf_dir):
     # set-equality invariants vs a from-scratch rebuild of both tables
     state_keys = hash_t.scan(virtual_column=None).select("content_hash")
     full_keys = full.select(F.md5("text").alias("content_hash")).distinct()
-    hash_match = (
-        full_keys.join(state_keys, "content_hash", "left_anti")
-        .unionByName(state_keys.join(full_keys, "content_hash", "left_anti"))
-        .agg((F.count("*") == 0).alias("hash_state_matches"))
+    # full-outer set audits (round 15): each side evaluates ONCE — the
+    # old anti-join union ran the md5 pass and the full shingle→minhash
+    # banding rebuild twice each (see dedup.set_equality_match)
+    hash_match = set_equality_match(
+        full_keys, state_keys, ["content_hash"], "hash_state_matches"
     )
     all_bands = band_t.scan(virtual_column=None)
     full_bands = _band_rows_from_shingled(shingled(full))
     band_cols = ["band", "band_hash", "doc_id"]
-    band_match = (
-        full_bands.join(all_bands, band_cols, "left_anti")
-        .unionByName(all_bands.join(full_bands, band_cols, "left_anti"))
-        .agg((F.count("*") == 0).alias("band_state_matches"))
+    band_match = set_equality_match(
+        full_bands, all_bands.select(band_cols), band_cols,
+        "band_state_matches",
     )
     out = persist_tracked(
         n_docs.crossJoin(exact)
@@ -1443,15 +1446,15 @@ def stream_decontaminate(spark, sf_dir):
         decontaminate_ngram_overlap,
     )
 
+    from hiveberg_spark.operators.dedup import set_equality_match
+
     batch = decontaminate_ngram_overlap.__wrapped__(spark, sf_dir).select(
         "doc_id", "source", "contaminated"
     )
     cols = ["doc_id", "source", "contaminated"]
-    match = (
-        batch.join(flags, cols, "left_anti")
-        .unionByName(flags.join(batch, cols, "left_anti"))
-        .agg((F.count("*") == 0).alias("flags_match_batch"))
-    )
+    # full-outer set audit (round 15): the batch decontamination
+    # pipeline evaluates ONCE — the old anti-join union ran it twice
+    match = set_equality_match(batch, flags, cols, "flags_match_batch")
     out = (
         totals.withColumn("multi_batch", F.lit(bool(multi_batch)))
         .crossJoin(match)
