@@ -1094,10 +1094,12 @@ def simsearch_ivf_incremental(spark, sf_dir):
     full = full_t.scan(virtual_column=None)
     n_initial = initial.agg(F.count("*").cast("long").alias("n_initial"))
     n_total = current.agg(F.count("*").cast("long").alias("n_total"))
-    missing = full.join(current, ["cell", "vec_id"], "left_anti")
-    extra = current.join(full, ["cell", "vec_id"], "left_anti")
-    match = missing.unionByName(extra).agg(
-        (F.count("*") == 0).alias("lists_match_full_rebuild")
+    from hiveberg_spark.operators.dedup import set_equality_match
+
+    # full-outer set audit (round 15): one join instead of two
+    # anti-joins, each state scan evaluates once
+    match = set_equality_match(
+        full, current, ["cell", "vec_id"], "lists_match_full_rebuild"
     )
     return (
         n_initial.crossJoin(n_total)

@@ -120,14 +120,26 @@ def _write_ticks_ordered(spark, tick_dir: str, sids: list[int]) -> None:
     newer one first under maxFilesPerTrigger=1 — the cursor then jumps
     past the earlier commit and the per-commit micro-batch structure
     collapses (ADVICE r7). Pinned mtimes make admission order == sid
-    order, deterministically."""
+    order, deterministically.
+
+    Round 15 (guide §4/§5): the ticks are written by pyarrow on the
+    driver — they are 1-row driver-known constants, not data. The old
+    `createDataFrame([(sid,)]).coalesce(1).write` launched a Spark job
+    whose single write task re-evaluated all `defaultParallelism`
+    slices of the Python-parallelized local relation SEQUENTIALLY (one
+    Python-worker round-trip each, measured ~5 s per tick at
+    local[32]) — ~15 s of pure overhead per tick-driven streaming
+    query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     for i, sid in enumerate(sids):
-        tick = os.path.join(tick_dir, f"tick_{sid}")
-        spark.createDataFrame([(sid,)], "sid long").coalesce(1).write.parquet(tick)
+        path = os.path.join(tick_dir, f"tick_{sid}.parquet")
+        pq.write_table(
+            pa.table({"sid": pa.array([sid], type=pa.int64())}), path
+        )
         stamp = 1_000_000_000 + i * 10
-        for root, _dirs, files in os.walk(tick):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (stamp, stamp))
+        os.utime(path, (stamp, stamp))
 
 
 def _applied_sids(table) -> set[int]:
@@ -1103,11 +1115,14 @@ def stream_media_ingest(spark, sf_dir):
 
     streamed = feats.scan(virtual_column=None)
     full = featurize(corpus.scan(virtual_column=None))
+    from hiveberg_spark.operators.dedup import set_equality_match
+
     cols = ["doc_id", "peak", "n_samples", "duration_ms"]
-    missing = full.join(streamed, cols, "left_anti")
-    extra = streamed.join(full, cols, "left_anti")
-    match = missing.unionByName(extra).agg(
-        (F.count("*") == 0).alias("features_match_full_rebuild")
+    # full-outer set audit (round 15): the full-corpus media featurize
+    # (binary decode) evaluates ONCE — the old anti-join union ran it
+    # twice (see dedup.set_equality_match)
+    match = set_equality_match(
+        full, streamed, cols, "features_match_full_rebuild"
     )
     out = (
         streamed.agg(

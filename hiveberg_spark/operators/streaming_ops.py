@@ -985,18 +985,26 @@ def stream_late_data_policy(spark, sf_dir):
             F.lit("{}").alias("props"),
         )
     )
-    def _stage(df, name):
+    def _stage(df, name, stamp):
         if kind == "nanos":
             df = df.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
         elif kind == "ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-        df.coalesce(1).write.parquet(os.path.join(d, name))
+        path = os.path.join(d, name)
+        df.coalesce(1).write.parquet(path)
+        # pin the mtime explicitly (round 15) — the old 1.1 s sleep
+        # bought the same strict ordering by waiting out the clock
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (stamp, stamp))
 
-    # distinct mtimes + ordered names pin the batch order: history,
-    # then fresh (advances/evicts), then stale (post-eviction → drop)
-    _stage(fresh, "01_fresh.parquet")
-    _time.sleep(1.1)
-    _stage(stale, "02_stale.parquet")
+    # distinct PINNED mtimes + ordered names pin the batch order:
+    # history (the fixture's own old mtime), then fresh
+    # (advances/evicts), then stale (post-eviction → drop); stamps sit
+    # after the fixture file's mtime because they are "now"
+    now = _time.time()
+    _stage(fresh, "01_fresh.parquet", now + 10)
+    _stage(stale, "02_stale.parquet", now + 20)
     schema = {
         "nanos": _SCHEMA_TS_NANOS_LONG,
         "ntz": _SCHEMA_TS_NTZ,

@@ -57,9 +57,21 @@ def test_write_ticks_ordered_mtimes_strictly_increase(spark, tmp_path):
     _write_ticks_ordered(spark, tick_dir, [11, 12, 13])
     per_tick = []
     for sid in (11, 12, 13):
+        # round 15: ticks are driver-written flat parquet files (the
+        # old layout was a directory per tick); accept either — the
+        # contract under test is the strict mtime ordering
+        tick = os.path.join(tick_dir, f"tick_{sid}")
+        candidates = [tick, tick + ".parquet"]
         mts = []
-        for root, _d, files in os.walk(os.path.join(tick_dir, f"tick_{sid}")):
-            mts.extend(os.path.getmtime(os.path.join(root, f)) for f in files)
+        for c in candidates:
+            if os.path.isfile(c):
+                mts.append(os.path.getmtime(c))
+            elif os.path.isdir(c):
+                for root, _d, files in os.walk(c):
+                    mts.extend(
+                        os.path.getmtime(os.path.join(root, f))
+                        for f in files
+                    )
         assert mts, f"tick_{sid} wrote no files"
         per_tick.append(max(mts))
     assert per_tick[0] < per_tick[1] < per_tick[2], per_tick
