@@ -32,6 +32,7 @@ for name, fn in sorted(registry.QUERIES.items()):
         out[name] = {"err": repr(e)[:120]}
     finally:
         release_tracked()
-json.dump(out, open("plans/r14/plan_audit.json", "w"), indent=1)
+_out_path = sys.argv[1] if len(sys.argv) > 1 else "plans/r15/plan_audit.json"
+json.dump(out, open(_out_path, "w"), indent=1)
 print("done", len(out))
 spark.stop()
